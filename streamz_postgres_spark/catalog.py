@@ -1,0 +1,55 @@
+"""Fixture catalog: the ten parquet tables every query reads.
+
+``load_table(spark, sf_dir, name)`` is the single scan entry point so
+that scan-level concerns (schema pinning, partition sizing) live in
+one place. Scans stay fully declarative — `spark.read.parquet` —
+so Catalyst keeps predicate pushdown / column pruning / partition
+pruning on every downstream query.
+
+At 100 TB the same call shape works: parquet directories partitioned
+by date/key are pruned by Catalyst, and
+``spark.sql.files.maxPartitionBytes`` (cluster conf, not code)
+controls split sizing. Nothing here materializes on the driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: dimension tables small enough to broadcast at ANY scale factor —
+#: region/nation are bounded by geography (25/5 rows at 100 TB too).
+BROADCAST_DIMS: frozenset[str] = frozenset({"region", "nation"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one fixture table. Declarative: pushdown-friendly."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all tables as temp views (for spark.sql paths/tests)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,77 @@
+"""Deterministic floating-point aggregation helpers.
+
+Floating-point summation is not associative, so a distributed Spark
+sum and a DuckDB single-threaded sum over the same doubles disagree
+in low-order bits — and any hash-based correctness gate then fails
+sporadically. The fix: route double sums through an exact decimal
+accumulator and cast back to double at the end. Decimal addition is
+exact and associative, so BOTH engines produce the identical double,
+independent of partitioning, parallelism, or row order.
+
+The same trick yields deterministic avg / var / stddev by expressing
+them algebraically over exact sums:
+
+    avg  = dsum(x) / count(x)
+    var  = (dsum(x*x) - dsum(x)^2 / n) / (n - 1)
+
+`SQL_DSUM` mirrors the construction for the DuckDB oracle strings.
+
+Cost note (100 TB): decimal aggregation is still whole-stage-codegen
+JVM arithmetic with map-side partial aggregation — it shuffles one
+128-bit value per group per partition, exactly like a double sum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# 6 fractional digits captures the fixtures' value resolution; 38
+# total digits keeps ~1e31 of headroom for 100 TB-scale sums.
+_DEC = "decimal(38,6)"
+
+
+def dsum(col: Column | str) -> Column:
+    """Order-independent double sum (exact decimal accumulator)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(_DEC)).cast("double")
+
+
+def davg(col: Column | str) -> Column:
+    """Order-independent double mean."""
+    c = F.col(col) if isinstance(col, str) else col
+    return dsum(c) / F.count(c)
+
+
+def dvar_samp(col: Column | str) -> Column:
+    """Order-independent sample variance via exact sums."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.count(c).cast("double")
+    sx = dsum(c)
+    sxx = dsum(c * c)
+    return (sxx - sx * sx / n) / (n - F.lit(1.0))
+
+
+def dstddev_samp(col: Column | str) -> Column:
+    """Order-independent sample standard deviation."""
+    return F.sqrt(dvar_samp(col))
+
+
+def sql_dsum(expr: str) -> str:
+    """DuckDB-side mirror of :func:`dsum` for oracle SQL strings."""
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(38,6))) AS DOUBLE)"
+
+
+def sql_davg(expr: str) -> str:
+    return f"({sql_dsum(expr)} / COUNT({expr}))"
+
+
+def sql_dvar_samp(expr: str) -> str:
+    n = f"CAST(COUNT({expr}) AS DOUBLE)"
+    sx = sql_dsum(expr)
+    sxx = sql_dsum(f"({expr}) * ({expr})")
+    return f"(({sxx} - {sx} * {sx} / {n}) / ({n} - 1.0))"
+
+
+def sql_dstddev_samp(expr: str) -> str:
+    return f"SQRT({sql_dvar_samp(expr)})"

@@ -1,0 +1,37 @@
+"""Vector math over ``array<float>`` columns — JVM-side, no UDFs.
+
+The similarity-search operators (SURVEY.md §2.8) need dot products
+and cosine similarity over the 64-dim ``embeddings.embedding``
+column. Higher-order functions (``aggregate``/``zip_with``) keep the
+arithmetic inside Catalyst expressions — vectorized, codegen'd, no
+Python round-trip — which is the scale path: a Pandas-UDF dot product
+would ship 100 TB of vectors through Arrow for no reason.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Elementwise dot product of two equal-length float arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a,
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
