@@ -17,6 +17,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES: tuple[str, ...] = (
     "region",
@@ -43,9 +44,31 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan one fixture table. Declarative: pushdown-friendly."""
+    """Scan one fixture table. Declarative: pushdown-friendly.
+
+    The events table stores ``ts`` as parquet TIMESTAMP(NANOS), which
+    Spark's reader rejects; we read nanos as LONG (legacy conf, safe
+    to set at runtime) and rebuild a TimestampNTZ at micro precision.
+    The conversion pins UTC explicitly so results are identical under
+    any session timezone. Nanos->micros truncation matches DuckDB's
+    own nanos handling.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        if dict(df.dtypes).get("ts") == "bigint":
+            # integer division: double division would lose precision
+            # on int64 nanos and shift some timestamps by 1 microsecond
+            micros = F.expr("ts div 1000")
+            df = df.withColumn(
+                "ts",
+                F.convert_timezone(
+                    F.lit("UTC"), F.lit("UTC"), F.timestamp_micros(micros)
+                ),
+            )
+        return df
     return spark.read.parquet(table_path(sf_dir, name))
 
 

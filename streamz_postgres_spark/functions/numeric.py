@@ -57,6 +57,25 @@ def dstddev_samp(col: Column | str) -> Column:
     return F.sqrt(dvar_samp(col))
 
 
+def qround(col: Column | str, digits: int) -> Column:
+    """Cross-engine-deterministic rounding via pure double arithmetic.
+
+    Engine-native ``round`` differs between Spark (string-based
+    BigDecimal HALF_UP on the shortest decimal repr) and DuckDB
+    (numeric rounding) for doubles near decimal ties, so oracle-
+    checked queries round with ``floor(x * 10^d + 0.5) / 10^d``:
+    every step is an exact IEEE op computed identically everywhere.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    scale = F.lit(float(10**digits))
+    return F.floor(c * scale + F.lit(0.5)).cast("double") / scale
+
+
+def sql_qround(expr: str, digits: int) -> str:
+    scale = float(10**digits)
+    return f"(CAST(FLOOR(({expr}) * {scale} + 0.5) AS DOUBLE) / {scale})"
+
+
 def sql_dsum(expr: str) -> str:
     """DuckDB-side mirror of :func:`dsum` for oracle SQL strings."""
     return f"CAST(SUM(CAST(({expr}) AS DECIMAL(38,6))) AS DOUBLE)"

@@ -19,5 +19,13 @@ Module map (SURVEY.md §2.7/§2.8 keys):
 """
 
 from streamz_postgres_spark.operators import (  # noqa: F401
+    aggregates,
     flagship,
+    joins,
+    relational,
+    scalar_funcs,
+    setops,
+    subqueries,
+    timewindows,
+    windows,
 )

@@ -1,0 +1,246 @@
+"""Aggregation operators: global, grouped, distinct, rollup/cube/
+grouping sets, having, approximate.
+
+Reference parity (SURVEY.md §2.5): the streamz SDF incremental
+aggregations (sum/count/mean/min/max/var/std, whole-stream and
+groupby) — here in batch form; the streaming/update-mode forms live
+in ``streaming/``.
+
+Scale notes: every aggregate here is a hash aggregation with
+map-side partial aggregation — shuffle size is O(groups), not
+O(rows). var/std are computed algebraically from exact decimal sums
+(functions.numeric) so results are order-independent: the same
+numbers on 1 partition or 10,000.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streamz_postgres_spark.catalog import load_table, table_path
+from streamz_postgres_spark.functions.numeric import (
+    davg,
+    dstddev_samp,
+    dsum,
+    dvar_samp,
+    sql_davg,
+    sql_dstddev_samp,
+    sql_dsum,
+    sql_dvar_samp,
+)
+from streamz_postgres_spark.registry import register
+
+
+@register(
+    "q_global_agg",
+    oracle=f"""
+SELECT
+  COUNT(*) AS n_rows,
+  COUNT(DISTINCT l_partkey) AS n_parts,
+  {sql_dsum('l_quantity')} AS sum_qty,
+  {sql_davg('l_quantity')} AS avg_qty,
+  MIN(l_extendedprice) AS min_price,
+  MAX(l_extendedprice) AS max_price,
+  {sql_dvar_samp('l_quantity')} AS var_qty,
+  {sql_dstddev_samp('l_quantity')} AS std_qty
+FROM lineitem
+""",
+    tags=("agg",),
+)
+def q_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-stream aggregate (SDF global agg parity)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        dsum("l_quantity").alias("sum_qty"),
+        davg("l_quantity").alias("avg_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        dvar_samp("l_quantity").alias("var_qty"),
+        dstddev_samp("l_quantity").alias("std_qty"),
+    )
+
+
+@register(
+    "q_group_agg",
+    oracle=f"""
+SELECT o_orderstatus, o_orderpriority,
+  COUNT(*) AS n_orders,
+  {sql_dsum('o_totalprice')} AS sum_price,
+  {sql_davg('o_totalprice')} AS avg_price,
+  MIN(o_totalprice) AS min_price,
+  MAX(o_totalprice) AS max_price
+FROM orders
+GROUP BY o_orderstatus, o_orderpriority
+""",
+    tags=("agg",),
+)
+def q_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed hash aggregate (SDF groupby().agg() parity)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("sum_price"),
+        davg("o_totalprice").alias("avg_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+@register(
+    "q_distinct",
+    oracle="SELECT DISTINCT c_nationkey, c_mktsegment FROM customer",
+    tags=("agg",),
+)
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct rows (streamz `unique` parity, batch form)."""
+    return load_table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment"
+    ).distinct()
+
+
+@register(
+    "q_agg_distinct",
+    oracle="""
+SELECT l_returnflag,
+  CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_distinct_qty,
+  COUNT(DISTINCT l_partkey) AS n_parts,
+  COUNT(DISTINCT l_suppkey) AS n_supps
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("agg",),
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregates incl. multi-distinct (expanded by Catalyst
+    into one shuffle per distinct set). Distinctness is taken on the
+    decimal image of the double so both engines dedup identically."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sum_distinct(F.col("l_quantity").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sum_distinct_qty"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+@register(
+    "q_approx_distinct",
+    oracle=None,  # approximate: rows-only check by design
+    tags=("agg", "approx"),
+)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-count sketch. The 100 TB path for
+    cardinality: constant memory per group vs a full distinct
+    shuffle. Approximate => no value oracle (driver rows-only)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+@register(
+    "q_rollup",
+    oracle=f"""
+SELECT r_name, n_name,
+  COUNT(*) AS n_cust,
+  {sql_dsum('c_acctbal')} AS sum_bal,
+  GROUPING(r_name) + 2 * GROUPING(n_name) AS gid
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+    tags=("agg", "rollup"),
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals region -> nation -> grand total."""
+    c = load_table(spark, sf_dir, "customer")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, F.col("n_regionkey") == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            dsum("c_acctbal").alias("sum_bal"),
+            (F.grouping("r_name") + F.lit(2) * F.grouping("n_name")).alias("gid"),
+        )
+    )
+
+
+@register(
+    "q_cube",
+    oracle=f"""
+SELECT o_orderstatus, o_orderpriority,
+  COUNT(*) AS n_orders,
+  {sql_dsum('o_totalprice')} AS sum_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    tags=("agg", "rollup"),
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All grouping combinations of status x priority."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("sum_price"),
+    )
+
+
+@register(
+    "q_grouping_sets",
+    oracle=f"""
+SELECT o_orderstatus, o_orderpriority,
+  COUNT(*) AS n_orders,
+  {sql_dsum('o_totalprice')} AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+    tags=("agg", "rollup"),
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets (per-status, per-priority, grand total).
+
+    Expressed in SQL over a direct parquet-path relation — grouping
+    sets are SQL-only surface in Spark; `parquet.`path`` keeps it
+    view-registration-free and pushdown-friendly."""
+    path = table_path(sf_dir, "orders")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+          COUNT(*) AS n_orders,
+          {sql_dsum('o_totalprice')} AS sum_price
+        FROM parquet.`{path}`
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "q_having",
+    oracle=f"""
+SELECT o_custkey, COUNT(*) AS n_orders, {sql_dsum('o_totalprice')} AS sum_price
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(*) >= 12 AND {sql_dsum('o_totalprice')} > 500000.0
+""",
+    tags=("agg",),
+)
+def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .filter((F.col("n_orders") >= 12) & (F.col("sum_price") > 500000.0))
+    )

@@ -1,0 +1,493 @@
+"""Join operators: equi (all flavors), broadcast, theta/band,
+interval, multiway star, as-of, and lockstep zip.
+
+Reference parity (SURVEY.md §2.4): streamz `zip` -> ``zip_seq``;
+`combine_latest`/`zip_latest` -> ``asof_join`` (enrich each event
+with the latest row of another stream); stream-stream equi joins
+within a time bound -> ``q_interval_join``.
+
+Scale notes per query are in each docstring; the common rules:
+- small dims go through ``F.broadcast`` (region/nation are bounded
+  by geography at any scale),
+- big-big joins are plain equi joins -> AQE picks sort-merge with
+  skew splitting,
+- the band/theta join broadcasts the literal band table so the
+  nested-loop side is O(1) per row,
+- as-of avoids a range join entirely: union + running `last()`
+  window, one shuffle on (key), no pairwise blowup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from streamz_postgres_spark.catalog import load_table
+from streamz_postgres_spark.functions.numeric import dsum, sql_dsum
+from streamz_postgres_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# Library helpers (engine API, reused by batch queries and streaming)
+# ---------------------------------------------------------------------------
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str,
+    right_ts: str,
+    right_values: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """As-of join: attach to each left row the most recent right row
+    (``right_ts <= left_ts``) with the same key(s).
+
+    This is the relational form of streamz ``zip_latest(lossless,
+    other)`` / ``combine_latest`` (SURVEY.md §2.4): the left stream is
+    lossless, the right supplies "latest known value".
+
+    Implementation is the union + running-``last(ignoreNulls)`` window
+    pattern rather than a range join: one shuffle on the key, linear
+    state, no candidate-pair blowup — this is what survives 100 TB.
+    At equal timestamps the right row sorts BEFORE the left row
+    (side=0 < 1), giving inclusive `<=` semantics, matching DuckDB's
+    ``ASOF JOIN ... ON l.ts >= r.ts``.
+
+    The right side must be unique per (key, right_ts) — pre-aggregate
+    duplicates first or the tie-winner is engine-dependent.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    payload = F.struct(
+        F.col(right_ts).alias("__asof_ts"),
+        *[F.col(c).alias(c) for c in right_values],
+    )
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        payload.alias("__payload"),
+    )
+    left_cols = left.columns
+    l = left.select(
+        *[F.col(c) for c in left_cols],
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
+    )
+    # align schemas: right side carries nulls for left payload columns
+    for c in left_cols:
+        if c not in keys:
+            r = r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    r = r.select(*left_cols, "__ts", "__side", "__payload")
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = (
+        l.unionByName(r)
+        .withColumn("__latest", F.last("__payload", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+    )
+    out = joined.select(
+        *left_cols,
+        F.col("__latest.__asof_ts").alias("asof_ts"),
+        *[F.col(f"__latest.{c}").alias(c) for c in right_values],
+    )
+    if how == "inner":
+        out = out.filter(F.col("asof_ts").isNotNull())
+    return out
+
+
+def with_seq(df: DataFrame, order_by: list[Column | str], name: str = "seq") -> Column:
+    """Attach a 1-based position column according to ``order_by``.
+
+    Batch implementation is a global ``row_number`` (single-partition
+    window) — correct everywhere, serial at the final stage. The 100 TB
+    path for *positional* semantics is a two-pass per-partition offset
+    (count rows per sorted partition, prefix-sum the counts on the
+    driver — a few KB — then add the offset per partition); positional
+    zip is inherently a total-order operation, so some serial step is
+    unavoidable. Kept as the simple form here because every zip use in
+    the reference (streamz ``zip``) is order-sensitive by design.
+    """
+    w = Window.orderBy(*order_by)
+    return df.withColumn(name, F.row_number().over(w))
+
+
+def zip_seq(
+    left: DataFrame,
+    right: DataFrame,
+    left_order: list[Column | str],
+    right_order: list[Column | str],
+) -> DataFrame:
+    """Lockstep zip (streamz ``zip`` parity): pair the i-th row of
+    each input by position; truncates to the shorter side (streamz
+    buffers the faster stream; on bounded data that reduces to
+    truncation)."""
+    l = with_seq(left, left_order, "seq")
+    r = with_seq(right, right_order, "seq")
+    return l.join(r, "seq", "inner")
+
+
+# ---------------------------------------------------------------------------
+# Registered queries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_join_inner",
+    oracle="""
+SELECT o_orderkey, o_totalprice, c_custkey, c_name, c_mktsegment
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderstatus = 'F'
+""",
+    tags=("join",),
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join fact->dim. Filter pushed below the join by
+    Catalyst; AQE broadcasts customer when it fits."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "q_join_left",
+    oracle="""
+SELECT c_custkey, c_name, o_orderkey, o_totalprice
+FROM customer
+LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 150000.0) big
+  ON c_custkey = o_custkey
+""",
+    tags=("join",),
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join; unmatched customers keep null order columns."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150000.0)
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "q_join_right",
+    oracle="""
+SELECT c_custkey, c_name, o_orderkey, o_totalprice
+FROM (SELECT * FROM customer WHERE c_acctbal > 5000.0) rich
+RIGHT JOIN orders ON c_custkey = o_custkey
+""",
+    tags=("join",),
+)
+def q_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join; orders from non-rich customers keep nulls."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000.0)
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "right").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "q_join_full",
+    oracle="""
+SELECT f.c_nationkey AS cust_nation, s.s_nationkey AS supp_nation,
+       f.n_cust, s.n_supp
+FROM (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer
+      WHERE c_acctbal > 7500.0 GROUP BY c_nationkey) f
+FULL JOIN (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier
+           WHERE s_acctbal > 5000.0 GROUP BY s_nationkey) s
+  ON f.c_nationkey = s.s_nationkey
+""",
+    tags=("join",),
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two keyed aggregates."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 7500.0)
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 5000.0)
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return c.join(s, c.c_nationkey == s.s_nationkey, "full").select(
+        F.col("c_nationkey").alias("cust_nation"),
+        F.col("s_nationkey").alias("supp_nation"),
+        "n_cust",
+        "n_supp",
+    )
+
+
+@register(
+    "q_join_semi",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+""",
+    tags=("join",),
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence join: customers having at least one urgent order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q_join_anti",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+""",
+    tags=("join",),
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: customers with no urgent orders."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q_join_broadcast",
+    oracle="""
+SELECT n_name, r_name, COUNT(*) AS n_cust,
+       {dsum} AS sum_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY n_name, r_name
+""".format(dsum=sql_dsum("c_acctbal")),
+    tags=("join",),
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast of bounded dims (nation 25 rows, region 5
+    rows at ANY scale factor): the fact side never shuffles for the
+    join, only for the final small agg."""
+    c = load_table(spark, sf_dir, "customer")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, F.col("n_regionkey") == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            dsum("c_acctbal").alias("sum_acctbal"),
+        )
+    )
+
+
+_BANDS = [
+    ("tiny", 0.0, 50.0),
+    ("small", 50.0, 120.0),
+    ("medium", 120.0, 250.0),
+    ("large", 250.0, 400.0),
+    ("huge", 400.0, 1000.0),
+]
+
+_BANDS_SQL = ", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in _BANDS)
+
+
+@register(
+    "q_join_theta",
+    oracle=f"""
+SELECT band, COUNT(*) AS n_events, {sql_dsum('value')} AS sum_value
+FROM events
+JOIN (VALUES {_BANDS_SQL}) AS bands(band, lo, hi)
+  ON value >= lo AND value < hi
+GROUP BY band
+""",
+    tags=("join",),
+)
+def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/band join: assign each event to a value band via a
+    non-equi condition. The band table is a broadcast literal, so the
+    nested-loop probe is O(bands) per row — the only sane theta-join
+    shape at 100 TB (arbitrary big-big theta joins don't scale)."""
+    e = load_table(spark, sf_dir, "events")
+    bands = F.broadcast(
+        spark.createDataFrame(_BANDS, "band string, lo double, hi double")
+    )
+    return (
+        e.join(bands, (e.value >= bands.lo) & (e.value < bands.hi))
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "q_interval_join",
+    oracle=f"""
+SELECT c.event_id, c.user_id,
+       COUNT(p.event_id) AS n_purchases,
+       {sql_dsum('p.value')} AS sum_purchase
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+GROUP BY c.event_id, c.user_id
+""",
+    tags=("join", "time"),
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval join: purchases within 30 min after each click,
+    same user. Equi key (user_id) + range condition -> sort-merge on
+    the key with the range as a post-filter; in streaming the same
+    shape becomes a watermarked stream-stream join (streaming/)."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id"), F.col("user_id"), F.col("ts")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+        F.col("event_id").alias("p_event_id"),
+    )
+    return (
+        c.join(
+            p,
+            (c.user_id == p.p_user_id)
+            & (p.p_ts >= c.ts)
+            & (p.p_ts <= c.ts + F.expr("INTERVAL 30 MINUTE")),
+        )
+        .groupBy("event_id", "user_id")
+        .agg(
+            F.count("p_event_id").alias("n_purchases"),
+            dsum("p_value").alias("sum_purchase"),
+        )
+    )
+
+
+@register(
+    "q_asof_join",
+    oracle=f"""
+WITH clicks AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+), purch AS (
+  SELECT user_id, ts, arg_max(value, event_id) AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, ts
+)
+SELECT c.event_id, c.user_id, c.ts, c.value,
+       p.ts AS asof_ts, p.purchase_value
+FROM clicks c
+ASOF LEFT JOIN purch p ON c.user_id = p.user_id AND c.ts >= p.ts
+""",
+    tags=("join", "time", "asof"),
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (streamz zip_latest/combine_latest parity): each
+    click enriched with the user's latest prior-or-equal purchase."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purch = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("purchase_value"))
+    )
+    return asof_join(
+        clicks,
+        purch,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_values=["purchase_value"],
+    )
+
+
+@register(
+    "q_join_multiway",
+    oracle=f"""
+SELECT n_name, year(o_orderdate) AS order_year,
+       {sql_dsum('l_extendedprice * (1.0 - l_discount)')} AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY n_name, year(o_orderdate)
+""",
+    tags=("join",),
+)
+def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-way star join: revenue of returned lines by nation x year.
+    nation broadcast; lineitem->orders->customer are key joins AQE
+    plans (broadcast when the filtered side fits, else sort-merge)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").alias("order_year"))
+        .agg(
+            dsum(revenue).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q_zip_seq",
+    oracle="""
+WITH e AS (
+  SELECT row_number() OVER (ORDER BY event_id) AS seq, event_id, user_id, value
+  FROM events WHERE event_type = 'signup'
+), o AS (
+  SELECT row_number() OVER (ORDER BY o_orderkey) AS seq, o_orderkey, o_totalprice
+  FROM orders WHERE o_orderstatus = 'P'
+)
+SELECT e.seq, event_id, user_id, value, o_orderkey, o_totalprice
+FROM e JOIN o USING (seq)
+""",
+    tags=("join", "zip"),
+)
+def q_zip_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lockstep zip (streamz ``zip`` parity): i-th signup paired with
+    i-th pending order; truncated to the shorter input."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "signup")
+        .select("event_id", "user_id", "value")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "P")
+        .select("o_orderkey", "o_totalprice")
+    )
+    return zip_seq(e, o, ["event_id"], ["o_orderkey"]).select(
+        "seq", "event_id", "user_id", "value", "o_orderkey", "o_totalprice"
+    )

@@ -1,0 +1,219 @@
+"""Core relational operators: scan / project / filter / pluck /
+explode / limit / sort / cast.
+
+Reference parity (SURVEY.md §2.2): streamz ``map`` -> select/
+withColumn, ``filter`` -> filter, ``pluck`` -> column/element access,
+``flatten`` -> explode, ``slice`` -> orderBy+limit.
+
+Scale notes: all eight queries compile to a single parquet scan with
+the predicate and projection pushed into the reader (check
+``PushedFilters`` / ``ReadSchema`` in ``.explain``); top-k queries
+use Spark's TakeOrderedAndProject (no global sort shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streamz_postgres_spark.catalog import load_table
+from streamz_postgres_spark.registry import register
+
+
+@register(
+    "q_scan",
+    oracle="SELECT COUNT(*) AS n_rows FROM lineitem",
+    tags=("relational",),
+)
+def q_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bare scan + count; the minimal end-to-end plan."""
+    return load_table(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+@register(
+    "q_project",
+    oracle="""
+SELECT
+  l_orderkey,
+  l_linenumber,
+  l_extendedprice * (1.0 - l_discount) AS net_price,
+  l_quantity * l_extendedprice AS gross_value,
+  (l_tax + l_discount) * 100.0 AS pct_load,
+  l_returnflag || '/' || l_linestatus AS flag_status
+FROM lineitem
+""",
+    tags=("relational",),
+)
+def q_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection with computed columns (streamz `map` parity).
+
+    Pure per-row double arithmetic is bit-deterministic across
+    engines, so no rounding is needed.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias(
+            "net_price"
+        ),
+        (F.col("l_quantity") * F.col("l_extendedprice")).alias("gross_value"),
+        ((F.col("l_tax") + F.col("l_discount")) * F.lit(100.0)).alias("pct_load"),
+        F.concat_ws("/", "l_returnflag", "l_linestatus").alias("flag_status"),
+    )
+
+
+@register(
+    "q_filter",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+FROM orders
+WHERE o_orderstatus IN ('F', 'O')
+  AND o_totalprice BETWEEN 50000.0 AND 200000.0
+  AND (o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%')
+  AND o_custkey IS NOT NULL
+  AND NOT (o_orderstatus = 'O' AND o_totalprice < 60000.0)
+""",
+    tags=("relational",),
+)
+def q_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate surface: comparison, IN, BETWEEN, LIKE, null checks,
+    boolean algebra. All pushdown-eligible."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderstatus").isin("F", "O")
+        & F.col("o_totalprice").between(50000.0, 200000.0)
+        & (F.col("o_orderpriority").like("1-%") | F.col("o_orderpriority").like("2-%"))
+        & F.col("o_custkey").isNotNull()
+        & ~((F.col("o_orderstatus") == "O") & (F.col("o_totalprice") < 60000.0))
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+
+
+@register(
+    "q_pluck",
+    oracle="""
+SELECT
+  vec_id,
+  CAST(embedding[1] AS DOUBLE) AS first_dim,
+  CAST(embedding[64] AS DOUBLE) AS last_dim,
+  len(embedding) AS dim
+FROM embeddings
+""",
+    tags=("relational",),
+)
+def q_pluck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element access inside nested values (streamz `pluck` parity)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.element_at("embedding", 1).cast("double").alias("first_dim"),
+        F.element_at("embedding", 64).cast("double").alias("last_dim"),
+        F.size("embedding").alias("dim"),
+    )
+
+
+@register(
+    "q_explode",
+    oracle="""
+SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS dim_value
+FROM embeddings
+""",
+    tags=("relational",),
+)
+def q_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unnest an array column (streamz `flatten` parity)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select("vec_id", F.explode("embedding").alias("d")).select(
+        "vec_id", F.col("d").cast("double").alias("dim_value")
+    )
+
+
+@register(
+    "q_limit",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 25
+""",
+    tags=("relational", "topk"),
+)
+def q_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k by sort+limit (streamz `slice` parity). Ties broken by
+    the unique key so the cut is deterministic. Spark plans this as
+    TakeOrderedAndProject: per-partition heaps, no global sort."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(25)
+    )
+
+
+@register(
+    "q_sort_multi",
+    oracle="""
+SELECT
+  c_custkey,
+  nullif(c_mktsegment, 'BUILDING') AS segment,
+  c_acctbal
+FROM customer
+ORDER BY segment ASC NULLS LAST, c_acctbal DESC, c_custkey
+LIMIT 100
+""",
+    tags=("relational",),
+)
+def q_sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key sort with explicit null placement (made observable
+    through the LIMIT; nulls synthesized via nullif)."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.select(
+            "c_custkey",
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("segment"),
+            "c_acctbal",
+        )
+        .orderBy(
+            F.col("segment").asc_nulls_last(),
+            F.col("c_acctbal").desc(),
+            F.col("c_custkey"),
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "q_cast",
+    oracle="""
+SELECT
+  o_orderkey,
+  CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
+  CAST(o_orderkey AS VARCHAR) AS key_str,
+  CAST(o_orderdate AS DATE) AS order_date,
+  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_str,
+  CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec,
+  CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor,
+  CAST(o_orderstatus = 'F' AS INTEGER) AS is_final
+FROM orders
+""",
+    tags=("relational",),
+)
+def q_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast matrix: int<->string, timestamp->date->string,
+    double->decimal, bool->int. Double->string is deliberately
+    excluded (engines format doubles differently); double->int goes
+    through an explicit floor (engines disagree on bare-cast
+    truncate-vs-round)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").cast("bigint").alias("key_roundtrip"),
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.col("o_orderdate").cast("date").cast("string").alias("date_str"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price_dec"),
+        F.floor("o_totalprice").cast("bigint").alias("price_floor"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("is_final"),
+    )

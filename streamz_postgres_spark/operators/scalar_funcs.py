@@ -1,0 +1,256 @@
+"""Scalar function families: string, date/time, math, conditional,
+array (higher-order), JSON/map.
+
+Reference parity (SURVEY.md §2.2/§2.6): streamz ``map(func)`` with an
+arbitrary Python callable — here re-expressed as built-in Catalyst
+expressions (the 100 TB rule: stay inside whole-stage codegen; a
+Python UDF in the hot path costs 10-100x).
+
+Cross-engine gotchas handled here:
+- dayofweek: Spark is 1=Sunday, DuckDB 0=Sunday (oracle adds 1);
+- floor/ceil return LONG in Spark, DOUBLE in DuckDB (oracle casts);
+- transcendentals (ln/log10/pow) can differ by 1 ulp between libm
+  implementations -> compared through qround(.,6);
+- engine-native round() differs near decimal ties -> qround;
+- NTZ timestamps only ever hit timezone-independent functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streamz_postgres_spark.catalog import load_table
+from streamz_postgres_spark.functions.numeric import (
+    dsum,
+    qround,
+    sql_dsum,
+    sql_qround,
+)
+from streamz_postgres_spark.registry import register
+
+
+@register(
+    "q_str_funcs",
+    oracle="""
+SELECT
+  doc_id,
+  upper(lang) AS lang_up,
+  substr(text, 1, 20) AS head20,
+  lang || ':' || source AS lang_source,
+  trim('  ' || lang || '  ') AS lang_trim,
+  length(text) AS text_len,
+  length(replace(text, 'select', '@')) AS replaced_len,
+  len(string_split(text, ' ')) AS n_tokens,
+  regexp_extract(text, '([a-z]+)', 1) AS first_word,
+  CAST(text LIKE '%select%' AS INTEGER) AS has_select
+FROM documents
+""",
+    tags=("scalar", "string"),
+)
+def q_str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: case, substring, concat, trim, length, replace,
+    split, regexp_extract, LIKE."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.upper("lang").alias("lang_up"),
+        F.substring("text", 1, 20).alias("head20"),
+        F.concat(F.col("lang"), F.lit(":"), F.col("source")).alias("lang_source"),
+        F.trim(F.concat(F.lit("  "), F.col("lang"), F.lit("  "))).alias("lang_trim"),
+        F.length("text").alias("text_len"),
+        F.length(F.replace(F.col("text"), F.lit("select"), F.lit("@"))).alias(
+            "replaced_len"
+        ),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.regexp_extract("text", "([a-z]+)", 1).alias("first_word"),
+        F.col("text").like("%select%").cast("int").alias("has_select"),
+    )
+
+
+@register(
+    "q_date_funcs",
+    oracle="""
+SELECT
+  o_orderkey,
+  year(o_orderdate) AS yr,
+  month(o_orderdate) AS mo,
+  day(o_orderdate) AS dy,
+  quarter(o_orderdate) AS qtr,
+  dayofweek(o_orderdate) + 1 AS dow,
+  weekofyear(o_orderdate) AS iso_week,
+  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+  datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_95,
+  CAST(o_orderdate AS DATE) + 30 AS due_date,
+  last_day(CAST(o_orderdate AS DATE)) AS month_end
+FROM orders
+""",
+    tags=("scalar", "date"),
+)
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family (all timezone-independent on NTZ inputs).
+    dayofweek aligned: Spark 1=Sunday vs DuckDB 0=Sunday."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dy"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.weekofyear("o_orderdate").alias("iso_week"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_95"
+        ),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+        F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+    )
+
+
+@register(
+    "q_math_funcs",
+    oracle=f"""
+SELECT
+  p_partkey,
+  CAST(FLOOR(p_retailprice) AS BIGINT) AS price_floor,
+  CAST(CEIL(p_retailprice) AS BIGINT) AS price_ceil,
+  ABS(p_size - 25) AS size_dev,
+  SQRT(p_retailprice) AS price_sqrt,
+  p_retailprice * p_retailprice AS price_sq,
+  p_partkey % 7 AS key_mod,
+  CAST(SIGN(p_size - 25) AS DOUBLE) AS size_sign,
+  ROUND(p_size / 2.0) AS half_size,
+  {sql_qround('LN(p_retailprice)', 6)} AS price_ln,
+  {sql_qround('LOG10(p_retailprice)', 6)} AS price_log10,
+  {sql_qround('POW(p_retailprice, 1.5)', 6)} AS price_pow
+FROM part
+""",
+    tags=("scalar", "math"),
+)
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family. Exact IEEE ops compared raw; transcendentals
+    through qround(.,6); round() only where ties are exact halves
+    (int/2.0) so HALF_UP and half-away agree."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.floor("p_retailprice").cast("bigint").alias("price_floor"),
+        F.ceil("p_retailprice").cast("bigint").alias("price_ceil"),
+        F.abs(F.col("p_size") - 25).alias("size_dev"),
+        F.sqrt("p_retailprice").alias("price_sqrt"),
+        (F.col("p_retailprice") * F.col("p_retailprice")).alias("price_sq"),
+        (F.col("p_partkey") % 7).alias("key_mod"),
+        F.signum(F.col("p_size") - 25).alias("size_sign"),
+        F.round(F.col("p_size") / 2.0).alias("half_size"),
+        qround(F.log(F.col("p_retailprice")), 6).alias("price_ln"),
+        qround(F.log10(F.col("p_retailprice")), 6).alias("price_log10"),
+        qround(F.pow(F.col("p_retailprice"), 1.5), 6).alias("price_pow"),
+    )
+
+
+@register(
+    "q_cond_funcs",
+    oracle="""
+SELECT
+  c_custkey,
+  CASE WHEN c_acctbal < 0 THEN 'debt'
+       WHEN c_acctbal < 5000 THEN 'low'
+       WHEN c_acctbal < 8000 THEN 'mid'
+       ELSE 'high' END AS bal_tier,
+  coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+  greatest(c_acctbal, 0.0) AS bal_pos,
+  least(c_acctbal, 1000.0) AS bal_capped,
+  CASE WHEN c_nationkey % 2 = 0 THEN c_acctbal ELSE -c_acctbal END AS signed_bal
+FROM customer
+""",
+    tags=("scalar", "cond"),
+)
+def q_cond_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional family: CASE WHEN, coalesce, nullif, greatest,
+    least."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .when(F.col("c_acctbal") < 8000, "mid")
+        .otherwise("high")
+        .alias("bal_tier"),
+        F.coalesce(
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")
+        ).alias("seg_or_other"),
+        F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("bal_pos"),
+        F.least(F.col("c_acctbal"), F.lit(1000.0)).alias("bal_capped"),
+        F.when(F.col("c_nationkey") % 2 == 0, F.col("c_acctbal"))
+        .otherwise(-F.col("c_acctbal"))
+        .alias("signed_bal"),
+    )
+
+
+@register(
+    "q_array_funcs",
+    oracle="""
+SELECT
+  vec_id,
+  len(embedding) AS dim,
+  list_transform(embedding[1:4], x -> CAST(x AS DOUBLE)) AS head4,
+  len(list_filter(embedding, x -> x > 0)) AS n_pos,
+  list_reduce(list_prepend(0.0, list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+              (acc, x) -> acc + x) AS norm_sq,
+  CAST(list_sort(embedding)[1] AS DOUBLE) AS min_dim
+FROM embeddings
+""",
+    tags=("scalar", "array"),
+)
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order family: size, slice, transform, filter,
+    aggregate (left fold — both engines fold sequentially so double
+    addition order matches), sort. Lambdas run inside codegen, not
+    Python."""
+    e = load_table(spark, sf_dir, "embeddings")
+    sq = F.transform(
+        F.col("embedding"), lambda x: x.cast("double") * x.cast("double")
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.transform(F.slice("embedding", 1, 4), lambda x: x.cast("double")).alias(
+            "head4"
+        ),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x).alias("norm_sq"),
+        F.element_at(F.sort_array("embedding"), 1).cast("double").alias("min_dim"),
+    )
+
+
+@register(
+    "q_map_json_funcs",
+    oracle=f"""
+SELECT
+  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+  COUNT(*) AS n_events,
+  {sql_dsum('value')} AS sum_value
+FROM events
+GROUP BY 1
+""",
+    tags=("scalar", "json"),
+)
+def q_map_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family on the events.props payload: parse with a declared
+    schema (from_json), extract, group. At scale from_json with an
+    explicit schema beats per-path get_json_object re-parsing; both
+    stay JVM-side. A map roundtrip (create_map -> element access)
+    exercises MapType on the same value."""
+    e = load_table(spark, sf_dir, "events")
+    parsed = e.withColumn("p", F.from_json("props", "k INT"))
+    return (
+        parsed.withColumn("m", F.create_map(F.lit("k"), F.col("p.k")))
+        .withColumn("k", F.col("m")["k"])
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+    )

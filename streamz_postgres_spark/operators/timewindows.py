@@ -1,0 +1,173 @@
+"""Time- and count-window operators: tumbling, sliding, session,
+count-based batching.
+
+Reference parity (SURVEY.md §2.3): streamz ``timed_window`` ->
+tumbling; SDF rolling-over-time -> sliding; ``partition(n)`` ->
+count batches; session windows are the Spark-native addition.
+
+These are the BATCH forms (oracle-checkable); the same operators run
+in true Structured Streaming mode in ``streaming/`` via bounded
+replay of the events table with ``availableNow`` triggers.
+
+Scale notes: window aggregation shuffles O(windows x keys), not
+O(rows), thanks to partial aggregation; `window()`/`session_window()`
+are built-in generators that never materialize per-event state on
+the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streamz_postgres_spark.catalog import load_table
+from streamz_postgres_spark.functions.numeric import dsum, sql_dsum
+from streamz_postgres_spark.registry import register
+
+
+@register(
+    "q_tumbling",
+    oracle=f"""
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS sum_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+""",
+    tags=("time",),
+)
+def q_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window (streamz ``timed_window`` parity)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "q_sliding",
+    oracle=f"""
+WITH b AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS bucket, value FROM events
+), assigned AS (
+  SELECT bucket AS window_start, value FROM b
+  UNION ALL
+  SELECT bucket - INTERVAL '30 minutes' AS window_start, value FROM b
+)
+SELECT window_start, COUNT(*) AS n_events, {sql_dsum('value')} AS sum_value
+FROM assigned
+GROUP BY window_start
+""",
+    tags=("time",),
+)
+def q_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window: 1-hour length, 30-minute slide — each event
+    lands in 2 windows. Oracle emulates the expansion with a dual
+    time_bucket union (same 30-min epoch-aligned grid)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "q_session",
+    oracle=f"""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts, value,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS sum_value
+FROM numbered
+GROUP BY user_id, session_id
+""",
+    tags=("time", "session"),
+)
+def q_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session window, 30-minute gap, per user — Spark's native
+    ``session_window``. Oracle emulates with gaps-and-islands SQL
+    (new session when the gap is >= the timeout, matching Spark's
+    half-open [ts, ts+gap) merge rule); session_end = last event +
+    gap, as Spark defines it."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "q_partition_batch",
+    oracle=f"""
+SELECT CAST(FLOOR(event_id / 100) AS BIGINT) AS batch_id,
+       COUNT(*) AS n_events,
+       MIN(event_id) AS first_event,
+       MAX(event_id) AS last_event,
+       {sql_dsum('value')} AS sum_value
+FROM events
+GROUP BY 1
+""",
+    tags=("time", "batch"),
+)
+def q_partition_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based batching (streamz ``partition(n)`` parity): group
+    every 100 consecutive events. The monotonic event_id gives the
+    position, so batching is a parallel groupBy — no global
+    row_number needed (the 100 TB-safe formulation of positional
+    batching over any source with a monotonic id, e.g. Kafka offsets
+    or CDC LSNs)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.floor(F.col("event_id") / 100).cast("bigint").alias("batch_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+            dsum("value").alias("sum_value"),
+        )
+    )

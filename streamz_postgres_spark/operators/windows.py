@@ -1,0 +1,279 @@
+"""Window-function operators: ranking, analytic, frames, top-k per
+group, latest-row dedup.
+
+Reference parity (SURVEY.md §2.2/§2.3/§2.5): streamz ``accumulate``
+(running fold) -> cumulative frames; ``sliding_window(n)`` -> row
+frames; ``unique``/CDC compaction -> latest-row-wins dedup;
+``latest()`` -> max_by per key.
+
+Scale notes: every window here is partitioned by a real key
+(customer, user, status) — state per partition is bounded and the
+shuffle is a hash exchange on that key. The engine treats an
+UNPARTITIONED ordered window as a design error at 100 TB (single
+serial task); `zip_seq` in joins.py documents the one sanctioned
+exception. Running double sums use the exact-decimal accumulator so
+segment-tree vs sequential evaluation order cannot change results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from streamz_postgres_spark.catalog import load_table
+from streamz_postgres_spark.registry import register
+
+_DEC = "decimal(38,6)"
+
+
+@register(
+    "q_window_rank",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, o_totalprice,
+  row_number()   OVER w AS rn,
+  rank()         OVER w AS rnk,
+  dense_rank()   OVER w AS drnk,
+  ntile(4)       OVER w AS quartile,
+  percent_rank() OVER w AS prnk
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+""",
+    tags=("window",),
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking family over per-status price ordering (unique
+    tiebreak on the key keeps row_number deterministic)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("prnk"),
+    )
+
+
+@register(
+    "q_window_analytic",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+  lag(o_totalprice)     OVER w AS prev_price,
+  lead(o_totalprice)    OVER w AS next_price,
+  first_value(o_totalprice) OVER w AS first_price,
+  last_value(o_totalprice)  OVER w AS running_last,
+  nth_value(o_totalprice, 2) OVER w AS second_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+    tags=("window",),
+)
+def q_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic family over each customer's order history."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("running_last"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )
+
+
+@register(
+    "q_running_sum",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+    AS running_spend,
+  COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    AS running_orders
+FROM orders
+""",
+    tags=("window",),
+)
+def q_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative fold per key (streamz ``accumulate``/`scan` parity):
+    running spend per customer."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.sum(F.col("o_totalprice").cast(_DEC)).over(w).cast("double").alias(
+            "running_spend"
+        ),
+        F.count(F.lit(1)).over(w).alias("running_orders"),
+    )
+
+
+@register(
+    "q_moving_avg",
+    oracle="""
+SELECT user_id, event_id, ts, value,
+  CAST(SUM(CAST(value AS DECIMAL(38,6)))
+       OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE)
+  / COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    AS moving_avg_5
+FROM events
+""",
+    tags=("window",),
+)
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing count-window aggregate (streamz ``sliding_window(5)``
+    parity): 5-event moving average per user."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    msum = F.sum(F.col("value").cast(_DEC)).over(w).cast("double")
+    mcnt = F.count(F.lit(1)).over(w)
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        (msum / mcnt).alias("moving_avg_5"),
+    )
+
+
+@register(
+    "q_range_frame",
+    oracle="""
+SELECT user_id, event_id, ts, value,
+  CAST(SUM(CAST(value AS DECIMAL(38,6)))
+       OVER (PARTITION BY user_id ORDER BY datediff('second', TIMESTAMP '2024-01-01 00:00:00', ts)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE)
+    AS sum_last_hour,
+  COUNT(*) OVER (PARTITION BY user_id ORDER BY datediff('second', TIMESTAMP '2024-01-01 00:00:00', ts)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    AS n_last_hour
+FROM events
+""",
+    tags=("window", "time"),
+)
+def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range frame: per-user trailing 1-hour sum. The order key
+    is integer seconds from a fixed NTZ epoch (timestampdiff), which
+    is timezone-independent — never unix_timestamp on NTZ data."""
+    e = load_table(spark, sf_dir, "events")
+    secs = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(secs.alias("secs"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.sum(F.col("value").cast(_DEC)).over(w).cast("double").alias(
+            "sum_last_hour"
+        ),
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+    )
+
+
+@register(
+    "q_topk_per_group",
+    oracle="""
+SELECT c_nationkey, c_custkey, c_name, c_acctbal, rn
+FROM (
+  SELECT c_nationkey, c_custkey, c_name, c_acctbal,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey) AS rn
+  FROM customer
+) t
+WHERE rn <= 3
+""",
+    tags=("window", "topk"),
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by balance within each nation."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), "c_custkey"
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_nationkey", "c_custkey", "c_name", "c_acctbal", "rn")
+    )
+
+
+@register(
+    "q_dedup",
+    oracle="""
+SELECT user_id, event_type, event_id, ts, value
+FROM (
+  SELECT user_id, event_type, event_id, ts, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) t
+WHERE rn = 1
+""",
+    tags=("window", "dedup", "cdc"),
+)
+def q_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-row-wins dedup (streamz ``unique`` / CDC upsert
+    compaction): the newest event per (user, type). This is exactly
+    the MERGE-free way to apply a CDC change stream to a snapshot."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts", "value")
+    )
+
+
+@register(
+    "q_latest_per_key",
+    oracle="""
+SELECT user_id,
+       arg_max(value, event_id) AS latest_value,
+       arg_max(ts, event_id)    AS latest_ts,
+       max(event_id)            AS latest_event_id
+FROM events
+GROUP BY user_id
+""",
+    tags=("window", "cdc"),
+)
+def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streamz ``latest()`` parity: most recent value per key, as an
+    aggregate (max_by) — one shuffle of O(keys), no window sort."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.max_by("value", "event_id").alias("latest_value"),
+        F.max_by("ts", "event_id").alias("latest_ts"),
+        F.max("event_id").alias("latest_event_id"),
+    )
