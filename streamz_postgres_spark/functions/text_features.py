@@ -1,0 +1,68 @@
+"""Shared text-feature primitives with exact DuckDB SQL mirrors.
+
+The dedup/text operators need hash functions that BOTH engines
+compute identically so the driver's value-hash gate can check them.
+xxhash64/murmur differ between engines, but md5 is md5 everywhere:
+``hash60`` takes the first 15 hex digits of md5 (60 bits, fits
+int64) — slower than xxhash64 but bit-identical across engines.
+At 100 TB you would swap ``hash60`` for ``F.xxhash64`` (one line
+here); every downstream operator is hash-agnostic.
+
+All helpers are Catalyst expressions (codegen, no Python), each with
+a ``sql_*`` twin that renders the equivalent DuckDB expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Mersenne prime 2^31-1: modulus for rolling fingerprints (keeps
+#: acc*31+h inside int64).
+FP_MOD = 2_147_483_647
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization (fixtures are single-space word soup)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, " ")
+
+
+def sql_tokens(expr: str) -> str:
+    return f"string_split({expr}, ' ')"
+
+
+def hash60(col: Column) -> Column:
+    """Deterministic 60-bit hash: first 15 hex digits of md5."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def sql_hash60(expr: str) -> str:
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
+def seeded_hash60(col: Column, seed: int) -> Column:
+    """Independent hash family member j: hash60(s || '#j')."""
+    return hash60(F.concat(col, F.lit(f"#{seed}")))
+
+
+def sql_seeded_hash60(expr: str, seed: int) -> str:
+    return sql_hash60(f"({expr}) || '#{seed}'")
+
+
+def shingles(tok: Column, n: int = 3) -> Column:
+    """Word n-gram shingles of a token array (order-preserving)."""
+    idx = F.when(F.size(tok) >= n, F.sequence(F.lit(1), F.size(tok) - (n - 1)))
+    idx = idx.otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tok, i + k) for k in range(n)]
+        ),
+    )
+
+
+def sql_shingles(tok_expr: str, n: int = 3) -> str:
+    t = f"({tok_expr})"
+    parts = " || ' ' || ".join(f"{t}[i + {k}]" for k in range(n))
+    return f"list_transform(range(1, len({t}) - {n - 2}), i -> {parts})"

@@ -20,12 +20,16 @@ Module map (SURVEY.md §2.7/§2.8 keys):
 
 from streamz_postgres_spark.operators import (  # noqa: F401
     aggregates,
+    dedup,
     flagship,
     joins,
+    multimodal,
     relational,
     scalar_funcs,
     setops,
+    similarity,
     subqueries,
+    text,
     timewindows,
     windows,
 )

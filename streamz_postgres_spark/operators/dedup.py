@@ -1,0 +1,462 @@
+"""Deduplication operators for training-data pipelines (SURVEY §2.8):
+exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine.
+
+Every operator here is EXACTLY reproducible (md5-based hash60 from
+functions.text_features is bit-identical in DuckDB), so even the
+"approximate" LSH pipelines are value-checked by the driver's oracle
+— the approximation is in recall, not in nondeterminism.
+
+Scale design (the reason these shapes survive 100 TB):
+- candidate generation is always bucket-equi-join (band keys, simhash
+  chunks, label blocks) — NEVER an unblocked cross join;
+- per-doc signatures are computed with one explode + one groupBy
+  (map-side combine), shuffle O(docs x signature width);
+- exact verification runs only on candidate pairs, a tiny fraction
+  of the n^2 pair space.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streamz_postgres_spark.catalog import load_table
+from streamz_postgres_spark.functions.text_features import (
+    seeded_hash60,
+    shingles,
+    sql_seeded_hash60,
+    sql_shingles,
+    sql_tokens,
+    tokens,
+)
+from streamz_postgres_spark.functions.vector import dot, l2_norm
+from streamz_postgres_spark.registry import register
+
+# MinHash configuration: 16 hashes = 4 bands x 4 rows.
+_N_HASHES = 16
+_N_BANDS = 4
+_ROWS_PER_BAND = _N_HASHES // _N_BANDS
+_MINHASH_JACCARD = 0.35
+
+# SimHash: 60-bit fingerprint, 4 blocking chunks of 15 bits.
+_SIM_BITS = 60
+_SIM_CHUNKS = 4
+_SIM_CHUNK_BITS = 15
+_SIM_HAMMING = 12
+
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+SELECT canonical, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_dupes
+FROM (
+  SELECT doc_id,
+         array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')
+           AS canonical
+  FROM documents
+) t
+GROUP BY canonical
+""",
+    tags=("dedup",),
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a canonical form (sorted distinct tokens):
+    keeps the smallest doc_id per group — deterministic, unlike
+    dropDuplicates' arbitrary row choice. One hash shuffle on the
+    canonical key; at 100 TB group on hash60(canonical) instead to
+    shuffle 8-byte keys instead of full texts."""
+    d = load_table(spark, sf_dir, "documents")
+    canonical = F.array_join(F.array_sort(F.array_distinct(tokens("text"))), " ")
+    return (
+        d.select("doc_id", canonical.alias("canonical"))
+        .groupBy("canonical")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_dupes"),
+        )
+    )
+
+
+def _minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, m0..m15): minimum seeded hash over 3-gram shingles."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode_outer(shingles(tokens("text"))).alias("shingle")
+    )
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(seeded_hash60(F.col("shingle"), j)).alias(f"m{j}")
+            for j in range(_N_HASHES)
+        ]
+    )
+
+
+def _sql_minhash_signature() -> str:
+    mins = ",\n    ".join(
+        f"MIN({sql_seeded_hash60('shingle', j)}) AS m{j}"
+        for j in range(_N_HASHES)
+    )
+    return f"""
+  SELECT doc_id, {mins}
+  FROM (
+    SELECT doc_id, unnest({sql_shingles(sql_tokens('text'))}) AS shingle
+    FROM documents
+  ) sh
+  GROUP BY doc_id
+"""
+
+
+def _sql_band_keys() -> str:
+    selects = []
+    for b in range(_N_BANDS):
+        cols = " || ',' || ".join(
+            f"m{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)
+        )
+        selects.append(
+            f"SELECT doc_id, '{b}:' || {cols} AS band_key FROM sig"
+        )
+    return "\n  UNION ALL\n  ".join(selects)
+
+
+@register(
+    "q_dedup_minhash",
+    oracle=f"""
+WITH sig AS ({_sql_minhash_signature()}),
+bands AS (
+  {_sql_band_keys()}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+shset AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, unnest({sql_shingles(sql_tokens('text'))}) AS shingle
+    FROM documents
+  ) raw
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shset GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN shset sa ON sa.doc_id = c.doc_a
+  JOIN shset sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b, i.n_common,
+       CAST(i.n_common AS DOUBLE)
+         / (za.n_sh + zb.n_sh - i.n_common) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+WHERE CAST(i.n_common AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_common)
+      >= {_MINHASH_JACCARD}
+""",
+    tags=("dedup", "lsh"),
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate detection, fully deterministic:
+
+    shingle(3-gram) -> 16 seeded min-hashes -> 4 band keys ->
+    band-bucket equi-join for candidates -> exact shingle-Jaccard
+    verification on candidates only.
+
+    The band join is the scale story: docs are compared only when a
+    band collides, so the join is O(collisions) not O(n^2); band
+    keys hash-shuffle evenly. Verification re-joins shingle sets for
+    candidate pairs only."""
+    sig = _minhash_signature(spark, sf_dir)
+
+    band_frames = []
+    for b in range(_N_BANDS):
+        cols = [F.col(f"m{b * _ROWS_PER_BAND + r}") for r in range(_ROWS_PER_BAND)]
+        key = F.concat_ws(",", *[c.cast("string") for c in cols])
+        band_frames.append(
+            sig.select(
+                "doc_id", F.concat(F.lit(f"{b}:"), key).alias("band_key")
+            )
+        )
+    bands = band_frames[0]
+    for bf in band_frames[1:]:
+        bands = bands.unionByName(bf)
+
+    b2 = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("band_key").alias("bk2")
+    )
+    cand = (
+        bands.join(
+            b2,
+            (F.col("band_key") == F.col("bk2"))
+            & (F.col("doc_id") < F.col("doc_b")),
+        )
+        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        .distinct()
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    shset = d.select(
+        "doc_id", F.explode_outer(shingles(tokens("text"))).alias("shingle")
+    ).distinct()
+    sizes = shset.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    sa = shset.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = shset.select(
+        F.col("doc_id").alias("doc_b2"), F.col("shingle").alias("sh_b")
+    )
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(
+            sb,
+            (F.col("doc_b") == F.col("doc_b2"))
+            & (F.col("shingle") == F.col("sh_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jaccard = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    return (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select("doc_a", "doc_b", "n_common", jaccard.alias("jaccard"))
+        .filter(F.col("jaccard") >= _MINHASH_JACCARD)
+    )
+
+
+def _sql_simhash() -> str:
+    bit_sums = ",\n    ".join(
+        f"SUM(cnt * (2 * ((h >> {j}) & 1) - 1)) AS s{j}"
+        for j in range(_SIM_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN s{j} >= 0 THEN 1 ELSE 0 END) * (CAST(1 AS BIGINT) << {j})"
+        for j in range(_SIM_BITS)
+    )
+    return f"""
+  SELECT doc_id, {fp} AS simhash FROM (
+    SELECT doc_id, {bit_sums}
+    FROM (
+      SELECT doc_id, token, COUNT(*) AS cnt, {sql_seeded_hash60('token', 0)} AS h
+      FROM (SELECT doc_id, unnest({sql_tokens('text')}) AS token FROM documents) t
+      GROUP BY doc_id, token
+    ) th
+    GROUP BY doc_id
+  ) bits
+"""
+
+
+@register(
+    "q_dedup_simhash",
+    oracle=f"""
+WITH sim AS ({_sql_simhash()}),
+chunks AS (
+  SELECT doc_id, simhash, c,
+         (simhash >> (c * {_SIM_CHUNK_BITS})) & {(1 << _SIM_CHUNK_BITS) - 1}
+           AS chunk_val
+  FROM sim, range(0, {_SIM_CHUNKS}) r(c)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.simhash AS sim_a, b.simhash AS sim_b
+  FROM chunks a JOIN chunks b
+    ON a.c = b.c AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(sim_a, sim_b)) <= {_SIM_HAMMING}
+""",
+    tags=("dedup", "lsh"),
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 60-bit weighted-token fingerprint; blocking
+    on 15-bit chunks (a pair within Hamming distance k must share at
+    least one of 4 chunks when k < 4... pigeonhole gives candidates
+    for k <= 3 exactly; wider k trades recall — documented, standard
+    Manku-style chunking), then exact Hamming verification."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("token"))
+    th = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    th = th.withColumn("h", seeded_hash60(F.col("token"), 0))
+
+    bit_sums = [
+        F.sum(
+            F.col("cnt")
+            * (F.lit(2) * F.shiftright("h", j).bitwiseAND(F.lit(1)) - F.lit(1))
+        ).alias(f"s{j}")
+        for j in range(_SIM_BITS)
+    ]
+    bits = th.groupBy("doc_id").agg(*bit_sums)
+
+    fp = None
+    for j in range(_SIM_BITS):
+        term = F.when(F.col(f"s{j}") >= 0, F.lit(1)).otherwise(F.lit(0)).cast(
+            "bigint"
+        ) * F.lit(1 << j).cast("bigint")
+        fp = term if fp is None else fp + term
+    sim = bits.select("doc_id", fp.alias("simhash"))
+
+    chunk_ids = spark.range(_SIM_CHUNKS).withColumnRenamed("id", "c")
+    chunks = sim.crossJoin(F.broadcast(chunk_ids)).select(
+        "doc_id",
+        "simhash",
+        "c",
+        F.expr(
+            "shiftright(simhash, CAST(c * 15 AS INT))"
+        )
+        .bitwiseAND(F.lit((1 << _SIM_CHUNK_BITS) - 1))
+        .alias("chunk_val"),
+    )
+    right = chunks.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sim_b"),
+        F.col("c").alias("c2"),
+        F.col("chunk_val").alias("cv2"),
+    )
+    cand = (
+        chunks.join(
+            right,
+            (F.col("c") == F.col("c2"))
+            & (F.col("chunk_val") == F.col("cv2"))
+            & (F.col("doc_id") < F.col("doc_b")),
+        )
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            "doc_b",
+            F.col("simhash").alias("sim_a"),
+            "sim_b",
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return cand.select(
+        "doc_a", "doc_b", hamming.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= _SIM_HAMMING)
+
+
+@register(
+    "q_dedup_ngram",
+    oracle="""
+WITH ts AS (
+  SELECT DISTINCT doc_id, lang, token FROM (
+    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+    FROM documents
+  ) raw
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM ts GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM ts a JOIN ts b
+    ON a.token = b.token AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.doc_a, i.doc_b, i.n_common,
+       CAST(i.n_common AS DOUBLE) / (za.n_tok + zb.n_tok - i.n_common)
+         AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+WHERE CAST(i.n_common AS DOUBLE) / (za.n_tok + zb.n_tok - i.n_common) >= 0.9
+""",
+    tags=("dedup",),
+)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set (1-gram) Jaccard near-dup, blocked by lang:
+    the token-level inverted-index join computes intersections only
+    for docs sharing tokens AND a language block. At 100 TB the
+    blocking key would also include a length bucket (Jaccard >= 0.9
+    bounds relative length difference to ~11%)."""
+    d = load_table(spark, sf_dir, "documents")
+    ts = d.select(
+        "doc_id", "lang", F.explode(tokens("text")).alias("token")
+    ).distinct()
+    sizes = ts.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+
+    b = ts.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("token").alias("token_b"),
+    )
+    inter = (
+        ts.join(
+            b,
+            (F.col("token") == F.col("token_b"))
+            & (F.col("lang") == F.col("lang_b"))
+            & (F.col("doc_id") < F.col("doc_b")),
+        )
+        .groupBy(F.col("doc_id").alias("doc_a"), F.col("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("n_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("n_b"))
+    jaccard = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    return (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select("doc_a", "doc_b", "n_common", jaccard.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.9)
+    )
+
+
+@register(
+    "q_dedup_embed",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+         sqrt(list_reduce(list_prepend(0.0,
+              list_transform(embedding,
+                             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+              (a, b) -> a + b)) AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+       list_reduce(list_prepend(0.0,
+           list_transform(list_zip(a.e, b.e), p -> p[1] * p[2])),
+           (x, y) -> x + y) / (a.nrm * b.nrm) AS cosine
+FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_reduce(list_prepend(0.0,
+          list_transform(list_zip(a.e, b.e), p -> p[1] * p[2])),
+          (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.40
+""",
+    tags=("dedup", "similarity"),
+)
+def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label (the ANN
+    bucket standing in for an IVF/LSH partition at scale). Both
+    engines compute cosine as the same sequential left-fold, so the
+    doubles agree bit-for-bit."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id",
+        "label",
+        F.col("embedding").alias("e"),
+        l2_norm(F.col("embedding")).alias("nrm"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("label_b"),
+        F.col("e").alias("e_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    pairs = v.join(
+        b,
+        (F.col("label") == F.col("label_b")) & (F.col("vec_id") < F.col("vec_b")),
+    )
+    cosine = dot(F.col("e"), F.col("e_b")) / (F.col("nrm") * F.col("nrm_b"))
+    return (
+        pairs.select(
+            F.col("vec_id").alias("vec_a"),
+            "vec_b",
+            "label",
+            cosine.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.40)
+    )

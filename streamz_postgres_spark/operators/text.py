@@ -1,0 +1,308 @@
+"""Text-analysis operators for training-data pipelines (SURVEY §2.8):
+corpus stats, token counting, quality scoring, language ID, tf-idf,
+rolling-hash fingerprints.
+
+All pure Catalyst expressions (explode + groupBy + HOFs) — no Python
+in the hot path. Every operator is exact-checked against the DuckDB
+oracle; transcendentals (idf) go through qround.
+
+Scale notes: these all reduce to one explode (tokens) + hash
+aggregations -> shuffle O(docs + vocab), never O(tokens); the lang-ID
+signature table is tiny (langs x 20) and broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from streamz_postgres_spark.catalog import load_table
+from streamz_postgres_spark.functions.numeric import (
+    davg,
+    dsum,
+    qround,
+    sql_davg,
+    sql_dsum,
+    sql_qround,
+)
+from streamz_postgres_spark.functions.text_features import (
+    FP_MOD,
+    hash60,
+    sql_hash60,
+    sql_tokens,
+    tokens,
+)
+from streamz_postgres_spark.registry import register
+
+#: tiny "stopword" list drawn from the fixtures' SQL-themed vocab;
+#: at 100 TB this is a broadcast set per language.
+_STOPWORDS = ("join", "hash", "row", "scan", "filter")
+_SQL_STOPWORDS = "(" + ", ".join(f"'{w}'" for w in _STOPWORDS) + ")"
+_SIG_SIZE = 20
+
+
+@register(
+    "q_text_stats",
+    oracle=f"""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT source) AS n_sources,
+       {sql_dsum("len(string_split(text, ' '))")} AS total_tokens,
+       {sql_davg("len(string_split(text, ' '))")} AS avg_tokens,
+       {sql_davg('n_chars')} AS avg_chars,
+       MIN(n_chars) AS min_chars,
+       MAX(n_chars) AS max_chars
+FROM documents
+GROUP BY lang
+""",
+    tags=("text",),
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics per language."""
+    d = load_table(spark, sf_dir, "documents")
+    ntok = F.size(tokens("text"))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        dsum(ntok.cast("double")).alias("total_tokens"),
+        davg(ntok.cast("double")).alias("avg_tokens"),
+        davg("n_chars").alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@register(
+    "q_text_tokens",
+    oracle="""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_ws_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_unique,
+       CAST(list_sum(list_transform(string_split(text, ' '),
+            w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT)
+         AS n_subword_est,
+       length(text) AS n_chars_measured
+FROM documents
+""",
+    tags=("text",),
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens plus a BPE-ish subword
+    estimate (ceil(len/4) pieces per word — the standard ~4 chars/
+    token heuristic), computed as integer HOF arithmetic."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = tokens("text")
+    sub = F.aggregate(
+        F.transform(tok, lambda w: F.ceil(F.length(w) / 4.0).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return d.select(
+        "doc_id",
+        F.size(tok).alias("n_ws_tokens"),
+        F.size(F.array_distinct(tok)).alias("n_unique"),
+        sub.alias("n_subword_est"),
+        F.length("text").alias("n_chars_measured"),
+    )
+
+
+@register(
+    "q_text_quality",
+    oracle=f"""
+SELECT doc_id, lang,
+       n_tok,
+       CAST(n_uniq AS DOUBLE) / n_tok AS unique_ratio,
+       CAST(n_stop AS DOUBLE) / n_tok AS stopword_ratio,
+       CAST(len_chars AS DOUBLE) / n_tok AS avg_word_len,
+       CASE WHEN n_tok >= 40 AND CAST(n_uniq AS DOUBLE) / n_tok >= 0.4
+            THEN 'good'
+            WHEN n_tok >= 20 THEN 'fair'
+            ELSE 'short' END AS quality_bucket
+FROM (
+  SELECT doc_id, lang,
+         len(string_split(text, ' ')) AS n_tok,
+         len(list_distinct(string_split(text, ' '))) AS n_uniq,
+         len(list_filter(string_split(text, ' '),
+             w -> w IN {_SQL_STOPWORDS})) AS n_stop,
+         length(replace(text, ' ', '')) AS len_chars
+  FROM documents
+) t
+""",
+    tags=("text",),
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length, lexical diversity, stopword ratio,
+    mean word length, bucketed verdict — the usual pre-training
+    filter features."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = tokens("text")
+    n_tok = F.size(tok)
+    n_uniq = F.size(F.array_distinct(tok))
+    n_stop = F.size(F.filter(tok, lambda w: w.isin(*_STOPWORDS)))
+    len_chars = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    uniq_ratio = n_uniq.cast("double") / n_tok
+    return d.select(
+        "doc_id",
+        "lang",
+        n_tok.alias("n_tok"),
+        uniq_ratio.alias("unique_ratio"),
+        (n_stop.cast("double") / n_tok).alias("stopword_ratio"),
+        (len_chars.cast("double") / n_tok).alias("avg_word_len"),
+        F.when((n_tok >= 40) & (uniq_ratio >= 0.4), "good")
+        .when(n_tok >= 20, "fair")
+        .otherwise("short")
+        .alias("quality_bucket"),
+    )
+
+
+@register(
+    "q_text_langid",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+  FROM documents
+),
+freq AS (
+  SELECT lang, token, COUNT(*) AS cnt FROM tok GROUP BY lang, token
+),
+sig AS (
+  SELECT lang, token FROM (
+    SELECT lang, token,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY cnt DESC, token) AS rn
+    FROM freq
+  ) r WHERE rn <= 20
+),
+doc_tok AS (SELECT DISTINCT doc_id, lang, token FROM tok),
+scores AS (
+  SELECT d.doc_id, d.lang AS actual_lang, s.lang AS cand_lang,
+         COUNT(*) AS n_matched
+  FROM doc_tok d JOIN sig s ON d.token = s.token
+  GROUP BY d.doc_id, d.lang, s.lang
+)
+SELECT doc_id, actual_lang, cand_lang AS predicted_lang, n_matched
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY n_matched DESC, cand_lang) AS rn
+  FROM scores
+) ranked
+WHERE rn = 1
+""",
+    tags=("text", "langid"),
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-frequency language ID: per-language signature = top-20
+    tokens by frequency (trained from the corpus itself); each doc
+    scored by distinct-token overlap with every signature; argmax
+    with deterministic tiebreaks. The signature table is tiny and
+    broadcast; scoring is an inverted-index equi-join, not a cross
+    join."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", F.explode(tokens("text")).alias("token"))
+    freq = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), "token")
+    sig = F.broadcast(
+        freq.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _SIG_SIZE)
+        .select(F.col("lang").alias("cand_lang"), "token")
+    )
+    doc_tok = tok.distinct()
+    scores = (
+        doc_tok.join(sig, "token")
+        .groupBy("doc_id", F.col("lang").alias("actual_lang"), "cand_lang")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    w2 = Window.partitionBy("doc_id").orderBy(
+        F.col("n_matched").desc(), "cand_lang"
+    )
+    return (
+        scores.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "actual_lang",
+            F.col("cand_lang").alias("predicted_lang"),
+            "n_matched",
+        )
+    )
+
+
+@register(
+    "q_text_tfidf",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         tf.tf * {sql_qround('LN(CAST(n.n_docs AS DOUBLE) / df.df)', 6)}
+           AS tfidf
+  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+)
+SELECT doc_id, token, tf, df, tfidf
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, token) AS rn
+  FROM scored
+) ranked
+WHERE rn <= 3 AND doc_id < 100
+""",
+    tags=("text", "tfidf"),
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF term scoring: document frequencies joined back to term
+    frequencies, idf through qround, top-3 terms per doc (bounded to
+    doc_id < 100 to keep the checked output small). df is a
+    broadcastable vocab-size table."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = qround(F.log(F.col("n_docs").cast("double") / F.col("df")), 6)
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id", "token", "tf", "df", (F.col("tf") * idf).alias("tfidf")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") <= 3) & (F.col("doc_id") < 100))
+        .select("doc_id", "token", "tf", "df", "tfidf")
+    )
+
+
+@register(
+    "q_text_fingerprint",
+    oracle=f"""
+WITH fp AS (
+  SELECT doc_id, lang,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform({sql_tokens('text')},
+                            t -> {sql_hash60('t')} % {FP_MOD})),
+           (acc, h) -> (acc * 31 + h) % {FP_MOD}) AS fingerprint
+  FROM documents
+)
+SELECT doc_id, lang, fingerprint FROM fp
+""",
+    tags=("text", "fingerprint"),
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash document fingerprint: polynomial
+    hash (base 31 mod 2^31-1) over the token sequence — distinguishes
+    reordered docs that token-set dedup would merge. Pure integer HOF
+    fold, bit-identical in both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.aggregate(
+        F.transform(tokens("text"), lambda t: hash60(t) % F.lit(FP_MOD)),
+        F.lit(0).cast("bigint"),
+        lambda acc, h: (acc * 31 + h) % F.lit(FP_MOD),
+    )
+    return d.select("doc_id", "lang", fp.alias("fingerprint"))
