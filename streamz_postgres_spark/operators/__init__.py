@@ -33,3 +33,6 @@ from streamz_postgres_spark.operators import (  # noqa: F401
     timewindows,
     windows,
 )
+
+# streaming/CDC operators register themselves too
+from streamz_postgres_spark.streaming import queries as _streaming_queries  # noqa: E402,F401

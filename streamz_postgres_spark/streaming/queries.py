@@ -1,0 +1,431 @@
+"""Streaming-mode operators, oracle-checked via bounded replay.
+
+Each q_stream_* runs a REAL Structured Streaming query (file-stream
+source, state stores, output modes, availableNow trigger) over the
+events fixture and returns the materialized sink table; the oracle
+is the same SQL as the batch twin, so the driver value-checks true
+streaming execution, not a batch re-expression.
+
+streamz parity (SURVEY §2.3/§2.5): timed_window -> q_stream_tumbling;
+SDF rolling -> q_stream_sliding; groupby().agg() in update mode ->
+q_stream_latest_per_key; unique -> q_stream_dedup; accumulate (per-
+key stateful fold) -> q_stream_accumulate (applyInPandasWithState);
+stream-stream join within time bound -> q_stream_interval_join.
+
+Watermark policy: bounded replays run in complete/append modes that
+do not drop data, keeping results equal to batch semantics (streamz
+has no watermarks — SURVEY §2.3 flags this divergence); production
+jobs add ``withWatermark`` to bound state, documented per query.
+
+CDC queries (q_cdc_*) drive sources/cdc.py: envelope round-trip,
+latest-wins apply with deletes, and snapshot diffing.
+"""
+
+from __future__ import annotations
+
+from decimal import ROUND_HALF_EVEN, Decimal
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from streamz_postgres_spark.functions.numeric import sql_dsum
+from streamz_postgres_spark.registry import register
+from streamz_postgres_spark.sources.cdc import (
+    ParquetReplayLoader,
+    apply_changes,
+    full_refresh_diff,
+    to_envelope,
+)
+from streamz_postgres_spark.streaming.runner import replay_events, run_to_table
+
+
+@register(
+    "q_stream_tumbling",
+    oracle=f"""
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS sum_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+""",
+    tags=("streaming", "time"),
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window agg as a streaming query (complete mode).
+    Production: update mode + withWatermark('ts', <delay>) bounds
+    window state; complete mode here keeps bounded-replay results
+    identical to batch."""
+    from streamz_postgres_spark.functions.numeric import dsum
+
+    s = replay_events(spark, sf_dir)
+    out = (
+        s.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_to_table(out, "complete", spark)
+
+
+@register(
+    "q_stream_sliding",
+    oracle=f"""
+WITH b AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS bucket, value FROM events
+), assigned AS (
+  SELECT bucket AS window_start, value FROM b
+  UNION ALL
+  SELECT bucket - INTERVAL '30 minutes' AS window_start, value FROM b
+)
+SELECT window_start, COUNT(*) AS n_events, {sql_dsum('value')} AS sum_value
+FROM assigned
+GROUP BY window_start
+""",
+    tags=("streaming", "time"),
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window agg (1h window / 30min slide), streaming."""
+    from streamz_postgres_spark.functions.numeric import dsum
+
+    s = replay_events(spark, sf_dir)
+    out = (
+        s.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+    return run_to_table(out, "complete", spark)
+
+
+@register(
+    "q_stream_session",
+    oracle=f"""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts, value,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS sum_value
+FROM numbered
+GROUP BY user_id, session_id
+""",
+    tags=("streaming", "session"),
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) as a streaming stateful agg —
+    the operator streamz lacks entirely (SURVEY §2.3): merging
+    session state lives in the state store, keyed by user."""
+    from streamz_postgres_spark.functions.numeric import dsum
+
+    s = replay_events(spark, sf_dir)
+    out = (
+        s.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_to_table(out, "complete", spark)
+
+
+@register(
+    "q_stream_latest_per_key",
+    oracle="""
+SELECT user_id,
+       arg_max(value, event_id) AS latest_value,
+       max(event_id)            AS latest_event_id
+FROM events
+GROUP BY user_id
+""",
+    tags=("streaming", "cdc"),
+)
+def q_stream_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streamz ``latest()`` in true streaming form: per-key max_by
+    aggregate, complete mode (= SDF emit-updated-aggregate)."""
+    s = replay_events(spark, sf_dir)
+    out = s.groupBy("user_id").agg(
+        F.max_by("value", "event_id").alias("latest_value"),
+        F.max("event_id").alias("latest_event_id"),
+    )
+    return run_to_table(out, "complete", spark)
+
+
+@register(
+    "q_stream_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    tags=("streaming", "dedup"),
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming first-occurrence dedup (streamz ``unique`` parity):
+    dropDuplicates keyed state emits one row per key. The key SET is
+    deterministic (which row represents it is arrival-order, so only
+    keys are emitted). Production uses
+    dropDuplicatesWithinWatermark to bound the seen-set, mirroring
+    streamz's ``unique(maxsize)`` bounded history."""
+    s = replay_events(spark, sf_dir)
+    out = s.dropDuplicates(["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+    return run_to_table(out, "append", spark)
+
+
+@register(
+    "q_stream_interval_join",
+    oracle="""
+SELECT c.event_id AS click_id, c.user_id,
+       p.event_id AS purchase_id, p.value AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+""",
+    tags=("streaming", "join"),
+)
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchases within 30 min after a
+    click, same user — the Spark-native form of the zip/combine
+    compositions streamz users build (SURVEY §2.4). Watermarks bound
+    join state in production; inner-join emission itself is
+    watermark-independent, so the bounded replay emits every match."""
+    s = replay_events(spark, sf_dir)
+    clicks = s.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    purchases = s.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    out = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTE")),
+    ).select("click_id", "user_id", "purchase_id", "purchase_value")
+    return run_to_table(out, "append", spark)
+
+
+def _running_totals(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-key stateful fold (streamz ``accumulate`` parity).
+
+    State: (count, exact decimal sum as string). Rows are processed
+    in event_id order; the decimal accumulator makes the emitted
+    running sums bit-equal to the oracle's decimal window sum.
+    """
+    if state.exists:
+        n, acc_str = state.get
+        acc = Decimal(acc_str)
+    else:
+        n, acc = 0, Decimal(0)
+    six = Decimal("0.000001")
+    out = []
+    for pdf in batches:
+        pdf = pdf.sort_values("event_id")
+        sums = []
+        for v in pdf["value"]:
+            acc += Decimal(float(v)).quantize(six, rounding=ROUND_HALF_EVEN)
+            n += 1
+            sums.append((float(acc), n))
+        out.append(
+            pd.DataFrame(
+                {
+                    "user_id": pdf["user_id"],
+                    "event_id": pdf["event_id"],
+                    "value": pdf["value"],
+                    "running_sum": [s for s, _ in sums],
+                    "running_n": [c for _, c in sums],
+                }
+            )
+        )
+    state.update((n, str(acc)))
+    yield from out
+
+
+@register(
+    "q_stream_accumulate",
+    oracle="""
+SELECT user_id, event_id, value,
+  CAST(SUM(CAST(value AS DECIMAL(38,6)))
+       OVER (PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+    AS running_sum,
+  COUNT(*) OVER (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    AS running_n
+FROM events
+""",
+    tags=("streaming", "stateful", "udf"),
+)
+def q_stream_accumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary per-key streaming state via applyInPandasWithState:
+    running (sum, count) per user emitted per event — the direct
+    analogue of streamz ``accumulate(func, start)``. State is two
+    scalars per key (bounded); batches arrive via Arrow."""
+    s = replay_events(spark, sf_dir)
+    out = s.groupBy("user_id").applyInPandasWithState(
+        _running_totals,
+        outputStructType=(
+            "user_id long, event_id long, value double, "
+            "running_sum double, running_n long"
+        ),
+        stateStructType="n long, acc string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_table(out, "append", spark)
+
+
+# ---------------------------------------------------------------------------
+# CDC queries (driving sources/cdc.py)
+# ---------------------------------------------------------------------------
+
+
+def _is_create(df: DataFrame) -> F.Column:
+    return F.col("event_type") == "signup"
+
+
+@register(
+    "q_cdc_envelope",
+    oracle="""
+SELECT CASE WHEN event_id <= 4999 THEN 'r'
+            WHEN event_type = 'signup' THEN 'c'
+            ELSE 'u' END AS op,
+       event_id AS seq,
+       user_id AS key_user,
+       value AS val
+FROM events
+""",
+    tags=("cdc",),
+)
+def q_cdc_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC envelope round-trip: snapshot rows become 'r' envelopes,
+    incremental rows 'c'/'u'; key and payload travel as JSON and are
+    parsed back out — verifying the serialize/normalize path the
+    Kafka+Debezium ingestion would use. Snapshot cutoff = event_id
+    4999 (half the sf0.01 fixture; scales: the cutoff is an absolute
+    cursor, the oracle uses the same constant)."""
+    loader = ParquetReplayLoader(spark, sf_dir, snapshot_cursor=4999)
+    snap_env = to_envelope(loader.snapshot(), ["user_id"], "r")
+    inc = loader.incremental(4999)
+    op = F.when(_is_create(inc), "c").otherwise("u")
+    inc_env = to_envelope(inc, ["user_id"], op)
+    env = snap_env.unionByName(inc_env)
+    return env.select(
+        "op",
+        "seq",
+        F.get_json_object("key", "$.user_id").cast("long").alias("key_user"),
+        F.get_json_object("after", "$.value").cast("double").alias("val"),
+    )
+
+
+@register(
+    "q_cdc_apply",
+    oracle="""
+SELECT user_id, seq AS last_seq, val AS current_value
+FROM (
+  SELECT user_id, event_id AS seq, value AS val,
+         CASE WHEN event_id % 10 = 0 THEN 'd' ELSE 'u' END AS op,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+) t
+WHERE rn = 1 AND op <> 'd'
+""",
+    tags=("cdc",),
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-row-wins CDC apply with deletes: every 10th change is a
+    DELETE; apply_changes compacts the envelope stream to current
+    state and drops keys whose latest op is a delete — the canonical
+    'materialize the captured table' consumer."""
+    loader = ParquetReplayLoader(spark, sf_dir, snapshot_cursor=-1)
+    changes = loader.incremental(-1)
+    op = F.when(F.col("event_id") % 10 == 0, "d").otherwise("u")
+    env = to_envelope(changes, ["user_id"], op)
+    state = apply_changes(env, key="key", seq_cols=["seq"])
+    return state.select(
+        F.get_json_object("key", "$.user_id").cast("long").alias("user_id"),
+        F.col("seq").alias("last_seq"),
+        F.get_json_object("after", "$.value").cast("double").alias(
+            "current_value"
+        ),
+    )
+
+
+@register(
+    "q_cdc_diff",
+    oracle="""
+WITH keyed AS (
+  SELECT event_id, user_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+),
+prev AS (SELECT DISTINCT user_id, k FROM keyed WHERE event_id <= 4999),
+cur  AS (SELECT DISTINCT user_id, k FROM keyed WHERE event_id > 4999)
+SELECT CASE WHEN p.user_id IS NULL THEN 'c'
+            WHEN c.user_id IS NULL THEN 'd' END AS op,
+       coalesce(p.user_id, c.user_id) AS user_id,
+       coalesce(p.k, c.k) AS k
+FROM prev p
+FULL JOIN cur c ON p.user_id = c.user_id AND p.k = c.k
+WHERE p.user_id IS NULL OR c.user_id IS NULL
+""",
+    tags=("cdc",),
+)
+def q_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-refresh diffing — the delete-detection escape hatch
+    (xmin polling can't see deletes; SURVEY §2.1). Diffs the
+    (user_id, props.k) key sets active in two halves of the stream
+    and emits c/d envelopes."""
+    from streamz_postgres_spark.catalog import load_table
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+    prev = e.filter(F.col("event_id") <= 4999).select("user_id", "k").distinct()
+    cur = e.filter(F.col("event_id") > 4999).select("user_id", "k").distinct()
+    diff = full_refresh_diff(prev, cur, ["user_id", "k"])
+    return diff.select(
+        "op",
+        F.get_json_object("key", "$.user_id").cast("long").alias("user_id"),
+        F.get_json_object("key", "$.k").cast("long").alias("k"),
+    )

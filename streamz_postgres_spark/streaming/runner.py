@@ -1,0 +1,83 @@
+"""Bounded-replay Structured Streaming runner (SURVEY §5.2.3).
+
+streamz pipelines are push-based and unbounded; their Spark
+equivalents run here as REAL streaming queries (readStream ->
+transform -> writeStream) made deterministic by bounding the input:
+the events fixture replays through a file-stream source with an
+``availableNow`` trigger into a memory sink, then the materialized
+table is compared against the same DuckDB oracle as the batch form.
+
+This is how the engine is meant to be validated: the streaming
+micro-batch planner, state stores and output modes all execute for
+real; only the data is finite.
+
+Scale notes: in production the same dataflows read Kafka/files with
+watermarks bounding state (see per-query notes); memory sinks become
+Kafka/parquet sinks; `availableNow` remains the backfill trigger.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from streamz_postgres_spark.catalog import table_path
+
+_EVENTS_LONG_TS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # raw nanos (nanosAsLong)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def replay_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as an unbounded stream (file-stream source).
+
+    Same nanos->TimestampNTZ normalization as the batch catalog, so
+    streaming and batch operators see identical rows.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # file-stream sources want a directory: stream the sf dir with a
+    # glob pinned to the events file
+    raw = (
+        spark.readStream.schema(_EVENTS_LONG_TS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn(
+        "ts",
+        F.convert_timezone(
+            F.lit("UTC"), F.lit("UTC"), F.timestamp_micros(F.expr("ts div 1000"))
+        ),
+    )
+
+
+def run_to_table(
+    out: DataFrame,
+    output_mode: str,
+    spark: SparkSession,
+) -> DataFrame:
+    """Execute a streaming DataFrame to completion (availableNow)
+    into a memory sink; return the materialized result table."""
+    name = f"stream_out_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="spark_ckpt_")
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
