@@ -1,0 +1,75 @@
+"""Headline benchmark: runs the engine's flagship queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": "headline_total_sec", "value": <sum of per-query
+   medians>, "unit": "sec", "queries": {name: sec, ...}, "sf": ...}
+
+Methodology: one warm-up execution per query (JIT + code cache),
+then median of 3 timed runs of a full execute-and-drain
+(count-collect) so scan->shuffle->agg all happen; results never
+land on the driver beyond the count.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from streamz_postgres_spark.registry import REGISTRY, _load_all  # noqa: E402
+from streamz_postgres_spark.session import get_spark  # noqa: E402
+
+HEADLINE = (
+    "q_flagship",
+    "q_flagship_q3",
+    "q_join_multiway",
+    "q_group_agg",
+    "q_window_rank",
+    "q_sim_cosine",
+    "q_dedup_minhash",
+    "q_text_tfidf",
+)
+
+N_RUNS = 3
+
+
+def time_query(spark, name: str, sf_dir: str) -> float:
+    fn = REGISTRY[name].spark_fn
+    fn(spark, sf_dir).count()  # warm-up
+    samples = []
+    for _ in range(N_RUNS):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        samples.append(time.perf_counter() - t0)
+    return statistics.median(samples)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    _load_all()
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        per_query[name] = round(time_query(spark, name, sf_dir), 3)
+
+    out = {
+        "metric": "headline_total_sec",
+        "value": round(sum(per_query.values()), 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

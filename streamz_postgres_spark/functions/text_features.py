@@ -50,6 +50,33 @@ def sql_seeded_hash60(expr: str, seed: int) -> str:
     return sql_hash60(f"({expr}) || '#{seed}'")
 
 
+#: Mersenne prime 2^61-1 for the double-hashing family.
+DH_MOD = (1 << 61) - 1
+
+
+def double_hash_parts(col: Column) -> tuple[Column, Column]:
+    """One md5 -> two independent halves (60 and 56 bits).
+
+    Basis of the Broder-style double-hashing family
+    ``h_j = (h1 + j*h2) mod P``: 16 minhash functions for the price
+    of ONE md5 per shingle (16x cheaper than 16 seeded md5s — the
+    difference between 1 and 16 passes over 100 TB of shingles).
+    h2 is capped at 56 bits so ``h1 + j*h2`` stays inside int64 for
+    j <= 15; both engines then compute identical exact integers.
+    """
+    h = F.md5(col)
+    h1 = F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint")
+    h2 = F.conv(F.substring(h, 16, 14), 16, 10).cast("bigint")
+    return h1, h2
+
+
+def sql_double_hash_parts(expr: str) -> tuple[str, str]:
+    return (
+        f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)",
+        f"CAST('0x' || substr(md5({expr}), 16, 14) AS BIGINT)",
+    )
+
+
 def shingles(tok: Column, n: int = 3) -> Column:
     """Word n-gram shingles of a token array (order-preserving)."""
     idx = F.when(F.size(tok) >= n, F.sequence(F.lit(1), F.size(tok) - (n - 1)))

@@ -22,8 +22,11 @@ from pyspark.sql import functions as F
 
 from streamz_postgres_spark.catalog import load_table
 from streamz_postgres_spark.functions.text_features import (
+    DH_MOD,
+    double_hash_parts,
     seeded_hash60,
     shingles,
+    sql_double_hash_parts,
     sql_seeded_hash60,
     sql_shingles,
     sql_tokens,
@@ -78,29 +81,40 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, m0..m15): minimum seeded hash over 3-gram shingles."""
+    """(doc_id, m0..m15): minimum double-hash over 3-gram shingles.
+
+    h_j = (h1 + j*h2) mod P from ONE md5 per shingle (see
+    functions.text_features.double_hash_parts) — 16 minhash
+    functions, one hash pass."""
     d = load_table(spark, sf_dir, "documents")
     sh = d.select(
         "doc_id", F.explode_outer(shingles(tokens("text"))).alias("shingle")
     )
+    h1, h2 = double_hash_parts(F.col("shingle"))
+    sh = sh.select("doc_id", h1.alias("h1"), h2.alias("h2"))
     return sh.groupBy("doc_id").agg(
         *[
-            F.min(seeded_hash60(F.col("shingle"), j)).alias(f"m{j}")
+            F.min((F.col("h1") + F.lit(j) * F.col("h2")) % F.lit(DH_MOD)).alias(
+                f"m{j}"
+            )
             for j in range(_N_HASHES)
         ]
     )
 
 
 def _sql_minhash_signature() -> str:
+    h1, h2 = sql_double_hash_parts("shingle")
     mins = ",\n    ".join(
-        f"MIN({sql_seeded_hash60('shingle', j)}) AS m{j}"
-        for j in range(_N_HASHES)
+        f"MIN((h1 + {j} * h2) % {DH_MOD}) AS m{j}" for j in range(_N_HASHES)
     )
     return f"""
   SELECT doc_id, {mins}
   FROM (
-    SELECT doc_id, unnest({sql_shingles(sql_tokens('text'))}) AS shingle
-    FROM documents
+    SELECT doc_id, {h1} AS h1, {h2} AS h2
+    FROM (
+      SELECT doc_id, unnest({sql_shingles(sql_tokens('text'))}) AS shingle
+      FROM documents
+    ) raw
   ) sh
   GROUP BY doc_id
 """
@@ -166,20 +180,26 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     band collides, so the join is O(collisions) not O(n^2); band
     keys hash-shuffle evenly. Verification re-joins shingle sets for
     candidate pairs only."""
-    sig = _minhash_signature(spark, sf_dir)
+    # persist: the signature frame feeds the band self-join twice and
+    # Spark does not share plan subtrees across consumers — at 100 TB
+    # you persist/checkpoint signatures for exactly the same reason
+    sig = _minhash_signature(spark, sf_dir).persist()
 
-    band_frames = []
+    # unpivot 4 band keys per doc with one stack() — a single pass
+    # over the signature instead of a 4-way union of re-derivations
+    stack_args = []
     for b in range(_N_BANDS):
-        cols = [F.col(f"m{b * _ROWS_PER_BAND + r}") for r in range(_ROWS_PER_BAND)]
-        key = F.concat_ws(",", *[c.cast("string") for c in cols])
-        band_frames.append(
-            sig.select(
-                "doc_id", F.concat(F.lit(f"{b}:"), key).alias("band_key")
-            )
+        key_cols = ", ".join(
+            f"CAST(m{b * _ROWS_PER_BAND + r} AS STRING)"
+            for r in range(_ROWS_PER_BAND)
         )
-    bands = band_frames[0]
-    for bf in band_frames[1:]:
-        bands = bands.unionByName(bf)
+        stack_args.append(f"concat_ws(',', '{b}:', {key_cols})")
+    bands = sig.select(
+        "doc_id",
+        F.expr(
+            f"stack({_N_BANDS}, {', '.join(stack_args)})"
+        ).alias("band_key"),
+    )
 
     b2 = bands.select(
         F.col("doc_id").alias("doc_b"), F.col("band_key").alias("bk2")
@@ -197,7 +217,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     shset = d.select(
         "doc_id", F.explode_outer(shingles(tokens("text"))).alias("shingle")
-    ).distinct()
+    ).distinct().persist()
     sizes = shset.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     sa = shset.select(F.col("doc_id").alias("doc_a"), "shingle")
