@@ -1,0 +1,81 @@
+"""Oracle comparison machinery — the local replica of the driver's
+correctness gate (row count + schema + order-insensitive value
+multiset against DuckDB), shared by scripts/verify_local.py and the
+pytest suite.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from collections import Counter
+from decimal import Decimal
+
+import duckdb
+
+from streamz_postgres_spark.catalog import TABLES, table_path
+from streamz_postgres_spark.registry import Query
+
+
+def duckdb_connection(sf_dir: str) -> "duckdb.DuckDBPyConnection":
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{table_path(sf_dir, t)}')"
+        )
+    return con
+
+
+def canon(v) -> str:
+    """Canonicalize one value for order-insensitive comparison."""
+    if v is None:
+        return "<null>"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        # exact doubles expected thanks to the decimal-sum trick; use
+        # repr so low-order-bit diffs are VISIBLE, not hidden
+        return repr(v)
+    if isinstance(v, Decimal):
+        return repr(float(v))
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{canon(x)}" for k, x in sorted(v.items())) + "}"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def row_multiset(cols: list[str], rows) -> Counter:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return Counter("|".join(canon(r[i]) for i in order) for r in rows)
+
+
+def check_query(spark, con, q: Query, sf_dir: str) -> tuple[bool, str]:
+    """Run one registered query on Spark and its oracle on DuckDB;
+    compare. Rows-only queries pass if they execute."""
+    t0 = time.time()
+    sdf = q.spark_fn(spark, sf_dir)
+    scols = sdf.columns
+    srows = sdf.collect()
+    t_spark = time.time() - t0
+    if q.oracle is None:
+        return True, f"rows-only ok ({len(srows)} rows, {t_spark:.1f}s)"
+    t0 = time.time()
+    ocur = con.execute(q.oracle)
+    ocols = [d[0] for d in ocur.description]
+    orows = ocur.fetchall()
+    t_duck = time.time() - t0
+    msg = f"{len(srows)} rows, spark {t_spark:.1f}s duck {t_duck:.1f}s"
+    if len(srows) != len(orows):
+        return False, f"ROWCOUNT spark={len(srows)} duck={len(orows)} ({msg})"
+    if sorted(c.lower() for c in scols) != sorted(c.lower() for c in ocols):
+        return False, f"SCHEMA spark={sorted(scols)} duck={sorted(ocols)}"
+    ms, mo = row_multiset(scols, srows), row_multiset(ocols, orows)
+    if ms != mo:
+        diff_s = list((ms - mo).items())[:3]
+        diff_o = list((mo - ms).items())[:3]
+        return False, f"VALUES spark-only={diff_s} duck-only={diff_o}"
+    return True, f"ok ({msg})"

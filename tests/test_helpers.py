@@ -1,0 +1,106 @@
+"""Unit tests for the library helpers on tiny literal frames —
+the streamz upstream test idiom (SURVEY §5.1: build tiny graph,
+emit literals, assert collected output)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from streamz_postgres_spark.functions.numeric import dsum, qround
+from streamz_postgres_spark.functions.vector import cosine_similarity, dot
+from streamz_postgres_spark.operators.joins import asof_join, zip_seq
+from streamz_postgres_spark.sources.cdc import apply_changes, full_refresh_diff
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_join_picks_latest_at_or_before(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00"), "a"), (1, _ts("2024-01-01T12:00"), "b"),
+         (2, _ts("2024-01-01T11:00"), "c")],
+        "k int, ts timestamp_ntz, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T09:00"), 10.0), (1, _ts("2024-01-01T11:00"), 20.0),
+         (2, _ts("2024-01-01T11:00"), 30.0)],
+        "k int, ts timestamp_ntz, v double",
+    )
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="ts",
+                    right_values=["v"])
+    got = {(r.k, r.tag): (r.v, r.asof_ts) for r in out.collect()}
+    assert got[(1, "a")][0] == 10.0
+    assert got[(1, "b")][0] == 20.0
+    # equal timestamps match (<= semantics)
+    assert got[(2, "c")][0] == 30.0
+
+
+def test_asof_join_inner_drops_unmatched(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T08:00"), "early")],
+        "k int, ts timestamp_ntz, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T09:00"), 1.0)], "k int, ts timestamp_ntz, v double"
+    )
+    assert asof_join(left, right, "k", "ts", "ts", ["v"], how="inner").count() == 0
+    out = asof_join(left, right, "k", "ts", "ts", ["v"], how="left").collect()
+    assert len(out) == 1 and out[0].v is None
+
+
+def test_zip_seq_truncates_to_shorter(spark):
+    a = spark.createDataFrame([(i,) for i in range(5)], "x int")
+    b = spark.createDataFrame([(i * 10,) for i in range(3)], "y int")
+    out = zip_seq(a, b, ["x"], ["y"]).orderBy("seq").collect()
+    assert [(r.x, r.y) for r in out] == [(0, 0), (1, 10), (2, 20)]
+
+
+def test_apply_changes_latest_wins_and_deletes(spark):
+    env = spark.createDataFrame(
+        [("u", 1, "k1", "v1"), ("u", 3, "k1", "v3"), ("d", 2, "k2", None),
+         ("c", 1, "k2", "v0"), ("c", 5, "k3", "v5"), ("d", 6, "k3", None)],
+        "op string, seq long, key string, after string",
+    )
+    got = {r.key: r.after for r in apply_changes(env).collect()}
+    assert got == {"k1": "v3"}  # k2: delete after create... latest op d
+
+
+def test_full_refresh_diff_ops(spark):
+    prev = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    cur = spark.createDataFrame([(2, "B"), (3, "c")], "id int, v string")
+    out = full_refresh_diff(prev, cur, ["id"])
+    ops = {r.key: r.op for r in out.collect()}
+    assert ops['{"id":1}'] == "d"
+    assert ops['{"id":2}'] == "u"
+    assert ops['{"id":3}'] == "c"
+
+
+def test_vector_math(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0])],
+        "a array<double>, b array<double>",
+    )
+    rows = df.select(
+        dot(F.col("a"), F.col("b")).alias("d"),
+        cosine_similarity(F.col("a"), F.col("b")).alias("c"),
+    ).collect()
+    assert rows[0].d == 1.0 and rows[0].c == 1.0
+    assert rows[1].d == 0.0 and rows[1].c == 0.0
+
+
+def test_dsum_is_order_independent(spark):
+    vals = [(0.1,), (0.2,), (0.3,), (1e12,), (-1e12,)]
+    one = spark.createDataFrame(vals, "x double").coalesce(1)
+    many = spark.createDataFrame(vals * 50, "x double").repartition(16)
+    a = one.agg(dsum("x").alias("s")).collect()[0].s
+    b = many.agg((dsum("x") / 50).alias("s")).collect()[0].s
+    assert a == b == 0.6
+
+
+def test_qround_matches_arithmetic(spark):
+    df = spark.createDataFrame([(1.2345649,), (1.2345651,)], "x double")
+    got = [r.r for r in df.select(qround("x", 6).alias("r")).collect()]
+    assert got == [1.234565, 1.234565]

@@ -1,0 +1,62 @@
+"""Plan-shape guards: the properties that keep these operators
+viable at 100 TB, asserted on the actual physical plans so a
+regression (lost pushdown, accidental cartesian product, missed
+broadcast) fails CI instead of melting a cluster.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from streamz_postgres_spark.registry import REGISTRY, _load_all
+from tests.conftest import SF_DIR
+
+_load_all()
+
+
+def _plan(spark, key: str) -> str:
+    df = REGISTRY[key].spark_fn(spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_flagship_pushes_filter_and_prunes_columns(spark):
+    plan = _plan(spark, "q_flagship")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # projection pruned: unreferenced columns stay out of the scan
+    assert "l_partkey" not in plan and "l_suppkey" not in plan
+
+
+def test_broadcast_dims_are_broadcast(spark):
+    plan = _plan(spark, "q_join_broadcast")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_theta_join_broadcasts_literal_bands(spark):
+    plan = _plan(spark, "q_join_theta")
+    assert "BroadcastNestedLoopJoin" in plan
+    # the big side must NOT be the build side of a cartesian product
+    assert "CartesianProduct" not in plan
+
+
+def test_no_cartesian_products_anywhere(spark):
+    """No registered query may plan an unbounded cartesian product
+    (broadcast nested loops over literal/1-row sides are fine)."""
+    for key in sorted(REGISTRY):
+        if key.startswith("q_stream") or key.startswith("q_cdc"):
+            continue  # streaming plans materialize through a sink
+        plan = _plan(spark, key)
+        assert "CartesianProduct" not in plan, key
+
+
+def test_window_ops_are_partitioned(spark):
+    """Ordered windows must be key-partitioned (a global orderBy
+    window is a single serial task at scale). zip_seq is the one
+    documented exception."""
+    for key in ("q_window_rank", "q_running_sum", "q_moving_avg",
+                "q_topk_per_group", "q_dedup"):
+        plan = _plan(spark, key)
+        assert "SinglePartition" not in plan, key
