@@ -31,6 +31,7 @@ from streamz_postgres_spark.operators import (  # noqa: F401
     subqueries,
     text,
     timewindows,
+    udfs,
     windows,
 )
 

@@ -461,6 +461,36 @@ def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_join_salted",
+    oracle=f"""
+SELECT o_orderstatus, COUNT(*) AS n_lines, {sql_dsum('l_quantity')} AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+""",
+    tags=("join", "scale"),
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join via plans.salted_join: lineitem's join key
+    is salted deterministically and orders is replicated per salt, so
+    a pathologically hot key spreads over 8 tasks. The oracle is the
+    PLAIN join — proving salting changes the plan, not the answer."""
+    from streamz_postgres_spark.plans.scale import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "k"
+    )
+    o = load_table(spark, sf_dir, "orders").withColumnRenamed("o_orderkey", "k")
+    return (
+        salted_join(li, o.select("k", "o_orderstatus"), on="k", salt=8)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum("l_quantity").alias("sum_qty"),
+        )
+    )
+
+
+@register(
     "q_zip_seq",
     oracle="""
 WITH e AS (
