@@ -28,6 +28,7 @@ from streamz_postgres_spark.operators import (  # noqa: F401
     scalar_funcs,
     setops,
     similarity,
+    stats,
     subqueries,
     text,
     timewindows,
@@ -36,4 +37,5 @@ from streamz_postgres_spark.operators import (  # noqa: F401
 )
 
 # streaming/CDC operators register themselves too
+from streamz_postgres_spark.streaming import files as _streaming_files  # noqa: E402,F401
 from streamz_postgres_spark.streaming import queries as _streaming_queries  # noqa: E402,F401

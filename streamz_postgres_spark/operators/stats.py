@@ -1,0 +1,109 @@
+"""Statistical aggregates: correlation / covariance / regression
+slope (algebraic over exact sums — order-independent) and
+interpolated percentiles.
+
+The SDF layer's var/std family (SURVEY §2.5) generalizes here: all
+second-moment statistics reduce to the five exact decimal sums
+(n, Sx, Sy, Sxx, Syy, Sxy), so a 10,000-partition cluster run and
+the single-threaded oracle produce identical doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streamz_postgres_spark.catalog import load_table
+from streamz_postgres_spark.functions.numeric import (
+    dsum,
+    qround,
+    sql_dsum,
+    sql_qround,
+)
+from streamz_postgres_spark.registry import register
+
+
+@register(
+    "q_stats_corr",
+    oracle=f"""
+SELECT l_returnflag,
+       n,
+       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS regr_slope_price_qty,
+       (CAST(FLOOR(((n * sxy - sx * sy)
+         / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)))
+         * 10000000000.0 + 0.5) AS DOUBLE) / 10000000000.0)
+         AS corr_qty_price,
+       (sxy - sx * sy / n) / (n - 1) AS covar_samp_qty_price
+FROM (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         {sql_dsum('l_quantity')} AS sx,
+         {sql_dsum('l_extendedprice')} AS sy,
+         {sql_dsum('l_quantity * l_quantity')} AS sxx,
+         {sql_dsum('l_extendedprice * l_extendedprice')} AS syy,
+         {sql_dsum('l_quantity * l_extendedprice')} AS sxy
+  FROM lineitem
+  GROUP BY l_returnflag
+) m
+""",
+    tags=("agg", "stats"),
+)
+def q_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation, sample covariance and regression slope of
+    (quantity, price) per return flag, from the five exact sums —
+    one partial-aggregating shuffle of 5 decimals per group.
+    corr goes through qround(10): the sqrt-product denominator is
+    subject to engine-side FP contraction differences at 1 ulp."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(x).alias("sx"),
+        dsum(y).alias("sy"),
+        dsum(x * x).alias("sxx"),
+        dsum(y * y).alias("syy"),
+        dsum(x * y).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return m.select(
+        "l_returnflag",
+        "n",
+        ((n * sxy - sx * sy) / (n * sxx - sx * sx)).alias(
+            "regr_slope_price_qty"
+        ),
+        qround(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            10,
+        ).alias("corr_qty_price"),
+        ((sxy - sx * sy / n) / (n - F.lit(1.0))).alias("covar_samp_qty_price"),
+    )
+
+
+@register(
+    "q_percentile",
+    oracle=f"""
+SELECT l_returnflag,
+       {sql_qround('quantile_cont(l_extendedprice, 0.5)', 4)} AS p50,
+       {sql_qround('quantile_cont(l_extendedprice, 0.9)', 4)} AS p90,
+       {sql_qround('quantile_cont(l_extendedprice, 0.99)', 4)} AS p99,
+       MAX(l_extendedprice) AS p100
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("agg", "stats"),
+)
+def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (both engines use
+    the same lo + frac*(hi-lo) continuous definition; compared via
+    qround(4) to absorb last-ulp interpolation differences). At
+    100 TB the approximate twin is percentile_approx (see
+    q_approx_distinct for the sketch-based pattern)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        qround(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+        qround(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
+        qround(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
+        F.max("l_extendedprice").alias("p100"),
+    )

@@ -1,0 +1,90 @@
+"""File sources and sinks (SURVEY §2.1): streamz ``from_textfile`` /
+``filenames`` -> file-stream sources; ``sink_to_textfile`` /
+``to_kafka`` -> streaming sinks with Spark's exactly-once commit log.
+
+Both queries run end-to-end streaming pipelines through REAL sinks
+(not memory): the text-source query streams lines out of text files;
+the sink query writes a parquet file sink with the _spark_metadata
+transaction log and re-reads the committed output. Oracle-checked.
+
+Kafka itself needs a broker (none in this environment): to_kafka /
+from_kafka are the same writeStream/readStream calls with
+``format("kafka")`` + ``kafka.bootstrap.servers`` and inherit the
+exactly-once ledger shown here; the CDC envelope (sources/cdc.py)
+is the payload they'd carry.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streamz_postgres_spark.catalog import load_table
+from streamz_postgres_spark.registry import register
+from streamz_postgres_spark.streaming.runner import replay_events, run_to_table
+
+
+@register(
+    "q_stream_textfile",
+    oracle="""
+SELECT COUNT(*) AS n_lines,
+       SUM(length(text)) AS total_chars,
+       SUM(len(string_split(text, ' '))) AS total_tokens
+FROM documents
+""",
+    tags=("streaming", "source"),
+)
+def q_stream_textfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streamz ``from_textfile`` parity: documents are written as
+    plain text (one per line), then a text file-stream source tails
+    the directory and a streaming aggregate counts lines/chars/
+    tokens. New files appearing in the directory would be picked up
+    incrementally — the ``filenames`` source semantic."""
+    d = load_table(spark, sf_dir, "documents")
+    outdir = tempfile.mkdtemp(prefix="textsrc_")
+    d.select("text").write.mode("overwrite").text(outdir)
+
+    lines = spark.readStream.format("text").load(outdir)
+    agg = lines.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("value")).alias("total_chars"),
+        F.sum(F.size(F.split("value", " "))).alias("total_tokens"),
+    )
+    return run_to_table(agg, "complete", spark)
+
+
+@register(
+    "q_stream_file_sink",
+    oracle="""
+SELECT event_id, user_id, value
+FROM events
+WHERE event_type = 'purchase'
+""",
+    tags=("streaming", "sink"),
+)
+def q_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streamz ``sink_to_textfile`` parity with exactly-once
+    semantics: stream events -> filter purchases -> parquet file
+    sink (writes the _spark_metadata commit log) -> batch re-read of
+    the committed files. The re-read sees exactly the committed set,
+    which must equal the batch filter — the exactly-once ledger the
+    reference's Kafka-batched source approximates with manual
+    checkpoints."""
+    s = replay_events(spark, sf_dir)
+    outdir = tempfile.mkdtemp(prefix="filesink_")
+    ckpt = os.path.join(outdir, "_ckpt")
+    q = (
+        s.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "value")
+        .writeStream.format("parquet")
+        .option("path", os.path.join(outdir, "data"))
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(os.path.join(outdir, "data"))
