@@ -25,6 +25,7 @@ from streamz_postgres_spark.operators import (  # noqa: F401
     joins,
     multimodal,
     relational,
+    reshape,
     scalar_funcs,
     setops,
     similarity,

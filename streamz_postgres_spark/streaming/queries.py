@@ -313,6 +313,99 @@ def q_stream_accumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_table(out, "append", spark)
 
 
+class _UserTotalsProcessor:
+    """transformWithState processor: per-key (count, exact decimal
+    sum) in a ValueState, emitting the updated totals per batch —
+    the Spark 4 successor to applyInPandasWithState and the richest
+    analogue of streamz ``accumulate`` (typed state, timers, TTL)."""
+
+    def init(self, handle) -> None:
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        self._state = handle.getValueState(
+            "totals",
+            StructType(
+                [
+                    StructField("n", LongType()),
+                    StructField("acc", StringType()),
+                ]
+            ),
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        six = Decimal("0.000001")
+        if self._state.exists():
+            n, acc_str = self._state.get()
+            acc = Decimal(acc_str)
+        else:
+            n, acc = 0, Decimal(0)
+        for pdf in rows:
+            for v in pdf["value"]:
+                acc += Decimal(float(v)).quantize(six, rounding=ROUND_HALF_EVEN)
+                n += 1
+        self._state.update((n, str(acc)))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [float(acc)]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def _protobuf_available() -> bool:
+    """transformWithStateInPandas speaks protobuf to the JVM; gate
+    the query on the dependency (not installed in this container —
+    applyInPandasWithState covers arbitrary streaming state
+    regardless, see q_stream_accumulate)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+_TWS_ORACLE = f"""
+SELECT user_id, COUNT(*) AS n_events, {sql_dsum('value')} AS sum_value
+FROM events
+GROUP BY user_id
+"""
+
+
+def q_stream_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user totals via transformWithStateInPandas (Spark 4 typed
+    arbitrary state): ValueState holds (count, exact decimal sum) so
+    the emitted doubles match the oracle's decimal aggregation
+    exactly. State is O(1) per key and survives across batches via
+    the RocksDB store."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    cls = type(
+        "UserTotalsProcessor", (StatefulProcessor,), dict(_UserTotalsProcessor.__dict__)
+    )
+    s = replay_events(spark, sf_dir)
+    out = s.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=cls(),
+        outputStructType="user_id long, n_events long, sum_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+    return run_to_table(out, "update", spark)
+
+
+if _protobuf_available():  # pragma: no cover - depends on environment
+    register(
+        "q_stream_transform_state",
+        oracle=_TWS_ORACLE,
+        tags=("streaming", "stateful", "udf"),
+    )(q_stream_transform_state)
+
+
 # ---------------------------------------------------------------------------
 # CDC queries (driving sources/cdc.py)
 # ---------------------------------------------------------------------------
