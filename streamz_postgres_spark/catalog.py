@@ -43,6 +43,37 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+_SHIPPED: set[str] = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Ship this package to the Python workers (addPyFile).
+
+    Functions sent to executors (mapInPandas, applyInPandasWithState,
+    pandas UDFs) are pickled BY REFERENCE to their module, so workers
+    must be able to import ``streamz_postgres_spark`` — which is not
+    on their path when the driving process runs from another
+    directory. Zipping the package once per session and registering
+    it with addPyFile is the standard way to ship application code
+    to a cluster; locally it makes the engine location-independent.
+    """
+    import tempfile
+    import zipfile
+    from pathlib import Path
+
+    app_id = spark.sparkContext.applicationId
+    if app_id in _SHIPPED:
+        return
+    pkg_dir = Path(__file__).resolve().parent
+    fd, zpath = tempfile.mkstemp(suffix=".zip", prefix="szps_pkg_")
+    os.close(fd)
+    with zipfile.ZipFile(zpath, "w") as z:
+        for p in pkg_dir.rglob("*.py"):
+            z.write(p, arcname=str(Path(pkg_dir.name) / p.relative_to(pkg_dir)))
+    spark.sparkContext.addPyFile(zpath)
+    _SHIPPED.add(app_id)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table. Declarative: pushdown-friendly.
 
@@ -55,17 +86,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    ship_package(spark)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
         if dict(df.dtypes).get("ts") == "bigint":
-            # integer division: double division would lose precision
-            # on int64 nanos and shift some timestamps by 1 microsecond
-            micros = F.expr("ts div 1000")
+            # NTZ epoch + integer micros: pure NTZ arithmetic that
+            # never touches the session timezone (timestamp_micros ->
+            # convert_timezone would round-trip through TimestampType
+            # and shift wall clocks under non-UTC driver sessions).
+            # Integer division: double division loses precision on
+            # int64 nanos and shifts timestamps by 1 microsecond.
             df = df.withColumn(
                 "ts",
-                F.convert_timezone(
-                    F.lit("UTC"), F.lit("UTC"), F.timestamp_micros(micros)
+                F.expr(
+                    "timestampadd(MICROSECOND, ts div 1000, "
+                    "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
                 ),
             )
         return df

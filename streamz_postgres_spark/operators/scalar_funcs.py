@@ -99,7 +99,11 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.quarter("o_orderdate").alias("qtr"),
         F.dayofweek("o_orderdate").alias("dow"),
         F.weekofyear("o_orderdate").alias("iso_week"),
-        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        # trunc() on DATE is tz-free; date_trunc on NTZ would cast
+        # through TimestampType with the session timezone
+        F.trunc(F.col("o_orderdate").cast("date"), "month")
+        .cast("timestamp_ntz")
+        .alias("month_start"),
         F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias(
             "days_since_95"
         ),

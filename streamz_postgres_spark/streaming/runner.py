@@ -45,6 +45,9 @@ def replay_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same nanos->TimestampNTZ normalization as the batch catalog, so
     streaming and batch operators see identical rows.
     """
+    from streamz_postgres_spark.catalog import ship_package
+
+    ship_package(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # file-stream sources want a directory: stream the sf dir with a
     # glob pinned to the events file
@@ -54,10 +57,12 @@ def replay_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
+    # same tz-free NTZ rebuild as catalog.load_table
     return raw.withColumn(
         "ts",
-        F.convert_timezone(
-            F.lit("UTC"), F.lit("UTC"), F.timestamp_micros(F.expr("ts div 1000"))
+        F.expr(
+            "timestampadd(MICROSECOND, ts div 1000, "
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
         ),
     )
 
