@@ -230,6 +230,37 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_variant",
+    oracle=f"""
+SELECT
+  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+  COUNT(*) AS n_events,
+  {sql_dsum('value')} AS sum_value
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50
+GROUP BY 1
+""",
+    tags=("scalar", "json", "variant"),
+)
+def q_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT type: parse_json -> variant column ->
+    variant_get typed extraction (the reference's json/jsonb mapping,
+    SURVEY §1.2). Variant keeps a binary-encoded document, so at
+    100 TB repeated extractions skip per-path string re-parsing."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.withColumn("pv", F.parse_json("props"))
+    return (
+        v.withColumn("k", F.try_variant_get("pv", "$.k", "int"))
+        .filter(F.col("k") >= 50)
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+    )
+
+
+@register(
     "q_map_json_funcs",
     oracle=f"""
 SELECT

@@ -1,0 +1,73 @@
+"""Property-based checks (hypothesis): the as-of join helper agrees
+with a brute-force per-row reference on arbitrary small inputs, and
+the PG type mapper round-trips structured types.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from streamz_postgres_spark.operators.joins import asof_join
+from streamz_postgres_spark.sources.pg_types import custom_schema, spark_type_for
+
+_BASE = dt.datetime(2024, 1, 1)
+
+# (key, minute-offset) event lists; right side gets unique (key, ts)
+_left_rows = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=1, max_size=8
+)
+_right_rows = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=1, max_size=8,
+    unique_by=lambda r: (r[0], r[1]),
+)
+
+
+def _brute_force(left, right):
+    out = {}
+    for i, (k, lt) in enumerate(left):
+        best = None
+        for k2, rt in right:
+            if k2 == k and rt <= lt and (best is None or rt > best):
+                best = rt
+        out[i] = best
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(left=_left_rows, right=_right_rows)
+def test_asof_join_matches_brute_force(spark, left, right):
+    ldf = spark.createDataFrame(
+        [(i, k, _BASE + dt.timedelta(minutes=m)) for i, (k, m) in enumerate(left)],
+        "idx int, k int, ts timestamp_ntz",
+    )
+    rdf = spark.createDataFrame(
+        [(k, _BASE + dt.timedelta(minutes=m), float(m)) for k, m in right],
+        "k int, ts timestamp_ntz, v double",
+    )
+    got = {
+        r.idx: (r.asof_ts - _BASE).total_seconds() / 60 if r.asof_ts else None
+        for r in asof_join(ldf, rdf, "k", "ts", "ts", ["v"]).collect()
+    }
+    want = {i: float(m) if m is not None else None
+            for i, m in _brute_force(left, right).items()}
+    assert got == want
+
+
+def test_pg_type_mapping():
+    assert spark_type_for("bigint") == "BIGINT"
+    assert spark_type_for("numeric(12,2)") == "DECIMAL(12,2)"
+    assert spark_type_for("integer[]") == "ARRAY<INT>"
+    assert spark_type_for("timestamp without time zone") == "TIMESTAMP_NTZ"
+    assert spark_type_for("jsonb") == "STRING"
+    assert spark_type_for("weird_custom_type") == "STRING"
+    assert (
+        custom_schema([("id", "bigint"), ("price", "numeric(12,2)")])
+        == "id BIGINT, price DECIMAL(12,2)"
+    )
