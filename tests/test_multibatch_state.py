@@ -1,0 +1,99 @@
+"""Streaming state must survive ACROSS micro-batches: the bounded
+replay of a single parquet file runs as one batch, which never
+exercises cross-batch state restore. This test splits events into 4
+files and streams them with maxFilesPerTrigger=1, forcing 4 batches
+through the applyInPandasWithState fold — the final running totals
+must still match the batch oracle exactly.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from decimal import ROUND_HALF_EVEN, Decimal
+from typing import Iterator
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from streamz_postgres_spark.catalog import load_table
+from streamz_postgres_spark.streaming.runner import run_to_table
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def split_dir(spark):
+    d = tempfile.mkdtemp(prefix="events_split_")
+    # stable 4-way split by event_id range so batch order is defined
+    e = load_table(spark, SF_DIR, "events")
+    total = e.count()
+    step = total // 4 + 1
+    for i in range(4):
+        (
+            e.filter(
+                (F.col("event_id") >= i * step)
+                & (F.col("event_id") < (i + 1) * step)
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{d}/part{i}")
+        )
+    return d
+
+
+def test_state_survives_batches(spark, split_dir):
+    # defined inside the test: a module-level function would pickle
+    # by reference to a module the workers cannot import
+    def _totals(key, batches: Iterator[pd.DataFrame], state: GroupState):
+        six = Decimal("0.000001")
+        if state.exists:
+            n, acc_str = state.get
+            acc = Decimal(acc_str)
+        else:
+            n, acc = 0, Decimal(0)
+        for pdf in batches:
+            for v in pdf.sort_values("event_id")["value"]:
+                acc += Decimal(float(v)).quantize(six, rounding=ROUND_HALF_EVEN)
+                n += 1
+        state.update((n, str(acc)))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [float(acc)]}
+        )
+
+    src = (
+        spark.readStream.schema(
+            load_table(spark, SF_DIR, "events").schema
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{split_dir}/part*")
+    )
+    out = src.groupBy("user_id").applyInPandasWithState(
+        _totals,
+        outputStructType="user_id long, n_events long, sum_value double",
+        stateStructType="n long, acc string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    result = run_to_table(out, "append", spark)
+    # append emits one row per key per batch containing it; the row
+    # with the max n_events per key is the final state
+    final = (
+        result.groupBy("user_id")
+        .agg(F.max_by("sum_value", "n_events").alias("sum_value"),
+             F.max("n_events").alias("n_events"))
+    )
+    want = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias(
+                "sum_value"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    got = {r.user_id: (r.n_events, r.sum_value) for r in final.collect()}
+    exp = {r.user_id: (r.n_events, r.sum_value) for r in want.collect()}
+    assert got == exp
