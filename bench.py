@@ -34,6 +34,8 @@ HEADLINE = (
     "q_sim_cosine",
     "q_dedup_minhash",
     "q_text_tfidf",
+    "q_text_langid",
+    "q_multimodal",
 )
 
 N_RUNS = 3
