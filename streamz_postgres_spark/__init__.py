@@ -22,11 +22,13 @@ Layout
 - ``plans``      scale posture: partitioning/skew/broadcast helpers
 """
 
+from streamz_postgres_spark.api import SparkStream
 from streamz_postgres_spark.session import get_spark
 from streamz_postgres_spark.catalog import TABLES, load_table, register_views
 from streamz_postgres_spark.registry import REGISTRY, all_queries, all_oracle_sql
 
 __all__ = [
+    "SparkStream",
     "get_spark",
     "TABLES",
     "load_table",

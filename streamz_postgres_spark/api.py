@@ -1,0 +1,239 @@
+"""Fluent streamz-style API facade.
+
+A user of the reference writes pipelines like::
+
+    Stream.from_postgres_cdc(conn, "tbl").map(f).filter(p)
+          .timed_window(10).sink(g)
+
+This module gives that surface on Spark: ``SparkStream`` wraps a
+(batch or streaming) DataFrame and exposes the streamz operator
+vocabulary (SURVEY §2.2-§2.5), each method delegating to the
+DataFrame/window/helper implementation used by the registered
+queries. Pipelines stay fully declarative — chaining builds ONE
+Catalyst plan, so the fluent layer costs nothing at execution time
+(unlike the reference, where each node is an interpreted Python hop).
+
+Method names follow streamz (`map`, `accumulate`, `timed_window`,
+`zip_latest`, `sink_to_list`, ...); Spark-native semantics
+differences are called out per docstring.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from streamz_postgres_spark.operators.joins import asof_join, zip_seq
+
+_DEC = "decimal(38,6)"
+
+
+class SparkStream:
+    """A streamz-`Stream`-shaped handle over a Spark DataFrame."""
+
+    def __init__(self, df: DataFrame, ts_col: str | None = None):
+        self.df = df
+        self.ts_col = ts_col
+
+    # -- construction -----------------------------------------------------
+
+    @classmethod
+    def from_dataframe(cls, df: DataFrame, ts_col: str | None = None) -> "SparkStream":
+        return cls(df, ts_col)
+
+    @classmethod
+    def from_events(cls, spark, sf_dir: str, streaming: bool = False) -> "SparkStream":
+        """The events fixture as a stream (batch or readStream)."""
+        if streaming:
+            from streamz_postgres_spark.streaming.runner import replay_events
+
+            return cls(replay_events(spark, sf_dir), "ts")
+        from streamz_postgres_spark.catalog import load_table
+
+        return cls(load_table(spark, sf_dir, "events"), "ts")
+
+    @classmethod
+    def from_postgres_cdc(
+        cls,
+        spark,
+        url: str,
+        table: str,
+        key_cols: list[str],
+        num_partitions: int = 8,
+    ) -> "tuple[SparkStream, Any]":
+        """The reference's registered entry point: returns the
+        snapshot as a stream plus the PollingCdcSource whose
+        ``poll_once`` yields incremental envelope batches (wire into
+        foreachBatch or a driver loop)."""
+        from streamz_postgres_spark.sources.cdc import (
+            JdbcPollingLoader,
+            PollingCdcSource,
+        )
+
+        loader = JdbcPollingLoader(
+            spark, url=url, table=table, num_partitions=num_partitions
+        )
+        src = PollingCdcSource(loader, key_cols=key_cols)
+        return cls(loader.snapshot()), src
+
+    def _wrap(self, df: DataFrame) -> "SparkStream":
+        return SparkStream(df, self.ts_col if self.ts_col in df.columns else None)
+
+    # -- element-wise (streamz core §2.2) ---------------------------------
+
+    def map(self, **exprs: Column) -> "SparkStream":
+        """streamz ``map``: add/replace computed columns (columnar
+        expressions, not per-event Python — use map_in_pandas for
+        arbitrary callables)."""
+        df = self.df
+        for name, col in exprs.items():
+            df = df.withColumn(name, col)
+        return self._wrap(df)
+
+    def map_in_pandas(self, fn: Callable, schema: str) -> "SparkStream":
+        """streamz ``map`` with an arbitrary Python callable:
+        Arrow-batched (the only sane Python hot path)."""
+        return self._wrap(self.df.mapInPandas(fn, schema=schema))
+
+    def filter(self, predicate: Column) -> "SparkStream":
+        return self._wrap(self.df.filter(predicate))
+
+    def pluck(self, *cols: str) -> "SparkStream":
+        return self._wrap(self.df.select(*cols))
+
+    def flatten(self, col: str, alias: str | None = None) -> "SparkStream":
+        out = alias or col
+        return self._wrap(
+            self.df.withColumn(out, F.explode(F.col(col)))
+        )
+
+    def slice(self, n: int, order_by: list[str] | None = None) -> "SparkStream":
+        """streamz ``slice``: first n events in the given (or
+        timestamp) order."""
+        order = order_by or ([self.ts_col] if self.ts_col else [])
+        if not order:
+            raise ValueError("slice needs an ordering column")
+        return self._wrap(self.df.orderBy(*order).limit(n))
+
+    def unique(self, *keys: str, order_by: str | None = None) -> "SparkStream":
+        """streamz ``unique``: one row per key. Deterministic: keeps
+        the FIRST row by ``order_by`` (default: the stream's ts)."""
+        order = order_by or self.ts_col
+        if order is None:
+            return self._wrap(self.df.dropDuplicates(list(keys)))
+        w = Window.partitionBy(*keys).orderBy(order)
+        return self._wrap(
+            self.df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    def accumulate(self, value: str, key: str, order_by: str | None = None) -> "SparkStream":
+        """streamz ``accumulate``/`scan`: running per-key fold —
+        emits the running (exact-decimal) sum and count per event."""
+        order = order_by or self.ts_col
+        w = (
+            Window.partitionBy(key)
+            .orderBy(order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return self._wrap(
+            self.df.withColumn(
+                f"{value}_running",
+                F.sum(F.col(value).cast(_DEC)).over(w).cast("double"),
+            ).withColumn(f"{value}_count", F.count(F.lit(1)).over(w))
+        )
+
+    def latest(self, key: str, order_by: str | None = None) -> "SparkStream":
+        """streamz ``latest``: most recent row per key."""
+        order = order_by or self.ts_col
+        gb = self.df.groupBy(key).agg(
+            F.max_by(F.struct(*[c for c in self.df.columns if c != key]), order).alias("__s")
+        )
+        return self._wrap(gb.select(key, "__s.*"))
+
+    # -- windows (streamz §2.3 / SDF §2.5) --------------------------------
+
+    def timed_window(self, duration: str, *keys: str) -> "SparkStream":
+        """streamz ``timed_window``: tumbling window of ``duration``
+        grouped by optional keys; emits count + per-window rows
+        (aggregate with .agg on the result df for more)."""
+        w = F.window(self.ts_col, duration).alias("w")
+        return self._wrap(
+            self.df.groupBy(w, *keys)
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("w.start").alias("window_start"), *keys, "n_events")
+        )
+
+    def sliding_window(self, n: int, value: str, key: str) -> "SparkStream":
+        """streamz ``sliding_window(n)``: trailing n-event aggregate
+        per key (moving average)."""
+        w = (
+            Window.partitionBy(key)
+            .orderBy(self.ts_col)
+            .rowsBetween(-(n - 1), Window.currentRow)
+        )
+        msum = F.sum(F.col(value).cast(_DEC)).over(w).cast("double")
+        return self._wrap(
+            self.df.withColumn(
+                f"{value}_moving_avg", msum / F.count(F.lit(1)).over(w)
+            )
+        )
+
+    def partition(self, n: int, seq_col: str) -> "SparkStream":
+        """streamz ``partition(n)``: batch every n events by a
+        monotonic sequence column (parallel formulation)."""
+        return self._wrap(
+            self.df.groupBy(
+                F.floor(F.col(seq_col) / n).cast("bigint").alias("batch_id")
+            ).agg(F.count(F.lit(1)).alias("n_events"))
+        )
+
+    # -- combinators (streamz §2.4) ---------------------------------------
+
+    def union(self, *others: "SparkStream") -> "SparkStream":
+        df = self.df
+        for o in others:
+            df = df.unionByName(o.df)
+        return self._wrap(df)
+
+    def zip(self, other: "SparkStream", left_order: list[str], right_order: list[str]) -> "SparkStream":
+        """streamz ``zip``: positional pairing (lockstep)."""
+        return self._wrap(zip_seq(self.df, other.df, left_order, right_order))
+
+    def zip_latest(
+        self,
+        other: "SparkStream",
+        on: str,
+        right_values: list[str],
+        right_ts: str | None = None,
+    ) -> "SparkStream":
+        """streamz ``zip_latest``: this stream is lossless; each row
+        is paired with the latest (as-of) row of ``other``."""
+        return self._wrap(
+            asof_join(
+                self.df,
+                other.df,
+                on=on,
+                left_ts=self.ts_col,
+                right_ts=right_ts or other.ts_col or self.ts_col,
+                right_values=right_values,
+            )
+        )
+
+    combine_latest = zip_latest  # driven by the lossless side here
+
+    # -- sinks (streamz §2.1) ---------------------------------------------
+
+    def sink_to_list(self) -> list:
+        """streamz ``sink_to_list`` (test idiom): collect rows."""
+        return self.df.collect()
+
+    def sink_to_files(self, path: str, fmt: str = "parquet") -> None:
+        self.df.write.format(fmt).mode("overwrite").save(path)
+
+    def to_df(self) -> DataFrame:
+        return self.df

@@ -1,0 +1,117 @@
+"""The fluent streamz-style facade: pipelines chain into single
+Catalyst plans and produce the same answers as the registered
+operator implementations."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from streamz_postgres_spark.api import SparkStream
+from tests.conftest import SF_DIR
+
+
+def test_map_filter_pluck_chain(spark):
+    s = SparkStream.from_events(spark, SF_DIR)
+    out = (
+        s.map(double_value=F.col("value") * 2)
+        .filter(F.col("event_type") == "purchase")
+        .pluck("event_id", "double_value")
+        .sink_to_list()
+    )
+    assert all(len(r) == 2 for r in out)
+    base = (
+        s.df.filter(F.col("event_type") == "purchase")
+        .select("event_id", (F.col("value") * 2).alias("double_value"))
+        .collect()
+    )
+    assert sorted(map(tuple, out)) == sorted(map(tuple, base))
+
+
+def test_timed_window_matches_operator(spark):
+    s = SparkStream.from_events(spark, SF_DIR)
+    got = {
+        (r.window_start, r.n_events)
+        for r in s.timed_window("1 hour").sink_to_list()
+    }
+    want = {
+        (r["w"]["start"], r["n"])
+        for r in s.df.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_unique_keeps_first_by_ts(spark):
+    s = SparkStream.from_events(spark, SF_DIR)
+    out = s.unique("user_id", "event_type", order_by="event_id").to_df()
+    want = (
+        s.df.groupBy("user_id", "event_type")
+        .agg(F.min("event_id").alias("event_id"))
+        .count()
+    )
+    assert out.count() == want
+    # first occurrence: event_id equals per-key min
+    firsts = {
+        (r.user_id, r.event_type): r.event_id for r in out.collect()
+    }
+    mins = {
+        (r.user_id, r.event_type): r.event_id
+        for r in s.df.groupBy("user_id", "event_type")
+        .agg(F.min("event_id").alias("event_id"))
+        .collect()
+    }
+    assert firsts == mins
+
+
+def test_accumulate_running_sum(spark):
+    s = SparkStream.from_events(spark, SF_DIR)
+    out = s.accumulate("value", key="user_id", order_by="event_id").to_df()
+    one_user = (
+        out.filter(F.col("user_id") == 0)
+        .orderBy("event_id")
+        .select("value_running", "value_count")
+        .collect()
+    )
+    assert [r.value_count for r in one_user] == list(range(1, len(one_user) + 1))
+    assert all(
+        one_user[i].value_running <= one_user[i + 1].value_running
+        or one_user[i + 1].value_running is not None
+        for i in range(len(one_user) - 1)
+    )
+
+
+def test_zip_latest_is_asof(spark):
+    s = SparkStream.from_events(spark, SF_DIR)
+    clicks = SparkStream(s.df.filter(F.col("event_type") == "click"), "ts")
+    purchases = SparkStream(
+        s.df.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pv")),
+        "ts",
+    )
+    out = clicks.zip_latest(purchases, on="user_id", right_values=["pv"]).to_df()
+    assert out.count() == clicks.df.count()  # lossless side preserved
+    row = out.filter(F.col("asof_ts").isNotNull()).first()
+    assert row is None or row.asof_ts <= row.ts
+
+
+def test_latest_per_key(spark):
+    s = SparkStream.from_events(spark, SF_DIR)
+    out = s.latest("user_id", order_by="event_id").to_df()
+    got = {r.user_id: r.event_id for r in out.collect()}
+    want = {
+        r.user_id: r.m
+        for r in s.df.groupBy("user_id").agg(F.max("event_id").alias("m")).collect()
+    }
+    assert got == want
+
+
+def test_union_and_partition(spark):
+    s = SparkStream.from_events(spark, SF_DIR)
+    a = SparkStream(s.df.filter(F.col("event_type") == "click"), "ts")
+    b = SparkStream(s.df.filter(F.col("event_type") == "error"), "ts")
+    u = a.union(b)
+    assert u.to_df().count() == a.df.count() + b.df.count()
+    batches = s.partition(100, "event_id").sink_to_list()
+    assert sum(r.n_events for r in batches) == s.df.count()
