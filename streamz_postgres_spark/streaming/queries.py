@@ -112,6 +112,84 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_tumbling_watermarked",
+    oracle=f"""
+SELECT date_trunc('hour', ts) AS window_start,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS sum_value
+FROM events
+GROUP BY date_trunc('hour', ts)
+""",
+    tags=("streaming", "time", "watermark"),
+)
+def q_stream_tumbling_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling window WITH a declared watermark in append mode —
+    the production shape: window state is dropped (and the final row
+    emitted) only once the watermark passes the window end. Append
+    mode withholds the window containing max(ts) forever on a
+    bounded input, so the replay stages the events file plus one
+    synthetic far-future flush row: the watermark jumps past every
+    real window (all emit) while the flush row's own window stays
+    withheld — the standard end-of-stream flush for append-mode
+    verification. The flush row never reaches the output."""
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from streamz_postgres_spark.catalog import table_path
+    from streamz_postgres_spark.functions.numeric import dsum
+
+    staging = tempfile.mkdtemp(prefix="wm_replay_")
+    shutil.copy(table_path(sf_dir, "events"), f"{staging}/events.parquet")
+    flush_ns = int(pd.Timestamp("2024-06-01").value)  # far past the data
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([-1], pa.int64()),
+                "ts": pa.array([flush_ns], pa.timestamp("ns")),
+                "user_id": pa.array([-1], pa.int64()),
+                "event_type": pa.array(["__flush__"], pa.string()),
+                "value": pa.array([0.0], pa.float64()),
+                "props": pa.array(["{}"], pa.string()),
+            }
+        ),
+        f"{staging}/flush.parquet",
+    )
+
+    s = replay_events(spark, sf_dir, directory=staging, glob="*.parquet")
+    # watermarks require TimestampType; build the instant from epoch
+    # micros (tz-free both ways: NTZ -> micros -> instant, and the
+    # output instant -> micros -> NTZ) so the UTC-aligned hour grid
+    # and emitted wall clocks are session-timezone-independent
+    micros = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    out = (
+        s.withColumn("ts_evt", F.timestamp_micros(micros))
+        .withWatermark("ts_evt", "0 seconds")
+        .groupBy(F.window("ts_evt", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            F.expr(
+                "timestampadd(MICROSECOND, unix_micros(w.start), "
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ).alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+        # defensive: the flush window is withheld by the watermark,
+        # but make the contract explicit
+        .filter(F.col("window_start") < F.lit("2024-06-01").cast("timestamp_ntz"))
+    )
+    return run_to_table(out, "append", spark)
+
+
+@register(
     "q_stream_session",
     oracle=f"""
 WITH flagged AS (

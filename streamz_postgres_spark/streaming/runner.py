@@ -39,11 +39,19 @@ _EVENTS_LONG_TS_SCHEMA = T.StructType(
 )
 
 
-def replay_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def replay_events(
+    spark: SparkSession,
+    sf_dir: str,
+    directory: str | None = None,
+    glob: str = "events.parquet",
+) -> DataFrame:
     """events.parquet as an unbounded stream (file-stream source).
 
     Same nanos->TimestampNTZ normalization as the batch catalog, so
-    streaming and batch operators see identical rows.
+    streaming and batch operators see identical rows. ``directory``/
+    ``glob`` override the source location (e.g. a staging dir with
+    extra files appended — how tests exercise multi-batch and
+    end-of-stream-flush behavior).
     """
     from streamz_postgres_spark.catalog import ship_package
 
@@ -54,8 +62,8 @@ def replay_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = (
         spark.readStream.schema(_EVENTS_LONG_TS_SCHEMA)
         .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
+        .option("pathGlobFilter", glob)
+        .load(directory or sf_dir)
     )
     # same tz-free NTZ rebuild as catalog.load_table
     return raw.withColumn(
