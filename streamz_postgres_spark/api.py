@@ -135,6 +135,8 @@ class SparkStream:
         """streamz ``accumulate``/`scan`: running per-key fold —
         emits the running (exact-decimal) sum and count per event."""
         order = order_by or self.ts_col
+        if order is None:
+            raise ValueError("accumulate needs an ordering column")
         w = (
             Window.partitionBy(key)
             .orderBy(order)
@@ -150,6 +152,8 @@ class SparkStream:
     def latest(self, key: str, order_by: str | None = None) -> "SparkStream":
         """streamz ``latest``: most recent row per key."""
         order = order_by or self.ts_col
+        if order is None:
+            raise ValueError("latest needs an ordering column")
         gb = self.df.groupBy(key).agg(
             F.max_by(F.struct(*[c for c in self.df.columns if c != key]), order).alias("__s")
         )

@@ -101,7 +101,7 @@ def asof_join(
     return out
 
 
-def with_seq(df: DataFrame, order_by: list[Column | str], name: str = "seq") -> Column:
+def with_seq(df: DataFrame, order_by: list[Column | str], name: str = "seq") -> DataFrame:
     """Attach a 1-based position column according to ``order_by``.
 
     Batch implementation is a global ``row_number`` (single-partition

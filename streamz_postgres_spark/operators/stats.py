@@ -10,7 +10,7 @@ the single-threaded oracle produce identical doubles.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from streamz_postgres_spark.catalog import load_table

@@ -30,8 +30,9 @@ Scale notes: incremental reads partition the cursor range across
 executors (numPartitions range scan); apply_changes is one hash
 shuffle on the key + per-key linear state; the poll loop keeps only
 an 8-byte cursor on the driver. xmin wraparound (32-bit epoch
-counter) is guarded by treating the cursor as mod-2^32 with an
-epoch bump when it regresses.
+counter) is handled by detecting cursor regression on an empty poll
+and resetting to a full re-read — at-least-once delivery, safe
+under the idempotent latest-row-wins apply.
 """
 
 from __future__ import annotations
@@ -268,25 +269,45 @@ class PollingCdcSource:
         self.cursor: int = 0
 
     def start(self, apply_fn: Callable[[DataFrame, int], None]) -> None:
-        snap = self.loader.snapshot()
-        apply_fn(to_envelope(snap, self.key_cols, "r"), 0)
-        row = snap.agg(F.max("__cursor").alias("c")).collect()[0]
-        self.cursor = int(row["c"] or 0)
+        # persist the envelope batch so the apply and the cursor agg
+        # read ONE materialized execution of the source query — two
+        # independent lazy executions of a live JDBC read could see
+        # different data, silently skipping rows committed in between
+        env = to_envelope(self.loader.snapshot(), self.key_cols, "r").persist()
+        try:
+            apply_fn(env, 0)
+            row = env.agg(F.max("seq").alias("c")).collect()[0]
+            self.cursor = int(row["c"] or 0)
+        finally:
+            env.unpersist()
 
     def poll_once(self, apply_fn: Callable[[DataFrame, int], None], idx: int) -> int:
-        """One poll: returns the number of change rows emitted."""
+        """One poll: returns the number of change rows emitted.
+
+        At-least-once on cursor regression: if the source's max
+        cursor falls BELOW our stored cursor (xmin epoch wraparound,
+        or a restored-from-backup table), the poll resets the cursor
+        and re-reads from the beginning — safe because apply_changes
+        is idempotent latest-row-wins.
+        """
         inc = self.loader.incremental(self.cursor)
         if self.is_create is not None:
             op = F.when(self.is_create(inc), "c").otherwise("u")
         else:
             op = F.lit("c")
-        env = to_envelope(inc, self.key_cols, op)
-        n = env.count()
-        if n:
-            apply_fn(env, idx)
-            hi = inc.agg(F.max("__cursor").alias("c")).collect()[0]
-            new_cursor = int(hi["c"])
-            # xmin wraparound guard: a regressing cursor means the
-            # 32-bit epoch wrapped; fall back to full refresh.
-            self.cursor = max(self.cursor, new_cursor)
+        # one materialized execution serves count, apply, and cursor
+        env = to_envelope(inc, self.key_cols, op).persist()
+        try:
+            n = env.count()
+            if n:
+                apply_fn(env, idx)
+                hi = env.agg(F.max("seq").alias("c")).collect()[0]
+                self.cursor = max(self.cursor, int(hi["c"]))
+            else:
+                observed = self.loader.max_cursor()
+                if observed < self.cursor:
+                    # wraparound/regression: re-snapshot from zero
+                    self.cursor = 0
+        finally:
+            env.unpersist()
         return n

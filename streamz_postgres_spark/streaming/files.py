@@ -17,6 +17,7 @@ is the payload they'd carry.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -53,7 +54,9 @@ def q_stream_textfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("value")).alias("total_chars"),
         F.sum(F.size(F.split("value", " "))).alias("total_tokens"),
     )
-    return run_to_table(agg, "complete", spark)
+    result = run_to_table(agg, "complete", spark)
+    shutil.rmtree(outdir, ignore_errors=True)
+    return result
 
 
 @register(
@@ -87,4 +90,7 @@ def q_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    # the committed data dir must outlive this call (the returned
+    # DataFrame reads it); only the checkpoint is one-shot
+    shutil.rmtree(ckpt, ignore_errors=True)
     return spark.read.parquet(os.path.join(outdir, "data"))

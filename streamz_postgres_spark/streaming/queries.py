@@ -186,7 +186,9 @@ def q_stream_tumbling_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame
         # but make the contract explicit
         .filter(F.col("window_start") < F.lit("2024-06-01").cast("timestamp_ntz"))
     )
-    return run_to_table(out, "append", spark)
+    result = run_to_table(out, "append", spark)
+    shutil.rmtree(staging, ignore_errors=True)
+    return result
 
 
 @register(
@@ -334,27 +336,25 @@ def _running_totals(
     else:
         n, acc = 0, Decimal(0)
     six = Decimal("0.000001")
-    out = []
-    for pdf in batches:
-        pdf = pdf.sort_values("event_id")
-        sums = []
-        for v in pdf["value"]:
-            acc += Decimal(float(v)).quantize(six, rounding=ROUND_HALF_EVEN)
-            n += 1
-            sums.append((float(acc), n))
-        out.append(
-            pd.DataFrame(
-                {
-                    "user_id": pdf["user_id"],
-                    "event_id": pdf["event_id"],
-                    "value": pdf["value"],
-                    "running_sum": [s for s, _ in sums],
-                    "running_n": [c for _, c in sums],
-                }
-            )
-        )
+    # concatenate BEFORE sorting: a large group arrives as several
+    # Arrow chunks and per-chunk sorting would accumulate out of
+    # global event order (running values are order-sensitive)
+    pdf = pd.concat(list(batches), ignore_index=True).sort_values("event_id")
+    sums = []
+    for v in pdf["value"]:
+        acc += Decimal(float(v)).quantize(six, rounding=ROUND_HALF_EVEN)
+        n += 1
+        sums.append((float(acc), n))
     state.update((n, str(acc)))
-    yield from out
+    yield pd.DataFrame(
+        {
+            "user_id": pdf["user_id"],
+            "event_id": pdf["event_id"],
+            "value": pdf["value"],
+            "running_sum": [s for s, _ in sums],
+            "running_n": [c for _, c in sums],
+        }
+    )
 
 
 @register(

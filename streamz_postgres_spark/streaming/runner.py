@@ -18,14 +18,13 @@ Kafka/parquet sinks; `availableNow` remains the backfill trigger.
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-
-from streamz_postgres_spark.catalog import table_path
 
 _EVENTS_LONG_TS_SCHEMA = T.StructType(
     [
@@ -81,7 +80,9 @@ def run_to_table(
     spark: SparkSession,
 ) -> DataFrame:
     """Execute a streaming DataFrame to completion (availableNow)
-    into a memory sink; return the materialized result table."""
+    into a memory sink; return the materialized result table. The
+    one-shot checkpoint dir is deleted after termination (repeated
+    verify/bench cycles must not accumulate RocksDB state)."""
     name = f"stream_out_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix="spark_ckpt_")
     q = (
@@ -93,4 +94,5 @@ def run_to_table(
         .start()
     )
     q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
