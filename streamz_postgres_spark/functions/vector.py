@@ -35,3 +35,28 @@ def l2_norm(a: Column) -> Column:
 
 def cosine_similarity(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+# -- DuckDB SQL mirrors -------------------------------------------------------
+# The bit-for-bit parity of every cosine operator depends on the
+# oracle folding in EXACTLY the same order/casts as the Spark HOFs
+# above; these are the single source of truth for that SQL (used by
+# operators/similarity.py and operators/dedup.py — never copy them).
+
+
+def sql_dot(a: str, b: str) -> str:
+    """DuckDB mirror of :func:`dot`: sequential left fold."""
+    return (
+        "list_reduce(list_prepend(0.0, "
+        f"list_transform(list_zip({a}, {b}), p -> p[1] * p[2])), "
+        "(x, y) -> x + y)"
+    )
+
+
+def sql_l2_norm(e: str) -> str:
+    """DuckDB mirror of :func:`l2_norm`."""
+    return (
+        "sqrt(list_reduce(list_prepend(0.0, "
+        f"list_transform({e}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), "
+        "(a, b) -> a + b))"
+    )

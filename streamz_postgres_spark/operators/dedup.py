@@ -32,7 +32,7 @@ from streamz_postgres_spark.functions.text_features import (
     sql_tokens,
     tokens,
 )
-from streamz_postgres_spark.functions.vector import dot, l2_norm
+from streamz_postgres_spark.functions.vector import dot, l2_norm, sql_dot, sql_l2_norm
 from streamz_postgres_spark.registry import register
 
 # MinHash configuration: 16 hashes = 4 bands x 4 rows.
@@ -41,13 +41,20 @@ _N_BANDS = 4
 _ROWS_PER_BAND = _N_HASHES // _N_BANDS
 _MINHASH_JACCARD = 0.35
 
+#: frames persisted by the most recent q_dedup_minhash invocation
+#: (released at the start of the next one; see the persist comment)
+_MINHASH_CACHE: list = []
+
 # SimHash: 60-bit fingerprint, 4 blocking chunks of 15 bits.
 _SIM_BITS = 60
 _SIM_CHUNKS = 4
 _SIM_CHUNK_BITS = 15
-# <=6 of 60 bits: strict near-dup; the fixtures' word-soup docs are
-# globally similar, so a loose radius floods with marginal pairs
-_SIM_HAMMING = 6
+# Radius = chunks-1 makes chunk blocking pigeonhole-COMPLETE: a pair
+# within Hamming distance 3 differs in at most 3 of the 4 chunks, so
+# it must share one — candidate generation provably misses nothing.
+# A wider radius needs more chunks (k mismatches need k+1 chunks),
+# not a silently lossy same-chunk scan.
+_SIM_HAMMING = _SIM_CHUNKS - 1
 
 
 @register(
@@ -123,13 +130,17 @@ def _sql_minhash_signature() -> str:
 
 
 def _sql_band_keys() -> str:
+    # docs too short for any shingle have all-NULL signatures; they
+    # must not band (their keys would collapse to one degenerate
+    # bucket and cross-join every short doc with every other)
     selects = []
     for b in range(_N_BANDS):
         cols = " || ',' || ".join(
             f"m{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)
         )
         selects.append(
-            f"SELECT doc_id, '{b}:' || {cols} AS band_key FROM sig"
+            f"SELECT doc_id, '{b}:' || {cols} AS band_key FROM sig "
+            f"WHERE m0 IS NOT NULL"
         )
     return "\n  UNION ALL\n  ".join(selects)
 
@@ -184,11 +195,20 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pairs only."""
     # persist: the signature frame feeds the band self-join twice and
     # Spark does not share plan subtrees across consumers — at 100 TB
-    # you persist/checkpoint signatures for exactly the same reason
+    # you persist/checkpoint signatures for exactly the same reason.
+    # Frames persisted by the PREVIOUS invocation are released first:
+    # the returned DataFrame stays lazy, so this call cannot
+    # unpersist its own frames — the next call (or session end) does.
+    while _MINHASH_CACHE:
+        _MINHASH_CACHE.pop().unpersist()
     sig = _minhash_signature(spark, sf_dir).persist()
+    _MINHASH_CACHE.append(sig)
 
     # unpivot 4 band keys per doc with one stack() — a single pass
-    # over the signature instead of a 4-way union of re-derivations
+    # over the signature instead of a 4-way union of re-derivations.
+    # Short docs (all-NULL signature, no shingles) are excluded from
+    # banding: their keys would collapse into one degenerate bucket
+    # and cross-join all short docs pairwise.
     stack_args = []
     for b in range(_N_BANDS):
         key_cols = ", ".join(
@@ -196,7 +216,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in range(_ROWS_PER_BAND)
         )
         stack_args.append(f"concat_ws(',', '{b}:', {key_cols})")
-    bands = sig.select(
+    bands = sig.filter(F.col("m0").isNotNull()).select(
         "doc_id",
         F.expr(
             f"stack({_N_BANDS}, {', '.join(stack_args)})"
@@ -220,6 +240,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     shset = d.select(
         "doc_id", F.explode_outer(shingles(tokens("text"))).alias("shingle")
     ).distinct().persist()
+    _MINHASH_CACHE.append(shset)
     sizes = shset.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     sa = shset.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -329,7 +350,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "simhash",
         "c",
         F.expr(
-            "shiftright(simhash, CAST(c * 15 AS INT))"
+            f"shiftright(simhash, CAST(c * {_SIM_CHUNK_BITS} AS INT))"
         )
         .bitwiseAND(F.lit((1 << _SIM_CHUNK_BITS) - 1))
         .alias("chunk_val"),
@@ -429,24 +450,17 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_dedup_embed",
-    oracle="""
+    oracle=f"""
 WITH v AS (
   SELECT vec_id, label,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
-         sqrt(list_reduce(list_prepend(0.0,
-              list_transform(embedding,
-                             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
-              (a, b) -> a + b)) AS nrm
+         {sql_l2_norm('embedding')} AS nrm
   FROM embeddings
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
-       list_reduce(list_prepend(0.0,
-           list_transform(list_zip(a.e, b.e), p -> p[1] * p[2])),
-           (x, y) -> x + y) / (a.nrm * b.nrm) AS cosine
+       {sql_dot('a.e', 'b.e')} / (a.nrm * b.nrm) AS cosine
 FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE list_reduce(list_prepend(0.0,
-          list_transform(list_zip(a.e, b.e), p -> p[1] * p[2])),
-          (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.40
+WHERE {sql_dot('a.e', 'b.e')} / (a.nrm * b.nrm) >= 0.40
 """,
     tags=("dedup", "similarity"),
 )

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from streamz_postgres_spark.catalog import load_table
-from streamz_postgres_spark.functions.vector import dot, l2_norm
+from streamz_postgres_spark.functions.vector import dot, l2_norm, sql_dot, sql_l2_norm
 from streamz_postgres_spark.registry import register
 
 _DIM = 64
@@ -47,19 +47,8 @@ def _sql_vec(vals: list[float]) -> str:
     return "[" + ", ".join(f"CAST({v} AS DOUBLE)" for v in vals) + "]"
 
 
-_SQL_COS = """
-list_reduce(list_prepend(0.0,
-    list_transform(list_zip({a}, {b}), p -> p[1] * p[2])),
-    (x, y) -> x + y)
-""".strip()
-
-
 def _sql_norm(e: str) -> str:
-    return (
-        "sqrt(list_reduce(list_prepend(0.0, "
-        f"list_transform({e}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), "
-        "(a, b) -> a + b))"
-    )
+    return sql_l2_norm(e)
 
 
 @register(
@@ -73,7 +62,7 @@ WITH v AS (
 ),
 probe AS (SELECT e AS pe, nrm AS pnrm FROM v WHERE vec_id = {_PROBE_VEC_ID})
 SELECT vec_id, label,
-       {_SQL_COS.format(a='e', b='pe')} / (nrm * pnrm) AS cosine
+       {sql_dot('e', 'pe')} / (nrm * pnrm) AS cosine
 FROM v, probe
 WHERE vec_id <> {_PROBE_VEC_ID}
 ORDER BY cosine DESC, vec_id
@@ -117,9 +106,9 @@ WITH v AS (
   FROM embeddings
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
-       {_SQL_COS.format(a='a.e', b='b.e')} / (a.nrm * b.nrm) AS cosine
+       {sql_dot('a.e', 'b.e')} / (a.nrm * b.nrm) AS cosine
 FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE {_SQL_COS.format(a='a.e', b='b.e')} / (a.nrm * b.nrm) >= 0.35
+WHERE {sql_dot('a.e', 'b.e')} / (a.nrm * b.nrm) >= 0.35
 """,
     tags=("similarity",),
 )
@@ -152,7 +141,7 @@ def q_sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bucket_sql(e: str) -> str:
     bits = []
     for i, plane in enumerate(_PLANES):
-        d = _SQL_COS.format(a=e, b=_sql_vec(plane))
+        d = sql_dot(e, _sql_vec(plane))
         bits.append(f"(CASE WHEN {d} >= 0 THEN 1 ELSE 0 END) * {1 << i}")
     return " + ".join(bits)
 
@@ -172,7 +161,7 @@ hashed AS (
 probe AS (SELECT e AS pe, nrm AS pnrm, bucket AS pbucket
           FROM hashed WHERE vec_id = {_PROBE_VEC_ID})
 SELECT vec_id, label, bucket,
-       {_SQL_COS.format(a='e', b='pe')} / (nrm * pnrm) AS cosine
+       {sql_dot('e', 'pe')} / (nrm * pnrm) AS cosine
 FROM hashed, probe
 WHERE bucket = pbucket AND vec_id <> {_PROBE_VEC_ID}
 ORDER BY cosine DESC, vec_id

@@ -82,6 +82,50 @@ def q_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_approx_quantile",
+    oracle=None,  # sketch-based: rows-only check by design
+    tags=("agg", "stats", "approx"),
+)
+def q_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna approximate percentiles next to their exact
+    values — the constant-memory sketch that replaces exact
+    percentile sorts at 100 TB (like q_approx_distinct for counts).
+    Approximate => rows-only driver check."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(1000)).alias(
+            "p50_approx"
+        ),
+        F.percentile_approx("l_extendedprice", F.lit(0.99), F.lit(1000)).alias(
+            "p99_approx"
+        ),
+        qround(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50_exact"),
+    )
+
+
+@register(
+    "q_sample",
+    oracle=None,  # sampling is engine-specific: rows-only check
+    tags=("relational", "approx"),
+)
+def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sampling + aggregate — the profiling
+    primitive for 100 TB exploration (sample-then-estimate instead
+    of full scans). Engines sample differently, so the driver checks
+    rows-only; determinism within Spark comes from the fixed seed
+    and per-partition Bernoulli draws."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.sample(fraction=0.1, seed=42)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            dsum("l_quantity").alias("sum_qty_sampled"),
+        )
+    )
+
+
+@register(
     "q_percentile",
     oracle=f"""
 SELECT l_returnflag,

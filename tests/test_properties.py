@@ -60,6 +60,29 @@ def test_asof_join_matches_brute_force(spark, left, right):
     assert got == want
 
 
+_join_rows = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(-100, 100)), min_size=0, max_size=12
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(left=_join_rows, right=_join_rows)
+def test_salted_join_equals_plain_join(spark, left, right):
+    from streamz_postgres_spark.plans.scale import salted_join
+
+    ldf = spark.createDataFrame(left + [(0, 0)], "k int, lv int")
+    rdf = spark.createDataFrame(right + [(0, 0)], "k int, rv int")
+    got = sorted(
+        map(tuple, salted_join(ldf, rdf, on="k", salt=4).select("k", "lv", "rv").collect())
+    )
+    want = sorted(map(tuple, ldf.join(rdf, "k").select("k", "lv", "rv").collect()))
+    assert got == want
+
+
 def test_pg_type_mapping():
     assert spark_type_for("bigint") == "BIGINT"
     assert spark_type_for("numeric(12,2)") == "DECIMAL(12,2)"
