@@ -144,6 +144,38 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_null_agg",
+    oracle=f"""
+SELECT nullif(c_mktsegment, 'BUILDING') AS segment,
+  COUNT(*) AS n_rows,
+  COUNT(nullif(c_mktsegment, 'BUILDING')) AS n_nonnull_seg,
+  COUNT(CASE WHEN c_acctbal > 5000 THEN 1 END) AS n_rich,
+  {sql_dsum("CASE WHEN c_acctbal > 5000 THEN c_acctbal END")} AS sum_rich_bal,
+  {sql_davg("CASE WHEN c_acctbal > 5000 THEN c_acctbal END")} AS avg_rich_bal
+FROM customer
+GROUP BY 1
+""",
+    tags=("agg", "nulls"),
+)
+def q_null_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null semantics under aggregation: null group keys group
+    together, COUNT(col) skips nulls while COUNT(*) doesn't, and
+    sums/averages ignore null inputs — identical rules in both
+    engines (nulls synthesized via nullif/CASE since the fixtures
+    have none)."""
+    c = load_table(spark, sf_dir, "customer")
+    seg = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    rich = F.when(F.col("c_acctbal") > 5000, F.col("c_acctbal"))
+    return c.groupBy(seg.alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(seg).alias("n_nonnull_seg"),
+        F.count(rich).alias("n_rich"),
+        dsum(rich).alias("sum_rich_bal"),
+        davg(rich).alias("avg_rich_bal"),
+    )
+
+
+@register(
     "q_rollup",
     oracle=f"""
 SELECT r_name, n_name,

@@ -21,6 +21,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from streamz_postgres_spark.catalog import load_table
+
+
+def _docs_parallel(spark, sf_dir):
+    """documents repartitioned to the session's parallelism: the
+    fixture is one small parquet file => one input split, which
+    would serialize the md5/explode-heavy signature pipelines onto
+    a single core. One cheap shuffle of the raw docs buys full
+    parallelism for the expensive stages — at 100 TB the inputs are
+    already many splits and this repartition is a no-op choice, but
+    compute-heavy-per-row pipelines over FEW-split inputs must
+    always re-split first."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
 from streamz_postgres_spark.functions.text_features import (
     DH_MOD,
     double_hash_parts,
@@ -89,19 +104,25 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) exploded — the one expensive pass (HOF
+    shingling is interpreted, not codegen) shared by the signature
+    AND the verification shingle-set."""
+    d = _docs_parallel(spark, sf_dir)
+    return d.select(
+        "doc_id", F.explode_outer(shingles(tokens("text"))).alias("shingle")
+    )
+
+
+def _minhash_signature(sh: DataFrame) -> DataFrame:
     """(doc_id, m0..m15): minimum double-hash over 3-gram shingles.
 
     h_j = (h1 + j*h2) mod P from ONE md5 per shingle (see
     functions.text_features.double_hash_parts) — 16 minhash
     functions, one hash pass."""
-    d = load_table(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id", F.explode_outer(shingles(tokens("text"))).alias("shingle")
-    )
     h1, h2 = double_hash_parts(F.col("shingle"))
-    sh = sh.select("doc_id", h1.alias("h1"), h2.alias("h2"))
-    return sh.groupBy("doc_id").agg(
+    hashed = sh.select("doc_id", h1.alias("h1"), h2.alias("h2"))
+    return hashed.groupBy("doc_id").agg(
         *[
             F.min((F.col("h1") + F.lit(j) * F.col("h2")) % F.lit(DH_MOD)).alias(
                 f"m{j}"
@@ -201,7 +222,9 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unpersist its own frames — the next call (or session end) does.
     while _MINHASH_CACHE:
         _MINHASH_CACHE.pop().unpersist()
-    sig = _minhash_signature(spark, sf_dir).persist()
+    sh = _exploded_shingles(spark, sf_dir).persist()
+    _MINHASH_CACHE.append(sh)
+    sig = _minhash_signature(sh).persist()
     _MINHASH_CACHE.append(sig)
 
     # unpivot 4 band keys per doc with one stack() — a single pass
@@ -236,10 +259,9 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    d = load_table(spark, sf_dir, "documents")
-    shset = d.select(
-        "doc_id", F.explode_outer(shingles(tokens("text"))).alias("shingle")
-    ).distinct().persist()
+    # verification reuses the SAME persisted exploded frame the
+    # signature was built from — no second shingling pass
+    shset = sh.distinct().persist()
     _MINHASH_CACHE.append(shset)
     sizes = shset.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
 
@@ -322,7 +344,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     least one of 4 chunks when k < 4... pigeonhole gives candidates
     for k <= 3 exactly; wider k trades recall — documented, standard
     Manku-style chunking), then exact Hamming verification."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs_parallel(spark, sf_dir)
     tok = d.select("doc_id", F.explode(tokens("text")).alias("token"))
     th = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt"))
     th = th.withColumn("h", seeded_hash60(F.col("token"), 0))
@@ -414,7 +436,7 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     for docs sharing tokens AND a language block. At 100 TB the
     blocking key would also include a length bucket (Jaccard >= 0.9
     bounds relative length difference to ~11%)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs_parallel(spark, sf_dir)
     ts = d.select(
         "doc_id", "lang", F.explode(tokens("text")).alias("token")
     ).distinct()

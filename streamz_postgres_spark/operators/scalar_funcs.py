@@ -69,6 +69,56 @@ def q_str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_str_funcs2",
+    oracle="""
+SELECT
+  doc_id,
+  lpad(lang, 5, '*') AS lang_pad,
+  rpad(source, 8, '.') AS src_pad,
+  reverse(lang) AS lang_rev,
+  translate(lang, 'en', 'EN') AS lang_tr,
+  length(regexp_replace(text, '[aeiou]', '', 'g')) AS novowel_len,
+  CAST(starts_with(text, 'select') AS INTEGER) AS starts_select,
+  CAST(suffix(source, '1') AS INTEGER) AS src_ends_1,
+  CAST(contains(text, 'hash join') AS INTEGER) AS has_hashjoin,
+  repeat(lang, 2) AS lang_x2,
+  left(text, 8) AS head8,
+  right(text, 8) AS tail8,
+  levenshtein(substr(text, 1, 10), 'select the') AS lev_to_probe
+FROM documents
+""",
+    tags=("scalar", "string"),
+)
+def q_str_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string family: padding, reverse, translate, global
+    regexp_replace, prefix/suffix/contains predicates, repeat,
+    left/right, and Levenshtein edit distance (the fuzzy-matching
+    primitive fuzzy dedup pipelines use for short fields)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.lpad("lang", 5, "*").alias("lang_pad"),
+        F.rpad("source", 8, ".").alias("src_pad"),
+        F.reverse("lang").alias("lang_rev"),
+        F.translate("lang", "en", "EN").alias("lang_tr"),
+        F.length(F.regexp_replace("text", "[aeiou]", "")).alias("novowel_len"),
+        F.startswith(F.col("text"), F.lit("select")).cast("int").alias(
+            "starts_select"
+        ),
+        F.endswith(F.col("source"), F.lit("1")).cast("int").alias("src_ends_1"),
+        F.contains(F.col("text"), F.lit("hash join")).cast("int").alias(
+            "has_hashjoin"
+        ),
+        F.repeat(F.col("lang"), 2).alias("lang_x2"),
+        F.substring("text", 1, 8).alias("head8"),
+        F.substr(F.col("text"), F.length("text") - 7, F.lit(8)).alias("tail8"),
+        F.levenshtein(F.substring("text", 1, 10), F.lit("select the")).alias(
+            "lev_to_probe"
+        ),
+    )
+
+
+@register(
     "q_date_funcs",
     oracle="""
 SELECT
