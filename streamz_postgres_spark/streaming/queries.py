@@ -28,7 +28,7 @@ from typing import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -557,6 +557,109 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("after", "$.value").cast("double").alias(
             "current_value"
         ),
+    )
+
+
+@register(
+    "q_cdc_materialize",
+    oracle="""
+SELECT user_id, seq AS last_seq, val AS current_value
+FROM (
+  SELECT user_id, event_id AS seq, value AS val,
+         CASE WHEN event_id % 10 = 0 THEN 'd' ELSE 'u' END AS op,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+) t
+WHERE rn = 1 AND op <> 'd'
+""",
+    tags=("cdc", "streaming", "sink"),
+)
+def q_cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE canonical reference use case end-to-end: a CDC change
+    stream applied to a materialized table copy. The envelope stream
+    runs through writeStream.foreachBatch; each micro-batch MERGEs
+    into a parquet target (read current + union batch + latest-wins
+    compaction + overwrite — the transactional-sink-free upsert;
+    with Delta/Iceberg the body becomes MERGE INTO). The input is
+    split into 4 files with maxFilesPerTrigger=1, so four real
+    incremental merges run; the final table must equal the oracle's
+    latest-row-wins state with deletes applied."""
+    import os
+    import shutil
+    import tempfile
+
+    from streamz_postgres_spark.catalog import load_table
+    from streamz_postgres_spark.streaming.runner import replay_events
+
+    # stage the events as 4 files => 4 micro-batches / 4 merges
+    staging = tempfile.mkdtemp(prefix="cdc_src_")
+    target = tempfile.mkdtemp(prefix="cdc_target_")
+    target_data = os.path.join(target, "state")
+    e = load_table(spark, sf_dir, "events")
+    total = e.count()
+    step = total // 4 + 1
+    for i in range(4):
+        (
+            e.filter(
+                (F.col("event_id") >= i * step)
+                & (F.col("event_id") < (i + 1) * step)
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(staging, f"part{i}"))
+        )
+
+    # staged parts are dirs of part-*.parquet; the batch-written ts
+    # is already TimestampNTZ so the plain schema read works
+    s = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(staging, "part*"))
+    )
+
+    version = {"v": -1}
+
+    def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        # snapshot-versioned upsert (what Delta's MERGE does under
+        # the hood): read snapshot v, merge, write snapshot v+1 —
+        # no overwrite-while-reading, no driver materialization.
+        # Deletes stay as TOMBSTONES so a late-arriving older update
+        # for a deleted key cannot resurrect it (order-robust).
+        changes = batch.select(
+            F.col("user_id"),
+            F.col("event_id").alias("last_seq"),
+            F.col("value").alias("current_value"),
+            F.when(F.col("event_id") % 10 == 0, "d").otherwise("u").alias("op"),
+        )
+        sess = batch.sparkSession
+        merged = changes
+        if version["v"] >= 0:
+            prev = sess.read.parquet(f"{target_data}_v{version['v']}")
+            merged = prev.unionByName(changes)
+        w = Window.partitionBy("user_id").orderBy(F.col("last_seq").desc())
+        compacted = (
+            merged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        compacted.write.mode("overwrite").parquet(
+            f"{target_data}_v{version['v'] + 1}"
+        )
+        version["v"] += 1
+
+    ckpt = tempfile.mkdtemp(prefix="cdc_ckpt_")
+    q = (
+        s.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(staging, ignore_errors=True)
+    final = spark.read.parquet(f"{target_data}_v{version['v']}")
+    return final.filter(F.col("op") != "d").select(
+        "user_id", "last_seq", "current_value"
     )
 
 
