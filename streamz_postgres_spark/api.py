@@ -118,13 +118,20 @@ class SparkStream:
             raise ValueError("slice needs an ordering column")
         return self._wrap(self.df.orderBy(*order).limit(n))
 
-    def unique(self, *keys: str, order_by: str | None = None) -> "SparkStream":
-        """streamz ``unique``: one row per key. Deterministic: keeps
-        the FIRST row by ``order_by`` (default: the stream's ts)."""
+    def unique(
+        self, *keys: str, order_by: str | list[str] | None = None
+    ) -> "SparkStream":
+        """streamz ``unique``: one row per key — keeps the first row
+        by ``order_by`` (default: the stream's ts). Fully
+        deterministic only when ``order_by`` is unique per key (pass
+        a list ending in a unique id to break ties); without any
+        ordering column this degrades to dropDuplicates' arbitrary
+        row choice."""
         order = order_by or self.ts_col
         if order is None:
             return self._wrap(self.df.dropDuplicates(list(keys)))
-        w = Window.partitionBy(*keys).orderBy(order)
+        order_cols = [order] if isinstance(order, str) else list(order)
+        w = Window.partitionBy(*keys).orderBy(*order_cols)
         return self._wrap(
             self.df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
@@ -165,6 +172,8 @@ class SparkStream:
         """streamz ``timed_window``: tumbling window of ``duration``
         grouped by optional keys; emits count + per-window rows
         (aggregate with .agg on the result df for more)."""
+        if self.ts_col is None:
+            raise ValueError("timed_window needs a stream timestamp column")
         w = F.window(self.ts_col, duration).alias("w")
         return self._wrap(
             self.df.groupBy(w, *keys)
@@ -175,6 +184,8 @@ class SparkStream:
     def sliding_window(self, n: int, value: str, key: str) -> "SparkStream":
         """streamz ``sliding_window(n)``: trailing n-event aggregate
         per key (moving average)."""
+        if self.ts_col is None:
+            raise ValueError("sliding_window needs a stream timestamp column")
         w = (
             Window.partitionBy(key)
             .orderBy(self.ts_col)
@@ -217,6 +228,8 @@ class SparkStream:
     ) -> "SparkStream":
         """streamz ``zip_latest``: this stream is lossless; each row
         is paired with the latest (as-of) row of ``other``."""
+        if self.ts_col is None:
+            raise ValueError("zip_latest needs a stream timestamp column")
         return self._wrap(
             asof_join(
                 self.df,

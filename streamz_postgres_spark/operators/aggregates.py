@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from streamz_postgres_spark.catalog import load_table, table_path
+from streamz_postgres_spark.catalog import load_table
 from streamz_postgres_spark.functions.numeric import (
     davg,
     dstddev_samp,
@@ -238,20 +238,16 @@ GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     tags=("agg", "rollup"),
 )
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit grouping sets (per-status, per-priority, grand total).
-
-    Expressed in SQL over a direct parquet-path relation — grouping
-    sets are SQL-only surface in Spark; `parquet.`path`` keeps it
-    view-registration-free and pushdown-friendly."""
-    path = table_path(sf_dir, "orders")
-    return spark.sql(
-        f"""
-        SELECT o_orderstatus, o_orderpriority,
-          COUNT(*) AS n_orders,
-          {sql_dsum('o_totalprice')} AS sum_price
-        FROM parquet.`{path}`
-        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-        """
+    """Explicit grouping sets (per-status, per-priority, grand
+    total) via the native DataFrame.groupingSets API (Spark 4)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("sum_price"),
     )
 
 

@@ -49,7 +49,10 @@ def canon(v) -> str:
 
 
 def row_multiset(cols: list[str], rows) -> Counter:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    # case-insensitive sort to match the schema comparison — a
+    # case-sensitive sort could align mixed-case aliases differently
+    # on the two sides and report spurious value mismatches
+    order = sorted(range(len(cols)), key=lambda i: cols[i].lower())
     return Counter("|".join(canon(r[i]) for i in order) for r in rows)
 
 

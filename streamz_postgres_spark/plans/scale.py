@@ -48,7 +48,15 @@ def salted_join(
 
     Use when a key histogram shows heavy hitters; for moderate skew
     prefer AQE's skew-join splitting (on by default in session.py).
+
+    Only left-preserving join types are valid: an unmatched RIGHT row
+    would be emitted once per salt replica under right/full joins.
     """
+    if how not in ("inner", "left", "left_semi", "left_anti", "semi", "anti"):
+        raise ValueError(
+            f"salted_join supports left-preserving joins only, got {how!r}: "
+            "right/full would duplicate unmatched right rows per salt"
+        )
     left_cols = left.columns
     salted_l = left.withColumn(
         "__salt",
