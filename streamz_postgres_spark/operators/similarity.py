@@ -30,6 +30,12 @@ _N_PLANES = 4
 _PROBE_VEC_ID = 0
 _TOP_K = 20
 
+# IVF: 8 cells seeded from fixed vec_ids (the "trained" centroids —
+# at scale these come from a k-means|| sample job, written to a tiny
+# broadcast table exactly like this one); probe scans nprobe cells.
+_IVF_N_CELLS = 8
+_IVF_NPROBE = 2
+
 
 def _planes() -> list[list[float]]:
     """Fixed pseudo-random hyperplanes (seeded, 4 decimals)."""
@@ -200,6 +206,117 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         hashed.join(probe, F.col("bucket") == F.col("pbucket"))
         .filter(F.col("vec_id") != _PROBE_VEC_ID)
         .select("vec_id", "label", "bucket", cosine.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+@register(
+    "q_sim_ann_ivf",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+         {_sql_norm('embedding')} AS nrm
+  FROM embeddings
+),
+c AS (
+  SELECT vec_id AS cent_id, e AS ce, nrm AS cnrm
+  FROM v WHERE vec_id < {_IVF_N_CELLS}
+),
+scored AS (
+  SELECT v.vec_id, v.label, v.e, v.nrm, c.cent_id,
+         {sql_dot('v.e', 'c.ce')} / (v.nrm * c.cnrm) AS csim
+  FROM v, c
+),
+assigned AS (
+  SELECT vec_id, label, e, nrm, cent_id AS cell FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
+    FROM scored
+  ) r WHERE rn = 1
+),
+pcells AS (
+  SELECT cent_id AS pcell FROM scored
+  WHERE vec_id = {_PROBE_VEC_ID}
+  ORDER BY csim DESC, cent_id LIMIT {_IVF_NPROBE}
+),
+probe AS (SELECT e AS pe, nrm AS pnrm FROM v WHERE vec_id = {_PROBE_VEC_ID})
+SELECT a.vec_id, a.label, a.cell,
+       {sql_dot('a.e', 'probe.pe')} / (a.nrm * probe.pnrm) AS cosine
+FROM assigned a JOIN pcells ON a.cell = pcells.pcell, probe
+WHERE a.vec_id <> {_PROBE_VEC_ID}
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+""",
+    tags=("similarity", "ivf"),
+)
+def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest of 8 fixed
+    centroid cells (cosine argmax, ties to the lowest cent_id), then
+    search only the probe's nprobe=2 nearest cells with exact cosine
+    re-ranking.
+
+    Scale shape: the centroid table is a tiny broadcast dimension
+    (real IVF ships its codebook to every node the same way), cell
+    assignment is one broadcast-join + map-side-combinable argmax
+    groupBy — no window shuffle-and-sort, no cross join — and the
+    candidate scan touches ~nprobe/n_cells of the data. At 100 TB the
+    assignment is precomputed once and stored as a partition column,
+    turning probes into partition-pruned scans."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id", "label", F.col("embedding").alias("e"),
+        l2_norm(F.col("embedding")).alias("nrm"),
+    )
+    cents = F.broadcast(
+        v.filter(F.col("vec_id") < _IVF_N_CELLS).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("e").alias("ce"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+    csim = dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cnrm"))
+    scored = v.crossJoin(cents).withColumn("csim", csim)
+
+    # argmax centroid per vector: lexicographic max over
+    # (csim, -cent_id) == highest similarity, ties to lowest cent_id.
+    # groupBy + max(struct) gets a map-side partial aggregate; label/
+    # e/nrm are constant within a group so any_value is deterministic.
+    best = F.max(
+        F.struct(F.col("csim").alias("c"), (-F.col("cent_id")).alias("nc"))
+    ).alias("best")
+    assigned = (
+        scored.groupBy("vec_id")
+        .agg(
+            best,
+            F.any_value("label").alias("label"),
+            F.any_value("e").alias("e"),
+            F.any_value("nrm").alias("nrm"),
+        )
+        .select(
+            "vec_id", "label", "e", "nrm",
+            (-F.col("best.nc")).alias("cell"),
+        )
+    )
+
+    pcells = F.broadcast(
+        scored.filter(F.col("vec_id") == _PROBE_VEC_ID)
+        .orderBy(F.col("csim").desc(), "cent_id")
+        .limit(_IVF_NPROBE)
+        .select(F.col("cent_id").alias("pcell"))
+    )
+    probe = F.broadcast(
+        v.filter(F.col("vec_id") == _PROBE_VEC_ID).select(
+            F.col("e").alias("pe"), F.col("nrm").alias("pnrm")
+        )
+    )
+    cosine = dot(F.col("e"), F.col("pe")) / (F.col("nrm") * F.col("pnrm"))
+    return (
+        assigned.join(pcells, F.col("cell") == F.col("pcell"))
+        .crossJoin(probe)
+        .filter(F.col("vec_id") != _PROBE_VEC_ID)
+        .select("vec_id", "label", "cell", cosine.alias("cosine"))
         .orderBy(F.col("cosine").desc(), "vec_id")
         .limit(10)
     )
