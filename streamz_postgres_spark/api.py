@@ -241,7 +241,71 @@ class SparkStream:
             )
         )
 
-    combine_latest = zip_latest  # driven by the lossless side here
+    def combine_latest(
+        self,
+        other: "SparkStream",
+        on: str,
+        left_values: list[str],
+        right_values: list[str],
+        right_ts: str | None = None,
+    ) -> "SparkStream":
+        """streamz ``combine_latest``: emit one row per event of
+        EITHER stream, carrying the latest known values of both sides
+        (unlike :meth:`zip_latest`, which is driven by one lossless
+        side). Rows before the other side's first event carry nulls.
+
+        Relational form: tag sides, union, and take a running
+        ``last(ignoreNulls)`` per side over event time — one shuffle
+        on the key, linear state, no pairwise blowup (the same
+        union+window shape as ``asof_join``; at equal timestamps the
+        right side sorts first, so a left event sees a simultaneous
+        right event). Payloads travel as structs so genuine null
+        VALUES inside a payload don't resurrect older rows.
+        """
+        if self.ts_col is None:
+            raise ValueError("combine_latest needs a stream timestamp column")
+        rts = right_ts or other.ts_col
+        if rts is None:
+            raise ValueError("combine_latest needs the other stream's ts")
+        lp = F.struct(*[F.col(c).alias(c) for c in left_values])
+        rp = F.struct(*[F.col(c).alias(c) for c in right_values])
+        l = self.df.select(
+            F.col(on),
+            F.col(self.ts_col).alias("ts"),
+            F.lit(1).alias("__side"),
+            lp.alias("__lp"),
+            F.lit(None).cast(
+                other.df.select(rp.alias("p")).schema["p"].dataType
+            ).alias("__rp"),
+        )
+        r = other.df.select(
+            F.col(on),
+            F.col(rts).alias("ts"),
+            F.lit(0).alias("__side"),
+            F.lit(None).cast(
+                self.df.select(lp.alias("p")).schema["p"].dataType
+            ).alias("__lp"),
+            rp.alias("__rp"),
+        )
+        w = (
+            Window.partitionBy(on)
+            .orderBy("ts", "__side")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        u = l.unionByName(r).select(
+            on,
+            "ts",
+            F.last("__lp", ignorenulls=True).over(w).alias("__l"),
+            F.last("__rp", ignorenulls=True).over(w).alias("__r"),
+        )
+        return self._wrap(
+            u.select(
+                on,
+                "ts",
+                *[F.col(f"__l.{c}").alias(c) for c in left_values],
+                *[F.col(f"__r.{c}").alias(c) for c in right_values],
+            )
+        )
 
     # -- sinks (streamz §2.1) ---------------------------------------------
 

@@ -96,6 +96,54 @@ def test_zip_latest_is_asof(spark):
     assert row is None or row.asof_ts <= row.ts
 
 
+def test_combine_latest_emits_on_both_sides(spark):
+    s = SparkStream.from_events(spark, SF_DIR)
+    clicks = SparkStream(
+        s.df.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("cv")),
+        "ts",
+    )
+    purchases = SparkStream(
+        s.df.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pv")),
+        "ts",
+    )
+    out = clicks.combine_latest(
+        purchases, on="user_id", left_values=["cv"], right_values=["pv"]
+    ).to_df()
+    # one emission per event of EITHER side
+    assert out.count() == clicks.df.count() + purchases.df.count()
+    # per-user check: after the first event of both sides, no nulls;
+    # the latest value is monotone-in-time correct for one user
+    uid = clicks.df.join(purchases.df, "user_id").select("user_id").first()
+    if uid is not None:
+        rows = (
+            out.filter(F.col("user_id") == uid.user_id).orderBy("ts").collect()
+        )
+        events = sorted(
+            [(r.ts, "c", r.cv) for r in clicks.df.filter(
+                F.col("user_id") == uid.user_id).collect()]
+            + [(r.ts, "p", r.pv) for r in purchases.df.filter(
+                F.col("user_id") == uid.user_id).collect()],
+            key=lambda t: (t[0], t[1] == "c"),  # right (p) first on ties
+        )
+        lc = lp = None
+        expect = []
+        for ts, side, v in events:
+            if side == "c":
+                lc = v
+            else:
+                lp = v
+            expect.append((ts, lc, lp))
+        got = [(r.ts, r.cv, r.pv) for r in sorted(
+            rows, key=lambda r: (r.ts, r.pv is None and r.cv is not None))]
+        # compare as multisets keyed by ts (ties within a ts are
+        # order-ambiguous between engines only in presentation)
+        assert sorted(got) == sorted(expect)
+
+
 def test_latest_per_key(spark):
     s = SparkStream.from_events(spark, SF_DIR)
     out = s.latest("user_id", order_by="event_id").to_df()
