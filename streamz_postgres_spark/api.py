@@ -261,17 +261,25 @@ class SparkStream:
         right side sorts first, so a left event sees a simultaneous
         right event). Payloads travel as structs so genuine null
         VALUES inside a payload don't resurrect older rows.
+
+        Each side must be unique per (key, ts) — pre-aggregate
+        duplicates first (same contract as ``asof_join``), or the
+        winner among same-side same-ts events is engine-dependent.
+        The output keeps this stream's timestamp column name.
         """
         if self.ts_col is None:
             raise ValueError("combine_latest needs a stream timestamp column")
+        if on == self.ts_col:
+            raise ValueError("combine_latest key must differ from the ts column")
         rts = right_ts or other.ts_col
         if rts is None:
             raise ValueError("combine_latest needs the other stream's ts")
+        ts_out = self.ts_col
         lp = F.struct(*[F.col(c).alias(c) for c in left_values])
         rp = F.struct(*[F.col(c).alias(c) for c in right_values])
         l = self.df.select(
             F.col(on),
-            F.col(self.ts_col).alias("ts"),
+            F.col(self.ts_col).alias(ts_out),
             F.lit(1).alias("__side"),
             lp.alias("__lp"),
             F.lit(None).cast(
@@ -280,7 +288,7 @@ class SparkStream:
         )
         r = other.df.select(
             F.col(on),
-            F.col(rts).alias("ts"),
+            F.col(rts).alias(ts_out),
             F.lit(0).alias("__side"),
             F.lit(None).cast(
                 self.df.select(lp.alias("p")).schema["p"].dataType
@@ -289,19 +297,19 @@ class SparkStream:
         )
         w = (
             Window.partitionBy(on)
-            .orderBy("ts", "__side")
+            .orderBy(ts_out, "__side")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         u = l.unionByName(r).select(
             on,
-            "ts",
+            ts_out,
             F.last("__lp", ignorenulls=True).over(w).alias("__l"),
             F.last("__rp", ignorenulls=True).over(w).alias("__r"),
         )
         return self._wrap(
             u.select(
                 on,
-                "ts",
+                ts_out,
                 *[F.col(f"__l.{c}").alias(c) for c in left_values],
                 *[F.col(f"__r.{c}").alias(c) for c in right_values],
             )

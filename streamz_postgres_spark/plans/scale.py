@@ -52,7 +52,12 @@ def salted_join(
     Only left-preserving join types are valid: an unmatched RIGHT row
     would be emitted once per salt replica under right/full joins.
     """
-    if how not in ("inner", "left", "left_semi", "left_anti", "semi", "anti"):
+    # normalize the same way Spark's JoinType does (case-insensitive,
+    # underscores ignored) so every accepted alias passes the guard
+    norm = how.lower().replace("_", "")
+    if norm not in (
+        "inner", "left", "leftouter", "leftsemi", "leftanti", "semi", "anti"
+    ):
         raise ValueError(
             f"salted_join supports left-preserving joins only, got {how!r}: "
             "right/full would duplicate unmatched right rows per salt"

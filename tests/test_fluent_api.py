@@ -137,11 +137,12 @@ def test_combine_latest_emits_on_both_sides(spark):
             else:
                 lp = v
             expect.append((ts, lc, lp))
-        got = [(r.ts, r.cv, r.pv) for r in sorted(
-            rows, key=lambda r: (r.ts, r.pv is None and r.cv is not None))]
-        # compare as multisets keyed by ts (ties within a ts are
-        # order-ambiguous between engines only in presentation)
-        assert sorted(got) == sorted(expect)
+        got = [(r.ts, r.cv, r.pv) for r in rows]
+        # multiset compare — Counter, not sorted(): tuples mixing
+        # None and float don't order under Python 3
+        from collections import Counter
+
+        assert Counter(got) == Counter(expect)
 
 
 def test_latest_per_key(spark):
