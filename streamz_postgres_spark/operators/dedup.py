@@ -114,14 +114,25 @@ def _exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_signature(sh: DataFrame) -> DataFrame:
+def _hashed_shingles(sh: DataFrame) -> DataFrame:
+    """(doc_id, h1, h2): one md5 per shingle, split into two int
+    halves (double_hash_parts). Everything downstream — signature
+    AND verification — works on these 8-byte ints, never on shingle
+    strings: persisting and shuffling hashes instead of ~24-byte
+    strings is a ~3x shuffle-byte cut, and (h1, h2) is a 120-bit id
+    so treating hash-equality as shingle-equality changes Jaccard
+    only on an md5 near-collision (and both engines hash alike, so
+    oracle parity is exact regardless)."""
+    h1, h2 = double_hash_parts(F.col("shingle"))
+    return sh.select("doc_id", h1.alias("h1"), h2.alias("h2"))
+
+
+def _minhash_signature(hashed: DataFrame) -> DataFrame:
     """(doc_id, m0..m15): minimum double-hash over 3-gram shingles.
 
     h_j = (h1 + j*h2) mod P from ONE md5 per shingle (see
     functions.text_features.double_hash_parts) — 16 minhash
     functions, one hash pass."""
-    h1, h2 = double_hash_parts(F.col("shingle"))
-    hashed = sh.select("doc_id", h1.alias("h1"), h2.alias("h2"))
     return hashed.groupBy("doc_id").agg(
         *[
             F.min((F.col("h1") + F.lit(j) * F.col("h2")) % F.lit(DH_MOD)).alias(
@@ -179,17 +190,22 @@ cand AS (
     ON a.band_key = b.band_key AND a.doc_id < b.doc_id
 ),
 shset AS (
-  SELECT DISTINCT doc_id, shingle FROM (
-    SELECT doc_id, unnest({sql_shingles(sql_tokens('text'))}) AS shingle
-    FROM documents
-  ) raw
+  SELECT DISTINCT doc_id, h1, h2 FROM (
+    SELECT doc_id, {sql_double_hash_parts('shingle')[0]} AS h1,
+           {sql_double_hash_parts('shingle')[1]} AS h2
+    FROM (
+      SELECT doc_id, unnest({sql_shingles(sql_tokens('text'))}) AS shingle
+      FROM documents
+    ) raw
+  ) hashed
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shset GROUP BY doc_id),
 inter AS (
   SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
   FROM cand c
   JOIN shset sa ON sa.doc_id = c.doc_a
-  JOIN shset sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  JOIN shset sb ON sb.doc_id = c.doc_b
+              AND sb.h1 = sa.h1 AND sb.h2 = sa.h2
   GROUP BY c.doc_a, c.doc_b
 )
 SELECT i.doc_a, i.doc_b, i.n_common,
@@ -222,9 +238,9 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unpersist its own frames — the next call (or session end) does.
     while _MINHASH_CACHE:
         _MINHASH_CACHE.pop().unpersist()
-    sh = _exploded_shingles(spark, sf_dir).persist()
-    _MINHASH_CACHE.append(sh)
-    sig = _minhash_signature(sh).persist()
+    hashed = _hashed_shingles(_exploded_shingles(spark, sf_dir)).persist()
+    _MINHASH_CACHE.append(hashed)
+    sig = _minhash_signature(hashed).persist()
     _MINHASH_CACHE.append(sig)
 
     # unpivot 4 band keys per doc with one stack() — a single pass
@@ -259,22 +275,26 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    # verification reuses the SAME persisted exploded frame the
-    # signature was built from — no second shingling pass
-    shset = sh.distinct().persist()
+    # verification reuses the SAME persisted hashed frame the
+    # signature was built from — no second shingling or md5 pass,
+    # and every join/distinct below shuffles 8-byte ints, not strings
+    shset = hashed.distinct().persist()
     _MINHASH_CACHE.append(shset)
     sizes = shset.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
 
-    sa = shset.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sa = shset.select(F.col("doc_id").alias("doc_a"), "h1", "h2")
     sb = shset.select(
-        F.col("doc_id").alias("doc_b2"), F.col("shingle").alias("sh_b")
+        F.col("doc_id").alias("doc_b2"),
+        F.col("h1").alias("h1_b"),
+        F.col("h2").alias("h2_b"),
     )
     inter = (
         cand.join(sa, "doc_a")
         .join(
             sb,
             (F.col("doc_b") == F.col("doc_b2"))
-            & (F.col("shingle") == F.col("sh_b")),
+            & (F.col("h1") == F.col("h1_b"))
+            & (F.col("h2") == F.col("h2_b")),
         )
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
