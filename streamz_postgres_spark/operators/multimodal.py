@@ -119,6 +119,113 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(extract_features, schema=_FEATURE_SCHEMA)
 
 
+_FRAME_SCHEMA = (
+    "doc_id long, media_type string, frame_idx int, frame_bytes int, "
+    "resized_w int, resized_h int, frame_checksum long"
+)
+_FRAME_SIZE = 256  # synthetic frame = 256-byte payload slice
+_FRAME_STRIDE = 4  # sample every 4th frame
+_RESIZE_W = 64
+_RESIZE_H = 64
+
+
+def resize_frame(frame: bytes, w: int = _RESIZE_W, h: int = _RESIZE_H) -> bytes:
+    """Stub: real resize (cv2/PIL not installed). The pipeline only
+    consumes the declared output dims + checksum, so swapping in a
+    real `cv2.resize` changes this one function."""
+    raise NotImplementedError("image codecs not available in this environment")
+
+
+def sample_and_resize_frames(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Frame-sample + resize over Arrow batches: every STRIDE-th
+    256-byte payload slice becomes a "frame"; resize is a
+    deterministic fake (fixed target dims + checksum) standing in for
+    :func:`resize_frame`. One input row fans out to n_frames/STRIDE
+    output rows — the UDF yields a DataFrame per batch, so the fan-out
+    stays inside Arrow and never materializes on the driver."""
+    cols = (
+        "doc_id", "media_type", "frame_idx", "frame_bytes", "frame_checksum"
+    )
+    for pdf in batches:
+        out: dict[str, list] = {k: [] for k in cols}
+        for doc_id, mt, payload in zip(
+            pdf["doc_id"], pdf["media_type"], pdf["payload"]
+        ):
+            n_frames = len(payload) // _FRAME_SIZE + 1
+            for idx in range(0, n_frames, _FRAME_STRIDE):
+                chunk = payload[idx * _FRAME_SIZE : (idx + 1) * _FRAME_SIZE]
+                out["doc_id"].append(doc_id)
+                out["media_type"].append(mt)
+                out["frame_idx"].append(idx)
+                out["frame_bytes"].append(len(chunk))
+                out["frame_checksum"].append(sum(chunk) % 65536)
+        res = pd.DataFrame(out)
+        res["resized_w"] = _RESIZE_W
+        res["resized_h"] = _RESIZE_H
+        yield res.astype(
+            {
+                "doc_id": "int64",
+                "frame_idx": "int32",
+                "frame_bytes": "int32",
+                "frame_checksum": "int64",
+                "resized_w": "int32",
+                "resized_h": "int32",
+            }
+        )[
+            [
+                "doc_id", "media_type", "frame_idx", "frame_bytes",
+                "resized_w", "resized_h", "frame_checksum",
+            ]
+        ]
+
+
+@register(
+    "q_multimodal_frames",
+    oracle=f"""
+WITH media AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image' ELSE 'video' END AS media_type,
+         text,
+         CAST(length(text) // {_FRAME_SIZE} + 1 AS INTEGER) AS n_frames
+  FROM documents WHERE doc_id % 3 <> 1
+),
+idx AS (
+  SELECT doc_id, media_type, text,
+         CAST(unnest(range(0, n_frames, {_FRAME_STRIDE})) AS INTEGER)
+           AS frame_idx
+  FROM media
+),
+frames AS (
+  SELECT doc_id, media_type, frame_idx,
+         substr(text, frame_idx * {_FRAME_SIZE} + 1, {_FRAME_SIZE}) AS chunk
+  FROM idx
+)
+SELECT doc_id, media_type, frame_idx,
+       CAST(length(chunk) AS INTEGER) AS frame_bytes,
+       CAST({_RESIZE_W} AS INTEGER) AS resized_w,
+       CAST({_RESIZE_H} AS INTEGER) AS resized_h,
+       CAST(COALESCE(list_sum(list_transform(range(1, length(chunk) + 1),
+            i -> ascii(substr(chunk, CAST(i AS INTEGER), 1)))), 0) % 65536
+         AS BIGINT) AS frame_checksum
+FROM frames
+""",
+    tags=("multimodal", "udf"),
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling pipeline for image/video payloads: filter out
+    audio (predicate runs BEFORE the UDF, so pruned rows never cross
+    Arrow), then mapInPandas fans each payload out to its sampled,
+    "resized" frames. The oracle rebuilds the same frames relationally
+    (substr slices of the source text), value-checking the Python
+    fan-out. At 100 TB: same plan, with the media table size-bucketed
+    so Arrow batches stay balanced under wildly varying payloads."""
+    d = load_table(spark, sf_dir, "documents")
+    media = with_media_columns(d).filter(F.col("media_type") != "audio")
+    return media.mapInPandas(sample_and_resize_frames, schema=_FRAME_SCHEMA)
+
+
 @register(
     "q_multimodal_meta",
     oracle="""
