@@ -83,6 +83,66 @@ def test_salted_join_equals_plain_join(spark, left, right):
     assert got == want
 
 
+_cl_rows = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 30)), min_size=1, max_size=8,
+    unique_by=lambda r: (r[0], r[1]),
+)
+
+
+def _cl_brute_force(left, right):
+    """combine_latest reference: one output per event of either side.
+    A left event sees right events at ts <= its own (ties included:
+    the right side sorts first); a right event sees left events at
+    strictly earlier ts only."""
+    out = []
+    for k, t in left:
+        lc = max((m for k2, m in left if k2 == k and m <= t), default=None)
+        rp = max((m for k2, m in right if k2 == k and m <= t), default=None)
+        out.append((k, t, lc, rp))
+    for k, t in right:
+        lc = max((m for k2, m in left if k2 == k and m < t), default=None)
+        rp = max((m for k2, m in right if k2 == k and m <= t), default=None)
+        out.append((k, t, lc, rp))
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(left=_cl_rows, right=_cl_rows)
+def test_combine_latest_matches_brute_force(spark, left, right):
+    from collections import Counter
+
+    from streamz_postgres_spark.api import SparkStream
+
+    ldf = spark.createDataFrame(
+        [(k, _BASE + dt.timedelta(minutes=m), float(m)) for k, m in left],
+        "k int, ts timestamp_ntz, lv double",
+    )
+    rdf = spark.createDataFrame(
+        [(k, _BASE + dt.timedelta(minutes=m), float(m)) for k, m in right],
+        "k int, ts timestamp_ntz, rv double",
+    )
+    out = (
+        SparkStream(ldf, "ts")
+        .combine_latest(SparkStream(rdf, "ts"), on="k",
+                        left_values=["lv"], right_values=["rv"])
+        .to_df()
+        .collect()
+    )
+    got = Counter(
+        (r.k, (r.ts - _BASE).total_seconds() / 60, r.lv, r.rv) for r in out
+    )
+    want = Counter(
+        (k, float(t), float(lc) if lc is not None else None,
+         float(rp) if rp is not None else None)
+        for k, t, lc, rp in _cl_brute_force(left, right)
+    )
+    assert got == want
+
+
 def test_pg_type_mapping():
     assert spark_type_for("bigint") == "BIGINT"
     assert spark_type_for("numeric(12,2)") == "DECIMAL(12,2)"
