@@ -27,10 +27,28 @@ def duckdb_connection(sf_dir: str) -> "duckdb.DuckDBPyConnection":
     return con
 
 
+def _esc(s: str) -> str:
+    """Escape canon's structural characters so string values can
+    never be confused with list/dict boundaries or the null marker
+    (e.g. the string 'a,b' inside a 1-element list vs two elements)."""
+    out = s.replace("\\", "\\\\")
+    for ch in ",[]{}:":
+        out = out.replace(ch, "\\" + ch)
+    # raw NUL -> backslash-zero AFTER doubling, so escaped output
+    # never contains \x00 and the null marker stays unambiguous
+    return out.replace("\x00", "\\0")
+
+
 def canon(v) -> str:
-    """Canonicalize one value for order-insensitive comparison."""
+    """Canonicalize one value for order-insensitive comparison.
+    Injective: nulls, strings containing structural characters, and
+    nested containers all canonicalize unambiguously (both engines'
+    rows pass through this same function, so the encoding choice
+    cannot itself cause a mismatch)."""
     if v is None:
-        return "<null>"
+        # \x00 cannot appear in an escaped string (every backslash is
+        # doubled there, and raw NULs get escaped below)
+        return "\x00"
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
@@ -42,18 +60,22 @@ def canon(v) -> str:
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(canon(x) for x in v) + "]"
     if isinstance(v, dict):
-        return "{" + ",".join(f"{k}:{canon(x)}" for k, x in sorted(v.items())) + "}"
+        return "{" + ",".join(
+            f"{_esc(str(k))}:{canon(x)}" for k, x in sorted(v.items())
+        ) + "}"
     if isinstance(v, bytes):
         return v.hex()
-    return str(v)
+    return _esc(str(v))
 
 
 def row_multiset(cols: list[str], rows) -> Counter:
     # case-insensitive sort to match the schema comparison — a
     # case-sensitive sort could align mixed-case aliases differently
-    # on the two sides and report spurious value mismatches
+    # on the two sides and report spurious value mismatches.
+    # Tuple keys, not a joined string: no top-level delimiter to
+    # collide with cell contents.
     order = sorted(range(len(cols)), key=lambda i: cols[i].lower())
-    return Counter("|".join(canon(r[i]) for i in order) for r in rows)
+    return Counter(tuple(canon(r[i]) for i in order) for r in rows)
 
 
 def check_query(spark, con, q: Query, sf_dir: str) -> tuple[bool, str]:

@@ -29,10 +29,26 @@ seq LONG (LSN stand-in), key fields, after STRUCT, before STRUCT.
 Scale notes: incremental reads partition the cursor range across
 executors (numPartitions range scan); apply_changes is one hash
 shuffle on the key + per-key linear state; the poll loop keeps only
-an 8-byte cursor on the driver. xmin wraparound (32-bit epoch
-counter) is handled by detecting cursor regression on an empty poll
-and resetting to a full re-read — at-least-once delivery, safe
-under the idempotent latest-row-wins apply.
+an 8-byte cursor on the driver.
+
+Correctness under Postgres xid semantics (the two classic
+xmin-polling traps):
+
+- **Open transactions.** xmin is assigned at txn START; a
+  long-running txn can commit rows with an xid LOWER than changes
+  already polled. The loop therefore never advances the cursor past
+  ``safe_cursor()`` — the oldest-running-txn horizon minus one
+  (``pg_snapshot_xmin(pg_current_snapshot())``). Rows between the
+  horizon and the newest seen xid are re-read next poll:
+  at-least-once, safe under the idempotent latest-row-wins apply.
+- **xid wraparound.** The 32-bit xid counter wraps; comparing the
+  TABLE's max xmin against the cursor cannot detect this (old rows
+  keep their high xmin). The loop instead compares the DATABASE's
+  horizon: ``safe_cursor() < cursor`` is impossible in normal
+  operation (the cursor is capped at the horizon), so observing it
+  means wraparound or a restored-from-backup source — the cursor
+  resets to 0 and the next poll re-reads everything. The table-max
+  fallback check remains for loaders without a horizon probe.
 """
 
 from __future__ import annotations
@@ -65,6 +81,12 @@ class Loader(Protocol):
     def max_cursor(self) -> int: ...
 
     def incremental(self, cursor: int) -> DataFrame: ...
+
+    def safe_cursor(self) -> int | None:
+        """Highest cursor value guaranteed complete (no still-open
+        transaction at or below it), or None when the source has no
+        in-flight-work concept."""
+        ...
 
 
 @dataclass
@@ -109,6 +131,23 @@ class JdbcPollingLoader:
         ).collect()[0]
         return int(row["c"])
 
+    def safe_cursor(self) -> int | None:
+        """Oldest-running-transaction horizon minus one, in the same
+        32-bit domain as ``xmin::text::bigint``: every transaction at
+        or below it has finished, so the cursor may safely advance
+        this far (and no further — see the module docstring).
+        ``pg_snapshot_xmin(pg_current_snapshot())`` is the 64-bit
+        epoch-qualified xid8; ``% 2^32`` recovers the raw xid that
+        xmin values carry. Only meaningful for the xmin cursor — a
+        user-supplied PK cursor has no in-flight-work horizon."""
+        if "xmin" not in self.cursor_expr:
+            return None
+        row = self._read(
+            "SELECT (pg_snapshot_xmin(pg_current_snapshot())::text::bigint"
+            " % 4294967296) - 1 AS c"
+        ).collect()[0]
+        return int(row["c"])
+
     def incremental(self, cursor: int) -> DataFrame:
         # Range-partitioned incremental scan: split the open cursor
         # interval so executors read in parallel.
@@ -129,7 +168,9 @@ class JdbcPollingLoader:
                 f"FROM {self.table} t) sub"
             ),
             predicates=predicates,
-            properties=self.properties or {},
+            # fetchsize on the hot polling path too: without it the
+            # PG driver materializes each partition's full result set
+            properties={"fetchsize": "10000", **(self.properties or {})},
         )
 
 
@@ -162,6 +203,9 @@ class ParquetReplayLoader:
     def incremental(self, cursor: int) -> DataFrame:
         return self._events().filter(F.col("__cursor") > cursor)
 
+    def safe_cursor(self) -> int | None:
+        return None  # replay has no in-flight transactions
+
 
 def to_envelope(df: DataFrame, key_cols: list[str], op: "F.Column | str") -> DataFrame:
     """Wrap captured rows in the uniform envelope. ``op`` may be a
@@ -193,20 +237,24 @@ def full_refresh_diff(
 
     xmin polling cannot observe DELETEs (reference limitation,
     SURVEY §2.1); periodic full-refresh diffing is the documented
-    escape hatch. Implemented as a full outer join on the key — one
-    shuffle, no driver materialization. Rows: right-only -> 'c',
+    escape hatch. Implemented as a full outer join on the raw key
+    COLUMNS — one shuffle, no driver materialization, and SQL join
+    semantics for NULL keys (NULL never equals NULL, so a NULL-keyed
+    row present in both snapshots correctly diffs as 'd' + 'c';
+    joining on a JSON-serialized key would silently merge them
+    because to_json drops NULL fields). Rows: right-only -> 'c',
     left-only -> 'd', both-but-changed -> 'u'.
     """
-    pk = [F.col(k) for k in key_cols]
     l = prev.select(
-        F.to_json(F.struct(*pk)).alias("key"),
+        *key_cols,
         F.to_json(F.struct(*[c for c in prev.columns])).alias("before"),
     )
     r = cur.select(
-        F.to_json(F.struct(*pk)).alias("key"),
+        *key_cols,
         F.to_json(F.struct(*[c for c in cur.columns])).alias("after"),
     )
-    j = l.join(r, "key", "full")
+    # outer USING-join coalesces the key columns for the envelope key
+    j = l.join(r, key_cols, "full")
     return j.select(
         F.when(F.col("before").isNull(), "c")
         .when(F.col("after").isNull(), "d")
@@ -214,7 +262,11 @@ def full_refresh_diff(
         .alias("op"),
         F.lit(None).cast("timestamp_ntz").alias("ts"),
         F.lit(None).cast("long").alias("seq"),
-        "key",
+        # ignoreNullFields off so NULL key parts stay visible as
+        # {"k": null} instead of vanishing from the key
+        F.to_json(
+            F.struct(*key_cols), {"ignoreNullFields": "false"}
+        ).alias("key"),
         "before",
         "after",
     ).filter(
@@ -284,12 +336,22 @@ class PollingCdcSource:
     def poll_once(self, apply_fn: Callable[[DataFrame, int], None], idx: int) -> int:
         """One poll: returns the number of change rows emitted.
 
-        At-least-once on cursor regression: if the source's max
-        cursor falls BELOW our stored cursor (xmin epoch wraparound,
-        or a restored-from-backup table), the poll resets the cursor
-        and re-reads from the beginning — safe because apply_changes
-        is idempotent latest-row-wins.
+        Safety rules (rationale in the module docstring):
+
+        - the cursor never advances past the loader's ``safe_cursor``
+          horizon, so rows from still-open transactions are re-read
+          once they commit (at-least-once under idempotent apply);
+        - ``safe_cursor() < cursor`` cannot happen in normal
+          operation, so it signals xid wraparound or a restored
+          source: reset to 0 and re-read everything;
+        - loaders without a horizon (``safe_cursor() is None``) fall
+          back to the table-max regression check on empty polls —
+          catches restored backups, though not xmin wraparound.
         """
+        safe = getattr(self.loader, "safe_cursor", lambda: None)()
+        if safe is not None and safe < self.cursor:
+            # wraparound/regression: re-read from zero
+            self.cursor = 0
         inc = self.loader.incremental(self.cursor)
         if self.is_create is not None:
             op = F.when(self.is_create(inc), "c").otherwise("u")
@@ -301,12 +363,13 @@ class PollingCdcSource:
             n = env.count()
             if n:
                 apply_fn(env, idx)
-                hi = env.agg(F.max("seq").alias("c")).collect()[0]
-                self.cursor = max(self.cursor, int(hi["c"]))
-            else:
+                hi = int(env.agg(F.max("seq").alias("c")).collect()[0]["c"])
+                cap = hi if safe is None else min(hi, safe)
+                self.cursor = max(self.cursor, cap)
+            elif safe is None:
                 observed = self.loader.max_cursor()
                 if observed < self.cursor:
-                    # wraparound/regression: re-snapshot from zero
+                    # regression fallback (no horizon probe)
                     self.cursor = 0
         finally:
             env.unpersist()

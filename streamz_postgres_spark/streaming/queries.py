@@ -42,6 +42,11 @@ from streamz_postgres_spark.sources.cdc import (
 )
 from streamz_postgres_spark.streaming.runner import replay_events, run_to_table
 
+#: target dirs of the most recent q_cdc_materialize invocation —
+#: released at the start of the next one (the returned DataFrame
+#: reads its final snapshot lazily, so the call can't clean its own)
+_MATERIALIZE_DIRS: list = []
+
 
 @register(
     "q_stream_tumbling",
@@ -186,8 +191,10 @@ def q_stream_tumbling_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame
         # but make the contract explicit
         .filter(F.col("window_start") < F.lit("2024-06-01").cast("timestamp_ntz"))
     )
-    result = run_to_table(out, "append", spark)
-    shutil.rmtree(staging, ignore_errors=True)
+    try:
+        result = run_to_table(out, "append", spark)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
     return result
 
 
@@ -589,11 +596,17 @@ def q_cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from streamz_postgres_spark.catalog import load_table
-    from streamz_postgres_spark.streaming.runner import replay_events
+
+    # previous invocation's target snapshots are released here (the
+    # returned DataFrame reads the final snapshot lazily, so this
+    # call cannot delete its own)
+    while _MATERIALIZE_DIRS:
+        shutil.rmtree(_MATERIALIZE_DIRS.pop(), ignore_errors=True)
 
     # stage the events as 4 files => 4 micro-batches / 4 merges
     staging = tempfile.mkdtemp(prefix="cdc_src_")
     target = tempfile.mkdtemp(prefix="cdc_target_")
+    _MATERIALIZE_DIRS.append(target)
     target_data = os.path.join(target, "state")
     e = load_table(spark, sf_dir, "events")
     total = e.count()
@@ -617,14 +630,20 @@ def q_cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(os.path.join(staging, "part*"))
     )
 
-    version = {"v": -1}
+    last = {"v": -1}
 
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:
         # snapshot-versioned upsert (what Delta's MERGE does under
-        # the hood): read snapshot v, merge, write snapshot v+1 —
-        # no overwrite-while-reading, no driver materialization.
-        # Deletes stay as TOMBSTONES so a late-arriving older update
-        # for a deleted key cannot resurrect it (order-robust).
+        # the hood): read snapshot epoch-1, merge, write snapshot
+        # epoch — no overwrite-while-reading, no driver
+        # materialization. The version IS the epoch_id, so a restart
+        # from the checkpoint resumes against the last committed
+        # snapshot instead of starting over (a driver-side counter
+        # would reset to -1 and silently discard merged state), and
+        # re-running a failed epoch overwrites its own snapshot —
+        # idempotent. Deletes stay as TOMBSTONES so a late-arriving
+        # older update for a deleted key cannot resurrect it.
+        epoch = int(epoch_id)
         changes = batch.select(
             F.col("user_id"),
             F.col("event_id").alias("last_seq"),
@@ -633,31 +652,38 @@ def q_cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         sess = batch.sparkSession
         merged = changes
-        if version["v"] >= 0:
-            prev = sess.read.parquet(f"{target_data}_v{version['v']}")
-            merged = prev.unionByName(changes)
+        prev_path = f"{target_data}_v{epoch - 1}"
+        if epoch > 0 and os.path.exists(prev_path):
+            merged = sess.read.parquet(prev_path).unionByName(changes)
         w = Window.partitionBy("user_id").orderBy(F.col("last_seq").desc())
         compacted = (
             merged.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        compacted.write.mode("overwrite").parquet(
-            f"{target_data}_v{version['v'] + 1}"
-        )
-        version["v"] += 1
+        compacted.write.mode("overwrite").parquet(f"{target_data}_v{epoch}")
+        last["v"] = max(last["v"], epoch)
 
     ckpt = tempfile.mkdtemp(prefix="cdc_ckpt_")
-    q = (
-        s.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    shutil.rmtree(ckpt, ignore_errors=True)
-    shutil.rmtree(staging, ignore_errors=True)
-    final = spark.read.parquet(f"{target_data}_v{version['v']}")
+    try:
+        q = (
+            s.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(staging, ignore_errors=True)
+    if last["v"] < 0:  # empty stream: no snapshot was written
+        return spark.createDataFrame(
+            [], "user_id long, last_seq long, current_value double"
+        )
+    # superseded snapshots are dead weight once the final one exists
+    for v in range(last["v"]):
+        shutil.rmtree(f"{target_data}_v{v}", ignore_errors=True)
+    final = spark.read.parquet(f"{target_data}_v{last['v']}")
     return final.filter(F.col("op") != "d").select(
         "user_id", "last_seq", "current_value"
     )

@@ -85,14 +85,18 @@ def run_to_table(
     verify/bench cycles must not accumulate RocksDB state)."""
     name = f"stream_out_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix="spark_ckpt_")
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    shutil.rmtree(ckpt, ignore_errors=True)
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        # also on failure — repeated verify/bench cycles must not
+        # accumulate RocksDB state
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
