@@ -57,6 +57,7 @@ def ship_package(spark: SparkSession) -> None:
     it with addPyFile is the standard way to ship application code
     to a cluster; locally it makes the engine location-independent.
     """
+    import atexit
     import tempfile
     import zipfile
     from pathlib import Path
@@ -72,6 +73,12 @@ def ship_package(spark: SparkSession) -> None:
             z.write(p, arcname=str(Path(pkg_dir.name) / p.relative_to(pkg_dir)))
     spark.sparkContext.addPyFile(zpath)
     _SHIPPED.add(app_id)
+    # executors RE-FETCH the zip from this original path on demand
+    # (verified: deleting it immediately fails task fetches with
+    # "does not match contents"), so it must outlive the
+    # SparkContext — clean up at interpreter exit instead of leaking
+    # one zip per session in /tmp
+    atexit.register(lambda p=zpath: os.path.exists(p) and os.unlink(p))
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -45,10 +45,14 @@ def cosine_similarity(a: Column, b: Column) -> Column:
 
 
 def sql_dot(a: str, b: str) -> str:
-    """DuckDB mirror of :func:`dot`: sequential left fold."""
+    """DuckDB mirror of :func:`dot`: sequential left fold. Casts each
+    element to DOUBLE exactly like the Spark side, so it is safe on
+    raw ``array<float>`` columns too (a FLOAT*FLOAT product differs
+    from the double product in low bits)."""
     return (
         "list_reduce(list_prepend(0.0, "
-        f"list_transform(list_zip({a}, {b}), p -> p[1] * p[2])), "
+        f"list_transform(list_zip({a}, {b}), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), "
         "(x, y) -> x + y)"
     )
 

@@ -23,19 +23,6 @@ from pyspark.sql import functions as F
 from streamz_postgres_spark.catalog import load_table
 
 
-def _docs_parallel(spark, sf_dir):
-    """documents repartitioned to the session's parallelism: the
-    fixture is one small parquet file => one input split, which
-    would serialize the md5/explode-heavy signature pipelines onto
-    a single core. One cheap shuffle of the raw docs buys full
-    parallelism for the expensive stages — at 100 TB the inputs are
-    already many splits and this repartition is a no-op choice, but
-    compute-heavy-per-row pipelines over FEW-split inputs must
-    always re-split first."""
-    from pyspark.sql import functions as F  # noqa: F811
-
-    d = load_table(spark, sf_dir, "documents")
-    return d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
 from streamz_postgres_spark.functions.text_features import (
     DH_MOD,
     double_hash_parts,
@@ -47,8 +34,24 @@ from streamz_postgres_spark.functions.text_features import (
     sql_tokens,
     tokens,
 )
-from streamz_postgres_spark.functions.vector import dot, l2_norm, sql_dot, sql_l2_norm
+from streamz_postgres_spark.operators.similarity import (
+    blocked_cosine_pairs,
+    sql_blocked_cosine_pairs,
+)
 from streamz_postgres_spark.registry import register
+
+
+def _docs_parallel(spark, sf_dir):
+    """documents repartitioned to the session's parallelism: the
+    fixture is one small parquet file => one input split, which
+    would serialize the md5/explode-heavy signature pipelines onto
+    a single core. One cheap shuffle of the raw docs buys full
+    parallelism for the expensive stages — at 100 TB the inputs are
+    already many splits and this repartition is a no-op choice, but
+    compute-heavy-per-row pipelines over FEW-split inputs must
+    always re-split first."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
 
 # MinHash configuration: 16 hashes = 4 bands x 4 rows.
 _N_HASHES = 16
@@ -490,51 +493,20 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: embedding-cosine near-dup threshold (tighter than q_sim_pairs'
+#: similarity-search 0.35 — dedup wants high-precision pairs)
+_EMBED_DUP_COSINE = 0.40
+
+
 @register(
     "q_dedup_embed",
-    oracle=f"""
-WITH v AS (
-  SELECT vec_id, label,
-         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
-         {sql_l2_norm('embedding')} AS nrm
-  FROM embeddings
-)
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
-       {sql_dot('a.e', 'b.e')} / (a.nrm * b.nrm) AS cosine
-FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE {sql_dot('a.e', 'b.e')} / (a.nrm * b.nrm) >= 0.40
-""",
+    oracle=sql_blocked_cosine_pairs(_EMBED_DUP_COSINE),
     tags=("dedup", "similarity"),
 )
 def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, blocked by label (the ANN
-    bucket standing in for an IVF/LSH partition at scale). Both
-    engines compute cosine as the same sequential left-fold, so the
-    doubles agree bit-for-bit."""
-    e = load_table(spark, sf_dir, "embeddings")
-    v = e.select(
-        "vec_id",
-        "label",
-        F.col("embedding").alias("e"),
-        l2_norm(F.col("embedding")).alias("nrm"),
-    )
-    b = v.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("label").alias("label_b"),
-        F.col("e").alias("e_b"),
-        F.col("nrm").alias("nrm_b"),
-    )
-    pairs = v.join(
-        b,
-        (F.col("label") == F.col("label_b")) & (F.col("vec_id") < F.col("vec_b")),
-    )
-    cosine = dot(F.col("e"), F.col("e_b")) / (F.col("nrm") * F.col("nrm_b"))
-    return (
-        pairs.select(
-            F.col("vec_id").alias("vec_a"),
-            "vec_b",
-            "label",
-            cosine.alias("cosine"),
-        )
-        .filter(F.col("cosine") >= 0.40)
-    )
+    """Embedding-cosine near-dup pairs >= 0.40, blocked by label
+    (the ANN bucket standing in for an IVF/LSH partition at scale).
+    Same pipeline as q_sim_pairs at a tighter threshold — one shared
+    implementation (similarity.blocked_cosine_pairs), so a fix there
+    can't silently miss a hand-kept copy here."""
+    return blocked_cosine_pairs(spark, sf_dir, _EMBED_DUP_COSINE)

@@ -55,21 +55,28 @@ def decode_audio(payload: bytes) -> "object":
 
 
 def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Arrow-batched feature extractor: bytes -> (length, checksum,
+    """Arrow-batched feature extractor: payload -> (length, checksum,
     frame count). Deterministic fake for the decode step; the batch
     handling (iterate, vectorize per column, yield) is production
-    shape."""
+    shape.
+
+    Features are defined over the DECODED text's codepoints, not the
+    raw utf-8 bytes, because the relational oracle can only express
+    codepoint semantics (length()/ascii()) — byte-wise sums on a
+    multi-byte character would silently diverge. For the synthetic
+    ASCII payload the two coincide; a real byte-level media pipeline
+    swaps the decode for raw-bytes handling (and drops the oracle)."""
     for pdf in batches:
-        payloads = pdf["payload"]
-        n_bytes = payloads.map(len)
-        checksum = payloads.map(lambda b: sum(b) % 65536)
+        texts = pdf["payload"].map(lambda b: b.decode("utf-8"))
+        n_units = texts.map(len)
+        checksum = texts.map(lambda s: sum(map(ord, s)) % 65536)
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
                 "media_type": pdf["media_type"],
-                "n_bytes": n_bytes.astype("int32"),
+                "n_bytes": n_units.astype("int32"),
                 "checksum": checksum.astype("int64"),
-                "n_frames": (n_bytes // 256 + 1).astype("int32"),
+                "n_frames": (n_units // 256 + 1).astype("int32"),
             }
         )
 
@@ -153,14 +160,17 @@ def sample_and_resize_frames(
         for doc_id, mt, payload in zip(
             pdf["doc_id"], pdf["media_type"], pdf["payload"]
         ):
-            n_frames = len(payload) // _FRAME_SIZE + 1
+            # codepoint slicing, matching the oracle's substr()
+            # semantics (see extract_features on bytes vs codepoints)
+            text = payload.decode("utf-8")
+            n_frames = len(text) // _FRAME_SIZE + 1
             for idx in range(0, n_frames, _FRAME_STRIDE):
-                chunk = payload[idx * _FRAME_SIZE : (idx + 1) * _FRAME_SIZE]
+                chunk = text[idx * _FRAME_SIZE : (idx + 1) * _FRAME_SIZE]
                 out["doc_id"].append(doc_id)
                 out["media_type"].append(mt)
                 out["frame_idx"].append(idx)
                 out["frame_bytes"].append(len(chunk))
-                out["frame_checksum"].append(sum(chunk) % 65536)
+                out["frame_checksum"].append(sum(map(ord, chunk)) % 65536)
         res = pd.DataFrame(out)
         res["resized_w"] = _RESIZE_W
         res["resized_h"] = _RESIZE_H

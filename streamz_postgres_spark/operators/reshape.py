@@ -35,23 +35,21 @@ GROUP BY o_orderpriority
     tags=("reshape",),
 )
 def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pivot order totals into one column per status. The status
-    list is explicit, so the plan is a single conditional hash
-    aggregate (the oracle shows the equivalent CASE expansion)."""
+    """Pivot order totals into one column per status, as ONE
+    conditional hash aggregate (same shape as the oracle's CASE
+    expansion): one scan, one shuffle. pivot() alone can't carry the
+    grand-total count alongside the per-status sums — a second
+    aggregate + join would double the scan and add a shuffle."""
     o = load_table(spark, sf_dir, "orders")
-    pivoted = (
-        o.groupBy("o_orderpriority")
-        .pivot("o_orderstatus", list(_STATUSES))
-        .agg(dsum("o_totalprice"))
+    return o.groupBy("o_orderpriority").agg(
+        *[
+            dsum(
+                F.when(F.col("o_orderstatus") == s, F.col("o_totalprice"))
+            ).alias(f"total_{s}")
+            for s in _STATUSES
+        ],
+        F.count(F.lit(1)).alias("n_orders"),
     )
-    counts = o.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_orders")
-    )
-    renamed = pivoted.select(
-        "o_orderpriority",
-        *[F.col(s).alias(f"total_{s}") for s in _STATUSES],
-    )
-    return renamed.join(counts, "o_orderpriority")
 
 
 @register(

@@ -111,7 +111,10 @@ def q_str_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.repeat(F.col("lang"), 2).alias("lang_x2"),
         F.substring("text", 1, 8).alias("head8"),
-        F.substr(F.col("text"), F.length("text") - 7, F.lit(8)).alias("tail8"),
+        # F.right, not substr(length-7): for strings shorter than 8
+        # chars a negative substr start counts from the END in Spark,
+        # while the oracle's right() returns the whole string
+        F.right(F.col("text"), F.lit(8)).alias("tail8"),
         F.levenshtein(F.substring("text", 1, 10), F.lit("select the")).alias(
             "lev_to_probe"
         ),

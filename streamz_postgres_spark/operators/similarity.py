@@ -102,26 +102,14 @@ def q_sim_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_sim_pairs",
-    oracle=f"""
-WITH v AS (
-  SELECT vec_id, label,
-         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
-         {_sql_norm('embedding')} AS nrm
-  FROM embeddings
-)
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
-       {sql_dot('a.e', 'b.e')} / (a.nrm * b.nrm) AS cosine
-FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE {sql_dot('a.e', 'b.e')} / (a.nrm * b.nrm) >= 0.35
-""",
-    tags=("similarity",),
-)
-def q_sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs similarity >= 0.35 within a label block. The label
-    is the blocking key (IVF-cell stand-in): the join is an equi
-    join on label, never an unblocked cross join."""
+def blocked_cosine_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float
+) -> DataFrame:
+    """All-pairs cosine similarity >= threshold within a label block.
+    The label is the blocking key (IVF-cell stand-in): the join is an
+    equi join on label, never an unblocked cross join. Shared by
+    q_sim_pairs and q_dedup_embed (same pipeline, different
+    thresholds)."""
     e = load_table(spark, sf_dir, "embeddings")
     v = e.select(
         "vec_id", "label", F.col("embedding").alias("e"),
@@ -140,8 +128,35 @@ def q_sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("vec_a"), "vec_b", "label",
             cosine.alias("cosine"),
         )
-        .filter(F.col("cosine") >= 0.35)
+        .filter(F.col("cosine") >= threshold)
     )
+
+
+def sql_blocked_cosine_pairs(threshold: float) -> str:
+    """DuckDB mirror of :func:`blocked_cosine_pairs`."""
+    return f"""
+WITH v AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+         {_sql_norm('embedding')} AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+       {sql_dot('a.e', 'b.e')} / (a.nrm * b.nrm) AS cosine
+FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {sql_dot('a.e', 'b.e')} / (a.nrm * b.nrm) >= {threshold}
+"""
+
+
+@register(
+    "q_sim_pairs",
+    oracle=sql_blocked_cosine_pairs(0.35),
+    tags=("similarity",),
+)
+def q_sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs similarity >= 0.35 within a label block (see
+    :func:`blocked_cosine_pairs` for the plan shape)."""
+    return blocked_cosine_pairs(spark, sf_dir, 0.35)
 
 
 def _bucket_sql(e: str) -> str:

@@ -82,13 +82,30 @@ def explain_summary(df: DataFrame) -> dict:
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     s = buf.getvalue()
+    # formatted explain prints every node twice (tree + detail); count
+    # only detail headers "(4) Exchange" so each shuffle counts once,
+    # and ReusedExchange ("(n) ReusedExchange") doesn't match
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange\b", s, re.M))
+    # a window is single-partition iff ITS child exchange is
+    # SinglePartition — "SinglePartition" anywhere in the plan also
+    # fires on harmless global agg/limit stages
+    sp_ids = {
+        m.group(1)
+        for m in re.finditer(r"^\((\d+)\) Exchange\b", s, re.M)
+        if "SinglePartition" in s[m.end() : m.end() + 200]
+    }
+    tree = re.findall(r"^[ :+\-*]*(\w+) \((\d+)\)\s*$", s, re.M)
+    sp_window = any(
+        name == "Window" and child == "Exchange" and cid in sp_ids
+        for (name, _), (child, cid) in zip(tree, tree[1:])
+    )
     return {
         "pushed_filters": re.findall(r"PushedFilters: \[[^\]]*\]", s),
         "read_schemas": re.findall(r"ReadSchema: [^\n]*", s),
         "joins": sorted(set(re.findall(
             r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"
             r"|BroadcastNestedLoopJoin|CartesianProduct)", s))),
-        "n_exchanges": len(re.findall(r"Exchange", s)),
+        "n_exchanges": n_exchanges,
         "has_cartesian": "CartesianProduct" in s,
-        "single_partition_windows": "SinglePartition" in s,
+        "single_partition_windows": sp_window,
     }
