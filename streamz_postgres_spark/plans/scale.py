@@ -94,11 +94,18 @@ def explain_summary(df: DataFrame) -> dict:
         for m in re.finditer(r"^\((\d+)\) Exchange\b", s, re.M)
         if "SinglePartition" in s[m.end() : m.end() + 200]
     }
-    tree = re.findall(r"^[ :+\-*]*(\w+) \((\d+)\)\s*$", s, re.M)
-    sp_window = any(
-        name == "Window" and child == "Exchange" and cid in sp_ids
-        for (name, _), (child, cid) in zip(tree, tree[1:])
-    )
+    # a Window's partitioning exchange sits somewhere below it in the
+    # tree (often under a Sort): walk down from each Window to the
+    # FIRST exchange and check that one
+    tree = re.findall(r"^[ :+\-*]*([\w ]+?)\s*\((\d+)\)\s*$", s, re.M)
+    sp_window = False
+    for i, (name, _) in enumerate(tree):
+        if name != "Window":
+            continue
+        for child, cid in tree[i + 1 :]:
+            if child == "Exchange":
+                sp_window = sp_window or cid in sp_ids
+                break
     return {
         "pushed_filters": re.findall(r"PushedFilters: \[[^\]]*\]", s),
         "read_schemas": re.findall(r"ReadSchema: [^\n]*", s),

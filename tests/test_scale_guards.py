@@ -52,6 +52,30 @@ def test_no_cartesian_products_anywhere(spark):
         assert "CartesianProduct" not in plan, key
 
 
+def test_explain_summary_counts_and_window_flags(spark):
+    """explain_summary must count each exchange once (formatted
+    explain prints every node twice) and must NOT flag global
+    aggregates/limits as single-partition windows."""
+    from streamz_postgres_spark.plans.scale import explain_summary
+
+    # global agg: has a SinglePartition exchange but no window
+    g = explain_summary(REGISTRY["q_global_agg"].spark_fn(spark, SF_DIR))
+    assert g["single_partition_windows"] is False
+    # partitioned window query: exchanges counted, no false flag
+    w = explain_summary(REGISTRY["q_window_rank"].spark_fn(spark, SF_DIR))
+    assert w["single_partition_windows"] is False
+    assert 1 <= w["n_exchanges"] <= 3
+    # a deliberately global (unpartitioned) ordered window IS flagged
+    from pyspark.sql import Window, functions as F
+
+    from streamz_postgres_spark.catalog import load_table
+
+    bad = load_table(spark, SF_DIR, "orders").withColumn(
+        "rn", F.row_number().over(Window.orderBy("o_orderkey"))
+    )
+    assert explain_summary(bad)["single_partition_windows"] is True
+
+
 def test_window_ops_are_partitioned(spark):
     """Ordered windows must be key-partitioned (a global orderBy
     window is a single serial task at scale). zip_seq is the one
