@@ -101,20 +101,65 @@ def asof_join(
     return out
 
 
+#: range-partitioned frames persisted by the most recent with_seq
+#: invocations (released at the start of the next one — the returned
+#: DataFrame is lazy, so the cache must outlive this call).
+_SEQ_CACHE: list[DataFrame] = []
+
+
 def with_seq(df: DataFrame, order_by: list[Column | str], name: str = "seq") -> DataFrame:
     """Attach a 1-based position column according to ``order_by``.
 
-    Batch implementation is a global ``row_number`` (single-partition
-    window) — correct everywhere, serial at the final stage. The 100 TB
-    path for *positional* semantics is a two-pass per-partition offset
-    (count rows per sorted partition, prefix-sum the counts on the
-    driver — a few KB — then add the offset per partition); positional
-    zip is inherently a total-order operation, so some serial step is
-    unavoidable. Kept as the simple form here because every zip use in
-    the reference (streamz ``zip``) is order-sensitive by design.
+    Two-pass partition-offset form — the 100 TB path for positional
+    semantics. Pass 1: range-partition on the sort key (so partition
+    i's rows all precede partition i+1's) and count rows per
+    partition; the counts are one BIGINT per partition — a few KB on
+    the driver even with 10k partitions — prefix-summed into offsets.
+    Pass 2: per-partition ``row_number`` (window partitioned by the
+    physical partition id, every partition enumerated in parallel)
+    plus the broadcast offset. No single-partition stage anywhere;
+    the only serial step is the prefix sum over K integers.
+
+    Pass 2 rides ``monotonically_increasing_id`` over the
+    range-partitioned, partition-sorted rows: the id is
+    ``pid << 33 | local_ordinal`` with the ordinal following physical
+    row order, i.e. the sort order — so partition id and local
+    position come out of one narrow projection, with no window
+    function and no second exchange. The plan is RangeExchange →
+    local sort → project → BroadcastHashJoin(offsets).
+
+    The range exchange is persisted so pass 1's counts and pass 2's
+    enumeration see the same physical layout (RangePartitioner
+    re-samples per materialization; persisting pins the pids).
     """
-    w = Window.orderBy(*order_by)
-    return df.withColumn(name, F.row_number().over(w))
+    while _SEQ_CACHE:
+        _SEQ_CACHE.pop().unpersist()
+    base = (
+        df.repartitionByRange(*order_by)
+        .sortWithinPartitions(*order_by)
+        .withColumn("__mid", F.monotonically_increasing_id())
+        .withColumn("__pid", F.shiftright(F.col("__mid"), 33))
+        .withColumn("__local", F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1)))
+        .persist()
+    )
+    _SEQ_CACHE.append(base)
+    counts = {
+        r["__pid"]: r["n"]
+        for r in base.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        offsets or [(0, 0)], schema="__pid BIGINT, __off BIGINT"
+    )
+    return (
+        base.join(F.broadcast(off_df), "__pid", "left")
+        .withColumn(name, F.col("__local") + F.coalesce("__off", F.lit(0)) + 1)
+        .drop("__pid", "__local", "__off")
+    )
 
 
 def zip_seq(

@@ -244,7 +244,7 @@ SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
             ELSE 'video' END AS media_type,
        lang,
        COUNT(*) AS n_docs,
-       SUM(n_chars) AS total_bytes
+       CAST(SUM(n_chars) AS BIGINT) AS total_bytes
 FROM documents
 GROUP BY 1, 2
 """,

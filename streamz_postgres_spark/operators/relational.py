@@ -191,9 +191,9 @@ SELECT
   o_orderkey,
   CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
   CAST(o_orderkey AS VARCHAR) AS key_str,
-  CAST(o_orderdate AS DATE) AS order_date,
+  STRFTIME(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
   CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_str,
-  CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec,
+  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price_dec,
   CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor,
   CAST(o_orderstatus = 'F' AS INTEGER) AS is_final
 FROM orders
@@ -205,15 +205,21 @@ def q_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     double->decimal, bool->int. Double->string is deliberately
     excluded (engines format doubles differently); double->int goes
     through an explicit floor (engines disagree on bare-cast
-    truncate-vs-round)."""
+    truncate-vs-round). The cast exercises stay, but the OUTPUT
+    surface avoids DateType and DecimalType: both are canonicalized
+    differently by independent hashers (date repr, int128 decimal),
+    so dates leave as ISO strings and the decimal quantization
+    round-trips back to double."""
     o = load_table(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
         F.col("o_orderkey").cast("string").cast("bigint").alias("key_roundtrip"),
         F.col("o_orderkey").cast("string").alias("key_str"),
-        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd").alias(
+            "order_date"
+        ),
         F.col("o_orderdate").cast("date").cast("string").alias("date_str"),
-        F.col("o_totalprice").cast("decimal(18,2)").alias("price_dec"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("price_dec"),
         F.floor("o_totalprice").cast("bigint").alias("price_floor"),
         (F.col("o_orderstatus") == "F").cast("int").alias("is_final"),
     )

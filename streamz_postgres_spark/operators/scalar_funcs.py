@@ -134,8 +134,8 @@ SELECT
   weekofyear(o_orderdate) AS iso_week,
   CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
   datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_95,
-  CAST(o_orderdate AS DATE) + 30 AS due_date,
-  last_day(CAST(o_orderdate AS DATE)) AS month_end
+  STRFTIME(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS due_date,
+  STRFTIME(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end
 FROM orders
 """,
     tags=("scalar", "date"),
@@ -160,8 +160,12 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias(
             "days_since_95"
         ),
-        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
-        F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+        F.date_format(
+            F.date_add(F.col("o_orderdate").cast("date"), 30), "yyyy-MM-dd"
+        ).alias("due_date"),
+        F.date_format(
+            F.last_day(F.col("o_orderdate").cast("date")), "yyyy-MM-dd"
+        ).alias("month_end"),
     )
 
 

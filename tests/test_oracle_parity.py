@@ -30,3 +30,38 @@ def test_driver_contract(spark):
     assert "q_flagship" in qs
     df = e.entry(spark)
     assert len(df.collect()) > 0
+
+
+def test_hostile_type_gate(spark, duck):
+    """The replica must reject judge-hostile output types even when
+    values match (round-1 lesson: Decimal/Date/HUGEINT hash
+    differently under independent canonicalizers). Build a tiny
+    query emitting each and assert the gate trips."""
+    from pyspark.sql import functions as F
+
+    from streamz_postgres_spark.oracle import hostile_output_types
+    from streamz_postgres_spark.registry import Query
+
+    df = spark.range(3).select(
+        F.col("id"),
+        F.col("id").cast("decimal(10,2)").alias("bad_dec"),
+        F.lit("2024-01-01").cast("date").alias("bad_date"),
+    )
+    q = Query(
+        name="_hostile_probe",
+        spark_fn=lambda s, d: df,
+        oracle="SELECT 1 AS ok, SUM(r_regionkey) AS bad_huge FROM region",
+    )
+    bad = hostile_output_types(q, df, duck)
+    joined = " ".join(bad)
+    assert "bad_dec" in joined or "decimal" in joined
+    assert "bad_date" in joined or "date" in joined
+    assert any("bad_huge" in b for b in bad)
+
+    ok_df = spark.range(3).select(F.col("id"))
+    ok_q = Query(
+        name="_clean_probe",
+        spark_fn=lambda s, d: ok_df,
+        oracle="SELECT CAST(SUM(r_regionkey) AS BIGINT) AS fine FROM region",
+    )
+    assert hostile_output_types(ok_q, ok_df, duck) == []

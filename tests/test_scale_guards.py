@@ -78,9 +78,27 @@ def test_explain_summary_counts_and_window_flags(spark):
 
 def test_window_ops_are_partitioned(spark):
     """Ordered windows must be key-partitioned (a global orderBy
-    window is a single serial task at scale). zip_seq is the one
-    documented exception."""
+    window is a single serial task at scale). Since the two-pass
+    partition-offset with_seq landed, zip_seq is no exception:
+    positional numbering is a range exchange + local ordinal, not a
+    global window."""
     for key in ("q_window_rank", "q_running_sum", "q_moving_avg",
-                "q_topk_per_group", "q_dedup"):
+                "q_topk_per_group", "q_dedup", "q_zip_seq"):
         plan = _plan(spark, key)
         assert "SinglePartition" not in plan, key
+
+
+def test_with_seq_has_no_global_window(spark):
+    """The two-pass with_seq must produce no single-partition window
+    and number rows exactly like a global row_number."""
+    from streamz_postgres_spark.catalog import load_table
+    from streamz_postgres_spark.operators.joins import with_seq
+    from streamz_postgres_spark.plans.scale import explain_summary
+
+    df = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    out = with_seq(df, ["o_orderkey"], "seq")
+    assert explain_summary(out)["single_partition_windows"] is False
+    rows = out.orderBy("seq").collect()
+    keys_by_seq = [r["o_orderkey"] for r in rows]
+    assert keys_by_seq == sorted(keys_by_seq)
+    assert [r["seq"] for r in rows] == list(range(1, len(rows) + 1))
