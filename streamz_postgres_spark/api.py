@@ -230,13 +230,21 @@ class SparkStream:
         is paired with the latest (as-of) row of ``other``."""
         if self.ts_col is None:
             raise ValueError("zip_latest needs a stream timestamp column")
+        resolved_right_ts = right_ts or other.ts_col
+        if resolved_right_ts is None:
+            # no silent fallback to self.ts_col: a right-side column
+            # that merely shares the left timestamp's NAME would make
+            # the as-of pairing silently wrong
+            raise ValueError(
+                "zip_latest: other stream has no ts_col; pass right_ts"
+            )
         return self._wrap(
             asof_join(
                 self.df,
                 other.df,
                 on=on,
                 left_ts=self.ts_col,
-                right_ts=right_ts or other.ts_col or self.ts_col,
+                right_ts=resolved_right_ts,
                 right_values=right_values,
             )
         )

@@ -38,6 +38,16 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+        # ENGINE-WIDE, by design: the events fixture stores
+        # TIMESTAMP(NANOS), which Spark's reader rejects; the engine
+        # reads nanos as LONG everywhere and rebuilds TimestampNTZ
+        # (catalog.load_table / streaming.runner.replay_events).
+        # Consequence: any nanos-timestamp parquet read in this
+        # session yields LONG, not an error. Declared here at build
+        # time so that's a documented engine property; the two read
+        # sites re-assert it only because the external driver supplies
+        # its own plain session.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Streaming: bounded-replay tests need a deterministic store.
         .config(
             "spark.sql.streaming.stateStore.providerClass",

@@ -53,6 +53,7 @@ xmin-polling traps):
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 from typing import Callable, Protocol
 
@@ -71,6 +72,28 @@ CDC_ENVELOPE_SCHEMA = T.StructType(
         T.StructField("after", T.StringType()),  # json row image or null
     ]
 )
+
+
+_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_$]*$")
+
+
+def quote_qualified_ident(name: str) -> str:
+    """Validate and double-quote a possibly schema-qualified SQL
+    identifier (``public.orders`` -> ``"public"."orders"``). Already-
+    quoted parts are accepted if they contain no embedded quotes.
+    Raises ValueError on anything else — the identifier reaches SQL
+    text by interpolation, so this is the injection boundary."""
+    parts = name.split(".")
+    if not 1 <= len(parts) <= 2:
+        raise ValueError(f"invalid table identifier: {name!r}")
+    quoted = []
+    for p in parts:
+        if p.startswith('"') and p.endswith('"') and len(p) >= 2:
+            p = p[1:-1]
+        if not p or '"' in p or not _IDENT_RE.match(p):
+            raise ValueError(f"invalid table identifier part: {p!r}")
+        quoted.append(f'"{p}"')
+    return ".".join(quoted)
 
 
 class Loader(Protocol):
@@ -108,6 +131,15 @@ class JdbcPollingLoader:
     cursor_expr: str = "(xmin::text::bigint)"
     num_partitions: int = 8
     properties: dict | None = None
+
+    def __post_init__(self) -> None:
+        # table names are interpolated into SQL: validate against a
+        # strict [schema.]ident grammar and double-quote each part,
+        # so a config-supplied name can neither inject SQL nor break
+        # on mixed-case/reserved identifiers. cursor_expr remains
+        # TRUSTED CONFIGURATION (it is an expression by contract and
+        # cannot be quoted) — documented, not validated.
+        self.table = quote_qualified_ident(self.table)
 
     def _read(self, query: str) -> DataFrame:
         reader = (

@@ -21,6 +21,26 @@ from pyspark.sql import functions as F
 from streamz_postgres_spark.sources.cdc import normalize_envelope
 
 
+def kafka_source_options(
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+) -> dict[str, str]:
+    """Option assembly for the Kafka source, exposed as a pure
+    function so the contract is unit-testable without a broker."""
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+    }
+    if max_offsets_per_trigger is not None:
+        # backpressure: the micro-batch analogue of streamz buffer/
+        # rate_limit (SURVEY §2.3)
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
 def from_kafka(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -30,16 +50,11 @@ def from_kafka(
 ) -> DataFrame:
     """Streaming Kafka source -> raw records (key/value binary +
     topic/partition/offset/timestamp metadata)."""
-    reader = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
+    reader = spark.readStream.format("kafka").options(
+        **kafka_source_options(
+            bootstrap_servers, topic, starting_offsets, max_offsets_per_trigger
+        )
     )
-    if max_offsets_per_trigger is not None:
-        # backpressure: the micro-batch analogue of streamz buffer/
-        # rate_limit (SURVEY §2.3)
-        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
     return reader.load()
 
 
@@ -54,6 +69,28 @@ def from_kafka_cdc(
     )
 
 
+def kafka_sink_options(
+    bootstrap_servers: str, topic: str, checkpoint_dir: str
+) -> dict[str, str]:
+    """Option assembly for the Kafka sink (pure, broker-free)."""
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "topic": topic,
+        "checkpointLocation": checkpoint_dir,
+    }
+
+
+def kafka_sink_projection(df: DataFrame, key_col: str | None = None) -> DataFrame:
+    """The sink's wire shape: rows serialized to a JSON ``value``,
+    optionally keyed (keyed writes preserve per-key ordering across
+    partitions). Factored out so the projection is testable on batch
+    DataFrames without a broker."""
+    cols = [F.to_json(F.struct(*df.columns)).alias("value")]
+    if key_col is not None:
+        cols.insert(0, F.col(key_col).cast("string").alias("key"))
+    return df.select(*cols)
+
+
 def to_kafka(
     df: DataFrame,
     bootstrap_servers: str,
@@ -61,17 +98,10 @@ def to_kafka(
     checkpoint_dir: str,
     key_col: str | None = None,
 ):
-    """Streaming Kafka sink: serialize rows as JSON values (keyed
-    writes preserve per-key ordering across partitions). Returns the
-    StreamingQuery."""
-    cols = [F.to_json(F.struct(*df.columns)).alias("value")]
-    if key_col is not None:
-        cols.insert(0, F.col(key_col).cast("string").alias("key"))
+    """Streaming Kafka sink. Returns the StreamingQuery."""
     return (
-        df.select(*cols)
+        kafka_sink_projection(df, key_col)
         .writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("topic", topic)
-        .option("checkpointLocation", checkpoint_dir)
+        .options(**kafka_sink_options(bootstrap_servers, topic, checkpoint_dir))
         .start()
     )

@@ -59,6 +59,13 @@ def q_stream_textfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+#: sink dirs from the previous invocation — the returned DataFrame
+#: reads them lazily, so each dir must survive until the NEXT call
+#: (the _MATERIALIZE_DIRS pattern from streaming/queries.py); without
+#: this, repeated verify/bench cycles accumulate parquet in /tmp
+_SINK_DIRS: list = []
+
+
 @register(
     "q_stream_file_sink",
     oracle="""
@@ -76,8 +83,11 @@ def q_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     which must equal the batch filter — the exactly-once ledger the
     reference's Kafka-batched source approximates with manual
     checkpoints."""
+    while _SINK_DIRS:
+        shutil.rmtree(_SINK_DIRS.pop(), ignore_errors=True)
     s = replay_events(spark, sf_dir)
     outdir = tempfile.mkdtemp(prefix="filesink_")
+    _SINK_DIRS.append(outdir)
     ckpt = os.path.join(outdir, "_ckpt")
     q = (
         s.filter(F.col("event_type") == "purchase")

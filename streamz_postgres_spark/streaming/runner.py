@@ -55,6 +55,8 @@ def replay_events(
     from streamz_postgres_spark.catalog import ship_package
 
     ship_package(spark)
+    # engine-wide conf (see session.get_spark); re-asserted because
+    # the external driver supplies its own session
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # file-stream sources want a directory: stream the sf dir with a
     # glob pinned to the events file

@@ -73,3 +73,18 @@ def test_polling_cdc_loop(spark):
         .count()
     )
     assert state.count() == want
+
+
+def test_quote_qualified_ident():
+    """JDBC table identifiers are validated and quoted before SQL
+    interpolation (injection boundary + mixed-case safety)."""
+    import pytest
+
+    from streamz_postgres_spark.sources.cdc import quote_qualified_ident
+
+    assert quote_qualified_ident("orders") == '"orders"'
+    assert quote_qualified_ident("public.orders") == '"public"."orders"'
+    assert quote_qualified_ident('"MixedCase"') == '"MixedCase"'
+    for bad in ("a.b.c", "x; DROP TABLE y", 'he"llo', "", "1bad", "a-b"):
+        with pytest.raises(ValueError):
+            quote_qualified_ident(bad)

@@ -102,3 +102,24 @@ def test_with_seq_has_no_global_window(spark):
     keys_by_seq = [r["o_orderkey"] for r in rows]
     assert keys_by_seq == sorted(keys_by_seq)
     assert [r["seq"] for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_prefix_filter_jaccard_recall_and_stopword_block(spark):
+    """q_dedup_ngram's prefix filter: a universal stopword must not
+    generate candidate pairs (the 100 TB df^2 hotspot), while true
+    near-dup pairs are still found — recall is provably lossless, so
+    the exact pair set must match brute force."""
+    from streamz_postgres_spark.operators.dedup import _prefix_filtered_jaccard
+
+    rows = [(i, "en", f"uniq{i} the") for i in range(40)]
+    rows += [(100, "en", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+             (101, "en", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+             (102, "en", "alpha beta gamma delta epsilon zeta eta theta iota lambda")]
+    d = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+    out = _prefix_filtered_jaccard(d, t=0.9).collect()
+    pairs = {(r.doc_a, r.doc_b) for r in out}
+    # the 40 docs sharing only the stopword "the" (pairwise J=1/3)
+    # produce nothing; docs 100/101 are identical (J=1.0); 102 shares
+    # 9 of 11 distinct tokens with each (J=9/11 < 0.9)
+    assert pairs == {(100, 101)}
+    assert all(r.jaccard >= 0.9 for r in out)
