@@ -1,0 +1,294 @@
+"""Training-data pipeline operators beyond the reference surface:
+deterministic train/val/test splitting, token-budget sequence
+packing, stratified sampling, benchmark-contamination detection, and
+batched exact k-NN. These are the steps a 100 TB pretraining corpus
+goes through between raw documents and a tokenized training set
+(alongside the dedup/similarity/text modules).
+
+Every operator is value-checked against DuckDB: randomness is
+replaced by the md5-based ``hash60`` (bit-identical in both engines,
+see functions/text_features.py), so "random" splits and samples are
+deterministic and exactly reproducible — which is also what you want
+in production: a doc's split assignment must not depend on cluster
+size, partitioning, or rerun count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from streamz_postgres_spark.catalog import load_table
+from streamz_postgres_spark.functions.text_features import (
+    hash60,
+    shingles,
+    sql_hash60,
+    sql_shingles,
+    sql_tokens,
+    tokens,
+)
+from streamz_postgres_spark.functions.vector import dot, l2_norm, sql_dot, sql_l2_norm
+from streamz_postgres_spark.registry import register
+
+# -- train/val/test split ---------------------------------------------------
+
+_SPLIT_SALT = "#split"
+_TRAIN_PCT, _VAL_PCT = 80, 10  # remainder -> test
+
+
+@register(
+    "q_train_split",
+    oracle=f"""
+SELECT doc_id, lang,
+       CASE WHEN h < {_TRAIN_PCT} THEN 'train'
+            WHEN h < {_TRAIN_PCT + _VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, lang,
+         {sql_hash60(f"CAST(doc_id AS VARCHAR) || '{_SPLIT_SALT}'")} % 100 AS h
+  FROM documents
+) t
+""",
+    tags=("pipeline",),
+)
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by salted content
+    hash of the stable doc key — never by position or RNG, so the
+    assignment is identical across reruns, partitionings, and engine
+    versions, and adding documents never reassigns existing ones.
+    Pure codegen (md5 + modulo): embarrassingly parallel, no shuffle
+    at all at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    h = hash60(F.concat(F.col("doc_id").cast("string"), F.lit(_SPLIT_SALT))) % 100
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(h < _TRAIN_PCT, "train")
+        .when(h < _TRAIN_PCT + _VAL_PCT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+# -- token-budget sequence packing ------------------------------------------
+
+_PACK_BUDGET = 512
+
+
+@register(
+    "q_pack_sequences",
+    oracle=f"""
+SELECT doc_id, lang, n_tok,
+       CAST(FLOOR((cum - n_tok) / {_PACK_BUDGET}) AS BIGINT) AS bin
+FROM (
+  SELECT doc_id, lang,
+         len({sql_tokens('text')}) AS n_tok,
+         SUM(len({sql_tokens('text')})) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum
+  FROM documents
+) t
+""",
+    tags=("pipeline", "window"),
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: concatenate documents (per lang, in stable
+    doc order) and cut the token stream at a fixed budget; each doc
+    is assigned the bin its first token falls in. One running-sum
+    window partitioned by lang — a single balanced shuffle; at 100 TB
+    the partition key becomes (lang, shard) where shard is a
+    hash-bucket of doc_id, keeping every window partition bounded
+    while bins stay deterministic within a shard."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(tokens("text"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        n_tok.alias("n_tok"),
+        F.floor((F.sum(n_tok).over(w) - n_tok) / _PACK_BUDGET).alias("bin"),
+    )
+
+
+# -- stratified sampling ----------------------------------------------------
+
+_STRATUM_K = 10
+_SAMPLE_SALT = "#strat"
+
+
+@register(
+    "q_stratified_sample",
+    oracle=f"""
+SELECT doc_id, lang, source
+FROM (
+  SELECT doc_id, lang, source,
+         row_number() OVER (
+           PARTITION BY lang, source
+           ORDER BY {sql_hash60(f"CAST(doc_id AS VARCHAR) || '{_SAMPLE_SALT}'")},
+                    doc_id
+         ) AS rn
+  FROM documents
+) t
+WHERE rn <= {_STRATUM_K}
+""",
+    tags=("pipeline", "window"),
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sample: exactly k docs per (lang, source) stratum,
+    chosen by salted-hash order — a deterministic 'random' sample
+    that is stable across reruns and engines. One window per stratum
+    key (balanced shuffle); at 100 TB this is the standard eval-set
+    carve-out where uniform sampling would starve rare strata."""
+    d = load_table(spark, sf_dir, "documents")
+    h = hash60(F.concat(F.col("doc_id").cast("string"), F.lit(_SAMPLE_SALT)))
+    w = Window.partitionBy("lang", "source").orderBy(h, "doc_id")
+    return (
+        d.select("doc_id", "lang", "source", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= _STRATUM_K)
+        .drop("rn")
+    )
+
+
+# -- benchmark contamination ------------------------------------------------
+
+_CONTAM_NGRAM = 3  # real pipelines use 8-13; the tiny fixture
+# vocabulary needs 3 for the check to have verification density
+_BENCH_MOD = 97  # doc_id % 97 == 0 -> "benchmark" set (scales ~1%)
+
+
+@register(
+    "q_contamination",
+    oracle=f"""
+WITH bench AS (
+  SELECT DISTINCT s AS shingle
+  FROM (
+    SELECT unnest({sql_shingles(sql_tokens('text'), _CONTAM_NGRAM)}) AS s
+    FROM documents WHERE doc_id % {_BENCH_MOD} = 0
+  ) t
+),
+corpus AS (
+  SELECT DISTINCT doc_id, s AS shingle
+  FROM (
+    SELECT doc_id,
+           unnest({sql_shingles(sql_tokens('text'), _CONTAM_NGRAM)}) AS s
+    FROM documents WHERE doc_id % {_BENCH_MOD} <> 0
+  ) t
+)
+SELECT c.doc_id, COUNT(*) AS n_hits
+FROM corpus c JOIN bench b ON c.shingle = b.shingle
+GROUP BY c.doc_id
+""",
+    tags=("pipeline", "dedup"),
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark contamination scan: which training docs contain any
+    word n-gram that also appears in the held-out benchmark set?
+    The benchmark shingle set is tiny relative to the corpus, so it
+    is BROADCAST and the scan is one shuffle-free probe of every
+    corpus shingle (then one agg by doc). This is the n-gram-overlap
+    decontamination step (GPT-3 appendix / Dolma-style, public
+    methodology) that must run over the full corpus before training."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = F.explode(shingles(tokens("text"), _CONTAM_NGRAM)).alias("shingle")
+    bench = (
+        d.filter(F.col("doc_id") % _BENCH_MOD == 0)
+        .select(sh)
+        .distinct()
+    )
+    corpus = (
+        d.filter(F.col("doc_id") % _BENCH_MOD != 0)
+        .select("doc_id", sh)
+        .distinct()
+    )
+    return (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+# -- batched exact k-NN -----------------------------------------------------
+
+_KNN_PROBE_MOD = 101  # vec_id % 101 == 0 -> probe batch
+_KNN_K = 10
+
+
+@register(
+    "q_knn_batch",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+         {sql_l2_norm('embedding')} AS nrm
+  FROM embeddings
+),
+probe AS (
+  SELECT vec_id AS probe_id, e AS pe, nrm AS pnrm
+  FROM v WHERE vec_id % {_KNN_PROBE_MOD} = 0
+)
+SELECT probe_id, vec_id, cosine FROM (
+  SELECT p.probe_id, v.vec_id,
+         {sql_dot('v.e', 'p.pe')} / (v.nrm * p.pnrm) AS cosine,
+         row_number() OVER (
+           PARTITION BY p.probe_id
+           ORDER BY {sql_dot('v.e', 'p.pe')} / (v.nrm * p.pnrm) DESC, v.vec_id
+         ) AS rn
+  FROM v, probe p
+  WHERE v.vec_id <> p.probe_id
+) t
+WHERE rn <= {_KNN_K}
+""",
+    tags=("pipeline", "similarity"),
+)
+def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN for a BATCH of probe vectors (the retrieval shape:
+    many queries at once, not one). The probe batch is broadcast; the
+    corpus is scanned once with a codegen'd dot product per (row,
+    probe). Top-k is two-phase so no single reducer ever sees a whole
+    probe's candidates: phase 1 takes each physical partition's local
+    top-k per probe (window over (probe, partition-id) — balanced,
+    P×K keys), phase 2 reduces the surviving k×P rows per probe
+    (tiny). A single window partitioned by probe_id alone would
+    funnel every candidate of one probe through one task at 100 TB."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id",
+        F.col("embedding").alias("e"),
+        l2_norm(F.col("embedding")).alias("nrm"),
+    )
+    probe = F.broadcast(
+        v.filter(F.col("vec_id") % _KNN_PROBE_MOD == 0).select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("e").alias("pe"),
+            F.col("nrm").alias("pnrm"),
+        )
+    )
+    cosine = dot(F.col("e"), F.col("pe")) / (F.col("nrm") * F.col("pnrm"))
+    scored = (
+        v.crossJoin(probe)
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            cosine.alias("cosine"),
+            F.spark_partition_id().alias("__pid"),
+        )
+    )
+    w_local = Window.partitionBy("probe_id", "__pid").orderBy(
+        F.col("cosine").desc(), "vec_id"
+    )
+    survivors = scored.withColumn("__rn", F.row_number().over(w_local)).filter(
+        F.col("__rn") <= _KNN_K
+    )
+    w_global = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine").desc(), "vec_id"
+    )
+    return (
+        survivors.withColumn("__rn2", F.row_number().over(w_global))
+        .filter(F.col("__rn2") <= _KNN_K)
+        .select("probe_id", "vec_id", "cosine")
+    )
