@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from streamz_postgres_spark.catalog import load_table
 from streamz_postgres_spark.functions.numeric import sql_dsum
 from streamz_postgres_spark.registry import register
 from streamz_postgres_spark.sources.cdc import (
@@ -287,6 +288,43 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_type"
     )
     return run_to_table(out, "append", spark)
+
+
+@register(
+    "q_stream_static_join",
+    oracle="""
+SELECT c_mktsegment,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_purchases
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c_mktsegment
+""",
+    tags=("streaming", "join"),
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the most common production
+    streaming pattern (events stream joined to a slowly-changing
+    dimension) and the streaming face of streamz's per-event lookup
+    maps. The static side is a broadcast hash join probed per
+    micro-batch with NO stream state (unlike stream-stream joins);
+    at 100 TB/day of events the dim stays broadcast and the stream
+    side never shuffles before the join."""
+    s = replay_events(spark, sf_dir)
+    dim = F.broadcast(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    )
+    out = (
+        s.join(dim, s["user_id"] == dim["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).cast("long").alias("n_purchases"),
+        )
+    )
+    return run_to_table(out, "complete", spark)
 
 
 @register(

@@ -154,3 +154,52 @@ def test_pg_type_mapping():
         custom_schema([("id", "bigint"), ("price", "numeric(12,2)")])
         == "id BIGINT, price DECIMAL(12,2)"
     )
+
+
+# -- prefix-filtered Jaccard vs brute force ---------------------------------
+
+_vocab = [f"w{i}" for i in range(12)]
+_doc_strat = st.lists(
+    st.lists(st.sampled_from(_vocab), min_size=1, max_size=10),
+    min_size=2,
+    max_size=8,
+)
+
+
+def _brute_jaccard_pairs(docs, t):
+    """All (i, j, n_common, jaccard) with i<j and jaccard >= t over
+    token SETS (mirrors the operator's distinct-token semantics)."""
+    sets = [set(d) for d in docs]
+    out = set()
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            inter = len(sets[i] & sets[j])
+            union = len(sets[i] | sets[j])
+            if union and inter / union >= t:
+                out.add((i, j, inter, inter / union))
+    return out
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=_doc_strat, t=st.sampled_from([0.5, 0.8, 0.9]))
+def test_prefix_filter_jaccard_matches_brute_force(spark, docs, t):
+    """The PPJoin prefix filter must be RECALL-LOSSLESS at any
+    threshold: exact same pair set and values as all-pairs brute
+    force, on arbitrary small corpora (shared stopwords, identical
+    docs, singleton tokens...)."""
+    from streamz_postgres_spark.operators.dedup import _prefix_filtered_jaccard
+
+    d = spark.createDataFrame(
+        [(i, "en", " ".join(doc)) for i, doc in enumerate(docs)],
+        "doc_id bigint, lang string, text string",
+    )
+    got = {
+        (r.doc_a, r.doc_b, r.n_common, r.jaccard)
+        for r in _prefix_filtered_jaccard(d, t=t).collect()
+    }
+    want = _brute_jaccard_pairs(docs, t)
+    assert got == want
