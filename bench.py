@@ -39,13 +39,17 @@ HEADLINE = (
 )
 
 N_RUNS = 3
+#: extra samples for queries with documented high run-to-run variance
+#: (q_dedup_minhash swings >2x under background load; a wider median
+#: keeps one bad sample from looking like a plan regression)
+EXTRA_RUNS = {"q_dedup_minhash": 5}
 
 
 def time_query(spark, name: str, sf_dir: str) -> float:
     fn = REGISTRY[name].spark_fn
     fn(spark, sf_dir).count()  # warm-up
     samples = []
-    for _ in range(N_RUNS):
+    for _ in range(EXTRA_RUNS.get(name, N_RUNS)):
         t0 = time.perf_counter()
         fn(spark, sf_dir).count()
         samples.append(time.perf_counter() - t0)
