@@ -28,7 +28,9 @@ from streamz_postgres_spark.functions.numeric import (
 from streamz_postgres_spark.functions.text_features import (
     FP_MOD,
     hash60,
+    shingles,
     sql_hash60,
+    sql_shingles,
     sql_tokens,
     tokens,
 )
@@ -306,3 +308,92 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, h: (acc * 31 + h) % F.lit(FP_MOD),
     )
     return d.select("doc_id", "lang", fp.alias("fingerprint"))
+
+
+@register(
+    "q_text_repetition",
+    oracle=f"""
+SELECT doc_id, lang,
+       n_bigrams,
+       n_distinct,
+       {sql_qround('1.0 - CAST(n_distinct AS DOUBLE) / n_bigrams', 6)}
+         AS rep_ratio
+FROM (
+  SELECT doc_id, lang,
+         COUNT(*) AS n_bigrams,
+         COUNT(DISTINCT bg) AS n_distinct
+  FROM (
+    SELECT doc_id, lang,
+           unnest({sql_shingles(sql_tokens('text'), 2)}) AS bg
+    FROM documents
+  ) t
+  GROUP BY doc_id, lang
+) s
+WHERE n_bigrams > 0
+""",
+    tags=("text", "quality"),
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition score (Gopher-style quality rule,
+    public methodology): fraction of duplicate word bigrams —
+    high-repetition docs are boilerplate/spam candidates. One explode
+    + per-doc count/count-distinct: shuffle O(docs x distinct
+    bigrams), embarrassingly parallel per doc at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    bg = d.select(
+        "doc_id", "lang", F.explode(shingles(tokens("text"), 2)).alias("bg")
+    )
+    agg = (
+        bg.groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.countDistinct("bg").alias("n_distinct"),
+        )
+        .filter(F.col("n_bigrams") > 0)
+    )
+    rep = 1.0 - F.col("n_distinct").cast("double") / F.col("n_bigrams")
+    return agg.select(
+        "doc_id", "lang", "n_bigrams", "n_distinct",
+        qround(rep, 6).alias("rep_ratio"),
+    )
+
+
+@register(
+    "q_text_entropy",
+    oracle="""
+SELECT doc_id,
+       (CAST(FLOOR((-(CAST(SUM(CAST((term) AS DECIMAL(38,6))) AS DOUBLE))) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS entropy_bits
+FROM (
+  SELECT doc_id, (CAST(n AS DOUBLE)/tot) * log2(CAST(n AS DOUBLE)/tot) AS term
+  FROM (
+    SELECT doc_id, token, COUNT(*) AS n,
+           SUM(COUNT(*)) OVER (PARTITION BY doc_id) AS tot
+    FROM (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ) t
+    GROUP BY doc_id, token
+  ) c
+) terms
+GROUP BY doc_id
+""",
+    tags=("text", "quality"),
+)
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token Shannon entropy — the low-entropy tail is
+    keyword-stuffing/boilerplate, the high-entropy tail is noise;
+    both are standard pretraining quality cut candidates. Token
+    counts via one explode + agg, totals via a per-doc window, then
+    a rounded (qround, engine-exact arithmetic) entropy sum; shuffle
+    is O(docs x vocab-per-doc)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("token"))
+    counts = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("n"))
+    tot = Window.partitionBy("doc_id")
+    p = F.col("n").cast("double") / F.sum("n").over(tot)
+    terms = counts.select(
+        "doc_id", (p * F.log2(p)).alias("term")
+    )
+    return terms.groupBy("doc_id").agg(
+        qround(-dsum("term"), 6).alias("entropy_bits")
+    )
