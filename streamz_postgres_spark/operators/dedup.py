@@ -34,6 +34,7 @@ from streamz_postgres_spark.functions.text_features import (
     sql_tokens,
     tokens,
 )
+from streamz_postgres_spark.functions.vector import sql_dot, sql_l2_norm
 from streamz_postgres_spark.operators.similarity import (
     blocked_cosine_pairs,
     sql_blocked_cosine_pairs,
@@ -558,3 +559,120 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     implementation (similarity.blocked_cosine_pairs), so a fix there
     can't silently miss a hand-kept copy here."""
     return blocked_cosine_pairs(spark, sf_dir, _EMBED_DUP_COSINE)
+
+
+# -- connected components over near-dup pairs -------------------------------
+
+_CC_MAX_ITERS = 20
+
+#: frames persisted by the most recent q_dedup_clusters invocation
+_CLUSTER_CACHE: list[DataFrame] = []
+
+
+def connected_components(
+    nodes: DataFrame, pairs: DataFrame, max_iters: int = _CC_MAX_ITERS
+) -> DataFrame:
+    """Min-label propagation connected components.
+
+    ``nodes``: one column ``vec_id``; ``pairs``: undirected edges as
+    ``(u, w)``. Returns (vec_id, cluster_id) where cluster_id is the
+    minimum node id reachable — the canonical representative.
+
+    Iterative driver loop (the standard Spark shape for fixpoint
+    graph algorithms, cf. GraphX Pregel): each round is one
+    hash-partitioned join + min-agg; convergence is detected by the
+    strictly-decreasing label sum (labels only ever decrease, so an
+    unchanged sum IS the fixpoint — one cheap agg instead of a
+    change-count join). Each round combines the neighbor minimum
+    with POINTER DOUBLING — every node also adopts its current
+    root's label (one extra equi-join on the label), so label
+    distance to the component minimum roughly halves per round:
+    O(log diameter) rounds instead of O(diameter), the same
+    round-collapse idea as the large-star/small-star method
+    (public algorithm, Kiveris et al.) and as path halving in
+    union-find.
+
+    Each round's labels are ``localCheckpoint``ed, not just
+    persisted: persist caches DATA but Catalyst still re-analyzes
+    the full join lineage every round, which compounds until
+    planning dominates (measured: a 9-round chain took minutes with
+    persist, seconds with checkpoint). Lineage truncation is load-
+    bearing for every iterative DataFrame algorithm."""
+    while _CLUSTER_CACHE:
+        _CLUSTER_CACHE.pop().unpersist()
+    edges = pairs.union(
+        pairs.select(F.col("w").alias("u"), F.col("u").alias("w"))
+    ).persist()
+    _CLUSTER_CACHE.append(edges)
+
+    labels = nodes.select(
+        "vec_id", F.col("vec_id").alias("cluster_id")
+    ).localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+    for _ in range(max_iters):
+        nb = (
+            edges.join(labels, edges["w"] == labels["vec_id"])
+            .groupBy("u")
+            .agg(F.min("cluster_id").alias("nb_min"))
+        )
+        root = labels.select(
+            F.col("vec_id").alias("rid"), F.col("cluster_id").alias("root_lbl")
+        )
+        new_labels = (
+            labels.join(nb, labels["vec_id"] == nb["u"], "left")
+            .join(root, F.col("cluster_id") == F.col("rid"), "left")
+            .select(
+                labels["vec_id"],
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nb_min"), F.col("cluster_id")),
+                    F.coalesce(F.col("root_lbl"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        new_sum = new_labels.agg(F.sum("cluster_id")).collect()[0][0]
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels
+
+
+@register(
+    "q_dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE v AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+         {sql_l2_norm('embedding')} AS nrm
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS u, b.vec_id AS w
+  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE {sql_dot('a.e', 'b.e')} / (a.nrm * b.nrm) >= {_EMBED_DUP_COSINE}
+),
+edges AS (SELECT u, w FROM pairs UNION SELECT w AS u, u AS w FROM pairs),
+reach AS (
+  SELECT vec_id AS u, vec_id AS r FROM v
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON e.w = reach.u
+)
+SELECT u AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY u
+""",
+    tags=("dedup", "graph"),
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS, not just pairs: connected components
+    over the embedding near-dup graph, labeling every vector with the
+    min vec_id of its component (the canonical doc a dedup pipeline
+    keeps). Pairs come from the shared blocked_cosine_pairs impl at
+    the q_dedup_embed threshold; singletons keep their own id. The
+    oracle is a recursive CTE computing the same transitive closure
+    — the iterative Spark loop is value-checked, not just row-checked."""
+    pairs = blocked_cosine_pairs(spark, sf_dir, _EMBED_DUP_COSINE).select(
+        F.col("vec_a").alias("u"), F.col("vec_b").alias("w")
+    )
+    nodes = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    return connected_components(nodes, pairs)

@@ -123,3 +123,31 @@ def test_prefix_filter_jaccard_recall_and_stopword_block(spark):
     # 9 of 11 distinct tokens with each (J=9/11 < 0.9)
     assert pairs == {(100, 101)}
     assert all(r.jaccard >= 0.9 for r in out)
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Min-label propagation must converge on a long chain (needs
+    many rounds — the fixture's near-dup graph is shallow so this
+    covers the iteration path), merge branchy components, and leave
+    singletons alone."""
+    from streamz_postgres_spark.operators.dedup import connected_components
+
+    # chain 0-1-2-...-9, triangle 20-21-22, star 30-(31,32,33),
+    # singletons 40, 41
+    edges = [(i, i + 1) for i in range(9)]
+    edges += [(20, 21), (21, 22), (20, 22), (30, 31), (30, 32), (30, 33)]
+    nodes = spark.createDataFrame(
+        [(n,) for n in list(range(10)) + [20, 21, 22, 30, 31, 32, 33, 40, 41]],
+        "vec_id bigint",
+    )
+    pairs = spark.createDataFrame(edges, "u bigint, w bigint")
+    got = {
+        r.vec_id: r.cluster_id for r in connected_components(nodes, pairs).collect()
+    }
+    for n in range(10):
+        assert got[n] == 0, n
+    for n in (20, 21, 22):
+        assert got[n] == 20
+    for n in (30, 31, 32, 33):
+        assert got[n] == 30
+    assert got[40] == 40 and got[41] == 41
