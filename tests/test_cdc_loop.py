@@ -88,3 +88,36 @@ def test_quote_qualified_ident():
     for bad in ("a.b.c", "x; DROP TABLE y", 'he"llo', "", "1bad", "a-b"):
         with pytest.raises(ValueError):
             quote_qualified_ident(bad)
+
+
+def test_apply_changes_with_schema_evolution(spark):
+    """The envelope carries row images as JSON, so a column added
+    mid-stream must flow through apply_changes and materialize with
+    NULLs for pre-evolution rows — the polling loader's behavior when
+    the source table gains a column between polls."""
+    from pyspark.sql import functions as F
+
+    from streamz_postgres_spark.sources.cdc import apply_changes
+
+    env_rows = [
+        # v1 schema: {id, v}
+        ("c", 1, '{"id":1}', '{"id":1,"v":"a"}'),
+        ("c", 2, '{"id":2}', '{"id":2,"v":"b"}'),
+        # source gains column "extra" between polls
+        ("u", 3, '{"id":1}', '{"id":1,"v":"a2","extra":42}'),
+        ("c", 4, '{"id":3}', '{"id":3,"v":"c","extra":7}'),
+    ]
+    env = spark.createDataFrame(
+        env_rows, "op string, seq long, key string, after string"
+    )
+    state = apply_changes(env, key="key", seq_cols=["seq"])
+    # materialize: schema inferred over ALL surviving row images, so
+    # the evolved column exists and old rows carry NULL
+    schema = spark.range(1).select(
+        F.schema_of_json(
+            F.lit('{"id":1,"v":"a2","extra":42}')
+        )
+    ).first()[0]
+    out = state.select(F.from_json("after", schema).alias("r")).select("r.*")
+    rows = {r["id"]: (r["v"], r["extra"]) for r in out.collect()}
+    assert rows == {1: ("a2", 42), 2: ("b", None), 3: ("c", 7)}
