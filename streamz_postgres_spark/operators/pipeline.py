@@ -73,45 +73,68 @@ def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- token-budget sequence packing ------------------------------------------
 
 _PACK_BUDGET = 512
+_PACK_SHARDS = 8  # hash-shards per lang; at 100 TB set ~ corpus_tokens / (budget * rows_per_window_partition)
+_PACK_SALT = "#pack"
 
 
 @register(
     "q_pack_sequences",
     oracle=f"""
-SELECT doc_id, lang, n_tok,
+SELECT doc_id, lang, shard, n_tok,
        CAST(FLOOR((cum - n_tok) / {_PACK_BUDGET}) AS BIGINT) AS bin
 FROM (
-  SELECT doc_id, lang,
-         len({sql_tokens('text')}) AS n_tok,
-         SUM(len({sql_tokens('text')})) OVER (
-           PARTITION BY lang ORDER BY doc_id
+  SELECT doc_id, lang, shard,
+         n_tok,
+         SUM(n_tok) OVER (
+           PARTITION BY lang, shard ORDER BY doc_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
          ) AS cum
-  FROM documents
+  FROM (
+    SELECT doc_id, lang,
+           {sql_hash60(f"CAST(doc_id AS VARCHAR) || '{_PACK_SALT}'")}
+             % {_PACK_SHARDS} AS shard,
+           len({sql_tokens('text')}) AS n_tok
+    FROM documents
+  ) s
 ) t
 """,
     tags=("pipeline", "window"),
 )
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence packing: concatenate documents (per lang, in stable
-    doc order) and cut the token stream at a fixed budget; each doc
-    is assigned the bin its first token falls in. One running-sum
-    window partitioned by lang — a single balanced shuffle; at 100 TB
-    the partition key becomes (lang, shard) where shard is a
-    hash-bucket of doc_id, keeping every window partition bounded
-    while bins stay deterministic within a shard."""
+    """Sequence packing: concatenate documents (per (lang, shard), in
+    stable doc order) and cut the token stream at a fixed budget;
+    each doc is assigned the bin its first token falls in. The
+    running-sum window partitions on (lang, hash-shard of doc_id) —
+    lang alone has a handful of values, which at 100 TB would funnel
+    a whole language's corpus through one window partition; the
+    deterministic shard bounds every partition while keeping bins
+    reproducible (this per-shard packing is how production packers
+    parallelize: bins are local to a shard, shard x bin is the
+    global sequence id)."""
     d = load_table(spark, sf_dir, "documents")
+    shard = (
+        hash60(F.concat(F.col("doc_id").cast("string"), F.lit(_PACK_SALT)))
+        % _PACK_SHARDS
+    )
     n_tok = F.size(tokens("text"))
     w = (
-        Window.partitionBy("lang")
+        Window.partitionBy("lang", "shard")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return d.select(
         "doc_id",
         "lang",
+        shard.alias("shard"),
         n_tok.alias("n_tok"),
-        F.floor((F.sum(n_tok).over(w) - n_tok) / _PACK_BUDGET).alias("bin"),
+    ).select(
+        "doc_id",
+        "lang",
+        "shard",
+        "n_tok",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / _PACK_BUDGET).alias(
+            "bin"
+        ),
     )
 
 
