@@ -315,3 +315,40 @@ def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn2") <= _KNN_K)
         .select("probe_id", "vec_id", "cosine")
     )
+
+
+# -- distribution-derived quality filter ------------------------------------
+
+_QF_PCT = 0.25
+
+
+@register(
+    "q_quality_filter",
+    oracle=f"""
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE n_chars >= (
+  SELECT quantile_cont(n_chars, {_QF_PCT}) FROM documents
+)
+""",
+    tags=("pipeline", "quality"),
+)
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-derived quality cut: drop the shortest quartile
+    of documents, with the threshold computed FROM the corpus (the
+    two-phase shape every percentile-based quality filter uses at
+    scale: a tiny aggregate job produces the cutoff, broadcast to a
+    full filter pass — never a global sort). Spark's exact
+    interpolated ``percentile`` matches DuckDB's ``quantile_cont``
+    bit-for-bit on integer inputs. At 100 TB swap the exact
+    percentile for ``approx_percentile`` (t-digest) and keep the
+    identical broadcast-filter plan."""
+    d = load_table(spark, sf_dir, "documents")
+    thresh = d.agg(
+        F.expr(f"percentile(n_chars, {_QF_PCT})").alias("cut")
+    )
+    return (
+        d.crossJoin(F.broadcast(thresh))
+        .filter(F.col("n_chars") >= F.col("cut"))
+        .select("doc_id", "lang", "n_chars")
+    )
