@@ -164,3 +164,18 @@ def test_union_and_partition(spark):
     assert u.to_df().count() == a.df.count() + b.df.count()
     batches = s.partition(100, "event_id").sink_to_list()
     assert sum(r.n_events for r in batches) == s.df.count()
+
+
+def test_zip_latest_requires_right_ts(spark):
+    """No silent fallback: when the other stream has no ts_col and
+    right_ts is not passed, zip_latest must raise instead of reusing
+    the left timestamp NAME on the right side."""
+    import pytest
+
+    s = SparkStream.from_events(spark, SF_DIR)
+    clicks = SparkStream(s.df.filter(F.col("event_type") == "click"), "ts")
+    no_ts = SparkStream(
+        s.df.filter(F.col("event_type") == "purchase"), ts_col=None
+    )
+    with pytest.raises(ValueError, match="right_ts"):
+        clicks.zip_latest(no_ts, on="user_id", right_values=["value"])
