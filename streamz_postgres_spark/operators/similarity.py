@@ -335,3 +335,79 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), "vec_id")
         .limit(10)
     )
+
+
+@register(
+    "q_sim_ann_multiprobe",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+         {_sql_norm('embedding')} AS nrm
+  FROM embeddings
+),
+hashed AS (
+  SELECT vec_id, label, e, nrm, {_bucket_sql('e')} AS bucket FROM v
+),
+probe AS (SELECT e AS pe, nrm AS pnrm, bucket AS pbucket
+          FROM hashed WHERE vec_id = {_PROBE_VEC_ID}),
+probe_buckets AS (
+  SELECT pe, pnrm, unnest([pbucket,
+                           xor(pbucket, 1), xor(pbucket, 2),
+                           xor(pbucket, 4), xor(pbucket, 8)]) AS pb
+  FROM probe
+)
+SELECT vec_id, label, bucket,
+       {sql_dot('e', 'pe')} / (nrm * pnrm) AS cosine
+FROM hashed h JOIN probe_buckets p ON h.bucket = p.pb
+WHERE vec_id <> {_PROBE_VEC_ID}
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+""",
+    tags=("similarity", "lsh"),
+)
+def q_sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN: besides the probe's own bucket, also
+    probe the 4 buckets at Hamming distance 1 (one hyperplane sign
+    flipped — the buckets a near neighbor most likely fell into).
+    5 of 16 buckets are scanned instead of 1: the standard
+    recall/cost dial (Lv et al., public algorithm) that makes one
+    hash table behave like several without re-hashing. Plan shape is
+    unchanged — broadcast probe-bucket list, bucket equi-join, exact
+    cosine re-rank, TakeOrdered top-k."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id", "label", F.col("embedding").alias("e"),
+        l2_norm(F.col("embedding")).alias("nrm"),
+    )
+    bucket = None
+    for i, plane in enumerate(_PLANES):
+        pl = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(dot(F.col("e"), pl) >= 0, F.lit(1)).otherwise(F.lit(0))
+        term = bit * F.lit(1 << i)
+        bucket = term if bucket is None else bucket + term
+    hashed = v.withColumn("bucket", bucket)
+    probe = (
+        hashed.filter(F.col("vec_id") == _PROBE_VEC_ID)
+        .select(
+            F.col("e").alias("pe"),
+            F.col("nrm").alias("pnrm"),
+            F.explode(
+                F.array(
+                    F.col("bucket"),
+                    *[
+                        F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                        for i in range(_N_PLANES)
+                    ],
+                )
+            ).alias("pb"),
+        )
+    )
+    cosine = dot(F.col("e"), F.col("pe")) / (F.col("nrm") * F.col("pnrm"))
+    return (
+        hashed.join(F.broadcast(probe), F.col("bucket") == F.col("pb"))
+        .filter(F.col("vec_id") != _PROBE_VEC_ID)
+        .select("vec_id", "label", "bucket", cosine.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(10)
+    )
