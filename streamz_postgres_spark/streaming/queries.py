@@ -328,6 +328,34 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_dedup_watermarked",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    tags=("streaming", "dedup", "watermark"),
+)
+def q_stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION form of streaming dedup:
+    dropDuplicatesWithinWatermark bounds the seen-set by event time —
+    state for a key is dropped once the watermark passes it, which is
+    what makes infinite-stream dedup feasible (plain dropDuplicates
+    state grows forever; streamz ``unique(maxsize)`` bounds by count,
+    this bounds by time). The delay (60d) exceeds the fixture's 30-day
+    span, so no key expires mid-replay and the output is exactly
+    DISTINCT — the same oracle as q_stream_dedup, now with bounded
+    state semantics exercised."""
+    s = replay_events(spark, sf_dir)
+    micros = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    out = (
+        s.withColumn("ts_evt", F.timestamp_micros(micros))
+        .withWatermark("ts_evt", "60 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return run_to_table(out, "append", spark)
+
+
+@register(
     "q_stream_interval_join",
     oracle="""
 SELECT c.event_id AS click_id, c.user_id,
