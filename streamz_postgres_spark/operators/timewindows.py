@@ -171,3 +171,69 @@ def q_partition_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value").alias("sum_value"),
         )
     )
+
+
+@register(
+    "q_funnel",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_type,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts, event_type,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clicks,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_purchases,
+       CAST(CASE WHEN MIN(CASE WHEN event_type = 'click' THEN ts END)
+                      IS NOT NULL
+                  AND MAX(CASE WHEN event_type = 'purchase' THEN ts END)
+                      > MIN(CASE WHEN event_type = 'click' THEN ts END)
+                 THEN 1 ELSE 0 END AS INTEGER) AS converted
+FROM numbered
+GROUP BY user_id, session_id
+""",
+    tags=("time", "session", "funnel"),
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionized conversion funnel: per (user, 30-min session), did
+    a purchase follow a click? Sessionization is Spark's native
+    session_window; the funnel itself is pure conditional
+    aggregation inside the session group — one shuffle total, the
+    composition shape every product-analytics pipeline runs (and a
+    streamz user would hand-build with accumulate + timed state)."""
+    e = load_table(spark, sf_dir, "events")
+    click_ts = F.min(F.when(F.col("event_type") == "click", F.col("ts")))
+    purchase_ts = F.max(F.when(F.col("event_type") == "purchase", F.col("ts")))
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.sum((F.col("event_type") == "click").cast("long")).alias(
+                "n_clicks"
+            ),
+            F.sum((F.col("event_type") == "purchase").cast("long")).alias(
+                "n_purchases"
+            ),
+            F.coalesce(
+                (click_ts.isNotNull() & (purchase_ts > click_ts)).cast("int"),
+                F.lit(0),
+            ).alias("converted"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_clicks",
+            "n_purchases",
+            "converted",
+        )
+    )
