@@ -676,3 +676,154 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nodes = load_table(spark, sf_dir, "embeddings").select("vec_id")
     return connected_components(nodes, pairs)
+
+
+#: frames persisted by the most recent q_minhash_estimate invocation
+_ESTIMATE_CACHE: list = []
+
+
+def _sql_est_jaccard() -> str:
+    terms = " + ".join(
+        f"CASE WHEN sa.m{j} = sb.m{j} THEN 1 ELSE 0 END"
+        for j in range(_N_HASHES)
+    )
+    return f"({terms}) / {float(_N_HASHES)}"
+
+
+@register(
+    "q_minhash_estimate",
+    oracle=f"""
+WITH sig AS ({_sql_minhash_signature()}),
+bands AS (
+  {_sql_band_keys()}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT c.doc_a, c.doc_b, {_sql_est_jaccard()} AS est_jaccard
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b
+),
+shset AS (
+  SELECT DISTINCT doc_id, h1, h2 FROM (
+    SELECT doc_id, {sql_double_hash_parts('shingle')[0]} AS h1,
+           {sql_double_hash_parts('shingle')[1]} AS h2
+    FROM (
+      SELECT doc_id, unnest({sql_shingles(sql_tokens('text'))}) AS shingle
+      FROM documents
+    ) raw
+  ) hashed
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shset GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN shset sa ON sa.doc_id = c.doc_a
+  JOIN shset sb ON sb.doc_id = c.doc_b
+              AND sb.h1 = sa.h1 AND sb.h2 = sa.h2
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT e.doc_a, e.doc_b, e.est_jaccard,
+       CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+         / (za.n_sh + zb.n_sh - COALESCE(i.n_common, 0)) AS jaccard
+FROM est e
+LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+JOIN sizes za ON za.doc_id = e.doc_a
+JOIN sizes zb ON zb.doc_id = e.doc_b
+""",
+    tags=("dedup", "lsh"),
+)
+def q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit: for every banded candidate pair, the
+    MinHash ESTIMATE (fraction of the 16 signature slots that agree)
+    next to the EXACT shingle Jaccard — the query you run before
+    trusting a sketch threshold at 100 TB, where exact verification
+    of every pair is unaffordable but a sampled audit is not. Shares
+    the signature/shingle machinery with q_dedup_minhash verbatim."""
+    while _ESTIMATE_CACHE:
+        _ESTIMATE_CACHE.pop().unpersist()
+    hashed = _hashed_shingles(_exploded_shingles(spark, sf_dir)).persist()
+    _ESTIMATE_CACHE.append(hashed)
+    sig = _minhash_signature(hashed).persist()
+    _ESTIMATE_CACHE.append(sig)
+
+    stack_args = []
+    for b in range(_N_BANDS):
+        key_cols = ", ".join(
+            f"CAST(m{b * _ROWS_PER_BAND + r} AS STRING)"
+            for r in range(_ROWS_PER_BAND)
+        )
+        stack_args.append(f"concat_ws(',', '{b}:', {key_cols})")
+    bands = sig.filter(F.col("m0").isNotNull()).select(
+        "doc_id",
+        F.expr(f"stack({_N_BANDS}, {', '.join(stack_args)})").alias("band_key"),
+    )
+    cand = (
+        bands.join(
+            bands.select(
+                F.col("doc_id").alias("doc_b"), F.col("band_key").alias("bk2")
+            ),
+            (F.col("band_key") == F.col("bk2"))
+            & (F.col("doc_id") < F.col("doc_b")),
+        )
+        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        .distinct()
+    )
+
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"m{j}").alias(f"a{j}") for j in range(_N_HASHES)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"m{j}").alias(f"b{j}") for j in range(_N_HASHES)],
+    )
+    agree = sum(
+        (F.col(f"a{j}") == F.col(f"b{j}")).cast("int") for j in range(_N_HASHES)
+    )
+    est = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            (agree / float(_N_HASHES)).alias("est_jaccard"),
+        )
+    )
+
+    shset = hashed.distinct().persist()
+    _ESTIMATE_CACHE.append(shset)
+    sizes = shset.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    xa = shset.select(F.col("doc_id").alias("doc_a"), "h1", "h2")
+    xb = shset.select(
+        F.col("doc_id").alias("doc_b2"),
+        F.col("h1").alias("h1_b"),
+        F.col("h2").alias("h2_b"),
+    )
+    inter = (
+        cand.join(xa, "doc_a")
+        .join(
+            xb,
+            (F.col("doc_b") == F.col("doc_b2"))
+            & (F.col("h1") == F.col("h1_b"))
+            & (F.col("h2") == F.col("h2_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    n_common = F.coalesce(F.col("n_common"), F.lit(0))
+    jaccard = n_common.cast("double") / (
+        F.col("n_a") + F.col("n_b") - n_common
+    )
+    return (
+        est.join(inter, ["doc_a", "doc_b"], "left")
+        .join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select("doc_a", "doc_b", "est_jaccard", jaccard.alias("jaccard"))
+    )
+
