@@ -141,6 +141,21 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_union_distinct",
     "q_approx_quantile",
     "q_sample",
+    # round-2 additions (never driver-checked; lead the round-3 block)
+    "q_train_split",
+    "q_pack_sequences",
+    "q_stratified_sample",
+    "q_contamination",
+    "q_knn_batch",
+    "q_quality_filter",
+    "q_dedup_clusters",
+    "q_minhash_estimate",
+    "q_text_repetition",
+    "q_text_entropy",
+    "q_sim_ann_multiprobe",
+    "q_funnel",
+    "q_stream_static_join",
+    "q_stream_dedup_watermarked",
 )
 
 
