@@ -566,3 +566,130 @@ def q_zip_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zip_seq(e, o, ["event_id"], ["o_orderkey"]).select(
         "seq", "event_id", "user_id", "value", "o_orderkey", "o_totalprice"
     )
+
+
+#: Fixed bin width for the binned range join. At sf0.01 ranges are
+#: ~2-1000 units wide, so a range spans at most 3 bins; pick the
+#: width per deployment so ranges span O(1) bins while bins stay
+#: fine enough that candidate lists are short.
+_RANGE_BIN = 512.0
+
+
+@register(
+    "q_range_join_binned",
+    oracle=f"""
+SELECT l_returnflag, COUNT(*) AS n_pairs,
+       {sql_dsum('l_extendedprice')} AS sum_point
+FROM lineitem JOIN orders
+  ON l_extendedprice >= o_totalprice
+ AND l_extendedprice <  o_totalprice * 1.002
+GROUP BY l_returnflag
+""",
+    tags=("join", "scale"),
+)
+def q_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large×large non-equi range join via binning (SURVEY §2.7
+    range-predicate parity; the reference's engine would nested-loop
+    this, Catalyst alone would pick BroadcastNestedLoopJoin).
+
+    Point-in-range with NO equi key: each order defines a price range
+    ``[o_totalprice, o_totalprice*1.002)`` and every lineitem price
+    falling inside pairs with it. A raw theta join is O(n*m) and
+    un-shuffleable. The standard scale rewrite: quantize to fixed
+    bins — a point belongs to exactly ONE bin, a range is exploded to
+    the O(1) bins it overlaps — so the cross product becomes a hash
+    equi-join on bin id plus a residual predicate. No pair can meet
+    in two bins (the point's bin is unique), so no dedup is needed.
+
+    At 100 TB both sides shuffle once on bin id; skew only appears if
+    many ranges overlap one bin, which the width parameter controls.
+    The oracle is the textbook theta join — same answer, different
+    physical plan.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_totalprice")
+
+    points = li.withColumn(
+        "bin", F.floor(F.col("l_extendedprice") / F.lit(_RANGE_BIN))
+    )
+    ranges = (
+        o.withColumn("lo", F.col("o_totalprice"))
+        .withColumn("hi", F.col("o_totalprice") * F.lit(1.002))
+        .withColumn(
+            "bin",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("lo") / F.lit(_RANGE_BIN)),
+                    F.floor(F.col("hi") / F.lit(_RANGE_BIN)),
+                )
+            ),
+        )
+    )
+    pairs = points.join(ranges, "bin").filter(
+        (F.col("l_extendedprice") >= F.col("lo"))
+        & (F.col("l_extendedprice") < F.col("hi"))
+    )
+    return pairs.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        dsum("l_extendedprice").alias("sum_point"),
+    )
+
+
+#: Bucket count for the coarse runtime filter: the broadcast side is
+#: at most this many distinct ints regardless of key cardinality.
+_RF_BUCKETS = 8192
+
+
+@register(
+    "q_runtime_filter",
+    oracle=f"""
+SELECT p_brand, COUNT(*) AS n_lines, {sql_dsum('l_extendedprice')} AS sum_price
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_type LIKE 'PROMO%'
+GROUP BY p_brand
+""",
+    tags=("join", "scale"),
+)
+def q_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-style runtime filter: prune the fact scan BEFORE the
+    shuffle join (the pattern behind Spark's own runtime row-group
+    filtering, expressed explicitly).
+
+    When the filtered dim's key set is too large to broadcast as an
+    exact semi-join, broadcast its COARSE image instead: the set of
+    ``hash(key) mod B`` buckets (≤ B ints, bounded regardless of key
+    cardinality — a one-hash Bloom filter). Fact rows whose bucket
+    is absent can't join and are dropped map-side, so the expensive
+    hash shuffle moves only surviving rows. False positives are
+    removed by the exact join that follows — the oracle is the plain
+    join, proving the filter is answer-preserving.
+
+    The prefilter hash is deliberately xxhash64 (JVM, codegen): it
+    never crosses engines, only the final join does.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice"
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type").like("PROMO%"))
+        .select("p_partkey", "p_brand")
+    )
+    buckets = F.broadcast(
+        p.select(
+            F.pmod(F.xxhash64("p_partkey"), F.lit(_RF_BUCKETS)).alias("b")
+        ).distinct()
+    )
+    li_pruned = li.withColumn(
+        "b", F.pmod(F.xxhash64("l_partkey"), F.lit(_RF_BUCKETS))
+    ).join(buckets, "b", "left_semi")
+    return (
+        li_pruned.join(p, li_pruned.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum("l_extendedprice").alias("sum_price"),
+        )
+    )
