@@ -272,3 +272,44 @@ def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("n_orders") >= 12) & (F.col("sum_price") > 500000.0))
     )
+
+
+@register(
+    "q_hll_partial",
+    oracle=None,  # sketch estimates: rows-only check by design
+    tags=("agg", "approx", "scale"),
+)
+def q_hll_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch partial aggregation (Apache DataSketches HLL,
+    SURVEY §2.5 approximate-agg parity).
+
+    The 100 TB cardinality pattern when one pass must serve MANY
+    granularities: build a compact HLL sketch per fine-grained cell
+    (returnflag × linestatus), then roll cells up to coarser groups
+    by sketch UNION — never re-touching the raw data. The fine pass
+    is map-side combinable (sketches merge associatively), the rollup
+    shuffles kilobytes of sketch bytes instead of re-shuffling rows.
+    ``exact_parts`` is computed alongside so the estimate's error is
+    visible in the output (the sketch is deterministic for a given
+    dataset; rows-only check because the estimate is engine-
+    specific)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    fine = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.hll_sketch_agg("l_partkey").alias("sketch"),
+        F.countDistinct("l_partkey").alias("exact_cell"),
+    )
+    return (
+        fine.groupBy("l_returnflag")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_union_agg(F.col("sketch"))
+            ).alias("approx_parts"),
+            F.count(F.lit(1)).alias("n_cells"),
+        )
+        .join(
+            li.groupBy("l_returnflag").agg(
+                F.countDistinct("l_partkey").alias("exact_parts")
+            ),
+            "l_returnflag",
+        )
+    )

@@ -223,3 +223,31 @@ def q_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor("o_totalprice").cast("bigint").alias("price_floor"),
         (F.col("o_orderstatus") == "F").cast("int").alias("is_final"),
     )
+
+
+@register(
+    "q_lateral_posexplode",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ')[1:5] AS toks FROM documents
+)
+SELECT doc_id,
+       generate_subscripts(toks, 1) AS pos,
+       unnest(toks) AS tok
+FROM t
+""",
+    tags=("relational", "lateral"),
+)
+def q_lateral_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinal flatten (LATERAL VIEW posexplode): each document's
+    first five tokens with their 1-based position. The position
+    column is what separates this from plain ``flatten``/explode —
+    order within the array survives the shuffle as data, which is
+    how downstream chunking/packing operators keep token order
+    without any ordered-window dependency. Slicing BEFORE exploding
+    prunes the row blowup at the scan side."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.slice(F.split(F.col("text"), " "), 1, 5)
+    return d.select(
+        "doc_id", F.posexplode(toks).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
