@@ -352,3 +352,198 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_chars") >= F.col("cut"))
         .select("doc_id", "lang", "n_chars")
     )
+
+
+# -- overlapping context-window chunking ------------------------------------
+
+_CHUNK_SIZE = 32
+_CHUNK_STRIDE = 24
+
+
+@register(
+    "q_chunk_overlap",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+c AS (
+  SELECT doc_id, toks, n,
+         unnest(range(1 + CAST(ceil(greatest(n - {_CHUNK_SIZE}, 0) / {float(_CHUNK_STRIDE)}) AS BIGINT))) AS chunk_id
+  FROM t
+)
+SELECT doc_id, chunk_id,
+       least(n - chunk_id * {_CHUNK_STRIDE}, {_CHUNK_SIZE}) AS n_tok,
+       toks[chunk_id * {_CHUNK_STRIDE} + 1] AS head_tok,
+       toks[least(chunk_id * {_CHUNK_STRIDE} + {_CHUNK_SIZE}, n)] AS tail_tok
+FROM c
+""",
+    tags=("pipeline", "chunk"),
+)
+def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking: every document becomes
+    ceil-covering windows of 32 tokens at stride 24 (the 8-token
+    overlap preserves cross-boundary context for training). Chunk
+    COUNT is computed arithmetically and the windows materialize via
+    explode(sequence)+slice — per-row work linear in output size, no
+    self-join, no ordered window, so the op is embarrassingly
+    parallel at any scale. Chunk ids are 0-based and per-document,
+    independent of partitioning."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        tokens("text").alias("toks"),
+        F.size(tokens("text")).alias("n"),
+    )
+    n_chunks = F.lit(1) + F.ceil(
+        F.greatest(F.col("n") - _CHUNK_SIZE, F.lit(0)) / float(_CHUNK_STRIDE)
+    ).cast("bigint")
+    c = t.withColumn(
+        "chunk_id", F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1))
+    )
+    start = F.col("chunk_id") * _CHUNK_STRIDE
+    return c.select(
+        "doc_id",
+        "chunk_id",
+        F.least(F.col("n") - start, F.lit(_CHUNK_SIZE)).alias("n_tok"),
+        F.element_at("toks", (start + 1).cast("int")).alias("head_tok"),
+        F.element_at(
+            "toks", F.least(start + _CHUNK_SIZE, F.col("n")).cast("int")
+        ).alias("tail_tok"),
+    )
+
+
+# -- PII redaction ----------------------------------------------------------
+
+#: RE2/Java-compatible subset: no backslash classes, so the patterns
+#: mean the same thing to Spark (java.util.regex) and DuckDB (RE2).
+_EMAIL_RE = "[a-z0-9.]+@[a-z0-9.]+[a-z]"
+_PHONE_RE = "[+]1-555-[0-9]{4}"
+
+
+@register(
+    "q_pii_scrub",
+    oracle=f"""
+WITH aug AS (
+  SELECT source,
+         text || ' reach me at user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example or +1-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+  FROM documents
+),
+s AS (
+  SELECT source, raw,
+         len(regexp_extract_all(raw, '{_EMAIL_RE}')) AS n_email,
+         len(regexp_extract_all(raw, '{_PHONE_RE}')) AS n_phone,
+         regexp_replace(regexp_replace(raw, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                        '{_PHONE_RE}', '<PHONE>', 'g') AS clean
+  FROM aug
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_email) AS BIGINT) AS emails_redacted,
+       CAST(SUM(n_phone) AS BIGINT) AS phones_redacted,
+       CAST(SUM(len(raw) - len(clean)) AS BIGINT) AS chars_removed
+FROM s
+GROUP BY source
+""",
+    tags=("pipeline", "pii"),
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: find-and-replace emails and phone numbers
+    with typed placeholder tokens, reporting per-source hit counts
+    and byte deltas (the audit trail a compliance pass must emit).
+    The fixtures contain no PII, so both engines AUGMENT each doc
+    with a deterministic synthetic email+phone first — the operator
+    under test is the redaction machinery: pure codegen regexes
+    (patterns restricted to the syntax subset java.util.regex and
+    RE2 interpret identically), one scan, no shuffle before the
+    final small agg. At 100 TB this is scan-bound, exactly as it
+    should be."""
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" reach me at user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    s = d.select(
+        "source",
+        raw.alias("raw"),
+        F.regexp_count(raw, F.lit(_EMAIL_RE)).alias("n_email"),
+        F.regexp_count(raw, F.lit(_PHONE_RE)).alias("n_phone"),
+        F.regexp_replace(
+            F.regexp_replace(raw, _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ).alias("clean"),
+    )
+    return s.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_email").cast("bigint").alias("emails_redacted"),
+        F.sum("n_phone").cast("bigint").alias("phones_redacted"),
+        F.sum(F.length("raw") - F.length("clean"))
+        .cast("bigint")
+        .alias("chars_removed"),
+    )
+
+
+# -- domain-mixture rebalancing ---------------------------------------------
+
+#: Target keep-rate per language (domain). Percents, not floats:
+#: the keep test is pure int arithmetic, identical in both engines.
+_MIX_RATES = {"en": 90, "de": 50, "fr": 50, "es": 70, "zh": 30}
+_MIX_DEFAULT = 50
+_MIX_SALT = "#mix"
+
+_MIX_SQL_CASE = "CASE " + " ".join(
+    f"WHEN lang = '{k}' THEN {v}" for k, v in _MIX_RATES.items()
+) + f" ELSE {_MIX_DEFAULT} END"
+
+
+@register(
+    "q_domain_mix",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, lang, n_chars,
+         {_MIX_SQL_CASE} AS rate,
+         {sql_hash60(f"CAST(doc_id AS VARCHAR) || '{_MIX_SALT}'")} % 100 AS h
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN h < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN h < rate THEN n_chars END) AS BIGINT) AS chars_kept
+FROM w
+GROUP BY lang
+""",
+    tags=("pipeline", "mix"),
+)
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture rebalancing: downsample each domain (language
+    here) to a target keep-rate so the training mixture matches a
+    spec, not the crawl's accidental proportions. Keep/drop is a
+    salted content-hash Bernoulli trial — deterministic, rerun- and
+    partitioning-stable, and independent per doc, so the pass is
+    map-only (the agg below is just the audit readout). Rates live
+    in a tiny literal map compiled into the plan; at 100 TB with
+    thousands of domains it becomes a broadcast weights table joined
+    on domain — same plan shape either way."""
+    d = load_table(spark, sf_dir, "documents")
+    rate = F.lit(_MIX_DEFAULT)
+    for k, v in reversed(_MIX_RATES.items()):
+        rate = F.when(F.col("lang") == k, v).otherwise(rate)
+    h = hash60(F.concat(F.col("doc_id").cast("string"), F.lit(_MIX_SALT))) % 100
+    kept = h < F.col("rate")
+    return (
+        d.select("doc_id", "lang", "n_chars", rate.alias("rate"))
+        .withColumn("kept", kept)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("kept").cast("int")).cast("bigint").alias("n_kept"),
+            F.sum(F.when(F.col("kept"), F.col("n_chars")))
+            .cast("bigint")
+            .alias("chars_kept"),
+        )
+    )
