@@ -261,3 +261,80 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("meta.n_chars").alias("total_bytes"),
     )
+
+
+_FP_SCHEMA = "doc_id long, content_hash string, n_bytes int"
+
+
+def fingerprint_payloads(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Arrow-batched content fingerprint: decode payload, normalize
+    (sorted distinct tokens — the stand-in for decode-to-RGB /
+    resample normalization on real media), md5 the normal form.
+    Python's md5 and the engines' md5 agree byte-for-byte, so the
+    fingerprint is value-checkable cross-engine."""
+    import hashlib
+
+    def fp(b: bytes) -> str:
+        canonical = " ".join(sorted(set(b.decode("utf-8").split(" "))))
+        return hashlib.md5(canonical.encode("utf-8")).hexdigest()
+
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "content_hash": pdf["payload"].map(fp),
+                "n_bytes": pdf["payload"].map(len).astype("int32"),
+            }
+        )
+
+
+@register(
+    "q_multimodal_dedup",
+    oracle="""
+WITH fp AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+           AS content_hash,
+         length(text) AS n_bytes
+  FROM documents
+)
+SELECT content_hash,
+       MIN(doc_id) AS keep_doc_id,
+       COUNT(*) AS n_copies,
+       CAST(SUM(n_bytes) - arg_min(n_bytes, doc_id) AS BIGINT) AS bytes_saved
+FROM fp
+GROUP BY content_hash
+HAVING COUNT(*) > 1
+""",
+    tags=("multimodal", "dedup"),
+)
+def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressable dedup of binary media: fingerprint each
+    payload AFTER decode+normalize (same image re-encoded with
+    different bytes still collides), then one hash shuffle on the
+    16-byte fingerprint — never on payload bytes — keeping the
+    smallest doc_id per group and reporting reclaimable bytes.
+
+    This is the media twin of q_dedup_exact: the fingerprint runs in
+    the Arrow/pandas lane (real decode goes here), the dedup stays
+    relational. At 100 TB the shuffle moves only (id, hash, len)
+    triples — payload bytes stay at rest; storage reclaim then joins
+    the keep-set back against the object store listing."""
+    d = load_table(spark, sf_dir, "documents")
+    media = with_media_columns(d)
+    fp = media.select("doc_id", "payload").mapInPandas(
+        fingerprint_payloads, schema=_FP_SCHEMA
+    )
+    return (
+        fp.groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            (F.sum("n_bytes") - F.min_by("n_bytes", "doc_id"))
+            .cast("bigint")
+            .alias("bytes_saved"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
