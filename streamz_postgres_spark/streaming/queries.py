@@ -394,6 +394,79 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_table(out, "append", spark)
 
 
+@register(
+    "q_stream_join_outer",
+    oracle="""
+SELECT c.event_id AS click_id, c.user_id,
+       p.event_id AS purchase_id, p.value AS purchase_value
+FROM (SELECT * FROM events
+      WHERE event_type = 'click'
+        AND ts < TIMESTAMP '2024-01-29 00:00:00') c
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+""",
+    tags=("streaming", "join", "watermark"),
+)
+def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every click, paired
+    with its within-30-min purchases or a null row if none came.
+    Unlike the inner join, outer emission is watermark-DRIVEN: a
+    click's null row may only surface once the watermark proves no
+    matching purchase can still arrive, so both inputs carry
+    watermarks and the left side is restricted to clicks at least a
+    day older than the replay's end — the availableNow run then
+    flushes every pending state row (Spark keeps running no-data
+    batches while eviction is possible) and the result equals the
+    batch LEFT JOIN the oracle computes. Production keeps the same
+    query without the cutoff and accepts tail rows emitting on the
+    NEXT trigger. State: bounded by watermark + 30-min condition."""
+    s = replay_events(spark, sf_dir)
+    # watermarks require TimestampType; NTZ -> epoch micros ->
+    # instant is tz-free in both directions (same trick as the
+    # watermarked tumbling query), and no timestamp is emitted so
+    # nothing converts back
+    micros = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    # watermark attaches BEFORE the click cutoff filter so the
+    # watermark clock follows the FULL stream (through Jan 30), not
+    # the filtered branch — otherwise the last <cutoff+30min> of
+    # clicks can never be proven match-less and their null rows
+    # would stay in state at termination
+    s = s.withColumn("ts_evt", F.timestamp_micros(micros)).withWatermark(
+        "ts_evt", "1 minute"
+    )
+    clicks = (
+        s.filter(
+            (F.col("event_type") == "click")
+            & (F.col("ts") < F.lit("2024-01-29 00:00:00").cast("timestamp_ntz"))
+        )
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts_evt").alias("c_ts"),
+        )
+    )
+    purchases = (
+        s.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts_evt").alias("p_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    out = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTE")),
+        "left_outer",
+    ).select("click_id", "user_id", "purchase_id", "purchase_value")
+    return run_to_table(out, "append", spark)
+
+
 def _running_totals(
     key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
