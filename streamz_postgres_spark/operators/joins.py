@@ -39,9 +39,15 @@ def asof_join(
     right_ts: str,
     right_values: list[str],
     how: str = "left",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """As-of join: attach to each left row the most recent right row
     (``right_ts <= left_ts``) with the same key(s).
+
+    ``tolerance`` (an SQL interval literal body, e.g. ``'2 HOURS'``)
+    bounds the lookback: a match older than the tolerance is treated
+    as no match (pandas ``merge_asof(tolerance=...)`` semantics).
+    Applied as a post-window null-out, so it adds zero shuffles.
 
     This is the relational form of streamz ``zip_latest(lossless,
     other)`` / ``combine_latest`` (SURVEY.md §2.4): the left stream is
@@ -91,6 +97,13 @@ def asof_join(
         .withColumn("__latest", F.last("__payload", ignorenulls=True).over(w))
         .filter(F.col("__side") == 1)
     )
+    latest = F.col("__latest")
+    if tolerance is not None:
+        in_tol = F.col("__latest.__asof_ts") >= F.col("__ts") - F.expr(
+            f"INTERVAL {tolerance}"
+        )
+        latest = F.when(in_tol, latest)
+    joined = joined.withColumn("__latest", latest)
     out = joined.select(
         *left_cols,
         F.col("__latest.__asof_ts").alias("asof_ts"),
@@ -692,4 +705,54 @@ def q_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
             dsum("l_extendedprice").alias("sum_price"),
         )
+    )
+
+
+@register(
+    "q_asof_tolerance",
+    oracle="""
+WITH clicks AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+), purch AS (
+  SELECT user_id, ts, arg_max(value, event_id) AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, ts
+), raw AS (
+  SELECT c.event_id, c.user_id, c.ts, c.value,
+         p.ts AS asof_ts, p.purchase_value
+  FROM clicks c
+  ASOF LEFT JOIN purch p ON c.user_id = p.user_id AND c.ts >= p.ts
+)
+SELECT event_id, user_id, ts, value,
+       CASE WHEN asof_ts >= ts - INTERVAL 2 HOUR THEN asof_ts END AS asof_ts,
+       CASE WHEN asof_ts >= ts - INTERVAL 2 HOUR THEN purchase_value END
+         AS purchase_value
+FROM raw
+""",
+    tags=("join", "time", "asof"),
+)
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a 2-hour tolerance (pandas merge_asof
+    ``tolerance=`` parity): a stale latest-purchase no longer
+    qualifies — the enrichment is nulled when the most recent match
+    is older than the bound. Same single-shuffle window plan as the
+    unbounded as-of; the tolerance is a codegen null-out, which is
+    why bounded-staleness joins cost nothing extra at scale."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purch = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("purchase_value"))
+    )
+    return asof_join(
+        clicks,
+        purch,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_values=["purchase_value"],
+        tolerance="2 HOURS",
     )
