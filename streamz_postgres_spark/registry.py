@@ -156,6 +156,17 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_funnel",
     "q_stream_static_join",
     "q_stream_dedup_watermarked",
+    # round-2 late additions (continue the round-3 block)
+    "q_range_join_binned",
+    "q_runtime_filter",
+    "q_lateral_posexplode",
+    "q_hll_partial",
+    "q_chunk_overlap",
+    "q_pii_scrub",
+    "q_domain_mix",
+    "q_multimodal_dedup",
+    "q_stream_join_outer",
+    "q_asof_tolerance",
 )
 
 
