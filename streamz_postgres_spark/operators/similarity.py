@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from streamz_postgres_spark.catalog import load_table
+from streamz_postgres_spark.functions.numeric import sql_dsum
 from streamz_postgres_spark.functions.vector import dot, l2_norm, sql_dot, sql_l2_norm
 from streamz_postgres_spark.registry import register
 
@@ -410,4 +411,44 @@ def q_sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", "bucket", cosine.alias("cosine"))
         .orderBy(F.col("cosine").desc(), "vec_id")
         .limit(10)
+    )
+
+
+@register(
+    "q_centroids",
+    oracle=f"""
+WITH ex AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         unnest(embedding) AS v
+  FROM embeddings
+)
+SELECT label, dim,
+       {sql_dsum('CAST(v AS DOUBLE)')} / COUNT(*) AS centroid,
+       COUNT(*) AS n_vecs
+FROM ex
+GROUP BY label, dim
+""",
+    tags=("similarity", "vector"),
+)
+def q_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids — the codebook-training step
+    behind the IVF index (q_sim_ann_ivf consumes exactly this shape)
+    and one Lloyd/k-means iteration's M-step.
+
+    posexplode flattens vectors to (label, dim, value) so the mean is
+    a plain hash aggregation: map-side partial sums collapse each
+    (label, dim) cell within every partition BEFORE the exchange, so
+    shuffle bytes are O(labels × dims), independent of corpus size —
+    the property that makes codebook (re)training over 100 TB of
+    embeddings a cheap job. Sums run through the exact decimal
+    accumulator, so the centroids are bit-identical regardless of
+    partitioning (a re-trained codebook reproduces exactly)."""
+    from streamz_postgres_spark.functions.numeric import dsum
+
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("dim", "v"))
+    return ex.groupBy("label", "dim").agg(
+        (dsum(F.col("v").cast("double")) / F.count(F.lit(1))).alias("centroid"),
+        F.count(F.lit(1)).alias("n_vecs"),
     )

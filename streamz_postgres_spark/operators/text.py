@@ -397,3 +397,36 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.groupBy("doc_id").agg(
         qround(-dsum("term"), 6).alias("entropy_bits")
     )
+
+
+@register(
+    "q_vocab_topk",
+    oracle="""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+)
+SELECT token, COUNT(*) AS n_occurrences
+FROM tok
+GROUP BY token
+ORDER BY n_occurrences DESC, token
+LIMIT 20
+""",
+    tags=("text", "topk"),
+)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary heavy hitters: the 20 most frequent tokens
+    (deterministic tiebreak on the token itself). Two-phase under the
+    hood: map-side partial counts collapse the exploded token stream
+    before the exchange (shuffle bytes ~ vocabulary, not corpus), and
+    the ordered limit runs as TakeOrderedAndProject — per-partition
+    top-20 then a 20-row merge, never a global sort. This is the
+    exact-count baseline a count-min/SpaceSaving sketch would relax
+    when the vocabulary itself stops fitting."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "token")
+        .limit(20)
+    )
