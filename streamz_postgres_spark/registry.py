@@ -167,6 +167,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_multimodal_dedup",
     "q_stream_join_outer",
     "q_asof_tolerance",
+    "q_vocab_topk",
+    "q_centroids",
 )
 
 
