@@ -313,3 +313,47 @@ def q_hll_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_returnflag",
         )
     )
+
+
+_AGG_SALT = 8
+
+
+@register(
+    "q_agg_salted",
+    oracle=f"""
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       {sql_dsum('o_totalprice')} AS sum_price
+FROM orders
+GROUP BY o_orderpriority
+""",
+    tags=("agg", "scale"),
+)
+def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof two-phase aggregation: phase 1 groups on
+    (salt, key) so a pathologically hot key spreads over 8 reduce
+    tasks, phase 2 merges the 8 partials per key — a tiny second
+    shuffle of O(keys × salt) rows. The salt is a hash of the ROW's
+    natural id (not random), so the plan stays deterministic.
+
+    Partials stay in the exact decimal accumulator BETWEEN phases
+    (the cast back to double happens only after the final merge):
+    decimal addition is associative, so the two-phase result is
+    bit-identical to the one-phase oracle — the salting changes the
+    plan, never the answer. The same split is what AQE's skew
+    handling cannot do for aggregations (it splits joins, not aggs),
+    which is why the explicit form matters at 100 TB."""
+    o = load_table(spark, sf_dir, "orders")
+    partial = (
+        o.withColumn(
+            "salt", F.pmod(F.xxhash64("o_orderkey"), F.lit(_AGG_SALT))
+        )
+        .groupBy("o_orderpriority", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("psum"),
+        )
+    )
+    return partial.groupBy("o_orderpriority").agg(
+        F.sum("pn").alias("n_orders"),
+        F.sum("psum").cast("double").alias("sum_price"),
+    )

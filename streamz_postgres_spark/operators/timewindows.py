@@ -237,3 +237,81 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "converted",
         )
     )
+
+
+@register(
+    "q_resample_locf",
+    oracle="""
+WITH u AS (
+  SELECT DISTINCT user_id FROM events WHERE user_id % 10 = 0
+),
+days AS (
+  SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                                TIMESTAMP '2024-01-30',
+                                INTERVAL 1 DAY)) AS day
+),
+closes AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         arg_max(value, event_id) AS close
+  FROM events
+  WHERE user_id % 10 = 0 AND event_type = 'purchase'
+  GROUP BY 1, 2
+),
+grid AS (SELECT u.user_id, d.day FROM u CROSS JOIN days d)
+SELECT g.user_id, strftime(g.day, '%Y-%m-%d') AS day,
+       last_value(c.close IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf
+FROM grid g LEFT JOIN closes c ON g.user_id = c.user_id AND g.day = c.day
+""",
+    tags=("time", "resample"),
+)
+def q_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample to a regular daily grid with
+    last-observation-carried-forward (the gap-fill every metrics /
+    feature-engineering pipeline needs; streamz SDF users hand-roll
+    this with accumulate). Daily close = the value of the day's
+    highest event_id (unique, so the tiebreak is engine-independent).
+
+    The grid is generated by exploding a literal date sequence onto
+    each key — NO join builds it, so there is no cross product
+    anywhere in the plan. Gap-fill is one running
+    ``last(ignorenulls)`` window per key: a single hash shuffle on
+    user_id, linear per-key state. At 100 TB × years of grid the
+    same plan holds; only the sequence bounds (driver-side literals
+    from a tiny min/max pre-query) change. Days leave as ISO strings
+    (DateType is hasher-hostile, see oracle.hostile_output_types)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").filter(
+        (F.col("user_id") % 10 == 0)
+    )
+    day_seq = F.sequence(
+        F.lit("2024-01-01 00:00:00").cast("timestamp_ntz"),
+        F.lit("2024-01-30 00:00:00").cast("timestamp_ntz"),
+        F.expr("INTERVAL 1 DAY"),
+    )
+    grid = (
+        e.select("user_id")
+        .distinct()
+        .withColumn("day", F.explode(day_seq))
+    )
+    closes = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.max_by("value", "event_id").alias("close"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(closes, ["user_id", "day"], "left")
+        .withColumn("value_locf", F.last("close", ignorenulls=True).over(w))
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "value_locf",
+        )
+    )

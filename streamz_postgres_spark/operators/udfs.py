@@ -132,3 +132,75 @@ def q_udtf_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     row per bigram."""
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", F.explode(_make_bigrams()("text")).alias("bigram"))
+
+
+_COGROUP_SCHEMA = (
+    "o_orderkey long, o_totalprice double, n_lines long, line_total double"
+)
+
+
+def _reconcile_order(key, orders_pdf: pd.DataFrame, lines_pdf: pd.DataFrame):
+    """Cogrouped reconciliation for one order key: header fields from
+    the left group, exact-decimal line total from the right (empty
+    sides arrive as empty frames)."""
+    six = Decimal("0.000001")
+    acc = Decimal(0)
+    for x in lines_pdf["l_extendedprice"]:
+        acc += Decimal(float(x)).quantize(six, rounding=ROUND_HALF_EVEN)
+    return pd.DataFrame(
+        {
+            "o_orderkey": [key[0]],
+            "o_totalprice": [
+                float(orders_pdf["o_totalprice"].iloc[0])
+                if len(orders_pdf)
+                else None
+            ],
+            "n_lines": [len(lines_pdf)],
+            "line_total": [float(acc)],
+        }
+    )
+
+
+@register(
+    "q_cogroup",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 16 = 1
+),
+la AS (
+  SELECT l_orderkey, COUNT(*) AS n_lines,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+           AS line_total
+  FROM lineitem WHERE l_orderkey % 16 = 1
+  GROUP BY l_orderkey
+)
+SELECT o.o_orderkey, o.o_totalprice,
+       COALESCE(la.n_lines, 0) AS n_lines,
+       COALESCE(la.line_total, 0.0) AS line_total
+FROM o LEFT JOIN la ON o.o_orderkey = la.l_orderkey
+""",
+    tags=("udf", "cogroup"),
+)
+def q_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas (streamz parity: joining two keyed
+    streams through arbitrary Python): orders and their lineitems
+    meet per order key in ONE pandas function call — both sides
+    hash-shuffle on the key once, then Python sees aligned groups
+    (an empty frame when a side has no rows, covering the
+    outer-join-like cases). The reconciliation itself (header total
+    vs exact-decimal line sum) is the classic use: custom per-entity
+    logic too procedural for SQL. The oracle expresses the same
+    computation relationally, value-checking the cogroup plumbing.
+    At 100 TB this costs exactly one co-partitioned shuffle per side
+    — same exchange plan as the equivalent join."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 16 == 1
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 16 == 1
+    )
+    return (
+        o.groupBy("o_orderkey")
+        .cogroup(li.groupBy("l_orderkey"))
+        .applyInPandas(_reconcile_order, schema=_COGROUP_SCHEMA)
+    )

@@ -169,6 +169,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_asof_tolerance",
     "q_vocab_topk",
     "q_centroids",
+    "q_cogroup",
+    "q_agg_salted",
+    "q_resample_locf",
 )
 
 
