@@ -581,6 +581,43 @@ def q_zip_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def binned_range_join(
+    points: DataFrame,
+    ranges: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_width: float,
+) -> DataFrame:
+    """Large×large non-equi range join (``lo <= point < hi``, no equi
+    key) as a hash equi-join: quantize to fixed bins — a point
+    belongs to exactly ONE bin, a range explodes onto the O(1) bins
+    it overlaps — then join on bin id and apply the residual
+    predicate. No pair can meet in two bins (the point's bin is
+    unique), so no dedup is needed; the rewrite is exactly
+    answer-preserving (property-tested against brute force)."""
+    p = points.withColumn(
+        "__bin", F.floor(F.col(point_col) / F.lit(bin_width))
+    )
+    r = ranges.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / F.lit(bin_width)),
+                F.floor(F.col(hi_col) / F.lit(bin_width)),
+            )
+        ),
+    )
+    return (
+        p.join(r, "__bin")
+        .filter(
+            (F.col(point_col) >= F.col(lo_col))
+            & (F.col(point_col) < F.col(hi_col))
+        )
+        .drop("__bin")
+    )
+
+
 #: Fixed bin width for the binned range join. At sf0.01 ranges are
 #: ~2-1000 units wide, so a range spans at most 3 bins; pick the
 #: width per deployment so ranges span O(1) bins while bins stay
@@ -624,25 +661,11 @@ def q_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o = load_table(spark, sf_dir, "orders").select("o_totalprice")
 
-    points = li.withColumn(
-        "bin", F.floor(F.col("l_extendedprice") / F.lit(_RANGE_BIN))
+    ranges = o.withColumn("lo", F.col("o_totalprice")).withColumn(
+        "hi", F.col("o_totalprice") * F.lit(1.002)
     )
-    ranges = (
-        o.withColumn("lo", F.col("o_totalprice"))
-        .withColumn("hi", F.col("o_totalprice") * F.lit(1.002))
-        .withColumn(
-            "bin",
-            F.explode(
-                F.sequence(
-                    F.floor(F.col("lo") / F.lit(_RANGE_BIN)),
-                    F.floor(F.col("hi") / F.lit(_RANGE_BIN)),
-                )
-            ),
-        )
-    )
-    pairs = points.join(ranges, "bin").filter(
-        (F.col("l_extendedprice") >= F.col("lo"))
-        & (F.col("l_extendedprice") < F.col("hi"))
+    pairs = binned_range_join(
+        li, ranges, "l_extendedprice", "lo", "hi", _RANGE_BIN
     )
     return pairs.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_pairs"),

@@ -391,25 +391,37 @@ def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallel at any scale. Chunk ids are 0-based and per-document,
     independent of partitioning."""
     d = load_table(spark, sf_dir, "documents")
+    return chunk_windows(d, "doc_id", "text", _CHUNK_SIZE, _CHUNK_STRIDE)
+
+
+def chunk_windows(
+    d: DataFrame, id_col: str, text_col: str, size: int, stride: int
+) -> DataFrame:
+    """Overlapping token-window chunking (see q_chunk_overlap): emits
+    (id, chunk_id, n_tok, head_tok, tail_tok) with ceil-covering
+    windows of ``size`` tokens every ``stride``. Property-tested:
+    the windows tile the doc exactly (first starts at 0, consecutive
+    starts differ by stride, the last window reaches the final
+    token)."""
     t = d.select(
-        "doc_id",
-        tokens("text").alias("toks"),
-        F.size(tokens("text")).alias("n"),
+        id_col,
+        tokens(text_col).alias("toks"),
+        F.size(tokens(text_col)).alias("n"),
     )
     n_chunks = F.lit(1) + F.ceil(
-        F.greatest(F.col("n") - _CHUNK_SIZE, F.lit(0)) / float(_CHUNK_STRIDE)
+        F.greatest(F.col("n") - size, F.lit(0)) / float(stride)
     ).cast("bigint")
     c = t.withColumn(
         "chunk_id", F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1))
     )
-    start = F.col("chunk_id") * _CHUNK_STRIDE
+    start = F.col("chunk_id") * stride
     return c.select(
-        "doc_id",
+        id_col,
         "chunk_id",
-        F.least(F.col("n") - start, F.lit(_CHUNK_SIZE)).alias("n_tok"),
+        F.least(F.col("n") - start, F.lit(size)).alias("n_tok"),
         F.element_at("toks", (start + 1).cast("int")).alias("head_tok"),
         F.element_at(
-            "toks", F.least(start + _CHUNK_SIZE, F.col("n")).cast("int")
+            "toks", F.least(start + size, F.col("n")).cast("int")
         ).alias("tail_tok"),
     )
 

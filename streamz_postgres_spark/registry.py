@@ -172,6 +172,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_cogroup",
     "q_agg_salted",
     "q_resample_locf",
+    "q_cdc_scd2",
 )
 
 

@@ -868,3 +868,51 @@ def q_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("key", "$.user_id").cast("long").alias("user_id"),
         F.get_json_object("key", "$.k").cast("long").alias("k"),
     )
+
+
+@register(
+    "q_cdc_scd2",
+    oracle="""
+WITH ch AS (
+  SELECT user_id, event_id AS seq, value AS val,
+         CASE WHEN event_id % 10 = 0 THEN 'd' ELSE 'u' END AS op,
+         lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id)
+           AS next_seq
+  FROM events
+)
+SELECT user_id, seq AS valid_from_seq, next_seq AS valid_to_seq,
+       val AS value,
+       CAST(next_seq IS NULL AS INTEGER) AS is_current
+FROM ch
+WHERE op <> 'd'
+""",
+    tags=("cdc", "scd2"),
+)
+def q_cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history from the CDC envelope: every non-delete
+    change becomes a VERSION row bounded by [its seq, the key's next
+    change seq); the open-ended version is current. A delete closes
+    the prior version (it bounds it via lead) without emitting one —
+    so a deleted key simply has no current row, matching
+    apply_changes' latest-wins semantics on the same stream.
+
+    This is the other canonical CDC consumer next to q_cdc_apply:
+    apply answers "what is the state now", SCD2 answers "what was
+    true when" — an auditable dimension from the same envelope, no
+    extra source support. One hash shuffle on the key + per-key sort
+    for the lead window, the same cost profile as the apply; at
+    100 TB both run incrementally per micro-batch with the open
+    versions as the only carried state."""
+    loader = ParquetReplayLoader(spark, sf_dir, snapshot_cursor=-1)
+    changes = loader.incremental(-1)
+    op = F.when(F.col("event_id") % 10 == 0, "d").otherwise("u")
+    env = to_envelope(changes, ["user_id"], op)
+    w = Window.partitionBy("key").orderBy("seq")
+    hist = env.withColumn("next_seq", F.lead("seq").over(w))
+    return hist.filter(F.col("op") != "d").select(
+        F.get_json_object("key", "$.user_id").cast("long").alias("user_id"),
+        F.col("seq").alias("valid_from_seq"),
+        F.col("next_seq").alias("valid_to_seq"),
+        F.get_json_object("after", "$.value").cast("double").alias("value"),
+        F.col("next_seq").isNull().cast("int").alias("is_current"),
+    )

@@ -203,3 +203,82 @@ def test_prefix_filter_jaccard_matches_brute_force(spark, docs, t):
     }
     want = _brute_jaccard_pairs(docs, t)
     assert got == want
+
+
+# -- binned range join == brute force ---------------------------------------
+
+_points = st.lists(st.integers(-40, 40), min_size=1, max_size=12)
+_ranges = st.lists(
+    st.tuples(st.integers(-40, 40), st.integers(0, 25)),  # (lo, width)
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(points=_points, ranges=_ranges, width=st.sampled_from([1.0, 3.0, 16.0]))
+def test_binned_range_join_matches_brute_force(spark, points, ranges, width):
+    from streamz_postgres_spark.operators.joins import binned_range_join
+
+    pdf = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(points)], "pid int, p double"
+    )
+    rdf = spark.createDataFrame(
+        [(j, float(lo), float(lo + w)) for j, (lo, w) in enumerate(ranges)],
+        "rid int, lo double, hi double",
+    )
+    got = {
+        (r.pid, r.rid)
+        for r in binned_range_join(pdf, rdf, "p", "lo", "hi", width).collect()
+    }
+    want = {
+        (i, j)
+        for i, v in enumerate(points)
+        for j, (lo, w) in enumerate(ranges)
+        if lo <= v < lo + w
+    }
+    assert got == want
+
+
+# -- chunk windows tile the document exactly --------------------------------
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n=st.integers(1, 90),
+    size=st.integers(2, 40),
+    stride_frac=st.integers(1, 40),
+)
+def test_chunk_windows_tile_exactly(spark, n, size, stride_frac):
+    from streamz_postgres_spark.operators.pipeline import chunk_windows
+
+    stride = max(1, min(size, stride_frac))
+    text = " ".join(f"w{i}" for i in range(n))
+    d = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    rows = sorted(
+        chunk_windows(d, "doc_id", "text", size, stride).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    # chunk ids are 0..k-1 dense
+    assert [r.chunk_id for r in rows] == list(range(len(rows)))
+    for r in rows:
+        start = r.chunk_id * stride
+        assert r.n_tok == min(n - start, size) and r.n_tok >= 1
+        assert r.head_tok == f"w{start}"
+        assert r.tail_tok == f"w{min(start + size, n) - 1}"
+    # the windows cover every token index exactly
+    covered = set()
+    for r in rows:
+        start = r.chunk_id * stride
+        covered.update(range(start, start + r.n_tok))
+    assert covered == set(range(n))
+    # minimality: the previous window alone would not have covered n-1
+    if len(rows) > 1:
+        assert (rows[-2].chunk_id * stride) + size < n
