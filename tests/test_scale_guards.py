@@ -151,3 +151,46 @@ def test_connected_components_chain_and_islands(spark):
     for n in (30, 31, 32, 33):
         assert got[n] == 30
     assert got[40] == 40 and got[41] == 41
+
+
+def test_runtime_filter_prunes_before_exchange(spark):
+    """q_runtime_filter must (a) broadcast the coarse bucket set so
+    the prune happens map-side before any fact exchange, and (b) keep
+    filter pushdown into the dim scan."""
+    plan = _plan(spark, "q_runtime_filter")
+    assert plan.count("BroadcastHashJoin") >= 2  # semi-prune + exact join
+    assert "StringStartsWith(p_type,PROMO)" in plan
+
+
+def test_range_join_binned_is_equi_not_nested_loop(spark):
+    """The binned range join must plan as a hash equi-join on bin id,
+    never a nested loop over the cross product."""
+    plan = _plan(spark, "q_range_join_binned")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan  # Broadcast- or ShuffledHashJoin on __bin
+
+
+def test_chunk_overlap_is_map_only(spark):
+    """Chunking must not shuffle: the only work is scan → explode →
+    project (output-linear, embarrassingly parallel)."""
+    from streamz_postgres_spark.plans.scale import explain_summary
+
+    s = explain_summary(REGISTRY["q_chunk_overlap"].spark_fn(spark, SF_DIR))
+    assert s["n_exchanges"] == 0
+
+
+def test_domain_mix_and_pii_scrub_single_scan_agg(spark):
+    """Corpus-hygiene passes are scan + one final agg exchange — no
+    joins, no extra shuffles."""
+    from streamz_postgres_spark.plans.scale import explain_summary
+
+    for key in ("q_domain_mix", "q_pii_scrub"):
+        s = explain_summary(REGISTRY[key].spark_fn(spark, SF_DIR))
+        assert s["joins"] == [], key
+        assert s["n_exchanges"] <= 1, key
+
+
+def test_resample_locf_window_is_key_partitioned(spark):
+    plan = _plan(spark, "q_resample_locf")
+    assert "SinglePartition" not in plan
