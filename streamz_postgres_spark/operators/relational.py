@@ -251,3 +251,65 @@ def q_lateral_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.posexplode(toks).alias("pos0", "tok")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+
+
+#: staged partitioned layouts of the most recent q_partition_prune
+#: invocation — released at the start of the next one (the returned
+#: DataFrame reads the staged files lazily, so the call can't clean
+#: its own; same lifetime pattern as streaming._MATERIALIZE_DIRS)
+_PRUNE_DIRS: list = []
+
+_PRUNE_DAY = "2024-01-15"
+
+
+@register(
+    "q_partition_prune",
+    oracle=f"""
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+FROM events
+WHERE strftime(date_trunc('day', ts), '%Y-%m-%d') = '{_PRUNE_DAY}'
+GROUP BY event_type
+""",
+    tags=("relational", "scale", "storage"),
+)
+def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition pruning end-to-end — the single biggest scan lever
+    at 100 TB (a day-partitioned event lake answers a one-day query
+    by touching 1/365th of the files, before any row is read).
+
+    The query stages the events table as a hive-layout parquet tree
+    partitioned by day (what an ingest job would maintain), then
+    reads it back with a partition-key filter. Catalyst turns the
+    filter into PartitionFilters — directory-level pruning at
+    planning time (see test_scale_guards: the plan must carry the
+    day PartitionFilter, not a post-scan filter). The day column is
+    derived with tz-free date_format on the NTZ timestamp, so the
+    layout and the answer are session-timezone-independent."""
+    import shutil
+    import tempfile
+
+    while _PRUNE_DIRS:
+        shutil.rmtree(_PRUNE_DIRS.pop(), ignore_errors=True)
+
+    staging = tempfile.mkdtemp(prefix="prune_lake_")
+    _PRUNE_DIRS.append(staging)
+    e = load_table(spark, sf_dir, "events")
+    (
+        e.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .select("event_id", "event_type", "value", "day")
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(staging)
+    )
+    lake = spark.read.parquet(staging)
+    return (
+        lake.filter(F.col("day") == _PRUNE_DAY)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )

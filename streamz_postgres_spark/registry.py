@@ -173,6 +173,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_agg_salted",
     "q_resample_locf",
     "q_cdc_scd2",
+    "q_partition_prune",
 )
 
 

@@ -194,3 +194,11 @@ def test_domain_mix_and_pii_scrub_single_scan_agg(spark):
 def test_resample_locf_window_is_key_partitioned(spark):
     plan = _plan(spark, "q_resample_locf")
     assert "SinglePartition" not in plan
+
+
+def test_partition_prune_uses_partition_filters(spark):
+    """The day predicate must prune at the DIRECTORY level
+    (PartitionFilters), not as a post-scan row filter."""
+    plan = _plan(spark, "q_partition_prune")
+    assert "PartitionFilters" in plan
+    assert "2024-01-15" in plan
