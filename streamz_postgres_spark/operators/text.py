@@ -430,3 +430,104 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), "token")
         .limit(20)
     )
+
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@register(
+    "q_text_bm25",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+n AS (SELECT COUNT(*) AS n_docs,
+             CAST(SUM(CAST(len(string_split(text, ' ')) AS DECIMAL(38,6)))
+                  AS DOUBLE) / COUNT(*) AS avgdl
+      FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, dl.dl,
+         {sql_qround('LN((CAST(n.n_docs AS DOUBLE) - df.df + 0.5) / (df.df + 0.5) + 1.0)', 6)}
+           * (tf.tf * CAST({_BM25_K1} + 1.0 AS DOUBLE))
+           / (tf.tf + CAST({_BM25_K1} AS DOUBLE)
+              * (CAST(1.0 - {_BM25_B} AS DOUBLE)
+                 + CAST({_BM25_B} AS DOUBLE) * dl.dl / n.avgdl))
+           AS bm25
+  FROM tf
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN df ON tf.token = df.token
+  CROSS JOIN n
+)
+SELECT doc_id, token, tf, dl, bm25
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY bm25 DESC, token) AS rn
+  FROM scored
+) ranked
+WHERE rn <= 3 AND doc_id < 100
+""",
+    tags=("text", "retrieval"),
+)
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 term scoring (k1=1.2, b=0.75) — the retrieval-
+    standard upgrade of tf-idf: term saturation via k1 and document-
+    length normalization against the corpus average. Same plan shape
+    as q_text_tfidf plus one per-doc length join; df and the
+    (n_docs, avgdl) singleton broadcast, so the corpus-side cost is
+    one exploded-token pass. The idf goes through qround (ln differs
+    by ulps across engines); everything after is plain IEEE
+    arithmetic on exact inputs, so scores hash-match. avgdl uses the
+    exact decimal mean — partition-order-independent. Gotcha baked
+    into the oracle: DuckDB parses bare numeric literals as exact
+    DECIMALs (1.2 + 1.0 = exactly 2.2), while the Spark side folds
+    them as binary doubles — every constant in the oracle is CAST to
+    DOUBLE so both engines multiply by the same inexact 2.2."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    n = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (dsum(F.size(tokens("text")).cast("double")) / F.count(F.lit(1))).alias(
+            "avgdl"
+        ),
+    )
+    idf = qround(
+        F.log(
+            (F.col("n_docs").cast("double") - F.col("df") + 0.5)
+            / (F.col("df") + 0.5)
+            + 1.0
+        ),
+        6,
+    )
+    k1, b = _BM25_K1, _BM25_B
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(tok.groupBy("token").agg(
+            F.countDistinct("doc_id").alias("df"))), "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "dl",
+            (
+                idf
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("bm25"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("bm25").desc(), "token")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") <= 3) & (F.col("doc_id") < 100))
+        .select("doc_id", "token", "tf", "dl", "bm25")
+    )

@@ -174,6 +174,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_resample_locf",
     "q_cdc_scd2",
     "q_partition_prune",
+    "q_text_bm25",
 )
 
 
