@@ -395,16 +395,24 @@ def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def chunk_windows(
-    d: DataFrame, id_col: str, text_col: str, size: int, stride: int
+    d: DataFrame,
+    id_col: str,
+    text_col: str,
+    size: int,
+    stride: int,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Overlapping token-window chunking (see q_chunk_overlap): emits
-    (id, chunk_id, n_tok, head_tok, tail_tok) with ceil-covering
-    windows of ``size`` tokens every ``stride``. Property-tested:
-    the windows tile the doc exactly (first starts at 0, consecutive
-    starts differ by stride, the last window reaches the final
-    token)."""
+    (id, *carry, chunk_id, n_tok, head_tok, tail_tok) with
+    ceil-covering windows of ``size`` tokens every ``stride``.
+    ``carry`` columns ride along through the explode so callers never
+    need a post-chunk rejoin (which would cost a shuffle).
+    Property-tested: the windows tile the doc exactly (first starts
+    at 0, consecutive starts differ by stride, the last window
+    reaches the final token)."""
     t = d.select(
         id_col,
+        *carry,
         tokens(text_col).alias("toks"),
         F.size(tokens(text_col)).alias("n"),
     )
@@ -417,6 +425,7 @@ def chunk_windows(
     start = F.col("chunk_id") * stride
     return c.select(
         id_col,
+        *carry,
         "chunk_id",
         F.least(F.col("n") - start, F.lit(size)).alias("n_tok"),
         F.element_at("toks", (start + 1).cast("int")).alias("head_tok"),
@@ -557,5 +566,111 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("kept"), F.col("n_chars")))
             .cast("bigint")
             .alias("chars_kept"),
+        )
+    )
+
+
+# -- end-to-end corpus build ------------------------------------------------
+
+_CORPUS_MIN_TOK = 20
+
+
+@register(
+    "q_corpus_pipeline",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, text,
+         len(string_split(text, ' ')) AS n_tok,
+         array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')
+           AS canonical
+  FROM documents
+),
+quality AS (SELECT * FROM scored WHERE n_tok >= {_CORPUS_MIN_TOK}),
+deduped AS (
+  SELECT doc_id, text, n_tok
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY canonical ORDER BY doc_id) AS rn
+    FROM quality
+  ) t WHERE rn = 1
+),
+split AS (
+  SELECT doc_id, n_tok,
+         CASE WHEN h < {_TRAIN_PCT} THEN 'train'
+              WHEN h < {_TRAIN_PCT + _VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT *,
+           {sql_hash60(f"CAST(doc_id AS VARCHAR) || '{_SPLIT_SALT}'")} % 100 AS h
+    FROM deduped
+  ) s
+),
+chunks AS (
+  SELECT doc_id, split,
+         unnest(range(1 + CAST(ceil(greatest(n_tok - {_CHUNK_SIZE}, 0)
+                                    / {float(_CHUNK_STRIDE)}) AS BIGINT)))
+           AS chunk_id,
+         n_tok
+  FROM split
+)
+SELECT split,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(least(n_tok - chunk_id * {_CHUNK_STRIDE}, {_CHUNK_SIZE}))
+            AS BIGINT) AS sum_chunk_tokens
+FROM chunks
+GROUP BY split
+""",
+    tags=("pipeline", "flagship"),
+)
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus build END TO END in one Catalyst plan — the
+    flagship of the extension block: quality gate (min token count)
+    → exact dedup (canonical form, min-doc_id winner) → deterministic
+    train/val/test split (salted hash) → overlapping chunking, with
+    per-split document/chunk/token accounting as the audit readout.
+
+    Composition is the point: each stage is the library operator the
+    standalone queries check individually (same constants, same
+    helpers), and because every stage is declarative the optimizer
+    sees ONE plan — the quality filter runs inside the scan, the
+    dedup is the only wide shuffle, the split adds zero exchanges,
+    chunking is output-linear explode. This mirrors how production
+    corpus builds should compose at 100 TB: not four jobs with four
+    materializations, one plan with one shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "text",
+        F.size(tokens("text")).alias("n_tok"),
+        F.array_join(F.array_sort(F.array_distinct(tokens("text"))), " ").alias(
+            "canonical"
+        ),
+    )
+    quality = scored.filter(F.col("n_tok") >= _CORPUS_MIN_TOK)
+    w = Window.partitionBy("canonical").orderBy("doc_id")
+    deduped = (
+        quality.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text", "n_tok")
+    )
+    h = hash60(F.concat(F.col("doc_id").cast("string"), F.lit(_SPLIT_SALT))) % 100
+    split = deduped.select(
+        "doc_id",
+        "text",
+        "n_tok",
+        F.when(h < _TRAIN_PCT, "train")
+        .when(h < _TRAIN_PCT + _VAL_PCT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    chunks = chunk_windows(
+        split, "doc_id", "text", _CHUNK_SIZE, _CHUNK_STRIDE, carry=("split",)
+    )
+    return (
+        chunks.groupBy("split")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_tok").cast("bigint").alias("sum_chunk_tokens"),
         )
     )

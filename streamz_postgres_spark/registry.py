@@ -175,6 +175,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_cdc_scd2",
     "q_partition_prune",
     "q_text_bm25",
+    "q_corpus_pipeline",
 )
 
 
