@@ -633,10 +633,13 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     standalone queries check individually (same constants, same
     helpers), and because every stage is declarative the optimizer
     sees ONE plan — the quality filter runs inside the scan, the
-    dedup is the only wide shuffle, the split adds zero exchanges,
-    chunking is output-linear explode. This mirrors how production
-    corpus builds should compose at 100 TB: not four jobs with four
-    materializations, one plan with one shuffle."""
+    dedup is the only DATA-sized shuffle, the split adds zero
+    exchanges, chunking is output-linear explode with the split
+    label carried through (no rejoin), and the closing audit agg
+    exchanges O(splits) rows. This mirrors how production corpus
+    builds should compose at 100 TB: not four jobs with four
+    materializations, one plan whose only wide exchange is the
+    dedup (guard-tested: zero joins, ≤3 exchanges)."""
     d = load_table(spark, sf_dir, "documents")
     scored = d.select(
         "doc_id",

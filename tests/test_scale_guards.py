@@ -202,3 +202,15 @@ def test_partition_prune_uses_partition_filters(spark):
     plan = _plan(spark, "q_partition_prune")
     assert "PartitionFilters" in plan
     assert "2024-01-15" in plan
+
+
+def test_corpus_pipeline_single_wide_shuffle(spark):
+    """The end-to-end corpus build must compose without any join and
+    with the dedup as the only data-sized exchange (the final
+    accounting agg moves O(splits) rows)."""
+    from streamz_postgres_spark.plans.scale import explain_summary
+
+    s = explain_summary(REGISTRY["q_corpus_pipeline"].spark_fn(spark, SF_DIR))
+    assert s["joins"] == []
+    assert s["n_exchanges"] <= 3
+    assert s["single_partition_windows"] is False
