@@ -489,7 +489,12 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens("text")).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # dl = one more pass over tf (already doc_id-partitioned), NOT a
+    # second aggregation of the exploded token stream + join back —
+    # saves a full-corpus exchange; the window shares its partitioning
+    # with the final rank window
+    dl_w = Window.partitionBy("doc_id")
+    tf = tf.withColumn("dl", F.sum("tf").over(dl_w))
     n = d.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (dsum(F.size(tokens("text")).cast("double")) / F.count(F.lit(1))).alias(
@@ -506,8 +511,7 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     k1, b = _BM25_K1, _BM25_B
     scored = (
-        tf.join(dl, "doc_id")
-        .join(F.broadcast(tok.groupBy("token").agg(
+        tf.join(F.broadcast(tok.groupBy("token").agg(
             F.countDistinct("doc_id").alias("df"))), "token")
         .crossJoin(F.broadcast(n))
         .select(
