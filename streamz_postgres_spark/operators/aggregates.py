@@ -357,3 +357,40 @@ def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n_orders"),
         F.sum("psum").cast("double").alias("sum_price"),
     )
+
+
+@register(
+    "q_grouping_id",
+    oracle=f"""
+SELECT o_orderstatus, o_orderpriority,
+       GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid,
+       CASE GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+            WHEN 0 THEN 'cell' WHEN 1 THEN 'status_total'
+            ELSE 'grand_total' END AS level,
+       COUNT(*) AS n_orders, {sql_dsum('o_totalprice')} AS sum_price
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+""",
+    tags=("agg", "rollup"),
+)
+def q_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grouping() metadata on a rollup: the bitmask that tells
+    subtotal rows apart from data cells whose key happens to be NULL
+    — required for correct downstream consumption of any
+    rollup/cube result (a NULL status cell and the status total are
+    indistinguishable without it). Both engines compute the same
+    explicit grouping(a)*2+grouping(b) bitmask; the level label is
+    derived from it identically."""
+    o = load_table(spark, sf_dir, "orders")
+    gid = (F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority")).cast(
+        "bigint"
+    )
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        gid.alias("gid"),
+        F.when(gid == 0, "cell")
+        .when(gid == 1, "status_total")
+        .otherwise("grand_total")
+        .alias("level"),
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("sum_price"),
+    )

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from streamz_postgres_spark.catalog import load_table
@@ -451,4 +451,142 @@ def q_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ex.groupBy("label", "dim").agg(
         (dsum(F.col("v").cast("double")) / F.count(F.lit(1))).alias("centroid"),
         F.count(F.lit(1)).alias("n_vecs"),
+    )
+
+
+_IVFB_PROBE_MOD = 100  # vec_id % 100 == 7 -> 5 probes at sf0.01
+_IVFB_K = 5
+
+
+@register(
+    "q_knn_ivf_batch",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+         {_sql_norm('embedding')} AS nrm
+  FROM embeddings
+),
+c AS (
+  SELECT vec_id AS cent_id, e AS ce, nrm AS cnrm
+  FROM v WHERE vec_id < {_IVF_N_CELLS}
+),
+scored AS (
+  SELECT v.vec_id, v.e, v.nrm, c.cent_id,
+         {sql_dot('v.e', 'c.ce')} / (v.nrm * c.cnrm) AS csim
+  FROM v, c
+),
+assigned AS (
+  SELECT vec_id, e, nrm, cent_id AS cell FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
+    FROM scored
+  ) r WHERE rn = 1
+),
+pcells AS (
+  SELECT vec_id AS probe_id, cent_id AS pcell FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
+    FROM scored WHERE vec_id % {_IVFB_PROBE_MOD} = 7
+  ) r WHERE rn <= {_IVF_NPROBE}
+),
+probe AS (
+  SELECT vec_id AS probe_id, e AS pe, nrm AS pnrm
+  FROM v WHERE vec_id % {_IVFB_PROBE_MOD} = 7
+)
+SELECT probe_id, vec_id, cell, cosine FROM (
+  SELECT p.probe_id, a.vec_id, a.cell,
+         {sql_dot('a.e', 'p.pe')} / (a.nrm * p.pnrm) AS cosine,
+         row_number() OVER (
+           PARTITION BY p.probe_id
+           ORDER BY {sql_dot('a.e', 'p.pe')} / (a.nrm * p.pnrm) DESC, a.vec_id
+         ) AS rn
+  FROM assigned a
+  JOIN pcells pc ON a.cell = pc.pcell
+  JOIN probe p ON p.probe_id = pc.probe_id
+  WHERE a.vec_id <> p.probe_id
+) t
+WHERE rn <= {_IVFB_K}
+""",
+    tags=("similarity", "ivf", "pipeline"),
+)
+def q_knn_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched ANN retrieval through the IVF index: every probe in
+    the batch searches only its nprobe=2 nearest cells, with exact
+    cosine re-ranking of the candidates — q_sim_ann_ivf's index
+    strategy × q_knn_batch's many-probes shape, the plan a vector
+    store executes for a retrieval batch.
+
+    Scale shape: cell assignment is the broadcast-codebook argmax
+    (map-side combinable, precomputed as a partition column in
+    production); the probe→cell map is tiny and broadcast, so the
+    candidate generation is ONE equi-join on cell id touching
+    ~nprobe/n_cells of the corpus; per-probe top-k is the two-phase
+    window (partition-local then global) so no task ever sees a
+    whole probe's candidate set."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id",
+        F.col("embedding").alias("e"),
+        l2_norm(F.col("embedding")).alias("nrm"),
+    )
+    cents = F.broadcast(
+        v.filter(F.col("vec_id") < _IVF_N_CELLS).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("e").alias("ce"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+    csim = dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cnrm"))
+    scored = v.crossJoin(cents).withColumn("csim", csim)
+    best = F.max(
+        F.struct(F.col("csim").alias("c"), (-F.col("cent_id")).alias("nc"))
+    ).alias("best")
+    assigned = (
+        scored.groupBy("vec_id")
+        .agg(best, F.any_value("e").alias("e"), F.any_value("nrm").alias("nrm"))
+        .select("vec_id", "e", "nrm", (-F.col("best.nc")).alias("cell"))
+    )
+
+    is_probe = F.col("vec_id") % _IVFB_PROBE_MOD == 7
+    w_cells = Window.partitionBy("vec_id").orderBy(
+        F.col("csim").desc(), "cent_id"
+    )
+    pcells = F.broadcast(
+        scored.filter(is_probe)
+        .withColumn("rn", F.row_number().over(w_cells))
+        .filter(F.col("rn") <= _IVF_NPROBE)
+        .select(F.col("vec_id").alias("probe_id"), F.col("cent_id").alias("pcell"))
+    )
+    probe = F.broadcast(
+        v.filter(is_probe).select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("e").alias("pe"),
+            F.col("nrm").alias("pnrm"),
+        )
+    )
+    cosine = dot(F.col("e"), F.col("pe")) / (F.col("nrm") * F.col("pnrm"))
+    cands = (
+        assigned.join(pcells, assigned.cell == pcells.pcell)
+        .join(probe, "probe_id")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            "cell",
+            cosine.alias("cosine"),
+            F.spark_partition_id().alias("__pid"),
+        )
+    )
+    w_local = Window.partitionBy("probe_id", "__pid").orderBy(
+        F.col("cosine").desc(), "vec_id"
+    )
+    w_global = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine").desc(), "vec_id"
+    )
+    return (
+        cands.withColumn("__rn", F.row_number().over(w_local))
+        .filter(F.col("__rn") <= _IVFB_K)
+        .withColumn("__rn2", F.row_number().over(w_global))
+        .filter(F.col("__rn2") <= _IVFB_K)
+        .select("probe_id", "vec_id", "cell", "cosine")
     )

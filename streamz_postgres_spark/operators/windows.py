@@ -277,3 +277,56 @@ def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("ts", "event_id").alias("latest_ts"),
         F.max("event_id").alias("latest_event_id"),
     )
+
+
+@register(
+    "q_window_ignore_nulls",
+    oracle="""
+WITH v AS (
+  SELECT user_id, event_id,
+         CASE WHEN event_type = 'purchase' THEN value END AS v
+  FROM events WHERE user_id % 25 = 0
+)
+SELECT user_id, event_id, v,
+       lag(v IGNORE NULLS) OVER w AS prev_purchase,
+       first_value(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS first_purchase
+FROM v
+WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+""",
+    tags=("window", "nulls"),
+)
+def q_window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS analytics over a sparse measure (purchase value
+    on a mixed event stream): "most recent purchase before this
+    event" and "first purchase so far" — the gap-bridging lookups
+    sessionization and attribution rely on. Spark expresses
+    lag-ignore-nulls as ``last(ignorenulls) over rows(-inf, -1)``
+    (identical semantics: latest non-null strictly before the
+    current row); both forms stay one key-partitioned window —
+    linear state, one shuffle."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 25 == 0)
+    v = e.select(
+        "user_id",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias("v"),
+    )
+    prev_w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run_w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return v.select(
+        "user_id",
+        "event_id",
+        "v",
+        F.last("v", ignorenulls=True).over(prev_w).alias("prev_purchase"),
+        F.first("v", ignorenulls=True).over(run_w).alias("first_purchase"),
+    )

@@ -176,6 +176,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_partition_prune",
     "q_text_bm25",
     "q_corpus_pipeline",
+    "q_window_ignore_nulls",
+    "q_grouping_id",
+    "q_knn_ivf_batch",
 )
 
 
