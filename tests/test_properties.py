@@ -282,3 +282,33 @@ def test_chunk_windows_tile_exactly(spark, n, size, stride_frac):
     # minimality: the previous window alone would not have covered n-1
     if len(rows) > 1:
         assert (rows[-2].chunk_id * stride) + size < n
+
+
+# -- asof tolerance == brute force with staleness bound ---------------------
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(left=_left_rows, right=_right_rows, tol=st.integers(0, 20))
+def test_asof_tolerance_matches_brute_force(spark, left, right, tol):
+    ldf = spark.createDataFrame(
+        [(i, k, _BASE + dt.timedelta(minutes=m)) for i, (k, m) in enumerate(left)],
+        "idx int, k int, ts timestamp_ntz",
+    )
+    rdf = spark.createDataFrame(
+        [(k, _BASE + dt.timedelta(minutes=m), float(m)) for k, m in right],
+        "k int, ts timestamp_ntz, v double",
+    )
+    got = {
+        r.idx: (r.asof_ts - _BASE).total_seconds() / 60 if r.asof_ts else None
+        for r in asof_join(
+            ldf, rdf, "k", "ts", "ts", ["v"], tolerance=f"{tol} MINUTES"
+        ).collect()
+    }
+    want = {}
+    for i, (k, lt) in enumerate(left):
+        best = _brute_force([(k, lt)], right)[0]
+        want[i] = float(best) if best is not None and lt - best <= tol else None
+    assert got == want
