@@ -179,6 +179,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_window_ignore_nulls",
     "q_grouping_id",
     "q_knn_ivf_batch",
+    "q_stream_funnel",
 )
 
 

@@ -916,3 +916,72 @@ def q_cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("after", "$.value").cast("double").alias("value"),
         F.col("next_seq").isNull().cast("int").alias("is_current"),
     )
+
+
+@register(
+    "q_stream_funnel",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_type,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts, event_type,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clicks,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_purchases,
+       CAST(CASE WHEN MIN(CASE WHEN event_type = 'click' THEN ts END)
+                      IS NOT NULL
+                  AND MAX(CASE WHEN event_type = 'purchase' THEN ts END)
+                      > MIN(CASE WHEN event_type = 'click' THEN ts END)
+                 THEN 1 ELSE 0 END AS INTEGER) AS converted
+FROM numbered
+GROUP BY user_id, session_id
+""",
+    tags=("streaming", "session", "funnel"),
+)
+def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The conversion funnel as a LIVE streaming query: session
+    windows merge in the state store as events arrive, and the
+    click→purchase conversion flag is conditional aggregation inside
+    each session — the real-time form of q_funnel, checked against
+    the identical batch oracle. Production adds a watermark to close
+    sessions and emit them incrementally (update mode); the bounded
+    replay runs complete mode so the final state equals batch
+    semantics exactly."""
+    s = replay_events(spark, sf_dir)
+    click_ts = F.min(F.when(F.col("event_type") == "click", F.col("ts")))
+    purchase_ts = F.max(F.when(F.col("event_type") == "purchase", F.col("ts")))
+    out = (
+        s.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.sum((F.col("event_type") == "click").cast("long")).alias(
+                "n_clicks"
+            ),
+            F.sum((F.col("event_type") == "purchase").cast("long")).alias(
+                "n_purchases"
+            ),
+            F.coalesce(
+                (click_ts.isNotNull() & (purchase_ts > click_ts)).cast("int"),
+                F.lit(0),
+            ).alias("converted"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_clicks",
+            "n_purchases",
+            "converted",
+        )
+    )
+    return run_to_table(out, "complete", spark)
