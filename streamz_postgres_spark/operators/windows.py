@@ -330,3 +330,78 @@ def q_window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("v", ignorenulls=True).over(prev_w).alias("prev_purchase"),
         F.first("v", ignorenulls=True).over(run_w).alias("first_purchase"),
     )
+
+
+@register(
+    "q_anomaly_zscore",
+    oracle="""
+WITH v AS (
+  SELECT user_id, event_id, value FROM events
+  WHERE user_id % 5 = 0 AND event_type = 'purchase'
+),
+stats AS (
+  SELECT user_id, event_id, value,
+         COUNT(value) OVER w AS n_prev,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS s1,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))
+                  * CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS s2
+  FROM v
+  WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, event_id, value, n_prev,
+       CASE WHEN n_prev >= 4
+                 AND (s2 - s1 * s1 / n_prev) / (n_prev - 1) > 0.0
+            THEN CAST(abs(value - s1 / n_prev)
+                      / sqrt((s2 - s1 * s1 / n_prev) / (n_prev - 1))
+                      > 2.0 AS INTEGER)
+            ELSE 0 END AS is_anomaly
+FROM stats
+""",
+    tags=("window", "anomaly"),
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flag: each purchase compared against
+    the user's trailing 10-purchase window (mean/std from exact
+    decimal power sums, so the flag is partition-order-independent
+    and engine-exact — a float rolling variance would make anomaly
+    flags flap between runs). Warm-up (<4 prior points) and
+    zero-variance windows emit 0 rather than dividing by nothing.
+    One key-partitioned window, linear state — the batch form of the
+    streaming monitor a per-key stateful fold would maintain."""
+    e = load_table(spark, sf_dir, "events").filter(
+        (F.col("user_id") % 5 == 0) & (F.col("event_type") == "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(-10, -1)
+    )
+    dec = F.col("value").cast(_DEC)
+    n_prev = F.count("value").over(w)
+    s1 = F.sum(dec).over(w).cast("double")
+    s2 = F.sum(dec * dec).over(w).cast("double")
+    stats = e.select(
+        "user_id",
+        "event_id",
+        "value",
+        n_prev.alias("n_prev"),
+        s1.alias("s1"),
+        s2.alias("s2"),
+    )
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n_prev")) / (
+        F.col("n_prev") - 1
+    )
+    z_flag = (
+        F.abs(F.col("value") - F.col("s1") / F.col("n_prev")) / F.sqrt(var)
+        > 2.0
+    ).cast("int")
+    return stats.select(
+        "user_id",
+        "event_id",
+        "value",
+        "n_prev",
+        F.when((F.col("n_prev") >= 4) & (var > 0.0), z_flag)
+        .otherwise(0)
+        .alias("is_anomaly"),
+    )

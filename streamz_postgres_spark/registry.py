@@ -180,6 +180,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_grouping_id",
     "q_knn_ivf_batch",
     "q_stream_funnel",
+    "q_anomaly_zscore",
 )
 
 
