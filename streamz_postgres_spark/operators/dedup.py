@@ -610,6 +610,7 @@ def connected_components(
     ).localCheckpoint(eager=True)
     prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
     for _ in range(max_iters):
+        prev_labels = labels
         nb = (
             edges.join(labels, edges["w"] == labels["vec_id"])
             .groupBy("u")
@@ -633,9 +634,18 @@ def connected_components(
         )
         new_sum = new_labels.agg(F.sum("cluster_id")).collect()[0][0]
         labels = new_labels
+        # new_labels is eagerly materialized from its own checkpoint
+        # blocks, so the previous round's blocks are dead weight —
+        # release them now instead of accumulating one checkpointed
+        # copy of the label table per round in executor storage
+        # (verify/bench loops invoke this query repeatedly).
+        prev_labels.unpersist()
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
+    # the final labels frame is returned lazily: its blocks must
+    # outlive this call, so park it for the NEXT invocation's sweep
+    _CLUSTER_CACHE.append(labels)
     return labels
 
 

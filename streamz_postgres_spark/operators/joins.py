@@ -114,13 +114,29 @@ def asof_join(
     return out
 
 
-#: range-partitioned frames persisted by the most recent with_seq
-#: invocations (released at the start of the next one — the returned
-#: DataFrame is lazy, so the cache must outlive this call).
+#: range-partitioned frames persisted by the most recent TOP-LEVEL
+#: seq operation (released at the start of the next one — the
+#: returned DataFrame is lazy, so the cache must outlive this call).
+#: zip_seq holds TWO with_seq bases at once, so release is scoped to
+#: the whole operation, never per with_seq call: draining between the
+#: two calls would unpersist the left base before execution, letting
+#: the RangePartitioner re-sample a different layout than the one
+#: pass 1's offsets were computed for (duplicate/missing seq values).
 _SEQ_CACHE: list[DataFrame] = []
 
 
-def with_seq(df: DataFrame, order_by: list[Column | str], name: str = "seq") -> DataFrame:
+def _release_seq_cache() -> None:
+    while _SEQ_CACHE:
+        _SEQ_CACHE.pop().unpersist()
+
+
+def with_seq(
+    df: DataFrame,
+    order_by: list[Column | str],
+    name: str = "seq",
+    *,
+    fresh: bool = True,
+) -> DataFrame:
     """Attach a 1-based position column according to ``order_by``.
 
     Two-pass partition-offset form — the 100 TB path for positional
@@ -144,9 +160,11 @@ def with_seq(df: DataFrame, order_by: list[Column | str], name: str = "seq") -> 
     The range exchange is persisted so pass 1's counts and pass 2's
     enumeration see the same physical layout (RangePartitioner
     re-samples per materialization; persisting pins the pids).
+    ``fresh=False`` (zip_seq's inner calls) keeps earlier bases from
+    the same top-level operation alive instead of draining them.
     """
-    while _SEQ_CACHE:
-        _SEQ_CACHE.pop().unpersist()
+    if fresh:
+        _release_seq_cache()
     base = (
         df.repartitionByRange(*order_by)
         .sortWithinPartitions(*order_by)
@@ -184,9 +202,15 @@ def zip_seq(
     """Lockstep zip (streamz ``zip`` parity): pair the i-th row of
     each input by position; truncates to the shorter side (streamz
     buffers the faster stream; on bounded data that reduces to
-    truncation)."""
-    l = with_seq(left, left_order, "seq")
-    r = with_seq(right, right_order, "seq")
+    truncation).
+
+    Releases the previous operation's persisted bases ONCE up front,
+    then pins both sides' range layouts until the next top-level
+    invocation — per-call release would unpersist the left base
+    before the join executes (see _SEQ_CACHE note)."""
+    _release_seq_cache()
+    l = with_seq(left, left_order, "seq", fresh=False)
+    r = with_seq(right, right_order, "seq", fresh=False)
     return l.join(r, "seq", "inner")
 
 

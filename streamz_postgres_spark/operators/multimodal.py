@@ -285,7 +285,14 @@ def fingerprint_payloads(
             {
                 "doc_id": pdf["doc_id"],
                 "content_hash": pdf["payload"].map(fp),
-                "n_bytes": pdf["payload"].map(len).astype("int32"),
+                # codepoint length of the decoded text, NOT raw byte
+                # length: the oracle uses length(text) (codepoints)
+                # and this module's convention (see extract_features)
+                # is codepoint-based so multi-byte characters don't
+                # diverge cross-engine
+                "n_bytes": pdf["payload"]
+                .map(lambda b: len(b.decode("utf-8")))
+                .astype("int32"),
             }
         )
 

@@ -255,7 +255,9 @@ def q_cond_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT
   vec_id,
   len(embedding) AS dim,
-  list_transform(embedding[1:4], x -> CAST(x AS DOUBLE)) AS head4,
+  array_to_string(list_transform(embedding[1:4],
+                  x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                            AS VARCHAR)), ',') AS head4,
   len(list_filter(embedding, x -> x > 0)) AS n_pos,
   list_reduce(list_prepend(0.0, list_transform(embedding,
               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
@@ -269,7 +271,13 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array higher-order family: size, slice, transform, filter,
     aggregate (left fold — both engines fold sequentially so double
     addition order matches), sort. Lambdas run inside codegen, not
-    Python."""
+    Python.
+
+    ``head4`` is serialized at the edge (integer micro-units joined
+    with commas) because raw ARRAY output columns crash independent
+    hashers ("unhashable type: 'list'", round-2 driver ERR) and
+    double->string formatting differs between engines (Java "9.9E-5"
+    vs DuckDB "9.9e-05"); floor()+BIGINT is bit-identical on both."""
     e = load_table(spark, sf_dir, "embeddings")
     sq = F.transform(
         F.col("embedding"), lambda x: x.cast("double") * x.cast("double")
@@ -277,9 +285,15 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "vec_id",
         F.size("embedding").alias("dim"),
-        F.transform(F.slice("embedding", 1, 4), lambda x: x.cast("double")).alias(
-            "head4"
-        ),
+        F.array_join(
+            F.transform(
+                F.slice("embedding", 1, 4),
+                lambda x: F.floor(x.cast("double") * 1000000)
+                .cast("long")
+                .cast("string"),
+            ),
+            ",",
+        ).alias("head4"),
         F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
         F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x).alias("norm_sq"),
         F.element_at(F.sort_array("embedding"), 1).cast("double").alias("min_dim"),

@@ -83,14 +83,24 @@ def row_multiset(cols: list[str], rows) -> Counter:
 # a date object, a DuckDB HUGEINT as Python int — while this replica
 # collapses them all to float/ISO strings and hides the divergence
 # (exactly how round-1's q_cast/q_multimodal_meta failures slipped
-# through). Registered queries must not EMIT them; cast at the edge
-# (decimal->double, date->ISO varchar, SUM(int)->BIGINT) instead.
+# through). Round 2 added a third member of the class: ARRAY output
+# crashed the driver's hasher outright ("unhashable type: 'list'",
+# q_array_funcs ERR) even though this replica canonicalizes lists
+# fine — so ANY non-scalar top-level output column (array/map/struct,
+# DuckDB LIST/STRUCT/MAP/JSON/UNION) is hostile too. Registered
+# queries must not EMIT them; cast/serialize at the edge
+# (decimal->double, date->ISO varchar, SUM(int)->BIGINT,
+# array->array_join/to_json string) instead.
 _HOSTILE_DUCK_TYPES = ("HUGEINT", "DECIMAL", "DATE")
+_HOSTILE_DUCK_NESTED = ("STRUCT", "MAP", "UNION", "JSON")  # + "...[]" lists
 TYPE_WHITELIST: frozenset[str] = frozenset()  # query names exempted
 
 
 def _spark_hostile_fields(dtype, path="") -> list[str]:
-    """Recursively collect fields of Decimal/Date type in a schema."""
+    """Recursively collect fields of Decimal/Date type in a schema,
+    plus any top-level non-scalar (array/map/struct) column — the
+    latter are hostile regardless of element type because independent
+    hashers choke on unhashable Python containers."""
     from pyspark.sql import types as T
 
     out = []
@@ -98,7 +108,14 @@ def _spark_hostile_fields(dtype, path="") -> list[str]:
         out.append(f"{path or '<root>'}:{dtype.simpleString()}")
     elif isinstance(dtype, T.StructType):
         for f in dtype.fields:
-            out += _spark_hostile_fields(f.dataType, f"{path}.{f.name}" if path else f.name)
+            sub = f"{path}.{f.name}" if path else f.name
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+                # only flag non-scalars at the OUTPUT's top level
+                # (path == "" means dtype is the result row struct)
+                if path == "":
+                    out.append(f"{sub}:{f.dataType.simpleString()}")
+                    continue
+            out += _spark_hostile_fields(f.dataType, sub)
     elif isinstance(dtype, T.ArrayType):
         out += _spark_hostile_fields(dtype.elementType, path + "[]")
     elif isinstance(dtype, T.MapType):
@@ -109,8 +126,9 @@ def _spark_hostile_fields(dtype, path="") -> list[str]:
 
 def hostile_output_types(q: Query, sdf, con) -> list[str]:
     """Offending output columns for one query: Decimal/Date anywhere
-    in the Spark result schema, HUGEINT/DECIMAL/DATE in the DuckDB
-    oracle result types. Empty list == safe for any sane hasher."""
+    in the Spark result schema, any non-scalar top-level column, and
+    HUGEINT/DECIMAL/DATE/LIST/STRUCT/MAP/JSON in the DuckDB oracle
+    result types. Empty list == safe for any sane hasher."""
     if q.name in TYPE_WHITELIST:
         return []
     bad = [f"spark {x}" for x in _spark_hostile_fields(sdf.schema)]
@@ -118,7 +136,11 @@ def hostile_output_types(q: Query, sdf, con) -> list[str]:
         rel = con.sql(q.oracle)
         for name, t in zip(rel.columns, rel.types):
             ts = str(t).upper()
-            if any(ts.startswith(h) for h in _HOSTILE_DUCK_TYPES):
+            if (
+                any(ts.startswith(h) for h in _HOSTILE_DUCK_TYPES)
+                or any(h in ts for h in _HOSTILE_DUCK_NESTED)
+                or ts.endswith("[]")  # DuckDB LIST types print as T[]
+            ):
                 bad.append(f"duck {name}:{ts}")
     return bad
 

@@ -65,3 +65,53 @@ def test_hostile_type_gate(spark, duck):
         oracle="SELECT CAST(SUM(r_regionkey) AS BIGINT) AS fine FROM region",
     )
     assert hostile_output_types(ok_q, ok_df, duck) == []
+
+
+def test_hostile_type_gate_nonscalar(spark, duck):
+    """Round-2 lesson: ARRAY output crashed the driver's hasher
+    ("unhashable type: 'list'") even though the local replica
+    canonicalizes lists. The gate must flag ANY top-level non-scalar
+    output column — array, map, struct — on either engine."""
+    from pyspark.sql import functions as F
+
+    from streamz_postgres_spark.oracle import hostile_output_types
+    from streamz_postgres_spark.registry import Query
+
+    df = spark.range(3).select(
+        F.col("id"),
+        F.array(F.lit(1.0), F.lit(2.0)).alias("bad_arr"),
+        F.create_map(F.lit("k"), F.lit(1)).alias("bad_map"),
+        F.struct(F.lit(1).alias("x")).alias("bad_struct"),
+    )
+    q = Query(
+        name="_nonscalar_probe",
+        spark_fn=lambda s, d: df,
+        oracle="SELECT [1, 2] AS duck_list, {'x': 1} AS duck_struct",
+    )
+    bad = hostile_output_types(q, df, duck)
+    joined = " ".join(bad)
+    for col in ("bad_arr", "bad_map", "bad_struct", "duck_list", "duck_struct"):
+        assert col in joined, f"{col} not flagged: {bad}"
+
+
+def test_no_registered_query_emits_hostile_types(spark, duck):
+    """Registry-wide sweep: every registered query's OUTPUT schema
+    (Spark analysis only — no execution) and oracle result types must
+    be hasher-safe. Both rounds' only driver failures (q_cast,
+    q_multimodal_meta, q_array_funcs) were exactly this class; this
+    test makes it structurally extinct."""
+    from streamz_postgres_spark.oracle import hostile_output_types
+
+    offenders = {}
+    for key in sorted(REGISTRY):
+        q = REGISTRY[key]
+        if "streaming" in q.tags:
+            # calling spark_fn executes the bounded stream replay;
+            # those keys are still gated inside check_query (the
+            # parametrized test above), so skip the duplicate run
+            continue
+        sdf = q.spark_fn(spark, SF_DIR)
+        bad = hostile_output_types(q, sdf, duck)
+        if bad:
+            offenders[key] = bad
+    assert not offenders, f"hostile output types: {offenders}"
