@@ -129,17 +129,44 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_approx_distinct",
-    oracle=None,  # approximate: rows-only check by design
+    oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       TRUE AS est_ok
+FROM lineitem
+GROUP BY l_returnflag
+""",
     tags=("agg", "approx"),
 )
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct-count sketch. The 100 TB path for
     cardinality: constant memory per group vs a full distinct
-    shuffle. Approximate => no value oracle (driver rows-only)."""
+    shuffle.
+
+    The raw estimate is engine-specific, so it can't be hashed
+    directly — instead the query SELF-CHECKS the sketch: ``est_ok``
+    asserts |approx - exact| <= 3·rsd·exact (HLL++ error is
+    approximately normal with relative std dev = rsd, so 3σ holds
+    w.p. ~99.7%; deterministic here because the sketch is
+    deterministic for fixed input). The oracle pins exact counts AND
+    expects est_ok=TRUE, making the accuracy bound part of the
+    verified contract instead of an evidence-free rows-only row."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
+    rsd = 0.02
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=rsd).alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("approx_parts") - F.col("exact_parts"))
+                <= 3 * rsd * F.col("exact_parts")
+            ).alias("est_ok"),
+        )
     )
 
 
@@ -276,7 +303,14 @@ def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_hll_partial",
-    oracle=None,  # sketch estimates: rows-only check by design
+    oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_linestatus) AS n_cells,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       TRUE AS est_ok
+FROM lineitem
+GROUP BY l_returnflag
+""",
     tags=("agg", "approx", "scale"),
 )
 def q_hll_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -289,10 +323,14 @@ def q_hll_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
     by sketch UNION — never re-touching the raw data. The fine pass
     is map-side combinable (sketches merge associatively), the rollup
     shuffles kilobytes of sketch bytes instead of re-shuffling rows.
-    ``exact_parts`` is computed alongside so the estimate's error is
-    visible in the output (the sketch is deterministic for a given
-    dataset; rows-only check because the estimate is engine-
-    specific)."""
+
+    The estimate itself is engine-specific, so — like
+    q_approx_distinct — the query self-checks it: ``est_ok`` asserts
+    the unioned-sketch estimate lands within 3σ of the exact count
+    (default lgK=12 → rsd ≈ 1.6%, 3σ ≈ 5%), and the oracle pins the
+    exact counts plus est_ok=TRUE. The sketch union is still fully
+    exercised; only its error bound, not its raw value, crosses the
+    hash gate."""
     li = load_table(spark, sf_dir, "lineitem")
     fine = li.groupBy("l_returnflag", "l_linestatus").agg(
         F.hll_sketch_agg("l_partkey").alias("sketch"),
@@ -311,6 +349,15 @@ def q_hll_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.countDistinct("l_partkey").alias("exact_parts")
             ),
             "l_returnflag",
+        )
+        .select(
+            "l_returnflag",
+            "n_cells",
+            "exact_parts",
+            (
+                F.abs(F.col("approx_parts") - F.col("exact_parts"))
+                <= 0.05 * F.col("exact_parts")
+            ).alias("est_ok"),
         )
     )
 

@@ -83,16 +83,30 @@ def q_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_approx_quantile",
-    oracle=None,  # sketch-based: rows-only check by design
+    oracle=f"""
+SELECT l_returnflag,
+       {sql_qround('quantile_cont(l_extendedprice, 0.5)', 4)} AS p50_exact,
+       TRUE AS p50_ok,
+       TRUE AS p99_ok
+FROM lineitem
+GROUP BY l_returnflag
+""",
     tags=("agg", "stats", "approx"),
 )
 def q_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greenwald-Khanna approximate percentiles next to their exact
     values — the constant-memory sketch that replaces exact
     percentile sorts at 100 TB (like q_approx_distinct for counts).
-    Approximate => rows-only driver check."""
+
+    The GK estimate is engine-specific, so the query self-checks it
+    against its rank-error guarantee instead of emitting the raw
+    value: with accuracy=1000 the returned element's rank is within
+    n/1000 of the target, so its VALUE must lie inside the exact
+    [q-0.01, q+0.01] quantile bracket (10× looser than the
+    guarantee). ``p50_ok``/``p99_ok`` assert that; the oracle pins
+    the exact median and expects both flags TRUE."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(1000)).alias(
             "p50_approx"
         ),
@@ -100,23 +114,53 @@ def q_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p99_approx"
         ),
         qround(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50_exact"),
+        F.percentile("l_extendedprice", F.lit(0.49)).alias("_p49"),
+        F.percentile("l_extendedprice", F.lit(0.51)).alias("_p51"),
+        F.percentile("l_extendedprice", F.lit(0.98)).alias("_p98"),
+        F.max("l_extendedprice").alias("_p100"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "p50_exact",
+        F.col("p50_approx").between(F.col("_p49"), F.col("_p51")).alias("p50_ok"),
+        F.col("p99_approx").between(F.col("_p98"), F.col("_p100")).alias("p99_ok"),
     )
 
 
 @register(
     "q_sample",
-    oracle=None,  # sampling is engine-specific: rows-only check
+    oracle=f"""
+SELECT l_returnflag,
+       COUNT(*) AS n_sampled,
+       {sql_dsum('l_quantity')} AS sum_qty_sampled
+FROM lineitem
+WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '|'
+                 || CAST(l_linenumber AS VARCHAR)), 1, 4) < '199a'
+GROUP BY l_returnflag
+""",
     tags=("relational", "approx"),
 )
 def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded Bernoulli sampling + aggregate — the profiling
-    primitive for 100 TB exploration (sample-then-estimate instead
-    of full scans). Engines sample differently, so the driver checks
-    rows-only; determinism within Spark comes from the fixed seed
-    and per-partition Bernoulli draws."""
+    """Deterministic ~10% Bernoulli sample + aggregate — the
+    profiling primitive for 100 TB exploration (sample-then-estimate
+    instead of full scans).
+
+    The sample predicate is a content hash (first 16 bits of
+    md5(primary key) under a fixed threshold), not an RNG: identical
+    row sets on every engine, every rerun, and every task RETRY —
+    `.sample(seed=...)` is only stable per-partitioning, so a 100 TB
+    job that loses an executor can silently resample; the hash form
+    cannot. It also pushes down as an ordinary filter. Both engines
+    compute the same lowercase-hex md5, so the driver value-checks
+    the sampled aggregate exactly."""
     li = load_table(spark, sf_dir, "lineitem")
+    key = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+    )
     return (
-        li.sample(fraction=0.1, seed=42)
+        li.filter(F.substring(F.md5(key), 1, 4) < "199a")
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n_sampled"),

@@ -68,80 +68,22 @@ def _load_all() -> None:
 
 
 # The external verifier checks the first 50 keys of ``queries()`` per
-# round, so exposure order IS verification coverage. Keys listed here
-# surface first; everything else follows in registration order. Round
-# 2: the two round-1 hash fixes, then every key without a driver row
-# yet (round-1 checked exactly registry[:50]); the four deferred
-# extras (variant/union_distinct/approx_quantile/sample) lead the
-# round-3 block at positions 51-54.
+# round, so exposure order IS verification coverage. This tuple is a
+# COMPLETE ordering of the registry: every registered key appears
+# exactly once (tests/test_registry.py enforces it), so adding an
+# operator without deciding its exposure position is a test failure,
+# and nothing can silently fall out of the window. Round 3 promotes
+# the 42 keys that r1+r2 never sampled (r1 checked registry[:50]; r2
+# checked the rotated registry[:50]) plus the q_array_funcs fix; the
+# r1/r2-green keys follow after the boundary as already-verified.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # round-1 hash-fail fixes — must re-verify
-    "q_cast",
-    "q_multimodal_meta",
-    # scalar-function families
-    "q_str_funcs2",
-    "q_date_funcs",
-    "q_math_funcs",
-    "q_cond_funcs",
-    "q_array_funcs",
-    "q_map_json_funcs",
-    # set ops
-    "q_union",
-    "q_intersect",
-    "q_except",
-    # stats
-    "q_stats_corr",
-    "q_percentile",
-    # subqueries
-    "q_subquery_scalar",
-    "q_subquery_in",
-    # text analysis
-    "q_text_stats",
-    "q_text_tokens",
-    "q_text_quality",
-    "q_text_langid",
-    "q_text_tfidf",
-    "q_text_fingerprint",
-    # batch time windows
-    "q_tumbling",
-    "q_sliding",
-    "q_session",
-    "q_partition_batch",
-    # UDF surface
-    "q_udf_scalar",
-    "q_udaf_grouped",
-    "q_udtf_explode",
-    # window functions
-    "q_window_rank",
-    "q_window_analytic",
-    "q_running_sum",
-    "q_moving_avg",
-    "q_range_frame",
-    "q_topk_per_group",
-    "q_dedup",
-    "q_latest_per_key",
-    # structured streaming twins
-    "q_stream_textfile",
-    "q_stream_file_sink",
-    "q_stream_tumbling",
-    "q_stream_sliding",
-    "q_stream_tumbling_watermarked",
-    "q_stream_session",
-    "q_stream_latest_per_key",
-    "q_stream_dedup",
-    "q_stream_interval_join",
-    "q_stream_accumulate",
-    # CDC pipeline
-    "q_cdc_envelope",
-    "q_cdc_apply",
-    "q_cdc_materialize",
-    "q_cdc_diff",
-    # --- 50-key window boundary; round-3 candidates below ---
+    # ---- round-3 driver window (first 50) ----
+    # the 42 keys with no driver row after r1+r2 (whole LLM-pipeline
+    # block + r2 late additions), in their r2 staging order:
     "q_variant",
     "q_union_distinct",
     "q_approx_quantile",
     "q_sample",
-    # round-2 additions (never driver-checked; lead the round-3 block)
     "q_train_split",
     "q_pack_sequences",
     "q_stratified_sample",
@@ -156,7 +98,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_funnel",
     "q_stream_static_join",
     "q_stream_dedup_watermarked",
-    # round-2 late additions (continue the round-3 block)
     "q_range_join_binned",
     "q_runtime_filter",
     "q_lateral_posexplode",
@@ -181,8 +122,108 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_knn_ivf_batch",
     "q_stream_funnel",
     "q_anomaly_zscore",
+    # the r2 ERR fix and the newly value-oracled sketch query:
+    "q_array_funcs",
+    "q_approx_distinct",
+    # regression canaries (driver-green in r1/r2; re-pin the riskiest):
+    "q_flagship",
+    "q_cast",
+    "q_multimodal_meta",
+    "q_dedup_minhash",
+    "q_group_agg",
+    "q_sim_cosine",
+    # ---- 50-key window boundary; driver-green keys follow ----
+    "q_str_funcs2",
+    "q_date_funcs",
+    "q_math_funcs",
+    "q_cond_funcs",
+    "q_map_json_funcs",
+    "q_union",
+    "q_intersect",
+    "q_except",
+    "q_stats_corr",
+    "q_percentile",
+    "q_subquery_scalar",
+    "q_subquery_in",
+    "q_text_stats",
+    "q_text_tokens",
+    "q_text_quality",
+    "q_text_langid",
+    "q_text_tfidf",
+    "q_text_fingerprint",
+    "q_tumbling",
+    "q_sliding",
+    "q_session",
+    "q_partition_batch",
+    "q_udf_scalar",
+    "q_udaf_grouped",
+    "q_udtf_explode",
+    "q_window_rank",
+    "q_window_analytic",
+    "q_running_sum",
+    "q_moving_avg",
+    "q_range_frame",
+    "q_topk_per_group",
+    "q_dedup",
+    "q_latest_per_key",
+    "q_stream_textfile",
+    "q_stream_file_sink",
+    "q_stream_tumbling",
+    "q_stream_sliding",
+    "q_stream_tumbling_watermarked",
+    "q_stream_session",
+    "q_stream_latest_per_key",
+    "q_stream_dedup",
+    "q_stream_interval_join",
+    "q_stream_accumulate",
+    "q_cdc_envelope",
+    "q_cdc_apply",
+    "q_cdc_materialize",
+    "q_cdc_diff",
+    "q_global_agg",
+    "q_distinct",
+    "q_agg_distinct",
+    "q_null_agg",
+    "q_rollup",
+    "q_cube",
+    "q_grouping_sets",
+    "q_having",
+    "q_sim_pairs",
+    "q_sim_ann_lsh",
+    "q_sim_ann_ivf",
+    "q_dedup_exact",
+    "q_dedup_simhash",
+    "q_dedup_ngram",
+    "q_dedup_embed",
+    "q_flagship_q3",
+    "q_join_inner",
+    "q_join_left",
+    "q_join_right",
+    "q_join_full",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_broadcast",
+    "q_join_theta",
+    "q_interval_join",
+    "q_asof_join",
+    "q_join_multiway",
+    "q_join_salted",
+    "q_zip_seq",
+    "q_multimodal",
+    "q_multimodal_frames",
+    "q_scan",
+    "q_project",
+    "q_filter",
+    "q_pluck",
+    "q_explode",
+    "q_limit",
+    "q_sort_multi",
+    "q_pivot",
+    "q_unpivot",
+    "q_string_agg",
+    "q_histogram",
+    "q_str_funcs",
 )
-
 
 def ordered_registry() -> dict[str, Query]:
     """Registry in driver-exposure order: DRIVER_PRIORITY keys first
