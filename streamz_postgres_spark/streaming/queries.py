@@ -147,14 +147,20 @@ def q_stream_tumbling_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame
     from streamz_postgres_spark.catalog import table_path
     from streamz_postgres_spark.functions.numeric import dsum
 
+    from streamz_postgres_spark.streaming.runner import events_ts_unit
+
     staging = tempfile.mkdtemp(prefix="wm_replay_")
     shutil.copy(table_path(sf_dir, "events"), f"{staging}/events.parquet")
+    # flush row's ts unit must match the fixture's (mixed-unit dirs
+    # would break the single explicit stream schema)
+    unit = events_ts_unit(sf_dir)
     flush_ns = int(pd.Timestamp("2024-06-01").value)  # far past the data
+    flush_val = flush_ns if unit == "ns" else flush_ns // 1000
     pq.write_table(
         pa.table(
             {
                 "event_id": pa.array([-1], pa.int64()),
-                "ts": pa.array([flush_ns], pa.timestamp("ns")),
+                "ts": pa.array([flush_val], pa.timestamp(unit)),
                 "user_id": pa.array([-1], pa.int64()),
                 "event_type": pa.array(["__flush__"], pa.string()),
                 "value": pa.array([0.0], pa.float64()),

@@ -26,16 +26,37 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-_EVENTS_LONG_TS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # raw nanos (nanosAsLong)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_field: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_field),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+def events_ts_unit(directory: str, glob: str = "events.parquet") -> str:
+    """Physical unit of the ``ts`` column in the events fixture:
+    ``'ns'`` (legacy TIMESTAMP(NANOS), which Spark can only read as
+    long) or ``'us'`` (plain timestamp[us]). Detected from one
+    parquet footer so the replay adapts when the fixture generator
+    changes units between rounds — the batch catalog adapts via its
+    dtype check; a hard-coded streaming schema would silently read
+    micros as nanos and compress the whole timeline 1000x (every
+    session merges, every interval join over-matches)."""
+    import glob as globmod
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(directory, glob)
+    matches = sorted(globmod.glob(path)) or [path]
+    field = pq.read_schema(matches[0]).field("ts")
+    return "ns" if getattr(field.type, "unit", None) == "ns" else "us"
 
 
 def replay_events(
@@ -46,25 +67,32 @@ def replay_events(
 ) -> DataFrame:
     """events.parquet as an unbounded stream (file-stream source).
 
-    Same nanos->TimestampNTZ normalization as the batch catalog, so
-    streaming and batch operators see identical rows. ``directory``/
-    ``glob`` override the source location (e.g. a staging dir with
-    extra files appended — how tests exercise multi-batch and
-    end-of-stream-flush behavior).
+    Same ts normalization as the batch catalog (unit-adaptive: nanos
+    fixtures are read as long and rebuilt; micros fixtures are read
+    as TimestampNTZ directly), so streaming and batch operators see
+    identical rows. ``directory``/``glob`` override the source
+    location (e.g. a staging dir with extra files appended — how
+    tests exercise multi-batch and end-of-stream-flush behavior).
     """
     from streamz_postgres_spark.catalog import ship_package
 
     ship_package(spark)
-    # engine-wide conf (see session.get_spark); re-asserted because
-    # the external driver supplies its own session
+    src = directory or sf_dir
+    if events_ts_unit(src, glob) == "us":
+        return (
+            spark.readStream.schema(_events_schema(T.TimestampNTZType()))
+            .format("parquet")
+            .option("pathGlobFilter", glob)
+            .load(src)
+        )
+    # legacy nanos fixture: engine-wide conf (see session.get_spark);
+    # re-asserted because the external driver supplies its own session
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # file-stream sources want a directory: stream the sf dir with a
-    # glob pinned to the events file
     raw = (
-        spark.readStream.schema(_EVENTS_LONG_TS_SCHEMA)
+        spark.readStream.schema(_events_schema(T.LongType()))
         .format("parquet")
         .option("pathGlobFilter", glob)
-        .load(directory or sf_dir)
+        .load(src)
     )
     # same tz-free NTZ rebuild as catalog.load_table
     return raw.withColumn(
