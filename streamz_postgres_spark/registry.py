@@ -72,14 +72,118 @@ def _load_all() -> None:
 # COMPLETE ordering of the registry: every registered key appears
 # exactly once (tests/test_registry.py enforces it), so adding an
 # operator without deciding its exposure position is a test failure,
-# and nothing can silently fall out of the window. Round 3 promotes
-# the 42 keys that r1+r2 never sampled (r1 checked registry[:50]; r2
-# checked the rotated registry[:50]) plus the q_array_funcs fix; the
-# r1/r2-green keys follow after the boundary as already-verified.
+# and nothing can silently fall out of the window. Round 4: the two
+# r3-red streaming fixes (ts-unit replay bug) + the newly registered
+# q_stream_transform_state + the 43 keys whose only driver evidence
+# is r1 (two rounds stale) + 4 canaries (two r2 streaming keys --
+# the fixture ts-unit change makes streaming evidence the most
+# perishable -- and two r3 greens). The 45 remaining r2-latest keys
+# lead the tail as the natural r5 window.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # ---- round-3 driver window (first 50) ----
-    # the 42 keys with no driver row after r1+r2 (whole LLM-pipeline
-    # block + r2 late additions), in their r2 staging order:
+    # ---- round-4 driver window (first 50) ----
+    # the two r3-red rows, now fixed (streaming replay ts-unit):
+    "q_stream_funnel",
+    "q_stream_join_outer",
+    # newly registered (vendored protobuf runtime):
+    "q_stream_transform_state",
+    # the 43 keys with r1-only driver evidence:
+    "q_agg_distinct",
+    "q_asof_join",
+    "q_cube",
+    "q_dedup_embed",
+    "q_dedup_exact",
+    "q_dedup_ngram",
+    "q_dedup_simhash",
+    "q_distinct",
+    "q_explode",
+    "q_filter",
+    "q_flagship_q3",
+    "q_global_agg",
+    "q_grouping_sets",
+    "q_having",
+    "q_histogram",
+    "q_interval_join",
+    "q_join_anti",
+    "q_join_broadcast",
+    "q_join_full",
+    "q_join_inner",
+    "q_join_left",
+    "q_join_multiway",
+    "q_join_right",
+    "q_join_salted",
+    "q_join_semi",
+    "q_join_theta",
+    "q_limit",
+    "q_multimodal",
+    "q_multimodal_frames",
+    "q_null_agg",
+    "q_pivot",
+    "q_pluck",
+    "q_project",
+    "q_rollup",
+    "q_scan",
+    "q_sim_ann_ivf",
+    "q_sim_ann_lsh",
+    "q_sim_pairs",
+    "q_sort_multi",
+    "q_str_funcs",
+    "q_string_agg",
+    "q_unpivot",
+    "q_zip_seq",
+    # canaries: r2 streaming (perishable after the fixture change)
+    # and r3 greens:
+    "q_stream_tumbling",
+    "q_stream_accumulate",
+    "q_funnel",
+    "q_flagship",
+    # ---- 50-key window boundary ----
+    # r2-latest keys (r5 window candidates):
+    "q_cdc_apply",
+    "q_cdc_diff",
+    "q_cdc_envelope",
+    "q_cdc_materialize",
+    "q_cond_funcs",
+    "q_date_funcs",
+    "q_dedup",
+    "q_except",
+    "q_intersect",
+    "q_latest_per_key",
+    "q_map_json_funcs",
+    "q_math_funcs",
+    "q_moving_avg",
+    "q_partition_batch",
+    "q_percentile",
+    "q_range_frame",
+    "q_running_sum",
+    "q_session",
+    "q_sliding",
+    "q_stats_corr",
+    "q_str_funcs2",
+    "q_stream_dedup",
+    "q_stream_file_sink",
+    "q_stream_interval_join",
+    "q_stream_latest_per_key",
+    "q_stream_session",
+    "q_stream_sliding",
+    "q_stream_textfile",
+    "q_stream_tumbling_watermarked",
+    "q_subquery_in",
+    "q_subquery_scalar",
+    "q_text_fingerprint",
+    "q_text_langid",
+    "q_text_quality",
+    "q_text_stats",
+    "q_text_tfidf",
+    "q_text_tokens",
+    "q_topk_per_group",
+    "q_tumbling",
+    "q_udaf_grouped",
+    "q_udf_scalar",
+    "q_udtf_explode",
+    "q_union",
+    "q_window_analytic",
+    "q_window_rank",
+    # r3-green keys:
     "q_variant",
     "q_union_distinct",
     "q_approx_quantile",
@@ -95,7 +199,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_text_repetition",
     "q_text_entropy",
     "q_sim_ann_multiprobe",
-    "q_funnel",
     "q_stream_static_join",
     "q_stream_dedup_watermarked",
     "q_range_join_binned",
@@ -106,7 +209,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_pii_scrub",
     "q_domain_mix",
     "q_multimodal_dedup",
-    "q_stream_join_outer",
     "q_asof_tolerance",
     "q_vocab_topk",
     "q_centroids",
@@ -120,109 +222,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_window_ignore_nulls",
     "q_grouping_id",
     "q_knn_ivf_batch",
-    "q_stream_funnel",
     "q_anomaly_zscore",
-    # the r2 ERR fix and the newly value-oracled sketch query:
     "q_array_funcs",
     "q_approx_distinct",
-    # regression canaries (driver-green in r1/r2; re-pin the riskiest):
-    "q_flagship",
     "q_cast",
     "q_multimodal_meta",
     "q_dedup_minhash",
     "q_group_agg",
     "q_sim_cosine",
-    # ---- 50-key window boundary; driver-green keys follow ----
-    "q_str_funcs2",
-    "q_date_funcs",
-    "q_math_funcs",
-    "q_cond_funcs",
-    "q_map_json_funcs",
-    "q_union",
-    "q_intersect",
-    "q_except",
-    "q_stats_corr",
-    "q_percentile",
-    "q_subquery_scalar",
-    "q_subquery_in",
-    "q_text_stats",
-    "q_text_tokens",
-    "q_text_quality",
-    "q_text_langid",
-    "q_text_tfidf",
-    "q_text_fingerprint",
-    "q_tumbling",
-    "q_sliding",
-    "q_session",
-    "q_partition_batch",
-    "q_udf_scalar",
-    "q_udaf_grouped",
-    "q_udtf_explode",
-    "q_window_rank",
-    "q_window_analytic",
-    "q_running_sum",
-    "q_moving_avg",
-    "q_range_frame",
-    "q_topk_per_group",
-    "q_dedup",
-    "q_latest_per_key",
-    "q_stream_textfile",
-    "q_stream_file_sink",
-    "q_stream_tumbling",
-    "q_stream_sliding",
-    "q_stream_tumbling_watermarked",
-    "q_stream_session",
-    "q_stream_latest_per_key",
-    "q_stream_dedup",
-    "q_stream_interval_join",
-    "q_stream_accumulate",
-    "q_cdc_envelope",
-    "q_cdc_apply",
-    "q_cdc_materialize",
-    "q_cdc_diff",
-    "q_global_agg",
-    "q_distinct",
-    "q_agg_distinct",
-    "q_null_agg",
-    "q_rollup",
-    "q_cube",
-    "q_grouping_sets",
-    "q_having",
-    "q_sim_pairs",
-    "q_sim_ann_lsh",
-    "q_sim_ann_ivf",
-    "q_dedup_exact",
-    "q_dedup_simhash",
-    "q_dedup_ngram",
-    "q_dedup_embed",
-    "q_flagship_q3",
-    "q_join_inner",
-    "q_join_left",
-    "q_join_right",
-    "q_join_full",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_broadcast",
-    "q_join_theta",
-    "q_interval_join",
-    "q_asof_join",
-    "q_join_multiway",
-    "q_join_salted",
-    "q_zip_seq",
-    "q_multimodal",
-    "q_multimodal_frames",
-    "q_scan",
-    "q_project",
-    "q_filter",
-    "q_pluck",
-    "q_explode",
-    "q_limit",
-    "q_sort_multi",
-    "q_pivot",
-    "q_unpivot",
-    "q_string_agg",
-    "q_histogram",
-    "q_str_funcs",
 )
 
 def ordered_registry() -> dict[str, Query]:

@@ -557,6 +557,11 @@ class _UserTotalsProcessor:
             StructType,
         )
 
+        # first point our code runs inside the worker: make the pb2
+        # runtime importable before any state-server call needs it
+        from streamz_postgres_spark.protobuf_shim import install
+
+        install()
         self._state = handle.getValueState(
             "totals",
             StructType(
@@ -588,16 +593,14 @@ class _UserTotalsProcessor:
 
 
 def _protobuf_available() -> bool:
-    """transformWithStateInPandas speaks protobuf to the JVM; gate
-    the query on the dependency (not installed in this container —
+    """transformWithStateInPandas speaks protobuf to the JVM; the
+    query registers when a runtime is importable OR alias-able from
+    the system's vendored pure-Python copy (protobuf_shim.py);
     applyInPandasWithState covers arbitrary streaming state
-    regardless, see q_stream_accumulate)."""
-    try:
-        from google.protobuf import descriptor  # noqa: F401
+    regardless, see q_stream_accumulate."""
+    from streamz_postgres_spark.protobuf_shim import available
 
-        return True
-    except ImportError:
-        return False
+    return available()
 
 
 _TWS_ORACLE = f"""
@@ -613,18 +616,35 @@ def q_stream_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     the emitted doubles match the oracle's decimal aggregation
     exactly. State is O(1) per key and survives across batches via
     the RocksDB store."""
+    from streamz_postgres_spark.protobuf_shim import install, worker_pythonpath
+
+    if not install():  # pragma: no cover - registration already gated
+        raise RuntimeError("no protobuf runtime available")
     from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
     cls = type(
         "UserTotalsProcessor", (StatefulProcessor,), dict(_UserTotalsProcessor.__dict__)
     )
     s = replay_events(spark, sf_dir)
-    out = s.groupBy("user_id").transformWithStateInPandas(
-        statefulProcessor=cls(),
-        outputStructType="user_id long, n_events long, sum_value double",
-        outputMode="Update",
-        timeMode="None",
-    )
+    # worker processes (incl. the TWS schema-check worker, which
+    # touches pb2 before any user code) need the vendor package on
+    # PYTHONPATH; sc.environment is captured at UDF creation inside
+    # transformWithStateInPandas, so scope the mutation to this call
+    env = spark.sparkContext.environment
+    prev = env.get("PYTHONPATH")
+    env["PYTHONPATH"] = worker_pythonpath(prev)
+    try:
+        out = s.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=cls(),
+            outputStructType="user_id long, n_events long, sum_value double",
+            outputMode="Update",
+            timeMode="None",
+        )
+    finally:
+        if prev is None:
+            env.pop("PYTHONPATH", None)
+        else:
+            env["PYTHONPATH"] = prev
     return run_to_table(out, "update", spark)
 
 
