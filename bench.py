@@ -6,7 +6,7 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
    medians>, "unit": "sec", "queries": {name: sec, ...}, "sf": ...}
 
 Methodology: one warm-up execution per query (JIT + code cache),
-then median of 3 timed runs of a full execute-and-drain
+then median of 5 timed runs of a full execute-and-drain
 (count-collect) so scan->shuffle->agg all happen; results never
 land on the driver beyond the count.
 """
@@ -38,11 +38,16 @@ HEADLINE = (
     "q_multimodal",
 )
 
-N_RUNS = 3
+#: round-4 drift audit: two identical back-to-back bench processes
+#: differed ~5% total and up to 25% per query with zero code change
+#: (7.488 vs 7.899 s; r3's 8.194 on r2's code was the same effect) —
+#: machine noise, not plan regressions. Median of 5 instead of 3
+#: halves the chance a noisy pair swings the median for every query.
+N_RUNS = 5
 #: extra samples for queries with documented high run-to-run variance
 #: (q_dedup_minhash swings >2x under background load; a wider median
 #: keeps one bad sample from looking like a plan regression)
-EXTRA_RUNS = {"q_dedup_minhash": 5}
+EXTRA_RUNS = {"q_dedup_minhash": 7}
 
 
 def time_query(spark, name: str, sf_dir: str) -> float:

@@ -605,9 +605,14 @@ def connected_components(
     ).persist()
     _CLUSTER_CACHE.append(edges)
 
+    # lazy checkpoint + agg-as-materializer: the convergence sum and
+    # the checkpoint write share ONE job per round (eager=True plus a
+    # separate agg ran two). The sum is the whole driver roundtrip —
+    # O(1) rows — and labels only ever decrease, so an unchanged sum
+    # IS the fixpoint.
     labels = nodes.select(
         "vec_id", F.col("vec_id").alias("cluster_id")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
     for _ in range(max_iters):
         prev_labels = labels
@@ -630,7 +635,7 @@ def connected_components(
                     F.coalesce(F.col("root_lbl"), F.col("cluster_id")),
                 ).alias("cluster_id"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         new_sum = new_labels.agg(F.sum("cluster_id")).collect()[0][0]
         labels = new_labels
