@@ -441,3 +441,34 @@ def q_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum("o_totalprice").alias("sum_price"),
     )
+
+
+@register(
+    "q_bool_agg",
+    oracle="""
+SELECT l_returnflag,
+       bool_and(l_discount <= 0.10) AS all_small_discount,
+       bool_or(l_quantity >= 49)    AS any_bulk,
+       CAST(count_if(l_tax > 0.05) AS BIGINT) AS n_high_tax,
+       CAST(count_if(l_linestatus = 'F') AS BIGINT) AS n_finished
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("agg", "bool"),
+)
+def q_bool_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean/conditional aggregate family (ANSI every/any +
+    count_if): per return flag, whether ALL discounts stay <= 10%,
+    whether ANY line is bulk-quantity, and conditional counts — the
+    predicates data-quality assertions and validation reports
+    aggregate at scale. All four are single-bit/8-byte partial
+    aggregates: map-side combine reduces each partition to one row
+    per group before the (only) shuffle, so cost is scan-bound at
+    any data size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bool_and(F.col("l_discount") <= 0.10).alias("all_small_discount"),
+        F.bool_or(F.col("l_quantity") >= 49).alias("any_bulk"),
+        F.count_if(F.col("l_tax") > 0.05).cast("long").alias("n_high_tax"),
+        F.count_if(F.col("l_linestatus") == "F").cast("long").alias("n_finished"),
+    )

@@ -842,3 +842,60 @@ def q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "est_jaccard", jaccard.alias("jaccard"))
     )
 
+
+
+@register(
+    "q_dedup_cluster_stats",
+    oracle=f"""
+WITH RECURSIVE v AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+         {sql_l2_norm('embedding')} AS nrm
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS u, b.vec_id AS w
+  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE {sql_dot('a.e', 'b.e')} / (a.nrm * b.nrm) >= {_EMBED_DUP_COSINE}
+),
+edges AS (SELECT u, w FROM pairs UNION SELECT w AS u, u AS w FROM pairs),
+reach AS (
+  SELECT vec_id AS u, vec_id AS r FROM v
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON e.w = reach.u
+),
+clusters AS (
+  SELECT u AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY u
+),
+sizes AS (
+  SELECT cluster_id, COUNT(*) AS sz FROM clusters GROUP BY cluster_id
+)
+SELECT sz AS cluster_size,
+       COUNT(*) AS n_clusters,
+       CAST(SUM(sz) AS BIGINT) AS n_docs,
+       CAST(SUM(sz) - COUNT(*) AS BIGINT) AS n_removed
+FROM sizes
+GROUP BY sz
+""",
+    tags=("dedup", "graph", "report"),
+)
+def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup REPORT every pipeline run ships: cluster-size
+    histogram over the near-dup components — how many singletons,
+    how many k-way duplicate groups, and the doc count each bucket
+    removes (keep one canonical doc per cluster). Two cheap aggs on
+    top of connected_components' labels; n_removed summed over rows
+    is the corpus-level dedup ratio numerator. The histogram is
+    tiny (≤ distinct sizes rows) so the final agg is effectively
+    free at any scale."""
+    pairs = blocked_cosine_pairs(spark, sf_dir, _EMBED_DUP_COSINE).select(
+        F.col("vec_a").alias("u"), F.col("vec_b").alias("w")
+    )
+    nodes = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    labels = connected_components(nodes, pairs)
+    sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
+    return sizes.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("sz").cast("long").alias("n_docs"),
+        (F.sum("sz") - F.count(F.lit(1))).cast("long").alias("n_removed"),
+    )

@@ -405,3 +405,37 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_anomaly"),
     )
+
+
+@register(
+    "q_ntile_buckets",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       ntile(4) OVER w AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume,
+       CAST(row_number() OVER w AS BIGINT) AS rn
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+""",
+    tags=("window", "rank"),
+)
+def q_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-ranking family: ntile quartiles, percent_rank and
+    cume_dist of each order within its customer's price history —
+    the bucketing primitives quantile-based feature engineering and
+    spend-tier segmentation use. The order-by is made total
+    (price, orderkey) so bucket assignment is deterministic on both
+    engines; percent_rank/cume_dist are single IEEE divisions of the
+    same integers, hence bit-equal with no rounding shim. One hash
+    shuffle on the partition key, linear per-partition state."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.row_number().over(w).cast("long").alias("rn"),
+    )

@@ -130,14 +130,21 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_string_agg",
     "q_unpivot",
     "q_zip_seq",
-    # canaries: r2 streaming (perishable after the fixture change)
-    # and r3 greens:
+    # round-4 additions (first-time evidence beats canary reruns;
+    # the two streaming ones double as replay/watermark canaries):
+    "q_stream_join_full",
+    "q_stream_json_lines",
+    "q_ntile_buckets",
+    "q_bool_agg",
+    # ---- 50-key window boundary ----
+    # round-4 addition that shares the already-evidenced CC path
+    # with q_dedup_clusters (r3 green) — heads the r5 window:
+    "q_dedup_cluster_stats",
+    # r2-latest keys (r5 window candidates):
     "q_stream_tumbling",
     "q_stream_accumulate",
     "q_funnel",
     "q_flagship",
-    # ---- 50-key window boundary ----
-    # r2-latest keys (r5 window candidates):
     "q_cdc_apply",
     "q_cdc_diff",
     "q_cdc_envelope",

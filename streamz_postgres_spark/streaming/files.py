@@ -104,3 +104,90 @@ def q_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DataFrame reads it); only the checkpoint is one-shot
     shutil.rmtree(ckpt, ignore_errors=True)
     return spark.read.parquet(os.path.join(outdir, "data"))
+
+
+@register(
+    "q_stream_json_lines",
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN value > 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_high
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+""",
+    tags=("streaming", "source", "json"),
+)
+def q_stream_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines streaming source — the wire format Kafka topics
+    and log shippers actually deliver: events are staged as .jsonl
+    (ts as epoch micros, the tz-free transport encoding), a json
+    file-stream source parses them against an EXPLICIT schema
+    (mandatory for streaming reads — no inference — so producer
+    drift fails fast instead of silently re-typing columns), the
+    event time is rebuilt as TimestampNTZ, and a tumbling hourly
+    aggregate runs on top. At scale the same plan reads
+    ``format("kafka")`` + ``from_json(value, schema)``; the staging
+    write is the test's producer."""
+    from pyspark.sql import types as T
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    outdir = tempfile.mkdtemp(prefix="jsonsrc_")
+    try:
+        # the staging "producer" is a distributed text write of
+        # to_json lines, not a driver loop
+        e.select(
+            F.to_json(
+                F.struct("event_id", "ts_us", "user_id", "event_type", "value")
+            ).alias("value")
+        ).write.mode("overwrite").text(os.path.join(outdir, "lines"))
+
+        schema = T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("ts_us", T.LongType()),
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        )
+        s = (
+            spark.readStream.schema(schema)
+            .format("json")
+            .option("pathGlobFilter", "part-*")
+            .load(os.path.join(outdir, "lines"))
+            .withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, ts_us, "
+                    "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
+        )
+        agg = (
+            s.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum((F.col("value") > 0.5).cast("int"))
+                .cast("long")
+                .alias("n_high"),
+            )
+            .select(
+                F.col("w.start").alias("window_start"),
+                "event_type",
+                "n_events",
+                "n_high",
+            )
+        )
+        return run_to_table(agg, "complete", spark)
+    finally:
+        shutil.rmtree(outdir, ignore_errors=True)

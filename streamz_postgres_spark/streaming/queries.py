@@ -435,11 +435,15 @@ def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     micros = F.expr(
         "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
     )
-    # watermark attaches BEFORE the click cutoff filter so the
-    # watermark clock follows the FULL stream (through Jan 30), not
-    # the filtered branch — otherwise the last <cutoff+30min> of
-    # clicks can never be proven match-less and their null rows
-    # would stay in state at termination
+    # Catalyst pushes the branch filters below this shared watermark
+    # node, so the watermark clock tracks the FILTERED union of both
+    # branches (clicks<cutoff ∪ purchases), NOT the raw stream. The
+    # purchase branch runs to the stream's end (Jan 30), which keeps
+    # the final watermark a day past the click cutoff — every
+    # pre-cutoff click is then provably match-less and its null row
+    # flushes. A query that cut off BOTH branches would silently
+    # withhold the last ~30 min of null rows; q_stream_join_full
+    # documents that trap and its flush-row fix.
     s = s.withColumn("ts_evt", F.timestamp_micros(micros)).withWatermark(
         "ts_evt", "1 minute"
     )
@@ -471,6 +475,119 @@ def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_outer",
     ).select("click_id", "user_id", "purchase_id", "purchase_value")
     return run_to_table(out, "append", spark)
+
+
+@register(
+    "q_stream_join_full",
+    oracle="""
+SELECT c.event_id AS click_id, c.user_id AS click_user,
+       p.event_id AS purchase_id, p.user_id AS purchase_user,
+       p.value AS purchase_value
+FROM (SELECT * FROM events
+      WHERE event_type = 'click'
+        AND ts < TIMESTAMP '2024-01-29 00:00:00') c
+FULL JOIN (SELECT * FROM events
+           WHERE event_type = 'purchase'
+             AND ts < TIMESTAMP '2024-01-29 00:00:00') p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+""",
+    tags=("streaming", "join", "watermark"),
+)
+def q_stream_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — the hardest join
+    case: BOTH sides hold state and BOTH emit watermark-proven null
+    rows (a click with no purchase within 30 min, and a purchase no
+    click preceded).
+
+    The watermark trap this query exists to pin down: Catalyst
+    pushes the branch filters BELOW a shared ``withWatermark`` node,
+    so the watermark clock tracks max(event time) of the FILTERED
+    union, not the raw stream. With both branches cut off at Jan 29
+    the watermark caps ~1 min below the cutoff and every click in
+    the last 30 min before it is never provably match-less — its
+    null row stays in state forever (measured: exactly the latest
+    unmatched click went missing). The replay therefore stages the
+    events file plus one far-future flush CLICK (user_id -1, ts
+    past all data) that survives the click branch's filter and
+    drags the watermark past every real row; the flush row's OWN
+    null emission needs wm > flush_ts + 30 min, which the final
+    wm = flush_ts - delay never reaches, so it stays withheld (the
+    same end-of-stream-flush idiom as q_stream_tumbling_watermarked,
+    plus a defensive output filter). Production equivalents: idle-
+    source watermark advance or heartbeat events. Per-side state is
+    bounded by watermark + the 30-min condition."""
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from streamz_postgres_spark.catalog import table_path
+    from streamz_postgres_spark.streaming.runner import events_ts_unit
+
+    staging = tempfile.mkdtemp(prefix="fo_replay_")
+    shutil.copy(table_path(sf_dir, "events"), f"{staging}/events.parquet")
+    unit = events_ts_unit(sf_dir)
+    flush_ns = int(pd.Timestamp("2024-06-01").value)  # far past the data
+    flush_val = flush_ns if unit == "ns" else flush_ns // 1000
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([-1], pa.int64()),
+                "ts": pa.array([flush_val], pa.timestamp(unit)),
+                "user_id": pa.array([-1], pa.int64()),
+                "event_type": pa.array(["click"], pa.string()),
+                "value": pa.array([0.0], pa.float64()),
+                "props": pa.array(["{}"], pa.string()),
+            }
+        ),
+        f"{staging}/flush.parquet",
+    )
+    s = replay_events(spark, sf_dir, directory=staging, glob="*.parquet")
+    micros = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    s = s.withColumn("ts_evt", F.timestamp_micros(micros)).withWatermark(
+        "ts_evt", "1 minute"
+    )
+    cutoff = F.col("ts") < F.lit("2024-01-29 00:00:00").cast("timestamp_ntz")
+    clicks = s.filter(
+        (F.col("event_type") == "click") & (cutoff | (F.col("user_id") == -1))
+    ).select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user"),
+        F.col("ts_evt").alias("c_ts"),
+    )
+    purchases = s.filter((F.col("event_type") == "purchase") & cutoff).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("purchase_user"),
+        F.col("ts_evt").alias("p_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    out = (
+        clicks.join(
+            purchases,
+            (F.col("click_user") == F.col("purchase_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTE")),
+            "full_outer",
+        )
+        # defensive: the flush click's null row is withheld by the
+        # watermark; make the contract explicit
+        .filter(F.col("click_user").isNull() | (F.col("click_user") != -1))
+        .select(
+            "click_id",
+            "click_user",
+            "purchase_id",
+            "purchase_user",
+            "purchase_value",
+        )
+    )
+    try:
+        return run_to_table(out, "append", spark)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
 
 
 def _running_totals(
