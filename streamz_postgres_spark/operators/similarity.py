@@ -590,3 +590,49 @@ def q_knn_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn2") <= _IVFB_K)
         .select("probe_id", "vec_id", "cell", "cosine")
     )
+
+
+_SWEEP_THRESHOLDS = (0.30, 0.40, 0.50, 0.60, 0.70, 0.80)
+
+
+@register(
+    "q_sim_threshold_sweep",
+    oracle=f"""
+WITH pairs AS ({sql_blocked_cosine_pairs(0.30)})
+SELECT t.threshold,
+       CAST(COALESCE(SUM(CASE WHEN p.cosine >= t.threshold
+                              THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_pairs
+FROM (SELECT CAST(unnest({list(_SWEEP_THRESHOLDS)}) AS DOUBLE)
+        AS threshold) t
+LEFT JOIN pairs p ON TRUE
+GROUP BY t.threshold
+""",
+    tags=("similarity", "report"),
+)
+def q_sim_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-calibration sweep: near-dup pair counts at each
+    candidate cosine cutoff, from ONE pass over the blocked pair
+    space — the report that picks a semantic-dedup threshold before
+    committing a 100 TB run to it. Pairs are computed once at the
+    loosest threshold; each stricter count is a conditional agg over
+    the same rows (map-side combined), so the sweep costs exactly
+    one blocked all-pairs pass regardless of how many thresholds it
+    reports."""
+    pairs = blocked_cosine_pairs(spark, sf_dir, _SWEEP_THRESHOLDS[0])
+    counts = pairs.agg(
+        *[
+            F.count_if(F.col("cosine") >= F.lit(t)).alias(f"t{i}")
+            for i, t in enumerate(_SWEEP_THRESHOLDS)
+        ]
+    )
+    # one wide row -> (threshold, n_pairs) rows; stack is a map-only
+    # reshape of a single row
+    stack_expr = ", ".join(
+        f"CAST({t} AS DOUBLE), t{i}" for i, t in enumerate(_SWEEP_THRESHOLDS)
+    )
+    return counts.select(
+        F.expr(
+            f"stack({len(_SWEEP_THRESHOLDS)}, {stack_expr}) "
+            "AS (threshold, n_pairs)"
+        )
+    ).select("threshold", F.col("n_pairs").cast("long").alias("n_pairs"))

@@ -439,3 +439,57 @@ def q_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cume"),
         F.row_number().over(w).cast("long").alias("rn"),
     )
+
+
+@register(
+    "q_gaps_islands",
+    oracle="""
+WITH days AS (
+  SELECT user_id,
+         CAST(date_trunc('day', ts) AS DATE) AS d,
+         COUNT(*) AS n_events
+  FROM events
+  GROUP BY user_id, CAST(date_trunc('day', ts) AS DATE)
+),
+grp AS (
+  SELECT user_id, d, n_events,
+         (d - DATE '2024-01-01')
+           - row_number() OVER (PARTITION BY user_id ORDER BY d)
+           AS island
+  FROM days
+)
+SELECT user_id,
+       strftime(MIN(d), '%Y-%m-%d') AS streak_start,
+       strftime(MAX(d), '%Y-%m-%d') AS streak_end,
+       CAST(COUNT(*) AS BIGINT) AS streak_days,
+       CAST(SUM(n_events) AS BIGINT) AS n_events
+FROM grp
+GROUP BY user_id, island
+""",
+    tags=("window", "islands"),
+)
+def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of CONSECUTIVE active days per
+    user (activity streaks) via the row_number-difference idiom —
+    day_number minus per-key rank is constant exactly within an
+    unbroken run, so one window plus one group-by finds every
+    island with no self-join or recursion. The same idiom finds
+    contiguous id ranges, sensor uptime segments, and missing-range
+    boundaries. Costs one hash shuffle on the key (both the window
+    and the final agg reuse it); per-key state is linear."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("d")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = days.withColumn(
+        "island",
+        F.datediff(F.col("d"), F.lit("2024-01-01").cast("date"))
+        - F.row_number().over(w),
+    )
+    return grp.groupBy("user_id", "island").agg(
+        F.date_format(F.min("d"), "yyyy-MM-dd").alias("streak_start"),
+        F.date_format(F.max("d"), "yyyy-MM-dd").alias("streak_end"),
+        F.count(F.lit(1)).cast("long").alias("streak_days"),
+        F.sum("n_events").cast("long").alias("n_events"),
+    ).drop("island")

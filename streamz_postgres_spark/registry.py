@@ -137,9 +137,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_ntile_buckets",
     "q_bool_agg",
     # ---- 50-key window boundary ----
-    # round-4 addition that shares the already-evidenced CC path
-    # with q_dedup_clusters (r3 green) — heads the r5 window:
+    # round-4 additions that missed the window cut — they head the
+    # r5 window (q_dedup_cluster_stats shares the already-evidenced
+    # CC path with q_dedup_clusters, r3 green):
     "q_dedup_cluster_stats",
+    "q_stream_chained_aggs",
+    "q_sim_threshold_sweep",
+    "q_gaps_islands",
     # r2-latest keys (r5 window candidates):
     "q_stream_tumbling",
     "q_stream_accumulate",

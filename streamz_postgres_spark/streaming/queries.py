@@ -139,38 +139,11 @@ def q_stream_tumbling_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame
     withheld — the standard end-of-stream flush for append-mode
     verification. The flush row never reaches the output."""
     import shutil
-    import tempfile
 
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    from streamz_postgres_spark.catalog import table_path
     from streamz_postgres_spark.functions.numeric import dsum
+    from streamz_postgres_spark.streaming.runner import staged_replay_with_flush
 
-    from streamz_postgres_spark.streaming.runner import events_ts_unit
-
-    staging = tempfile.mkdtemp(prefix="wm_replay_")
-    shutil.copy(table_path(sf_dir, "events"), f"{staging}/events.parquet")
-    # flush row's ts unit must match the fixture's (mixed-unit dirs
-    # would break the single explicit stream schema)
-    unit = events_ts_unit(sf_dir)
-    flush_ns = int(pd.Timestamp("2024-06-01").value)  # far past the data
-    flush_val = flush_ns if unit == "ns" else flush_ns // 1000
-    pq.write_table(
-        pa.table(
-            {
-                "event_id": pa.array([-1], pa.int64()),
-                "ts": pa.array([flush_val], pa.timestamp(unit)),
-                "user_id": pa.array([-1], pa.int64()),
-                "event_type": pa.array(["__flush__"], pa.string()),
-                "value": pa.array([0.0], pa.float64()),
-                "props": pa.array(["{}"], pa.string()),
-            }
-        ),
-        f"{staging}/flush.parquet",
-    )
-
-    s = replay_events(spark, sf_dir, directory=staging, glob="*.parquet")
+    s, staging = staged_replay_with_flush(spark, sf_dir)
     # watermarks require TimestampType; build the instant from epoch
     # micros (tz-free both ways: NTZ -> micros -> instant, and the
     # output instant -> micros -> NTZ) so the UTC-aligned hour grid
@@ -518,33 +491,10 @@ def q_stream_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     source watermark advance or heartbeat events. Per-side state is
     bounded by watermark + the 30-min condition."""
     import shutil
-    import tempfile
 
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+    from streamz_postgres_spark.streaming.runner import staged_replay_with_flush
 
-    from streamz_postgres_spark.catalog import table_path
-    from streamz_postgres_spark.streaming.runner import events_ts_unit
-
-    staging = tempfile.mkdtemp(prefix="fo_replay_")
-    shutil.copy(table_path(sf_dir, "events"), f"{staging}/events.parquet")
-    unit = events_ts_unit(sf_dir)
-    flush_ns = int(pd.Timestamp("2024-06-01").value)  # far past the data
-    flush_val = flush_ns if unit == "ns" else flush_ns // 1000
-    pq.write_table(
-        pa.table(
-            {
-                "event_id": pa.array([-1], pa.int64()),
-                "ts": pa.array([flush_val], pa.timestamp(unit)),
-                "user_id": pa.array([-1], pa.int64()),
-                "event_type": pa.array(["click"], pa.string()),
-                "value": pa.array([0.0], pa.float64()),
-                "props": pa.array(["{}"], pa.string()),
-            }
-        ),
-        f"{staging}/flush.parquet",
-    )
-    s = replay_events(spark, sf_dir, directory=staging, glob="*.parquet")
+    s, staging = staged_replay_with_flush(spark, sf_dir, event_type="click")
     micros = F.expr(
         "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
     )
@@ -1128,3 +1078,71 @@ def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_table(out, "complete", spark)
+
+
+@register(
+    "q_stream_chained_aggs",
+    oracle="""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n
+  FROM events
+  GROUP BY date_trunc('hour', ts)
+)
+SELECT CAST(date_trunc('day', h) AS TIMESTAMP) AS day_start,
+       CAST(MAX(n) AS BIGINT) AS peak_hourly,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS BIGINT) AS n_hours
+FROM hourly
+GROUP BY CAST(date_trunc('day', h) AS TIMESTAMP)
+""",
+    tags=("streaming", "time", "watermark", "chained"),
+)
+def q_stream_chained_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTIPLE stateful operators in one streaming query (Spark 4's
+    chained time-window aggregation): hourly counts re-windowed into
+    daily peak/total/coverage — two state stores, one pipeline, no
+    intermediate sink. The second agg windows over the FIRST agg's
+    window column (``F.window(w)`` re-windowing), so hourly rows
+    flow into daily state as the watermark closes each hour, and
+    each daily row emits once the watermark passes the day.
+    Append-mode verification uses the staged flush row to close
+    every real hour AND day; the flush row's own hour/day stay
+    withheld. This is the streaming form of a rollup cascade — at
+    100 TB it replaces the 'hourly job feeding a daily job' pattern
+    with one query and exactly-once state."""
+    import shutil
+
+    from streamz_postgres_spark.streaming.runner import staged_replay_with_flush
+
+    s, staging = staged_replay_with_flush(spark, sf_dir)
+    micros = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    hourly = (
+        s.withColumn("ts_evt", F.timestamp_micros(micros))
+        .withWatermark("ts_evt", "0 seconds")
+        .groupBy(F.window("ts_evt", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    daily = (
+        hourly.groupBy(F.window(F.col("w"), "1 day").alias("d"))
+        .agg(
+            F.max("n").alias("peak_hourly"),
+            F.sum("n").alias("n_events"),
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+        )
+        .select(
+            F.expr(
+                "timestampadd(MICROSECOND, unix_micros(d.start), "
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ).alias("day_start"),
+            "peak_hourly",
+            "n_events",
+            "n_hours",
+        )
+        .filter(F.col("day_start") < F.lit("2024-06-01").cast("timestamp_ntz"))
+    )
+    try:
+        return run_to_table(daily, "append", spark)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)

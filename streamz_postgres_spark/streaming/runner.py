@@ -104,6 +104,49 @@ def replay_events(
     )
 
 
+def staged_replay_with_flush(
+    spark: SparkSession,
+    sf_dir: str,
+    event_type: str = "__flush__",
+    flush_ts: str = "2024-06-01",
+    user_id: int = -1,
+) -> tuple[DataFrame, str]:
+    """Events stream staged with one far-future flush row appended —
+    the end-of-stream-flush idiom append-mode verification needs: the
+    flush row drags the watermark past every real row (so all real
+    windows / state rows emit), while its own window or null row
+    stays watermark-withheld forever. ``event_type`` controls which
+    branch filters the flush row survives (watermark nodes observe
+    the FILTERED stream after Catalyst pushdown — see
+    q_stream_join_full). Returns (stream, staging_dir); the caller
+    removes the dir after the query terminates."""
+    import pandas as _pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from streamz_postgres_spark.catalog import table_path
+
+    staging = tempfile.mkdtemp(prefix="flush_replay_")
+    shutil.copy(table_path(sf_dir, "events"), f"{staging}/events.parquet")
+    unit = events_ts_unit(sf_dir)
+    flush_ns = int(_pd.Timestamp(flush_ts).value)
+    flush_val = flush_ns if unit == "ns" else flush_ns // 1000
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([-1], pa.int64()),
+                "ts": pa.array([flush_val], pa.timestamp(unit)),
+                "user_id": pa.array([user_id], pa.int64()),
+                "event_type": pa.array([event_type], pa.string()),
+                "value": pa.array([0.0], pa.float64()),
+                "props": pa.array(["{}"], pa.string()),
+            }
+        ),
+        f"{staging}/flush.parquet",
+    )
+    return replay_events(spark, sf_dir, directory=staging, glob="*.parquet"), staging
+
+
 def run_to_table(
     out: DataFrame,
     output_mode: str,
