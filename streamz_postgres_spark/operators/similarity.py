@@ -636,3 +636,68 @@ def q_sim_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS (threshold, n_pairs)"
         )
     ).select("threshold", F.col("n_pairs").cast("long").alias("n_pairs"))
+
+
+_KNN_GRAPH_K = 3
+
+
+@register(
+    "q_knn_graph",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+         {_sql_norm('embedding')} AS nrm
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id, b.vec_id AS neighbor,
+         {sql_dot('a.e', 'b.e')} / (a.nrm * b.nrm) AS cosine
+  FROM v a JOIN v b ON a.label = b.label AND a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT vec_id, neighbor, cosine,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cosine DESC, neighbor) AS rk
+  FROM pairs
+)
+SELECT vec_id, neighbor, cosine, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {_KNN_GRAPH_K}
+""",
+    tags=("similarity", "graph"),
+)
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kNN GRAPH over the whole corpus (every vector's top-k
+    in-block neighbors) — the structure SemDeDup-style semantic
+    dedup and prototype-based data selection build first. Candidates
+    come from the label block (the IVF-cell stand-in), so the pair
+    space is sum(block^2), never corpus^2; ranking is a per-vector
+    window over the block pairs with a deterministic (cosine,
+    neighbor-id) tie-break. At 100 TB the block assignment comes
+    from the learned IVF codebook (q_sim_ann_ivf) and k stays small,
+    so shuffle volume is O(corpus x k) edges out."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id", "label", F.col("embedding").alias("e"),
+        l2_norm(F.col("embedding")).alias("nrm"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("neighbor"),
+        F.col("label").alias("label_b"),
+        F.col("e").alias("e_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    cosine = dot(F.col("e"), F.col("e_b")) / (F.col("nrm") * F.col("nrm_b"))
+    pairs = v.join(
+        b,
+        (F.col("label") == F.col("label_b"))
+        & (F.col("vec_id") != F.col("neighbor")),
+    ).select("vec_id", "neighbor", cosine.alias("cosine"))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor")
+    )
+    return (
+        pairs.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _KNN_GRAPH_K)
+        .select("vec_id", "neighbor", "cosine", "rk")
+    )

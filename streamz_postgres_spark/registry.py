@@ -144,6 +144,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_stream_chained_aggs",
     "q_sim_threshold_sweep",
     "q_gaps_islands",
+    "q_knn_graph",
     # r2-latest keys (r5 window candidates):
     "q_stream_tumbling",
     "q_stream_accumulate",
