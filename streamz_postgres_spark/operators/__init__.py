@@ -22,6 +22,7 @@ from streamz_postgres_spark.operators import (  # noqa: F401
     aggregates,
     dedup,
     flagship,
+    graph,
     joins,
     multimodal,
     pipeline,

@@ -145,6 +145,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_sim_threshold_sweep",
     "q_gaps_islands",
     "q_knn_graph",
+    "q_triangle_count",
+    "q_pagerank",
     # r2-latest keys (r5 window candidates):
     "q_stream_tumbling",
     "q_stream_accumulate",
