@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from streamz_postgres_spark.catalog import load_table
+from streamz_postgres_spark.functions.numeric import qround, sql_qround
 from streamz_postgres_spark.functions.text_features import (
     hash60,
     shingles,
@@ -676,4 +677,55 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_chunks"),
             F.sum("n_tok").cast("bigint").alias("sum_chunk_tokens"),
         )
+    )
+
+
+# -- weighted sampling ------------------------------------------------------
+
+_WSAMPLE_K = 100
+_WSAMPLE_SALT = "#wsample"
+_H60_RANGE = float(1 << 60)
+
+
+@register(
+    "q_weighted_sample",
+    oracle=f"""
+SELECT doc_id, n_chars, priority
+FROM (
+  SELECT doc_id, n_chars,
+         {sql_qround(
+             "ln((" + sql_hash60(f"CAST(doc_id AS VARCHAR) || '{_WSAMPLE_SALT}'")
+             + f" + 1) / {_H60_RANGE!r}) / n_chars",
+             9,
+         )} AS priority
+  FROM documents
+) t
+ORDER BY priority DESC, doc_id
+LIMIT {_WSAMPLE_K}
+""",
+    tags=("pipeline", "sampling"),
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, weight = n_chars
+    (longer docs proportionally likelier), via the Efraimidis-
+    Spirakis one-pass scheme: priority = ln(u) / w with u a salted-
+    hash uniform in (0, 1], take the top-k priorities. One map pass
+    plus a TakeOrdered top-k — no RNG, no rejection loop, identical
+    sample on any cluster shape or rerun. The priority is quantized
+    (qround(9)) before ranking because ln() is the one libm call in
+    the engine whose last ulp differs between the JVM and C
+    runtimes; ties on the quantized grid break by doc_id, so the
+    cut line stays deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    u = (
+        hash60(
+            F.concat(F.col("doc_id").cast("string"), F.lit(_WSAMPLE_SALT))
+        )
+        + F.lit(1)
+    ) / F.lit(_H60_RANGE)
+    pr = qround(F.log(u) / F.col("n_chars"), 9)
+    return (
+        d.select("doc_id", "n_chars", pr.alias("priority"))
+        .orderBy(F.col("priority").desc(), "doc_id")
+        .limit(_WSAMPLE_K)
     )

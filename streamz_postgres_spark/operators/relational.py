@@ -313,3 +313,49 @@ def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_value"),
         )
     )
+
+
+# -- Pareto frontier --------------------------------------------------------
+
+
+@register(
+    "q_skyline",
+    oracle="""
+WITH cand AS (
+  SELECT p_size, MIN(p_retailprice) AS best_price
+  FROM part GROUP BY p_size
+)
+SELECT c.p_size, c.best_price
+FROM cand c
+WHERE NOT EXISTS (
+  SELECT 1 FROM cand d
+  WHERE d.p_size > c.p_size AND d.best_price <= c.best_price
+)
+""",
+    tags=("filter", "join"),
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) of parts: maximize size, minimize
+    price — every (size, price) point no other point beats on both
+    axes. The scale trick is the pre-reduction: within one size,
+    only the cheapest part can survive, so a single group-by
+    collapses the corpus to <= |distinct sizes| champions BEFORE the
+    quadratic dominance test; the anti-join then runs on a
+    broadcast-sized candidate set (50 rows here, bounded by the size
+    domain at any corpus scale — this is the skyline analogue of the
+    local-skyline-then-merge algorithm). MIN is exact, no float
+    arithmetic anywhere."""
+    p = load_table(spark, sf_dir, "part")
+    cand = p.groupBy("p_size").agg(
+        F.min("p_retailprice").alias("best_price")
+    )
+    dom = cand.select(
+        F.col("p_size").alias("d_size"),
+        F.col("best_price").alias("d_price"),
+    )
+    return cand.join(
+        F.broadcast(dom),
+        (F.col("d_size") > F.col("p_size"))
+        & (F.col("d_price") <= F.col("best_price")),
+        "left_anti",
+    )

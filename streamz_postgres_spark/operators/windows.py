@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from streamz_postgres_spark.catalog import load_table
+from streamz_postgres_spark.functions.numeric import qround, sql_qround
 from streamz_postgres_spark.registry import register
 
 _DEC = "decimal(38,6)"
@@ -493,3 +494,153 @@ def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("streak_days"),
         F.sum("n_events").cast("long").alias("n_events"),
     ).drop("island")
+
+
+# -- exponentially weighted moving average ----------------------------------
+
+#: EWMA decay per step. 0.5 is deliberate: every weight 0.5^k is an
+#: exact dyadic double and value * 0.5^k is an exact scaling, so the
+#: only rounding in the whole kernel is the fixed-order addition
+#: chain — identical IEEE steps in Spark and DuckDB.
+_EWMA_ALPHA = 0.5
+_EWMA_DEPTH = 8
+
+
+def _ewma_weights() -> list[float]:
+    return [_EWMA_ALPHA**k for k in range(_EWMA_DEPTH)]
+
+
+def _sql_ewma() -> str:
+    num = " + ".join(
+        f"COALESCE(lag(value, {k}) OVER w * {w!r}, 0.0)"
+        for k, w in enumerate(_ewma_weights())
+    )
+    den = " + ".join(
+        f"(CASE WHEN lag(value, {k}) OVER w IS NOT NULL"
+        f" THEN {w!r} ELSE 0.0 END)"
+        for k, w in enumerate(_ewma_weights())
+    )
+    return f"""
+SELECT event_id, user_id, value, ({num}) / ({den}) AS ewma
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+"""
+
+
+@register(
+    "q_ewma",
+    oracle=_sql_ewma(),
+    tags=("window", "timeseries"),
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-limited exponentially weighted moving average of each
+    user's event values (decay 0.5, depth 8), the smoothing kernel
+    behind rate monitors and trend features. Expressed as an
+    unrolled lag chain — ONE key-partitioned window, no self-join,
+    no UDF — with weights renormalized over the available history so
+    warm-up rows average over what exists instead of leaking zeros.
+    Numerics: dyadic weights make every product exact; the addition
+    chain is built in fixed k-order on both engines, so results are
+    bit-identical without any decimal detour. At 100 TB this is a
+    single hash exchange on user_id with 8 doubles of state per
+    row."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for k, wt in enumerate(_ewma_weights()):
+        lagged = F.lag("value", k).over(w)
+        num = num + F.coalesce(lagged * F.lit(wt), F.lit(0.0))
+        den = den + F.when(lagged.isNotNull(), F.lit(wt)).otherwise(
+            F.lit(0.0)
+        )
+    return e.select(
+        "event_id", "user_id", "value", (num / den).alias("ewma")
+    )
+
+
+# -- rolling order statistics -----------------------------------------------
+
+
+@register(
+    "q_rolling_median",
+    oracle=f"""
+SELECT event_id, user_id, value,
+       {sql_qround('quantile_cont(value, 0.5) OVER w', 9)} AS roll_median
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+""",
+    tags=("window", "timeseries"),
+)
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median of each user's last 5 event values — the
+    robust-statistics counterpart of q_moving_avg (a median shrugs
+    off the outliers that drag a mean). Exact interpolated
+    percentile over a ROWS frame; both engines interpolate even
+    frames as lo + (hi-lo)*0.5, and the qround(9) guard absorbs any
+    1-ulp contraction difference. Key-partitioned frame of 5 — tiny
+    bounded state per partition, one hash exchange at any scale."""
+    e = load_table(spark, sf_dir, "events")
+    med = F.expr(
+        "percentile(value, 0.5) OVER (PARTITION BY user_id ORDER BY event_id"
+        " ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)"
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        qround(med, 9).alias("roll_median"),
+    )
+
+
+# -- event-sequence mining --------------------------------------------------
+
+_PATH_TOPK = 20
+
+
+@register(
+    "q_event_paths",
+    oracle=f"""
+WITH hops AS (
+  SELECT event_type AS s1,
+         lead(event_type, 1) OVER w AS s2,
+         lead(event_type, 2) OVER w AS s3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+)
+SELECT s1 || ' > ' || s2 || ' > ' || s3 AS path,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM hops
+WHERE s2 IS NOT NULL AND s3 IS NOT NULL
+GROUP BY path
+ORDER BY n DESC, path
+LIMIT {_PATH_TOPK}
+""",
+    tags=("window", "sequence"),
+)
+def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_PATH_TOPK} 3-step event-type paths across all user
+    timelines — the sequence-mining pass that discovers which
+    funnels are worth defining (q_funnel then measures a chosen
+    one). Sliding trigrams come from two leads over one
+    key-partitioned window; the count is an ordinary shuffle agg on
+    the path string, and the top-k is TakeOrdered with a total
+    (n DESC, path) order so the cut line is deterministic. Distinct
+    paths <= |event types|^3 — the agg output is tiny no matter the
+    corpus size."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    hops = e.select(
+        F.col("event_type").alias("s1"),
+        F.lead("event_type", 1).over(w).alias("s2"),
+        F.lead("event_type", 2).over(w).alias("s3"),
+    )
+    return (
+        hops.filter(F.col("s2").isNotNull() & F.col("s3").isNotNull())
+        .select(F.concat_ws(" > ", "s1", "s2", "s3").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(_PATH_TOPK)
+    )

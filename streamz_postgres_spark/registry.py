@@ -147,6 +147,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_knn_graph",
     "q_triangle_count",
     "q_pagerank",
+    "q_ewma",
+    "q_rolling_median",
+    "q_event_paths",
+    "q_skyline",
+    "q_weighted_sample",
     # r2-latest keys (r5 window candidates):
     "q_stream_tumbling",
     "q_stream_accumulate",
