@@ -472,3 +472,46 @@ def q_bool_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("l_tax") > 0.05).cast("long").alias("n_high_tax"),
         F.count_if(F.col("l_linestatus") == "F").cast("long").alias("n_finished"),
     )
+
+
+# -- bitmap-exact distinct counting -----------------------------------------
+
+
+@register(
+    "q_bitmap_distinct",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY event_type
+""",
+    tags=("agg", "bitmap"),
+)
+def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct users per event type via two-level bitmap
+    aggregation — the scale pattern for exact COUNT(DISTINCT) that
+    `q_approx_distinct` trades away: stage 1 ORs ids into one
+    fixed-32KB bitmap per (group, id-bucket) with map-side combine,
+    stage 2 sums popcounts. Shuffle volume is O(groups × occupied
+    buckets) bitmaps instead of O(distinct ids) — on 100 TB with
+    dense id domains this turns the expand-shuffle-dedup plan of a
+    naive COUNT(DISTINCT) into a metric-style rollup, and the bucket
+    bitmaps are mergeable across days for incremental exact uniques.
+    n_events rides along to show the pattern composes with plain
+    aggs (a naive count-distinct plan would expand rows and need a
+    second pass)."""
+    e = load_table(spark, sf_dir, "events")
+    buckets = e.groupBy(
+        "event_type",
+        F.expr("bitmap_bucket_number(user_id)").alias("bkt"),
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias(
+            "bm"
+        ),
+        F.count(F.lit(1)).alias("n_ev"),
+    )
+    return buckets.groupBy("event_type").agg(
+        F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias("n_users"),
+        F.sum("n_ev").cast("bigint").alias("n_events"),
+    )

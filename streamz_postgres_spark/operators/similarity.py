@@ -22,7 +22,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from streamz_postgres_spark.catalog import load_table
-from streamz_postgres_spark.functions.numeric import sql_dsum
+from streamz_postgres_spark.functions.numeric import (
+    sql_davg,
+    sql_dstddev_samp,
+    sql_dsum,
+)
 from streamz_postgres_spark.functions.vector import dot, l2_norm, sql_dot, sql_l2_norm
 from streamz_postgres_spark.registry import register
 
@@ -700,4 +704,97 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= _KNN_GRAPH_K)
         .select("vec_id", "neighbor", "cosine", "rk")
+    )
+
+
+# -- centroid-distance outliers ---------------------------------------------
+
+_OUTLIER_Z = -2.0
+
+
+@register(
+    "q_doc_outliers",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+         {_sql_norm('embedding')} AS nrm
+  FROM embeddings
+),
+ex AS (
+  SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM embeddings
+),
+cd AS (
+  SELECT label, dim, {sql_dsum('val')} / COUNT(*) AS c
+  FROM ex GROUP BY label, dim
+),
+ce AS (SELECT label, list(c ORDER BY dim) AS ce FROM cd GROUP BY label),
+scored AS (
+  SELECT v.vec_id, v.label,
+         {sql_dot('v.e', 'ce.ce')} / (v.nrm * {sql_l2_norm('ce.ce')})
+           AS cos_centroid
+  FROM v JOIN ce ON v.label = ce.label
+),
+stats AS (
+  SELECT label,
+         {sql_davg('cos_centroid')} AS mu,
+         {sql_dstddev_samp('cos_centroid')} AS sigma
+  FROM scored GROUP BY label
+)
+SELECT s.vec_id, s.label, s.cos_centroid,
+       (s.cos_centroid - st.mu) / st.sigma AS z
+FROM scored s JOIN stats st ON s.label = st.label
+WHERE (s.cos_centroid - st.mu) / st.sigma < {_OUTLIER_Z}
+""",
+    tags=("similarity", "vector", "stats"),
+)
+def q_doc_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outliers: vectors whose cosine to their label
+    centroid sits more than 2 sigma below the label's mean — the
+    standard embedding-space screen for mislabeled / off-topic /
+    garbage documents before training. Three cheap aggregations
+    compose: the centroid M-step (shuffle O(labels × dims), same as
+    q_centroids), a broadcast join scoring every vector against its
+    centroid with the deterministic HOF dot, and per-label moment
+    stats from exact decimal sums. No pairwise anything — the whole
+    screen is linear in the corpus and the flag threshold is
+    bit-stable across engines and partitionings."""
+    from streamz_postgres_spark.functions.numeric import (
+        davg,
+        dstddev_samp,
+        dsum,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id", "label", F.col("embedding").alias("e"),
+        l2_norm(F.col("embedding")).alias("nrm"),
+    )
+    ex = e.select("label", F.posexplode("embedding").alias("dim", "val"))
+    cd = ex.groupBy("label", "dim").agg(
+        (dsum(F.col("val").cast("double")) / F.count(F.lit(1))).alias("c")
+    )
+    ce = cd.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))),
+            lambda x: x.c,
+        ).alias("ce")
+    )
+    scored = v.join(F.broadcast(ce), "label").select(
+        "vec_id",
+        "label",
+        (dot(F.col("e"), F.col("ce")) / (F.col("nrm") * l2_norm(F.col("ce"))))
+        .alias("cos_centroid"),
+    )
+    stats = scored.groupBy(F.col("label").alias("slabel")).agg(
+        davg("cos_centroid").alias("mu"),
+        dstddev_samp("cos_centroid").alias("sigma"),
+    )
+    z = (F.col("cos_centroid") - F.col("mu")) / F.col("sigma")
+    return (
+        scored.join(F.broadcast(stats), F.col("label") == F.col("slabel"))
+        .filter(z < _OUTLIER_Z)
+        .select("vec_id", "label", "cos_centroid", z.alias("z"))
     )

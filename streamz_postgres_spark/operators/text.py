@@ -535,3 +535,92 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rn") <= 3) & (F.col("doc_id") < 100))
         .select("doc_id", "token", "tf", "dl", "bm25")
     )
+
+
+# -- collocation mining -----------------------------------------------------
+
+_PMI_MIN_COUNT = 5
+_PMI_TOPK = 20
+
+
+@register(
+    "q_pmi_collocations",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest({sql_tokens('text')}) AS w FROM documents
+),
+uni AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS cx FROM toks GROUP BY w),
+n1 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t1 FROM toks),
+big AS (
+  SELECT unnest({sql_shingles(sql_tokens('text'), 2)}) AS bg
+  FROM documents
+),
+bc AS (
+  SELECT bg, COUNT(*) AS n FROM big
+  GROUP BY bg HAVING COUNT(*) >= {_PMI_MIN_COUNT}
+),
+n2 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t2 FROM big)
+SELECT bg AS bigram, CAST(bc.n AS BIGINT) AS n,
+       {sql_qround(
+           "ln((CAST(bc.n AS DOUBLE) / t2)"
+           " / ((u1.cx / t1) * (u2.cx / t1)))", 9)} AS pmi
+FROM bc
+CROSS JOIN n1 CROSS JOIN n2
+JOIN uni u1 ON string_split(bg, ' ')[1] = u1.w
+JOIN uni u2 ON string_split(bg, ' ')[2] = u2.w
+ORDER BY pmi DESC, bigram
+LIMIT {_PMI_TOPK}
+""",
+    tags=("text", "agg"),
+)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_PMI_TOPK} collocations by pointwise mutual information —
+    word pairs that co-occur far above chance, the corpus-analysis
+    pass that finds multiword units worth protecting from tokenizer
+    splits (and a quality signal: templated corpora have degenerate
+    PMI tails). Two explode+agg passes (unigrams, adjacent bigrams)
+    plus two joins of the bigram table against the unigram counts —
+    the unigram side is a vocabulary, orders of magnitude smaller
+    than the corpus, so both joins broadcast at any corpus scale;
+    the corpus-size denominators arrive as broadcast 1-row aggs.
+    ln() goes through the qround(9) guard (JVM vs C libm last-ulp),
+    and the (pmi, bigram) order makes the top-k cut deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    toks = d.select(F.explode(tok).alias("w"))
+    uni = toks.groupBy("w").agg(
+        F.count(F.lit(1)).cast("double").alias("cx")
+    )
+    n1 = toks.agg(F.count(F.lit(1)).cast("double").alias("t1"))
+    big = d.select(F.explode(shingles(tok, 2)).alias("bg"))
+    bc = big.groupBy("bg").agg(F.count(F.lit(1)).alias("n")).filter(
+        F.col("n") >= _PMI_MIN_COUNT
+    )
+    n2 = big.agg(F.count(F.lit(1)).cast("double").alias("t2"))
+    parts = F.split(F.col("bg"), " ")
+    u1 = uni.select(F.col("w").alias("w1"), F.col("cx").alias("cx1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("cx").alias("cx2"))
+    j = (
+        bc.withColumn("w1", parts.getItem(0))
+        .withColumn("w2", parts.getItem(1))
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+    )
+    pmi = qround(
+        F.log(
+            (F.col("n").cast("double") / F.col("t2"))
+            / ((F.col("cx1") / F.col("t1")) * (F.col("cx2") / F.col("t1")))
+        ),
+        9,
+    )
+    return (
+        j.select(
+            F.col("bg").alias("bigram"),
+            F.col("n").cast("bigint").alias("n"),
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "bigram")
+        .limit(_PMI_TOPK)
+    )

@@ -152,6 +152,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_event_paths",
     "q_skyline",
     "q_weighted_sample",
+    "q_bitmap_distinct",
+    "q_pmi_collocations",
+    "q_doc_outliers",
+    "q_stream_ewma",
     # r2-latest keys (r5 window candidates):
     "q_stream_tumbling",
     "q_stream_accumulate",

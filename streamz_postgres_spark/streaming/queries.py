@@ -1146,3 +1146,79 @@ def q_stream_chained_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         return run_to_table(daily, "append", spark)
     finally:
         shutil.rmtree(staging, ignore_errors=True)
+
+
+# -- streaming EWMA ---------------------------------------------------------
+
+
+def _ewma_fold(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-key recursive EWMA (decay 0.5): e_1 = x_1,
+    e_t = 0.5*x_t + 0.5*e_{t-1}.
+
+    Every step is two exact halvings plus ONE rounded add, evaluated
+    in the same order as the oracle's recursive CTE — so the
+    streaming fold and the SQL recursion produce bit-identical
+    doubles with no decimal detour. State is a single double."""
+    if state.exists:
+        (prev,) = state.get
+    else:
+        prev = None
+    pdf = pd.concat(list(batches), ignore_index=True).sort_values("event_id")
+    out = []
+    for v in pdf["value"]:
+        x = float(v)
+        prev = x if prev is None else 0.5 * x + 0.5 * prev
+        out.append(prev)
+    state.update((float(prev),))
+    yield pd.DataFrame(
+        {
+            "user_id": pdf["user_id"],
+            "event_id": pdf["event_id"],
+            "value": pdf["value"],
+            "ewma": out,
+        }
+    )
+
+
+@register(
+    "q_stream_ewma",
+    oracle="""
+WITH RECURSIVE t AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+  FROM events
+),
+r AS (
+  SELECT user_id, event_id, value, rn, value AS ewma
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.user_id, t.event_id, t.value, t.rn,
+         0.5 * t.value + 0.5 * r.ewma
+  FROM t JOIN r ON t.user_id = r.user_id AND t.rn = r.rn + 1
+)
+SELECT user_id, event_id, value, ewma FROM r
+""",
+    tags=("streaming", "stateful", "udf", "timeseries"),
+)
+def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-key EWMA via applyInPandasWithState — the live
+    twin of the batch q_ewma (which renormalizes a depth-8 kernel;
+    here the genuinely recursive filter runs forever on one double
+    of state per key). The oracle replays the identical recursion as
+    a recursive CTE, row-parity down to the last bit thanks to the
+    dyadic decay. This is the canonical 'smoothed metric' monitor: at
+    100 TB of events the state store holds |active keys| doubles and
+    every micro-batch does one Arrow round-trip per key group."""
+    s = replay_events(spark, sf_dir)
+    out = s.groupBy("user_id").applyInPandasWithState(
+        _ewma_fold,
+        outputStructType=(
+            "user_id long, event_id long, value double, ewma double"
+        ),
+        stateStructType="prev double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_table(out, "append", spark)
