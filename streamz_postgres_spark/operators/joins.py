@@ -803,3 +803,82 @@ def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_values=["purchase_value"],
         tolerance="2 HOURS",
     )
+
+
+# -- bucketed co-located join -----------------------------------------------
+
+#: layout dirs of the most recent q_join_bucketed invocation —
+#: released at the start of the next one (the returned DataFrame
+#: reads the bucketed files lazily, so the call can't clean its own)
+_BUCKET_DIRS: list = []
+
+_N_BUCKETS = 8
+
+
+@register(
+    "q_join_bucketed",
+    oracle=f"""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+""",
+    tags=("join", "layout"),
+)
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exchange-free co-located join: both sides are laid out as
+    bucketed tables ({_N_BUCKETS} buckets on the join key, sorted
+    within buckets), so the sort-merge join reads matching buckets
+    file-against-file with NO shuffle of either side — `.explain`
+    shows zero Exchange under the join. This is THE layout lever for
+    a fact-fact join that repeats every day at 100 TB: pay one
+    bucketed write, then every subsequent join of the two tables
+    skips both exchanges forever (plus bucket pruning on point
+    predicates). The merge hint pins SMJ so the demo can't silently
+    degrade to a broadcast at toy scale; the post-join rollup is an
+    ordinary partial agg. Layout dirs from the previous invocation
+    are released here, mirroring q_partition_prune."""
+    import shutil
+    import tempfile
+
+    while _BUCKET_DIRS:
+        shutil.rmtree(_BUCKET_DIRS.pop(), ignore_errors=True)
+    for t in ("bkt_orders", "bkt_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    base = tempfile.mkdtemp(prefix="bucketed_join_")
+    _BUCKET_DIRS.append(base)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    (
+        o.write.bucketBy(_N_BUCKETS, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", f"{base}/orders")
+        .mode("overwrite")
+        .saveAsTable("bkt_orders")
+    )
+    (
+        li.write.bucketBy(_N_BUCKETS, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", f"{base}/lineitem")
+        .mode("overwrite")
+        .saveAsTable("bkt_lineitem")
+    )
+    bo = spark.table("bkt_orders")
+    bl = spark.table("bkt_lineitem")
+    return (
+        bo.hint("merge")
+        .join(bl, bo.o_orderkey == bl.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+        )
+    )

@@ -195,3 +195,49 @@ def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         qround(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
         F.max("l_extendedprice").alias("p100"),
     )
+
+
+# -- winsorization ----------------------------------------------------------
+
+
+@register(
+    "q_winsorize",
+    oracle=f"""
+WITH st AS (
+  SELECT event_type,
+         {sql_qround('quantile_cont(value, 0.05)', 6)} AS lo,
+         {sql_qround('quantile_cont(value, 0.95)', 6)} AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       LEAST(GREATEST(e.value, st.lo), st.hi) AS clamped
+FROM events e JOIN st ON e.event_type = st.event_type
+""",
+    tags=("agg", "stats", "pipeline"),
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization: clamp every value into its group's [p5, p95]
+    band — the outlier-taming transform applied to reward/metric
+    columns before they feed averages or training losses. Two-pass
+    shape: a per-group exact-percentile agg (5 rows out), then a
+    broadcast join + pure least/greatest map — no window over the
+    fact table, no second shuffle. At 100 TB swap the exact
+    percentile for percentile_approx; the clamp pass is unchanged.
+    Band edges go through qround(6) (interpolation ulp guard);
+    clamped values are either the untouched input double or a band
+    edge, so the output is bit-stable."""
+    e = load_table(spark, sf_dir, "events")
+    st = e.groupBy(F.col("event_type").alias("g")).agg(
+        qround(F.percentile("value", F.lit(0.05)), 6).alias("lo"),
+        qround(F.percentile("value", F.lit(0.95)), 6).alias("hi"),
+    )
+    return (
+        e.join(F.broadcast(st), F.col("event_type") == F.col("g"))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+            .alias("clamped"),
+        )
+    )

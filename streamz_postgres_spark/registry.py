@@ -156,6 +156,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_pmi_collocations",
     "q_doc_outliers",
     "q_stream_ewma",
+    "q_winsorize",
+    "q_join_bucketed",
+    "q_stream_bitmap_distinct",
     # r2-latest keys (r5 window candidates):
     "q_stream_tumbling",
     "q_stream_accumulate",

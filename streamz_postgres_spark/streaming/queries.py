@@ -1222,3 +1222,43 @@ def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return run_to_table(out, "append", spark)
+
+
+# -- streaming exact distinct via bitmap state ------------------------------
+
+
+@register(
+    "q_stream_bitmap_distinct",
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+""",
+    tags=("streaming", "agg", "bitmap"),
+)
+def q_stream_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct users per hourly window, maintained LIVE: the
+    streaming aggregation state is one fixed-32KB bitmap per
+    (window, type, id-bucket) — each micro-batch ORs new ids in, so
+    state size is bounded by the id domain, not the event count, and
+    never re-expands history the way a streaming COUNT(DISTINCT)
+    dedup-set would. The popcount rollup over bucket bitmaps is
+    read-side presentation on the tiny materialized state (batch
+    q_bitmap_distinct is the same two-level pattern). Production:
+    update mode + watermark closes old windows and ages their
+    bitmaps out of the store."""
+    s = replay_events(spark, sf_dir)
+    agg = s.groupBy(
+        F.window("ts", "1 hour").alias("w"),
+        "event_type",
+        F.expr("bitmap_bucket_number(user_id)").alias("bkt"),
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias(
+            "bm"
+        )
+    )
+    tbl = run_to_table(agg, "complete", spark)
+    return tbl.groupBy(
+        F.col("w.start").alias("window_start"), "event_type"
+    ).agg(F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias("n_users"))

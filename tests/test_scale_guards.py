@@ -214,3 +214,16 @@ def test_corpus_pipeline_single_wide_shuffle(spark):
     assert s["joins"] == []
     assert s["n_exchanges"] <= 3
     assert s["single_partition_windows"] is False
+
+
+def test_bucketed_join_is_exchange_free(spark):
+    """q_join_bucketed: the sort-merge join must consume the two
+    bucketed tables directly — the ONLY exchange in the plan is the
+    post-join rollup's. Both scans must report the bucketed layout;
+    if bucketing is silently dropped (config off, bucket mismatch),
+    a second exchange appears and this guard fails."""
+    df = REGISTRY["q_join_bucketed"].spark_fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Bucketed: true") == 2, plan
