@@ -241,3 +241,80 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("clamped"),
         )
     )
+
+
+# -- two-sample hypothesis test ---------------------------------------------
+
+
+@register(
+    "q_abtest_welch",
+    oracle=f"""
+WITH m AS (
+  SELECT event_type,
+         CAST(user_id % 2 AS BIGINT) AS variant,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         {sql_dsum('value')} AS sx,
+         {sql_dsum('value * value')} AS sxx
+  FROM events
+  GROUP BY event_type, variant
+)
+SELECT a.event_type,
+       CAST(a.n AS BIGINT) AS n_control,
+       CAST(b.n AS BIGINT) AS n_treat,
+       {sql_qround('(b.sx / b.n) - (a.sx / a.n)', 9)} AS lift,
+       {sql_qround(
+           '((b.sx / b.n) - (a.sx / a.n))'
+           ' / SQRT(((a.sxx - a.sx * a.sx / a.n) / (a.n - 1)) / a.n'
+           '      + ((b.sxx - b.sx * b.sx / b.n) / (b.n - 1)) / b.n)', 9)}
+         AS t_welch
+FROM m a JOIN m b ON a.event_type = b.event_type
+WHERE a.variant = 0 AND b.variant = 1
+""",
+    tags=("agg", "stats"),
+)
+def q_abtest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t statistic per event type, variant assigned
+    by user-id parity (the deterministic stand-in for an experiment
+    bucket column): mean lift and its t value from the five exact
+    per-arm sums. One partial-aggregating shuffle of 3 decimals per
+    (type, arm); the 2×|types| moment table then self-joins
+    broadcast-size. This is the experiment-readout pattern at 100 TB:
+    moments reduce map-side, the test statistic is O(arms) driver-
+    free arithmetic, qround(9) pins the sqrt/division ulp."""
+    e = load_table(spark, sf_dir, "events")
+    m = e.groupBy(
+        "event_type", (F.col("user_id") % 2).cast("bigint").alias("variant")
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum("value").alias("sx"),
+        dsum(F.col("value") * F.col("value")).alias("sxx"),
+    )
+    a = m.filter(F.col("variant") == 0).select(
+        "event_type",
+        F.col("n").alias("n0"),
+        F.col("sx").alias("sx0"),
+        F.col("sxx").alias("sxx0"),
+    )
+    b = m.filter(F.col("variant") == 1).select(
+        F.col("event_type").alias("et_b"),
+        F.col("n").alias("n1"),
+        F.col("sx").alias("sx1"),
+        F.col("sxx").alias("sxx1"),
+    )
+    j = a.join(F.broadcast(b), F.col("event_type") == F.col("et_b"))
+    m0 = F.col("sx0") / F.col("n0")
+    m1 = F.col("sx1") / F.col("n1")
+    v0 = (F.col("sxx0") - F.col("sx0") * F.col("sx0") / F.col("n0")) / (
+        F.col("n0") - 1
+    )
+    v1 = (F.col("sxx1") - F.col("sx1") * F.col("sx1") / F.col("n1")) / (
+        F.col("n1") - 1
+    )
+    t = (m1 - m0) / F.sqrt(v0 / F.col("n0") + v1 / F.col("n1"))
+    return j.select(
+        "event_type",
+        F.col("n0").cast("bigint").alias("n_control"),
+        F.col("n1").cast("bigint").alias("n_treat"),
+        qround(m1 - m0, 9).alias("lift"),
+        qround(t, 9).alias("t_welch"),
+    )

@@ -624,3 +624,84 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "bigram")
         .limit(_PMI_TOPK)
     )
+
+
+# -- bigram-LM perplexity scoring -------------------------------------------
+
+
+@register(
+    "q_doc_perplexity",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest({sql_tokens('text')}) AS w FROM documents
+),
+uni AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS cx FROM toks GROUP BY w),
+vocab AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM uni),
+bc AS (
+  SELECT bg, CAST(COUNT(*) AS DOUBLE) AS cxy
+  FROM (SELECT unnest({sql_shingles(sql_tokens('text'), 2)}) AS bg
+        FROM documents)
+  GROUP BY bg
+),
+db AS (
+  SELECT doc_id, unnest({sql_shingles(sql_tokens('text'), 2)}) AS bg
+  FROM documents
+),
+nll AS (
+  SELECT db.doc_id,
+         {sql_qround(
+             "-ln((bc.cxy + 1.0) / (uni.cx + vocab.v))", 6)} AS term
+  FROM db
+  JOIN bc ON db.bg = bc.bg
+  JOIN uni ON string_split(db.bg, ' ')[1] = uni.w
+  CROSS JOIN vocab
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       {sql_qround(f"{sql_dsum('term')} / COUNT(*)", 6)} AS avg_nll
+FROM nll
+GROUP BY doc_id
+""",
+    tags=("text", "pipeline"),
+)
+def q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average negative log-likelihood under an add-one
+    bigram language model trained on the corpus itself — the
+    perplexity-style quality filter (CCNet-shape): template spam
+    scores low, lexical soup scores high, and the score is a
+    cheap SQL-only stand-in for a neural-LM filter. Two count
+    passes build the LM (bigram + unigram tables); scoring is one
+    equi-join of exploded doc bigrams against the LM — at 100 TB
+    that's a plain hash join against an LM table that is vocabulary-
+    sized, orders below the corpus (broadcast when it fits, shuffle
+    join when it doesn't). Each -ln term goes through qround(6)
+    (libm ulp guard) before the exact decimal mean."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    toks = d.select(F.explode(tok).alias("w"))
+    uni = toks.groupBy("w").agg(
+        F.count(F.lit(1)).cast("double").alias("cx")
+    )
+    vocab = uni.agg(F.count(F.lit(1)).cast("double").alias("v"))
+    big_all = d.select(F.explode(shingles(tok, 2)).alias("bg"))
+    bc = big_all.groupBy("bg").agg(
+        F.count(F.lit(1)).cast("double").alias("cxy")
+    )
+    db = d.select("doc_id", F.explode(shingles(tok, 2)).alias("bg"))
+    uni_j = uni.select(F.col("w").alias("w1"), "cx")
+    nll = (
+        db.join(bc, "bg")
+        .withColumn("w1", F.split(F.col("bg"), " ").getItem(0))
+        .join(F.broadcast(uni_j), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            qround(
+                -F.log((F.col("cxy") + 1.0) / (F.col("cx") + F.col("v"))), 6
+            ).alias("term"),
+        )
+    )
+    return nll.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        qround(dsum("term") / F.count(F.lit(1)), 6).alias("avg_nll"),
+    )

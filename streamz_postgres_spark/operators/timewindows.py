@@ -315,3 +315,73 @@ def q_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_locf",
         )
     )
+
+
+# -- cohort retention -------------------------------------------------------
+
+
+@register(
+    "q_cohort_retention",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id,
+         CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         CAST(date_diff('day', f.cohort_week,
+                        CAST(date_trunc('week', e.ts) AS TIMESTAMP)) / 7
+              AS BIGINT) AS week_offset
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+),
+sizes AS (
+  SELECT cohort_week, COUNT(*) AS cohort_size
+  FROM firsts GROUP BY cohort_week
+)
+SELECT a.cohort_week, a.week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_active,
+       s.cohort_size
+FROM activity a JOIN sizes s ON a.cohort_week = s.cohort_week
+GROUP BY a.cohort_week, a.week_offset, s.cohort_size
+""",
+    tags=("time", "agg"),
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by first-seen
+    week, counted as active per week offset — THE product-analytics
+    rollup. Three aggs compose: first-touch per user (one shuffle on
+    user_id), distinct (user, week) activity reusing that partition,
+    cohort sizes broadcast back onto the matrix. Output is
+    O(weeks²) cells regardless of corpus size; everything is counts
+    on exact keys, so the matrix is engine- and partition-exact.
+    Both engines truncate weeks to Monday 00:00 on the NTZ
+    timestamps (tz-independent by construction)."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        e.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")),
+                           F.col("cohort_week"))
+                / 7
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        activity.join(F.broadcast(sizes), "cohort_week")
+        .groupBy("cohort_week", "week_offset", "cohort_size")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .select("cohort_week", "week_offset", "n_active", "cohort_size")
+    )

@@ -159,6 +159,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_winsorize",
     "q_join_bucketed",
     "q_stream_bitmap_distinct",
+    "q_cohort_retention",
+    "q_abtest_welch",
+    "q_doc_perplexity",
     # r2-latest keys (r5 window candidates):
     "q_stream_tumbling",
     "q_stream_accumulate",
