@@ -10,7 +10,7 @@ the single-threaded oracle produce identical doubles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from streamz_postgres_spark.catalog import load_table
@@ -317,4 +317,127 @@ def q_abtest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n1").cast("bigint").alias("n_treat"),
         qround(m1 - m0, 9).alias("lift"),
         qround(t, 9).alias("t_welch"),
+    )
+
+
+# -- robust dispersion ------------------------------------------------------
+
+
+@register(
+    "q_mad",
+    oracle=f"""
+WITH med AS (
+  SELECT event_type,
+         {sql_qround('quantile_cont(value, 0.5)', 6)} AS median_value
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       med.median_value,
+       {sql_qround('quantile_cont(ABS(e.value - med.median_value), 0.5)', 6)}
+         AS mad
+FROM events e JOIN med ON e.event_type = med.event_type
+GROUP BY e.event_type, med.median_value
+""",
+    tags=("agg", "stats"),
+)
+def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per group — the robust scale
+    estimate that pairs with q_rolling_median (stddev is hostage to
+    the same outliers it's meant to flag). Two percentile passes:
+    group medians (tiny), broadcast back, median of absolute
+    residuals. Same two-scan shape as q_winsorize; at 100 TB both
+    percentiles downgrade gracefully to percentile_approx. The
+    median is qround(6)-pinned BEFORE residuals so both engines
+    subtract the identical double."""
+    e = load_table(spark, sf_dir, "events")
+    med = e.groupBy(F.col("event_type").alias("g")).agg(
+        qround(F.percentile("value", F.lit(0.5)), 6).alias("median_value")
+    )
+    return (
+        e.join(F.broadcast(med), F.col("event_type") == F.col("g"))
+        .groupBy("event_type", "median_value")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            qround(
+                F.percentile(
+                    F.abs(F.col("value") - F.col("median_value")), F.lit(0.5)
+                ),
+                6,
+            ).alias("mad"),
+        )
+        .select("event_type", "n", "median_value", "mad")
+    )
+
+
+# -- serial correlation -----------------------------------------------------
+
+_AUTOCORR_MIN_N = 10
+
+
+@register(
+    "q_autocorr",
+    oracle=f"""
+WITH pairs AS (
+  SELECT user_id, value AS y,
+         lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS x
+  FROM events
+),
+m AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         {sql_dsum('x')} AS sx, {sql_dsum('y')} AS sy,
+         {sql_dsum('x * x')} AS sxx, {sql_dsum('y * y')} AS syy,
+         {sql_dsum('x * y')} AS sxy
+  FROM pairs WHERE x IS NOT NULL
+  GROUP BY user_id
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
+       {sql_qround(
+           '(n * sxy - sx * sy)'
+           ' / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy))', 9)}
+         AS r1
+FROM m
+WHERE n >= {_AUTOCORR_MIN_N}
+  AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+""",
+    tags=("stats", "window", "timeseries"),
+)
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of each user's value sequence — the
+    one-number diagnostic separating trending/sticky series from
+    white noise (and the screen for 'is a changepoint test even
+    worth running'). One key-partitioned lag window builds the
+    (x_{{t-1}}, x_t) pairs, then the correlation is algebraic over
+    the five exact decimal sums (same machinery as q_stats_corr) —
+    shuffle payload is 5 decimals per user. Degenerate (zero-
+    variance) series are filtered, short series gated at
+    n >= {_AUTOCORR_MIN_N}."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    pairs = e.select(
+        "user_id",
+        F.col("value").alias("y"),
+        F.lag("value").over(w).alias("x"),
+    ).filter(F.col("x").isNotNull())
+    x, y = F.col("x"), F.col("y")
+    m = pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(x).alias("sx"), dsum(y).alias("sy"),
+        dsum(x * x).alias("sxx"), dsum(y * y).alias("syy"),
+        dsum(x * y).alias("sxy"),
+    )
+    n = F.col("n")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    r1 = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(vx) * F.sqrt(vy)
+    )
+    return (
+        m.filter((n >= _AUTOCORR_MIN_N) & (vx > 0) & (vy > 0))
+        .select(
+            "user_id",
+            n.cast("bigint").alias("n_pairs"),
+            qround(r1, 9).alias("r1"),
+        )
     )

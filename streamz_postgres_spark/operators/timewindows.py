@@ -385,3 +385,41 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_active"))
         .select("cohort_week", "week_offset", "n_active", "cohort_size")
     )
+
+
+# -- calendar seasonality ---------------------------------------------------
+
+
+@register(
+    "q_seasonality",
+    oracle=f"""
+SELECT event_type,
+       CAST(date_part('isodow', ts) AS BIGINT) AS dow,
+       CAST(date_part('hour', ts) AS BIGINT) AS hod,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {sql_dsum('value')} AS sum_value
+FROM events
+GROUP BY event_type, dow, hod
+""",
+    tags=("time", "agg"),
+)
+def q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar seasonality matrix: activity by ISO weekday × hour
+    of day per event type — the heatmap behind capacity planning and
+    'is this drop just Sunday' triage. A single partial-aggregating
+    shuffle with O(types × 168) output at any scale. Weekday parity
+    needs care: Spark's dayofweek is Sunday=1 while DuckDB's isodow
+    is Monday=1, so both sides compute ISO day-of-week explicitly
+    (Spark: weekday()+1). All timestamp math is NTZ-safe."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "event_type",
+            (F.weekday("ts") + 1).cast("bigint").alias("dow"),
+            F.hour("ts").cast("bigint").alias("hod"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+    )

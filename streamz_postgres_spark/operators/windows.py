@@ -644,3 +644,92 @@ def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "path")
         .limit(_PATH_TOPK)
     )
+
+
+# -- changepoint detection --------------------------------------------------
+
+
+@register(
+    "q_changepoint_cusum",
+    oracle="""
+WITH mu AS (
+  SELECT user_id,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+           / COUNT(*) AS mean_value,
+         COUNT(*) AS n
+  FROM events GROUP BY user_id
+),
+s AS (
+  SELECT e.user_id, e.event_id, mu.n,
+         CAST(SUM(CAST((CAST(FLOOR((e.value - mu.mean_value) * 1000000.0
+                                   + 0.5) AS DOUBLE) / 1000000.0)
+                       AS DECIMAL(38,6)))
+              OVER (PARTITION BY e.user_id ORDER BY e.event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS DOUBLE) AS cusum
+  FROM events e JOIN mu ON e.user_id = mu.user_id
+),
+ranked AS (
+  SELECT user_id, n, event_id, ABS(cusum) AS a,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ABS(cusum) DESC, event_id) AS rk
+  FROM s
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_events,
+       a AS cusum_max, event_id AS event_at_max
+FROM ranked WHERE rk = 1
+""",
+    tags=("window", "timeseries", "anomaly"),
+)
+def q_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan per user: the running sum of
+    deviations from the user's mean peaks exactly where the series'
+    level shifts, so (max |S_t|, argmax t) is the classic offline
+    changepoint statistic (compare cusum_max against a threshold or
+    a permutation bound downstream). One agg for the means, one
+    broadcast-join + key-partitioned decimal running sum, one
+    window top-1 with (|S|, event_id) tie-break — three exchanges
+    total, all on user_id, state linear per key. Deviations are
+    computed doubles, so they quantize to the 1e-6 grid (pure-double
+    qround) BEFORE the exact decimal accumulation — a raw decimal
+    cast of a computed double reopens the engines' rounding-base
+    divergence (see graph._dsum_rank); the quantized cusum's peak
+    and argmax are then partition- and engine-exact."""
+    e = load_table(spark, sf_dir, "events")
+    mu = e.groupBy(F.col("user_id").alias("u")).agg(
+        (F.sum(F.col("value").cast(_DEC)).cast("double") / F.count(F.lit(1)))
+        .alias("mean_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = (
+        e.join(F.broadcast(mu), F.col("user_id") == F.col("u"))
+        .select(
+            "user_id",
+            "event_id",
+            "n",
+            F.sum(
+                qround(F.col("value") - F.col("mean_value"), 6).cast(_DEC)
+            )
+            .over(w)
+            .cast("double")
+            .alias("cusum"),
+        )
+    )
+    rk = Window.partitionBy("user_id").orderBy(
+        F.abs(F.col("cusum")).desc(), "event_id"
+    )
+    return (
+        s.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("n").cast("bigint").alias("n_events"),
+            F.abs(F.col("cusum")).alias("cusum_max"),
+            F.col("event_id").alias("event_at_max"),
+        )
+    )

@@ -162,6 +162,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_cohort_retention",
     "q_abtest_welch",
     "q_doc_perplexity",
+    "q_mad",
+    "q_autocorr",
+    "q_changepoint_cusum",
+    "q_seasonality",
     # r2-latest keys (r5 window candidates):
     "q_stream_tumbling",
     "q_stream_accumulate",
