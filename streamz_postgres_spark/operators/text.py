@@ -705,3 +705,56 @@ def q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
         qround(dsum("term") / F.count(F.lit(1)), 6).alias("avg_nll"),
     )
+
+
+# -- cross-document boilerplate spans ---------------------------------------
+
+_SPAN_N = 5
+_SPAN_MIN_DOCS = 3
+_SPAN_TOPK = 20
+
+
+@register(
+    "q_boilerplate_spans",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, unnest({sql_shingles(sql_tokens('text'), _SPAN_N)}) AS span
+  FROM documents
+)
+SELECT span,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM sh
+GROUP BY span
+HAVING COUNT(DISTINCT doc_id) >= {_SPAN_MIN_DOCS}
+ORDER BY n_docs DESC, n_occurrences DESC, span
+LIMIT {_SPAN_TOPK}
+""",
+    tags=("text", "dedup", "pipeline"),
+)
+def q_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated {_SPAN_N}-gram spans — the boilerplate
+    report (headers, licenses, templates) that span-level dedup
+    (Lee et al.-style) removes where document-level near-dup can't:
+    the surrounding documents differ, only the span repeats. One
+    explode + count/count-distinct agg, df-gated and top-k'd with a
+    total (n_docs, n_occurrences, span) order. At 100 TB group on
+    hash60(span) instead of the string (8-byte shuffle keys, same
+    pattern as q_dedup_minhash) and join the winning hashes back for
+    display text; q_text_repetition is the within-doc complement."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(shingles(tokens("text"), _SPAN_N)).alias("span")
+    )
+    return (
+        sh.groupBy("span")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") >= _SPAN_MIN_DOCS)
+        .orderBy(
+            F.col("n_docs").desc(), F.col("n_occurrences").desc(), "span"
+        )
+        .limit(_SPAN_TOPK)
+    )

@@ -166,6 +166,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_autocorr",
     "q_changepoint_cusum",
     "q_seasonality",
+    "q_boilerplate_spans",
     # r2-latest keys (r5 window candidates):
     "q_stream_tumbling",
     "q_stream_accumulate",
