@@ -359,3 +359,77 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("d_price") <= F.col("best_price")),
         "left_anti",
     )
+
+
+# -- schema evolution across file batches -----------------------------------
+
+#: staging dirs of the most recent q_schema_evolution invocation
+_EVOL_DIRS: list = []
+
+
+@register(
+    "q_schema_evolution",
+    oracle="""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN quality_tier IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_pre_evolution,
+       CAST(SUM(COALESCE(quality_tier, 0)) AS BIGINT) AS sum_tier
+FROM (
+  SELECT source, CAST(NULL AS BIGINT) AS quality_tier
+  FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT source, n_chars % 5 AS quality_tier
+  FROM documents WHERE doc_id % 2 = 1
+) t
+GROUP BY source
+""",
+    tags=("source", "layout"),
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema drift across file batches, handled at read time: an
+    early batch written WITHOUT the `quality_tier` column and a later
+    batch written WITH it are read as one dataset via mergeSchema —
+    pre-evolution rows surface as NULLs, no rewrite of old files, no
+    reader fork. This is the lake reality every long-lived 100 TB
+    corpus hits (columns appear mid-stream); the rollup proves the
+    merged scan aggregates across both schema generations. Schema
+    merging costs one footer read per file at planning — at scale,
+    pin the merged schema in a table catalog instead of re-inferring.
+    Staging dirs from the previous invocation are released here
+    (q_partition_prune pattern)."""
+    import shutil
+    import tempfile
+
+    while _EVOL_DIRS:
+        shutil.rmtree(_EVOL_DIRS.pop(), ignore_errors=True)
+    staging = tempfile.mkdtemp(prefix="schema_evol_")
+    _EVOL_DIRS.append(staging)
+
+    d = load_table(spark, sf_dir, "documents")
+    (
+        d.filter(F.col("doc_id") % 2 == 0)
+        .select("source")
+        .write.mode("overwrite")
+        .parquet(f"{staging}/batch=1")
+    )
+    (
+        d.filter(F.col("doc_id") % 2 == 1)
+        .select(
+            "source", (F.col("n_chars") % 5).cast("bigint").alias("quality_tier")
+        )
+        .write.mode("overwrite")
+        .parquet(f"{staging}/batch=2")
+    )
+    lake = spark.read.option("mergeSchema", "true").parquet(
+        f"{staging}/batch=1", f"{staging}/batch=2"
+    )
+    return lake.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("quality_tier").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pre_evolution"),
+        F.sum(F.coalesce(F.col("quality_tier"), F.lit(0)))
+        .cast("bigint")
+        .alias("sum_tier"),
+    )

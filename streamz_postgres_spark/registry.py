@@ -167,6 +167,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_changepoint_cusum",
     "q_seasonality",
     "q_boilerplate_spans",
+    "q_schema_evolution",
     # r2-latest keys (r5 window candidates):
     "q_stream_tumbling",
     "q_stream_accumulate",
