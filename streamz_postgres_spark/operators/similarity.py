@@ -798,3 +798,118 @@ def q_doc_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(z < _OUTLIER_Z)
         .select("vec_id", "label", "cos_centroid", z.alias("z"))
     )
+
+
+# -- ANN quality evaluation -------------------------------------------------
+
+_RECALL_K = 10
+
+
+@register(
+    "q_ann_recall",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+         {_sql_norm('embedding')} AS nrm
+  FROM embeddings
+),
+hashed AS (
+  SELECT vec_id, e, nrm, {_bucket_sql('e')} AS bucket FROM v
+),
+probes AS (
+  SELECT vec_id AS pid, e AS pe, nrm AS pnrm, bucket AS pbucket
+  FROM hashed WHERE vec_id % {_IVFB_PROBE_MOD} = 7
+),
+exact AS (
+  SELECT pid, vec_id FROM (
+    SELECT p.pid, h.vec_id,
+           row_number() OVER (
+             PARTITION BY p.pid
+             ORDER BY {sql_dot('h.e', 'p.pe')} / (h.nrm * p.pnrm) DESC,
+                      h.vec_id) AS rk
+    FROM hashed h CROSS JOIN probes p
+    WHERE h.vec_id <> p.pid
+  ) t WHERE rk <= {_RECALL_K}
+),
+ann AS (
+  SELECT pid, vec_id FROM (
+    SELECT p.pid, h.vec_id,
+           row_number() OVER (
+             PARTITION BY p.pid
+             ORDER BY {sql_dot('h.e', 'p.pe')} / (h.nrm * p.pnrm) DESC,
+                      h.vec_id) AS rk
+    FROM hashed h JOIN probes p ON h.bucket = p.pbucket
+    WHERE h.vec_id <> p.pid
+  ) t WHERE rk <= {_RECALL_K}
+)
+SELECT exact.pid,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(COUNT(ann.vec_id) AS BIGINT) AS n_hit,
+       CAST(COUNT(ann.vec_id) AS DOUBLE) / {_RECALL_K}.0 AS recall_at_k
+FROM exact
+LEFT JOIN ann ON exact.pid = ann.pid AND exact.vec_id = ann.vec_id
+GROUP BY exact.pid
+""",
+    tags=("similarity", "lsh", "eval"),
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{_RECALL_K} of the hyperplane-LSH index against exact
+    brute force, per probe — the eval harness you run BEFORE trusting
+    an ANN index on a corpus (and after every re-train/re-hash). Both
+    arms share one hashed scan: the exact arm is a broadcast-probe
+    cross scoring (the q_knn_batch shape — linear, not quadratic,
+    because probes are a tiny fixed panel), the ANN arm is the bucket
+    equi-join, and recall is a left-join hit count between the two
+    top-k sets. Deterministic (cosine, vec_id) ranking on both arms
+    makes the metric bit-stable. At 100 TB: sample the probe panel,
+    same plan; the exact arm's cost is |panel| x corpus dot products
+    — the price of ground truth, paid on a sample."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id", F.col("embedding").alias("e"),
+        l2_norm(F.col("embedding")).alias("nrm"),
+    )
+    bucket = None
+    for i, plane in enumerate(_PLANES):
+        pl = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(dot(F.col("e"), pl) >= 0, F.lit(1)).otherwise(F.lit(0))
+        term = bit * F.lit(1 << i)
+        bucket = term if bucket is None else bucket + term
+    hashed = v.withColumn("bucket", bucket)
+    probes = F.broadcast(
+        hashed.filter(F.col("vec_id") % _IVFB_PROBE_MOD == 7).select(
+            F.col("vec_id").alias("pid"),
+            F.col("e").alias("pe"),
+            F.col("nrm").alias("pnrm"),
+            F.col("bucket").alias("pbucket"),
+        )
+    )
+    cosine = dot(F.col("e"), F.col("pe")) / (F.col("nrm") * F.col("pnrm"))
+    rk = Window.partitionBy("pid").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+
+    def topk(joined: DataFrame) -> DataFrame:
+        return (
+            joined.filter(F.col("vec_id") != F.col("pid"))
+            .select("pid", "vec_id", cosine.alias("cosine"))
+            .withColumn("rk", F.row_number().over(rk))
+            .filter(F.col("rk") <= _RECALL_K)
+            .select("pid", "vec_id")
+        )
+
+    exact = topk(hashed.crossJoin(probes))
+    ann = topk(
+        hashed.join(probes, F.col("bucket") == F.col("pbucket"))
+    ).select(F.col("pid").alias("apid"), F.col("vec_id").alias("avid"))
+    hits = exact.join(
+        ann,
+        (F.col("pid") == F.col("apid")) & (F.col("vec_id") == F.col("avid")),
+        "left",
+    )
+    return hits.groupBy("pid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+        F.count("avid").cast("bigint").alias("n_hit"),
+        (F.count("avid").cast("double") / _RECALL_K).alias("recall_at_k"),
+    )

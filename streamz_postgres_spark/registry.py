@@ -168,6 +168,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_seasonality",
     "q_boilerplate_spans",
     "q_schema_evolution",
+    "q_ann_recall",
     # r2-latest keys (r5 window candidates):
     "q_stream_tumbling",
     "q_stream_accumulate",
