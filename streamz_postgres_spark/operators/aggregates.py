@@ -29,6 +29,7 @@ from streamz_postgres_spark.functions.numeric import (
     sql_dsum,
     sql_dvar_samp,
 )
+from streamz_postgres_spark.functions.text_features import hash60, tokens
 from streamz_postgres_spark.registry import register
 
 
@@ -514,4 +515,109 @@ def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return buckets.groupBy("event_type").agg(
         F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias("n_users"),
         F.sum("n_ev").cast("bigint").alias("n_events"),
+    )
+
+
+# -- count-min sketch -------------------------------------------------------
+
+_CMS_WIDTH = 16
+_CMS_DEPTH = 4
+_CMS_TOPK = 10
+
+
+@register(
+    "q_countmin",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+exact AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS exact_count
+  FROM toks GROUP BY w
+  ORDER BY exact_count DESC, w LIMIT {_CMS_TOPK}
+),
+cells AS (
+  SELECT j,
+         CAST('0x' || substr(md5(w || '#cms' || CAST(j AS VARCHAR)), 1, 15)
+              AS BIGINT) % {_CMS_WIDTH} AS bkt,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks CROSS JOIN range(0, {_CMS_DEPTH}) r(j)
+  GROUP BY 1, 2
+)
+SELECT exact.w AS token, exact.exact_count,
+       MIN(cells.c) AS cms_estimate
+FROM exact
+JOIN cells
+  ON cells.bkt = CAST('0x' || substr(
+       md5(exact.w || '#cms' || CAST(cells.j AS VARCHAR)), 1, 15)
+       AS BIGINT) % {_CMS_WIDTH}
+GROUP BY exact.w, exact.exact_count
+""",
+    tags=("agg", "sketch", "approx"),
+)
+def q_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch next to exact truth: a 4×16 counter
+    grid built in ONE pass (each token increments one bucket
+    per hash row), then the 10 most frequent tokens are
+    point-queried as min-over-rows. The sketch is depth·width
+    cells regardless of corpus size and merges by cell-wise addition —
+    the mergeable-summary property that lets every partition (or day)
+    sketch independently and combine, same family as q_hll_partial.
+    Estimates are deterministic integers (seeded md5 buckets, exact
+    counts), so the oracle checks the ESTIMATE itself, not just an
+    accuracy bound: width 16 < vocabulary forces real
+    collisions, and both engines must produce the identical
+    overestimates (cms_estimate >= exact_count row by row)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens(F.col("text"))).alias("w"))
+    exact = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_count"))
+        .orderBy(F.col("exact_count").desc(), "w")
+        .limit(_CMS_TOPK)
+    )
+
+    def bkt(col, j):
+        return (
+            hash60(F.concat(col, F.lit(f"#cms{j}"))) % _CMS_WIDTH
+        )
+
+    cells = (
+        toks.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"), bkt(F.col("w"), j).alias("bkt")
+                        )
+                        for j in range(_CMS_DEPTH)
+                    ]
+                )
+            ).alias("cell")
+        )
+        .select("cell.j", "cell.bkt")
+        .groupBy("j", "bkt")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    probe_cells = exact.select(
+        "w",
+        "exact_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("pj"), bkt(F.col("w"), j).alias("pbkt")
+                    )
+                    for j in range(_CMS_DEPTH)
+                ]
+            )
+        ).alias("pc"),
+    ).select("w", "exact_count", "pc.pj", "pc.pbkt")
+    return (
+        cells.join(
+            F.broadcast(probe_cells),
+            (F.col("j") == F.col("pj")) & (F.col("bkt") == F.col("pbkt")),
+        )
+        .groupBy(F.col("w").alias("token"), "exact_count")
+        .agg(F.min("c").alias("cms_estimate"))
     )

@@ -138,8 +138,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_bool_agg",
     # ---- 50-key window boundary ----
     # round-4 additions that missed the window cut — they head the
-    # r5 window (q_dedup_cluster_stats shares the already-evidenced
-    # CC path with q_dedup_clusters, r3 green):
+    # r5 window, all locally oracle-verified at sf0.001 AND sf0.01
+    # this round (q_dedup_cluster_stats shares the already-evidenced
+    # CC path with q_dedup_clusters, r3 green). r5 window plan:
+    # these ~30 first-evidence keys + the oldest r2-latest keys
+    # below + the two r3-red→r4-fixed streaming canaries:
     "q_dedup_cluster_stats",
     "q_stream_chained_aggs",
     "q_sim_threshold_sweep",
@@ -169,6 +172,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_boilerplate_spans",
     "q_schema_evolution",
     "q_ann_recall",
+    "q_countmin",
     # r2-latest keys (r5 window candidates):
     "q_stream_tumbling",
     "q_stream_accumulate",
