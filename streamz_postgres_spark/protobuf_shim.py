@@ -63,6 +63,14 @@ def install() -> bool:
 
 
 def worker_pythonpath(existing: str | None = None) -> str:
-    """PYTHONPATH value that makes workers resolve the vendor
-    package (prepended so it also wins over partial installs)."""
-    return VENDOR_DIR + (os.pathsep + existing if existing else "")
+    """PYTHONPATH value that makes workers resolve BOTH the vendor
+    package and this library (prepended so they win over partial
+    installs). The library dir matters for the TWS driver-side
+    schema-check runner: it unpickles the stateful processor (whose
+    methods pickle by reference to this module) BEFORE any
+    addPyFile-shipped archive lands on its sys.path, so only
+    PYTHONPATH can make the import resolve — cwd-dependence here
+    broke the query whenever the driver ran outside the repo root."""
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    head = VENDOR_DIR + os.pathsep + repo_root
+    return head + (os.pathsep + existing if existing else "")

@@ -700,6 +700,20 @@ def q_stream_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     env = spark.sparkContext.environment
     prev = env.get("PYTHONPATH")
     env["PYTHONPATH"] = worker_pythonpath(prev)
+    # TWS state uses multiple column families, which only the RocksDB
+    # provider supports — pin it for this query (the engine session
+    # sets it globally, but the external driver's plain session does
+    # not), restoring the caller's conf afterwards.
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming."
+        "state.RocksDBStateStoreProvider"
+    )
+    try:
+        prev_provider = spark.conf.get(provider_key)
+    except Exception:  # pragma: no cover - unset in plain sessions
+        prev_provider = None
+    spark.conf.set(provider_key, rocksdb)
     try:
         out = s.groupBy("user_id").transformWithStateInPandas(
             statefulProcessor=cls(),
@@ -707,12 +721,16 @@ def q_stream_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             outputMode="Update",
             timeMode="None",
         )
+        return run_to_table(out, "update", spark)
     finally:
         if prev is None:
             env.pop("PYTHONPATH", None)
         else:
             env["PYTHONPATH"] = prev
-    return run_to_table(out, "update", spark)
+        if prev_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev_provider)
 
 
 if _protobuf_available():  # pragma: no cover - depends on environment
