@@ -173,6 +173,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_schema_evolution",
     "q_ann_recall",
     "q_countmin",
+    "q_stream_transform_list",
     # r2-latest keys (r5 window candidates):
     "q_stream_tumbling",
     "q_stream_accumulate",

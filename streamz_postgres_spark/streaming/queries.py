@@ -1280,3 +1280,140 @@ def q_stream_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tbl.groupBy(
         F.col("w.start").alias("window_start"), "event_type"
     ).agg(F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias("n_users"))
+
+
+# -- transformWithState: typed ListState ------------------------------------
+
+
+class _RecentEventsProcessor:
+    """transformWithState processor holding each user's LAST-3 events
+    in a typed ListState — the bounded-buffer shape (recent-activity
+    feeds, small replay caches) that ValueState can't express and
+    applyInPandasWithState forces into one opaque blob. The list is
+    merged, sorted, truncated per batch, so state stays 3 rows per
+    key forever."""
+
+    def init(self, handle) -> None:
+        from pyspark.sql.types import (
+            DoubleType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        from streamz_postgres_spark.protobuf_shim import install
+
+        install()
+        self._recent = handle.getListState(
+            "recent",
+            StructType(
+                [
+                    StructField("event_id", LongType()),
+                    StructField("value", DoubleType()),
+                ]
+            ),
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        cur = [(int(r[0]), float(r[1])) for r in self._recent.get()]
+        for pdf in rows:
+            cur.extend(
+                (int(i), float(v))
+                for i, v in zip(pdf["event_id"], pdf["value"])
+            )
+        cur.sort()
+        cur = cur[-3:]
+        self._recent.put([(i, v) for i, v in cur])
+        total = 0.0
+        for _, v in cur:  # ascending event_id: same fold as the oracle
+            total = total + v
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_recent": [len(cur)],
+                "recent_ids": [",".join(str(i) for i, _ in cur)],
+                "recent_sum": [total],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def q_stream_transform_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-3 events per user via transformWithState ListState (see
+    _RecentEventsProcessor). Same environment pinning as
+    q_stream_transform_state: vendored protobuf + library on worker
+    PYTHONPATH, RocksDB provider scoped to the run."""
+    from streamz_postgres_spark.protobuf_shim import install, worker_pythonpath
+
+    if not install():  # pragma: no cover - registration already gated
+        raise RuntimeError("no protobuf runtime available")
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    cls = type(
+        "RecentEventsProcessor",
+        (StatefulProcessor,),
+        dict(_RecentEventsProcessor.__dict__),
+    )
+    s = replay_events(spark, sf_dir)
+    env = spark.sparkContext.environment
+    prev = env.get("PYTHONPATH")
+    env["PYTHONPATH"] = worker_pythonpath(prev)
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming."
+        "state.RocksDBStateStoreProvider"
+    )
+    try:
+        prev_provider = spark.conf.get(provider_key)
+    except Exception:  # pragma: no cover
+        prev_provider = None
+    spark.conf.set(provider_key, rocksdb)
+    try:
+        out = s.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=cls(),
+            outputStructType=(
+                "user_id long, n_recent long, recent_ids string, "
+                "recent_sum double"
+            ),
+            outputMode="Update",
+            timeMode="None",
+        )
+        return run_to_table(out, "update", spark)
+    finally:
+        if prev is None:
+            env.pop("PYTHONPATH", None)
+        else:
+            env["PYTHONPATH"] = prev
+        if prev_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev_provider)
+
+
+_TWS_LIST_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY event_id DESC) AS rk
+  FROM events
+),
+last3 AS (SELECT user_id, event_id, value FROM ranked WHERE rk <= 3)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_recent,
+       string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id)
+         AS recent_ids,
+       list_reduce(list_prepend(
+         0.0, list(value ORDER BY event_id)), (x, y) -> x + y)
+         AS recent_sum
+FROM last3
+GROUP BY user_id
+"""
+
+if _protobuf_available():  # pragma: no cover - depends on environment
+    register(
+        "q_stream_transform_list",
+        oracle=_TWS_LIST_ORACLE,
+        tags=("streaming", "stateful", "udf"),
+    )(q_stream_transform_list)
