@@ -174,6 +174,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_ann_recall",
     "q_countmin",
     "q_stream_transform_list",
+    "q_stream_transform_map",
     # r2-latest keys (r5 window candidates):
     "q_stream_tumbling",
     "q_stream_accumulate",

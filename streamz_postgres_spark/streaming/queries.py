@@ -1417,3 +1417,122 @@ if _protobuf_available():  # pragma: no cover - depends on environment
         oracle=_TWS_LIST_ORACLE,
         tags=("streaming", "stateful", "udf"),
     )(q_stream_transform_list)
+
+
+# -- transformWithState: typed MapState -------------------------------------
+
+
+class _TypeCountsProcessor:
+    """transformWithState processor keeping per-user event-type
+    counts in a typed MapState — the keyed-substate shape (counters
+    per category, per-device cursors) that completes the typed-state
+    triad next to ValueState (q_stream_transform_state) and
+    ListState (q_stream_transform_list). State grows with DISTINCT
+    types per user, not events."""
+
+    def init(self, handle) -> None:
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        from streamz_postgres_spark.protobuf_shim import install
+
+        install()
+        self._counts = handle.getMapState(
+            "type_counts",
+            StructType([StructField("event_type", StringType())]),
+            StructType([StructField("n", LongType())]),
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        for pdf in rows:
+            for et in pdf["event_type"]:
+                k = (str(et),)
+                cur = (
+                    self._counts.getValue(k)[0]
+                    if self._counts.containsKey(k)
+                    else 0
+                )
+                self._counts.updateValue(k, (cur + 1,))
+        items = sorted(
+            (k[0], v[0]) for k, v in self._counts.iterator()
+        )
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(items),
+                "event_type": [t for t, _ in items],
+                "n_events": [n for _, n in items],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def q_stream_transform_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, event-type) counts via transformWithState MapState
+    (see _TypeCountsProcessor); emitted per batch from the map, so
+    the sink holds the complete per-user breakdown after replay.
+    Environment pinning identical to the other transformWithState
+    queries."""
+    from streamz_postgres_spark.protobuf_shim import install, worker_pythonpath
+
+    if not install():  # pragma: no cover - registration already gated
+        raise RuntimeError("no protobuf runtime available")
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    cls = type(
+        "TypeCountsProcessor",
+        (StatefulProcessor,),
+        dict(_TypeCountsProcessor.__dict__),
+    )
+    s = replay_events(spark, sf_dir)
+    env = spark.sparkContext.environment
+    prev = env.get("PYTHONPATH")
+    env["PYTHONPATH"] = worker_pythonpath(prev)
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming."
+        "state.RocksDBStateStoreProvider"
+    )
+    try:
+        prev_provider = spark.conf.get(provider_key)
+    except Exception:  # pragma: no cover
+        prev_provider = None
+    spark.conf.set(provider_key, rocksdb)
+    try:
+        out = s.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=cls(),
+            outputStructType=(
+                "user_id long, event_type string, n_events long"
+            ),
+            outputMode="Update",
+            timeMode="None",
+        )
+        return run_to_table(out, "update", spark)
+    finally:
+        if prev is None:
+            env.pop("PYTHONPATH", None)
+        else:
+            env["PYTHONPATH"] = prev
+        if prev_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev_provider)
+
+
+_TWS_MAP_ORACLE = """
+SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY user_id, event_type
+"""
+
+if _protobuf_available():  # pragma: no cover - depends on environment
+    register(
+        "q_stream_transform_map",
+        oracle=_TWS_MAP_ORACLE,
+        tags=("streaming", "stateful", "udf"),
+    )(q_stream_transform_map)
