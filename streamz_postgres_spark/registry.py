@@ -175,6 +175,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_countmin",
     "q_stream_transform_list",
     "q_stream_transform_map",
+    "q_stream_transform_timers",
     # r2-latest keys (r5 window candidates):
     "q_stream_tumbling",
     "q_stream_accumulate",

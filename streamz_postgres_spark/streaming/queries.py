@@ -1536,3 +1536,149 @@ if _protobuf_available():  # pragma: no cover - depends on environment
         oracle=_TWS_MAP_ORACLE,
         tags=("streaming", "stateful", "udf"),
     )(q_stream_transform_map)
+
+
+# -- transformWithState: event-time timers ----------------------------------
+
+
+class _InactivityFlushProcessor:
+    """transformWithState processor that emits a user's totals ONLY
+    when the user goes quiet: every batch folds rows into ValueState
+    and (re)arms an event-time timer 30 minutes past the user's last
+    event; nothing is emitted inline. When the watermark passes the
+    timer, handleExpiredTimer fires once, emits the summary, and
+    clears the state — streamz's 'emit on timeout' idiom, impossible
+    to express in applyInPandasWithState without hand-rolling timer
+    bookkeeping into the state blob."""
+
+    def init(self, handle) -> None:
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        from streamz_postgres_spark.protobuf_shim import install
+
+        install()
+        self._handle = handle
+        self._state = handle.getValueState(
+            "totals",
+            StructType(
+                [
+                    StructField("n", LongType()),
+                    StructField("acc", StringType()),
+                ]
+            ),
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        six = Decimal("0.000001")
+        if self._state.exists():
+            n, acc_str = self._state.get()
+            acc = Decimal(acc_str)
+        else:
+            n, acc = 0, Decimal(0)
+        last_ms = None
+        for pdf in rows:
+            for v in pdf["value"]:
+                acc += Decimal(float(v)).quantize(six, rounding=ROUND_HALF_EVEN)
+                n += 1
+            batch_max = pdf["ts_evt"].max()
+            ms = int(batch_max.value // 1_000_000)
+            last_ms = ms if last_ms is None else max(last_ms, ms)
+        self._state.update((n, str(acc)))
+        for t in self._handle.listTimers():
+            self._handle.deleteTimer(t)
+        self._handle.registerTimer(last_ms + 30 * 60 * 1000)
+        return iter(())
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        if self._state.exists():
+            n, acc_str = self._state.get()
+            self._state.clear()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "sum_value": [float(Decimal(acc_str))],
+                }
+            )
+
+    def close(self) -> None:
+        pass
+
+
+def q_stream_transform_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user totals emitted ONLY on 30-minute inactivity, via
+    transformWithState EVENT-TIME TIMERS (see
+    _InactivityFlushProcessor). The replay stages a far-future flush
+    row so the final watermark expires every armed timer — each real
+    user emits exactly once; the flush row's own key is dropped
+    after the stateful operator (filtering it before would also
+    remove it from the watermark node, the documented pushdown
+    trap). Environment pinning identical to the other
+    transformWithState queries."""
+    import shutil
+
+    from streamz_postgres_spark.protobuf_shim import install, worker_pythonpath
+    from streamz_postgres_spark.streaming.runner import staged_replay_with_flush
+
+    if not install():  # pragma: no cover - registration already gated
+        raise RuntimeError("no protobuf runtime available")
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    cls = type(
+        "InactivityFlushProcessor",
+        (StatefulProcessor,),
+        dict(_InactivityFlushProcessor.__dict__),
+    )
+    s, staging = staged_replay_with_flush(spark, sf_dir)
+    micros = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    src = s.withColumn("ts_evt", F.timestamp_micros(micros)).withWatermark(
+        "ts_evt", "0 seconds"
+    )
+    env = spark.sparkContext.environment
+    prev = env.get("PYTHONPATH")
+    env["PYTHONPATH"] = worker_pythonpath(prev)
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming."
+        "state.RocksDBStateStoreProvider"
+    )
+    try:
+        prev_provider = spark.conf.get(provider_key)
+    except Exception:  # pragma: no cover
+        prev_provider = None
+    spark.conf.set(provider_key, rocksdb)
+    try:
+        out = src.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=cls(),
+            outputStructType=(
+                "user_id long, n_events long, sum_value double"
+            ),
+            outputMode="Update",
+            timeMode="EventTime",
+        ).filter(F.col("user_id") >= 0)
+        return run_to_table(out, "update", spark)
+    finally:
+        if prev is None:
+            env.pop("PYTHONPATH", None)
+        else:
+            env["PYTHONPATH"] = prev
+        if prev_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev_provider)
+        shutil.rmtree(staging, ignore_errors=True)
+
+
+if _protobuf_available():  # pragma: no cover - depends on environment
+    register(
+        "q_stream_transform_timers",
+        oracle=_TWS_ORACLE,
+        tags=("streaming", "stateful", "udf", "watermark"),
+    )(q_stream_transform_timers)
