@@ -1682,3 +1682,140 @@ if _protobuf_available():  # pragma: no cover - depends on environment
         oracle=_TWS_ORACLE,
         tags=("streaming", "stateful", "udf", "watermark"),
     )(q_stream_transform_timers)
+
+
+# -- transformWithState: initial state bootstrap -----------------------------
+
+
+class _WarmStartTotalsProcessor:
+    """transformWithState processor warm-started from a batch
+    snapshot: handleInitialState seeds each key's ValueState with
+    pre-aggregated (count, exact decimal sum) BEFORE the first
+    micro-batch, then handleInputRows folds live rows on top — the
+    snapshot + incremental pattern every CDC consumer and metric
+    backfill needs (rebuild state from the warehouse, then tail the
+    stream). Emission happens on input, so pair with timers for keys
+    that may never appear in the stream."""
+
+    def init(self, handle) -> None:
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        from streamz_postgres_spark.protobuf_shim import install
+
+        install()
+        self._state = handle.getValueState(
+            "totals",
+            StructType(
+                [
+                    StructField("n", LongType()),
+                    StructField("acc", StringType()),
+                ]
+            ),
+        )
+
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        # arrives as a 1-row pandas frame (or a Row, per the API
+        # union) — extract scalars either way
+        n, acc = initialState["n"], initialState["acc"]
+        if hasattr(n, "iloc"):
+            n, acc = n.iloc[0], acc.iloc[0]
+        self._state.update((int(n), str(acc)))
+
+    def handleInputRows(self, key, rows, timerValues):
+        six = Decimal("0.000001")
+        if self._state.exists():
+            n, acc_str = self._state.get()
+            acc = Decimal(acc_str)
+        else:
+            n, acc = 0, Decimal(0)
+        for pdf in rows:
+            for v in pdf["value"]:
+                acc += Decimal(float(v)).quantize(six, rounding=ROUND_HALF_EVEN)
+                n += 1
+        self._state.update((n, str(acc)))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [float(acc)]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def q_stream_transform_init(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot + incremental totals via transformWithState
+    initialState (see _WarmStartTotalsProcessor): 'historical' events
+    (event_id % 10 < 3) are aggregated in ONE batch job whose exact
+    decimal sums seed the state, and only the remaining rows flow
+    through the stream — yet the emitted totals equal a full-history
+    aggregation, which is exactly what the oracle checks. Environment
+    pinning identical to the other transformWithState queries."""
+    from streamz_postgres_spark.protobuf_shim import install, worker_pythonpath
+
+    if not install():  # pragma: no cover - registration already gated
+        raise RuntimeError("no protobuf runtime available")
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    cls = type(
+        "WarmStartTotalsProcessor",
+        (StatefulProcessor,),
+        dict(_WarmStartTotalsProcessor.__dict__),
+    )
+    hist = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 10 < 3)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("string")
+            .alias("acc"),
+        )
+        .groupBy("user_id")
+    )
+    s = replay_events(spark, sf_dir).filter(F.col("event_id") % 10 >= 3)
+    env = spark.sparkContext.environment
+    prev = env.get("PYTHONPATH")
+    env["PYTHONPATH"] = worker_pythonpath(prev)
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming."
+        "state.RocksDBStateStoreProvider"
+    )
+    try:
+        prev_provider = spark.conf.get(provider_key)
+    except Exception:  # pragma: no cover
+        prev_provider = None
+    spark.conf.set(provider_key, rocksdb)
+    try:
+        out = s.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=cls(),
+            outputStructType=(
+                "user_id long, n_events long, sum_value double"
+            ),
+            outputMode="Update",
+            timeMode="None",
+            initialState=hist,
+        )
+        return run_to_table(out, "update", spark)
+    finally:
+        if prev is None:
+            env.pop("PYTHONPATH", None)
+        else:
+            env["PYTHONPATH"] = prev
+        if prev_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev_provider)
+
+
+if _protobuf_available():  # pragma: no cover - depends on environment
+    register(
+        "q_stream_transform_init",
+        oracle=_TWS_ORACLE,
+        tags=("streaming", "stateful", "udf", "cdc"),
+    )(q_stream_transform_init)
