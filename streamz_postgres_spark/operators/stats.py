@@ -441,3 +441,66 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             qround(r1, 9).alias("r1"),
         )
     )
+
+
+# -- forensic digit-distribution audit --------------------------------------
+
+_BENFORD_EXP = "LN(1.0 + 1.0 / d) / LN(10.0)"
+
+
+@register(
+    "q_benford",
+    oracle=f"""
+WITH cents AS (
+  SELECT CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c
+  FROM orders WHERE o_totalprice > 0
+),
+digits AS (
+  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS n_obs
+  FROM cents GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n_obs) AS DOUBLE) AS n FROM digits)
+SELECT d, n_obs,
+       {sql_qround(f'tot.n * ({_BENFORD_EXP})', 6)} AS n_expected,
+       {sql_qround(
+           f'(CAST(n_obs AS DOUBLE) - tot.n * ({_BENFORD_EXP}))'
+           f' * (CAST(n_obs AS DOUBLE) - tot.n * ({_BENFORD_EXP}))'
+           f' / (tot.n * ({_BENFORD_EXP}))', 6)} AS chi2_term
+FROM digits CROSS JOIN tot
+""",
+    tags=("stats", "quality"),
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order totals: observed vs expected
+    leading-digit counts plus per-digit chi-square terms — the
+    forensic data-quality screen for fabricated or truncated numeric
+    columns (synthetic uniform data fails it loudly, which is itself
+    the diagnostic). The leading digit comes from the INTEGER cents
+    string, never floor(log10(x)): log10's last-ulp error flips the
+    digit at exact powers of ten, while integer→string is identical
+    in every engine. One map + 9-row agg; expectations and chi-square
+    go through qround(6) (ln ulp guard)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    cents = o.select(
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint").alias("c")
+    )
+    digits = cents.select(
+        F.substring(F.col("c").cast("string"), 1, 1).cast("bigint").alias("d")
+    ).groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    tot = digits.agg(F.sum("n_obs").cast("double").alias("n"))
+    expected = F.col("n") * (
+        F.log(1.0 + 1.0 / F.col("d")) / F.log(F.lit(10.0))
+    )
+    obs = F.col("n_obs").cast("double")
+    return (
+        digits.crossJoin(F.broadcast(tot))
+        .select(
+            "d",
+            "n_obs",
+            qround(expected, 6).alias("n_expected"),
+            qround((obs - expected) * (obs - expected) / expected, 6).alias(
+                "chi2_term"
+            ),
+        )
+    )

@@ -177,6 +177,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_stream_transform_map",
     "q_stream_transform_timers",
     "q_stream_transform_init",
+    "q_benford",
     # r2-latest keys (r5 window candidates):
     "q_stream_tumbling",
     "q_stream_accumulate",
