@@ -323,27 +323,25 @@ def q_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_cohort_retention",
     oracle="""
-WITH firsts AS (
+WITH wk AS (
   SELECT user_id,
-         CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
-  FROM events GROUP BY user_id
+         CAST(FLOOR(date_diff('day', DATE '2024-01-01',
+                              CAST(ts AS DATE)) / 7.0) AS BIGINT) AS w
+  FROM events
 ),
+firsts AS (SELECT user_id, MIN(w) AS cw FROM wk GROUP BY user_id),
 activity AS (
-  SELECT DISTINCT e.user_id, f.cohort_week,
-         CAST(date_diff('day', f.cohort_week,
-                        CAST(date_trunc('week', e.ts) AS TIMESTAMP)) / 7
-              AS BIGINT) AS week_offset
-  FROM events e JOIN firsts f ON e.user_id = f.user_id
+  SELECT DISTINCT wk.user_id, f.cw, wk.w - f.cw AS week_offset
+  FROM wk JOIN firsts f ON wk.user_id = f.user_id
 ),
-sizes AS (
-  SELECT cohort_week, COUNT(*) AS cohort_size
-  FROM firsts GROUP BY cohort_week
-)
-SELECT a.cohort_week, a.week_offset,
+sizes AS (SELECT cw, COUNT(*) AS cohort_size FROM firsts GROUP BY cw)
+SELECT CAST(DATE '2024-01-01' + CAST(a.cw * 7 AS INTEGER) AS TIMESTAMP)
+         AS cohort_week,
+       a.week_offset,
        CAST(COUNT(*) AS BIGINT) AS n_active,
        s.cohort_size
-FROM activity a JOIN sizes s ON a.cohort_week = s.cohort_week
-GROUP BY a.cohort_week, a.week_offset, s.cohort_size
+FROM activity a JOIN sizes s ON a.cw = s.cw
+GROUP BY a.cw, a.week_offset, s.cohort_size
 """,
     tags=("time", "agg"),
 )
@@ -355,35 +353,39 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     cohort sizes broadcast back onto the matrix. Output is
     O(weeks²) cells regardless of corpus size; everything is counts
     on exact keys, so the matrix is engine- and partition-exact.
-    Both engines truncate weeks to Monday 00:00 on the NTZ
-    timestamps (tz-independent by construction)."""
+    Weeks are a tz-free index from the Monday epoch 2024-01-01
+    (floor(days/7)) — NOT date_trunc('week'), which Spark evaluates
+    through the session timezone and therefore shifts cohort
+    boundaries for any non-UTC driver; caught by the
+    Asia/Kathmandu parity probe."""
     e = load_table(spark, sf_dir, "events")
-    firsts = e.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    monday_epoch = F.lit("2024-01-01").cast("date")
+    w = (
+        F.floor(F.datediff(F.to_date("ts"), monday_epoch) / 7)
+        .cast("bigint")
+        .alias("w")
     )
+    wk = e.select("user_id", w)
+    firsts = wk.groupBy("user_id").agg(F.min("w").alias("cw"))
     activity = (
-        e.join(firsts, "user_id")
-        .select(
-            "user_id",
-            "cohort_week",
-            (
-                F.datediff(F.date_trunc("week", F.col("ts")),
-                           F.col("cohort_week"))
-                / 7
-            )
-            .cast("bigint")
-            .alias("week_offset"),
-        )
+        wk.join(firsts, "user_id")
+        .select("user_id", "cw", (F.col("w") - F.col("cw")).alias("week_offset"))
         .distinct()
     )
-    sizes = firsts.groupBy("cohort_week").agg(
-        F.count(F.lit(1)).alias("cohort_size")
-    )
+    sizes = firsts.groupBy("cw").agg(F.count(F.lit(1)).alias("cohort_size"))
+    cohort_week = F.date_add(
+        monday_epoch, (F.col("cw") * 7).cast("int")
+    ).cast("timestamp_ntz")
     return (
-        activity.join(F.broadcast(sizes), "cohort_week")
-        .groupBy("cohort_week", "week_offset", "cohort_size")
+        activity.join(F.broadcast(sizes), "cw")
+        .groupBy("cw", "week_offset", "cohort_size")
         .agg(F.count(F.lit(1)).alias("n_active"))
-        .select("cohort_week", "week_offset", "n_active", "cohort_size")
+        .select(
+            cohort_week.alias("cohort_week"),
+            "week_offset",
+            "n_active",
+            "cohort_size",
+        )
     )
 
 
