@@ -758,3 +758,77 @@ def q_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(_SPAN_TOPK)
     )
+
+
+# -- Zipf-law corpus diagnostic ---------------------------------------------
+
+
+@register(
+    "q_zipf_fit",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest({sql_tokens('text')}) AS w FROM documents
+),
+freq AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS c FROM toks GROUP BY w),
+ranked AS (
+  SELECT c, CAST(row_number() OVER (ORDER BY c DESC, w) AS DOUBLE) AS r
+  FROM freq
+),
+pts AS (SELECT ln(r) AS x, ln(c) AS y FROM ranked),
+m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         {sql_dsum(sql_qround('x', 9))} AS sx,
+         {sql_dsum(sql_qround('y', 9))} AS sy,
+         {sql_dsum(sql_qround('x * x', 9))} AS sxx,
+         {sql_dsum(sql_qround('x * y', 9))} AS sxy
+  FROM pts
+)
+SELECT CAST(n AS BIGINT) AS vocab_size,
+       {sql_qround('(n * sxy - sx * sy) / (n * sxx - sx * sx)', 6)}
+         AS zipf_slope,
+       {sql_qround('(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)'
+                   ' / n', 6)} AS zipf_intercept
+FROM m
+""",
+    tags=("text", "stats", "quality"),
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the token frequency distribution: regression
+    slope of ln(freq) on ln(rank) — natural corpora sit near -1,
+    template spam and synthetic word soup drift far off, making the
+    slope a one-number corpus-health check next to q_benford's digit
+    audit. Ranks come from the two-pass partition-offset with_seq
+    (range exchange + local ordinal — no single-partition window
+    even at extreme vocabulary sizes); the regression then
+    reduces to five sums. ln() outputs quantize (qround(9)) before
+    the exact decimal accumulation — the same computed-double rule
+    as the CUSUM deviations — and slope/intercept pin at qround(6)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens(F.col("text"))).alias("w"))
+    freq = toks.groupBy("w").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    from streamz_postgres_spark.operators.joins import with_seq
+
+    ranked = with_seq(
+        freq, [F.col("c").desc(), F.col("w")], name="r_seq"
+    ).select("c", F.col("r_seq").cast("double").alias("r"))
+    x, y = F.log("r"), F.log("c")
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(qround(x, 9)).alias("sx"),
+        dsum(qround(y, 9)).alias("sy"),
+        dsum(qround(x * x, 9)).alias("sxx"),
+        dsum(qround(x * y, 9)).alias("sxy"),
+    )
+    n = F.col("n")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        n.cast("bigint").alias("vocab_size"),
+        qround(slope, 6).alias("zipf_slope"),
+        qround((F.col("sy") - slope * F.col("sx")) / n, 6).alias(
+            "zipf_intercept"
+        ),
+    )

@@ -178,6 +178,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_stream_transform_timers",
     "q_stream_transform_init",
     "q_benford",
+    "q_zipf_fit",
     # r2-latest keys (r5 window candidates):
     "q_stream_tumbling",
     "q_stream_accumulate",
