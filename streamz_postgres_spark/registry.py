@@ -72,77 +72,27 @@ def _load_all() -> None:
 # COMPLETE ordering of the registry: every registered key appears
 # exactly once (tests/test_registry.py enforces it), so adding an
 # operator without deciding its exposure position is a test failure,
-# and nothing can silently fall out of the window. Round 4: the two
-# r3-red streaming fixes (ts-unit replay bug) + the newly registered
-# q_stream_transform_state + the 43 keys whose only driver evidence
-# is r1 (two rounds stale) + 4 canaries (two r2 streaming keys --
-# the fixture ts-unit change makes streaming evidence the most
-# perishable -- and two r3 greens). The 45 remaining r2-latest keys
-# lead the tail as the natural r5 window.
+# and nothing can silently fall out of the window.
+#
+# Round-5 window (first 50): the 36 keys that have never had a driver
+# CORRECTNESS row (the round-4 additions the r4 window could not fit;
+# all passed the judge's local replica of the gate) + 14 canaries.
+# Canaries are streaming-heavy -- the most perishable evidence class
+# after the r3 ts-unit incident: the two r3-red-then-r4-fixed keys
+# (q_stream_funnel, q_stream_join_outer), the newest streaming state
+# machinery (q_stream_join_full, q_stream_transform_state), and ten
+# r2-latest keys (nine streaming + q_cdc_materialize + q_flagship)
+# whose rotation also starts paying down r2 staleness.
+#
+# STALENESS POLICY (adopted round 5): no key's latest driver row may
+# be older than 3 rounds. Planned r6 window: the 39 remaining
+# r2-latest keys below (q_funnel .. q_window_rank, which would hit
+# the 4-round cap at r6) + 11 canaries drawn from the oldest
+# r3-latest block (q_variant .. q_sim_cosine head the tail in
+# oldest-first order for exactly this reason). r7 then takes the
+# remaining r3 block + the oldest r4/r5 keys.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # ---- round-4 driver window (first 50) ----
-    # the two r3-red rows, now fixed (streaming replay ts-unit):
-    "q_stream_funnel",
-    "q_stream_join_outer",
-    # newly registered (vendored protobuf runtime):
-    "q_stream_transform_state",
-    # the 43 keys with r1-only driver evidence:
-    "q_agg_distinct",
-    "q_asof_join",
-    "q_cube",
-    "q_dedup_embed",
-    "q_dedup_exact",
-    "q_dedup_ngram",
-    "q_dedup_simhash",
-    "q_distinct",
-    "q_explode",
-    "q_filter",
-    "q_flagship_q3",
-    "q_global_agg",
-    "q_grouping_sets",
-    "q_having",
-    "q_histogram",
-    "q_interval_join",
-    "q_join_anti",
-    "q_join_broadcast",
-    "q_join_full",
-    "q_join_inner",
-    "q_join_left",
-    "q_join_multiway",
-    "q_join_right",
-    "q_join_salted",
-    "q_join_semi",
-    "q_join_theta",
-    "q_limit",
-    "q_multimodal",
-    "q_multimodal_frames",
-    "q_null_agg",
-    "q_pivot",
-    "q_pluck",
-    "q_project",
-    "q_rollup",
-    "q_scan",
-    "q_sim_ann_ivf",
-    "q_sim_ann_lsh",
-    "q_sim_pairs",
-    "q_sort_multi",
-    "q_str_funcs",
-    "q_string_agg",
-    "q_unpivot",
-    "q_zip_seq",
-    # round-4 additions (first-time evidence beats canary reruns;
-    # the two streaming ones double as replay/watermark canaries):
-    "q_stream_join_full",
-    "q_stream_json_lines",
-    "q_ntile_buckets",
-    "q_bool_agg",
-    # ---- 50-key window boundary ----
-    # round-4 additions that missed the window cut — they head the
-    # r5 window, all locally oracle-verified at sf0.001 AND sf0.01
-    # this round (q_dedup_cluster_stats shares the already-evidenced
-    # CC path with q_dedup_clusters, r3 green). r5 window plan:
-    # these ~30 first-evidence keys + the oldest r2-latest keys
-    # below + the two r3-red→r4-fixed streaming canaries:
+    # ---- 36 never-driver-checked keys (r4 additions) ----
     "q_dedup_cluster_stats",
     "q_stream_chained_aggs",
     "q_sim_threshold_sweep",
@@ -179,15 +129,27 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_stream_transform_init",
     "q_benford",
     "q_zipf_fit",
-    # r2-latest keys (r5 window candidates):
+    # ---- 14 canaries (streaming-heavy + flagship) ----
+    "q_stream_funnel",
+    "q_stream_join_outer",
+    "q_stream_join_full",
+    "q_stream_transform_state",
+    "q_flagship",
     "q_stream_tumbling",
     "q_stream_accumulate",
+    "q_stream_dedup",
+    "q_stream_session",
+    "q_stream_sliding",
+    "q_stream_interval_join",
+    "q_stream_latest_per_key",
+    "q_stream_tumbling_watermarked",
+    "q_cdc_materialize",
+    # ---- 50-key window boundary ----
+    # r2-latest keys: the scheduled r6 window (staleness policy):
     "q_funnel",
-    "q_flagship",
     "q_cdc_apply",
     "q_cdc_diff",
     "q_cdc_envelope",
-    "q_cdc_materialize",
     "q_cond_funcs",
     "q_date_funcs",
     "q_dedup",
@@ -205,14 +167,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_sliding",
     "q_stats_corr",
     "q_str_funcs2",
-    "q_stream_dedup",
     "q_stream_file_sink",
-    "q_stream_interval_join",
-    "q_stream_latest_per_key",
-    "q_stream_session",
-    "q_stream_sliding",
     "q_stream_textfile",
-    "q_stream_tumbling_watermarked",
     "q_subquery_in",
     "q_subquery_scalar",
     "q_text_fingerprint",
@@ -229,7 +185,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_union",
     "q_window_analytic",
     "q_window_rank",
-    # r3-green keys:
+    # r3-latest keys (oldest-first; head of the r7 window):
     "q_variant",
     "q_union_distinct",
     "q_approx_quantile",
@@ -276,6 +232,54 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_dedup_minhash",
     "q_group_agg",
     "q_sim_cosine",
+    # r4-latest keys:
+    "q_agg_distinct",
+    "q_asof_join",
+    "q_cube",
+    "q_dedup_embed",
+    "q_dedup_exact",
+    "q_dedup_ngram",
+    "q_dedup_simhash",
+    "q_distinct",
+    "q_explode",
+    "q_filter",
+    "q_flagship_q3",
+    "q_global_agg",
+    "q_grouping_sets",
+    "q_having",
+    "q_histogram",
+    "q_interval_join",
+    "q_join_anti",
+    "q_join_broadcast",
+    "q_join_full",
+    "q_join_inner",
+    "q_join_left",
+    "q_join_multiway",
+    "q_join_right",
+    "q_join_salted",
+    "q_join_semi",
+    "q_join_theta",
+    "q_limit",
+    "q_multimodal",
+    "q_multimodal_frames",
+    "q_null_agg",
+    "q_pivot",
+    "q_pluck",
+    "q_project",
+    "q_rollup",
+    "q_scan",
+    "q_sim_ann_ivf",
+    "q_sim_ann_lsh",
+    "q_sim_pairs",
+    "q_sort_multi",
+    "q_str_funcs",
+    "q_string_agg",
+    "q_unpivot",
+    "q_zip_seq",
+    "q_stream_json_lines",
+    "q_ntile_buckets",
+    "q_bool_agg",
+
 )
 
 def ordered_registry() -> dict[str, Query]:
