@@ -807,10 +807,13 @@ def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- bucketed co-located join -----------------------------------------------
 
-#: layout dirs of the most recent q_join_bucketed invocation —
-#: released at the start of the next one (the returned DataFrame
-#: reads the bucketed files lazily, so the call can't clean its own)
-_BUCKET_DIRS: list = []
+#: (table names, layout dir) of the most recent q_join_bucketed
+#: invocation — released at the start of the next one (the returned
+#: DataFrame reads the bucketed files lazily, so the call can't clean
+#: its own). Table names carry a per-invocation uuid suffix so the
+#: query never clobbers a user's same-named catalog table and two
+#: concurrent invocations never race on one table name.
+_BUCKET_LAYOUTS: list = []
 
 _N_BUCKETS = 8
 
@@ -837,18 +840,22 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     skips both exchanges forever (plus bucket pruning on point
     predicates). The merge hint pins SMJ so the demo can't silently
     degrade to a broadcast at toy scale; the post-join rollup is an
-    ordinary partial agg. Layout dirs from the previous invocation
-    are released here, mirroring q_partition_prune."""
+    ordinary partial agg. Tables and layout dirs from the previous
+    invocation are released here, mirroring q_partition_prune."""
     import shutil
     import tempfile
+    import uuid
 
-    while _BUCKET_DIRS:
-        shutil.rmtree(_BUCKET_DIRS.pop(), ignore_errors=True)
-    for t in ("bkt_orders", "bkt_lineitem"):
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    while _BUCKET_LAYOUTS:
+        tables, d = _BUCKET_LAYOUTS.pop()
+        for t in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(d, ignore_errors=True)
 
+    tag = uuid.uuid4().hex[:12]
+    t_orders, t_lineitem = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
     base = tempfile.mkdtemp(prefix="bucketed_join_")
-    _BUCKET_DIRS.append(base)
+    _BUCKET_LAYOUTS.append(((t_orders, t_lineitem), base))
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority"
     )
@@ -860,17 +867,17 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .sortBy("o_orderkey")
         .option("path", f"{base}/orders")
         .mode("overwrite")
-        .saveAsTable("bkt_orders")
+        .saveAsTable(t_orders)
     )
     (
         li.write.bucketBy(_N_BUCKETS, "l_orderkey")
         .sortBy("l_orderkey")
         .option("path", f"{base}/lineitem")
         .mode("overwrite")
-        .saveAsTable("bkt_lineitem")
+        .saveAsTable(t_lineitem)
     )
-    bo = spark.table("bkt_orders")
-    bl = spark.table("bkt_lineitem")
+    bo = spark.table(t_orders)
+    bl = spark.table(t_lineitem)
     return (
         bo.hint("merge")
         .join(bl, bo.o_orderkey == bl.l_orderkey)

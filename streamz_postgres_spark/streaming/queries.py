@@ -23,6 +23,7 @@ latest-wins apply with deletes, and snapshot diffing.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from decimal import ROUND_HALF_EVEN, Decimal
 from typing import Iterator
 
@@ -670,6 +671,65 @@ def _protobuf_available() -> bool:
     return available()
 
 
+@contextmanager
+def _tws_environment(spark: SparkSession) -> Iterator[None]:
+    """Scope the transformWithStateInPandas execution environment to
+    one query, shared by all five TWS queries:
+
+    - vendored protobuf runtime + this library on the WORKER
+      PYTHONPATH (``sc.environment`` is captured at UDF creation
+      inside transformWithStateInPandas, and the TWS schema-check
+      worker touches pb2 before any user code runs);
+    - the RocksDB state-store provider (TWS state uses multiple
+      column families, which only RocksDB supports; the engine
+      session pins it globally but the external driver's plain
+      session does not).
+
+    Both are restored to the caller's values on exit — unset confs
+    read via ``conf.get(key, None)`` so nothing but genuinely-unset
+    is swallowed."""
+    from streamz_postgres_spark.protobuf_shim import install, worker_pythonpath
+
+    if not install():  # pragma: no cover - registration already gated
+        raise RuntimeError("no protobuf runtime available")
+    env = spark.sparkContext.environment
+    prev = env.get("PYTHONPATH")
+    env["PYTHONPATH"] = worker_pythonpath(prev)
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming."
+        "state.RocksDBStateStoreProvider"
+    )
+    prev_provider = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key, rocksdb)
+    try:
+        yield
+    finally:
+        if prev is None:
+            env.pop("PYTHONPATH", None)
+        else:
+            env["PYTHONPATH"] = prev
+        if prev_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev_provider)
+
+
+def _latest_totals(tbl: DataFrame) -> DataFrame:
+    """Collapse an update-mode memory-sink totals table to the LAST
+    emission per user. The memory sink appends each micro-batch's
+    update rows rather than upserting, so a multi-file fixture (more
+    than one replay batch) leaves earlier cumulative emissions behind
+    as stale rows; ``n_events`` is monotone per key, so max_by picks
+    the final state. No-op on single-batch replays."""
+    latest = tbl.groupBy("user_id").agg(
+        F.max_by(F.struct("n_events", "sum_value"), F.col("n_events")).alias(
+            "s"
+        )
+    )
+    return latest.select("user_id", "s.n_events", "s.sum_value")
+
+
 _TWS_ORACLE = f"""
 SELECT user_id, COUNT(*) AS n_events, {sql_dsum('value')} AS sum_value
 FROM events
@@ -683,54 +743,20 @@ def q_stream_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     the emitted doubles match the oracle's decimal aggregation
     exactly. State is O(1) per key and survives across batches via
     the RocksDB store."""
-    from streamz_postgres_spark.protobuf_shim import install, worker_pythonpath
-
-    if not install():  # pragma: no cover - registration already gated
-        raise RuntimeError("no protobuf runtime available")
     from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
     cls = type(
         "UserTotalsProcessor", (StatefulProcessor,), dict(_UserTotalsProcessor.__dict__)
     )
     s = replay_events(spark, sf_dir)
-    # worker processes (incl. the TWS schema-check worker, which
-    # touches pb2 before any user code) need the vendor package on
-    # PYTHONPATH; sc.environment is captured at UDF creation inside
-    # transformWithStateInPandas, so scope the mutation to this call
-    env = spark.sparkContext.environment
-    prev = env.get("PYTHONPATH")
-    env["PYTHONPATH"] = worker_pythonpath(prev)
-    # TWS state uses multiple column families, which only the RocksDB
-    # provider supports — pin it for this query (the engine session
-    # sets it globally, but the external driver's plain session does
-    # not), restoring the caller's conf afterwards.
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    rocksdb = (
-        "org.apache.spark.sql.execution.streaming."
-        "state.RocksDBStateStoreProvider"
-    )
-    try:
-        prev_provider = spark.conf.get(provider_key)
-    except Exception:  # pragma: no cover - unset in plain sessions
-        prev_provider = None
-    spark.conf.set(provider_key, rocksdb)
-    try:
+    with _tws_environment(spark):
         out = s.groupBy("user_id").transformWithStateInPandas(
             statefulProcessor=cls(),
             outputStructType="user_id long, n_events long, sum_value double",
             outputMode="Update",
             timeMode="None",
         )
-        return run_to_table(out, "update", spark)
-    finally:
-        if prev is None:
-            env.pop("PYTHONPATH", None)
-        else:
-            env["PYTHONPATH"] = prev
-        if prev_provider is None:
-            spark.conf.unset(provider_key)
-        else:
-            spark.conf.set(provider_key, prev_provider)
+        return _latest_totals(run_to_table(out, "update", spark))
 
 
 if _protobuf_available():  # pragma: no cover - depends on environment
@@ -1342,13 +1368,11 @@ class _RecentEventsProcessor:
 
 def q_stream_transform_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-3 events per user via transformWithState ListState (see
-    _RecentEventsProcessor). Same environment pinning as
-    q_stream_transform_state: vendored protobuf + library on worker
-    PYTHONPATH, RocksDB provider scoped to the run."""
-    from streamz_postgres_spark.protobuf_shim import install, worker_pythonpath
-
-    if not install():  # pragma: no cover - registration already gated
-        raise RuntimeError("no protobuf runtime available")
+    _RecentEventsProcessor). Environment pinning via
+    _tws_environment. The sink is collapsed to the last emission per
+    user (largest trailing id in ``recent_ids`` — the max event_id
+    seen so far, monotone across batches) so a multi-file fixture's
+    per-batch cumulative re-emissions can't leave stale rows."""
     from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
     cls = type(
@@ -1357,20 +1381,7 @@ def q_stream_transform_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         dict(_RecentEventsProcessor.__dict__),
     )
     s = replay_events(spark, sf_dir)
-    env = spark.sparkContext.environment
-    prev = env.get("PYTHONPATH")
-    env["PYTHONPATH"] = worker_pythonpath(prev)
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    rocksdb = (
-        "org.apache.spark.sql.execution.streaming."
-        "state.RocksDBStateStoreProvider"
-    )
-    try:
-        prev_provider = spark.conf.get(provider_key)
-    except Exception:  # pragma: no cover
-        prev_provider = None
-    spark.conf.set(provider_key, rocksdb)
-    try:
+    with _tws_environment(spark):
         out = s.groupBy("user_id").transformWithStateInPandas(
             statefulProcessor=cls(),
             outputStructType=(
@@ -1380,16 +1391,16 @@ def q_stream_transform_list(spark: SparkSession, sf_dir: str) -> DataFrame:
             outputMode="Update",
             timeMode="None",
         )
-        return run_to_table(out, "update", spark)
-    finally:
-        if prev is None:
-            env.pop("PYTHONPATH", None)
-        else:
-            env["PYTHONPATH"] = prev
-        if prev_provider is None:
-            spark.conf.unset(provider_key)
-        else:
-            spark.conf.set(provider_key, prev_provider)
+        tbl = run_to_table(out, "update", spark)
+    seq = F.element_at(F.split("recent_ids", ","), -1).cast("long")
+    latest = tbl.groupBy("user_id").agg(
+        F.max_by(
+            F.struct("n_recent", "recent_ids", "recent_sum"), seq
+        ).alias("s")
+    )
+    return latest.select(
+        "user_id", "s.n_recent", "s.recent_ids", "s.recent_sum"
+    )
 
 
 _TWS_LIST_ORACLE = """
@@ -1476,12 +1487,9 @@ def q_stream_transform_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(user, event-type) counts via transformWithState MapState
     (see _TypeCountsProcessor); emitted per batch from the map, so
     the sink holds the complete per-user breakdown after replay.
-    Environment pinning identical to the other transformWithState
-    queries."""
-    from streamz_postgres_spark.protobuf_shim import install, worker_pythonpath
-
-    if not install():  # pragma: no cover - registration already gated
-        raise RuntimeError("no protobuf runtime available")
+    Environment pinning via _tws_environment; per-(user, type) counts
+    are monotone, so the max per key is the final state even when a
+    multi-file fixture replays as several batches."""
     from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
     cls = type(
@@ -1490,20 +1498,7 @@ def q_stream_transform_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         dict(_TypeCountsProcessor.__dict__),
     )
     s = replay_events(spark, sf_dir)
-    env = spark.sparkContext.environment
-    prev = env.get("PYTHONPATH")
-    env["PYTHONPATH"] = worker_pythonpath(prev)
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    rocksdb = (
-        "org.apache.spark.sql.execution.streaming."
-        "state.RocksDBStateStoreProvider"
-    )
-    try:
-        prev_provider = spark.conf.get(provider_key)
-    except Exception:  # pragma: no cover
-        prev_provider = None
-    spark.conf.set(provider_key, rocksdb)
-    try:
+    with _tws_environment(spark):
         out = s.groupBy("user_id").transformWithStateInPandas(
             statefulProcessor=cls(),
             outputStructType=(
@@ -1512,16 +1507,10 @@ def q_stream_transform_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             outputMode="Update",
             timeMode="None",
         )
-        return run_to_table(out, "update", spark)
-    finally:
-        if prev is None:
-            env.pop("PYTHONPATH", None)
-        else:
-            env["PYTHONPATH"] = prev
-        if prev_provider is None:
-            spark.conf.unset(provider_key)
-        else:
-            spark.conf.set(provider_key, prev_provider)
+        tbl = run_to_table(out, "update", spark)
+    return tbl.groupBy("user_id", "event_type").agg(
+        F.max("n_events").alias("n_events")
+    )
 
 
 _TWS_MAP_ORACLE = """
@@ -1618,15 +1607,11 @@ def q_stream_transform_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
     user emits exactly once; the flush row's own key is dropped
     after the stateful operator (filtering it before would also
     remove it from the watermark node, the documented pushdown
-    trap). Environment pinning identical to the other
-    transformWithState queries."""
+    trap). Environment pinning via _tws_environment."""
     import shutil
 
-    from streamz_postgres_spark.protobuf_shim import install, worker_pythonpath
     from streamz_postgres_spark.streaming.runner import staged_replay_with_flush
 
-    if not install():  # pragma: no cover - registration already gated
-        raise RuntimeError("no protobuf runtime available")
     from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
     cls = type(
@@ -1641,38 +1626,18 @@ def q_stream_transform_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = s.withColumn("ts_evt", F.timestamp_micros(micros)).withWatermark(
         "ts_evt", "0 seconds"
     )
-    env = spark.sparkContext.environment
-    prev = env.get("PYTHONPATH")
-    env["PYTHONPATH"] = worker_pythonpath(prev)
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    rocksdb = (
-        "org.apache.spark.sql.execution.streaming."
-        "state.RocksDBStateStoreProvider"
-    )
     try:
-        prev_provider = spark.conf.get(provider_key)
-    except Exception:  # pragma: no cover
-        prev_provider = None
-    spark.conf.set(provider_key, rocksdb)
-    try:
-        out = src.groupBy("user_id").transformWithStateInPandas(
-            statefulProcessor=cls(),
-            outputStructType=(
-                "user_id long, n_events long, sum_value double"
-            ),
-            outputMode="Update",
-            timeMode="EventTime",
-        ).filter(F.col("user_id") >= 0)
-        return run_to_table(out, "update", spark)
+        with _tws_environment(spark):
+            out = src.groupBy("user_id").transformWithStateInPandas(
+                statefulProcessor=cls(),
+                outputStructType=(
+                    "user_id long, n_events long, sum_value double"
+                ),
+                outputMode="Update",
+                timeMode="EventTime",
+            ).filter(F.col("user_id") >= 0)
+            return run_to_table(out, "update", spark)
     finally:
-        if prev is None:
-            env.pop("PYTHONPATH", None)
-        else:
-            env["PYTHONPATH"] = prev
-        if prev_provider is None:
-            spark.conf.unset(provider_key)
-        else:
-            spark.conf.set(provider_key, prev_provider)
         shutil.rmtree(staging, ignore_errors=True)
 
 
@@ -1752,12 +1717,13 @@ def q_stream_transform_init(spark: SparkSession, sf_dir: str) -> DataFrame:
     (event_id % 10 < 3) are aggregated in ONE batch job whose exact
     decimal sums seed the state, and only the remaining rows flow
     through the stream — yet the emitted totals equal a full-history
-    aggregation, which is exactly what the oracle checks. Environment
-    pinning identical to the other transformWithState queries."""
-    from streamz_postgres_spark.protobuf_shim import install, worker_pythonpath
-
-    if not install():  # pragma: no cover - registration already gated
-        raise RuntimeError("no protobuf runtime available")
+    aggregation, which is exactly what the oracle checks. Keys whose
+    events ALL fell in the snapshot partition never enter the stream,
+    so the processor (which emits on input) never surfaces them; the
+    read side unions their seeded totals back in via a left-anti join
+    — the snapshot-∪-live serving pattern — so parity holds for ANY
+    fixture, not just ones where every user has a live row.
+    Environment pinning via _tws_environment."""
     from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
     cls = type(
@@ -1775,23 +1741,9 @@ def q_stream_transform_init(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("string")
             .alias("acc"),
         )
-        .groupBy("user_id")
     )
     s = replay_events(spark, sf_dir).filter(F.col("event_id") % 10 >= 3)
-    env = spark.sparkContext.environment
-    prev = env.get("PYTHONPATH")
-    env["PYTHONPATH"] = worker_pythonpath(prev)
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    rocksdb = (
-        "org.apache.spark.sql.execution.streaming."
-        "state.RocksDBStateStoreProvider"
-    )
-    try:
-        prev_provider = spark.conf.get(provider_key)
-    except Exception:  # pragma: no cover
-        prev_provider = None
-    spark.conf.set(provider_key, rocksdb)
-    try:
+    with _tws_environment(spark):
         out = s.groupBy("user_id").transformWithStateInPandas(
             statefulProcessor=cls(),
             outputStructType=(
@@ -1799,18 +1751,17 @@ def q_stream_transform_init(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             outputMode="Update",
             timeMode="None",
-            initialState=hist,
+            initialState=hist.groupBy("user_id"),
         )
-        return run_to_table(out, "update", spark)
-    finally:
-        if prev is None:
-            env.pop("PYTHONPATH", None)
-        else:
-            env["PYTHONPATH"] = prev
-        if prev_provider is None:
-            spark.conf.unset(provider_key)
-        else:
-            spark.conf.set(provider_key, prev_provider)
+        streamed = _latest_totals(run_to_table(out, "update", spark))
+    # snapshot-only keys: serve the seed directly (same decimal->
+    # double conversion the processor applies on emission)
+    absent = hist.join(streamed, "user_id", "left_anti").select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        F.col("acc").cast("decimal(38,6)").cast("double").alias("sum_value"),
+    )
+    return streamed.unionByName(absent)
 
 
 if _protobuf_available():  # pragma: no cover - depends on environment

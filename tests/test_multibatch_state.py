@@ -122,3 +122,57 @@ def test_transform_with_state_gate_visible(spark):
         REGISTRY["q_stream_transform_state"], SF_DIR,
     )
     assert ok, msg
+
+
+def test_tws_update_sink_dedup_across_batches(spark, split_dir):
+    """ADVICE r4: the update-mode memory sink APPENDS each batch's
+    cumulative emissions, so a multi-file fixture leaves stale rows
+    behind; q_stream_transform_* collapse to the last emission per
+    key (_latest_totals). Force 4 real micro-batches through the
+    transformWithState totals processor, assert the raw sink indeed
+    holds re-emissions, and that the collapsed table equals exact
+    batch totals."""
+    from streamz_postgres_spark.streaming.queries import (
+        _latest_totals,
+        _protobuf_available,
+        _tws_environment,
+        _UserTotalsProcessor,
+    )
+
+    if not _protobuf_available():
+        pytest.skip("protobuf not installed: transformWithState gated off")
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    cls = type(
+        "UserTotalsProcessor",
+        (StatefulProcessor,),
+        dict(_UserTotalsProcessor.__dict__),
+    )
+    src = (
+        spark.readStream.schema(load_table(spark, SF_DIR, "events").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{split_dir}/part*")
+    )
+    with _tws_environment(spark):
+        out = src.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=cls(),
+            outputStructType="user_id long, n_events long, sum_value double",
+            outputMode="Update",
+            timeMode="None",
+        )
+        tbl = run_to_table(out, "update", spark)
+    n_keys = tbl.select("user_id").distinct().count()
+    assert tbl.count() > n_keys, "expected per-batch re-emissions in sink"
+    want = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    got = {r.user_id: (r.n_events, r.sum_value) for r in _latest_totals(tbl).collect()}
+    exp = {r.user_id: (r.n_events, r.sum_value) for r in want.collect()}
+    assert got == exp
