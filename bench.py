@@ -5,10 +5,23 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
   {"metric": "headline_total_sec", "value": <sum of per-query
    medians>, "unit": "sec", "queries": {name: sec, ...}, "sf": ...}
 
-Methodology: one warm-up execution per query (JIT + code cache),
-then median of 5 timed runs of a full execute-and-drain
+Methodology: a session-wide warm-up pass (every headline query
+executed twice, untimed) before any timing, then one per-query
+warm-up + median of 5 timed runs of a full execute-and-drain
 (count-collect) so scan->shuffle->agg all happen; results never
 land on the driver beyond the count.
+
+Why the global pass (round-5 drift audit): single-query probes show
+a long JIT ramp early in the session — q_flagship_q3 decays 1.22s ->
+0.79s and q_multimodal 1.00s -> 0.43s over their first ~10
+executions (whole-stage codegen compilation, Arrow eval paths, the
+Python worker pool), after which timings are stable. With only a
+per-query warm-up, queries that run EARLY in the bench are timed
+mid-ramp, and where on the ramp the median lands varies with machine
+state — that, not any plan change, produced the r4 'regressions' of
+q_multimodal (0.386 -> 0.643 with no code change) and q_flagship_q3.
+Steady state is the right target: at production scale one-time JIT
+cost amortizes to nothing.
 """
 
 from __future__ import annotations
@@ -67,6 +80,13 @@ def main() -> None:
     _load_all()
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
+
+    # session-wide warm-up: two untimed passes over every query so
+    # JIT/codegen/worker-pool ramp is paid before any timing starts
+    # (see module docstring)
+    for _ in range(2):
+        for name in HEADLINE:
+            REGISTRY[name].spark_fn(spark, sf_dir).count()
 
     per_query: dict[str, float] = {}
     for name in HEADLINE:
