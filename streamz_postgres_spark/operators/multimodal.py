@@ -10,9 +10,15 @@ this module demonstrates end-to-end:
   filters and joins;
 - feature extraction as ``mapInPandas`` over Arrow record batches
   (payload bytes handled in pandas, schema declared up front);
-- decode stubs (``decode_image``/``decode_audio``) that raise
-  ``NotImplementedError`` until real codecs are installed — the UDF
-  signature, batch shape and partitioning are already correct.
+- feature-detected decode hooks (``decode_image``/``decode_audio``/
+  ``resize_frame``): REAL Pillow/soundfile decode when those
+  libraries are importable, a clearly-raised ``NotImplementedError``
+  when not (this container ships neither). The registered queries
+  stay on the deterministic synthetic path either way — the fixture
+  payloads are utf-8 text, not media — so the oracle contract never
+  depends on an optional dependency; the hooks are the swap-in point
+  for a production media pipeline, unit-tested in both directions
+  (tests/test_multimodal_codecs.py).
 
 The oracle checks the extracted features relationally (byte length,
 checksum, frame count are all derivable from the text in SQL), so
@@ -41,17 +47,44 @@ _FEATURE_SCHEMA = (
 )
 
 
-def decode_image(payload: bytes) -> "object":
-    """Stub: real image decode (PIL/cv2 not installed here).
+def _optional_module(name: str):
+    import importlib
 
-    The surrounding pipeline treats decode output as opaque features;
-    swap this in production."""
-    raise NotImplementedError("image codecs not available in this environment")
+    try:
+        return importlib.import_module(name)
+    except ImportError:
+        return None
+
+
+def decode_image(payload: bytes) -> "object":
+    """Image payload -> ``PIL.Image`` when Pillow is importable;
+    ``NotImplementedError`` otherwise. The surrounding pipeline
+    treats decode output as opaque features, so this one function is
+    the production swap-in point."""
+    pil_image = _optional_module("PIL.Image")
+    if pil_image is None:
+        raise NotImplementedError(
+            "image codecs not available (pip install Pillow)"
+        )
+    import io
+
+    img = pil_image.open(io.BytesIO(payload))
+    img.load()
+    return img
 
 
 def decode_audio(payload: bytes) -> "object":
-    """Stub: real audio decode (soundfile/librosa not installed)."""
-    raise NotImplementedError("audio codecs not available in this environment")
+    """Audio payload -> ``(samples ndarray, sample_rate)`` when
+    soundfile is importable; ``NotImplementedError`` otherwise."""
+    sf = _optional_module("soundfile")
+    if sf is None:
+        raise NotImplementedError(
+            "audio codecs not available (pip install soundfile)"
+        )
+    import io
+
+    data, rate = sf.read(io.BytesIO(payload))
+    return data, rate
 
 
 def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -137,10 +170,13 @@ _RESIZE_H = 64
 
 
 def resize_frame(frame: bytes, w: int = _RESIZE_W, h: int = _RESIZE_H) -> bytes:
-    """Stub: real resize (cv2/PIL not installed). The pipeline only
-    consumes the declared output dims + checksum, so swapping in a
-    real `cv2.resize` changes this one function."""
-    raise NotImplementedError("image codecs not available in this environment")
+    """Decode + resize an image frame to (w, h), returning raw RGB
+    bytes, when Pillow is importable; ``NotImplementedError``
+    otherwise. The pipeline only consumes the declared output dims +
+    checksum, so this is the one function a real media deployment
+    swaps (e.g. for cv2.resize)."""
+    img = decode_image(frame)  # raises NotImplementedError w/o Pillow
+    return img.convert("RGB").resize((w, h)).tobytes()
 
 
 def sample_and_resize_frames(

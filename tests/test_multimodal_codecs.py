@@ -1,0 +1,67 @@
+"""The multimodal decode hooks are feature-detected: REAL
+Pillow/soundfile decode when importable, a clear NotImplementedError
+when not. Both directions are tested — in this container the
+libraries are absent, so the error branch runs; on a machine with
+Pillow the real branch decodes and resizes an actual PNG. Either
+way, the registered q_multimodal* queries never touch these hooks
+(their synthetic path is oracle-checked independently)."""
+
+from __future__ import annotations
+
+import importlib.util
+
+import pytest
+
+from streamz_postgres_spark.operators.multimodal import (
+    _RESIZE_H,
+    _RESIZE_W,
+    decode_audio,
+    decode_image,
+    resize_frame,
+)
+
+_HAS_PIL = importlib.util.find_spec("PIL") is not None
+_HAS_SF = importlib.util.find_spec("soundfile") is not None
+
+
+@pytest.mark.skipif(_HAS_PIL, reason="Pillow installed: error branch n/a")
+def test_decode_image_clear_error_without_pillow():
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        decode_image(b"\x89PNG\r\n\x1a\n")
+    with pytest.raises(NotImplementedError):
+        resize_frame(b"\x89PNG\r\n\x1a\n")
+
+
+@pytest.mark.skipif(_HAS_SF, reason="soundfile installed: error branch n/a")
+def test_decode_audio_clear_error_without_soundfile():
+    with pytest.raises(NotImplementedError, match="soundfile"):
+        decode_audio(b"RIFF")
+
+
+@pytest.mark.skipif(not _HAS_PIL, reason="Pillow not installed")
+def test_decode_and_resize_real_png():
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (8, 6), (10, 20, 30)).save(buf, format="PNG")
+    payload = buf.getvalue()
+
+    img = decode_image(payload)
+    assert img.size == (8, 6)
+    raw = resize_frame(payload)
+    assert len(raw) == _RESIZE_W * _RESIZE_H * 3
+
+
+@pytest.mark.skipif(not _HAS_SF, reason="soundfile not installed")
+def test_decode_real_wav():
+    import io
+
+    import numpy as np
+    import soundfile as sf
+
+    buf = io.BytesIO()
+    sf.write(buf, np.zeros(1600, dtype="float32"), 16000, format="WAV")
+    data, rate = decode_audio(buf.getvalue())
+    assert rate == 16000 and len(data) == 1600
