@@ -22,6 +22,9 @@ from tests.conftest import SF_DIR
 N_BUCKETS = 4
 
 
+
+pytestmark = pytest.mark.slow
+
 @pytest.fixture(scope="module")
 def bucketed(spark):
     li = load_table(spark, SF_DIR, "lineitem")

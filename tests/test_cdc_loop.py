@@ -8,6 +8,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from streamz_postgres_spark.catalog import load_table
@@ -18,6 +20,9 @@ from streamz_postgres_spark.sources.cdc import (
 )
 from tests.conftest import SF_DIR
 
+
+
+pytestmark = pytest.mark.slow
 
 @dataclass
 class GrowingLoader(ParquetReplayLoader):

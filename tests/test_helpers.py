@@ -4,6 +4,8 @@ emit literals, assert collected output)."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 
 from pyspark.sql import functions as F
@@ -91,6 +93,7 @@ def test_vector_math(spark):
     assert rows[1].d == 0.0 and rows[1].c == 0.0
 
 
+@pytest.mark.slow
 def test_dsum_is_order_independent(spark):
     vals = [(0.1,), (0.2,), (0.3,), (1e12,), (-1e12,)]
     one = spark.createDataFrame(vals, "x double").coalesce(1)
@@ -106,6 +109,7 @@ def test_qround_matches_arithmetic(spark):
     assert got == [1.234565, 1.234565]
 
 
+@pytest.mark.slow
 def test_cached_queries_are_reinvocable(spark):
     """Queries that persist/checkpoint intermediates across their own
     lazy lifetime (_MINHASH_CACHE, _SEQ_CACHE, _CLUSTER_CACHE,

@@ -23,6 +23,9 @@ from streamz_postgres_spark.streaming.runner import run_to_table
 from tests.conftest import SF_DIR
 
 
+
+pytestmark = pytest.mark.slow
+
 @pytest.fixture(scope="module")
 def split_dir(spark):
     d = tempfile.mkdtemp(prefix="events_split_")

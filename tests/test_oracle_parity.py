@@ -14,7 +14,21 @@ from tests.conftest import SF_DIR
 _load_all()
 
 
-@pytest.mark.parametrize("key", sorted(REGISTRY))
+# streaming keys each execute a real micro-batch replay (~2-3 s), so
+# they carry the slow marker: the fast inner loop (-m "not slow")
+# keeps all batch parity checks; the full suite still runs everything
+@pytest.mark.parametrize(
+    "key",
+    [
+        pytest.param(
+            k,
+            marks=[pytest.mark.slow]
+            if "streaming" in REGISTRY[k].tags or "cdc" in REGISTRY[k].tags
+            else [],
+        )
+        for k in sorted(REGISTRY)
+    ],
+)
 def test_query_matches_oracle(spark, duck, key):
     ok, msg = check_query(spark, duck, REGISTRY[key], SF_DIR)
     assert ok, f"{key}: {msg}"
@@ -94,6 +108,7 @@ def test_hostile_type_gate_nonscalar(spark, duck):
         assert col in joined, f"{col} not flagged: {bad}"
 
 
+@pytest.mark.slow
 def test_no_registered_query_emits_hostile_types(spark, duck):
     """Registry-wide sweep: every registered query's OUTPUT schema
     (Spark analysis only — no execution) and oracle result types must

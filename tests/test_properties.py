@@ -5,6 +5,8 @@ the PG type mapper round-trips structured types.
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 
 from hypothesis import HealthCheck, given, settings
@@ -24,6 +26,9 @@ _right_rows = st.lists(
     unique_by=lambda r: (r[0], r[1]),
 )
 
+
+
+pytestmark = pytest.mark.slow
 
 def _brute_force(left, right):
     out = {}

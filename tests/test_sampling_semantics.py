@@ -22,6 +22,8 @@ out.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from streamz_postgres_spark.functions.numeric import qround
@@ -110,6 +112,7 @@ def test_domain_mix_registered_keep_rates(spark):
             r.lang, r.n_kept, r.n_docs, p)
 
 
+@pytest.mark.slow
 def test_weighted_sample_inclusion_monotone_in_weight(spark):
     """Efraimidis-Spirakis top-k with 10x-heavier docs: across 12
     independent salts, heavy docs must dominate inclusions. With 150

@@ -6,6 +6,8 @@ broadcast) fails CI instead of melting a cluster.
 
 from __future__ import annotations
 
+import pytest
+
 import contextlib
 import io
 
@@ -42,6 +44,7 @@ def test_theta_join_broadcasts_literal_bands(spark):
     assert "CartesianProduct" not in plan
 
 
+@pytest.mark.slow
 def test_no_cartesian_products_anywhere(spark):
     """No registered query may plan an unbounded cartesian product
     (broadcast nested loops over literal/1-row sides are fine)."""

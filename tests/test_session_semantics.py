@@ -111,6 +111,7 @@ def test_session_window_gap_splits_sessions_batch(spark):
     assert by_user == {10: 2, 20: 1}
 
 
+@pytest.mark.slow
 def test_session_window_gap_splits_sessions_streaming(spark):
     df = _toy_events(spark)
     d = tempfile.mkdtemp(prefix="toy_sessions_")

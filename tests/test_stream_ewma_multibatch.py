@@ -20,6 +20,9 @@ from streamz_postgres_spark.streaming.runner import run_to_table
 from tests.conftest import SF_DIR
 
 
+
+pytestmark = pytest.mark.slow
+
 @pytest.fixture(scope="module")
 def ewma_split_dir(spark):
     d = tempfile.mkdtemp(prefix="events_ewma_split_")
