@@ -24,6 +24,7 @@ from streamz_postgres_spark.operators import (  # noqa: F401
     flagship,
     graph,
     joins,
+    lines,
     multimodal,
     pipeline,
     relational,

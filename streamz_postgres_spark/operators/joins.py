@@ -40,14 +40,18 @@ def asof_join(
     right_values: list[str],
     how: str = "left",
     tolerance: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """As-of join: attach to each left row the most recent right row
-    (``right_ts <= left_ts``) with the same key(s).
+    (``right_ts <= left_ts``) with the same key(s) — or, with
+    ``direction="forward"``, the NEXT right row (``right_ts >=
+    left_ts``), pandas ``merge_asof(direction=...)`` semantics.
 
     ``tolerance`` (an SQL interval literal body, e.g. ``'2 HOURS'``)
-    bounds the lookback: a match older than the tolerance is treated
-    as no match (pandas ``merge_asof(tolerance=...)`` semantics).
-    Applied as a post-window null-out, so it adds zero shuffles.
+    bounds the lookback (or lookahead): a match further away than the
+    tolerance is treated as no match (pandas
+    ``merge_asof(tolerance=...)`` semantics). Applied as a
+    post-window null-out, so it adds zero shuffles.
 
     This is the relational form of streamz ``zip_latest(lossless,
     other)`` / ``combine_latest`` (SURVEY.md §2.4): the left stream is
@@ -63,15 +67,21 @@ def asof_join(
     The right side must be unique per (key, right_ts) — pre-aggregate
     duplicates first or the tie-winner is engine-dependent.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction!r}")
     keys = [on] if isinstance(on, str) else list(on)
     payload = F.struct(
         F.col(right_ts).alias("__asof_ts"),
         *[F.col(c).alias(c) for c in right_values],
     )
+    # sort position of right rows at EQUAL timestamps: before the left
+    # row (0 < 1) for backward (inclusive <=), after it (2 > 1) for
+    # forward (inclusive >=)
+    r_ord = 0 if direction == "backward" else 2
     r = right.select(
         *keys,
         F.col(right_ts).alias("__ts"),
-        F.lit(0).alias("__side"),
+        F.lit(r_ord).alias("__side"),
         payload.alias("__payload"),
     )
     left_cols = left.columns
@@ -87,21 +97,28 @@ def asof_join(
             r = r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
     r = r.select(*left_cols, "__ts", "__side", "__payload")
 
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy("__ts", "__side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    w = Window.partitionBy(*keys).orderBy("__ts", "__side")
+    if direction == "backward":
+        w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pick = F.last("__payload", ignorenulls=True)
+    else:
+        w = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        pick = F.first("__payload", ignorenulls=True)
     joined = (
         l.unionByName(r)
-        .withColumn("__latest", F.last("__payload", ignorenulls=True).over(w))
+        .withColumn("__latest", pick.over(w))
         .filter(F.col("__side") == 1)
     )
     latest = F.col("__latest")
     if tolerance is not None:
-        in_tol = F.col("__latest.__asof_ts") >= F.col("__ts") - F.expr(
-            f"INTERVAL {tolerance}"
-        )
+        if direction == "backward":
+            in_tol = F.col("__latest.__asof_ts") >= F.col("__ts") - F.expr(
+                f"INTERVAL {tolerance}"
+            )
+        else:
+            in_tol = F.col("__latest.__asof_ts") <= F.col("__ts") + F.expr(
+                f"INTERVAL {tolerance}"
+            )
         latest = F.when(in_tol, latest)
     joined = joined.withColumn("__latest", latest)
     out = joined.select(
@@ -503,6 +520,52 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_ts="ts",
         right_ts="ts",
         right_values=["purchase_value"],
+    )
+
+
+@register(
+    "q_asof_forward",
+    oracle=f"""
+WITH clicks AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+), purch AS (
+  SELECT user_id, ts, arg_max(value, event_id) AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, ts
+)
+SELECT c.event_id, c.user_id, c.ts, c.value,
+       p.ts AS asof_ts, p.purchase_value
+FROM clicks c
+ASOF LEFT JOIN purch p ON c.user_id = p.user_id AND c.ts <= p.ts
+""",
+    tags=("join", "time", "asof"),
+)
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (pandas merge_asof direction='forward'):
+    each click enriched with the user's NEXT at-or-after purchase —
+    the attribution-window shape ('what did this click lead to?'),
+    the time-mirror of q_asof_join. Same union + window
+    implementation, flipped frame (first-ignoreNulls over the
+    following rows): one shuffle on the key, linear state, no
+    candidate-pair blowup. The oracle is DuckDB's native forward
+    ASOF (``c.ts <= p.ts``)."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purch = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("purchase_value"))
+    )
+    return asof_join(
+        clicks,
+        purch,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_values=["purchase_value"],
+        direction="forward",
     )
 
 

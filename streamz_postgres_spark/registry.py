@@ -279,7 +279,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_stream_json_lines",
     "q_ntile_buckets",
     "q_bool_agg",
-
+    # ---- round-5 additions (first driver evidence due r6/r7 window;
+    # all locally oracle-verified at sf0.001 and sf0.01) ----
+    "q_dedup_lines",
+    "q_asof_forward",
 )
 
 def ordered_registry() -> dict[str, Query]:

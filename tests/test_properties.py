@@ -65,6 +65,43 @@ def test_asof_join_matches_brute_force(spark, left, right):
     assert got == want
 
 
+def _brute_force_forward(left, right):
+    out = {}
+    for i, (k, lt) in enumerate(left):
+        best = None
+        for k2, rt in right:
+            if k2 == k and rt >= lt and (best is None or rt < best):
+                best = rt
+        out[i] = best
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(left=_left_rows, right=_right_rows)
+def test_asof_forward_matches_brute_force(spark, left, right):
+    ldf = spark.createDataFrame(
+        [(i, k, _BASE + dt.timedelta(minutes=m)) for i, (k, m) in enumerate(left)],
+        "idx int, k int, ts timestamp_ntz",
+    )
+    rdf = spark.createDataFrame(
+        [(k, _BASE + dt.timedelta(minutes=m), float(m)) for k, m in right],
+        "k int, ts timestamp_ntz, v double",
+    )
+    got = {
+        r.idx: (r.asof_ts - _BASE).total_seconds() / 60 if r.asof_ts else None
+        for r in asof_join(
+            ldf, rdf, "k", "ts", "ts", ["v"], direction="forward"
+        ).collect()
+    }
+    want = {i: float(m) if m is not None else None
+            for i, m in _brute_force_forward(left, right).items()}
+    assert got == want
+
+
 _join_rows = st.lists(
     st.tuples(st.integers(0, 3), st.integers(-100, 100)), min_size=0, max_size=12
 )
