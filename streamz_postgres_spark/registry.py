@@ -283,6 +283,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # all locally oracle-verified at sf0.001 and sf0.01) ----
     "q_dedup_lines",
     "q_asof_forward",
+    "q_stream_anomaly",
 )
 
 def ordered_registry() -> dict[str, Query]:

@@ -1268,6 +1268,112 @@ def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_table(out, "append", spark)
 
 
+# -- streaming anomaly detection (running z-score) --------------------------
+
+
+def _anomaly_fold(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-key streaming anomaly flag: each event is tested against
+    the mean/variance of the PRIOR events of its key, then folded in.
+
+    State is (n, exact 6-dp decimal sum, exact 12-dp decimal sum of
+    squares) — O(1) per key forever. The flag itself is computed in
+    pure double arithmetic over the exact-decimal moments, with the
+    variance test algebraically cleared of divisions:
+
+        (x*n - s)^2 * (n-1) > 9 * n * (q*n - s^2)
+
+    (i.e. |x - mean| > 3*stddev_sample), the same expression the SQL
+    oracle evaluates — every operand is an IEEE double derived from
+    the same decimals, so the comparison is bit-deterministic across
+    engines and partitionings."""
+    six = Decimal("0.000001")
+    twelve = Decimal("0.000000000001")
+    if state.exists:
+        n, s_str, q_str = state.get
+        s, q = Decimal(s_str), Decimal(q_str)
+    else:
+        n, s, q = 0, Decimal(0), Decimal(0)
+    pdf = pd.concat(list(batches), ignore_index=True).sort_values("event_id")
+    flags, n_prevs = [], []
+    for v in pdf["value"]:
+        xd = float(v)
+        nd, sd, qd = float(n), float(s), float(q)
+        if n >= 2:
+            lhs = xd * nd - sd
+            flag = lhs * lhs * (nd - 1.0) > 9.0 * nd * (qd * nd - sd * sd)
+        else:
+            flag = False
+        n_prevs.append(n)
+        flags.append(flag)
+        s += Decimal(xd).quantize(six, rounding=ROUND_HALF_EVEN)
+        q += Decimal(xd * xd).quantize(twelve, rounding=ROUND_HALF_EVEN)
+        n += 1
+    state.update((n, str(s), str(q)))
+    yield pd.DataFrame(
+        {
+            "user_id": pdf["user_id"],
+            "event_id": pdf["event_id"],
+            "value": pdf["value"],
+            "n_prev": pd.Series(n_prevs, dtype="int64"),
+            "is_anomaly": pd.Series(flags, dtype="bool"),
+        }
+    )
+
+
+@register(
+    "q_stream_anomaly",
+    oracle="""
+WITH t AS (
+  SELECT user_id, event_id, value,
+         CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS BIGINT) AS n_prev,
+         CAST(COALESCE(SUM(CAST(value AS DECIMAL(38,6)))
+              OVER (PARTITION BY user_id ORDER BY event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS DOUBLE) AS s,
+         CAST(COALESCE(SUM(CAST(value * value AS DECIMAL(38,12)))
+              OVER (PARTITION BY user_id ORDER BY event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS DOUBLE) AS q
+  FROM events
+)
+SELECT user_id, event_id, value, n_prev,
+       CASE WHEN n_prev >= 2 THEN
+         (value * n_prev - s) * (value * n_prev - s) * (n_prev - 1.0)
+           > 9.0 * n_prev * (q * n_prev - s * s)
+       ELSE FALSE END AS is_anomaly
+FROM t
+""",
+    tags=("streaming", "stateful", "udf", "timeseries"),
+)
+def q_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming 3-sigma anomaly monitor via applyInPandasWithState:
+    each event is flagged against its key's running mean/variance so
+    the alert fires IN the stream, not in a nightly batch — the live
+    twin of the batch q_anomaly_zscore. State per key is three
+    scalars (count + two exact decimal moments); the oracle replays
+    the identical prior-window test relationally, value-parity down
+    to the boolean. At 100 TB of events: state is |active keys| x 3
+    scalars, one Arrow round-trip per key group per micro-batch, and
+    a watermark ages out idle keys (documented divergence: bounded
+    replay runs without one)."""
+    s = replay_events(spark, sf_dir)
+    out = s.groupBy("user_id").applyInPandasWithState(
+        _anomaly_fold,
+        outputStructType=(
+            "user_id long, event_id long, value double, n_prev long, "
+            "is_anomaly boolean"
+        ),
+        stateStructType="n long, s string, q string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_table(out, "append", spark)
+
+
 # -- streaming exact distinct via bitmap state ------------------------------
 
 
