@@ -181,9 +181,9 @@ def _sql_band_keys() -> str:
     return "\n  UNION ALL\n  ".join(selects)
 
 
-@register(
-    "q_dedup_minhash",
-    oracle=f"""
+#: shared CTE chain for the LSH candidate pipeline: bands ->
+#: candidates -> exact shingle-set overlap + per-doc set sizes
+_SQL_CANDIDATE_OVERLAP = f"""
 WITH sig AS ({_sql_minhash_signature()}),
 bands AS (
   {_sql_band_keys()}
@@ -212,6 +212,10 @@ inter AS (
               AND sb.h1 = sa.h1 AND sb.h2 = sa.h2
   GROUP BY c.doc_a, c.doc_b
 )
+"""
+
+_MINHASH_ORACLE = f"""
+{_SQL_CANDIDATE_OVERLAP}
 SELECT i.doc_a, i.doc_b, i.n_common,
        CAST(i.n_common AS DOUBLE)
          / (za.n_sh + zb.n_sh - i.n_common) AS jaccard
@@ -220,26 +224,23 @@ JOIN sizes za ON za.doc_id = i.doc_a
 JOIN sizes zb ON zb.doc_id = i.doc_b
 WHERE CAST(i.n_common AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_common)
       >= {_MINHASH_JACCARD}
-""",
-    tags=("dedup", "lsh"),
-)
-def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-duplicate detection, fully deterministic:
+"""
 
-    shingle(3-gram) -> 16 seeded min-hashes -> 4 band keys ->
-    band-bucket equi-join for candidates -> exact shingle-Jaccard
-    verification on candidates only.
 
-    The band join is the scale story: docs are compared only when a
-    band collides, so the join is O(collisions) not O(n^2); band
-    keys hash-shuffle evenly. Verification re-joins shingle sets for
-    candidate pairs only."""
-    # persist: the signature frame feeds the band self-join twice and
-    # Spark does not share plan subtrees across consumers — at 100 TB
-    # you persist/checkpoint signatures for exactly the same reason.
-    # Frames persisted by the PREVIOUS invocation are released first:
-    # the returned DataFrame stays lazy, so this call cannot
-    # unpersist its own frames — the next call (or session end) does.
+def _banded_candidate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared MinHash+LSH candidate pipeline: signature -> band keys
+    -> band-bucket equi-join -> exact shingle-set overlap, returning
+    ``(doc_a, doc_b, n_common, n_a, n_b)`` for every banded candidate
+    pair. q_dedup_minhash derives Jaccard from it,
+    q_minhash_containment derives containment — one pipeline, two
+    read-outs.
+
+    persist: the signature frame feeds the band self-join twice and
+    Spark does not share plan subtrees across consumers — at 100 TB
+    you persist/checkpoint signatures for exactly the same reason.
+    Frames persisted by the PREVIOUS invocation are released first:
+    the returned DataFrame stays lazy, so this call cannot unpersist
+    its own frames — the next call (or session end) does."""
     while _MINHASH_CACHE:
         _MINHASH_CACHE.pop().unpersist()
     hashed = _hashed_shingles(_exploded_shingles(spark, sf_dir)).persist()
@@ -306,15 +307,100 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return inter.join(za, "doc_a").join(zb, "doc_b")
+
+
+@register(
+    "q_dedup_minhash",
+    oracle=_MINHASH_ORACLE,
+    tags=("dedup", "lsh"),
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate detection, fully deterministic:
+
+    shingle(3-gram) -> 16 seeded min-hashes -> 4 band keys ->
+    band-bucket equi-join for candidates -> exact shingle-Jaccard
+    verification on candidates only.
+
+    The band join is the scale story: docs are compared only when a
+    band collides, so the join is O(collisions) not O(n^2); band
+    keys hash-shuffle evenly. Verification re-joins shingle sets for
+    candidate pairs only (shared pipeline:
+    :func:`_banded_candidate_overlap`)."""
+    ov = _banded_candidate_overlap(spark, sf_dir)
     jaccard = F.col("n_common").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("n_common")
     )
-    return (
-        inter.join(za, "doc_a")
-        .join(zb, "doc_b")
-        .select("doc_a", "doc_b", "n_common", jaccard.alias("jaccard"))
-        .filter(F.col("jaccard") >= _MINHASH_JACCARD)
+    return ov.select(
+        "doc_a", "doc_b", "n_common", jaccard.alias("jaccard")
+    ).filter(F.col("jaccard") >= _MINHASH_JACCARD)
+
+
+_CONTAINMENT_MIN = 0.10  # report any pair with a tenth of the smaller set shared
+_CONTAINMENT_CROP = 0.80  # crop verdict: near-total inclusion
+
+
+@register(
+    "q_minhash_containment",
+    oracle=f"""
+{_SQL_CANDIDATE_OVERLAP}
+SELECT * FROM (
+  SELECT i.doc_a, i.doc_b, i.n_common,
+         CAST(i.n_common AS DOUBLE) / least(za.n_sh, zb.n_sh)
+           AS containment,
+         CAST(i.n_common AS DOUBLE)
+           / (za.n_sh + zb.n_sh - i.n_common) AS jaccard,
+         CASE
+           WHEN CAST(i.n_common AS DOUBLE)
+                / (za.n_sh + zb.n_sh - i.n_common) >= {_MINHASH_JACCARD}
+             THEN 'dup'
+           WHEN CAST(i.n_common AS DOUBLE) / least(za.n_sh, zb.n_sh)
+                >= {_CONTAINMENT_CROP}
+             THEN 'crop'
+           ELSE 'partial'
+         END AS relation
+  FROM inter i
+  JOIN sizes za ON za.doc_id = i.doc_a
+  JOIN sizes zb ON zb.doc_id = i.doc_b
+) t
+WHERE containment >= {_CONTAINMENT_MIN}
+""",
+    tags=("dedup", "lsh"),
+)
+def q_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crop/subset audit over the LSH candidates: containment
+    C = |A∩B| / min(|A|,|B|) next to Jaccard for every banded pair.
+    High containment with sub-threshold Jaccard means one doc is a
+    crop/superset of the other (prefix truncation, quote inclusion,
+    page-with-boilerplate) — the duplicate class symmetric Jaccard
+    dedup systematically misses; the ``relation`` verdict separates
+    'dup' (Jaccard would catch it) from 'crop' (it would not).
+
+    Shares :func:`_banded_candidate_overlap` with q_dedup_minhash —
+    zero extra shuffles when run after it. Recall caveat, documented:
+    band candidates are Jaccard-biased, so an extreme crop (tiny A in
+    huge B) may never band-collide; the production containment index
+    adds size-stratified prefixes on top of this same read-out."""
+    ov = _banded_candidate_overlap(spark, sf_dir)
+    containment = F.col("n_common").cast("double") / F.least(
+        F.col("n_a"), F.col("n_b")
     )
+    jaccard = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    relation = (
+        F.when(jaccard >= _MINHASH_JACCARD, "dup")
+        .when(containment >= _CONTAINMENT_CROP, "crop")
+        .otherwise("partial")
+    )
+    return ov.select(
+        "doc_a",
+        "doc_b",
+        "n_common",
+        containment.alias("containment"),
+        jaccard.alias("jaccard"),
+        relation.alias("relation"),
+    ).filter(F.col("containment") >= _CONTAINMENT_MIN)
 
 
 def _sql_simhash() -> str:

@@ -284,6 +284,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_dedup_lines",
     "q_asof_forward",
     "q_stream_anomaly",
+    "q_minhash_containment",
 )
 
 def ordered_registry() -> dict[str, Query]:
