@@ -985,3 +985,83 @@ def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sz").cast("long").alias("n_docs"),
         (F.sum("sz") - F.count(F.lit(1))).cast("long").alias("n_removed"),
     )
+
+
+# -- URL canonicalization dedup ---------------------------------------------
+
+#: raw-URL synthesis from the fixture's (source, doc_id) — the
+#: documents table carries no real URLs, so the messy form is built
+#: deterministically: odd doc_ids get scheme/case/tracking-param/
+#: trailing-slash noise, even ones the clean https://www form. The
+#: CANONICALIZATION under test is real; only the input is synthetic
+#: (same pattern as the multimodal payloads).
+def _raw_url() -> F.Column:
+    path = F.concat(F.lit("page-"), (F.col("doc_id") % 10).cast("string"))
+    even = F.concat(
+        F.lit("https://www."), F.col("source"), F.lit(".example.com/"),
+        path, F.lit("/"),
+    )
+    odd = F.concat(
+        F.lit("HTTP://"), F.upper(F.col("source")), F.lit(".EXAMPLE.COM/"),
+        path, F.lit("?utm_source=feed&ref="), F.col("doc_id").cast("string"),
+    )
+    return F.when(F.col("doc_id") % 2 == 0, even).otherwise(odd)
+
+
+_SQL_RAW_URL = """
+CASE WHEN doc_id % 2 = 0
+     THEN 'https://www.' || source || '.example.com/page-'
+          || CAST(doc_id % 10 AS VARCHAR) || '/'
+     ELSE 'HTTP://' || upper(source) || '.EXAMPLE.COM/page-'
+          || CAST(doc_id % 10 AS VARCHAR)
+          || '?utm_source=feed&ref=' || CAST(doc_id AS VARCHAR)
+END
+"""
+
+#: canonicalization steps (Java-regex ∩ RE2 common subset, the
+#: q_pii_scrub rule): lowercase, strip scheme, strip www., strip
+#: query/fragment, strip trailing slash
+_URL_STEPS = (r"^https?://", r"^www\.", r"[?#].*$", r"/$")
+
+
+@register(
+    "q_dedup_url",
+    oracle=f"""
+WITH canon AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           lower({_SQL_RAW_URL}),
+           '^https?://', ''), '^www\\.', ''), '[?#].*$', ''), '/$', '')
+           AS canonical_url
+  FROM documents
+)
+SELECT canonical_url,
+       MIN(doc_id) AS keep_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM canon
+GROUP BY canonical_url
+""",
+    tags=("dedup", "pipeline"),
+)
+def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup — the first hygiene pass of every
+    web-crawl pipeline: scheme, www., case, tracking parameters and
+    trailing slashes are presentation noise, so the same page appears
+    under many raw URLs. Canonicalize (lowercase → strip scheme →
+    strip www. → strip query/fragment → strip trailing /) and keep
+    the smallest doc_id per canonical URL. Map-only until one hash
+    shuffle on the canonical string (hash60 of it at 100 TB); the
+    regex chain stays in the Java∩RE2 subset so the SQL oracle runs
+    the identical steps."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.lower(_raw_url())
+    for pat in _URL_STEPS:
+        url = F.regexp_replace(url, pat, "")
+    return (
+        d.select("doc_id", url.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+        )
+    )

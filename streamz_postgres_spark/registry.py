@@ -285,6 +285,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_asof_forward",
     "q_stream_anomaly",
     "q_minhash_containment",
+    "q_stream_topk",
+    "q_dedup_url",
 )
 
 def ordered_registry() -> dict[str, Query]:

@@ -87,6 +87,54 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_topk",
+    oracle="""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS window_start, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events
+  GROUP BY date_trunc('hour', ts), event_type
+)
+SELECT window_start, event_type, n_events, rn
+FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY window_start
+              ORDER BY n_events DESC, event_type) AS BIGINT) AS rn
+  FROM hourly
+) t
+WHERE rn <= 3
+""",
+    tags=("streaming", "time", "topk"),
+)
+def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE top-3 event types per hourly window: the trending-items
+    dashboard query. The STREAM maintains the per-(window, type)
+    counts (the only state — O(windows x types), watermark-bounded in
+    production); the rank is a read-side window over the tiny
+    materialized state, recomputed per refresh because a row's rank
+    can change with every micro-batch — ranking inside the stream
+    would need update-mode re-emission of whole windows, the classic
+    top-k-in-streaming trap. Deterministic tie-break (count desc,
+    then type) keeps the cut line engine-stable."""
+    s = replay_events(spark, sf_dir)
+    agg = (
+        s.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    tbl = run_to_table(agg, "complete", spark)
+    rn = F.row_number().over(
+        Window.partitionBy("window_start").orderBy(
+            F.col("n_events").desc(), "event_type"
+        )
+    )
+    return tbl.withColumn("rn", rn.cast("long")).filter(F.col("rn") <= 3)
+
+
+@register(
     "q_stream_sliding",
     oracle=f"""
 WITH b AS (
