@@ -317,6 +317,117 @@ def q_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_resample_interp",
+    oracle="""
+WITH u AS (
+  SELECT DISTINCT user_id FROM events WHERE user_id % 10 = 0
+),
+days AS (
+  SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                                TIMESTAMP '2024-01-30',
+                                INTERVAL 1 DAY)) AS day
+),
+closes AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         arg_max(value, event_id) AS close
+  FROM events
+  WHERE user_id % 10 = 0 AND event_type = 'purchase'
+  GROUP BY 1, 2
+),
+grid AS (SELECT u.user_id, d.day FROM u CROSS JOIN days d),
+j AS (
+  SELECT g.user_id, g.day, c.close,
+         CASE WHEN c.close IS NOT NULL THEN g.day END AS obs_day
+  FROM grid g LEFT JOIN closes c ON g.user_id = c.user_id AND g.day = c.day
+),
+w AS (
+  SELECT user_id, day, close,
+         last_value(obs_day IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+         last_value(close IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         first_value(obs_day IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd,
+         first_value(close IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+  FROM j
+)
+SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+       CASE WHEN close IS NOT NULL THEN close
+            WHEN pd IS NOT NULL AND nd IS NOT NULL THEN
+              pv + (nv - pv) * (CAST(date_diff('day', pd, day) AS DOUBLE)
+                                / CAST(date_diff('day', pd, nd) AS DOUBLE))
+            ELSE NULL END AS value_interp
+FROM w
+""",
+    tags=("time", "resample"),
+)
+def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-grid resample with LINEAR INTERPOLATION between observed
+    closes — the numeric gap-fill (sensor readings, prices) where
+    LOCF's step function is wrong. Same no-join grid and single
+    per-key shuffle as q_resample_locf, plus one mirrored
+    forward-looking window (first-ignoreNulls) for the bracketing
+    next observation; the lerp runs in pure double ops with the
+    day-distance ratio computed identically in both engines, so even
+    interpolated values hash-match. Leading/trailing gaps stay NULL
+    (no extrapolation) — the honest default."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").filter(
+        (F.col("user_id") % 10 == 0)
+    )
+    day_seq = F.sequence(
+        F.lit("2024-01-01 00:00:00").cast("timestamp_ntz"),
+        F.lit("2024-01-30 00:00:00").cast("timestamp_ntz"),
+        F.expr("INTERVAL 1 DAY"),
+    )
+    grid = (
+        e.select("user_id").distinct().withColumn("day", F.explode(day_seq))
+    )
+    closes = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.max_by("value", "event_id").alias("close"))
+    )
+    j = grid.join(closes, ["user_id", "day"], "left").withColumn(
+        "obs_day", F.when(F.col("close").isNotNull(), F.col("day"))
+    )
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    pd_ = F.last("obs_day", ignorenulls=True).over(back)
+    pv = F.last("close", ignorenulls=True).over(back)
+    nd = F.first("obs_day", ignorenulls=True).over(fwd)
+    nv = F.first("close", ignorenulls=True).over(fwd)
+    lerp = pv + (nv - pv) * (
+        F.datediff(F.col("day"), pd_).cast("double")
+        / F.datediff(nd, pd_).cast("double")
+    )
+    interp = (
+        F.when(F.col("close").isNotNull(), F.col("close"))
+        .when(pd_.isNotNull() & nd.isNotNull(), lerp)
+        .otherwise(F.lit(None).cast("double"))
+    )
+    return j.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        interp.alias("value_interp"),
+    )
+
+
 # -- cohort retention -------------------------------------------------------
 
 

@@ -287,6 +287,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_minhash_containment",
     "q_stream_topk",
     "q_dedup_url",
+    "q_resample_interp",
 )
 
 def ordered_registry() -> dict[str, Query]:
