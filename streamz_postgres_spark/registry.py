@@ -288,6 +288,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_stream_topk",
     "q_dedup_url",
     "q_resample_interp",
+    "q_embed_quantize",
 )
 
 def ordered_registry() -> dict[str, Query]:
