@@ -15,6 +15,10 @@ Keys chosen to cover every determinism mechanism:
 - iterative grid-quantized float (`q_pagerank`)
 - HOF float folds over arrays (`q_centroids`, `q_doc_outliers`)
 - libm-guarded scores (`q_doc_perplexity`, `q_weighted_sample`)
+- round-5 additions: interpolated doubles over mirrored windows
+  (`q_resample_interp`), per-vector HOF quantization folds
+  (`q_embed_quantize`), order-sensitive reconstruction hash
+  (`q_dedup_lines`)
 """
 
 from __future__ import annotations
@@ -35,6 +39,9 @@ KEYS = (
     "q_doc_outliers",
     "q_doc_perplexity",
     "q_weighted_sample",
+    "q_resample_interp",
+    "q_embed_quantize",
+    "q_dedup_lines",
 )
 
 
