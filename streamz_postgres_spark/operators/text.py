@@ -832,3 +832,132 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zipf_intercept"
         ),
     )
+
+
+# -- multi-query BM25 retrieval ---------------------------------------------
+
+#: the literal query panel (fixture-vocabulary terms); at 100 TB this
+#: is the broadcast query batch of a retrieval service
+_RETRIEVAL_QUERIES = (
+    (0, ("spark", "window")),
+    (1, ("vector", "hash", "batch")),
+    (2, ("customer", "query")),
+)
+_RETRIEVAL_K = 5
+
+_SQL_QUERY_TERMS = " UNION ALL ".join(
+    f"SELECT {qid} AS query_id, '{t}' AS token"
+    for qid, terms in _RETRIEVAL_QUERIES
+    for t in terms
+)
+
+
+@register(
+    "q_retrieval_topk",
+    oracle=f"""
+WITH qt AS ({_SQL_QUERY_TERMS}),
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+tf AS (
+  SELECT tok.doc_id, tok.token, COUNT(*) AS tf
+  FROM tok
+  WHERE tok.token IN (SELECT DISTINCT token FROM qt)
+  GROUP BY tok.doc_id, tok.token
+),
+df AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok
+  WHERE token IN (SELECT DISTINCT token FROM qt)
+  GROUP BY token
+),
+n AS (SELECT COUNT(*) AS n_docs,
+             CAST(SUM(CAST(len(string_split(text, ' ')) AS DECIMAL(38,6)))
+                  AS DOUBLE) / COUNT(*) AS avgdl
+      FROM documents),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         {sql_qround('LN((CAST(n.n_docs AS DOUBLE) - df.df + 0.5) / (df.df + 0.5) + 1.0)', 6)}
+           * (tf.tf * CAST({_BM25_K1} + 1.0 AS DOUBLE))
+           / (tf.tf + CAST({_BM25_K1} AS DOUBLE)
+              * (CAST(1.0 - {_BM25_B} AS DOUBLE)
+                 + CAST({_BM25_B} AS DOUBLE) * dl.dl / n.avgdl))
+           AS term_score
+  FROM qt
+  JOIN tf ON tf.token = qt.token
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN df ON df.token = qt.token
+  CROSS JOIN n
+),
+agg AS (
+  SELECT query_id, doc_id, {sql_dsum('term_score')} AS score
+  FROM scored GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, score, rn
+FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY score DESC, doc_id) AS BIGINT) AS rn
+  FROM agg
+) t
+WHERE rn <= {_RETRIEVAL_K}
+""",
+    tags=("text", "retrieval", "topk"),
+)
+def q_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end BM25 SEARCH: a broadcast query panel scored against
+    the corpus, top-{k} docs per query — the serving read-out on top
+    of q_text_bm25's term machinery. The corpus token stream is
+    pruned to the query vocabulary BEFORE any aggregation (the
+    relational form of an inverted-index probe), so per-query cost
+    scales with posting-list sizes, not corpus size; only the per-doc
+    length pass touches every token, and a production index
+    precomputes it. Per-(query, doc) scores sum through the exact
+    decimal path, so ranking ties and hash parity are engine-stable.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    qt = F.broadcast(
+        spark.createDataFrame(
+            [(qid, t) for qid, terms in _RETRIEVAL_QUERIES for t in terms],
+            "query_id int, token string",
+        )
+    )
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("token"))
+    qtok = tok.join(qt.select("token").distinct(), "token", "left_semi")
+    tf = qtok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    df = qtok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (dsum(F.size(tokens("text")).cast("double")) / F.count(F.lit(1))).alias(
+            "avgdl"
+        ),
+    )
+    idf = qround(
+        F.log(
+            (F.col("n_docs").cast("double") - F.col("df") + 0.5)
+            / (F.col("df") + 0.5)
+            + 1.0
+        ),
+        6,
+    )
+    k1, b = _BM25_K1, _BM25_B
+    term_score = (
+        idf
+        * (F.col("tf") * (k1 + 1.0))
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        qt.join(tf, "token")
+        .join(dl, "doc_id")
+        .join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(n))
+        .select("query_id", "doc_id", term_score.alias("term_score"))
+    )
+    agg = scored.groupBy("query_id", "doc_id").agg(
+        dsum("term_score").alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "doc_id")
+    return (
+        agg.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _RETRIEVAL_K)
+    )

@@ -289,6 +289,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_dedup_url",
     "q_resample_interp",
     "q_embed_quantize",
+    "q_retrieval_topk",
 )
 
 def ordered_registry() -> dict[str, Query]:
