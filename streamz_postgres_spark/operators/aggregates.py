@@ -621,3 +621,75 @@ def q_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("w").alias("token"), "exact_count")
         .agg(F.min("c").alias("cms_estimate"))
     )
+
+
+# -- KMV (k-minimum-values) distinct sketch ---------------------------------
+
+_KMV_K = 64
+_KMV_RANGE = float(1 << 60)
+
+
+@register(
+    "q_kmv_distinct",
+    oracle=f"""
+WITH hashed AS (
+  SELECT DISTINCT event_type,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)
+           AS h
+  FROM events
+),
+ranked AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_exact
+  FROM hashed
+)
+SELECT event_type,
+       CAST(n_exact AS BIGINT) AS n_exact,
+       CAST({_KMV_K} - 1 AS DOUBLE) * {_KMV_RANGE!r} / h AS kmv_estimate,
+       abs(CAST({_KMV_K} - 1 AS DOUBLE) * {_KMV_RANGE!r} / h
+           - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) AS rel_err
+FROM ranked
+WHERE rn = {_KMV_K}
+""",
+    tags=("agg", "sketch"),
+)
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch, value-checked:
+    keep the {k} smallest hash values per group; the k-th smallest
+    order statistic h_(k) estimates distinct count as
+    (k-1) * 2^60 / h_(k) (Bar-Yossef et al., public algorithm). The
+    sketch is MERGEABLE — the k smallest of a union is the k smallest
+    of each side's k smallest — so partials combine losslessly, the
+    same two-phase shape as q_agg_salted; here the toy corpus uses
+    one rank window per group, with the exact distinct count and
+    realized relative error reported next to the estimate (the
+    calibration read-out countmin/HLL get too). Everything is md5
+    arithmetic, so Spark and DuckDB produce the identical estimate
+    down to the last bit."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    hashed = (
+        e.select(
+            "event_type",
+            hash60(F.col("user_id").cast("string")).alias("h"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    wc = Window.partitionBy("event_type")
+    ranked = hashed.select(
+        "event_type",
+        "h",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n_exact"),
+    )
+    est = F.lit(float(_KMV_K - 1)) * F.lit(_KMV_RANGE) / F.col("h")
+    return ranked.filter(F.col("rn") == _KMV_K).select(
+        "event_type",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        est.alias("kmv_estimate"),
+        (F.abs(est - F.col("n_exact").cast("double"))
+         / F.col("n_exact").cast("double")).alias("rel_err"),
+    )

@@ -290,6 +290,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_resample_interp",
     "q_embed_quantize",
     "q_retrieval_topk",
+    "q_kmv_distinct",
 )
 
 def ordered_registry() -> dict[str, Query]:
