@@ -68,3 +68,95 @@ def test_restart_from_checkpoint_is_exactly_once(spark, dirs):
     dup = got.groupBy("event_id").count().filter(F.col("count") > 1).count()
     assert dup == 0
     assert got.select("event_id").distinct().count() == t.num_rows
+
+
+@pytest.mark.slow
+def test_stateful_restart_resumes_state(spark, dirs):
+    """STATEFUL recovery: an applyInPandasWithState running-totals
+    query stopped after file a and restarted from the same checkpoint
+    with file b present must (1) process only the delta and (2)
+    resume each key's state — the restarted run's emissions carry
+    full-history counts, not counts that restart from zero. Both a
+    lost state store and a re-processed file a would fail the
+    row-count and totals asserts below."""
+    from decimal import ROUND_HALF_EVEN, Decimal
+    from typing import Iterator
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src, sink = dirs
+    data, ckpt = os.path.join(sink, "data"), os.path.join(sink, "ckpt")
+    t = pq.read_table(
+        table_path(SF_DIR, "events"), columns=["event_id", "user_id", "value"]
+    )
+    half = t.num_rows // 2
+
+    def _totals(key, batches: Iterator[pd.DataFrame], state: GroupState):
+        six = Decimal("0.000001")
+        if state.exists:
+            n, acc_str = state.get
+            acc = Decimal(acc_str)
+        else:
+            n, acc = 0, Decimal(0)
+        for pdf in batches:
+            for v in pdf.sort_values("event_id")["value"]:
+                acc += Decimal(float(v)).quantize(six, rounding=ROUND_HALF_EVEN)
+                n += 1
+        state.update((n, str(acc)))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [float(acc)]}
+        )
+
+    def run_available_now():
+        s = spark.readStream.schema(_SCHEMA).parquet(src)
+        out = s.groupBy("user_id").applyInPandasWithState(
+            _totals,
+            outputStructType="user_id long, n_events long, sum_value double",
+            stateStructType="n long, acc string",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", data)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    pq.write_table(t.slice(0, half), f"{src}/a.parquet")
+    run_available_now()
+    users_a = spark.read.parquet(data).count()
+    assert users_a > 0
+
+    pq.write_table(t.slice(half), f"{src}/b.parquet")
+    run_available_now()
+
+    got = spark.read.parquet(data)
+    # one emission per (user, run-it-appeared-in): no file-a replay
+    users_b = (
+        spark.createDataFrame(t.slice(half).to_pandas())
+        .select("user_id").distinct().count()
+    )
+    assert got.count() == users_a + users_b
+    final = got.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("sum_value", "n_events").alias("sum_value"),
+    )
+    want = (
+        spark.createDataFrame(t.to_pandas())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    got_m = {r.user_id: (r.n_events, r.sum_value) for r in final.collect()}
+    exp_m = {r.user_id: (r.n_events, r.sum_value) for r in want.collect()}
+    assert got_m == exp_m
