@@ -160,3 +160,88 @@ def test_stateful_restart_resumes_state(spark, dirs):
     got_m = {r.user_id: (r.n_events, r.sum_value) for r in final.collect()}
     exp_m = {r.user_id: (r.n_events, r.sum_value) for r in want.collect()}
     assert got_m == exp_m
+
+
+@pytest.mark.slow
+def test_tws_restart_resumes_typed_state(spark, dirs):
+    """transformWithState recovery: the typed ValueState family must
+    survive a stop/restart boundary through the RocksDB checkpoint
+    exactly like applyInPandasWithState's tuple state — same
+    delta-only + state-resumed asserts, exercised through the
+    protobuf/RocksDB environment pinning (_tws_environment)."""
+    from streamz_postgres_spark.streaming.queries import (
+        _protobuf_available,
+        _tws_environment,
+        _UserTotalsProcessor,
+    )
+
+    if not _protobuf_available():
+        pytest.skip("protobuf not installed: transformWithState gated off")
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    src, sink = dirs
+    data, ckpt = os.path.join(sink, "data"), os.path.join(sink, "ckpt")
+    t = pq.read_table(
+        table_path(SF_DIR, "events"),
+        columns=["event_id", "user_id", "value"],
+    )
+    half = t.num_rows // 2
+
+    cls = type(
+        "UserTotalsProcessor",
+        (StatefulProcessor,),
+        dict(_UserTotalsProcessor.__dict__),
+    )
+
+    def run_available_now():
+        s = spark.readStream.schema(_SCHEMA).parquet(src)
+        with _tws_environment(spark):
+            out = s.groupBy("user_id").transformWithStateInPandas(
+                statefulProcessor=cls(),
+                outputStructType=(
+                    "user_id long, n_events long, sum_value double"
+                ),
+                outputMode="Update",
+                timeMode="None",
+            )
+            q = (
+                out.writeStream.format("parquet")
+                .option("path", data)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+    pq.write_table(t.slice(0, half), f"{src}/a.parquet")
+    run_available_now()
+    users_a = spark.read.parquet(data).count()
+    assert users_a > 0
+
+    pq.write_table(t.slice(half), f"{src}/b.parquet")
+    run_available_now()
+
+    got = spark.read.parquet(data)
+    users_b = (
+        spark.createDataFrame(t.slice(half).to_pandas())
+        .select("user_id").distinct().count()
+    )
+    assert got.count() == users_a + users_b
+    final = got.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("sum_value", "n_events").alias("sum_value"),
+    )
+    want = (
+        spark.createDataFrame(t.to_pandas())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    got_m = {r.user_id: (r.n_events, r.sum_value) for r in final.collect()}
+    exp_m = {r.user_id: (r.n_events, r.sum_value) for r in want.collect()}
+    assert got_m == exp_m
