@@ -179,3 +179,58 @@ def test_tws_update_sink_dedup_across_batches(spark, split_dir):
     got = {r.user_id: (r.n_events, r.sum_value) for r in _latest_totals(tbl).collect()}
     exp = {r.user_id: (r.n_events, r.sum_value) for r in want.collect()}
     assert got == exp
+
+
+def test_anomaly_state_survives_batches(spark, split_dir):
+    """q_stream_anomaly's running moments are ORDER-sensitive state
+    (each event is tested against its key's PRIOR events): replay the
+    4-way split one file per trigger and require the flags to equal a
+    plain Python fold over the whole table in event_id order."""
+    from decimal import ROUND_HALF_EVEN, Decimal
+
+    from streamz_postgres_spark.streaming.queries import _anomaly_fold
+
+    src = (
+        spark.readStream.schema(load_table(spark, SF_DIR, "events").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{split_dir}/part*")
+    )
+    out = src.groupBy("user_id").applyInPandasWithState(
+        _anomaly_fold,
+        outputStructType=(
+            "user_id long, event_id long, value double, n_prev long, "
+            "is_anomaly boolean"
+        ),
+        stateStructType="n long, s string, q string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    result = run_to_table(out, "append", spark)
+    got = {
+        (r.user_id, r.event_id): (r.n_prev, r.is_anomaly)
+        for r in result.collect()
+    }
+
+    rows = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", "event_id", "value")
+        .collect()
+    )
+    six, twelve = Decimal("0.000001"), Decimal("0.000000000001")
+    state: dict[int, tuple] = {}
+    exp = {}
+    for r in sorted(rows, key=lambda r: (r.user_id, r.event_id)):
+        n, s, q = state.get(r.user_id, (0, Decimal(0), Decimal(0)))
+        xd, nd, sd, qd = float(r.value), float(n), float(s), float(q)
+        if n >= 2:
+            lhs = xd * nd - sd
+            flag = lhs * lhs * (nd - 1.0) > 9.0 * nd * (qd * nd - sd * sd)
+        else:
+            flag = False
+        exp[(r.user_id, r.event_id)] = (n, flag)
+        state[r.user_id] = (
+            n + 1,
+            s + Decimal(xd).quantize(six, rounding=ROUND_HALF_EVEN),
+            q + Decimal(xd * xd).quantize(twelve, rounding=ROUND_HALF_EVEN),
+        )
+    assert got == exp

@@ -102,6 +102,35 @@ def test_asof_forward_matches_brute_force(spark, left, right):
     assert got == want
 
 
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(left=_left_rows, right=_right_rows, tol=st.integers(1, 20))
+def test_asof_forward_tolerance_matches_brute_force(spark, left, right, tol):
+    ldf = spark.createDataFrame(
+        [(i, k, _BASE + dt.timedelta(minutes=m)) for i, (k, m) in enumerate(left)],
+        "idx int, k int, ts timestamp_ntz",
+    )
+    rdf = spark.createDataFrame(
+        [(k, _BASE + dt.timedelta(minutes=m), float(m)) for k, m in right],
+        "k int, ts timestamp_ntz, v double",
+    )
+    got = {
+        r.idx: (r.asof_ts - _BASE).total_seconds() / 60 if r.asof_ts else None
+        for r in asof_join(
+            ldf, rdf, "k", "ts", "ts", ["v"],
+            direction="forward", tolerance=f"{tol} MINUTES",
+        ).collect()
+    }
+    want = {}
+    for i, (k, lt) in enumerate(left):
+        m = _brute_force_forward([(k, lt)], right)[0]
+        want[i] = float(m) if m is not None and m - lt <= tol else None
+    assert got == want
+
+
 _join_rows = st.lists(
     st.tuples(st.integers(0, 3), st.integers(-100, 100)), min_size=0, max_size=12
 )
