@@ -994,3 +994,134 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_err.alias("max_abs_err"),
         cos.alias("cos_fidelity"),
     )
+
+
+# -- k-means (Lloyd) over embeddings ----------------------------------------
+
+_KM_K = 8
+_KM_SQL_ITER = """
+a{i} AS (
+  SELECT vec_id, e, nrm, cl FROM (
+    SELECT v.vec_id, v.e, v.nrm, c.cl,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {dot} / (v.nrm * c.cnrm) DESC, c.cl) AS rn
+    FROM v, c{j}pan c
+  ) t WHERE rn = 1
+),
+m{i} AS (
+  SELECT cl, dim, {mean} AS c
+  FROM (
+    SELECT cl, generate_subscripts(e, 1) - 1 AS dim, unnest(e) AS val
+    FROM a{i}
+  ) ex
+  GROUP BY cl, dim
+),
+c{i}pan AS (
+  SELECT cl, ce, {cnrm} AS cnrm FROM (
+    SELECT cl, list(c ORDER BY dim) AS ce FROM m{i} GROUP BY cl
+  ) g
+)
+"""
+
+
+def _km_sql_iter(i: int, j: str) -> str:
+    return _KM_SQL_ITER.format(
+        i=i,
+        j=j,
+        dot=sql_dot("v.e", "c.ce"),
+        mean=f"{sql_dsum('val')} / COUNT(*)",
+        cnrm=sql_l2_norm("ce"),
+    )
+
+
+@register(
+    "q_kmeans_lloyd",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+         {_sql_norm('embedding')} AS nrm
+  FROM embeddings
+),
+c0pan AS (
+  SELECT vec_id AS cl, e AS ce, nrm AS cnrm FROM v WHERE vec_id < {_KM_K}
+),
+{_km_sql_iter(1, '0')},
+{_km_sql_iter(2, '1')}
+SELECT a2.cl AS cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       {sql_davg(sql_dot('a2.e', 'c.ce') + ' / (a2.nrm * c.cnrm)')} AS avg_cos
+FROM a2 JOIN c2pan c ON a2.cl = c.cl
+GROUP BY a2.cl
+""",
+    tags=("similarity", "vector", "clustering"),
+)
+def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means over the embedding corpus: TWO full Lloyd iterations
+    (assign to nearest of {k} centroids by cosine -> recompute
+    centroids as exact per-dim decimal means), seeded with the first
+    {k} vectors, read out as per-cluster size and mean cosine to the
+    final centroid. Every step is engine-deterministic — HOF dot
+    products fold in dim order, per-dim means use the exact decimal
+    accumulator, centroid arrays are assembled in sorted dim order,
+    ties break on cluster id — so the oracle value-checks the WHOLE
+    iterative clustering, not a summary.
+
+    Scale shape: each iteration is one broadcast of the K x d
+    codebook + a row_number over K candidate rows per vector (the
+    q_sim_ann_ivf assignment), then the q_centroids M-step whose
+    shuffle is O(K x d) after map-side combine — at 100 TB the
+    iteration cost is two scans, no pairwise anything. More
+    iterations = chain more rounds (production would loop with
+    localCheckpoint like connected_components)."""
+    from streamz_postgres_spark.functions.numeric import davg, dsum
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("e"),
+        l2_norm(F.col("embedding")).alias("nrm"),
+    )
+    cent = v.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cl"), F.col("e").alias("ce")
+    )
+
+    def assign(cent):
+        pan = F.broadcast(cent.withColumn("cnrm", l2_norm(F.col("ce"))))
+        csim = dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cnrm"))
+        w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), "cl")
+        return (
+            v.crossJoin(pan)
+            .withColumn("csim", csim)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "e", "nrm", "cl")
+        )
+
+    def update(assigned):
+        ex = assigned.select("cl", F.posexplode("e").alias("dim", "val"))
+        cd = ex.groupBy("cl", "dim").agg(
+            (dsum("val") / F.count(F.lit(1))).alias("c")
+        )
+        return cd.groupBy("cl").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                lambda x: x.c,
+            ).alias("ce")
+        )
+
+    a1 = assign(cent)
+    m1 = update(a1)
+    a2 = assign(m1)
+    m2 = update(a2)
+    pan = F.broadcast(m2.withColumn("cnrm", l2_norm(F.col("ce"))))
+    cos = dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cnrm"))
+    return (
+        a2.join(pan, "cl")
+        .select(F.col("cl").alias("cluster"), cos.alias("cos"))
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            davg("cos").alias("avg_cos"),
+        )
+    )

@@ -291,6 +291,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_embed_quantize",
     "q_retrieval_topk",
     "q_kmv_distinct",
+    "q_kmeans_lloyd",
 )
 
 def ordered_registry() -> dict[str, Query]:
