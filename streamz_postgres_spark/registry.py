@@ -89,8 +89,12 @@ def _load_all() -> None:
 # r2-latest keys below (q_funnel .. q_window_rank, which would hit
 # the 4-round cap at r6) + 11 canaries drawn from the oldest
 # r3-latest block (q_variant .. q_sim_cosine head the tail in
-# oldest-first order for exactly this reason). r7 then takes the
-# remaining r3 block + the oldest r4/r5 keys.
+# oldest-first order for exactly this reason). Planned r7 window:
+# the remaining 35 r3-latest keys + the 12 round-5 additions at the
+# tail (q_dedup_lines .. q_kmeans_lloyd — first driver evidence;
+# all passed the local gate at sf0.001 AND sf0.01 in round 5, and
+# the full registry passed 190/190 in one end-of-round sweep) + 3
+# streaming canaries. r8 rotates the r4-latest block.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # ---- 36 never-driver-checked keys (r4 additions) ----
     "q_dedup_cluster_stats",
