@@ -296,6 +296,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_retrieval_topk",
     "q_kmv_distinct",
     "q_kmeans_lloyd",
+    "q_fuzzy_link",
 )
 
 def ordered_registry() -> dict[str, Query]:
