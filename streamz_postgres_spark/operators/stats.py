@@ -504,3 +504,89 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# -- per-segment OLS trend --------------------------------------------------
+
+#: epoch BEFORE every fixture row, so all diffs are positive —
+#: DuckDB's date_diff floors while Spark's timestampdiff truncates
+#: toward zero, and the two only agree on non-negative differences
+#: (verified: a centered epoch diverges by 1s on every pre-epoch
+#: fractional timestamp). x stays INTEGER seconds (per-row
+#: casts of x and x*value to decimal(38,6) are the proven dsum
+#: pattern); only the x^2 term is pre-scaled by 2^24 — an EXACT
+#: dyadic division whose finite decimal expansion both engines
+#: quantize identically — so its decimal SUM stays below 2^53
+#: decimal units and the final decimal->double cast is lossless.
+#: Without the scaling, sum(x^2) in raw seconds exceeds double
+#: integer range and the engines' decimal->double conversions round
+#: the huge value differently (observed: one-ulp slope divergence).
+#: Bound: sxx exact through ~sf0.1, the plain sx sum through
+#: ~sf0.01 month-span fixtures (the oracle gate's scale); longer
+#: spans or bigger corpora raise the dyadic scales (documented, not
+#: silent).
+_TREND_EPOCH = "2024-01-01 00:00:00"
+_TREND_XX_SCALE = 16777216.0  # 2^24
+
+_SQL_TREND_X = (
+    f"CAST(date_diff('second', TIMESTAMP '{_TREND_EPOCH}', ts) AS DOUBLE)"
+)
+
+
+@register(
+    "q_trend_ols",
+    oracle=f"""
+WITH m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         {sql_dsum(_SQL_TREND_X)} AS sx,
+         {sql_dsum('value')} AS sy,
+         {sql_dsum(_SQL_TREND_X + ' * value')} AS sxy,
+         {sql_dsum(f'{_SQL_TREND_X} * {_SQL_TREND_X} / {_TREND_XX_SCALE!r}')}
+           AS sxx_s
+  FROM events
+  GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_events,
+       (n * sxy - sx * sy) / (n * (sxx_s * {_TREND_XX_SCALE!r}) - sx * sx)
+         AS slope_per_sec,
+       (sy - (n * sxy - sx * sy)
+             / (n * (sxx_s * {_TREND_XX_SCALE!r}) - sx * sx) * sx) / n
+         AS intercept_at_epoch
+FROM m
+""",
+    tags=("stats", "timeseries"),
+)
+def q_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment least-squares trend: slope and intercept of value
+    against event time (seconds from a centered epoch) for every
+    event type — the 'is this metric drifting, and in which segment?'
+    readout. Five exact decimal moments per group (see the scaling
+    note above _TREND_EPOCH), then the closed form evaluated in the
+    identical expression order in both engines — slopes hash-match
+    to the last bit. One partial-agg shuffle of 5 decimals per group
+    at any scale; the q_autocorr/q_zipf_fit moment pattern extended
+    to the time axis. Intercept is the fitted value at the epoch."""
+    e = load_table(spark, sf_dir, "events")
+    x = F.expr(
+        f"timestampdiff(SECOND, TIMESTAMP_NTZ '{_TREND_EPOCH}', ts)"
+    ).cast("double")
+    m = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(x).alias("sx"),
+        dsum("value").alias("sy"),
+        dsum(x * F.col("value")).alias("sxy"),
+        dsum(x * x / _TREND_XX_SCALE).alias("sxx_s"),
+    )
+    sxx = F.col("sxx_s") * _TREND_XX_SCALE
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * sxx - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return m.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_events"),
+        slope.alias("slope_per_sec"),
+        intercept.alias("intercept_at_epoch"),
+    )

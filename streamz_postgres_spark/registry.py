@@ -297,6 +297,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_kmv_distinct",
     "q_kmeans_lloyd",
     "q_fuzzy_link",
+    "q_trend_ols",
 )
 
 def ordered_registry() -> dict[str, Query]:
