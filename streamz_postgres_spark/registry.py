@@ -298,6 +298,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_kmeans_lloyd",
     "q_fuzzy_link",
     "q_trend_ols",
+    "q_stream_trend",
 )
 
 def ordered_registry() -> dict[str, Query]:

@@ -1924,3 +1924,67 @@ if _protobuf_available():  # pragma: no cover - depends on environment
         oracle=_TWS_ORACLE,
         tags=("streaming", "stateful", "udf", "cdc"),
     )(q_stream_transform_init)
+
+
+# -- streaming per-segment OLS trend ----------------------------------------
+
+
+def _trend_oracle() -> str:
+    # importing the module runs @register for q_trend_ols, whose
+    # oracle is shared verbatim (same moments, same closed form)
+    import streamz_postgres_spark.operators.stats  # noqa: F401
+
+    from streamz_postgres_spark.registry import REGISTRY
+
+    return REGISTRY["q_trend_ols"].oracle
+
+
+def q_stream_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE per-segment OLS trend: the five exact decimal moments of
+    q_trend_ols are associative, so the STREAM maintains them as an
+    ordinary complete-mode aggregation (state = 5 decimals per
+    segment, merged exactly on every micro-batch) and the closed-form
+    slope/intercept is a read-side projection over the tiny
+    materialized state — 'is this metric drifting' answered
+    continuously instead of nightly. Identical oracle to the batch
+    twin; same dyadic x² scaling keeps the decimal sums lossless."""
+    from streamz_postgres_spark.functions.numeric import dsum
+    from streamz_postgres_spark.operators.stats import (
+        _TREND_EPOCH,
+        _TREND_XX_SCALE,
+    )
+
+    s = replay_events(spark, sf_dir)
+    x = F.expr(
+        f"timestampdiff(SECOND, TIMESTAMP_NTZ '{_TREND_EPOCH}', ts)"
+    ).cast("double")
+    agg = s.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(x).alias("sx"),
+        dsum("value").alias("sy"),
+        dsum(x * F.col("value")).alias("sxy"),
+        dsum(x * x / _TREND_XX_SCALE).alias("sxx_s"),
+    )
+    tbl = run_to_table(agg, "complete", spark)
+    sxx = F.col("sxx_s") * _TREND_XX_SCALE
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * sxx - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return tbl.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_events"),
+        slope.alias("slope_per_sec"),
+        intercept.alias("intercept_at_epoch"),
+    )
+
+
+def _register_stream_trend() -> None:
+    register(
+        "q_stream_trend",
+        oracle=_trend_oracle(),
+        tags=("streaming", "stats", "timeseries"),
+    )(q_stream_trend)
+
+
+_register_stream_trend()
