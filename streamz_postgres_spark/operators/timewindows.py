@@ -536,3 +536,85 @@ def q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value").alias("sum_value"),
         )
     )
+
+
+# -- click -> purchase attribution lag --------------------------------------
+
+_ATTR_EPOCH = "2024-01-01 00:00:00"
+_ATTR_BUCKET_SEC = 600  # 10-minute lag buckets
+
+
+@register(
+    "q_click_attribution",
+    oracle=f"""
+WITH clicks AS (
+  SELECT user_id, ts,
+         date_diff('second', TIMESTAMP '{_ATTR_EPOCH}', ts) AS xc
+  FROM (
+    SELECT user_id, ts FROM events WHERE event_type = 'click'
+  ) c GROUP BY user_id, ts,
+             date_diff('second', TIMESTAMP '{_ATTR_EPOCH}', ts)
+),
+purch AS (
+  SELECT event_id, user_id, ts,
+         date_diff('second', TIMESTAMP '{_ATTR_EPOCH}', ts) AS xp
+  FROM events WHERE event_type = 'purchase'
+),
+attributed AS (
+  SELECT p.event_id, p.xp, c.xc
+  FROM purch p
+  ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+)
+SELECT CAST(CASE WHEN xc IS NULL THEN -1
+            ELSE (xp - xc) // {_ATTR_BUCKET_SEC} END AS BIGINT)
+         AS lag_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases
+FROM attributed
+GROUP BY 1
+""",
+    tags=("time", "asof", "analytics"),
+)
+def q_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution readout: every purchase is attributed
+    to the user's most recent prior-or-equal click (the backward
+    as-of join), and the conversion-lag distribution is reported in
+    10-minute buckets (bucket -1 = organic, no prior click). Lag is
+    computed as the difference of two aligned-epoch second offsets,
+    NOT a direct timestamp diff — engines disagree on fractional
+    boundary counting between arbitrary timestamps, but both floor
+    identically from an aligned epoch (the q_trend_ols gotcha), so
+    the bucket edges are engine-exact. One key shuffle for the as-of,
+    one partial agg; at 100 TB this is the attribution job that runs
+    next to every ads/metrics pipeline."""
+    from streamz_postgres_spark.operators.joins import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    x = F.expr(
+        f"timestampdiff(SECOND, TIMESTAMP_NTZ '{_ATTR_EPOCH}', ts)"
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .select("user_id", "ts", x.alias("xc"))
+        .distinct()
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", x.alias("xp")
+    )
+    att = asof_join(
+        purch,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_values=["xc"],
+    )
+    bucket = (
+        F.when(F.col("xc").isNull(), F.lit(-1))
+        .otherwise(
+            F.expr(f"(xp - xc) div {_ATTR_BUCKET_SEC}")
+        )
+        .cast("bigint")
+    )
+    return att.select(bucket.alias("lag_bucket")).groupBy("lag_bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases")
+    )

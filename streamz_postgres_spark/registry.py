@@ -299,6 +299,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_fuzzy_link",
     "q_trend_ols",
     "q_stream_trend",
+    "q_click_attribution",
 )
 
 def ordered_registry() -> dict[str, Query]:
