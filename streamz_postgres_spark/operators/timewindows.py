@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from streamz_postgres_spark.catalog import load_table
-from streamz_postgres_spark.functions.numeric import dsum, sql_dsum
+from streamz_postgres_spark.functions.numeric import dsum, sql_dsum, sql_qround
 from streamz_postgres_spark.registry import register
 
 
@@ -617,4 +617,51 @@ def q_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return att.select(bucket.alias("lag_bucket")).groupBy("lag_bucket").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_purchases")
+    )
+
+
+# -- per-window SLA percentiles ---------------------------------------------
+
+
+@register(
+    "q_sla_percentiles",
+    oracle=f"""
+SELECT date_trunc('hour', ts) AS window_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {sql_qround('quantile_cont(value, 0.5)', 4)} AS p50,
+       {sql_qround('quantile_cont(value, 0.95)', 4)} AS p95,
+       {sql_qround('quantile_cont(value, 0.99)', 4)} AS p99,
+       MAX(value) AS p100
+FROM events
+GROUP BY date_trunc('hour', ts)
+""",
+    tags=("time", "stats", "sla"),
+)
+def q_sla_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SLA dashboard query: p50/p95/p99/max of the value metric
+    per hourly window — exact interpolated percentiles (qround(4)
+    absorbs last-ulp interpolation differences, the q_percentile
+    convention) over the time axis instead of a categorical key. One
+    partial-agg shuffle of O(windows) groups; at 100 TB the exact
+    percentile swaps for percentile_approx with the same plan."""
+    from streamz_postgres_spark.functions.numeric import qround
+
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            qround(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+            qround(F.percentile("value", F.lit(0.95)), 4).alias("p95"),
+            qround(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+            F.max("value").alias("p100"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            "p50",
+            "p95",
+            "p99",
+            "p100",
+        )
     )

@@ -733,3 +733,58 @@ def q_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_id").alias("event_at_max"),
         )
     )
+
+
+# -- event-type transition matrix -------------------------------------------
+
+
+@register(
+    "q_markov_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+           AS prev_type
+  FROM events
+),
+cnt AS (
+  SELECT prev_type, event_type AS next_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+)
+SELECT prev_type, next_type, n,
+       CAST(n AS DOUBLE)
+         / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+FROM cnt
+""",
+    tags=("window", "analytics", "sequence"),
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavior model: the event-type transition matrix
+    per user journey — counts and row-normalized probabilities of
+    next_type given prev_type (lag over each user's event sequence,
+    then two aggregations). The row normalization divides two exact
+    integers, so probabilities are bit-stable. O(types²) output from
+    one key-partitioned window + one partial-agg shuffle; this is the
+    matrix that feeds journey simulation and anomaly scoring on
+    top of q_event_paths' raw path mining."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    cnt = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wn = Window.partitionBy("prev_type")
+    return cnt.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wn).cast("double")).alias(
+            "p"
+        ),
+    )

@@ -300,6 +300,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_trend_ols",
     "q_stream_trend",
     "q_click_attribution",
+    "q_markov_transitions",
+    "q_sla_percentiles",
 )
 
 def ordered_registry() -> dict[str, Query]:
