@@ -693,3 +693,102 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(est - F.col("n_exact").cast("double"))
          / F.col("n_exact").cast("double")).alias("rel_err"),
     )
+
+
+# -- bitmap audience overlap ------------------------------------------------
+
+
+@register(
+    "q_bitmap_overlap",
+    oracle="""
+WITH aud AS (
+  SELECT DISTINCT event_type, user_id FROM events
+),
+sizes AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM aud
+  GROUP BY event_type
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS n_overlap
+  FROM aud a JOIN aud b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT p.type_a, p.type_b, p.n_overlap,
+       CAST(p.n_overlap AS DOUBLE)
+         / (sa.n + sb.n - p.n_overlap) AS jaccard
+FROM pairs p
+JOIN sizes sa ON sa.event_type = p.type_a
+JOIN sizes sb ON sb.event_type = p.type_b
+""",
+    tags=("agg", "bitmap", "analytics"),
+)
+def q_bitmap_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap — EXACT pairwise intersection and Jaccard of
+    the user sets behind every pair of event types, computed on
+    BITMAPS, not row sets: stage 1 builds one fixed-32KB bitmap per
+    (type, id-bucket) (the q_bitmap_distinct state), stage 2
+    bitmap-ANDs co-bucketed pairs and sums popcounts. The pairwise
+    join touches O(types² × occupied buckets) bitmaps — independent
+    of user count — where the naive distinct-pairs self-join (the
+    oracle's formulation) shuffles O(users × types) rows twice. This
+    is the segment-overlap / reach-dedup query every ads and
+    analytics stack runs daily at 100 TB; the same bitmaps serve
+    q_bitmap_distinct, so one materialization powers both.
+
+    Spark ships no scalar bitmap AND, so the intersection uses
+    inclusion-exclusion per shared bucket: |A∩B| = |A| + |B| − |A∪B|
+    with the union via ``bitmap_or_agg`` over the pair's two bucket
+    bitmaps (buckets where only one side has users contribute zero
+    intersection, so the inner bucket join is exact)."""
+    e = load_table(spark, sf_dir, "events")
+    bm = e.groupBy(
+        "event_type",
+        F.expr("bitmap_bucket_number(user_id)").alias("bkt"),
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias(
+            "bm"
+        )
+    )
+    sizes = bm.groupBy("event_type").agg(
+        F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias("n")
+    )
+    b2 = bm.select(
+        F.col("event_type").alias("type_b"),
+        F.col("bkt").alias("bkt2"),
+        F.col("bm").alias("bm2"),
+    )
+    j = bm.join(
+        b2,
+        (F.col("bkt") == F.col("bkt2"))
+        & (F.col("event_type") < F.col("type_b")),
+    ).select(
+        F.col("event_type").alias("type_a"),
+        "type_b",
+        "bkt",
+        F.expr("bitmap_count(bm)").alias("ca"),
+        F.expr("bitmap_count(bm2)").alias("cb"),
+        F.explode(F.array("bm", "bm2")).alias("bmx"),
+    )
+    per_bkt = j.groupBy("type_a", "type_b", "bkt").agg(
+        # ca/cb repeat on both exploded rows: max == the value
+        F.max("ca").alias("ca"),
+        F.max("cb").alias("cb"),
+        F.expr("bitmap_count(bitmap_or_agg(bmx))").alias("cu"),
+    )
+    inter = per_bkt.groupBy("type_a", "type_b").agg(
+        F.sum(F.col("ca") + F.col("cb") - F.col("cu"))
+        .cast("bigint")
+        .alias("n_overlap")
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb"))
+    jac = F.col("n_overlap").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_overlap")
+    )
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select("type_a", "type_b", "n_overlap", jac.alias("jaccard"))
+    )

@@ -302,6 +302,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_click_attribution",
     "q_markov_transitions",
     "q_sla_percentiles",
+    "q_bitmap_overlap",
 )
 
 def ordered_registry() -> dict[str, Query]:
