@@ -751,6 +751,15 @@ def q_bitmap_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bm"
         )
     )
+    return bitmap_overlap_readout(bm)
+
+
+def bitmap_overlap_readout(bm: DataFrame) -> DataFrame:
+    """Pairwise overlap + Jaccard over a (event_type, bkt, bm)
+    bitmap table — shared by the batch q_bitmap_overlap and the
+    streaming q_stream_bitmap_overlap (whose bitmaps are streaming
+    aggregation state). See q_bitmap_overlap for the
+    inclusion-exclusion construction."""
     sizes = bm.groupBy("event_type").agg(
         F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias("n")
     )

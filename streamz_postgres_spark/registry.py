@@ -303,6 +303,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_markov_transitions",
     "q_sla_percentiles",
     "q_bitmap_overlap",
+    "q_stream_bitmap_overlap",
 )
 
 def ordered_registry() -> dict[str, Query]:

@@ -1988,3 +1988,46 @@ def _register_stream_trend() -> None:
 
 
 _register_stream_trend()
+
+
+# -- streaming bitmap audience overlap --------------------------------------
+
+
+def _bitmap_overlap_oracle() -> str:
+    import streamz_postgres_spark.operators.aggregates  # noqa: F401
+
+    from streamz_postgres_spark.registry import REGISTRY
+
+    return REGISTRY["q_bitmap_overlap"].oracle
+
+
+def q_stream_bitmap_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE audience overlap: the (type, id-bucket) bitmaps are
+    maintained as streaming aggregation state (each micro-batch ORs
+    new ids in — the q_stream_bitmap_distinct state, bounded by the
+    id domain), and the pairwise inclusion-exclusion read-out runs
+    over the tiny materialized bitmap table per refresh. Continuous
+    reach/overlap dashboards without ever re-expanding user sets;
+    identical oracle to the batch twin."""
+    from streamz_postgres_spark.operators.aggregates import (
+        bitmap_overlap_readout,
+    )
+
+    s = replay_events(spark, sf_dir)
+    agg = s.groupBy(
+        "event_type",
+        F.expr("bitmap_bucket_number(user_id)").alias("bkt"),
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias(
+            "bm"
+        )
+    )
+    tbl = run_to_table(agg, "complete", spark)
+    return bitmap_overlap_readout(tbl)
+
+
+register(
+    "q_stream_bitmap_overlap",
+    oracle=_bitmap_overlap_oracle(),
+    tags=("streaming", "agg", "bitmap", "analytics"),
+)(q_stream_bitmap_overlap)
