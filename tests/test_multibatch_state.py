@@ -234,3 +234,93 @@ def test_anomaly_state_survives_batches(spark, split_dir):
             q + Decimal(xd * xd).quantize(twelve, rounding=ROUND_HALF_EVEN),
         )
     assert got == exp
+
+
+def test_tws_list_and_map_dedup_across_batches(spark, split_dir):
+    """The ListState (last-3) and MapState (type counts) queries also
+    collapse update-sink re-emissions; force 4 micro-batches through
+    both processors and check the collapsed tables against batch
+    truth (ListState additionally proves cross-batch ORDER: the kept
+    ids must be the globally-last 3 event_ids per user)."""
+    from streamz_postgres_spark.streaming.queries import (
+        _protobuf_available,
+        _RecentEventsProcessor,
+        _tws_environment,
+        _TypeCountsProcessor,
+    )
+
+    if not _protobuf_available():
+        pytest.skip("protobuf not installed: transformWithState gated off")
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    src = (
+        spark.readStream.schema(load_table(spark, SF_DIR, "events").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{split_dir}/part*")
+    )
+
+    # --- ListState: last-3 per user, order must survive batches ---
+    cls_l = type(
+        "RecentEventsProcessor",
+        (StatefulProcessor,),
+        dict(_RecentEventsProcessor.__dict__),
+    )
+    with _tws_environment(spark):
+        out = src.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=cls_l(),
+            outputStructType=(
+                "user_id long, n_recent long, recent_ids string, "
+                "recent_sum double"
+            ),
+            outputMode="Update",
+            timeMode="None",
+        )
+        tbl = run_to_table(out, "update", spark)
+    seq = F.element_at(F.split("recent_ids", ","), -1).cast("long")
+    latest = (
+        tbl.groupBy("user_id")
+        .agg(F.max_by(F.struct("n_recent", "recent_ids"), seq).alias("s"))
+        .select("user_id", "s.n_recent", "s.recent_ids")
+    )
+    got = {r.user_id: (r.n_recent, r.recent_ids) for r in latest.collect()}
+    rows = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", "event_id")
+        .collect()
+    )
+    byu: dict[int, list[int]] = {}
+    for r in rows:
+        byu.setdefault(r.user_id, []).append(r.event_id)
+    exp = {
+        u: (min(3, len(ids)), ",".join(str(i) for i in sorted(ids)[-3:]))
+        for u, ids in byu.items()
+    }
+    assert got == exp
+
+    # --- MapState: per-(user, type) counts are monotone ---
+    cls_m = type(
+        "TypeCountsProcessor",
+        (StatefulProcessor,),
+        dict(_TypeCountsProcessor.__dict__),
+    )
+    with _tws_environment(spark):
+        out = src.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=cls_m(),
+            outputStructType=(
+                "user_id long, event_type string, n_events long"
+            ),
+            outputMode="Update",
+            timeMode="None",
+        )
+        tbl = run_to_table(out, "update", spark)
+    final = tbl.groupBy("user_id", "event_type").agg(
+        F.max("n_events").alias("n_events")
+    )
+    got_m = {(r.user_id, r.event_type): r.n_events for r in final.collect()}
+    want = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    exp_m = {(r.user_id, r.event_type): r.n_events for r in want.collect()}
+    assert got_m == exp_m
