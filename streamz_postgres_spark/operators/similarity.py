@@ -1125,3 +1125,134 @@ def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             davg("cos").alias("avg_cos"),
         )
     )
+
+
+# -- dominant direction (power iteration) -----------------------------------
+
+_PC_SQL_ITER = """
+d{i} AS (
+  SELECT v.vec_id, v.label, v.e, v.nrm2,
+         {dot} AS t
+  FROM v JOIN p{j} c ON v.label = c.label
+),
+s{i} AS (
+  SELECT label, dim, {mean} AS s
+  FROM (
+    SELECT label, t, generate_subscripts(e, 1) - 1 AS dim,
+           unnest(e) AS val
+    FROM d{i}
+  ) ex
+  GROUP BY label, dim
+),
+p{i} AS (
+  SELECT label,
+         list_transform(ve, x -> x / {norm}) AS ce
+  FROM (
+    SELECT label, list(s ORDER BY dim) AS ve FROM s{i} GROUP BY label
+  ) g
+)
+"""
+
+
+def _pc_sql_iter(i: int, j: str) -> str:
+    return _PC_SQL_ITER.format(
+        i=i,
+        j=j,
+        dot=sql_dot("v.e", "c.ce"),
+        mean=f"{sql_dsum('t * val')} / COUNT(*)",
+        norm=sql_l2_norm("ve"),
+    )
+
+
+@register(
+    "q_embed_pc1",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+         {_sql_norm('embedding')} * {_sql_norm('embedding')} AS nrm2
+  FROM embeddings
+),
+dims AS (SELECT len(embedding) AS d FROM embeddings LIMIT 1),
+p0 AS (
+  SELECT label,
+         list_transform(e, x -> 0.125) AS ce
+  FROM (SELECT DISTINCT label, e FROM (
+          SELECT label, e, row_number() OVER (PARTITION BY label
+                   ORDER BY vec_id) AS rn FROM v) t WHERE rn = 1) seed
+),
+{_pc_sql_iter(1, '0')},
+{_pc_sql_iter(2, '1')}
+SELECT d.label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       {sql_dsum('(t_f * t_f)')} / {sql_dsum('nrm2')} AS anisotropy
+FROM (
+  SELECT v.vec_id, v.label, v.nrm2, {sql_dot('v.e', 'c.ce')} AS t_f
+  FROM v JOIN p2 c ON v.label = c.label
+) d
+GROUP BY d.label
+""",
+    tags=("similarity", "vector", "stats"),
+)
+def q_embed_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant-direction (top principal component, uncentered) per
+    label via TWO power iterations — the anisotropy diagnostic: what
+    fraction of a label's embedding energy lies along one direction
+    (the 'all vectors share a huge common component' pathology of
+    embedding spaces that silently breaks cosine retrieval). Each
+    iteration scores every vector against the current direction (HOF
+    dot, dim-ordered fold), accumulates t·x_j per dimension through
+    exact decimal sums, reassembles the direction in sorted dim
+    order and normalizes — the q_kmeans_lloyd parity recipe applied
+    to an eigenvector solver. Readout per label: vector count and
+    anisotropy = Σ(x·v)² / Σ|x|² ∈ (0, 1]. Scale: per iteration one
+    broadcast of the L×d direction panel + an O(L×d) decimal-agg
+    shuffle; linear in the corpus, no pairwise work."""
+    from streamz_postgres_spark.functions.numeric import dsum
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id",
+        "label",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("e"),
+        (l2_norm(F.col("embedding")) * l2_norm(F.col("embedding"))).alias(
+            "nrm2"
+        ),
+    )
+    # v0 = uniform 1/8 direction (d=64 -> unit norm), one row per label
+    p = v.groupBy("label").agg(
+        F.transform(F.first("e"), lambda _: F.lit(0.125)).alias("ce")
+    )
+
+    def power_iter(p):
+        pan = F.broadcast(p)
+        t = dot(F.col("e"), F.col("ce"))
+        scored = v.join(pan, "label").select("label", "e", t.alias("t"))
+        ex = scored.select(
+            "label", "t", F.posexplode("e").alias("dim", "val")
+        )
+        sd = ex.groupBy("label", "dim").agg(
+            (dsum(F.col("t") * F.col("val")) / F.count(F.lit(1))).alias("s")
+        )
+        ve = sd.groupBy("label").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "s"))),
+                lambda x: x.s,
+            ).alias("ve")
+        )
+        return ve.select(
+            "label",
+            F.transform(
+                F.col("ve"), lambda x: x / l2_norm(F.col("ve"))
+            ).alias("ce"),
+        )
+
+    p2 = power_iter(power_iter(p))
+    t_f = dot(F.col("e"), F.col("ce"))
+    scored = v.join(F.broadcast(p2), "label").select(
+        "label", "nrm2", t_f.alias("t_f")
+    )
+    return scored.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        (dsum(F.col("t_f") * F.col("t_f")) / dsum("nrm2")).alias("anisotropy"),
+    )

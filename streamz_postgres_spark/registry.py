@@ -304,6 +304,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_sla_percentiles",
     "q_bitmap_overlap",
     "q_stream_bitmap_overlap",
+    "q_embed_pc1",
 )
 
 def ordered_registry() -> dict[str, Query]:
