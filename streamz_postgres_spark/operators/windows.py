@@ -788,3 +788,84 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p"
         ),
     )
+
+
+# -- point-in-time rolling user features ------------------------------------
+
+_FEAT_EPOCH = "2024-01-01 00:00:00"
+_FEAT_7D = 7 * 86400
+_FEAT_30D = 30 * 86400
+
+
+@register(
+    "q_user_features",
+    oracle=f"""
+WITH base AS (
+  SELECT event_id, user_id, event_type, value,
+         date_diff('second', TIMESTAMP '{_FEAT_EPOCH}', ts) AS x
+  FROM events
+)
+SELECT event_id, user_id, event_type,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY x
+                  RANGE BETWEEN {_FEAT_7D} PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS n_clicks_7d,
+       CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value END
+                     AS DECIMAL(38,6)))
+            OVER (PARTITION BY user_id ORDER BY x
+                  RANGE BETWEEN {_FEAT_30D} PRECEDING AND CURRENT ROW)
+         AS DOUBLE) AS purchase_sum_30d,
+       CAST(x - lag(x) OVER (PARTITION BY user_id ORDER BY x, event_id)
+         AS BIGINT) AS secs_since_prev
+FROM base
+""",
+    tags=("window", "time", "features"),
+)
+def q_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time rolling features per event — the feature-store
+    query that trains leakage-free models: for EVERY event, the
+    user's trailing-7-day click count, trailing-30-day purchase sum
+    and seconds since the previous event, all computed strictly from
+    the event's own past via RANGE frames over an aligned-epoch
+    second offset (numeric range bounds are engine-exact; interval
+    frames on raw timestamps re-open the fractional-boundary trap).
+    The decimal window sum keeps the money feature
+    partition-order-independent. One shuffle on user_id serves all
+    three features; at 100 TB this is the daily feature-backfill
+    job, and the same frames run incrementally under watermarks."""
+    e = load_table(spark, sf_dir, "events")
+    x = F.expr(
+        f"timestampdiff(SECOND, TIMESTAMP_NTZ '{_FEAT_EPOCH}', ts)"
+    )
+    base = e.select("event_id", "user_id", "event_type", "value", x.alias("x"))
+    w7 = (
+        Window.partitionBy("user_id")
+        .orderBy("x")
+        .rangeBetween(-_FEAT_7D, 0)
+    )
+    w30 = (
+        Window.partitionBy("user_id")
+        .orderBy("x")
+        .rangeBetween(-_FEAT_30D, 0)
+    )
+    wl = Window.partitionBy("user_id").orderBy("x", "event_id")
+    return base.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.sum((F.col("event_type") == "click").cast("int"))
+        .over(w7)
+        .cast("bigint")
+        .alias("n_clicks_7d"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).cast(
+                "decimal(38,6)"
+            )
+        )
+        .over(w30)
+        .cast("double")
+        .alias("purchase_sum_30d"),
+        (F.col("x") - F.lag("x").over(wl)).cast("bigint").alias(
+            "secs_since_prev"
+        ),
+    )

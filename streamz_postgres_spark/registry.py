@@ -305,6 +305,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_bitmap_overlap",
     "q_stream_bitmap_overlap",
     "q_embed_pc1",
+    "q_user_features",
 )
 
 def ordered_registry() -> dict[str, Query]:
