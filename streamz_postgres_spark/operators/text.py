@@ -961,3 +961,125 @@ def q_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= _RETRIEVAL_K)
     )
+
+
+# -- pseudo-relevance-feedback retrieval ------------------------------------
+
+_PRF_K = 10
+
+
+def _prf_oracle() -> str:
+    from streamz_postgres_spark.functions.vector import sql_dot, sql_l2_norm
+
+    from streamz_postgres_spark.registry import REGISTRY
+
+    topk = REGISTRY["q_retrieval_topk"].oracle
+    return f"""
+WITH seeds AS ({topk}),
+v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+         {sql_l2_norm('embedding')} AS nrm
+  FROM embeddings
+),
+cd AS (
+  SELECT s.query_id, dim,
+         CAST(SUM(CAST(val AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS c
+  FROM seeds s
+  JOIN (
+    SELECT vec_id, generate_subscripts(e, 1) - 1 AS dim, unnest(e) AS val
+    FROM v
+  ) ex ON ex.vec_id = s.doc_id
+  GROUP BY s.query_id, dim
+),
+cent AS (
+  SELECT query_id, ce, {sql_l2_norm('ce')} AS cnrm FROM (
+    SELECT query_id, list(c ORDER BY dim) AS ce FROM cd GROUP BY query_id
+  ) g
+)
+SELECT query_id, vec_id, cosine, is_seed, rn
+FROM (
+  SELECT c.query_id, v.vec_id,
+         {sql_dot('v.e', 'c.ce')} / (v.nrm * c.cnrm) AS cosine,
+         CAST(EXISTS (SELECT 1 FROM seeds s
+                      WHERE s.query_id = c.query_id
+                        AND s.doc_id = v.vec_id) AS INTEGER) AS is_seed,
+         row_number() OVER (
+           PARTITION BY c.query_id
+           ORDER BY {sql_dot('v.e', 'c.ce')} / (v.nrm * c.cnrm) DESC,
+                    v.vec_id) AS rn
+  FROM v CROSS JOIN cent c
+) t
+WHERE rn <= {_PRF_K}
+"""
+
+
+def q_retrieval_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance feedback (Rocchio) retrieval: the BM25 top-5
+    per query (q_retrieval_topk, reused verbatim — its oracle embeds
+    as a CTE here) seed a per-query embedding centroid (exact decimal
+    per-dim means), and the corpus is re-ranked by cosine to that
+    centroid — lexical recall expanded with semantic similarity, the
+    standard hybrid-search second stage. ``is_seed`` marks which of
+    the final top-10 were already lexical hits; the rest are the
+    semantic expansion. Scale: centroids are Q×d (broadcast); the
+    re-rank is the q_sim_cosine broadcast-probe scan per query — at
+    100 TB the ANN index (q_sim_ann_ivf cells) replaces the full
+    scan, same read-out."""
+    from streamz_postgres_spark.functions.numeric import dsum
+    from streamz_postgres_spark.functions.vector import dot, l2_norm
+
+    seeds = q_retrieval_topk(spark, sf_dir).select(
+        "query_id", F.col("doc_id").alias("vec_id")
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("e"),
+        l2_norm(F.col("embedding")).alias("nrm"),
+    )
+    ex = seeds.join(v, "vec_id").select(
+        "query_id", F.posexplode("e").alias("dim", "val")
+    )
+    cd = ex.groupBy("query_id", "dim").agg(
+        (dsum("val") / F.count(F.lit(1))).alias("c")
+    )
+    cent = (
+        cd.groupBy("query_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                lambda x: x.c,
+            ).alias("ce")
+        )
+        .withColumn("cnrm", l2_norm(F.col("ce")))
+    )
+    cos = dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cnrm"))
+    scored = v.crossJoin(F.broadcast(cent)).select(
+        "query_id", "vec_id", cos.alias("cosine")
+    )
+    seed_flag = seeds.withColumn("is_seed_f", F.lit(1))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "vec_id")
+    return (
+        scored.join(F.broadcast(seed_flag), ["query_id", "vec_id"], "left")
+        .select(
+            "query_id",
+            "vec_id",
+            "cosine",
+            F.coalesce(F.col("is_seed_f"), F.lit(0)).cast("int").alias(
+                "is_seed"
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _PRF_K)
+    )
+
+
+def _register_prf() -> None:
+    register(
+        "q_retrieval_prf",
+        oracle=_prf_oracle(),
+        tags=("text", "retrieval", "similarity", "hybrid"),
+    )(q_retrieval_prf)
+
+
+_register_prf()

@@ -306,6 +306,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_stream_bitmap_overlap",
     "q_embed_pc1",
     "q_user_features",
+    "q_retrieval_prf",
 )
 
 def ordered_registry() -> dict[str, Query]:
