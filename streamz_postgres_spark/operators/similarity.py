@@ -1035,9 +1035,9 @@ def _km_sql_iter(i: int, j: str) -> str:
     )
 
 
-@register(
-    "q_kmeans_lloyd",
-    oracle=f"""
+#: shared SQL prefix building a2 (final assignment) + c2pan (final
+#: centroids) — used by q_kmeans_lloyd and q_dedup_semantic
+_KM_SQL_PREFIX = f"""
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
          {_sql_norm('embedding')} AS nrm
@@ -1048,33 +1048,16 @@ c0pan AS (
 ),
 {_km_sql_iter(1, '0')},
 {_km_sql_iter(2, '1')}
-SELECT a2.cl AS cluster,
-       CAST(COUNT(*) AS BIGINT) AS n_vecs,
-       {sql_davg(sql_dot('a2.e', 'c.ce') + ' / (a2.nrm * c.cnrm)')} AS avg_cos
-FROM a2 JOIN c2pan c ON a2.cl = c.cl
-GROUP BY a2.cl
-""",
-    tags=("similarity", "vector", "clustering"),
-)
-def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-means over the embedding corpus: TWO full Lloyd iterations
-    (assign to nearest of {k} centroids by cosine -> recompute
-    centroids as exact per-dim decimal means), seeded with the first
-    {k} vectors, read out as per-cluster size and mean cosine to the
-    final centroid. Every step is engine-deterministic — HOF dot
-    products fold in dim order, per-dim means use the exact decimal
-    accumulator, centroid arrays are assembled in sorted dim order,
-    ties break on cluster id — so the oracle value-checks the WHOLE
-    iterative clustering, not a summary.
+"""
 
-    Scale shape: each iteration is one broadcast of the K x d
-    codebook + a row_number over K candidate rows per vector (the
-    q_sim_ann_ivf assignment), then the q_centroids M-step whose
-    shuffle is O(K x d) after map-side combine — at 100 TB the
-    iteration cost is two scans, no pairwise anything. More
-    iterations = chain more rounds (production would loop with
-    localCheckpoint like connected_components)."""
-    from streamz_postgres_spark.functions.numeric import davg, dsum
+
+def kmeans_assignments(spark: SparkSession, sf_dir: str):
+    """Two Lloyd iterations over the embeddings; returns
+    ``(assignments (vec_id, e, nrm, cl), centroids (cl, ce))`` —
+    shared by q_kmeans_lloyd (summary read-out) and q_dedup_semantic
+    (within-cluster near-dup pruning). See q_kmeans_lloyd for the
+    determinism recipe."""
+    from streamz_postgres_spark.functions.numeric import dsum
 
     e = load_table(spark, sf_dir, "embeddings")
     v = e.select(
@@ -1110,10 +1093,43 @@ def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ce")
         )
 
-    a1 = assign(cent)
-    m1 = update(a1)
-    a2 = assign(m1)
-    m2 = update(a2)
+    a2 = assign(update(assign(cent)))
+    return a2, update(a2)
+
+
+@register(
+    "q_kmeans_lloyd",
+    oracle=f"""
+{_KM_SQL_PREFIX}
+SELECT a2.cl AS cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       {sql_davg(sql_dot('a2.e', 'c.ce') + ' / (a2.nrm * c.cnrm)')} AS avg_cos
+FROM a2 JOIN c2pan c ON a2.cl = c.cl
+GROUP BY a2.cl
+""",
+    tags=("similarity", "vector", "clustering"),
+)
+def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means over the embedding corpus: TWO full Lloyd iterations
+    (assign to nearest of {k} centroids by cosine -> recompute
+    centroids as exact per-dim decimal means), seeded with the first
+    {k} vectors, read out as per-cluster size and mean cosine to the
+    final centroid. Every step is engine-deterministic — HOF dot
+    products fold in dim order, per-dim means use the exact decimal
+    accumulator, centroid arrays are assembled in sorted dim order,
+    ties break on cluster id — so the oracle value-checks the WHOLE
+    iterative clustering, not a summary.
+
+    Scale shape: each iteration is one broadcast of the K x d
+    codebook + a row_number over K candidate rows per vector (the
+    q_sim_ann_ivf assignment), then the q_centroids M-step whose
+    shuffle is O(K x d) after map-side combine — at 100 TB the
+    iteration cost is two scans, no pairwise anything. More
+    iterations = chain more rounds (production would loop with
+    localCheckpoint like connected_components)."""
+    from streamz_postgres_spark.functions.numeric import davg, dsum
+
+    a2, m2 = kmeans_assignments(spark, sf_dir)
     pan = F.broadcast(m2.withColumn("cnrm", l2_norm(F.col("ce"))))
     cos = dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cnrm"))
     return (
@@ -1255,4 +1271,76 @@ def q_embed_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("label").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
         (dsum(F.col("t_f") * F.col("t_f")) / dsum("nrm2")).alias("anisotropy"),
+    )
+
+
+# -- SemDeDup: semantic dedup within k-means clusters -----------------------
+
+_SEMDEDUP_COS = 0.55
+
+
+@register(
+    "q_dedup_semantic",
+    oracle=f"""
+{_KM_SQL_PREFIX}
+, pairs AS (
+  SELECT a.cl, a.vec_id AS keep_id, b.vec_id AS prune_id
+  FROM a2 a JOIN a2 b
+    ON a.cl = b.cl AND a.vec_id < b.vec_id
+  WHERE {sql_dot('a.e', 'b.e')} / (a.nrm * b.nrm) >= {_SEMDEDUP_COS}
+),
+pruned AS (SELECT DISTINCT cl, prune_id FROM pairs)
+SELECT a2.cl AS cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(COUNT(p.prune_id) AS BIGINT) AS n_pruned,
+       CAST(COUNT(p.prune_id) AS DOUBLE) / COUNT(*) AS prune_frac
+FROM a2
+LEFT JOIN pruned p ON p.cl = a2.cl AND p.prune_id = a2.vec_id
+GROUP BY a2.cl
+""",
+    tags=("dedup", "similarity", "clustering"),
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (public method, Abbas et al.): semantic dedup that
+    only compares vectors WITHIN their k-means cluster — the
+    clustering (two value-checked Lloyd iterations, shared with
+    q_kmeans_lloyd) is the blocking structure, so the pairwise pass
+    is O(Σ cluster²) instead of O(n²) and cluster count scales with
+    the corpus (the bounded-block contract SCALE.md measures). A
+    vector is pruned when any lower-id cluster-mate has cosine ≥
+    {_SEMDEDUP_COS}; the read-out reports per-cluster size, pruned
+    count and prune fraction — the dataset-shrink decision number.
+    The label-blocked q_dedup_embed covers the fixed-taxonomy case;
+    this is the learned-blocking version a real curation run uses."""
+    a2, _ = kmeans_assignments(spark, sf_dir)
+    b = a2.select(
+        F.col("cl").alias("cl_b"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("e").alias("e_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    cos = dot(F.col("e"), F.col("e_b")) / (F.col("nrm") * F.col("nrm_b"))
+    pruned = (
+        a2.join(
+            b,
+            (F.col("cl") == F.col("cl_b"))
+            & (F.col("vec_id") < F.col("vec_b")),
+        )
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= _SEMDEDUP_COS)
+        .select("cl", F.col("vec_b").alias("prune_id"))
+        .distinct()
+    )
+    flagged = a2.alias("L").join(
+        pruned.alias("P"),
+        (F.col("L.cl") == F.col("P.cl"))
+        & (F.col("L.vec_id") == F.col("P.prune_id")),
+        "left",
+    )
+    return flagged.groupBy(F.col("L.cl").alias("cluster")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.count("P.prune_id").cast("bigint").alias("n_pruned"),
+        (F.count("P.prune_id").cast("double") / F.count(F.lit(1))).alias(
+            "prune_frac"
+        ),
     )

@@ -307,6 +307,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_embed_pc1",
     "q_user_features",
     "q_retrieval_prf",
+    "q_dedup_semantic",
 )
 
 def ordered_registry() -> dict[str, Query]:
