@@ -147,6 +147,55 @@ def staged_replay_with_flush(
     return replay_events(spark, sf_dir, directory=staging, glob="*.parquet"), staging
 
 
+def run_to_parquet_resumed(
+    out: DataFrame,
+    output_mode: str,
+    spark: SparkSession,
+    passes: int = 2,
+) -> DataFrame:
+    """Execute a streaming DataFrame through MULTIPLE availableNow
+    runs over ONE checkpoint into a parquet sink, returning the
+    accumulated result. Event-time TIMERS need this: availableNow
+    fires timers expired by the final watermark in an extra
+    end-of-stream batch, and under heavy load that batch can lose the
+    race with termination (observed once in ~10 gate runs) — a second
+    run on the same checkpoint processes no new data but fires any
+    still-pending expired timers, and state checkpointing makes the
+    union of the appends exactly-once. The parquet sink (not memory)
+    is what makes the resume safe: a restarted memory sink drops the
+    first run's rows."""
+    name = f"stream_out_{uuid.uuid4().hex[:12]}"
+    base = tempfile.mkdtemp(prefix="spark_resume_")
+    data, ckpt = f"{base}/data", f"{base}/ckpt"
+    try:
+        for _ in range(passes):
+            q = (
+                out.writeStream.format("parquet")
+                .option("path", data)
+                .option("checkpointLocation", ckpt)
+                .outputMode(output_mode)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        df = spark.read.parquet(data)
+        df.createOrReplaceTempView(name)
+        # materialize through a stable temp view so the caller's
+        # DataFrame survives the staging dir's eventual cleanup by
+        # the next invocation (mirrors the memory-sink contract)
+        return spark.table(name)
+    finally:
+        _RESUME_DIRS.append(base)
+        while len(_RESUME_DIRS) > 4:
+            shutil.rmtree(_RESUME_DIRS.pop(0), ignore_errors=True)
+
+
+#: staging dirs of recent run_to_parquet_resumed invocations — the
+#: returned DataFrame reads the parquet lazily, so each call cleans
+#: only older invocations' dirs, never its own
+_RESUME_DIRS: list = []
+
+
 def run_to_table(
     out: DataFrame,
     output_mode: str,
