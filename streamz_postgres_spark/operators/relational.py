@@ -433,3 +433,100 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("sum_tier"),
     )
+
+
+# -- data-quality column profile --------------------------------------------
+
+
+@register(
+    "q_data_profile",
+    oracle="""
+SELECT 'event_id' AS column_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null,
+       CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct
+FROM events
+UNION ALL
+SELECT 'user_id', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT user_id) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'event_type', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN event_type IS NULL OR event_type = ''
+                     THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT event_type) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'value', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN value IS NULL OR isnan(value)
+                     THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT value) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'props', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN props IS NULL OR props = '' OR props = '{}'
+                     THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT props) AS BIGINT)
+FROM events
+""",
+    tags=("relational", "quality", "profile"),
+)
+def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data-quality profile of the events table — the
+    first query every ingestion pipeline runs against a new feed:
+    per column, row count, problem count (NULL; plus NaN for
+    doubles, empty/{} for strings) and exact distinct cardinality.
+    ONE scan computes every column's aggregates side by side (each
+    is a conditional partial agg; COUNT(DISTINCT x) for several x
+    in one query expands per-column, so Spark plans a single pass
+    with multiple aggregate expansions), then the per-column rows
+    are presented via unpivot-shaped selects unioned together. At
+    100 TB swap the exact distincts for approx_count_distinct and
+    this is the daily feed-health job."""
+    e = load_table(spark, sf_dir, "events")
+
+    def null_pred(c: str):
+        return F.col(c).isNull()
+
+    specs = [
+        ("event_id", null_pred("event_id"), "event_id"),
+        ("user_id", null_pred("user_id"), "user_id"),
+        (
+            "event_type",
+            F.col("event_type").isNull() | (F.col("event_type") == ""),
+            "event_type",
+        ),
+        (
+            "value",
+            F.col("value").isNull() | F.isnan("value"),
+            "value",
+        ),
+        (
+            "props",
+            F.col("props").isNull()
+            | (F.col("props") == "")
+            | (F.col("props") == "{}"),
+            "props",
+        ),
+    ]
+    agg_exprs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for name, bad, col in specs:
+        agg_exprs.append(
+            F.sum(bad.cast("int")).cast("bigint").alias(f"null_{name}")
+        )
+        agg_exprs.append(
+            F.countDistinct(col).cast("bigint").alias(f"dist_{name}")
+        )
+    wide = e.agg(*agg_exprs)
+    rows = None
+    for name, _, _ in specs:
+        part = wide.select(
+            F.lit(name).alias("column_name"),
+            F.col("n_rows"),
+            F.col(f"null_{name}").alias("n_null"),
+            F.col(f"dist_{name}").alias("n_distinct"),
+        )
+        rows = part if rows is None else rows.unionByName(part)
+    return rows

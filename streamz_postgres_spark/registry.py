@@ -308,6 +308,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_user_features",
     "q_retrieval_prf",
     "q_dedup_semantic",
+    "q_data_profile",
 )
 
 def ordered_registry() -> dict[str, Query]:
