@@ -36,6 +36,7 @@ from streamz_postgres_spark.operators import (  # noqa: F401
     subqueries,
     text,
     timewindows,
+    tpch,
     udfs,
     windows,
 )

@@ -90,11 +90,12 @@ def _load_all() -> None:
 # the 4-round cap at r6) + 11 canaries drawn from the oldest
 # r3-latest block (q_variant .. q_sim_cosine head the tail in
 # oldest-first order for exactly this reason). Planned r7 window:
-# the remaining 35 r3-latest keys + the 12 round-5 additions at the
-# tail (q_dedup_lines .. q_kmeans_lloyd — first driver evidence;
-# all passed the local gate at sf0.001 AND sf0.01 in round 5, and
-# the full registry passed 190/190 in one end-of-round sweep) + 3
-# streaming canaries. r8 rotates the r4-latest block.
+# the remaining 35 r3-latest keys + the first tranche of round-5
+# additions (q_dedup_lines ..; first driver evidence; all passed the
+# local gate at sf0.001 AND sf0.01 in round 5, and the full registry
+# passed an end-of-round sweep) + 3 streaming canaries. r8 rotates
+# the r4-latest block plus the rest of the round-5 tail (the TPC-H
+# classics module and the late training-pipeline additions).
 DRIVER_PRIORITY: tuple[str, ...] = (
     # ---- 36 never-driver-checked keys (r4 additions) ----
     "q_dedup_cluster_stats",
@@ -309,6 +310,18 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_retrieval_prf",
     "q_dedup_semantic",
     "q_data_profile",
+    "q_tpch_q2",
+    "q_tpch_q4",
+    "q_tpch_q5",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q10",
+    "q_tpch_q12",
+    "q_tpch_q14",
+    "q_tpch_q16",
+    "q_tpch_q19",
+    "q_tpch_q21",
+    "q_tpch_q22",
 )
 
 def ordered_registry() -> dict[str, Query]:
