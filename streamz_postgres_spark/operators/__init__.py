@@ -20,6 +20,7 @@ Module map (SURVEY.md §2.7/§2.8 keys):
 
 from streamz_postgres_spark.operators import (  # noqa: F401
     aggregates,
+    corpus,
     dedup,
     flagship,
     graph,

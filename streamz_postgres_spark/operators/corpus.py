@@ -1,0 +1,312 @@
+"""Corpus-curation diagnostics for LLM training-data pipelines.
+
+Reference parity: SURVEY.md §2.8 (training-data pipeline block) —
+these are the read-outs a curation run consults between pipeline
+stages: cross-document n-gram contamination, deterministic shard
+assignment for training export, the sequence-length distribution
+that drives packing/context-length choices, and a per-rule filter
+funnel.
+
+All four are pure built-in-function DataFrame plans (no Python UDFs)
+with exact-integer outputs or single-division ratios, so the DuckDB
+oracles match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from streamz_postgres_spark.catalog import load_table
+from streamz_postgres_spark.functions.text_features import (
+    hash60,
+    shingles,
+    sql_hash60,
+    sql_shingles,
+    sql_tokens,
+    tokens,
+)
+from streamz_postgres_spark.registry import register
+
+_COV_N = 5  # word n-gram order for contamination coverage
+_COV_SALT = "#cov"
+
+
+@register(
+    "q_ngram_coverage",
+    oracle=f"""
+WITH g AS (
+  SELECT doc_id, source,
+         unnest({sql_shingles(sql_tokens('text'), _COV_N)}) AS gram
+  FROM documents
+),
+h AS (
+  SELECT doc_id, source,
+         {sql_hash60(f"gram || '{_COV_SALT}'")} AS gh
+  FROM g
+),
+df AS (
+  SELECT gh, COUNT(DISTINCT doc_id) AS n_docs_with_gram
+  FROM h GROUP BY gh
+)
+SELECT source,
+       COUNT(*) AS n_gram_instances,
+       CAST(SUM(CASE WHEN n_docs_with_gram > 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dup_instances,
+       CAST(SUM(CASE WHEN n_docs_with_gram > 1 THEN 1 ELSE 0 END)
+            AS DOUBLE) / COUNT(*) AS dup_share
+FROM h JOIN df USING (gh)
+GROUP BY source
+ORDER BY source
+""",
+    tags=("corpus", "dedup", "text"),
+)
+def q_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document n-gram contamination (RefinedWeb-style
+    duplicate-text coverage): per source, the share of word 5-gram
+    instances that also occur in at least one OTHER document.
+
+    Scale shape: the exploded gram stream is hashed to a 60-bit int
+    immediately, so both shuffles (document-frequency aggregate, and
+    the instance⋈df equi-join) move 8-byte keys, never gram strings.
+    The share is one exact-integer division. At 100 TB the df table
+    is Zipf-skewed: AQE's skew-join split handles the head grams,
+    and dropping grams with df=1 before the join-back (a semi-join
+    on the minority dup set) would shrink the probe side further."""
+    d = load_table(spark, sf_dir, "documents")
+    inst = d.select(
+        "doc_id",
+        "source",
+        F.explode(shingles(tokens("text"), _COV_N)).alias("gram"),
+    ).select(
+        "doc_id",
+        "source",
+        hash60(F.concat(F.col("gram"), F.lit(_COV_SALT))).alias("gh"),
+    )
+    df_per_gram = inst.groupBy("gh").agg(
+        F.count_distinct("doc_id").alias("n_docs_with_gram")
+    )
+    dup = F.when(F.col("n_docs_with_gram") > 1, 1).otherwise(0)
+    return (
+        inst.join(df_per_gram, "gh")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_gram_instances"),
+            F.sum(dup).cast("bigint").alias("n_dup_instances"),
+        )
+        .select(
+            "source",
+            "n_gram_instances",
+            "n_dup_instances",
+            (
+                F.col("n_dup_instances").cast("double")
+                / F.col("n_gram_instances")
+            ).alias("dup_share"),
+        )
+        .orderBy("source")
+    )
+
+
+_SHARD_SALT = "#shard"
+_N_SHARDS = 16
+
+
+@register(
+    "q_shuffle_shard",
+    oracle=f"""
+WITH hashed AS (
+  SELECT doc_id, n_chars,
+         {sql_hash60(f"CAST(doc_id AS VARCHAR) || '{_SHARD_SALT}'")} AS h
+  FROM documents
+),
+placed AS (
+  SELECT doc_id, n_chars, h % {_N_SHARDS} AS shard,
+         ROW_NUMBER() OVER (
+           PARTITION BY h % {_N_SHARDS} ORDER BY h, doc_id
+         ) AS pos
+  FROM hashed
+)
+SELECT shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(doc_id * pos) AS BIGINT) AS perm_checksum
+FROM placed
+GROUP BY shard
+ORDER BY shard
+""",
+    tags=("corpus", "pipeline"),
+)
+def q_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + shard assignment for training
+    export: shard = salted-hash % 16, within-shard order by hash
+    (tie-broken by doc_id). The checksum sum(doc_id · position)
+    pins the ENTIRE permutation, so the oracle proves both engines
+    produce the identical shuffle order, not just identical counts.
+
+    Scale shape: the row_number window partitions BY SHARD — at
+    100 TB each shard sorts independently (one range-partitioned
+    sort per shard, no global sort, no single-partition window).
+    The checksum's doc_id·pos products stay far below 2^63 for any
+    realistic shard (pos ≤ shard rows, doc_id ≤ 2^40-ish); a
+    production export would write the sorted shards directly."""
+    d = load_table(spark, sf_dir, "documents")
+    h = hash60(F.concat(F.col("doc_id").cast("string"), F.lit(_SHARD_SALT)))
+    placed = (
+        d.select("doc_id", "n_chars", h.alias("h"))
+        .withColumn("shard", F.col("h") % _N_SHARDS)
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("shard").orderBy("h", "doc_id")
+            ),
+        )
+    )
+    return (
+        placed.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum(F.col("doc_id") * F.col("pos"))
+            .cast("bigint")
+            .alias("perm_checksum"),
+        )
+        .orderBy("shard")
+    )
+
+
+@register(
+    "q_seq_length_hist",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, len({sql_tokens('text')}) AS n_tok FROM documents
+)
+SELECT CAST(1 << length(bin(n_tok - 1)) AS BIGINT) AS bucket_hi,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       MIN(n_tok) AS min_tok,
+       MAX(n_tok) AS max_tok
+FROM toks
+WHERE n_tok > 0
+GROUP BY bucket_hi
+ORDER BY bucket_hi
+""",
+    tags=("corpus", "agg", "text"),
+)
+def q_seq_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length distribution in power-of-two buckets — the
+    read-out that drives context-length and packing-budget choices.
+    The bucket ceiling is computed with INTEGER bit arithmetic
+    (1 << bits(n-1), i.e. the binary-digit count of n_tok-1), never
+    log2 on doubles: IEEE log2 at exact powers of two rounds
+    differently across engines, bit-length never does.
+
+    Map-side partial agg into ~a dozen groups: shuffle bytes are
+    constant in input size."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(tokens("text"))
+    # SQL form: the DataFrame-API shiftleft only takes a literal bit
+    # count, but the bucket width varies per row
+    bucket = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(length(bin(n_tok - 1)) AS INT))")
+    return (
+        d.select("doc_id", n_tok.alias("n_tok"))
+        .filter(F.col("n_tok") > 0)
+        .withColumn("bucket_hi", bucket)
+        .groupBy("bucket_hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.min("n_tok").alias("min_tok"),
+            F.max("n_tok").alias("max_tok"),
+        )
+        .orderBy("bucket_hi")
+    )
+
+
+# Funnel rule thresholds (applied to whitespace tokens / raw chars).
+_MIN_CHARS = 200
+_MIN_UNIQUE_RATIO = 0.3
+_MEAN_WLEN_LO = 2.0
+_MEAN_WLEN_HI = 12.0
+
+
+@register(
+    "q_filter_funnel",
+    oracle=f"""
+WITH feats AS (
+  SELECT doc_id,
+         n_chars,
+         len({sql_tokens('text')}) AS n_tok,
+         len(list_distinct({sql_tokens('text')})) AS n_uniq
+  FROM documents
+),
+flags AS (
+  SELECT doc_id,
+         CASE WHEN n_chars < {_MIN_CHARS} THEN 1 ELSE 0 END AS f_short,
+         CASE WHEN CAST(n_uniq AS DOUBLE) / n_tok < {_MIN_UNIQUE_RATIO}
+              THEN 1 ELSE 0 END AS f_repetitive,
+         CASE WHEN CAST(n_chars - n_tok + 1 AS DOUBLE) / n_tok
+                   NOT BETWEEN {_MEAN_WLEN_LO} AND {_MEAN_WLEN_HI}
+              THEN 1 ELSE 0 END AS f_gibberish
+  FROM feats
+  WHERE n_tok > 0
+)
+SELECT COUNT(*) AS n_docs,
+       CAST(SUM(f_short) AS BIGINT) AS n_fail_short,
+       CAST(SUM(f_repetitive) AS BIGINT) AS n_fail_repetitive,
+       CAST(SUM(f_gibberish) AS BIGINT) AS n_fail_gibberish,
+       CAST(SUM(CASE WHEN f_short + f_repetitive + f_gibberish > 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_any,
+       CAST(SUM(CASE WHEN f_short + f_repetitive + f_gibberish = 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all
+FROM flags
+""",
+    tags=("corpus", "pipeline", "agg"),
+)
+def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter funnel: how many documents each heuristic rule
+    rejects individually, how many fail ANY rule, and how many
+    survive all — the ablation table a curation run reports before
+    committing to a filter stack. Rules: too-short (raw chars),
+    repetitive (unique-token ratio), gibberish (mean word length
+    outside a sane band, derived from chars/tokens so it needs no
+    second tokenization pass).
+
+    One map-side conditional aggregate: a single scan, a few-hundred-
+    byte shuffle, regardless of corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = tokens("text")
+    feats = d.select(
+        "doc_id",
+        "n_chars",
+        F.size(tok).alias("n_tok"),
+        F.size(F.array_distinct(tok)).alias("n_uniq"),
+    ).filter(F.col("n_tok") > 0)
+    mean_wlen = (
+        (F.col("n_chars") - F.col("n_tok") + 1).cast("double") / F.col("n_tok")
+    )
+    flags = feats.select(
+        F.when(F.col("n_chars") < _MIN_CHARS, 1).otherwise(0).alias("f_short"),
+        F.when(
+            F.col("n_uniq").cast("double") / F.col("n_tok") < _MIN_UNIQUE_RATIO, 1
+        )
+        .otherwise(0)
+        .alias("f_repetitive"),
+        F.when(
+            ~mean_wlen.between(_MEAN_WLEN_LO, _MEAN_WLEN_HI), 1
+        )
+        .otherwise(0)
+        .alias("f_gibberish"),
+    )
+    any_fail = F.col("f_short") + F.col("f_repetitive") + F.col("f_gibberish")
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("f_short").cast("bigint").alias("n_fail_short"),
+        F.sum("f_repetitive").cast("bigint").alias("n_fail_repetitive"),
+        F.sum("f_gibberish").cast("bigint").alias("n_fail_gibberish"),
+        F.sum(F.when(any_fail > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_fail_any"),
+        F.sum(F.when(any_fail == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pass_all"),
+    )

@@ -322,6 +322,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_tpch_q19",
     "q_tpch_q21",
     "q_tpch_q22",
+    "q_ngram_coverage",
+    "q_shuffle_shard",
+    "q_seq_length_hist",
+    "q_filter_funnel",
 )
 
 def ordered_registry() -> dict[str, Query]:
