@@ -326,6 +326,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_shuffle_shard",
     "q_seq_length_hist",
     "q_filter_funnel",
+    "q_stream_percentile",
 )
 
 def ordered_registry() -> dict[str, Query]:

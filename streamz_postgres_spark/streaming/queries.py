@@ -2040,3 +2040,124 @@ register(
     oracle=_bitmap_overlap_oracle(),
     tags=("streaming", "agg", "bitmap", "analytics"),
 )(q_stream_bitmap_overlap)
+
+
+# -- transformWithState: streaming exact percentiles via ListState ----------
+
+
+class _PercentileProcessor:
+    """transformWithState processor maintaining each event-type's
+    full value multiset in a typed ListState and emitting exact
+    p50/p90 per micro-batch. Percentile indices are PURE INTEGER
+    arithmetic over the sorted multiset — value at zero-based index
+    (n-1)//2 resp. ((n-1)*9)//10 — never float interpolation, whose
+    lower+(hi-lo)*frac vs (lo+hi)/2 formulas differ in the last bit
+    across engines.
+
+    State is the full per-key multiset, appended (not rewritten)
+    each batch: exact streaming percentiles fundamentally need the
+    multiset. At 100 TB this is the documented trade — bound it with
+    a windowed key + watermark eviction, or swap the exact read-out
+    for a mergeable sketch (KLL/t-digest) with the same plan shape."""
+
+    def init(self, handle) -> None:
+        from pyspark.sql.types import (
+            DoubleType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        from streamz_postgres_spark.protobuf_shim import install
+
+        install()
+        self._vals = handle.getListState(
+            "vals",
+            StructType(
+                [
+                    StructField("value", DoubleType()),
+                    StructField("event_id", LongType()),
+                ]
+            ),
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        cur = [float(r[0]) for r in self._vals.get()]
+        fresh = []
+        for pdf in rows:
+            fresh.extend(
+                (float(v), int(i))
+                for v, i in zip(pdf["value"], pdf["event_id"])
+            )
+        self._vals.appendList(fresh)
+        cur.extend(v for v, _ in fresh)
+        cur.sort()
+        n = len(cur)
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_events": [n],
+                "p50": [cur[(n - 1) // 2]],
+                "p90": [cur[((n - 1) * 9) // 10]],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def q_stream_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE exact p50/p90 per event type via transformWithState
+    ListState (see _PercentileProcessor): each micro-batch appends
+    its values to the key's multiset and re-reads the exact order
+    statistics — the latency-dashboard shape where approximate
+    sketches need a correctness baseline. The sink is collapsed to
+    the last emission per key (n_events is monotone across batches),
+    so multi-file fixtures can't leave stale rows. Environment
+    pinning via _tws_environment."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    cls = type(
+        "PercentileProcessor",
+        (StatefulProcessor,),
+        dict(_PercentileProcessor.__dict__),
+    )
+    s = replay_events(spark, sf_dir)
+    with _tws_environment(spark):
+        out = s.groupBy("event_type").transformWithStateInPandas(
+            statefulProcessor=cls(),
+            outputStructType=(
+                "event_type string, n_events long, p50 double, p90 double"
+            ),
+            outputMode="Update",
+            timeMode="None",
+        )
+        tbl = run_to_table(out, "update", spark)
+    latest = tbl.groupBy("event_type").agg(
+        F.max_by(F.struct("n_events", "p50", "p90"), F.col("n_events")).alias(
+            "s"
+        )
+    )
+    return latest.select("event_type", "s.n_events", "s.p50", "s.p90")
+
+
+_TWS_PCTL_ORACLE = """
+WITH s AS (
+  SELECT event_type,
+         list(value ORDER BY value) AS vals,
+         COUNT(*) AS n_events
+  FROM events
+  GROUP BY event_type
+)
+SELECT event_type, n_events,
+       vals[CAST((n_events - 1) // 2 AS BIGINT) + 1] AS p50,
+       vals[CAST(((n_events - 1) * 9) // 10 AS BIGINT) + 1] AS p90
+FROM s
+"""
+
+if _protobuf_available():  # pragma: no cover - depends on environment
+    register(
+        "q_stream_percentile",
+        oracle=_TWS_PCTL_ORACLE,
+        tags=("streaming", "stateful", "udf", "stats"),
+    )(q_stream_percentile)

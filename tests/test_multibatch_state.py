@@ -324,3 +324,64 @@ def test_tws_list_and_map_dedup_across_batches(spark, split_dir):
     )
     exp_m = {(r.user_id, r.event_type): r.n_events for r in want.collect()}
     assert got_m == exp_m
+
+
+def test_tws_percentile_multiset_survives_batches(spark, split_dir):
+    """q_stream_percentile's ListState is the full per-type value
+    multiset, APPENDED each batch (appendList, never rewritten):
+    force 4 micro-batches through the processor and require the
+    collapsed exact p50/p90 to equal a plain Python sort over the
+    whole table — proving both the cross-batch append and the
+    integer-index read-out."""
+    from streamz_postgres_spark.streaming.queries import (
+        _PercentileProcessor,
+        _protobuf_available,
+        _tws_environment,
+    )
+
+    if not _protobuf_available():
+        pytest.skip("protobuf not installed: transformWithState gated off")
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    cls = type(
+        "PercentileProcessor",
+        (StatefulProcessor,),
+        dict(_PercentileProcessor.__dict__),
+    )
+    src = (
+        spark.readStream.schema(load_table(spark, SF_DIR, "events").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{split_dir}/part*")
+    )
+    with _tws_environment(spark):
+        out = src.groupBy("event_type").transformWithStateInPandas(
+            statefulProcessor=cls(),
+            outputStructType=(
+                "event_type string, n_events long, p50 double, p90 double"
+            ),
+            outputMode="Update",
+            timeMode="None",
+        )
+        tbl = run_to_table(out, "update", spark)
+    final = (
+        tbl.groupBy("event_type")
+        .agg(F.max_by(F.struct("n_events", "p50", "p90"), "n_events").alias("s"))
+        .select("event_type", "s.n_events", "s.p50", "s.p90")
+    )
+    got = {
+        r.event_type: (r.n_events, r.p50, r.p90) for r in final.collect()
+    }
+    rows = (
+        load_table(spark, SF_DIR, "events")
+        .select("event_type", "value")
+        .collect()
+    )
+    byt: dict[str, list[float]] = {}
+    for r in rows:
+        byt.setdefault(r.event_type, []).append(float(r.value))
+    exp = {}
+    for t, vs in byt.items():
+        vs.sort()
+        n = len(vs)
+        exp[t] = (n, vs[(n - 1) // 2], vs[((n - 1) * 9) // 10])
+    assert got == exp
