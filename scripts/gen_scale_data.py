@@ -50,8 +50,6 @@ TABLES = (
     "customer",
     "supplier",
     "part",
-    "orders",
-    "lineitem",
 )
 
 
@@ -89,6 +87,35 @@ def gen(src: str, out: str, times: int) -> str:
                (SELECT unnest(range({times})) AS i) r
           ORDER BY doc_id
         ) TO '{dest}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    # orders/lineitem: offset orderkeys per replica, keep customer/
+    # supplier/part keys — the realistic growth mode (same entities,
+    # 10x the fact rows), so fact⋈fact joins and fact⋈dim broadcasts
+    # scale while dimension tables stay fixed
+    con.sql(
+        f"""
+        COPY (
+          SELECT o.o_orderkey + r.i * 100_000_000 AS o_orderkey,
+                 o.o_custkey, o.o_orderstatus, o.o_totalprice,
+                 o.o_orderdate, o.o_orderpriority
+          FROM read_parquet('{src}/orders.parquet') o,
+               (SELECT unnest(range({times})) AS i) r
+          ORDER BY o_orderkey
+        ) TO '{dest}/orders.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.sql(
+        f"""
+        COPY (
+          SELECT l.l_orderkey + r.i * 100_000_000 AS l_orderkey,
+                 l.l_partkey, l.l_suppkey, l.l_linenumber,
+                 l.l_quantity, l.l_extendedprice, l.l_discount,
+                 l.l_tax, l.l_returnflag, l.l_linestatus, l.l_shipdate
+          FROM read_parquet('{src}/lineitem.parquet') l,
+               (SELECT unnest(range({times})) AS i) r
+          ORDER BY l_orderkey, l_linenumber
+        ) TO '{dest}/lineitem.parquet' (FORMAT PARQUET)
         """
     )
     # embeddings: rotate the vector by replica index (pyarrow keeps

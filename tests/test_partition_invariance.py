@@ -42,6 +42,9 @@ KEYS = (
     "q_resample_interp",
     "q_embed_quantize",
     "q_dedup_lines",
+    "q_ngram_coverage",
+    "q_shuffle_shard",
+    "q_tpch_q8",
 )
 
 
