@@ -801,3 +801,54 @@ def bitmap_overlap_readout(bm: DataFrame) -> DataFrame:
         .join(F.broadcast(sb), "type_b")
         .select("type_a", "type_b", "n_overlap", jac.alias("jaccard"))
     )
+
+
+# -- mergeable rollup cascade (continuous-aggregate pattern) -----------------
+
+
+@register(
+    "q_rollup_cascade",
+    oracle="""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+         AS avg_value
+FROM events
+GROUP BY date_trunc('day', ts)
+ORDER BY day
+""",
+    tags=("agg", "timeseries", "rollup"),
+)
+def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup cascade (the TimescaleDB continuous-
+    aggregate / materialized-rollup pattern): daily totals computed
+    by MERGING hourly partial aggregates, never re-reading raw rows
+    — the oracle aggregates raw→day directly, so the gate proves the
+    partials merge losslessly. The hourly partial keeps the exact
+    DECIMAL accumulator (associative); only the day-level read-out
+    casts to double.
+
+    At 100 TB this is the two-tier storage layout: hour partials are
+    ~5 orders of magnitude smaller than raw events, day/week/month
+    levels fold over partials in milliseconds, and late data patches
+    one hour partial instead of recomputing a day."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_h"),
+        F.sum(F.col("value").cast("decimal(38,6)")).alias("sum_h"),  # stays decimal
+    )
+    daily = hourly.groupBy(
+        F.date_trunc("day", F.col("hour")).alias("day")
+    ).agg(
+        F.sum("n_h").alias("n_events"),
+        F.sum("sum_h").cast("double").alias("sum_value"),
+    )
+    return daily.select(
+        "day",
+        "n_events",
+        "sum_value",
+        (F.col("sum_value") / F.col("n_events")).alias("avg_value"),
+    ).orderBy("day")

@@ -729,3 +729,55 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("priority").desc(), "doc_id")
         .limit(_WSAMPLE_K)
     )
+
+
+# -- k-anonymity privacy audit ----------------------------------------------
+
+_KANON_K = 5
+
+
+@register(
+    "q_kanonymity",
+    oracle=f"""
+WITH groups AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS grp_size
+  FROM customer
+  GROUP BY c_nationkey, c_mktsegment
+)
+SELECT COUNT(*) AS n_groups,
+       CAST(SUM(CASE WHEN grp_size < {_KANON_K} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_risky_groups,
+       CAST(SUM(CASE WHEN grp_size < {_KANON_K} THEN grp_size ELSE 0 END)
+            AS BIGINT) AS n_risky_rows,
+       MIN(grp_size) AS min_group_size,
+       MAX(grp_size) AS max_group_size
+FROM groups
+""",
+    tags=("pipeline", "privacy", "agg"),
+)
+def q_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit before a data release: group the table by
+    its quasi-identifier tuple (nation, market segment stand in for
+    zip/age/gender) and report how many equivalence classes — and
+    how many ROWS — fall below k=5, i.e. are re-identifiable. The
+    release gate every anonymized training-data export runs first.
+
+    Two-level aggregate: keyed shuffle on the QI tuple, then a
+    constant-size global fold — same cost as any group-by at 100 TB.
+    Generalization/suppression loops (coarsen QI, re-audit) reuse
+    this exact read-out per iteration."""
+    c = load_table(spark, sf_dir, "customer")
+    groups = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("grp_size")
+    )
+    risky = F.when(F.col("grp_size") < _KANON_K, 1).otherwise(0)
+    risky_rows = F.when(
+        F.col("grp_size") < _KANON_K, F.col("grp_size")
+    ).otherwise(0)
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(risky).cast("bigint").alias("n_risky_groups"),
+        F.sum(risky_rows).cast("bigint").alias("n_risky_rows"),
+        F.min("grp_size").alias("min_group_size"),
+        F.max("grp_size").alias("max_group_size"),
+    )

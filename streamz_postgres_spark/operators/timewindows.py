@@ -665,3 +665,97 @@ def q_sla_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p100",
         )
     )
+
+
+# -- out-of-orderness (lateness) audit --------------------------------------
+
+
+@register(
+    "q_lateness_audit",
+    oracle="""
+WITH arr AS (
+  SELECT user_id, ts,
+         event_id + CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)
+           || '#jitter'), 1, 15) AS BIGINT) % 7 AS arrival_seq
+  FROM events
+),
+sec AS (
+  SELECT user_id, arrival_seq,
+         date_diff('second', TIMESTAMP '1990-01-01 00:00:00', ts) AS es
+  FROM arr
+),
+w AS (
+  SELECT MAX(es) OVER (PARTITION BY user_id ORDER BY arrival_seq, es
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) - es AS late_s
+  FROM sec
+)
+SELECT CASE WHEN late_s = 0 THEN '0_in_order'
+            WHEN late_s <= 60 THEN '1_under_1m'
+            WHEN late_s <= 3600 THEN '2_under_1h'
+            ELSE '3_over_1h' END AS lateness_bucket,
+       COUNT(*) AS n_events,
+       MAX(late_s) AS max_late_s
+FROM w
+GROUP BY lateness_bucket
+ORDER BY lateness_bucket
+""",
+    tags=("timeseries", "agg", "streaming-design"),
+)
+def q_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness audit: how late does each event arrive
+    relative to the newest event time already seen for its key? The
+    bucket histogram IS the watermark design input — the tail tells
+    you what delay bound drops how much data.
+
+    The fixture is perfectly ordered (event_id follows ts for every
+    user — verified), so auditing raw arrival order would prove
+    nothing; instead the replay applies a DETERMINISTIC jitter
+    permutation (arrival_seq = event_id + salted-hash % 7, the same
+    md5 both engines compute) that swaps nearby events exactly like
+    bounded network jitter. In production arrival_seq is the real
+    ingestion offset and this column disappears.
+
+    The running max is a per-key ordered window (one user_id
+    shuffle, linear state). Lateness is computed over ALIGNED EPOCH
+    SECONDS (whole-second epoch preceding every row): raw
+    sub-second interval diffs diverge across engines (Spark
+    truncates the interval, DuckDB counts boundary crossings), but
+    integer epoch seconds subtract identically. Constant-size final
+    fold."""
+    from pyspark.sql import Window
+
+    from streamz_postgres_spark.functions.text_features import hash60
+
+    e = load_table(spark, sf_dir, "events")
+    jitter = hash60(
+        F.concat(F.col("event_id").cast("string"), F.lit("#jitter"))
+    ) % 7
+    es = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1990-01-01 00:00:00', ts)"
+    )
+    arr = e.select(
+        "user_id",
+        es.alias("es"),
+        (F.col("event_id") + jitter).alias("arrival_seq"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("arrival_seq", "es")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bucket = (
+        F.when(F.col("late_s") == 0, "0_in_order")
+        .when(F.col("late_s") <= 60, "1_under_1m")
+        .when(F.col("late_s") <= 3600, "2_under_1h")
+        .otherwise("3_over_1h")
+    )
+    return (
+        arr.withColumn("late_s", F.max("es").over(w) - F.col("es"))
+        .groupBy(bucket.alias("lateness_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("late_s").alias("max_late_s"),
+        )
+        .orderBy("lateness_bucket")
+    )

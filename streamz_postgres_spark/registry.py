@@ -327,6 +327,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_seq_length_hist",
     "q_filter_funnel",
     "q_stream_percentile",
+    "q_kanonymity",
+    "q_rollup_cascade",
+    "q_lateness_audit",
 )
 
 def ordered_registry() -> dict[str, Query]:
