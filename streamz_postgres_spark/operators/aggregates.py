@@ -852,3 +852,51 @@ def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_value",
         (F.col("sum_value") / F.col("n_events")).alias("avg_value"),
     ).orderBy("day")
+
+
+# -- join-key skew diagnostic -----------------------------------------------
+
+
+@register(
+    "q_skew_report",
+    oracle="""
+WITH per_key AS (
+  SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey
+),
+stats AS (
+  SELECT CAST(SUM(n_orders) AS DOUBLE) / COUNT(*) AS mean_n FROM per_key
+)
+SELECT o_custkey, n_orders,
+       n_orders / mean_n AS ratio_to_mean
+FROM per_key CROSS JOIN stats
+ORDER BY n_orders DESC, o_custkey
+LIMIT 10
+""",
+    tags=("agg", "skew", "diagnostics"),
+)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic: the heavy-hitter report that decides
+    whether a key needs salting (q_join_salted / q_agg_salted) or
+    AQE skew-split before a production join — top keys by frequency
+    with their ratio to the mean key population.
+
+    Two-phase: keyed count (map-side partial), then a 1-row mean
+    broadcast onto the per-key table and a top-k with total
+    tie-break. Never a global sort of the key population — the
+    LIMIT pushes into a TakeOrdered. ratio is exact-integer counts
+    through one double division, identical on both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    per_key = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    stats = per_key.agg(
+        (F.sum("n_orders").cast("double") / F.count(F.lit(1))).alias("mean_n")
+    )
+    return (
+        per_key.crossJoin(F.broadcast(stats))
+        .select(
+            "o_custkey",
+            "n_orders",
+            (F.col("n_orders") / F.col("mean_n")).alias("ratio_to_mean"),
+        )
+        .orderBy(F.col("n_orders").desc(), "o_custkey")
+        .limit(10)
+    )

@@ -759,3 +759,108 @@ def q_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lateness_bucket")
     )
+
+
+# -- session co-occurrence lift ---------------------------------------------
+
+
+@register(
+    "q_cooccurrence_lift",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_type,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+numbered AS (
+  SELECT user_id, event_type,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+),
+sess AS (
+  SELECT DISTINCT user_id, session_id, event_type FROM numbered
+),
+totals AS (SELECT COUNT(DISTINCT (user_id, session_id)) AS n_sessions FROM sess),
+singles AS (
+  SELECT event_type, COUNT(*) AS n FROM sess GROUP BY event_type
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_both
+  FROM sess a JOIN sess b
+    ON a.user_id = b.user_id AND a.session_id = b.session_id
+   AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT type_a, type_b, n_both,
+       (CAST(n_both AS DOUBLE) * n_sessions)
+         / (CAST(sa.n AS DOUBLE) * sb.n) AS lift
+FROM pairs
+JOIN singles sa ON sa.event_type = type_a
+JOIN singles sb ON sb.event_type = type_b
+CROSS JOIN totals
+ORDER BY type_a, type_b
+""",
+    tags=("time", "session", "analytics"),
+)
+def q_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session co-occurrence lift (item-to-item affinity, the
+    classic recommendation read-out): for each event-type pair, how
+    much more often do they share a 30-minute session than
+    independence predicts? lift = P(a,b) / (P(a)·P(b)) over
+    sessions.
+
+    The pair join is SESSION-BLOCKED: distinct (session, type) rows
+    self-join on the session key, so candidates are bounded by
+    (types-per-session)² — never a corpus-wide cross join; with a
+    bounded type vocabulary the whole plan is two keyed shuffles and
+    broadcast read-side joins. lift is a ratio of exact integers
+    (one double multiply/divide chain, identical on both engines)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    sess = (
+        e.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.collect_set("event_type").alias("types"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.explode("types").alias("event_type"),
+        )
+        .withColumn(
+            "sid",
+            F.concat_ws(
+                "/",
+                F.col("user_id").cast("string"),
+                F.col("session_start").cast("string"),
+            ),
+        )
+    )
+    totals = sess.select("sid").distinct().agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+    singles = sess.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = sess.select(F.col("sid"), F.col("event_type").alias("type_a"))
+    b = sess.select(F.col("sid").alias("sid_b"), F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, (a.sid == b.sid_b) & (F.col("type_a") < F.col("type_b")))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = singles.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))
+    sb = singles.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb"))
+    lift = (F.col("n_both").cast("double") * F.col("n_sessions")) / (
+        F.col("na").cast("double") * F.col("nb")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(totals))
+        .select("type_a", "type_b", "n_both", lift.alias("lift"))
+        .orderBy("type_a", "type_b")
+    )

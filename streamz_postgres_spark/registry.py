@@ -330,6 +330,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_kanonymity",
     "q_rollup_cascade",
     "q_lateness_audit",
+    "q_cooccurrence_lift",
+    "q_skew_report",
+    "q_stream_rollup_cascade",
 )
 
 def ordered_registry() -> dict[str, Query]:

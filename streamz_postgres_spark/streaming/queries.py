@@ -2161,3 +2161,53 @@ if _protobuf_available():  # pragma: no cover - depends on environment
         oracle=_TWS_PCTL_ORACLE,
         tags=("streaming", "stateful", "udf", "stats"),
     )(q_stream_percentile)
+
+
+# -- streaming rollup cascade (continuous aggregate) ------------------------
+
+
+def _rollup_cascade_oracle() -> str:
+    import streamz_postgres_spark.operators.aggregates  # noqa: F401
+
+    from streamz_postgres_spark.registry import REGISTRY
+
+    return REGISTRY["q_rollup_cascade"].oracle
+
+
+def q_stream_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE continuous aggregate: the stream maintains HOURLY partial
+    state (count + exact DECIMAL sum per hour — the mergeable partial
+    of q_rollup_cascade), and the daily level folds over the tiny
+    materialized hour table read-side per refresh. This is the
+    TimescaleDB continuous-aggregate shape on Structured Streaming:
+    late data patches one hour partial in state instead of
+    recomputing a day, and higher levels (week/month) stack over the
+    same partials without touching raw events. Identical oracle to
+    the batch twin proves the cascade merges losslessly."""
+    s = replay_events(spark, sf_dir)
+    hourly = s.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_h"),
+        F.sum(F.col("value").cast("decimal(38,6)")).alias("sum_h"),
+    )
+    tbl = run_to_table(hourly, "complete", spark)
+    daily = tbl.groupBy(
+        F.date_trunc("day", F.col("hour")).alias("day")
+    ).agg(
+        F.sum("n_h").alias("n_events"),
+        F.sum("sum_h").cast("double").alias("sum_value"),
+    )
+    return daily.select(
+        "day",
+        "n_events",
+        "sum_value",
+        (F.col("sum_value") / F.col("n_events")).alias("avg_value"),
+    ).orderBy("day")
+
+
+register(
+    "q_stream_rollup_cascade",
+    oracle=_rollup_cascade_oracle(),
+    tags=("streaming", "agg", "rollup", "timeseries"),
+)(q_stream_rollup_cascade)
