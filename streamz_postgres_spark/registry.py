@@ -333,6 +333,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_cooccurrence_lift",
     "q_skew_report",
     "q_stream_rollup_cascade",
+    "q_tpch_q6",
+    "q_tpch_q9",
+    "q_tpch_q13",
+    "q_tpch_q15",
+    "q_tpch_q18",
 )
 
 def ordered_registry() -> dict[str, Query]:
