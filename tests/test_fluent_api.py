@@ -179,3 +179,41 @@ def test_zip_latest_requires_right_ts(spark):
     )
     with pytest.raises(ValueError, match="right_ts"):
         clicks.zip_latest(no_ts, on="user_id", right_values=["value"])
+
+
+def test_branching_streams_are_independent(spark):
+    """streamz pipelines BRANCH: one upstream node can feed several
+    downstream chains. The facade must support the same shape — two
+    chains built from one SparkStream yield the answers each would
+    get alone, and building one branch must not mutate the shared
+    upstream (immutability of the wrapper)."""
+    s = SparkStream.from_events(spark, SF_DIR).map(
+        net=F.col("value") * 2
+    )
+    upstream_df = s.df
+    branch_a = (
+        s.filter(F.col("event_type") == "purchase")
+        .pluck("event_id", "net")
+        .sink_to_list()
+    )
+    branch_b = (
+        s.filter(F.col("event_type") == "click")
+        .unique("user_id", order_by="event_id")
+        .pluck("user_id")
+        .sink_to_list()
+    )
+    assert s.df is upstream_df, "branching mutated the shared upstream"
+    want_a = (
+        upstream_df.filter(F.col("event_type") == "purchase")
+        .select("event_id", "net")
+        .collect()
+    )
+    assert sorted(map(tuple, branch_a)) == sorted(map(tuple, want_a))
+    n_click_users = (
+        upstream_df.filter(F.col("event_type") == "click")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert len(branch_b) == n_click_users
+    assert len({r[0] for r in branch_b}) == len(branch_b)
