@@ -338,6 +338,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_tpch_q13",
     "q_tpch_q15",
     "q_tpch_q18",
+    "q_tpch_q11",
+    "q_tpch_q20",
 )
 
 def ordered_registry() -> dict[str, Query]:
