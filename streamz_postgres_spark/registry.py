@@ -340,6 +340,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_tpch_q18",
     "q_tpch_q11",
     "q_tpch_q20",
+    "q_stream_scd2",
 )
 
 def ordered_registry() -> dict[str, Query]:

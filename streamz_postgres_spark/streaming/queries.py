@@ -2211,3 +2211,100 @@ register(
     oracle=_rollup_cascade_oracle(),
     tags=("streaming", "agg", "rollup", "timeseries"),
 )(q_stream_rollup_cascade)
+
+
+# -- streaming SCD2 maintenance ---------------------------------------------
+
+
+def _scd2_fold(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-key SCD2 state machine: ValueState = the OPEN version
+    (seq, value). Each change CLOSES the open version (emitting the
+    bounded row exactly once) and — for updates — opens a new one; a
+    delete closes without opening. The open version is re-emitted at
+    the end of every batch its key appears in (the read side keeps
+    the last word per (key, valid_from): max(valid_to) collapses the
+    open re-emissions against a later closure)."""
+    if state.exists:
+        open_seq, open_val = state.get
+    else:
+        open_seq, open_val = None, None
+    pdf = pd.concat(list(batches), ignore_index=True).sort_values("event_id")
+    out_from, out_to, out_val = [], [], []
+    for eid, val in zip(pdf["event_id"], pdf["value"]):
+        eid = int(eid)
+        if open_seq is not None:
+            out_from.append(open_seq)
+            out_to.append(eid)
+            out_val.append(open_val)
+        if eid % 10 == 0:  # delete: close without re-opening
+            open_seq, open_val = None, None
+        else:
+            open_seq, open_val = eid, float(val)
+    if open_seq is not None:
+        state.update((open_seq, open_val))
+        out_from.append(open_seq)
+        out_to.append(None)
+        out_val.append(open_val)
+    else:
+        state.remove()
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]] * len(out_from),
+            "valid_from_seq": pd.Series(out_from, dtype="int64"),
+            "valid_to_seq": pd.Series(out_to, dtype="object"),
+            "value": pd.Series(out_val, dtype="float64"),
+        }
+    )
+
+
+def _scd2_oracle() -> str:
+    from streamz_postgres_spark.registry import REGISTRY
+
+    return REGISTRY["q_cdc_scd2"].oracle
+
+
+def q_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE SCD type-2 maintenance from the CDC change stream (the
+    streaming twin of q_cdc_scd2): the only carried state is each
+    key's OPEN version — closed versions are emitted exactly once,
+    in the micro-batch where the superseding change arrives, which
+    is precisely the incremental-materialization contract an
+    auditable dimension needs. The read side collapses the per-batch
+    open-version re-emissions with max(valid_to) per (key,
+    valid_from): a later closure always wins over an open row.
+    Same oracle as the batch twin."""
+    s = replay_events(spark, sf_dir)
+    out = s.groupBy("user_id").applyInPandasWithState(
+        _scd2_fold,
+        outputStructType=(
+            "user_id long, valid_from_seq long, valid_to_seq long, "
+            "value double"
+        ),
+        stateStructType="open_seq long, open_val double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    tbl = run_to_table(out, "append", spark)
+    return (
+        tbl.groupBy("user_id", "valid_from_seq")
+        .agg(
+            F.max("valid_to_seq").alias("valid_to_seq"),
+            F.max("value").alias("value"),  # constant within a version
+        )
+        .select(
+            "user_id",
+            "valid_from_seq",
+            "valid_to_seq",
+            "value",
+            F.col("valid_to_seq").isNull().cast("int").alias("is_current"),
+        )
+    )
+
+
+register(
+    "q_stream_scd2",
+    oracle=_scd2_oracle(),
+    tags=("streaming", "cdc", "scd2", "stateful"),
+)(q_stream_scd2)

@@ -385,3 +385,59 @@ def test_tws_percentile_multiset_survives_batches(spark, split_dir):
         n = len(vs)
         exp[t] = (n, vs[(n - 1) // 2], vs[((n - 1) * 9) // 10])
     assert got == exp
+
+
+def test_stream_scd2_versions_straddle_batches(spark, split_dir):
+    """q_stream_scd2's open-version state must hand off across
+    micro-batches: a version opened in batch 1 and superseded in
+    batch 3 gets its closure emitted in batch 3 with the original
+    valid_from. Replay the 4-way split one file per trigger and
+    require the collapsed history to equal the batch SCD2 truth."""
+    from streamz_postgres_spark.streaming.queries import _scd2_fold
+
+    src = (
+        spark.readStream.schema(load_table(spark, SF_DIR, "events").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{split_dir}/part*")
+    )
+    out = src.groupBy("user_id").applyInPandasWithState(
+        _scd2_fold,
+        outputStructType=(
+            "user_id long, valid_from_seq long, valid_to_seq long, "
+            "value double"
+        ),
+        stateStructType="open_seq long, open_val double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    tbl = run_to_table(out, "append", spark)
+    got_df = (
+        tbl.groupBy("user_id", "valid_from_seq")
+        .agg(
+            F.max("valid_to_seq").alias("valid_to_seq"),
+            F.max("value").alias("value"),
+        )
+    )
+    got = {
+        (r.user_id, r.valid_from_seq): (r.valid_to_seq, r.value)
+        for r in got_df.collect()
+    }
+    rows = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", "event_id", "value")
+        .collect()
+    )
+    byu: dict[int, list] = {}
+    for r in rows:
+        byu.setdefault(r.user_id, []).append((r.event_id, float(r.value)))
+    exp = {}
+    for u, evs in byu.items():
+        evs.sort()
+        open_v = None
+        for eid, val in evs:
+            if open_v is not None:
+                exp[(u, open_v[0])] = (eid, open_v[1])
+            open_v = None if eid % 10 == 0 else (eid, val)
+        if open_v is not None:
+            exp[(u, open_v[0])] = (None, open_v[1])
+    assert got == exp
