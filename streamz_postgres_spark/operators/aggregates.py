@@ -834,12 +834,24 @@ def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     levels fold over partials in milliseconds, and late data patches
     one hour partial instead of recomputing a day."""
     e = load_table(spark, sf_dir, "events")
-    hourly = e.groupBy(
-        F.date_trunc("hour", F.col("ts")).alias("hour")
-    ).agg(
+    return rollup_day_fold(hourly_partials(e))
+
+
+def hourly_partials(e: DataFrame) -> DataFrame:
+    """Hour-level mergeable partials: count + EXACT decimal sum.
+    Shared by the batch cascade and its streaming twin
+    (q_stream_rollup_cascade), so the two can never silently
+    diverge while claiming one oracle."""
+    return e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour")).agg(
         F.count(F.lit(1)).alias("n_h"),
         F.sum(F.col("value").cast("decimal(38,6)")).alias("sum_h"),  # stays decimal
     )
+
+
+def rollup_day_fold(hourly: DataFrame) -> DataFrame:
+    """Fold hour partials to the daily read-out (double cast happens
+    only here). Input may be a batch aggregate or a materialized
+    streaming state table with the same (hour, n_h, sum_h) schema."""
     daily = hourly.groupBy(
         F.date_trunc("day", F.col("hour")).alias("day")
     ).agg(

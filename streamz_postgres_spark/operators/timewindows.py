@@ -818,9 +818,10 @@ def q_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (types-per-session)² — never a corpus-wide cross join; with a
     bounded type vocabulary the whole plan is two keyed shuffles and
     broadcast read-side joins. lift is a ratio of exact integers
-    (one double multiply/divide chain, identical on both engines)."""
-    from pyspark.sql import Window
-
+    (one double multiply/divide chain, identical on both engines).
+    At 100 TB, persist the distinct (session, type) set — it feeds
+    the totals, singles, and pair stages, which otherwise re-expand
+    the sessionization per consumer."""
     e = load_table(spark, sf_dir, "events")
     sess = (
         e.groupBy(

@@ -898,7 +898,7 @@ WITH sp AS (
 SELECT l_partkey, part_value
 FROM sp
 WHERE part_value > (
-  SELECT {sql_dsum('l_extendedprice')} * 0.001
+  SELECT {sql_dsum('l_extendedprice')} * 0.0002
   FROM lineitem
   JOIN supplier ON s_suppkey = l_suppkey
   JOIN nation ON s_nationkey = n_nationkey
@@ -911,13 +911,15 @@ ORDER BY part_value DESC, l_partkey
 def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Important-stock identification (TPC-H Q11 shape). No partsupp
     table, so "stock value" is adapted to shipped extended price per
-    part from one nation's suppliers; parts above 0.1% of the
-    nation's total surface. The scalar total reuses the SAME
+    part from one nation's suppliers; parts above 0.02% of the
+    nation's total surface (threshold chosen so the cut is NON-VACUOUS
+    at sf0.01 [1,453 rows] and sf0.1 [223 rows] alike — an empty
+    result would make the oracle gate prove nothing, the Q22 lesson). The scalar total reuses the SAME
     aggregate pipeline as the per-part values (one shared shuffle,
     then a 1-row broadcast) — and because both sides are exact
     decimal sums, the threshold comparison is bit-deterministic.
 
-    The 0.001 multiply happens on the exact total's double image in
+    The 0.0002 multiply happens on the exact total's double image in
     BOTH engines (one IEEE multiply), keeping the cut identical."""
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
@@ -931,7 +933,7 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("l_extendedprice").alias("part_value")
     )
     total = nat_lines.agg(
-        (dsum("l_extendedprice") * F.lit(0.001)).alias("cut")
+        (dsum("l_extendedprice") * F.lit(0.0002)).alias("cut")
     )
     return (
         per_part.crossJoin(F.broadcast(total))

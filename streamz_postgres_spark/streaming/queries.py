@@ -2063,7 +2063,6 @@ class _PercentileProcessor:
     def init(self, handle) -> None:
         from pyspark.sql.types import (
             DoubleType,
-            LongType,
             StructField,
             StructType,
         )
@@ -2071,26 +2070,20 @@ class _PercentileProcessor:
         from streamz_postgres_spark.protobuf_shim import install
 
         install()
+        # value-only state: each element is exactly the 8 bytes the
+        # percentile needs — order comes from sorting, never arrival
         self._vals = handle.getListState(
             "vals",
-            StructType(
-                [
-                    StructField("value", DoubleType()),
-                    StructField("event_id", LongType()),
-                ]
-            ),
+            StructType([StructField("value", DoubleType())]),
         )
 
     def handleInputRows(self, key, rows, timerValues):
         cur = [float(r[0]) for r in self._vals.get()]
         fresh = []
         for pdf in rows:
-            fresh.extend(
-                (float(v), int(i))
-                for v, i in zip(pdf["value"], pdf["event_id"])
-            )
+            fresh.extend((float(v),) for v in pdf["value"])
         self._vals.appendList(fresh)
-        cur.extend(v for v, _ in fresh)
+        cur.extend(v for (v,) in fresh)
         cur.sort()
         n = len(cur)
         yield pd.DataFrame(
@@ -2184,26 +2177,14 @@ def q_stream_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputing a day, and higher levels (week/month) stack over the
     same partials without touching raw events. Identical oracle to
     the batch twin proves the cascade merges losslessly."""
+    from streamz_postgres_spark.operators.aggregates import (
+        hourly_partials,
+        rollup_day_fold,
+    )
+
     s = replay_events(spark, sf_dir)
-    hourly = s.groupBy(
-        F.date_trunc("hour", F.col("ts")).alias("hour")
-    ).agg(
-        F.count(F.lit(1)).alias("n_h"),
-        F.sum(F.col("value").cast("decimal(38,6)")).alias("sum_h"),
-    )
-    tbl = run_to_table(hourly, "complete", spark)
-    daily = tbl.groupBy(
-        F.date_trunc("day", F.col("hour")).alias("day")
-    ).agg(
-        F.sum("n_h").alias("n_events"),
-        F.sum("sum_h").cast("double").alias("sum_value"),
-    )
-    return daily.select(
-        "day",
-        "n_events",
-        "sum_value",
-        (F.col("sum_value") / F.col("n_events")).alias("avg_value"),
-    ).orderBy("day")
+    tbl = run_to_table(hourly_partials(s), "complete", spark)
+    return rollup_day_fold(tbl)
 
 
 register(

@@ -99,20 +99,39 @@ def test_shuffle_shard_is_an_exact_partition(spark):
     assert {r.shard for r in rows} == set(range(16))
     rows2 = REGISTRY["q_shuffle_shard"].spark_fn(spark, SF_DIR).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
-    # dense positions: sum(pos) per shard must be n*(n+1)/2, which
-    # the permutation checksum implies only if positions are dense --
-    # check directly via a recomputation with an explicit collect
+    # dense positions: recompute the placement and require pos sets
+    # to be exactly {1..n} per shard (rank()-style gaps would pass a
+    # count check but fail this)
+    from pyspark.sql import Window
+
     from streamz_postgres_spark.functions.text_features import hash60
 
     d = load_table(spark, SF_DIR, "documents")
     h = hash60(F.concat(F.col("doc_id").cast("string"), F.lit("#shard")))
-    per_shard = (
-        d.select((h % 16).alias("shard"))
-        .groupBy("shard")
-        .agg(F.count(F.lit(1)).alias("n"))
+    placed = (
+        d.select("doc_id", h.alias("h"))
+        .withColumn("shard", F.col("h") % 16)
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("shard").orderBy("h", "doc_id")
+            ),
+        )
+    )
+    dense = (
+        placed.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("pos").alias("pos_sum"),
+            F.count_distinct("pos").alias("n_distinct_pos"),
+            F.max("pos").alias("max_pos"),
+        )
         .collect()
     )
-    assert {r.shard: r.n for r in per_shard} == {r.shard: r.n_docs for r in rows}
+    for r in dense:
+        assert r.n_distinct_pos == r.n and r.max_pos == r.n
+        assert r.pos_sum == r.n * (r.n + 1) // 2
+    assert {r.shard: r.n for r in dense} == {r.shard: r.n_docs for r in rows}
 
 
 def test_cooccurrence_lift_bounds(spark):
