@@ -646,11 +646,15 @@ ranked AS (
 )
 SELECT event_type,
        CAST(n_exact AS BIGINT) AS n_exact,
-       CAST({_KMV_K} - 1 AS DOUBLE) * {_KMV_RANGE!r} / h AS kmv_estimate,
-       abs(CAST({_KMV_K} - 1 AS DOUBLE) * {_KMV_RANGE!r} / h
-           - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) AS rel_err
+       CASE WHEN n_exact < {_KMV_K} THEN CAST(n_exact AS DOUBLE)
+            ELSE CAST({_KMV_K} - 1 AS DOUBLE) * {_KMV_RANGE!r} / h
+       END AS kmv_estimate,
+       CASE WHEN n_exact < {_KMV_K} THEN 0.0
+            ELSE abs(CAST({_KMV_K} - 1 AS DOUBLE) * {_KMV_RANGE!r} / h
+                     - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE)
+       END AS rel_err
 FROM ranked
-WHERE rn = {_KMV_K}
+WHERE rn = LEAST({_KMV_K}, n_exact)
 """,
     tags=("agg", "sketch"),
 )
@@ -662,7 +666,8 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch is MERGEABLE — the k smallest of a union is the k smallest
     of each side's k smallest — so partials combine losslessly, the
     same two-phase shape as q_agg_salted; here the toy corpus uses
-    one rank window per group, with the exact distinct count and
+    one rank window per group; groups smaller than k serve the exact
+    count (the sketch IS the full set below k), with the exact distinct count and
     realized relative error reported next to the estimate (the
     calibration read-out countmin/HLL get too). Everything is md5
     arithmetic, so Spark and DuckDB produce the identical estimate
@@ -685,13 +690,23 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("rn"),
         F.count(F.lit(1)).over(wc).alias("n_exact"),
     )
-    est = F.lit(float(_KMV_K - 1)) * F.lit(_KMV_RANGE) / F.col("h")
-    return ranked.filter(F.col("rn") == _KMV_K).select(
+    raw = F.lit(float(_KMV_K - 1)) * F.lit(_KMV_RANGE) / F.col("h")
+    # undersized groups (n < k): the sketch holds every hash, so the
+    # read-out is EXACT — without this branch the rn == k row never
+    # exists and tiny fixtures make the whole query vacuous
+    small = F.col("n_exact") < _KMV_K
+    est = F.when(small, F.col("n_exact").cast("double")).otherwise(raw)
+    err = F.when(small, F.lit(0.0)).otherwise(
+        F.abs(raw - F.col("n_exact").cast("double"))
+        / F.col("n_exact").cast("double")
+    )
+    return ranked.filter(
+        F.col("rn") == F.least(F.lit(_KMV_K), F.col("n_exact"))
+    ).select(
         "event_type",
         F.col("n_exact").cast("bigint").alias("n_exact"),
         est.alias("kmv_estimate"),
-        (F.abs(est - F.col("n_exact").cast("double"))
-         / F.col("n_exact").cast("double")).alias("rel_err"),
+        err.alias("rel_err"),
     )
 
 

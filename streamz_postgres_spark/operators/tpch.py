@@ -214,8 +214,8 @@ FROM (
   JOIN customer ON c_custkey = o_custkey
   JOIN nation n1 ON s_nationkey = n1.n_nationkey
   JOIN nation n2 ON c_nationkey = n2.n_nationkey
-  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  WHERE ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_19')
+      OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_12'))
     AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
     AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
 ) shipping
@@ -227,7 +227,9 @@ ORDER BY supp_nation, cust_nation, l_year
 def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Volume shipping between two nations (TPC-H Q7): revenue by
     (supplier nation, customer nation, ship year) for a nation pair
-    in both directions. The disjunctive nation-pair predicate sits
+    in both directions (NATION_12/NATION_19 — chosen because both
+    have suppliers at EVERY fixture scale factor; half the nations
+    have none at sf0.001, which would make the gate vacuous there). The disjunctive nation-pair predicate sits
     ABOVE the two broadcast nation joins, so it prunes early; year
     extraction on timestamp_ntz is timezone-free."""
     supp = load_table(spark, sf_dir, "supplier")
@@ -244,8 +246,8 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
     )
     pair = (
-        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
-    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        (F.col("supp_nation") == "NATION_12") & (F.col("cust_nation") == "NATION_19")
+    ) | ((F.col("supp_nation") == "NATION_19") & (F.col("cust_nation") == "NATION_12"))
     return (
         li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
@@ -892,7 +894,7 @@ WITH sp AS (
   FROM lineitem
   JOIN supplier ON s_suppkey = l_suppkey
   JOIN nation ON s_nationkey = n_nationkey
-  WHERE n_name = 'NATION_7'
+  WHERE n_name = 'NATION_3'
   GROUP BY l_partkey
 )
 SELECT l_partkey, part_value
@@ -902,7 +904,7 @@ WHERE part_value > (
   FROM lineitem
   JOIN supplier ON s_suppkey = l_suppkey
   JOIN nation ON s_nationkey = n_nationkey
-  WHERE n_name = 'NATION_7'
+  WHERE n_name = 'NATION_3'
 )
 ORDER BY part_value DESC, l_partkey
 """,
@@ -924,7 +926,7 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation").filter(
-        F.col("n_name") == "NATION_7"
+        F.col("n_name") == "NATION_3"
     )
     nat_lines = li.join(
         F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
@@ -949,7 +951,7 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT s_suppkey, s_name
 FROM supplier
 JOIN nation ON s_nationkey = n_nationkey
-WHERE n_name = 'NATION_5'
+WHERE n_name = 'NATION_3'
   AND s_suppkey IN (
     SELECT l_suppkey
     FROM lineitem
@@ -973,7 +975,7 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     the part filter lands in PushedFilters."""
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation").filter(
-        F.col("n_name") == "NATION_5"
+        F.col("n_name") == "NATION_3"
     )
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= _ts("1997-01-01"))

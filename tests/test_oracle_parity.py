@@ -130,3 +130,20 @@ def test_no_registered_query_emits_hostile_types(spark, duck):
         if bad:
             offenders[key] = bad
     assert not offenders, f"hostile output types: {offenders}"
+
+
+def test_no_vacuous_oracles(duck):
+    """Every oracle must select at least one row at the test scale
+    factor: an empty-vs-empty comparison passes the gate while
+    proving nothing (the q_tpch_q11-at-sf0.1 lesson — its 0.1%
+    threshold selected zero rows there until review caught it).
+    DuckDB-only, so this sweep costs milliseconds."""
+    empty = [
+        k
+        for k in sorted(REGISTRY)
+        if REGISTRY[k].oracle is not None
+        and not duck.execute(
+            f"SELECT 1 FROM ({REGISTRY[k].oracle}) LIMIT 1"
+        ).fetchall()
+    ]
+    assert not empty, f"vacuous oracles (0 rows at test SF): {empty}"
