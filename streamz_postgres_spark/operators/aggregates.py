@@ -927,3 +927,186 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_orders").desc(), "o_custkey")
         .limit(10)
     )
+
+
+# -- theta-sketch set algebra over KMV sketches -----------------------------
+
+
+@register(
+    "q_kmv_intersect",
+    oracle=f"""
+WITH aud AS (
+  SELECT DISTINCT event_type, user_id,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)
+           AS h
+  FROM events
+),
+ranked AS (
+  SELECT event_type, user_id, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_type
+  FROM aud
+),
+sk AS (SELECT event_type, user_id, h FROM ranked WHERE rn <= {_KMV_K}),
+thetas AS (
+  SELECT event_type,
+         CASE WHEN n_type < {_KMV_K} THEN {_KMV_RANGE!r}
+              ELSE CAST(MAX(h) FILTER (WHERE rn <= {_KMV_K}) AS DOUBLE)
+         END AS theta
+  FROM ranked GROUP BY event_type, n_type
+),
+pairs AS (
+  SELECT ta.event_type AS type_a, tb.event_type AS type_b,
+         LEAST(ta.theta, tb.theta) AS theta
+  FROM thetas ta JOIN thetas tb ON ta.event_type < tb.event_type
+),
+samples AS (
+  SELECT p.type_a, p.type_b, p.theta,
+         CAST(COUNT(DISTINCT CASE WHEN sa.user_id IS NOT NULL
+                   AND sb.user_id IS NOT NULL THEN sa.user_id END)
+           AS BIGINT) AS n_inter_sample
+  FROM pairs p
+  LEFT JOIN sk sa ON sa.event_type = p.type_a AND sa.h < p.theta
+  LEFT JOIN sk sb ON sb.event_type = p.type_b AND sb.user_id = sa.user_id
+       AND sb.h < p.theta
+  GROUP BY p.type_a, p.type_b, p.theta
+),
+exact AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS n_exact
+  FROM (SELECT DISTINCT event_type, user_id FROM events) a
+  JOIN (SELECT DISTINCT event_type, user_id FROM events) b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT s.type_a AS type_a, s.type_b AS type_b,
+       e.n_exact,
+       s.n_inter_sample * {_KMV_RANGE!r} / s.theta AS inter_estimate,
+       abs(s.n_inter_sample * {_KMV_RANGE!r} / s.theta - e.n_exact)
+         / e.n_exact AS rel_err
+FROM samples s JOIN exact e
+  ON e.type_a = s.type_a AND e.type_b = s.type_b
+ORDER BY type_a, type_b
+""",
+    tags=("agg", "sketch", "analytics"),
+)
+def q_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra (DataSketches-style, public
+    algorithm) over the KMV sketches of q_kmv_distinct: estimate the
+    INTERSECTION of two audiences from their k-minimum-value samples
+    alone. theta = min of the two sketches' thresholds (a sketch
+    holding fewer than k values has theta = full range — it IS the
+    exact set); the intersection estimate is |sample_a ∩ sample_b
+    below theta| · range / theta. This is the unbounded-domain
+    complement to q_bitmap_overlap: bitmaps give exact overlap while
+    the id domain stays enumerable, theta sketches give bounded-error
+    overlap from kilobytes per audience at ANY domain size, and both
+    are mergeable partials. The exact pairwise overlap and realized
+    relative error ride along as the calibration read-out.
+
+    Everything is md5 arithmetic plus one double multiply/divide, so
+    both engines produce the identical estimate. Scale shape: the
+    sketch table is ≤ k rows per type (broadcast territory); only
+    the exact-overlap calibration touches the full audience sets —
+    in production you drop it and keep the sketch-only path."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    aud = (
+        e.select("event_type", "user_id")
+        .distinct()
+        .withColumn("h", hash60(F.col("user_id").cast("string")))
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    wc = Window.partitionBy("event_type")
+    ranked = aud.select(
+        "event_type",
+        "user_id",
+        "h",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n_type"),
+    )
+    sk = ranked.filter(F.col("rn") <= _KMV_K)
+    thetas = (
+        ranked.groupBy("event_type", "n_type")
+        .agg(
+            F.max(F.when(F.col("rn") <= _KMV_K, F.col("h"))).alias("kth")
+        )
+        .select(
+            "event_type",
+            F.when(F.col("n_type") < _KMV_K, F.lit(_KMV_RANGE))
+            .otherwise(F.col("kth").cast("double"))
+            .alias("theta"),
+        )
+    )
+    ta = thetas.select(
+        F.col("event_type").alias("type_a"), F.col("theta").alias("theta_a")
+    )
+    tb = thetas.select(
+        F.col("event_type").alias("type_b"), F.col("theta").alias("theta_b")
+    )
+    pairs = (
+        ta.join(tb, F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            F.least("theta_a", "theta_b").alias("theta"),
+        )
+    )
+    sa = sk.select(
+        F.col("event_type").alias("type_a"),
+        F.col("user_id").alias("ua"),
+        F.col("h").alias("ha"),
+    )
+    sb = sk.select(
+        F.col("event_type").alias("tb"),
+        F.col("user_id").alias("ub"),
+        F.col("h").alias("hb"),
+    )
+    # pairs is the PRESERVED side (left joins): a pair whose sample
+    # intersection is empty must still emit a row with estimate 0,
+    # exactly like the oracle's LEFT JOIN chain
+    hit = (
+        F.broadcast(pairs)
+        .join(sa, "type_a", "left")
+        .withColumn(
+            "ua", F.when(F.col("ha") < F.col("theta"), F.col("ua"))
+        )
+        .join(
+            sb,
+            (F.col("ub") == F.col("ua"))
+            & (F.col("tb") == F.col("type_b"))
+            & (F.col("hb") < F.col("theta")),
+            "left",
+        )
+    )
+    n_inter = hit.groupBy("type_a", "type_b", "theta").agg(
+        F.count_distinct(
+            F.when(F.col("ub").isNotNull(), F.col("ua"))
+        ).alias("n_inter_sample")
+    )
+    exact_a = aud.select(
+        F.col("event_type").alias("type_a"), F.col("user_id").alias("u")
+    )
+    exact_b = aud.select(
+        F.col("event_type").alias("type_b"), F.col("user_id").alias("u")
+    )
+    exact = (
+        exact_a.join(exact_b, "u")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    est = F.col("n_inter_sample") * F.lit(_KMV_RANGE) / F.col("theta")
+    return (
+        n_inter.join(exact, ["type_a", "type_b"])
+        .select(
+            "type_a",
+            "type_b",
+            "n_exact",
+            est.alias("inter_estimate"),
+            (F.abs(est - F.col("n_exact").cast("double"))
+             / F.col("n_exact").cast("double")).alias("rel_err"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -341,6 +341,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_tpch_q11",
     "q_tpch_q20",
     "q_stream_scd2",
+    "q_kmv_intersect",
 )
 
 def ordered_registry() -> dict[str, Query]:
