@@ -763,6 +763,10 @@ def q_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- session co-occurrence lift ---------------------------------------------
 
+#: frames persisted by the most recent q_cooccurrence_lift invocation
+#: (released at the start of the next one, dedup-minhash lifecycle)
+_COOC_CACHE: list = []
+
 
 @register(
     "q_cooccurrence_lift",
@@ -819,9 +823,13 @@ def q_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded type vocabulary the whole plan is two keyed shuffles and
     broadcast read-side joins. lift is a ratio of exact integers
     (one double multiply/divide chain, identical on both engines).
-    At 100 TB, persist the distinct (session, type) set — it feeds
-    the totals, singles, and pair stages, which otherwise re-expand
-    the sessionization per consumer."""
+    The distinct (session, type) set is PERSISTED — it feeds four
+    consumers (totals, both single sides, both pair sides), which
+    would otherwise each re-expand the sessionization; the frame the
+    previous invocation cached is released first (the q_dedup_minhash
+    lifecycle pattern)."""
+    while _COOC_CACHE:
+        _COOC_CACHE.pop().unpersist()
     e = load_table(spark, sf_dir, "events")
     sess = (
         e.groupBy(
@@ -841,7 +849,9 @@ def q_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("session_start").cast("string"),
             ),
         )
+        .persist()
     )
+    _COOC_CACHE.append(sess)
     totals = sess.select("sid").distinct().agg(
         F.count(F.lit(1)).alias("n_sessions")
     )
