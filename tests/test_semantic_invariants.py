@@ -163,3 +163,32 @@ def test_rollup_cascade_invariant_to_hostile_partitioning(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
     assert narrow == wide
+
+
+def test_kmv_intersect_error_bounded_and_exact_below_k(spark):
+    """Theta-sketch intersection: on groups smaller than k the
+    sketch IS the exact set, so the estimate must be exact; on the
+    sketch path the realized error must stay within a loose 4·RSE
+    band (RSE ≈ 1/sqrt(k)) — a real accuracy guarantee, not just
+    cross-engine agreement on the same formula."""
+    from streamz_postgres_spark.operators.aggregates import _KMV_K
+
+    rows = REGISTRY["q_kmv_intersect"].spark_fn(spark, SF_DIR).collect()
+    assert rows
+    aud = (
+        load_table(spark, SF_DIR, "events")
+        .select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .count()
+        .collect()
+    )
+    n_by_type = {r.event_type: r["count"] for r in aud}
+    bound = 4.0 / (_KMV_K ** 0.5)
+    for r in rows:
+        if n_by_type[r.type_a] < _KMV_K and n_by_type[r.type_b] < _KMV_K:
+            assert r.rel_err == 0.0, f"{r.type_a}/{r.type_b} not exact"
+        else:
+            assert r.rel_err <= bound, (
+                f"{r.type_a}/{r.type_b} rel_err {r.rel_err} > {bound}"
+            )
