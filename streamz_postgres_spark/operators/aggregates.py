@@ -852,12 +852,25 @@ def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup_day_fold(hourly_partials(e))
 
 
+def _trunc_ntz(col: str, unit_seconds: int) -> "F.Column":
+    """Timezone-FREE truncation of a TimestampNTZ column: floor its
+    epoch-second offset to the unit and rebuild the NTZ timestamp.
+    F.date_trunc is NOT safe here — it coerces NTZ through the
+    session zone and returns shifted instants (caught by the
+    +05:45 probe in tests/test_tz_independence.py)."""
+    return F.expr(
+        f"timestampadd(SECOND, (timestampdiff(SECOND, "
+        f"TIMESTAMP_NTZ '1970-01-01 00:00:00', {col}) div {unit_seconds})"
+        f" * {unit_seconds}, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+    )
+
+
 def hourly_partials(e: DataFrame) -> DataFrame:
     """Hour-level mergeable partials: count + EXACT decimal sum.
     Shared by the batch cascade and its streaming twin
     (q_stream_rollup_cascade), so the two can never silently
     diverge while claiming one oracle."""
-    return e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour")).agg(
+    return e.groupBy(_trunc_ntz("ts", 3600).alias("hour")).agg(
         F.count(F.lit(1)).alias("n_h"),
         F.sum(F.col("value").cast("decimal(38,6)")).alias("sum_h"),  # stays decimal
     )
@@ -868,7 +881,7 @@ def rollup_day_fold(hourly: DataFrame) -> DataFrame:
     only here). Input may be a batch aggregate or a materialized
     streaming state table with the same (hour, n_h, sum_h) schema."""
     daily = hourly.groupBy(
-        F.date_trunc("day", F.col("hour")).alias("day")
+        _trunc_ntz("hour", 86400).alias("day")
     ).agg(
         F.sum("n_h").alias("n_events"),
         F.sum("sum_h").cast("double").alias("sum_value"),

@@ -28,6 +28,13 @@ KEYS = (
     "q_resample_locf",
     "q_gaps_islands",
     "q_range_frame",
+    # round-5 calendar-touching additions
+    "q_rollup_cascade",
+    "q_lateness_audit",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q12",
+    "q_cooccurrence_lift",
 )
 
 _TZ = "Asia/Kathmandu"  # +05:45: off every hour and half-hour grid
