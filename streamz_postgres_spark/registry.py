@@ -95,7 +95,14 @@ def _load_all() -> None:
 # local gate at sf0.001 AND sf0.01 in round 5, and the full registry
 # passed an end-of-round sweep) + 3 streaming canaries. r8 rotates
 # the r4-latest block plus the rest of the round-5 tail (the TPC-H
-# classics module and the late training-pipeline additions).
+# classics module, the corpus/privacy/rollup/diagnostics additions,
+# q_stream_percentile/q_stream_scd2, and q_kmv_intersect).
+#
+# Round-5 end-of-round evidence for the whole tuple: the FULL
+# registry (237 keys) passed the driver-replica gate in one sweep at
+# sf0.01, and passed it AGAIN under a +05:45 session timezone
+# (Asia/Kathmandu) — both sweeps zero-fail, logs summarized in
+# README/SCALE.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # ---- 36 never-driver-checked keys (r4 additions) ----
     "q_dedup_cluster_stats",
