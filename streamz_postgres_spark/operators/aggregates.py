@@ -628,33 +628,63 @@ def q_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KMV_K = 64
 _KMV_RANGE = float(1 << 60)
 
-
-@register(
-    "q_kmv_distinct",
-    oracle=f"""
-WITH hashed AS (
-  SELECT DISTINCT event_type,
+#: shared sketch-construction CTE prefix for BOTH KMV oracles: the
+#: distinct per-type audience with its 60-bit hash, ranked by hash
+#: with the per-type distinct count alongside. Any change to the
+#: sketch definition (hash salt, k handling, audience definition)
+#: lands in exactly one place per engine.
+_KMV_RANKED_SQL = """
+WITH aud AS (
+  SELECT DISTINCT event_type, user_id,
          CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)
            AS h
   FROM events
 ),
 ranked AS (
-  SELECT event_type, h,
+  SELECT event_type, user_id, h,
          row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
-         COUNT(*) OVER (PARTITION BY event_type) AS n_exact
-  FROM hashed
-)
+         COUNT(*) OVER (PARTITION BY event_type) AS n_type
+  FROM aud
+)"""
+
+
+def kmv_ranked(e: DataFrame) -> DataFrame:
+    """Spark twin of _KMV_RANKED_SQL: the distinct (event_type,
+    user_id) audience hashed to 60 bits, ranked by hash per type with
+    the per-type distinct count. Shared by q_kmv_distinct and
+    q_kmv_intersect — one sketch definition per engine."""
+    from pyspark.sql import Window
+
+    aud = (
+        e.select("event_type", "user_id")
+        .distinct()
+        .withColumn("h", hash60(F.col("user_id").cast("string")))
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    wc = Window.partitionBy("event_type")
+    return aud.select(
+        "event_type",
+        "user_id",
+        "h",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n_type"),
+    )
+
+
+@register(
+    "q_kmv_distinct",
+    oracle=f"""{_KMV_RANKED_SQL}
 SELECT event_type,
-       CAST(n_exact AS BIGINT) AS n_exact,
-       CASE WHEN n_exact < {_KMV_K} THEN CAST(n_exact AS DOUBLE)
+       CAST(n_type AS BIGINT) AS n_exact,
+       CASE WHEN n_type < {_KMV_K} THEN CAST(n_type AS DOUBLE)
             ELSE CAST({_KMV_K} - 1 AS DOUBLE) * {_KMV_RANGE!r} / h
        END AS kmv_estimate,
-       CASE WHEN n_exact < {_KMV_K} THEN 0.0
+       CASE WHEN n_type < {_KMV_K} THEN 0.0
             ELSE abs(CAST({_KMV_K} - 1 AS DOUBLE) * {_KMV_RANGE!r} / h
-                     - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE)
+                     - CAST(n_type AS DOUBLE)) / CAST(n_type AS DOUBLE)
        END AS rel_err
 FROM ranked
-WHERE rn = LEAST({_KMV_K}, n_exact)
+WHERE rn = LEAST({_KMV_K}, n_type)
 """,
     tags=("agg", "sketch"),
 )
@@ -672,39 +702,22 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     calibration read-out countmin/HLL get too). Everything is md5
     arithmetic, so Spark and DuckDB produce the identical estimate
     down to the last bit."""
-    from pyspark.sql import Window
-
-    e = load_table(spark, sf_dir, "events")
-    hashed = (
-        e.select(
-            "event_type",
-            hash60(F.col("user_id").cast("string")).alias("h"),
-        )
-        .distinct()
-    )
-    w = Window.partitionBy("event_type").orderBy("h")
-    wc = Window.partitionBy("event_type")
-    ranked = hashed.select(
-        "event_type",
-        "h",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wc).alias("n_exact"),
-    )
+    ranked = kmv_ranked(load_table(spark, sf_dir, "events"))
     raw = F.lit(float(_KMV_K - 1)) * F.lit(_KMV_RANGE) / F.col("h")
     # undersized groups (n < k): the sketch holds every hash, so the
     # read-out is EXACT — without this branch the rn == k row never
     # exists and tiny fixtures make the whole query vacuous
-    small = F.col("n_exact") < _KMV_K
-    est = F.when(small, F.col("n_exact").cast("double")).otherwise(raw)
+    small = F.col("n_type") < _KMV_K
+    est = F.when(small, F.col("n_type").cast("double")).otherwise(raw)
     err = F.when(small, F.lit(0.0)).otherwise(
-        F.abs(raw - F.col("n_exact").cast("double"))
-        / F.col("n_exact").cast("double")
+        F.abs(raw - F.col("n_type").cast("double"))
+        / F.col("n_type").cast("double")
     )
     return ranked.filter(
-        F.col("rn") == F.least(F.lit(_KMV_K), F.col("n_exact"))
+        F.col("rn") == F.least(F.lit(_KMV_K), F.col("n_type"))
     ).select(
         "event_type",
-        F.col("n_exact").cast("bigint").alias("n_exact"),
+        F.col("n_type").cast("bigint").alias("n_exact"),
         est.alias("kmv_estimate"),
         err.alias("rel_err"),
     )
@@ -852,16 +865,24 @@ def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup_day_fold(hourly_partials(e))
 
 
+#: truncation epoch — must PRECEDE every row: `div` truncates toward
+#: zero, so a negative offset would round UP to the next boundary
+#: (verified divergence vs date_trunc for pre-epoch timestamps)
+_TRUNC_EPOCH = "1900-01-01 00:00:00"
+
+
 def _trunc_ntz(col: str, unit_seconds: int) -> "F.Column":
     """Timezone-FREE truncation of a TimestampNTZ column: floor its
-    epoch-second offset to the unit and rebuild the NTZ timestamp.
-    F.date_trunc is NOT safe here — it coerces NTZ through the
-    session zone and returns shifted instants (caught by the
-    +05:45 probe in tests/test_tz_independence.py)."""
+    offset from a pre-data epoch to the unit and rebuild the NTZ
+    timestamp. F.date_trunc is NOT safe here — it coerces NTZ
+    through the session zone and returns shifted instants (caught by
+    the +05:45 probe in tests/test_tz_independence.py). The epoch is
+    aligned to both hour and day boundaries, so flooring the offset
+    floors the calendar unit."""
     return F.expr(
         f"timestampadd(SECOND, (timestampdiff(SECOND, "
-        f"TIMESTAMP_NTZ '1970-01-01 00:00:00', {col}) div {unit_seconds})"
-        f" * {unit_seconds}, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+        f"TIMESTAMP_NTZ '{_TRUNC_EPOCH}', {col}) div {unit_seconds})"
+        f" * {unit_seconds}, TIMESTAMP_NTZ '{_TRUNC_EPOCH}')"
     )
 
 
@@ -947,19 +968,7 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_kmv_intersect",
-    oracle=f"""
-WITH aud AS (
-  SELECT DISTINCT event_type, user_id,
-         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)
-           AS h
-  FROM events
-),
-ranked AS (
-  SELECT event_type, user_id, h,
-         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
-         COUNT(*) OVER (PARTITION BY event_type) AS n_type
-  FROM aud
-),
+    oracle=f"""{_KMV_RANKED_SQL},
 sk AS (SELECT event_type, user_id, h FROM ranked WHERE rn <= {_KMV_K}),
 thetas AS (
   SELECT event_type,
@@ -1022,23 +1031,9 @@ def q_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch table is ≤ k rows per type (broadcast territory); only
     the exact-overlap calibration touches the full audience sets —
     in production you drop it and keep the sketch-only path."""
-    from pyspark.sql import Window
-
     e = load_table(spark, sf_dir, "events")
-    aud = (
-        e.select("event_type", "user_id")
-        .distinct()
-        .withColumn("h", hash60(F.col("user_id").cast("string")))
-    )
-    w = Window.partitionBy("event_type").orderBy("h")
-    wc = Window.partitionBy("event_type")
-    ranked = aud.select(
-        "event_type",
-        "user_id",
-        "h",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wc).alias("n_type"),
-    )
+    ranked = kmv_ranked(e)
+    aud = ranked.select("event_type", "user_id")
     sk = ranked.filter(F.col("rn") <= _KMV_K)
     thetas = (
         ranked.groupBy("event_type", "n_type")
@@ -1079,14 +1074,17 @@ def q_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pairs is the PRESERVED side (left joins): a pair whose sample
     # intersection is empty must still emit a row with estimate 0,
     # exactly like the oracle's LEFT JOIN chain
+    # sa/sb are the BUILD sides of the left joins (<= k rows per
+    # type) — broadcast THEM; a hint on the preserved side of a left
+    # outer join cannot be honored and is silently dropped
     hit = (
-        F.broadcast(pairs)
-        .join(sa, "type_a", "left")
+        pairs
+        .join(F.broadcast(sa), "type_a", "left")
         .withColumn(
             "ua", F.when(F.col("ha") < F.col("theta"), F.col("ua"))
         )
         .join(
-            sb,
+            F.broadcast(sb),
             (F.col("ub") == F.col("ua"))
             & (F.col("tb") == F.col("type_b"))
             & (F.col("hb") < F.col("theta")),

@@ -99,9 +99,11 @@ def test_shuffle_shard_is_an_exact_partition(spark):
     assert {r.shard for r in rows} == set(range(16))
     rows2 = REGISTRY["q_shuffle_shard"].spark_fn(spark, SF_DIR).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
-    # dense positions: recompute the placement and require pos sets
-    # to be exactly {1..n} per shard (rank()-style gaps would pass a
-    # count check but fail this)
+    # dense positions: recompute the placement independently, PROVE
+    # the recomputation dense (pos set == {1..n} per shard), then tie
+    # it to the QUERY via the permutation checksum — if the operator
+    # ever produced gapped positions (rank()-style) its checksum
+    # would no longer match this provably-dense reference
     from pyspark.sql import Window
 
     from streamz_postgres_spark.functions.text_features import hash60
@@ -125,6 +127,7 @@ def test_shuffle_shard_is_an_exact_partition(spark):
             F.sum("pos").alias("pos_sum"),
             F.count_distinct("pos").alias("n_distinct_pos"),
             F.max("pos").alias("max_pos"),
+            F.sum(F.col("doc_id") * F.col("pos")).alias("ref_checksum"),
         )
         .collect()
     )
@@ -132,6 +135,9 @@ def test_shuffle_shard_is_an_exact_partition(spark):
         assert r.n_distinct_pos == r.n and r.max_pos == r.n
         assert r.pos_sum == r.n * (r.n + 1) // 2
     assert {r.shard: r.n for r in dense} == {r.shard: r.n_docs for r in rows}
+    assert {r.shard: r.ref_checksum for r in dense} == {
+        r.shard: r.perm_checksum for r in rows
+    }
 
 
 def test_cooccurrence_lift_bounds(spark):
