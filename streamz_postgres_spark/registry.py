@@ -349,6 +349,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_tpch_q20",
     "q_stream_scd2",
     "q_kmv_intersect",
+    "q_stream_dedup_ingest",
 )
 
 def ordered_registry() -> dict[str, Query]:

@@ -2289,3 +2289,163 @@ register(
     oracle=_scd2_oracle(),
     tags=("streaming", "cdc", "scd2", "stateful"),
 )(q_stream_scd2)
+
+
+# -- ingestion-time near-dup detection (streaming MinHash-LSH) --------------
+
+
+def _lsh_bucket_fold(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-band-bucket streaming LSH: state is the bucket's roster of
+    (doc_id, 16-int minhash signature), JSON-encoded (bucket rosters
+    are small by construction — a bucket only collects docs that
+    collide on a full band). Each arriving doc emits a candidate
+    pair against every EARLIER doc in its bucket (state plus
+    earlier-in-batch, ordered by doc_id) with the signature-estimated
+    Jaccard, then joins the roster — so every colliding pair is
+    emitted exactly once, at ingestion time."""
+    import json
+
+    roster: list = (
+        json.loads(state.get[0]) if state.exists else []
+    )
+    pdf = pd.concat(list(batches), ignore_index=True).sort_values("doc_id")
+    sig_cols = [f"m{j}" for j in range(16)]
+    out_a, out_b, out_est = [], [], []
+    for _, row in pdf.iterrows():
+        did = int(row["doc_id"])
+        sig = [int(row[c]) for c in sig_cols]
+        for prev_id, prev_sig in roster:
+            matches = sum(1 for x, y in zip(sig, prev_sig) if x == y)
+            a, b = (prev_id, did) if prev_id < did else (did, prev_id)
+            out_a.append(a)
+            out_b.append(b)
+            out_est.append(matches / 16.0)
+        roster.append((did, sig))
+    state.update((json.dumps(roster),))
+    yield pd.DataFrame(
+        {
+            "doc_a": pd.Series(out_a, dtype="int64"),
+            "doc_b": pd.Series(out_b, dtype="int64"),
+            "est_jaccard": pd.Series(out_est, dtype="float64"),
+        }
+    )
+
+
+def _streaming_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet as an unbounded stream (schema pinned from
+    the batch catalog read)."""
+    from streamz_postgres_spark.catalog import load_table, ship_package
+
+    ship_package(spark)
+    schema = load_table(spark, sf_dir, "documents").schema
+    return (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+
+
+def _stream_minhash_sig_cols() -> list:
+    """Row-local minhash signature via HOFs — identical values to the
+    batch explode+groupBy-min pipeline (same md5 double-hash family),
+    but computed with ZERO shuffle: the signature never leaves its
+    row, which is exactly what an ingestion stream needs."""
+    from streamz_postgres_spark.functions.text_features import DH_MOD
+
+    # guard: sequence(1, n-2) DESCENDS when n < 3 (negative step
+    # inference) — short docs must produce an empty shingle array,
+    # mirroring functions.text_features.shingles
+    shingle_hashes = (
+        "transform(CASE WHEN size(split(text, ' ')) >= 3 THEN "
+        "transform(sequence(1, size(split(text, ' ')) - 2), "
+        "i -> concat_ws(' ', element_at(split(text, ' '), i), "
+        "element_at(split(text, ' '), i + 1), "
+        "element_at(split(text, ' '), i + 2))) "
+        "ELSE CAST(array() AS ARRAY<STRING>) END, "
+        "s -> struct(CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) "
+        "AS h1, CAST(conv(substring(md5(s), 16, 14), 16, 10) AS BIGINT) AS h2))"
+    )
+    cols = []
+    for j in range(16):
+        cols.append(
+            F.expr(
+                f"array_min(transform({shingle_hashes}, "
+                f"p -> (p.h1 + {j} * p.h2) % {DH_MOD}))"
+            ).alias(f"m{j}")
+        )
+    return cols
+
+
+def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate detection AT INGESTION TIME: the stream
+    computes each document's 16-way minhash signature row-locally
+    (HOFs, zero shuffle), keys it into its 4 LSH band buckets, and a
+    per-bucket stateful roster emits every colliding pair with its
+    signature-estimated Jaccard the moment the SECOND document
+    arrives — the "reject/flag dupes before they land in the lake"
+    shape, versus the batch pipeline's nightly sweep. Pairs colliding
+    in several bands are deduplicated read-side (the estimate is a
+    pure function of the two signatures, so max == the value).
+    Oracle: the batch LSH candidate+estimate pipeline."""
+    src = _streaming_documents(spark, sf_dir)
+    sig = src.select("doc_id", *_stream_minhash_sig_cols()).filter(
+        F.col("m0").isNotNull()
+    )
+    band_key = F.explode(
+        F.array(
+            *[
+                F.concat_ws(
+                    ",",
+                    F.lit(f"{b}:").alias("p"),
+                    *[F.col(f"m{b * 4 + r}") for r in range(4)],
+                )
+                for b in range(4)
+            ]
+        )
+    )
+    banded = sig.withColumn("band_key", band_key)
+    out = banded.groupBy("band_key").applyInPandasWithState(
+        _lsh_bucket_fold,
+        outputStructType="doc_a long, doc_b long, est_jaccard double",
+        stateStructType="roster string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    tbl = run_to_table(out, "append", spark)
+    return tbl.groupBy("doc_a", "doc_b").agg(
+        F.max("est_jaccard").alias("est_jaccard")
+    )
+
+
+def _ingest_oracle() -> str:
+    from streamz_postgres_spark.operators.dedup import (
+        _sql_band_keys,
+        _sql_est_jaccard,
+        _sql_minhash_signature,
+    )
+
+    return f"""
+WITH sig AS ({_sql_minhash_signature()}),
+bands AS (
+  {_sql_band_keys()}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b, {_sql_est_jaccard()} AS est_jaccard
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.doc_a
+JOIN sig sb ON sb.doc_id = c.doc_b
+"""
+
+
+register(
+    "q_stream_dedup_ingest",
+    oracle=_ingest_oracle(),
+    tags=("streaming", "dedup", "lsh", "stateful"),
+)(q_stream_dedup_ingest)

@@ -441,3 +441,79 @@ def test_stream_scd2_versions_straddle_batches(spark, split_dir):
         if open_v is not None:
             exp[(u, open_v[0])] = (None, open_v[1])
     assert got == exp
+
+
+def test_stream_lsh_pairs_straddle_batches(spark):
+    """q_stream_dedup_ingest's bucket rosters must persist across
+    micro-batches: a pair whose two documents arrive in DIFFERENT
+    batches is emitted when the second lands. Split documents into 4
+    files replayed one per trigger and require the collapsed pair
+    set to equal the single-batch (whole-fixture) run."""
+    import tempfile
+
+    from streamz_postgres_spark.streaming.queries import (
+        _lsh_bucket_fold,
+        _stream_minhash_sig_cols,
+    )
+
+    d = tempfile.mkdtemp(prefix="docs_split_")
+    docs = load_table(spark, SF_DIR, "documents")
+    total = docs.count()
+    step = total // 4 + 1
+    for i in range(4):
+        (
+            docs.filter(
+                (F.col("doc_id") >= i * step)
+                & (F.col("doc_id") < (i + 1) * step)
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{d}/part{i}")
+        )
+    src = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{d}/part*")
+    )
+    sig = src.select("doc_id", *_stream_minhash_sig_cols()).filter(
+        F.col("m0").isNotNull()
+    )
+    band_key = F.explode(
+        F.array(
+            *[
+                F.concat_ws(
+                    ",",
+                    F.lit(f"{b}:"),
+                    *[F.col(f"m{b * 4 + r}") for r in range(4)],
+                )
+                for b in range(4)
+            ]
+        )
+    )
+    out = (
+        sig.withColumn("band_key", band_key)
+        .groupBy("band_key")
+        .applyInPandasWithState(
+            _lsh_bucket_fold,
+            outputStructType="doc_a long, doc_b long, est_jaccard double",
+            stateStructType="roster string",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    tbl = run_to_table(out, "append", spark)
+    got = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in tbl.groupBy("doc_a", "doc_b")
+        .agg(F.max("est_jaccard").alias("est_jaccard"))
+        .collect()
+    }
+    from streamz_postgres_spark.registry import REGISTRY
+
+    want = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in REGISTRY["q_stream_dedup_ingest"]
+        .spark_fn(spark, SF_DIR)
+        .collect()
+    }
+    assert got == want
