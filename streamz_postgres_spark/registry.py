@@ -99,10 +99,11 @@ def _load_all() -> None:
 # q_stream_percentile/q_stream_scd2, and q_kmv_intersect).
 #
 # Round-5 end-of-round evidence for the whole tuple: the FULL
-# registry (237 keys) passed the driver-replica gate in one sweep at
-# sf0.01, and passed it AGAIN under a +05:45 session timezone
-# (Asia/Kathmandu) — both sweeps zero-fail, logs summarized in
-# README/SCALE.
+# registry passed the driver-replica gate in one sweep at sf0.01 at
+# its FINAL size (238/238 zero-fail), and the 237-key state passed
+# the same sweep under a +05:45 session timezone (Asia/Kathmandu)
+# with the one later addition (q_stream_dedup_ingest) individually
+# probed green under that zone. Logs summarized in README/SCALE.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # ---- 36 never-driver-checked keys (r4 additions) ----
     "q_dedup_cluster_stats",
