@@ -351,6 +351,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_stream_scd2",
     "q_kmv_intersect",
     "q_stream_dedup_ingest",
+    "q_stream_contamination",
 )
 
 def ordered_registry() -> dict[str, Query]:

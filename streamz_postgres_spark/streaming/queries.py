@@ -2449,3 +2449,67 @@ register(
     oracle=_ingest_oracle(),
     tags=("streaming", "dedup", "lsh", "stateful"),
 )(q_stream_dedup_ingest)
+
+
+# -- live benchmark-contamination guard -------------------------------------
+
+
+def _contamination_oracle() -> str:
+    import streamz_postgres_spark.operators.pipeline  # noqa: F401
+
+    from streamz_postgres_spark.registry import REGISTRY
+
+    return REGISTRY["q_contamination"].oracle
+
+
+def q_stream_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE eval-set contamination guard: incoming corpus documents
+    are checked against the STATIC benchmark shingle set as they
+    arrive — flag (or quarantine) leakage before it lands in
+    training data, versus the batch pipeline's after-the-fact scan.
+    The benchmark side is a bounded static table (broadcast into
+    every micro-batch: the stream-static join shape); the stream
+    side explodes each doc's DISTINCT shingles row-locally
+    (array_distinct before explode — no stream-side dedup state),
+    and the per-doc hit count is an ordinary streaming aggregation.
+    Identical oracle to batch q_contamination."""
+    from streamz_postgres_spark.catalog import load_table
+    from streamz_postgres_spark.functions.text_features import (
+        shingles,
+        tokens,
+    )
+    from streamz_postgres_spark.operators.pipeline import (
+        _BENCH_MOD,
+        _CONTAM_NGRAM,
+    )
+
+    bench = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % _BENCH_MOD == 0)
+        .select(
+            F.explode(shingles(tokens("text"), _CONTAM_NGRAM)).alias("shingle")
+        )
+        .distinct()
+    )
+    src = _streaming_documents(spark, sf_dir).filter(
+        F.col("doc_id") % _BENCH_MOD != 0
+    )
+    hits = (
+        src.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(shingles(tokens("text"), _CONTAM_NGRAM))
+            ).alias("shingle"),
+        )
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return run_to_table(hits, "complete", spark)
+
+
+register(
+    "q_stream_contamination",
+    oracle=_contamination_oracle(),
+    tags=("streaming", "pipeline", "dedup"),
+)(q_stream_contamination)
