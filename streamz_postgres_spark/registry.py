@@ -100,10 +100,11 @@ def _load_all() -> None:
 #
 # Round-5 end-of-round evidence for the whole tuple: the FULL
 # registry passed the driver-replica gate in one sweep at sf0.01 at
-# its FINAL size (238/238 zero-fail), and the 237-key state passed
+# its FINAL size (239/239 zero-fail), and the 237-key state passed
 # the same sweep under a +05:45 session timezone (Asia/Kathmandu)
-# with the one later addition (q_stream_dedup_ingest) individually
-# probed green under that zone. Logs summarized in README/SCALE.
+# with the two later additions (q_stream_dedup_ingest,
+# q_stream_contamination) individually probed green under that zone.
+# Logs summarized in README/SCALE.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # ---- 36 never-driver-checked keys (r4 additions) ----
     "q_dedup_cluster_stats",
