@@ -3,7 +3,8 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
   {"metric": "headline_total_sec", "value": <sum of per-query
-   medians>, "unit": "sec", "queries": {name: sec, ...}, "sf": ...}
+   medians>, "unit": "sec", "queries": {name: sec, ...}, "sf": ...,
+   "load": {...}}
 
 Methodology: a session-wide warm-up pass (every headline query
 executed twice, untimed) before any timing, then one per-query
@@ -22,6 +23,23 @@ state — that, not any plan change, produced the r4 'regressions' of
 q_multimodal (0.386 -> 0.643 with no code change) and q_flagship_q3.
 Steady state is the right target: at production scale one-time JIT
 cost amortizes to nothing.
+
+CONTENTION GUARD (round-6, after the BENCH_r05 incident): the r5
+recorded artifact showed q_join_multiway at 5.0x baseline while a
+quiet back-to-back rerun of the identical code measured 0.69x —
+machine load during the driver's adjacent correctness sweep, not a
+plan change. Evidence that swings 2x with load cannot gate a 2x
+threshold, so every timed sample is now bracketed by a fixed-cost
+SENTINEL kernel (a pure in-memory codegen aggregation over
+spark.range — no I/O, no Python workers, deterministic work). The
+sentinel is calibrated at session start (median of 9 runs after its
+own warm-up); a sample whose bracketing sentinels exceed
+SENTINEL_TOLERANCE x the calibration is discarded as contended and
+re-run (up to MAX_ATTEMPTS per needed sample). The JSON gains a
+"load" object: sentinel baseline, per-query clean/contended sample
+counts, and a top-level load_flag that is true iff any query could
+not collect a full set of clean samples — a bench consumer must not
+treat a load_flag=true artifact as evidence of a plan regression.
 """
 
 from __future__ import annotations
@@ -62,16 +80,67 @@ N_RUNS = 5
 #: keeps one bad sample from looking like a plan regression)
 EXTRA_RUNS = {"q_dedup_minhash": 7}
 
+#: sentinel bracket: a sample is "clean" when both bracketing
+#: sentinel runs finish within this factor of the calibrated
+#: baseline. 1.8 leaves headroom for JVM GC jitter on a quiet
+#: machine (observed quiet spread ~1.3x) while catching the >2x
+#: inflation that CPU contention produces.
+SENTINEL_TOLERANCE = 1.8
+#: total attempts allowed per needed clean sample before giving up
+#: and accepting contended samples (keeps worst-case wall bounded:
+#: a fully-loaded machine costs ~3x the quiet bench, not forever).
+MAX_ATTEMPTS_FACTOR = 3
 
-def time_query(spark, name: str, sf_dir: str) -> float:
+
+def _sentinel(spark) -> float:
+    """Fixed-cost pure-compute kernel: 16M-row codegen sum over an
+    in-memory range, 32 partitions. No I/O, no shuffle beyond the
+    final single-row reduce, no Python workers — its runtime moves
+    only with available CPU, so it measures machine load, not the
+    engine."""
+    t0 = time.perf_counter()
+    spark.range(0, 16_000_000, 1, 32).selectExpr(
+        "sum(id * 2 + 1) as s"
+    ).collect()
+    return time.perf_counter() - t0
+
+
+def _calibrate_sentinel(spark) -> float:
+    for _ in range(3):  # sentinel has its own JIT ramp
+        _sentinel(spark)
+    return statistics.median(_sentinel(spark) for _ in range(9))
+
+
+def time_query(
+    spark, name: str, sf_dir: str, sentinel_base: float
+) -> tuple[float, int, int]:
+    """Return (median_sec, clean_samples, contended_samples_discarded).
+
+    Collects `n` sentinel-clean samples; a sample bracketed by a slow
+    sentinel is discarded and retried. If the attempt budget runs out
+    (machine persistently loaded), the median falls back to all
+    collected samples and the shortfall shows up in the clean count.
+    """
     fn = REGISTRY[name].spark_fn
     fn(spark, sf_dir).count()  # warm-up
-    samples = []
-    for _ in range(EXTRA_RUNS.get(name, N_RUNS)):
+    n = EXTRA_RUNS.get(name, N_RUNS)
+    limit = sentinel_base * SENTINEL_TOLERANCE
+    clean: list[float] = []
+    contended: list[float] = []
+    attempts = 0
+    while len(clean) < n and attempts < n * MAX_ATTEMPTS_FACTOR:
+        attempts += 1
+        s_before = _sentinel(spark)
         t0 = time.perf_counter()
         fn(spark, sf_dir).count()
-        samples.append(time.perf_counter() - t0)
-    return statistics.median(samples)
+        elapsed = time.perf_counter() - t0
+        s_after = _sentinel(spark)
+        if max(s_before, s_after) <= limit:
+            clean.append(elapsed)
+        else:
+            contended.append(elapsed)
+    samples = clean if len(clean) >= 3 else sorted(clean + contended)
+    return statistics.median(samples), len(clean), len(contended)
 
 
 def main() -> None:
@@ -88,16 +157,34 @@ def main() -> None:
         for name in HEADLINE:
             REGISTRY[name].spark_fn(spark, sf_dir).count()
 
-    per_query: dict[str, float] = {}
-    for name in HEADLINE:
-        per_query[name] = round(time_query(spark, name, sf_dir), 3)
+    sentinel_base = _calibrate_sentinel(spark)
 
+    per_query: dict[str, float] = {}
+    clean_counts: dict[str, int] = {}
+    discarded: dict[str, int] = {}
+    for name in HEADLINE:
+        med, n_clean, n_cont = time_query(spark, name, sf_dir, sentinel_base)
+        per_query[name] = round(med, 3)
+        clean_counts[name] = n_clean
+        if n_cont:
+            discarded[name] = n_cont
+
+    load_flag = any(
+        clean_counts[name] < EXTRA_RUNS.get(name, N_RUNS) for name in HEADLINE
+    )
     out = {
         "metric": "headline_total_sec",
         "value": round(sum(per_query.values()), 3),
         "unit": "sec",
         "queries": per_query,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "load": {
+            "sentinel_baseline_sec": round(sentinel_base, 4),
+            "sentinel_tolerance": SENTINEL_TOLERANCE,
+            "clean_samples": clean_counts,
+            "contended_discarded": discarded,
+            "load_flag": load_flag,
+        },
     }
     print(json.dumps(out))
 
