@@ -2294,22 +2294,45 @@ register(
 # -- ingestion-time near-dup detection (streaming MinHash-LSH) --------------
 
 
+#: Hard bound on a band-bucket's roster (and therefore on state size
+#: AND per-arrival pair emission). Buckets are small by construction
+#: — a bucket only collects docs colliding on a FULL 4-hash band —
+#: but boilerplate/template corpora can make one bucket hot, and an
+#: unbounded roster then grows state and per-arrival work linearly
+#: forever (round-5 verdict finding #2). 128 is ~8x the largest
+#: bucket observed at sf0.1 (17) while capping state at ~20 KB and
+#: per-arrival emission at 128 pairs. Docs arriving at a full bucket
+#: are still CHECKED (pairs vs the rostered anchors are emitted, so
+#: a dupe of an anchor is always caught) but do not become anchors
+#: themselves; the overflow count is kept in state for observability.
+_LSH_ROSTER_CAP = 128
+
+
 def _lsh_bucket_fold(
     key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     """Per-band-bucket streaming LSH: state is the bucket's roster of
-    (doc_id, 16-int minhash signature), JSON-encoded (bucket rosters
-    are small by construction — a bucket only collects docs that
-    collide on a full band). Each arriving doc emits a candidate
-    pair against every EARLIER doc in its bucket (state plus
-    earlier-in-batch, ordered by doc_id) with the signature-estimated
-    Jaccard, then joins the roster — so every colliding pair is
-    emitted exactly once, at ingestion time."""
+    (doc_id, 16-int minhash signature) plus an overflow counter,
+    JSON-encoded. Each arriving doc emits a candidate pair against
+    every EARLIER doc in its bucket (state plus earlier-in-batch,
+    ordered by doc_id) with the signature-estimated Jaccard, then
+    joins the roster — so every colliding pair is emitted exactly
+    once, at ingestion time. The roster is capped at _LSH_ROSTER_CAP
+    anchors (bounded state, bounded per-arrival work; see the
+    constant's docstring for the degradation semantics on a hot
+    bucket)."""
     import json
 
-    roster: list = (
-        json.loads(state.get[0]) if state.exists else []
-    )
+    if state.exists:
+        stored = json.loads(state.get[0])
+        # pre-cap states were a bare roster list; current is a dict
+        roster, overflow = (
+            (stored["r"], stored["ov"])
+            if isinstance(stored, dict)
+            else (stored, 0)
+        )
+    else:
+        roster, overflow = [], 0
     pdf = pd.concat(list(batches), ignore_index=True).sort_values("doc_id")
     sig_cols = [f"m{j}" for j in range(16)]
     out_a, out_b, out_est = [], [], []
@@ -2322,8 +2345,11 @@ def _lsh_bucket_fold(
             out_a.append(a)
             out_b.append(b)
             out_est.append(matches / 16.0)
-        roster.append((did, sig))
-    state.update((json.dumps(roster),))
+        if len(roster) < _LSH_ROSTER_CAP:
+            roster.append((did, sig))
+        else:
+            overflow += 1
+    state.update((json.dumps({"r": roster, "ov": overflow}),))
     yield pd.DataFrame(
         {
             "doc_a": pd.Series(out_a, dtype="int64"),
@@ -2388,8 +2414,12 @@ def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrives — the "reject/flag dupes before they land in the lake"
     shape, versus the batch pipeline's nightly sweep. Pairs colliding
     in several bands are deduplicated read-side (the estimate is a
-    pure function of the two signatures, so max == the value).
-    Oracle: the batch LSH candidate+estimate pipeline."""
+    pure function of the two signatures, so max == the value). State
+    per bucket is HARD-BOUNDED at _LSH_ROSTER_CAP anchors + one
+    overflow counter, so a hot boilerplate bucket cannot grow state
+    or per-arrival emission forever. Oracle: the batch LSH
+    candidate+estimate pipeline (exact parity holds while no bucket
+    exceeds the cap — 8x headroom at sf0.1)."""
     src = _streaming_documents(spark, sf_dir)
     sig = src.select("doc_id", *_stream_minhash_sig_cols()).filter(
         F.col("m0").isNotNull()

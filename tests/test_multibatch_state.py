@@ -517,3 +517,107 @@ def test_stream_lsh_pairs_straddle_batches(spark):
         .collect()
     }
     assert got == want
+
+
+def test_lsh_roster_state_is_bounded_on_hot_bucket():
+    """Round-5 verdict #3: a hot LSH bucket (boilerplate docs all
+    colliding on one band) must NOT grow state or per-arrival pair
+    emission forever. Drive _lsh_bucket_fold directly with a fake
+    GroupState and 3 'micro-batches' of identical-signature docs
+    totaling 3x the cap: the roster must stop at _LSH_ROSTER_CAP
+    anchors, the overflow counter must account for the rest, each
+    over-cap arrival must emit exactly cap pairs (still checked
+    against every anchor), and under-cap behavior must be unchanged
+    (all pairs, exactly once)."""
+    import json
+
+    import pandas as pd
+
+    from streamz_postgres_spark.streaming.queries import (
+        _LSH_ROSTER_CAP,
+        _lsh_bucket_fold,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    cap = _LSH_ROSTER_CAP
+    sig = {f"m{j}": 7 for j in range(16)}  # every doc fully collides
+
+    def batch(ids):
+        return pd.DataFrame([{"doc_id": i, **sig} for i in ids])
+
+    state = FakeState()
+    total = 3 * cap
+    splits = [range(0, cap), range(cap, 2 * cap), range(2 * cap, total)]
+    emitted = []
+    for ids in splits:
+        out = pd.concat(
+            list(_lsh_bucket_fold(("k",), iter([batch(ids)]), state)),
+            ignore_index=True,
+        )
+        emitted.append(out)
+
+    stored = json.loads(state.get[0])
+    assert len(stored["r"]) == cap, "roster must stop at the cap"
+    assert stored["ov"] == total - cap, "overflow must count the rest"
+    # under-cap batch: all C(cap, 2) pairs, each exactly once
+    first = emitted[0]
+    assert len(first) == cap * (cap - 1) // 2
+    assert not first.duplicated(["doc_a", "doc_b"]).any()
+    # over-cap batches: every arrival checked against all cap anchors
+    assert len(emitted[1]) == cap * cap
+    assert len(emitted[2]) == cap * cap
+    assert (emitted[1]["est_jaccard"] == 1.0).all()
+    # anchors are exactly the first cap doc_ids: emitted doc_a values
+    # in over-cap batches never reference an overflowed doc
+    assert set(emitted[2]["doc_a"].unique()) <= set(range(cap))
+
+
+def test_lsh_roster_state_reads_pre_cap_format():
+    """States written before the cap (a bare JSON roster list) must
+    still load — a long-running stream restarted onto the new code
+    keeps its rosters."""
+    import json
+
+    import pandas as pd
+
+    from streamz_postgres_spark.streaming.queries import _lsh_bucket_fold
+
+    class FakeState:
+        def __init__(self, v):
+            self._v = v
+
+        @property
+        def exists(self):
+            return True
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    old_sig = [3] * 16
+    state = FakeState((json.dumps([[1, old_sig]]),))
+    new_row = pd.DataFrame([{"doc_id": 2, **{f"m{j}": 3 for j in range(16)}}])
+    out = pd.concat(
+        list(_lsh_bucket_fold(("k",), iter([new_row]), state)),
+        ignore_index=True,
+    )
+    assert list(out.itertuples(index=False)) == [(1, 2, 1.0)]
+    stored = json.loads(state.get[0])
+    assert stored["ov"] == 0 and len(stored["r"]) == 2
