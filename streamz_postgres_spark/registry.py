@@ -98,6 +98,23 @@ def _load_all() -> None:
 # its FINAL size (239/239 zero-fail), and the 237-key state passed
 # the same sweep under a +05:45 session timezone (Asia/Kathmandu).
 # The round-6 full-registry sweep is recorded in README/SCALE.
+#: Keys that register only when the environment supports them (the
+#: transformWithStateInPandas queries need a protobuf runtime — see
+#: streaming.queries._protobuf_available). They stay listed in
+#: DRIVER_PRIORITY so their exposure position is decided, but on a
+#: protobuf-less environment they are absent from the live registry
+#: and tests/test_registry.py exempts exactly this set.
+GATED_KEYS: frozenset[str] = frozenset(
+    {
+        "q_stream_transform_state",
+        "q_stream_transform_list",
+        "q_stream_transform_map",
+        "q_stream_transform_timers",
+        "q_stream_transform_init",
+        "q_stream_percentile",
+    }
+)
+
 DRIVER_PRIORITY: tuple[str, ...] = (
     # ---- r6 window: 39 r2-latest keys (hit the 3-round staleness
     # cap this round) ----
@@ -301,6 +318,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_stream_json_lines",
     "q_ntile_buckets",
     "q_bool_agg",
+    # ---- round-6 additions (first driver evidence due with the
+    # round-5 tail; locally oracle-verified at sf0.001 and sf0.01) ----
+    "q_stream_percentile_windowed",
     # r5-window keys -- freshest driver evidence (CORRECTNESS_r05
     # 50/50 green), re-checked last:
     "q_dedup_cluster_stats",

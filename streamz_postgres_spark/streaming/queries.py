@@ -2056,9 +2056,11 @@ class _PercentileProcessor:
 
     State is the full per-key multiset, appended (not rewritten)
     each batch: exact streaming percentiles fundamentally need the
-    multiset. At 100 TB this is the documented trade — bound it with
-    a windowed key + watermark eviction, or swap the exact read-out
-    for a mergeable sketch (KLL/t-digest) with the same plan shape."""
+    multiset. At 100 TB this is the documented trade; the BOUNDED
+    production twin is q_stream_percentile_windowed (same exact
+    read-out over per-hour windows, state evicted by the watermark),
+    with this unbounded variant retained as the whole-stream
+    correctness baseline."""
 
     def init(self, handle) -> None:
         from pyspark.sql.types import (
@@ -2154,6 +2156,84 @@ if _protobuf_available():  # pragma: no cover - depends on environment
         oracle=_TWS_PCTL_ORACLE,
         tags=("streaming", "stateful", "udf", "stats"),
     )(q_stream_percentile)
+
+
+@register(
+    "q_stream_percentile_windowed",
+    oracle="""
+WITH s AS (
+  SELECT date_trunc('hour', ts) AS window_start, event_type,
+         list(value ORDER BY value) AS vals,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT window_start, event_type, n_events,
+       vals[CAST((n_events - 1) // 2 AS BIGINT) + 1] AS p50,
+       vals[CAST(((n_events - 1) * 9) // 10 AS BIGINT) + 1] AS p90
+FROM s
+""",
+    tags=("streaming", "stats", "watermark"),
+)
+def q_stream_percentile_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BOUNDED-STATE percentile twin (round-5 verdict #5):
+    q_stream_percentile keeps each key's full value multiset forever
+    — exact, but state grows with events per key. This twin keys the
+    multiset by (1-hour event-time window, event_type) and declares a
+    watermark, so Spark's own streaming-aggregation state management
+    EVICTS each window's multiset the moment the watermark passes its
+    end: state = open windows only, bounded by event rate x window
+    span regardless of stream lifetime — the production shape for a
+    latency dashboard. Same integer-index exact order statistics as
+    the unbounded baseline (value at (n-1)//2 resp. ((n-1)*9)//10 of
+    the sorted window multiset; never float interpolation), checked
+    by a full value oracle. Entirely built-in operators: watermarked
+    window agg + sort_array(collect_list) + element_at — no custom
+    processor, no Python workers. Append mode withholds the window
+    containing max(ts) on a bounded input, so the replay stages a
+    far-future flush row exactly as q_stream_tumbling_watermarked
+    does (the flush window itself is filtered out)."""
+    import shutil
+
+    from streamz_postgres_spark.streaming.runner import (
+        run_to_table,
+        staged_replay_with_flush,
+    )
+
+    s, staging = staged_replay_with_flush(spark, sf_dir)
+    micros = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    out = (
+        s.withColumn("ts_evt", F.timestamp_micros(micros))
+        .withWatermark("ts_evt", "0 seconds")
+        .groupBy(F.window("ts_evt", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sort_array(F.collect_list("value")).alias("vals"),
+        )
+        .select(
+            F.expr(
+                "timestampadd(MICROSECOND, unix_micros(w.start), "
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ).alias("window_start"),
+            "event_type",
+            "n_events",
+            F.expr(
+                "element_at(vals, CAST((n_events - 1) DIV 2 AS INT) + 1)"
+            ).alias("p50"),
+            F.expr(
+                "element_at(vals, CAST(((n_events - 1) * 9) DIV 10 AS INT) + 1)"
+            ).alias("p90"),
+        )
+        .filter(
+            F.col("window_start") < F.lit("2024-06-01").cast("timestamp_ntz")
+        )
+    )
+    try:
+        return run_to_table(out, "append", spark)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
 
 
 # -- streaming rollup cascade (continuous aggregate) ------------------------

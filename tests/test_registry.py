@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from streamz_postgres_spark.registry import (
     DRIVER_PRIORITY,
+    GATED_KEYS,
     ordered_registry,
 )
 
@@ -28,12 +29,11 @@ def test_driver_priority_is_complete_permutation():
     reg = ordered_registry()
     assert len(DRIVER_PRIORITY) == len(set(DRIVER_PRIORITY)), "duplicate keys"
     unregistered = [k for k in DRIVER_PRIORITY if k not in reg]
-    # env-gated queries (e.g. q_stream_transform_state without
-    # protobuf) may be listed but absent from the live registry;
-    # anything else unregistered is a typo.
-    assert all(k.startswith("q_stream_transform") for k in unregistered), (
-        unregistered
-    )
+    # env-gated queries (the explicit GATED_KEYS set, e.g. the
+    # transformWithState family without protobuf) may be listed but
+    # absent from the live registry; anything else unregistered is a
+    # typo.
+    assert set(unregistered) <= GATED_KEYS, unregistered
     missing = [k for k in reg if k not in set(DRIVER_PRIORITY)]
     assert not missing, f"registered but not in DRIVER_PRIORITY: {missing}"
     # exposure order is exactly DRIVER_PRIORITY order
