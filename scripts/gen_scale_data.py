@@ -49,8 +49,41 @@ TABLES = (
     "nation",
     "customer",
     "supplier",
-    "part",
 )
+
+#: per-replica key offsets; _assert_offsets_safe aborts if a base
+#: fixture ever grows keys into an offset's range (silent duplicate
+#: keys would corrupt every scale curve with no error — ADVICE r5)
+OFFSETS = {
+    "events": ("event_id", 10_000_000),
+    "events_user": ("user_id", 1_000_000),
+    "documents": ("doc_id", 10_000_000),
+    "orders": ("o_orderkey", 100_000_000),
+    "part": ("p_partkey", 10_000_000),
+    "embeddings": ("vec_id", 10_000_000),
+}
+
+
+def _assert_offsets_safe(con, src: str, times: int) -> None:
+    checks = (
+        ("events", "event_id", OFFSETS["events"][1]),
+        ("events", "user_id", OFFSETS["events_user"][1]),
+        ("documents", "doc_id", OFFSETS["documents"][1]),
+        ("orders", "o_orderkey", OFFSETS["orders"][1]),
+        ("lineitem", "l_orderkey", OFFSETS["orders"][1]),
+        ("lineitem", "l_partkey", OFFSETS["part"][1]),
+        ("part", "p_partkey", OFFSETS["part"][1]),
+        ("embeddings", "vec_id", OFFSETS["embeddings"][1]),
+    )
+    for tbl, col, off in checks:
+        (mx,) = con.sql(
+            f"SELECT MAX({col}) FROM read_parquet('{src}/{tbl}.parquet')"
+        ).fetchone()
+        if mx >= off:
+            raise SystemExit(
+                f"{tbl}.{col} max {mx} >= replica offset {off}: replica "
+                f"keys would collide; raise the offset before generating"
+            )
 
 
 def gen(src: str, out: str, times: int) -> str:
@@ -58,6 +91,7 @@ def gen(src: str, out: str, times: int) -> str:
     os.makedirs(dest, exist_ok=True)
 
     con = duckdb.connect()
+    _assert_offsets_safe(con, src, times)
     # events: offset ids per replica, keep ts/type/value/props
     con.sql(
         f"""
@@ -105,17 +139,45 @@ def gen(src: str, out: str, times: int) -> str:
         ) TO '{dest}/orders.parquet' (FORMAT PARQUET)
         """
     )
+    # l_partkey is offset in lockstep with the part replica below:
+    # replica i's facts reference replica i's parts, so per-replica
+    # fact⋈part join structure is identical and the part dimension
+    # grows with the facts (part scales with SF in TPC-H, unlike
+    # region/nation). supplier/customer stay fixed (keys untouched).
     con.sql(
         f"""
         COPY (
           SELECT l.l_orderkey + r.i * 100_000_000 AS l_orderkey,
-                 l.l_partkey, l.l_suppkey, l.l_linenumber,
+                 l.l_partkey + r.i * 10_000_000 AS l_partkey,
+                 l.l_suppkey, l.l_linenumber,
                  l.l_quantity, l.l_extendedprice, l.l_discount,
                  l.l_tax, l.l_returnflag, l.l_linestatus, l.l_shipdate
           FROM read_parquet('{src}/lineitem.parquet') l,
                (SELECT unnest(range({times})) AS i) r
           ORDER BY l_orderkey, l_linenumber
         ) TO '{dest}/lineitem.parquet' (FORMAT PARQUET)
+        """
+    )
+    # part: offset keys per replica; the FIRST name token (the
+    # fuzzy-link blocking key) gets the replica suffix, so blocks
+    # share nothing across replicas — block COUNT scales 10x, block
+    # SIZE is invariant (the documented blocking-cardinality rule).
+    # Token 2+ unchanged keeps q_fuzzy_link's dirty-feed synthesis
+    # and q9's '%green%' / q20's 'forest%' predicates intact.
+    con.sql(
+        f"""
+        COPY (
+          SELECT p.p_partkey + r.i * 10_000_000 AS p_partkey,
+                 CASE WHEN r.i = 0 THEN p.p_name
+                      ELSE string_split(p.p_name, ' ')[1] || '_r' || r.i
+                           || substr(p.p_name,
+                                     length(string_split(p.p_name, ' ')[1]) + 1)
+                 END AS p_name,
+                 p.p_brand, p.p_type, p.p_size, p.p_retailprice
+          FROM read_parquet('{src}/part.parquet') p,
+               (SELECT unnest(range({times})) AS i) r
+          ORDER BY p_partkey
+        ) TO '{dest}/part.parquet' (FORMAT PARQUET)
         """
     )
     # embeddings: rotate the vector by replica index (pyarrow keeps

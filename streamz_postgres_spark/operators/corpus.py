@@ -66,13 +66,20 @@ def q_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate-text coverage): per source, the share of word 5-gram
     instances that also occur in at least one OTHER document.
 
-    Scale shape: the exploded gram stream is hashed to a 60-bit int
-    immediately, so both shuffles (document-frequency aggregate, and
-    the instance⋈df equi-join) move 8-byte keys, never gram strings.
-    The share is one exact-integer division. At 100 TB the df table
-    is Zipf-skewed: AQE's skew-join split handles the head grams,
-    and dropping grams with df=1 before the join-back (a semi-join
-    on the minority dup set) would shrink the probe side further."""
+    Scale shape (reworked per round-5 verdict #8): the exploded gram
+    stream is hashed to a 60-bit int immediately, so the one WIDE
+    shuffle left (the document-frequency aggregate) moves 8-byte
+    keys, never gram strings. The old plan then equi-joined EVERY
+    instance against the full df table — a second full-stream
+    shuffle, the most expensive step on the 10x grid (117.9 s).
+    But the denominator needs no join at all (a per-source map-side
+    partial count), and the numerator only needs instances whose
+    gram is in the MINORITY df>1 set — a semi-join against that
+    small set, which AQE broadcasts (most grams are singletons;
+    Zipf-skewed head grams are exactly the ones that survive the
+    filter, and a broadcast probe is skew-immune). Net: 2 full
+    shuffles + join -> 1 full shuffle + broadcast semi-probe. The
+    share is one exact-integer division."""
     d = load_table(spark, sf_dir, "documents")
     inst = d.select(
         "doc_id",
@@ -83,16 +90,28 @@ def q_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         hash60(F.concat(F.col("gram"), F.lit(_COV_SALT))).alias("gh"),
     )
-    df_per_gram = inst.groupBy("gh").agg(
-        F.count_distinct("doc_id").alias("n_docs_with_gram")
+    dup_grams = (
+        inst.groupBy("gh")
+        .agg(F.count_distinct("doc_id").alias("n_docs_with_gram"))
+        .filter(F.col("n_docs_with_gram") > 1)
+        .select("gh")
     )
-    dup = F.when(F.col("n_docs_with_gram") > 1, 1).otherwise(0)
-    return (
-        inst.join(df_per_gram, "gh")
+    totals = inst.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_gram_instances")
+    )
+    dups = (
+        inst.join(dup_grams, "gh", "left_semi")
         .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_gram_instances"),
-            F.sum(dup).cast("bigint").alias("n_dup_instances"),
+        .agg(F.count(F.lit(1)).alias("n_dup_instances"))
+    )
+    return (
+        totals.join(dups, "source", "left")
+        .select(
+            "source",
+            "n_gram_instances",
+            F.coalesce(F.col("n_dup_instances"), F.lit(0))
+            .cast("bigint")
+            .alias("n_dup_instances"),
         )
         .select(
             "source",

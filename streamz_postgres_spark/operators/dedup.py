@@ -60,10 +60,6 @@ _N_BANDS = 4
 _ROWS_PER_BAND = _N_HASHES // _N_BANDS
 _MINHASH_JACCARD = 0.35
 
-#: frames persisted by the most recent q_dedup_minhash invocation
-#: (released at the start of the next one; see the persist comment)
-_MINHASH_CACHE: list = []
-
 # SimHash: 60-bit fingerprint, 4 blocking chunks of 15 bits.
 _SIM_BITS = 60
 _SIM_CHUNKS = 4
@@ -238,15 +234,19 @@ def _banded_candidate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     persist: the signature frame feeds the band self-join twice and
     Spark does not share plan subtrees across consumers — at 100 TB
     you persist/checkpoint signatures for exactly the same reason.
-    Frames persisted by the PREVIOUS invocation are released first:
-    the returned DataFrame stays lazy, so this call cannot unpersist
-    its own frames — the next call (or session end) does."""
-    while _MINHASH_CACHE:
-        _MINHASH_CACHE.pop().unpersist()
-    hashed = _hashed_shingles(_exploded_shingles(spark, sf_dir)).persist()
-    _MINHASH_CACHE.append(hashed)
-    sig = _minhash_signature(hashed).persist()
-    _MINHASH_CACHE.append(sig)
+    Lifecycle via the thread-scoped persist_scoped helper: the
+    returned DataFrame stays lazy, so this call cannot unpersist its
+    own frames — the SAME thread's next invocation (or session end)
+    does, and a concurrent thread's frames are never touched (see
+    streamz_postgres_spark.lifecycle)."""
+    from streamz_postgres_spark.lifecycle import persist_scoped
+
+    hashed = _hashed_shingles(_exploded_shingles(spark, sf_dir))
+    sig = _minhash_signature(hashed)
+    # shset is consumed by the verification stage below; persisted
+    # here so the whole invocation's frames live in ONE slot
+    shset = hashed.distinct()
+    persist_scoped("q_dedup_minhash", hashed, sig, shset)
 
     # unpivot 4 band keys per doc with one stack() — a single pass
     # over the signature instead of a 4-way union of re-derivations.
@@ -283,8 +283,6 @@ def _banded_candidate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # verification reuses the SAME persisted hashed frame the
     # signature was built from — no second shingling or md5 pass,
     # and every join/distinct below shuffles 8-byte ints, not strings
-    shset = hashed.distinct().persist()
-    _MINHASH_CACHE.append(shset)
     sizes = shset.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     sa = shset.select(F.col("doc_id").alias("doc_a"), "h1", "h2")
@@ -651,9 +649,6 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CC_MAX_ITERS = 20
 
-#: frames persisted by the most recent q_dedup_clusters invocation
-_CLUSTER_CACHE: list[DataFrame] = []
-
 
 def connected_components(
     nodes: DataFrame, pairs: DataFrame, max_iters: int = _CC_MAX_ITERS
@@ -684,12 +679,14 @@ def connected_components(
     planning dominates (measured: a 9-round chain took minutes with
     persist, seconds with checkpoint). Lineage truncation is load-
     bearing for every iterative DataFrame algorithm."""
-    while _CLUSTER_CACHE:
-        _CLUSTER_CACHE.pop().unpersist()
+    from streamz_postgres_spark.lifecycle import persist_scoped, track_scoped
+
     edges = pairs.union(
         pairs.select(F.col("w").alias("u"), F.col("u").alias("w"))
-    ).persist()
-    _CLUSTER_CACHE.append(edges)
+    )
+    # thread-scoped lifecycle: releases the previous invocation's
+    # edges AND parked labels (see streamz_postgres_spark.lifecycle)
+    persist_scoped("connected_components", edges)
 
     # lazy checkpoint + agg-as-materializer: the convergence sum and
     # the checkpoint write share ONE job per round (eager=True plus a
@@ -735,8 +732,9 @@ def connected_components(
             break
         prev_sum = new_sum
     # the final labels frame is returned lazily: its blocks must
-    # outlive this call, so park it for the NEXT invocation's sweep
-    _CLUSTER_CACHE.append(labels)
+    # outlive this call, so park it (unpersisted-on-next-invocation)
+    # in the same thread-scoped slot as edges
+    track_scoped("connected_components", labels, fresh=False)
     return labels
 
 

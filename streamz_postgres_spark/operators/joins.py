@@ -131,20 +131,15 @@ def asof_join(
     return out
 
 
-#: range-partitioned frames persisted by the most recent TOP-LEVEL
-#: seq operation (released at the start of the next one — the
-#: returned DataFrame is lazy, so the cache must outlive this call).
-#: zip_seq holds TWO with_seq bases at once, so release is scoped to
-#: the whole operation, never per with_seq call: draining between the
-#: two calls would unpersist the left base before execution, letting
-#: the RangePartitioner re-sample a different layout than the one
-#: pass 1's offsets were computed for (duplicate/missing seq values).
-_SEQ_CACHE: list[DataFrame] = []
-
-
-def _release_seq_cache() -> None:
-    while _SEQ_CACHE:
-        _SEQ_CACHE.pop().unpersist()
+# Range-partitioned bases persisted by the most recent TOP-LEVEL seq
+# operation live in the thread-scoped "with_seq" lifecycle slot
+# (released at the start of the same thread's next operation — the
+# returned DataFrame is lazy, so the frames must outlive the call).
+# zip_seq holds TWO with_seq bases at once, so release is scoped to
+# the whole operation, never per with_seq call: draining between the
+# two calls would unpersist the left base before execution, letting
+# the RangePartitioner re-sample a different layout than the one
+# pass 1's offsets were computed for (duplicate/missing seq values).
 
 
 def with_seq(
@@ -180,17 +175,16 @@ def with_seq(
     ``fresh=False`` (zip_seq's inner calls) keeps earlier bases from
     the same top-level operation alive instead of draining them.
     """
-    if fresh:
-        _release_seq_cache()
+    from streamz_postgres_spark.lifecycle import persist_scoped
+
     base = (
         df.repartitionByRange(*order_by)
         .sortWithinPartitions(*order_by)
         .withColumn("__mid", F.monotonically_increasing_id())
         .withColumn("__pid", F.shiftright(F.col("__mid"), 33))
         .withColumn("__local", F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1)))
-        .persist()
     )
-    _SEQ_CACHE.append(base)
+    persist_scoped("with_seq", base, fresh=fresh)
     counts = {
         r["__pid"]: r["n"]
         for r in base.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
@@ -224,8 +218,10 @@ def zip_seq(
     Releases the previous operation's persisted bases ONCE up front,
     then pins both sides' range layouts until the next top-level
     invocation — per-call release would unpersist the left base
-    before the join executes (see _SEQ_CACHE note)."""
-    _release_seq_cache()
+    before the join executes (see the with_seq lifecycle note)."""
+    from streamz_postgres_spark.lifecycle import release_scoped
+
+    release_scoped("with_seq")
     l = with_seq(left, left_order, "seq", fresh=False)
     r = with_seq(right, right_order, "seq", fresh=False)
     return l.join(r, "seq", "inner")

@@ -763,10 +763,6 @@ def q_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- session co-occurrence lift ---------------------------------------------
 
-#: frames persisted by the most recent q_cooccurrence_lift invocation
-#: (released at the start of the next one, dedup-minhash lifecycle)
-_COOC_CACHE: list = []
-
 
 @register(
     "q_cooccurrence_lift",
@@ -825,11 +821,12 @@ def q_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one double multiply/divide chain, identical on both engines).
     The distinct (session, type) set is PERSISTED — it feeds four
     consumers (totals, both single sides, both pair sides), which
-    would otherwise each re-expand the sessionization; the frame the
-    previous invocation cached is released first (the q_dedup_minhash
-    lifecycle pattern)."""
-    while _COOC_CACHE:
-        _COOC_CACHE.pop().unpersist()
+    would otherwise each re-expand the sessionization; lifecycle via
+    the thread-scoped persist_scoped helper (this invocation's frame
+    is released by the SAME thread's next invocation, never by a
+    concurrent one — see streamz_postgres_spark.lifecycle)."""
+    from streamz_postgres_spark.lifecycle import persist_scoped
+
     e = load_table(spark, sf_dir, "events")
     sess = (
         e.groupBy(
@@ -849,9 +846,8 @@ def q_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("session_start").cast("string"),
             ),
         )
-        .persist()
     )
-    _COOC_CACHE.append(sess)
+    persist_scoped("q_cooccurrence_lift", sess)
     totals = sess.select("sid").distinct().agg(
         F.count(F.lit(1)).alias("n_sessions")
     )

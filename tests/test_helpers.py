@@ -112,10 +112,12 @@ def test_qround_matches_arithmetic(spark):
 @pytest.mark.slow
 def test_cached_queries_are_reinvocable(spark):
     """Queries that persist/checkpoint intermediates across their own
-    lazy lifetime (_MINHASH_CACHE, _SEQ_CACHE, _CLUSTER_CACHE,
-    _SINK_DIRS) must return identical results when invoked twice in
-    one session — the second call releases the first's frames, so
-    this catches any release-too-early regression."""
+    lazy lifetime (the thread-scoped lifecycle slots of
+    q_dedup_minhash / with_seq / connected_components — see
+    streamz_postgres_spark.lifecycle — plus _SINK_DIRS) must return
+    identical results when invoked twice in one session — the second
+    call releases the first's frames, so this catches any
+    release-too-early regression."""
     from streamz_postgres_spark.registry import REGISTRY, _load_all
     from tests.conftest import SF_DIR
 
@@ -131,3 +133,50 @@ def test_cached_queries_are_reinvocable(spark):
         # call: releasing the previous invocation's caches/dirs at
         # the next call is the documented lifetime contract)
         assert rows1 == rows2, key
+
+
+def test_lifecycle_slots_are_thread_scoped():
+    """ADVICE r5: a concurrent invocation must never release a frame
+    another thread's un-collected plan still holds. Drive the
+    lifecycle helper with fake frames from two threads: thread B's
+    fresh store releases only B's previous frames; A's stay pinned
+    until A stores again (or release_all)."""
+    import threading
+
+    from streamz_postgres_spark import lifecycle
+
+    class FakeFrame:
+        def __init__(self):
+            self.persisted = False
+
+        def persist(self):
+            self.persisted = True
+            return self
+
+        def unpersist(self):
+            self.persisted = False
+            return self
+
+    a1, a2, b1 = FakeFrame(), FakeFrame(), FakeFrame()
+    lifecycle.persist_scoped("op", a1)
+    assert a1.persisted
+
+    def b_thread():
+        lifecycle.persist_scoped("op", b1)
+        lifecycle.persist_scoped("op", FakeFrame())  # releases b1 only
+
+    t = threading.Thread(target=b_thread)
+    t.start()
+    t.join()
+    assert not b1.persisted, "B's own previous frame is released"
+    assert a1.persisted, "A's frame must survive B's invocations"
+
+    lifecycle.persist_scoped("op", a2)  # A's next call releases a1
+    assert not a1.persisted and a2.persisted
+    # append semantics: fresh=False adds without releasing
+    a3 = FakeFrame()
+    lifecycle.persist_scoped("op", a3, fresh=False)
+    assert a2.persisted and a3.persisted
+    lifecycle.release_scoped("op")
+    assert not a2.persisted and not a3.persisted
+    lifecycle.release_all()
