@@ -321,6 +321,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # ---- round-6 additions (first driver evidence due with the
     # round-5 tail; locally oracle-verified at sf0.001 and sf0.01) ----
     "q_stream_percentile_windowed",
+    "q_stream_enrich_asof",
+    "q_stream_quantile_sketch",
     # r5-window keys -- freshest driver evidence (CORRECTNESS_r05
     # 50/50 green), re-checked last:
     "q_dedup_cluster_stats",

@@ -2371,6 +2371,202 @@ register(
 )(q_stream_scd2)
 
 
+# -- streaming as-of enrichment (facts pick up the live dim version) --------
+
+
+def _enrich_asof_fold(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-key as-of enrichment state machine: ValueState = the
+    latest dimension version (seq, value). 'signup' rows ARE the
+    dimension change feed (they update state, emit nothing); every
+    other row is a fact, emitted exactly once with the dimension
+    version current AT ITS SEQUENCE — the streaming form of the
+    batch as-of join. State is one (long, double) pair per key,
+    bounded for the stream's lifetime. Correctness relies on per-key
+    seq-ordered arrival across batches — the CDC-log contract the
+    replay (and any log-compacted topic) provides; rows within a
+    batch are sorted here."""
+    if state.exists:
+        dim_seq, dim_val = state.get
+    else:
+        dim_seq, dim_val = None, None
+    pdf = pd.concat(list(batches), ignore_index=True).sort_values("event_id")
+    out_eid, out_type, out_val, out_dseq, out_dval = [], [], [], [], []
+    for eid, etype, val in zip(
+        pdf["event_id"], pdf["event_type"], pdf["value"]
+    ):
+        if etype == "signup":
+            dim_seq, dim_val = int(eid), float(val)
+        else:
+            out_eid.append(int(eid))
+            out_type.append(str(etype))
+            out_val.append(float(val))
+            out_dseq.append(dim_seq)
+            out_dval.append(dim_val)
+    if dim_seq is None:
+        state.remove()
+    else:
+        state.update((dim_seq, dim_val))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]] * len(out_eid),
+            "event_id": pd.Series(out_eid, dtype="int64"),
+            "event_type": pd.Series(out_type, dtype="object"),
+            "value": pd.Series(out_val, dtype="float64"),
+            "dim_seq": pd.Series(out_dseq, dtype="object"),
+            "dim_value": pd.Series(out_dval, dtype="object"),
+        }
+    )
+
+
+@register(
+    "q_stream_enrich_asof",
+    oracle="""
+WITH enriched AS (
+  SELECT user_id, event_id, event_type, value,
+         LAST_VALUE(CASE WHEN event_type = 'signup' THEN event_id END
+                    IGNORE NULLS) OVER w AS dim_seq,
+         LAST_VALUE(CASE WHEN event_type = 'signup' THEN value END
+                    IGNORE NULLS) OVER w AS dim_value
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+               ROWS UNBOUNDED PRECEDING)
+)
+SELECT user_id, event_id, event_type, value, dim_seq, dim_value
+FROM enriched
+WHERE event_type <> 'signup'
+""",
+    tags=("streaming", "cdc", "join", "stateful"),
+)
+def q_stream_enrich_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE as-of enrichment — the canonical CDC consumer: a fact
+    stream picks up the dimension version current AT EACH FACT'S
+    sequence number, from an in-band dimension change feed ('signup'
+    events play the dim updates; everything else is a fact). The
+    batch twin is q_asof_join / the last-ignoreNulls window trick;
+    here the same semantics run incrementally with ONE (seq, value)
+    pair of state per key and each fact emitted exactly once, in
+    append mode — no retraction, no unbounded buffer. Facts arriving
+    before any dimension version carry NULL dim columns, exactly as
+    the batch as-of does. Oracle: the batch last-ignoreNulls window
+    over the full log."""
+    s = replay_events(spark, sf_dir)
+    out = s.groupBy("user_id").applyInPandasWithState(
+        _enrich_asof_fold,
+        outputStructType=(
+            "user_id long, event_id long, event_type string, "
+            "value double, dim_seq long, dim_value double"
+        ),
+        stateStructType="dim_seq long, dim_val double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_table(out, "append", spark)
+
+
+# -- streaming mergeable quantile sketch (bounded-state percentiles) --------
+
+#: dyadic pre-scale for the log2 histogram: value*64 is EXACT (a
+#: power-of-two multiply never rounds), so the bucket id is a pure
+#: integer function of the input on both engines.
+_QSKETCH_SCALE = 64
+_QSKETCH_BUCKET = (
+    "shiftleft(CAST(1 AS BIGINT), "
+    f"CAST(length(bin(CAST(FLOOR(value * {_QSKETCH_SCALE}) AS BIGINT))) AS INT))"
+)
+
+
+@register(
+    "q_stream_quantile_sketch",
+    oracle=f"""
+WITH b AS (
+  SELECT event_type,
+         (CAST(1 AS BIGINT) << length(bin(
+            CAST(FLOOR(value * {_QSKETCH_SCALE}) AS BIGINT)))) AS bucket_hi,
+         COUNT(*) AS n
+  FROM events
+  GROUP BY event_type, bucket_hi
+),
+c AS (
+  SELECT event_type, bucket_hi, n,
+         SUM(n) OVER (PARTITION BY event_type ORDER BY bucket_hi
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(n) OVER (PARTITION BY event_type) AS n_total
+  FROM b
+)
+SELECT event_type,
+       CAST(MAX(n_total) AS BIGINT) AS n_events,
+       CAST(MIN(CASE WHEN cum >= (n_total - 1) // 2 + 1
+                     THEN bucket_hi END) AS DOUBLE)
+         / {_QSKETCH_SCALE} AS p50_est,
+       CAST(MIN(CASE WHEN cum >= ((n_total - 1) * 9) // 10 + 1
+                     THEN bucket_hi END) AS DOUBLE)
+         / {_QSKETCH_SCALE} AS p90_est
+FROM c
+GROUP BY event_type
+""",
+    tags=("streaming", "stats", "sketch"),
+)
+def q_stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGEABLE-SKETCH percentile path (the third leg of the
+    percentile story, promised in SCALE.md): per event type the
+    stream maintains a LOG2 HISTOGRAM — one counter per power-of-two
+    value bucket — as an ordinary complete-mode aggregation, and the
+    quantile estimate is a read-side cumulative walk to the bucket
+    containing the exact order-statistic rank ((n-1)//2 + 1 resp.
+    ((n-1)*9)//10 + 1). State is O(types x buckets) counters — a few
+    hundred bytes per key FOREVER, vs the exact baseline's
+    O(events) multiset — and the per-batch partials merge by integer
+    addition, the same property a production KLL/t-digest would
+    have, demonstrated here with a sketch whose every output is a
+    DETERMINISTIC integer function of the inputs, so the driver can
+    VALUE-check it (a float t-digest could only be bounds-checked).
+    The estimate is the bucket's upper edge: a guaranteed
+    at-most-2x-overestimate of the true quantile with error bounded
+    by the bucket ratio, the classic HDR-histogram trade. Bucket ids
+    use integer bit-length over a dyadic pre-scale (never IEEE log2,
+    which rounds differently across engines at exact powers)."""
+    s = replay_events(spark, sf_dir)
+    agg = s.groupBy(
+        "event_type", F.expr(_QSKETCH_BUCKET).alias("bucket_hi")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tbl = run_to_table(agg, "complete", spark)
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_hi")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("event_type")
+    c = tbl.select(
+        "event_type",
+        "bucket_hi",
+        F.sum("n").over(wcum).alias("cum"),
+        F.sum("n").over(wtot).alias("n_total"),
+    )
+    return c.groupBy("event_type").agg(
+        F.max("n_total").cast("bigint").alias("n_events"),
+        (
+            F.min(
+                F.when(
+                    F.expr("cum >= (n_total - 1) DIV 2 + 1"),
+                    F.col("bucket_hi"),
+                )
+            ).cast("double")
+            / _QSKETCH_SCALE
+        ).alias("p50_est"),
+        (
+            F.min(
+                F.when(
+                    F.expr("cum >= ((n_total - 1) * 9) DIV 10 + 1"),
+                    F.col("bucket_hi"),
+                )
+            ).cast("double")
+            / _QSKETCH_SCALE
+        ).alias("p90_est"),
+    )
+
+
 # -- ingestion-time near-dup detection (streaming MinHash-LSH) --------------
 
 

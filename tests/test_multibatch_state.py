@@ -621,3 +621,47 @@ def test_lsh_roster_state_reads_pre_cap_format():
     assert list(out.itertuples(index=False)) == [(1, 2, 1.0)]
     stored = json.loads(state.get[0])
     assert stored["ov"] == 0 and len(stored["r"]) == 2
+
+
+def test_enrich_asof_state_survives_batches(spark, split_dir):
+    """q_stream_enrich_asof's dimension version must hand off across
+    micro-batches: a fact in batch 3 enriched by a signup from batch
+    1 (with no signup in between) must carry that signup's (seq,
+    value). Replay the 4-way event_id-ordered split one file per
+    trigger and require the enriched facts to equal a plain Python
+    fold over the whole table in event_id order."""
+    from streamz_postgres_spark.streaming.queries import _enrich_asof_fold
+
+    src = (
+        spark.readStream.schema(load_table(spark, SF_DIR, "events").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{split_dir}/part*")
+    )
+    out = src.groupBy("user_id").applyInPandasWithState(
+        _enrich_asof_fold,
+        outputStructType=(
+            "user_id long, event_id long, event_type string, "
+            "value double, dim_seq long, dim_value double"
+        ),
+        stateStructType="dim_seq long, dim_val double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    got = {
+        r.event_id: (r.dim_seq, r.dim_value)
+        for r in run_to_table(out, "append", spark).collect()
+    }
+
+    rows = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", "event_id", "event_type", "value")
+        .collect()
+    )
+    state: dict[int, tuple] = {}
+    exp = {}
+    for r in sorted(rows, key=lambda r: (r.user_id, r.event_id)):
+        if r.event_type == "signup":
+            state[r.user_id] = (r.event_id, float(r.value))
+        else:
+            exp[r.event_id] = state.get(r.user_id, (None, None))
+    assert got == exp
