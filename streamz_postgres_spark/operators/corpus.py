@@ -329,3 +329,90 @@ def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_pass_all"),
     )
+
+
+# -- corpus drift gate (reference vs candidate length distribution) ----------
+
+
+@register(
+    "q_corpus_drift",
+    oracle="""
+WITH feats AS (
+  SELECT doc_id % 2 AS half,
+         (CAST(1 AS BIGINT) << length(bin(n_chars - 1))) AS bucket_hi
+  FROM documents
+  WHERE n_chars > 0
+),
+b AS (
+  SELECT bucket_hi,
+         CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+         CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+  FROM feats GROUP BY bucket_hi
+),
+tot AS (
+  SELECT CAST(SUM(n_ref) AS BIGINT) AS tot_ref,
+         CAST(SUM(n_cur) AS BIGINT) AS tot_cur
+  FROM b
+)
+SELECT bucket_hi, n_ref, n_cur,
+       CAST(n_ref AS DOUBLE) / tot_ref AS share_ref,
+       CAST(n_cur AS DOUBLE) / tot_cur AS share_cur,
+       ABS(CAST(n_ref AS DOUBLE) / tot_ref
+           - CAST(n_cur AS DOUBLE) / tot_cur) AS abs_diff
+FROM b CROSS JOIN tot
+ORDER BY bucket_hi
+""",
+    tags=("corpus", "pipeline", "stats"),
+)
+def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift gate — the train/serve distribution check a
+    curation pipeline runs before accepting a new crawl batch: the
+    per-bucket share difference of the document-length distribution
+    between a REFERENCE corpus half and a CANDIDATE half (here the
+    deterministic even/odd doc_id split; in production, last week's
+    accepted shard vs this week's). Total-variation distance is the
+    read-out: TV = sum(abs_diff)/2, and per-bucket rows localize
+    WHERE the drift sits. Buckets are the house integer-bit-length
+    powers of two (cross-engine exact); each share is ONE division
+    of exact integers and the difference of two such doubles, so the
+    whole report is bit-deterministic on any partitioning. One
+    map-side conditional aggregation into ~a dozen buckets + a
+    broadcast 1-row totals join: constant shuffle bytes at any
+    corpus size."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    b = (
+        d.select(
+            (F.col("doc_id") % 2).alias("half"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), "
+                "CAST(length(bin(n_chars - 1)) AS INT))"
+            ).alias("bucket_hi"),
+        )
+        .groupBy("bucket_hi")
+        .agg(
+            F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_ref"),
+            F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_cur"),
+        )
+    )
+    tot = b.agg(
+        F.sum("n_ref").cast("bigint").alias("tot_ref"),
+        F.sum("n_cur").cast("bigint").alias("tot_cur"),
+    )
+    share_ref = F.col("n_ref").cast("double") / F.col("tot_ref")
+    share_cur = F.col("n_cur").cast("double") / F.col("tot_cur")
+    return (
+        b.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket_hi",
+            "n_ref",
+            "n_cur",
+            share_ref.alias("share_ref"),
+            share_cur.alias("share_cur"),
+            F.abs(share_ref - share_cur).alias("abs_diff"),
+        )
+        .orderBy("bucket_hi")
+    )

@@ -200,3 +200,60 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("r"),
         )
     return ranks.select("node", F.col("r").alias("rank"))
+
+
+# -- kNN hubness audit -------------------------------------------------------
+
+
+def _hubness_oracle() -> str:
+    # composes the kNN-graph oracle verbatim as a CTE: the edge list
+    # the audit runs over is BY CONSTRUCTION the one q_knn_graph
+    # value-checks, so this oracle inherits its exactness
+    from streamz_postgres_spark.registry import REGISTRY
+
+    knn = REGISTRY["q_knn_graph"].oracle
+    return f"""
+WITH edges AS ({knn}),
+deg AS (
+  SELECT neighbor, COUNT(*) AS in_degree FROM edges GROUP BY neighbor
+)
+SELECT CAST(COALESCE(d.in_degree, 0) AS BIGINT) AS in_degree,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors
+FROM embeddings v LEFT JOIN deg d ON v.vec_id = d.neighbor
+GROUP BY COALESCE(d.in_degree, 0)
+ORDER BY in_degree
+"""
+
+
+@register(
+    "q_knn_hubness",
+    oracle=_hubness_oracle(),
+    tags=("similarity", "graph", "analytics"),
+)
+def q_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness audit of the kNN graph — the standard ANN-quality
+    diagnostic: the IN-degree distribution of directed top-k edges.
+    In healthy embedding spaces in-degree concentrates near k; a
+    heavy tail (hub vectors appearing in thousands of neighbor
+    lists) signals degraded distance concentration, and hubs are
+    exactly the vectors that poison SemDeDup-style pruning and kNN
+    classification. Composition: the edge list IS q_knn_graph's
+    (same blocked pair space, same tie-breaks), so this plan adds
+    one 8-byte-key count shuffle + a broadcast-joined zero-degree
+    fill over the vector ids — O(corpus x k) in, O(distinct degrees)
+    out. The oracle composes q_knn_graph's oracle as a CTE and
+    inherits its exactness."""
+    from streamz_postgres_spark.operators.similarity import q_knn_graph
+
+    edges = q_knn_graph(spark, sf_dir)
+    deg = edges.groupBy(F.col("neighbor").alias("vec_id")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    vecs = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    return (
+        vecs.join(deg, "vec_id", "left")
+        .select(F.coalesce(F.col("d"), F.lit(0)).alias("in_degree"))
+        .groupBy("in_degree")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("in_degree")
+    )

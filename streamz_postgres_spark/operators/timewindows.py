@@ -871,3 +871,75 @@ def q_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("type_a", "type_b", "n_both", lift.alias("lift"))
         .orderBy("type_a", "type_b")
     )
+
+
+# -- half-life-decayed engagement score --------------------------------------
+
+#: decay anchor — strictly after every fixture event; "now" for the
+#: recency computation (a fixed literal, never wall-clock, so the
+#: query is reproducible and the oracle can mirror it)
+_DECAY_ANCHOR = "2024-06-01 00:00:00"
+_DECAY_EPOCH = "1990-01-01 00:00:00"
+#: ages at or past 62 half-lives decay below the 1e-6 accumulation
+#: grid anyway; the clamp keeps the shift inside BIGINT
+_DECAY_MAX_K = 62
+
+
+@register(
+    "q_decay_score",
+    oracle=f"""
+WITH aged AS (
+  SELECT user_id, value,
+         LEAST(date_diff('second', TIMESTAMP '{_DECAY_EPOCH}',
+                         TIMESTAMP '{_DECAY_ANCHOR}')
+               // 86400
+               - date_diff('second', TIMESTAMP '{_DECAY_EPOCH}', ts)
+               // 86400,
+               {_DECAY_MAX_K}) AS k
+  FROM events
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {sql_dsum(f"value / CAST((CAST(1 AS BIGINT) << k) AS DOUBLE)")}
+         AS decay_score
+FROM aged
+GROUP BY user_id
+""",
+    tags=("time", "agg", "analytics"),
+)
+def q_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-life-decayed engagement score (the recency-weighted
+    'user activity' metric every ranking/retention system keeps):
+    each event contributes value x 2^(-age_days), half-life one day
+    against a FIXED anchor. The decay factor is a pure POWER OF TWO
+    — the value is divided by a shifted integer, one exact IEEE
+    scaling per row, never exp()/pow() (whose libm implementations
+    differ across engines in the last bit) — and ages are integer
+    day counts from aligned epoch seconds (the house sub-second-safe
+    form), so a 1000-executor run and the single-threaded oracle
+    produce bit-identical scores via the exact decimal accumulator.
+    Map-side partial agg; shuffles O(users)."""
+    es = F.expr(
+        f"timestampdiff(SECOND, TIMESTAMP_NTZ '{_DECAY_EPOCH}', ts)"
+    )
+    anchor_es = F.expr(
+        f"timestampdiff(SECOND, TIMESTAMP_NTZ '{_DECAY_EPOCH}', "
+        f"TIMESTAMP_NTZ '{_DECAY_ANCHOR}')"
+    )
+    k = F.least(
+        (anchor_es / 86400).cast("bigint") - (es / 86400).cast("bigint"),
+        F.lit(_DECAY_MAX_K),
+    )
+    e = load_table(spark, sf_dir, "events")
+    decayed = F.col("value") / F.expr(
+        "CAST(shiftleft(CAST(1 AS BIGINT), CAST(k AS INT)) AS DOUBLE)"
+    )
+    return (
+        e.withColumn("k", k)
+        .select("user_id", decayed.alias("dv"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("dv").alias("decay_score"),
+        )
+    )

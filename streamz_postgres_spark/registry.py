@@ -323,6 +323,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_stream_percentile_windowed",
     "q_stream_enrich_asof",
     "q_stream_quantile_sketch",
+    "q_knn_hubness",
+    "q_decay_score",
+    "q_corpus_drift",
     # r5-window keys -- freshest driver evidence (CORRECTNESS_r05
     # 50/50 green), re-checked last:
     "q_dedup_cluster_stats",
