@@ -35,6 +35,9 @@ KEYS = (
     "q_tpch_q8",
     "q_tpch_q12",
     "q_cooccurrence_lift",
+    # round-6 calendar-touching additions
+    "q_stream_percentile_windowed",
+    "q_decay_score",
 )
 
 _TZ = "Asia/Kathmandu"  # +05:45: off every hour and half-hour grid
