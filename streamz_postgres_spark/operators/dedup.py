@@ -777,10 +777,6 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(nodes, pairs)
 
 
-#: frames persisted by the most recent q_minhash_estimate invocation
-_ESTIMATE_CACHE: list = []
-
-
 def _sql_est_jaccard() -> str:
     terms = " + ".join(
         f"CASE WHEN sa.m{j} = sb.m{j} THEN 1 ELSE 0 END"
@@ -843,12 +839,12 @@ def q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     trusting a sketch threshold at 100 TB, where exact verification
     of every pair is unaffordable but a sampled audit is not. Shares
     the signature/shingle machinery with q_dedup_minhash verbatim."""
-    while _ESTIMATE_CACHE:
-        _ESTIMATE_CACHE.pop().unpersist()
-    hashed = _hashed_shingles(_exploded_shingles(spark, sf_dir)).persist()
-    _ESTIMATE_CACHE.append(hashed)
-    sig = _minhash_signature(hashed).persist()
-    _ESTIMATE_CACHE.append(sig)
+    from streamz_postgres_spark.lifecycle import persist_scoped
+
+    hashed = _hashed_shingles(_exploded_shingles(spark, sf_dir))
+    sig = _minhash_signature(hashed)
+    shset = hashed.distinct()
+    persist_scoped("q_minhash_estimate", hashed, sig, shset)
 
     stack_args = []
     for b in range(_N_BANDS):
@@ -893,8 +889,6 @@ def q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    shset = hashed.distinct().persist()
-    _ESTIMATE_CACHE.append(shset)
     sizes = shset.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     xa = shset.select(F.col("doc_id").alias("doc_a"), "h1", "h2")
     xb = shset.select(
@@ -1158,4 +1152,99 @@ def q_fuzzy_link(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("dirty_key", "dirty_name", "matched_key", "matched_name", "dist")
+    )
+
+
+# -- incremental dedup: new batch vs historical index ------------------------
+
+
+@register(
+    "q_dedup_incremental",
+    oracle=f"""
+WITH sig AS ({_sql_minhash_signature()}),
+bands AS (
+  {_sql_band_keys()}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_key = b.band_key
+   AND b.doc_id % 2 = 1
+   AND (a.doc_id % 2 = 0 OR a.doc_id < b.doc_id)
+)
+SELECT c.doc_a, c.doc_b, {_sql_est_jaccard()} AS est_jaccard
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.doc_a
+JOIN sig sb ON sb.doc_id = c.doc_b
+""",
+    tags=("dedup", "lsh", "pipeline"),
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup — the production daily-batch mode: a NEW
+    document batch (odd doc_ids) is checked against the HISTORICAL
+    corpus index (even doc_ids) plus its own earlier arrivals, never
+    history-vs-history (that work was paid on previous days). The
+    join emits (doc_a = the earlier/history doc, doc_b = the new
+    doc, signature-estimated Jaccard). At 100 TB the history side is
+    the STORED band index (band_key, doc_id) — kilobytes per
+    historical doc, bucketed on band_key so each daily batch joins
+    without reshuffling history — and signatures are computed only
+    for the new batch; here both sides derive from one table and
+    the asymmetry lives in the join predicate, which is the part
+    the oracle value-checks. Nightly full-corpus sweep:
+    q_dedup_minhash; per-arrival streaming form:
+    q_stream_dedup_ingest."""
+    from streamz_postgres_spark.lifecycle import persist_scoped
+
+    sig = _minhash_signature(
+        _hashed_shingles(_exploded_shingles(spark, sf_dir))
+    )
+    persist_scoped("q_dedup_incremental", sig)
+
+    stack_args = []
+    for b in range(_N_BANDS):
+        key_cols = ", ".join(
+            f"CAST(m{b * _ROWS_PER_BAND + r} AS STRING)"
+            for r in range(_ROWS_PER_BAND)
+        )
+        stack_args.append(f"concat_ws(',', '{b}:', {key_cols})")
+    bands = sig.filter(F.col("m0").isNotNull()).select(
+        "doc_id",
+        F.expr(f"stack({_N_BANDS}, {', '.join(stack_args)})").alias("band_key"),
+    )
+    hist_or_earlier = (F.col("doc_id") % 2 == 0) | (
+        F.col("doc_id") < F.col("doc_b")
+    )
+    cand = (
+        bands.join(
+            bands.select(
+                F.col("doc_id").alias("doc_b"), F.col("band_key").alias("bk2")
+            ),
+            (F.col("band_key") == F.col("bk2"))
+            & (F.col("doc_b") % 2 == 1)
+            & hist_or_earlier,
+        )
+        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"m{j}").alias(f"a{j}") for j in range(_N_HASHES)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"m{j}").alias(f"b{j}") for j in range(_N_HASHES)],
+    )
+    agree = sum(
+        (F.col(f"a{j}") == F.col(f"b{j}")).cast("int")
+        for j in range(_N_HASHES)
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (agree / float(_N_HASHES)).alias("est_jaccard"),
+        )
     )

@@ -326,6 +326,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_knn_hubness",
     "q_decay_score",
     "q_corpus_drift",
+    "q_dedup_incremental",
     # r5-window keys -- freshest driver evidence (CORRECTNESS_r05
     # 50/50 green), re-checked last:
     "q_dedup_cluster_stats",
