@@ -327,6 +327,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_decay_score",
     "q_corpus_drift",
     "q_dedup_incremental",
+    "q_stream_decay_score",
     # r5-window keys -- freshest driver evidence (CORRECTNESS_r05
     # 50/50 green), re-checked last:
     "q_dedup_cluster_stats",

@@ -2819,3 +2819,66 @@ register(
     oracle=_contamination_oracle(),
     tags=("streaming", "pipeline", "dedup"),
 )(q_stream_contamination)
+
+
+# -- streaming half-life-decayed engagement ----------------------------------
+
+
+def _decay_oracle() -> str:
+    # importing the module runs @register for q_decay_score, whose
+    # oracle (fixed anchor, exact power-of-two decay) applies verbatim
+    import streamz_postgres_spark.operators.timewindows  # noqa: F401
+
+    from streamz_postgres_spark.registry import REGISTRY
+
+    return REGISTRY["q_decay_score"].oracle
+
+
+@register(
+    "q_stream_decay_score",
+    oracle=_decay_oracle(),
+    tags=("streaming", "time", "agg", "analytics"),
+)
+def q_stream_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE half-life-decayed engagement: because the decay anchor is
+    FIXED (never wall-clock), each event's contribution
+    value x 2^(-age_days) is a STATIC per-row value — so the decayed
+    score is an ordinary associative sum and the stream maintains it
+    as a complete-mode aggregation with exact decimal merge, no
+    custom state. (A wall-clock 'now' would instead be a read-side
+    multiply by 2^(-Δ) on the same state — decay by a fixed anchor
+    commutes with reading at any later time, which is exactly why
+    production decayed counters store anchor-relative sums.) State is
+    two scalars per user; identical oracle to the batch twin."""
+    from streamz_postgres_spark.functions.numeric import dsum
+    from streamz_postgres_spark.operators.timewindows import (
+        _DECAY_ANCHOR,
+        _DECAY_EPOCH,
+        _DECAY_MAX_K,
+    )
+
+    s = replay_events(spark, sf_dir)
+    es = F.expr(
+        f"timestampdiff(SECOND, TIMESTAMP_NTZ '{_DECAY_EPOCH}', ts)"
+    )
+    anchor_es = F.expr(
+        f"timestampdiff(SECOND, TIMESTAMP_NTZ '{_DECAY_EPOCH}', "
+        f"TIMESTAMP_NTZ '{_DECAY_ANCHOR}')"
+    )
+    k = F.least(
+        (anchor_es / 86400).cast("bigint") - (es / 86400).cast("bigint"),
+        F.lit(_DECAY_MAX_K),
+    )
+    decayed = F.col("value") / F.expr(
+        "CAST(shiftleft(CAST(1 AS BIGINT), CAST(k AS INT)) AS DOUBLE)"
+    )
+    agg = (
+        s.withColumn("k", k)
+        .select("user_id", decayed.alias("dv"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("dv").alias("decay_score"),
+        )
+    )
+    return run_to_table(agg, "complete", spark)
