@@ -26,15 +26,37 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# 6 fractional digits captures the fixtures' value resolution; 38
-# total digits keeps ~1e31 of headroom for 100 TB-scale sums.
-_DEC = "decimal(38,6)"
+# 6 fractional digits captures the fixtures' value resolution; the
+# decimal(38,0) micro-unit accumulator keeps ~1e31 of headroom for
+# 100 TB-scale sums.
+#
+# WHY MICRO-UNITS AND NOT cast-to-decimal(38,6) (round-6 finding,
+# caught by the hypothesis property test): Spark's double->decimal
+# cast rounds the SHORTEST STRING representation (Java BigDecimal
+# HALF_UP on Double.toString), while DuckDB rounds the EXACT binary
+# value — for a double like 536870912.6132385 (exact expansion
+# ...61323845...) Spark yields .613239 and DuckDB .613238. Raw
+# fixture columns (<= 2 decimal digits) are grid-aligned and never
+# near a 5e-7 tie, which is why the gates stayed green, but any
+# division-derived double can land within one ulp of a tie and flip
+# the gate. The fix: quantize with floor(x*1e6 + 0.5) — every step
+# (power-of-ten multiply, add, floor) is a plain IEEE operation both
+# engines compute bit-identically on the SAME double, so there is no
+# string anywhere and no tie ambiguity (a tie rounds toward +inf on
+# both sides by construction). Per-row range bound: |x| must stay
+# below 2^63/1e6 ~ 9.2e12 for the BIGINT micro-units (far above any
+# per-row value this engine aggregates; group SUMS then accumulate
+# in decimal(38,0)/HUGEINT with ~1e31 headroom).
+_MICRO = 1e6
 
 
 def dsum(col: Column | str) -> Column:
-    """Order-independent double sum (exact decimal accumulator)."""
+    """Order-independent double sum, exact on any partitioning AND
+    bit-identical to DuckDB's :func:`sql_dsum` (micro-unit integer
+    accumulator; see module comment for why not a decimal cast)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(_DEC)).cast("double")
+    micro = F.floor(c * F.lit(_MICRO) + F.lit(0.5)).cast("decimal(38,0)")
+    return F.sum(micro).cast("double") / F.lit(_MICRO)
 
 
 def davg(col: Column | str) -> Column:
@@ -77,8 +99,22 @@ def sql_qround(expr: str, digits: int) -> str:
 
 
 def sql_dsum(expr: str) -> str:
-    """DuckDB-side mirror of :func:`dsum` for oracle SQL strings."""
-    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(38,6))) AS DOUBLE)"
+    """DuckDB-side mirror of :func:`dsum` for oracle SQL strings
+    (same floor-rule micro-units; HUGEINT sum is exact)."""
+    return (
+        f"(CAST(SUM(CAST(FLOOR(({expr}) * 1000000.0 + 0.5) AS HUGEINT)) "
+        f"AS DOUBLE) / 1000000.0)"
+    )
+
+
+def micro6(v: float):
+    """Python-side mirror of the dsum quantization for hand-rolled
+    streaming-state folds: the exact Decimal the engine-side
+    floor(v*1e6 + 0.5) micro-unit rule assigns to ``v``."""
+    import math
+    from decimal import Decimal
+
+    return Decimal(math.floor(v * _MICRO + 0.5)).scaleb(-6)
 
 
 def sql_davg(expr: str) -> str:

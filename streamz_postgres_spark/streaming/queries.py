@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from streamz_postgres_spark.catalog import load_table
-from streamz_postgres_spark.functions.numeric import sql_dsum
+from streamz_postgres_spark.functions.numeric import micro6, sql_dsum
 from streamz_postgres_spark.registry import register
 from streamz_postgres_spark.sources.cdc import (
     ParquetReplayLoader,
@@ -689,7 +689,6 @@ class _UserTotalsProcessor:
         )
 
     def handleInputRows(self, key, rows, timerValues):
-        six = Decimal("0.000001")
         if self._state.exists():
             n, acc_str = self._state.get()
             acc = Decimal(acc_str)
@@ -697,7 +696,7 @@ class _UserTotalsProcessor:
             n, acc = 0, Decimal(0)
         for pdf in rows:
             for v in pdf["value"]:
-                acc += Decimal(float(v)).quantize(six, rounding=ROUND_HALF_EVEN)
+                acc += micro6(float(v))
                 n += 1
         self._state.update((n, str(acc)))
         yield pd.DataFrame(
@@ -1717,7 +1716,6 @@ class _InactivityFlushProcessor:
         )
 
     def handleInputRows(self, key, rows, timerValues):
-        six = Decimal("0.000001")
         if self._state.exists():
             n, acc_str = self._state.get()
             acc = Decimal(acc_str)
@@ -1726,7 +1724,7 @@ class _InactivityFlushProcessor:
         last_ms = None
         for pdf in rows:
             for v in pdf["value"]:
-                acc += Decimal(float(v)).quantize(six, rounding=ROUND_HALF_EVEN)
+                acc += micro6(float(v))
                 n += 1
             batch_max = pdf["ts_evt"].max()
             ms = int(batch_max.value // 1_000_000)
@@ -1855,7 +1853,6 @@ class _WarmStartTotalsProcessor:
         self._state.update((int(n), str(acc)))
 
     def handleInputRows(self, key, rows, timerValues):
-        six = Decimal("0.000001")
         if self._state.exists():
             n, acc_str = self._state.get()
             acc = Decimal(acc_str)
@@ -1863,7 +1860,7 @@ class _WarmStartTotalsProcessor:
             n, acc = 0, Decimal(0)
         for pdf in rows:
             for v in pdf["value"]:
-                acc += Decimal(float(v)).quantize(six, rounding=ROUND_HALF_EVEN)
+                acc += micro6(float(v))
                 n += 1
         self._state.update((n, str(acc)))
         yield pd.DataFrame(

@@ -1,67 +1,51 @@
-"""Partition-count invariance: the determinism-at-scale guard.
-
-The whole 100 TB story rests on results NOT depending on the
-physical execution shape — partition counts, AQE coalescing, task
-scheduling. `spark.sql.shuffle.partitions` is a runtime conf, so we
-run the most numerically sensitive queries under wildly different
-shuffle widths and require bit-identical row multisets. A failure
-here means some operator leaked float-summation order (or another
-physical detail) into its results — exactly the class of bug that
-makes a cluster run unreproducible.
-
-Keys chosen to cover every determinism mechanism:
-- exact decimal sums (`q_group_agg`, `q_stats_corr`)
-- running/window frames (`q_running_sum`)
-- iterative grid-quantized float (`q_pagerank`)
-- HOF float folds over arrays (`q_centroids`, `q_doc_outliers`)
-- libm-guarded scores (`q_doc_perplexity`, `q_weighted_sample`)
-- round-5 additions: interpolated doubles over mirrored windows
-  (`q_resample_interp`), per-vector HOF quantization folds
-  (`q_embed_quantize`), order-sensitive reconstruction hash
-  (`q_dedup_lines`)
-"""
+"""Partitioning invariance: the engine's determinism contract says a
+1000-executor run and a local[32] run produce the SAME values — i.e.
+results are independent of physical partitioning. The oracle gate
+proves Spark==DuckDB at one partitioning; this probe proves
+Spark==Spark across partitionings, re-running representative keys
+from every numerically-delicate family (decimal-sum doubles, LSH
+hashing, iterative connected components, window order statistics,
+two-pass positional seq) under shuffle-partition counts of 3 and 64
+and comparing the full value multiset."""
 
 from __future__ import annotations
 
 import pytest
 
+from streamz_postgres_spark.oracle import row_multiset
 from streamz_postgres_spark.registry import REGISTRY, _load_all
 from tests.conftest import SF_DIR
+
+pytestmark = pytest.mark.slow
 
 _load_all()
 
 KEYS = (
-    "q_group_agg",
-    "q_stats_corr",
-    "q_running_sum",
-    "q_pagerank",
-    "q_centroids",
-    "q_doc_outliers",
-    "q_doc_perplexity",
-    "q_weighted_sample",
-    "q_resample_interp",
-    "q_embed_quantize",
-    "q_dedup_lines",
-    "q_ngram_coverage",
-    "q_shuffle_shard",
-    "q_tpch_q8",
+    "q_group_agg",        # dsum decimal doubles
+    "q_decay_score",      # power-of-two scaled decimal sums
+    "q_dedup_minhash",    # LSH candidates + exact verify
+    "q_dedup_clusters",   # iterative CC fixpoint (label propagation)
+    "q_zip_seq",          # two-pass partition-offset positional seq
+    "q_rolling_median",   # window order statistics
+    "q_pagerank",         # unrolled iterative ranks (qround grid)
+    "q_stream_quantile_sketch",  # streaming complete-mode merge
 )
 
 
-def _rows(spark, key: str) -> list[tuple]:
+def _values(spark, key):
     df = REGISTRY[key].spark_fn(spark, SF_DIR)
-    cols = sorted(df.columns)
-    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+    return row_multiset(sorted(df.columns), df.collect())
 
 
 @pytest.mark.parametrize("key", KEYS)
-def test_results_invariant_to_shuffle_width(spark, key):
-    before = spark.conf.get("spark.sql.shuffle.partitions")
+def test_values_invariant_under_partitioning(spark, key):
+    pkey = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(pkey)
     try:
-        spark.conf.set("spark.sql.shuffle.partitions", "3")
-        narrow = _rows(spark, key)
-        spark.conf.set("spark.sql.shuffle.partitions", "29")
-        wide = _rows(spark, key)
+        spark.conf.set(pkey, "3")
+        few = _values(spark, key)
+        spark.conf.set(pkey, "64")
+        many = _values(spark, key)
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", before)
-    assert narrow == wide, f"{key}: results depend on shuffle width"
+        spark.conf.set(pkey, before)
+    assert few == many, f"{key}: values changed with shuffle partitioning"

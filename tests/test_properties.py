@@ -383,3 +383,115 @@ def test_asof_tolerance_matches_brute_force(spark, left, right, tol):
         best = _brute_force([(k, lt)], right)[0]
         want[i] = float(best) if best is not None and lt - best <= tol else None
     assert got == want
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-1e9, max_value=1e9,
+            allow_nan=False, allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=24,
+    ),
+    nparts=st.integers(1, 8),
+)
+def test_dsum_matches_decimal_reference_any_partitioning(spark, vals, nparts):
+    """dsum's contract on ARBITRARY doubles: the result equals a
+    single-threaded fold of the micro6 quantization (floor(v*1e6 +
+    0.5), summed exactly, one division back to double) for every
+    partitioning — the property the whole oracle strategy rests on.
+    The first version of this test used a decimal-quantize reference
+    and FOUND a real bug: Spark's double->decimal cast rounds the
+    shortest string repr (HALF_UP) while DuckDB rounds the exact
+    binary value, diverging near 1e-6 ties — which is why dsum now
+    uses the pure-IEEE floor rule on both engines."""
+    from decimal import Decimal
+
+    from streamz_postgres_spark.functions.numeric import dsum, micro6
+
+    expected = float(sum((micro6(v) for v in vals), Decimal(0)))
+    df = spark.createDataFrame([(v,) for v in vals], "x double").repartition(
+        nparts
+    )
+    got = df.agg(dsum("x").alias("s")).collect()[0].s
+    assert got == expected
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-1e9, max_value=1e9,
+            allow_nan=False, allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=24,
+    )
+)
+def test_dsum_matches_duckdb_on_arbitrary_doubles(spark, duck, vals):
+    """The cross-engine half of the dsum contract: Spark dsum and
+    DuckDB sql_dsum produce the IDENTICAL double on arbitrary inputs
+    — the property every value-hash oracle in the registry rests on
+    (and the one the old decimal-cast form violated near 1e-6
+    ties)."""
+    from streamz_postgres_spark.functions.numeric import dsum, sql_dsum
+
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = df.agg(dsum("x").alias("s")).collect()[0].s
+    lits = ", ".join(f"(CAST({v!r} AS DOUBLE))" for v in vals)
+    (want,) = duck.execute(
+        f"SELECT {sql_dsum('x')} FROM (VALUES {lits}) t(x)"
+    ).fetchone()
+    assert got == want
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_characters="'\\\x00"
+            ),
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=8,
+        unique=True,
+    )
+)
+def test_hash60_cross_engine_on_arbitrary_strings(spark, duck, texts):
+    """hash60 (first 15 md5 hex digits as a 60-bit int) must agree
+    between Spark and DuckDB on ARBITRARY unicode — the dedup/LSH/
+    split/shard operators all assume it. The fixture-based oracle
+    runs only exercise fixture text; this drives the property over
+    generated strings (quotes/backslash/NUL excluded: they'd need
+    SQL-literal escaping, which is the oracle harness's job, not the
+    hash's)."""
+    from streamz_postgres_spark.functions.text_features import (
+        hash60,
+        sql_hash60,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = {
+        r.t: r.h for r in df.select("t", hash60(F.col("t")).alias("h")).collect()
+    }
+    for t in texts:
+        lit = "'" + t.replace("'", "''") + "'"
+        (want,) = duck.execute(f"SELECT {sql_hash60(lit)}").fetchone()
+        assert got[t] == want, repr(t)
