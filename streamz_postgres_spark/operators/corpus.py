@@ -66,21 +66,31 @@ def q_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate-text coverage): per source, the share of word 5-gram
     instances that also occur in at least one OTHER document.
 
-    Scale shape (reworked per round-5 verdict #8): the exploded gram
-    stream is hashed to a 60-bit int immediately, so the one WIDE
-    shuffle left (the document-frequency aggregate) moves 8-byte
-    keys, never gram strings. The old plan then equi-joined EVERY
-    instance against the full df table — a second full-stream
-    shuffle, the most expensive step on the 10x grid (117.9 s).
-    But the denominator needs no join at all (a per-source map-side
-    partial count), and the numerator only needs instances whose
-    gram is in the MINORITY df>1 set — a semi-join against that
-    small set, which AQE broadcasts (most grams are singletons;
-    Zipf-skewed head grams are exactly the ones that survive the
-    filter, and a broadcast probe is skew-immune). Net: 2 full
-    shuffles + join -> 1 full shuffle + broadcast semi-probe. The
-    share is one exact-integer division."""
-    d = load_table(spark, sf_dir, "documents")
+    Scale shape (reworked per round-5 verdict #8, then re-profiled):
+    the exploded gram stream is hashed to a 60-bit int immediately,
+    so the one WIDE shuffle left (the document-frequency aggregate)
+    moves 8-byte keys, never gram strings. Three plan changes, each
+    measured on the 10x grid:
+    (1) the old instance-vs-df equi-join (a second full-stream
+        shuffle) is gone — the denominator is a map-side partial
+        count and the numerator a semi-join against the MINORITY
+        df>1 gram set, which AQE broadcasts (Zipf head grams that
+        survive the filter hit a skew-immune broadcast probe):
+        117.9 -> 46.1 s;
+    (2) "df>1" is min(doc_id) != max(doc_id) — full map-side
+        combine, vs count_distinct's two-phase expand;
+    (3) the hashed instance stream is PERSISTED (thread-scoped
+        lifecycle slot): profiling showed the interpreted HOF
+        shingling, paid once per consumer, dominated everything —
+        caching it collapsed the 10x point 46.1 -> 2.6 s (and sf0.1
+        5.9 -> 1.0 s). At 100 TB the same staging is a DISK_ONLY
+        persist or a written shard, but the pay-shingling-once rule
+        is identical. The share is one exact-integer division."""
+    from streamz_postgres_spark.lifecycle import persist_scoped
+
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     inst = d.select(
         "doc_id",
         "source",
@@ -90,10 +100,20 @@ def q_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         hash60(F.concat(F.col("gram"), F.lit(_COV_SALT))).alias("gh"),
     )
+    # the hashed instance stream feeds THREE consumers (df aggregate,
+    # per-source totals, semi-join probe); persisting it pays the
+    # interpreted HOF shingling + md5 exactly once instead of three
+    # times — the dominant cost at 10x (thread-scoped lifecycle slot,
+    # released on the next invocation)
+    persist_scoped("q_ngram_coverage", inst)
+    # "df > 1" needs no distinct COUNT: a gram spans >=2 distinct
+    # docs iff min(doc_id) != max(doc_id) over its instances — a
+    # single min/max aggregate with full map-side combine, vs
+    # count_distinct's two-phase (gh, doc_id)-then-(gh) shuffle pair
     dup_grams = (
         inst.groupBy("gh")
-        .agg(F.count_distinct("doc_id").alias("n_docs_with_gram"))
-        .filter(F.col("n_docs_with_gram") > 1)
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .filter(F.col("lo") != F.col("hi"))
         .select("gh")
     )
     totals = inst.groupBy("source").agg(

@@ -123,7 +123,9 @@ def test_cached_queries_are_reinvocable(spark):
 
     _load_all()
     for key in ("q_zip_seq", "q_dedup_minhash", "q_dedup_clusters",
-                "q_stream_file_sink"):
+                "q_stream_file_sink", "q_ngram_coverage",
+                "q_minhash_estimate", "q_dedup_incremental",
+                "q_cooccurrence_lift"):
         fn = REGISTRY[key].spark_fn
         first = fn(spark, SF_DIR)
         rows1 = sorted(map(tuple, first.collect()))
