@@ -781,3 +781,129 @@ def q_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("grp_size").alias("min_group_size"),
         F.max("grp_size").alias("max_group_size"),
     )
+
+
+# -- data-driven mixture rebalance (downsample to the smallest source) -------
+
+_REBAL_SALT = "#rebal"
+
+
+@register(
+    "q_mixture_rebalance",
+    oracle=f"""
+WITH counts AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_before FROM documents
+  GROUP BY source
+),
+target AS (SELECT MIN(n_before) AS n_target FROM counts),
+kept AS (
+  SELECT d.source,
+         CASE WHEN ({sql_hash60(f"CAST(doc_id AS VARCHAR) || '{_REBAL_SALT}'")}
+                    % c.n_before) < t.n_target
+              THEN 1 ELSE 0 END AS keep
+  FROM documents d
+  JOIN counts c ON c.source = d.source
+  CROSS JOIN target t
+)
+SELECT k.source,
+       c.n_before,
+       CAST(SUM(k.keep) AS BIGINT) AS n_kept,
+       CAST(SUM(k.keep) AS DOUBLE) / c.n_before AS keep_share
+FROM kept k JOIN counts c ON c.source = k.source
+GROUP BY k.source, c.n_before
+ORDER BY k.source
+""",
+    tags=("pipeline", "sampling", "corpus"),
+)
+def q_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-DRIVEN mixture rebalancing — the production form
+    q_domain_mix's docstring promises: instead of compiled-in rates,
+    the per-source acceptance is computed FROM the observed counts
+    (here: downsample every source toward the smallest source's
+    volume, the uniform-mixture spec; any target-share vector is the
+    same plan with different arithmetic). The keep rule is pure
+    integer hashing — keep iff hash60(doc#salt) mod n_source <
+    n_target — deterministic, rerun-stable, and exactly
+    value-checkable (no float acceptance thresholds). Plan shape:
+    one count aggregate (O(sources) rows) broadcast-joined back onto
+    the scan, then a map-only Bernoulli pass — the corpus is read
+    once and never shuffled, at any scale. The read-out is the
+    per-source before/kept audit."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_before")
+    )
+    target = counts.agg(F.min("n_before").alias("n_target"))
+    h = hash60(
+        F.concat(F.col("doc_id").cast("string"), F.lit(_REBAL_SALT))
+    )
+    keep = F.when(
+        (h % F.col("n_before")) < F.col("n_target"), 1
+    ).otherwise(0)
+    return (
+        d.join(F.broadcast(counts), "source")
+        .crossJoin(F.broadcast(target))
+        .select("source", "n_before", keep.alias("keep"))
+        .groupBy("source", "n_before")
+        .agg(
+            F.sum("keep").cast("bigint").alias("n_kept"),
+            (F.sum("keep").cast("double") / F.col("n_before")).alias(
+                "keep_share"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# -- leakage-safe group-aware split ------------------------------------------
+
+_GSPLIT_SALT = "#gsplit"
+
+
+@register(
+    "q_group_split",
+    oracle=f"""
+WITH assigned AS (
+  SELECT doc_id, source,
+         CASE WHEN ({sql_hash60(f"source || '{_GSPLIT_SALT}'")} % 100) < 80
+                THEN 'train'
+              WHEN ({sql_hash60(f"source || '{_GSPLIT_SALT}'")} % 100) < 90
+                THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+FROM assigned
+GROUP BY split
+ORDER BY split
+""",
+    tags=("pipeline", "sampling"),
+)
+def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-AWARE train/val/test split: the split key is the hash
+    of the GROUP (source/domain), not the document — every document
+    of a source lands in the same split, so near-duplicates and
+    templated siblings within a domain can never straddle the
+    train/test boundary (the leakage mode a per-doc split like
+    q_train_split cannot prevent, and the reason eval suites split
+    by URL domain). Same salted-hash determinism as every sampling
+    op: rerun-, partitioning-, and engine-stable, map-only, no
+    shuffle before the audit aggregate. Read-out: per-split doc and
+    DISTINCT-source counts (sources are provably disjoint across
+    splits because the assignment is a function of the source)."""
+    d = load_table(spark, sf_dir, "documents")
+    h = hash60(F.concat(F.col("source"), F.lit(_GSPLIT_SALT))) % 100
+    split = (
+        F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "source")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count_distinct("source").cast("bigint").alias("n_sources"),
+        )
+        .orderBy("split")
+    )

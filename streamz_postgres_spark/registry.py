@@ -328,6 +328,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_corpus_drift",
     "q_dedup_incremental",
     "q_stream_decay_score",
+    "q_mixture_rebalance",
+    "q_group_split",
     # r5-window keys -- freshest driver evidence (CORRECTNESS_r05
     # 50/50 green), re-checked last:
     "q_dedup_cluster_stats",
