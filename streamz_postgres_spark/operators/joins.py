@@ -948,3 +948,56 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q_asof_sql",
+    oracle="""
+WITH clicks AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+), purch AS (
+  SELECT user_id, ts, arg_max(value, event_id) AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, ts
+)
+SELECT c.event_id, c.user_id, c.ts, c.value,
+       p.ts AS asof_ts, p.purchase_value
+FROM clicks c
+ASOF LEFT JOIN purch p ON c.user_id = p.user_id AND c.ts >= p.ts
+""",
+    tags=("join", "time", "asof", "sql"),
+)
+def q_asof_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASOF JOIN in SQL SYNTAX — the ergonomics gap SURVEY §4.3
+    deferred, closed by streamz_postgres_spark.sqlext: the query
+    below is written with the same ASOF LEFT JOIN spelling DuckDB/
+    QuestDB/Snowflake users know, and the preprocessor lowers it
+    onto the library asof_join plan (union + last-ignoreNulls
+    window, one shuffle). Semantics and output are identical to
+    q_asof_join — which is exactly what the shared DuckDB native
+    ASOF LEFT JOIN oracle checks."""
+    import uuid as _uuid
+
+    from streamz_postgres_spark import sqlext
+
+    e = load_table(spark, sf_dir, "events")
+    tag = _uuid.uuid4().hex[:8]
+    cv, pv = f"clicks_{tag}", f"purch_{tag}"
+    e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    ).createOrReplaceTempView(cv)
+    (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("purchase_value"))
+        .createOrReplaceTempView(pv)
+    )
+    return sqlext.sql(
+        spark,
+        f"""
+        SELECT c.event_id, c.user_id, c.ts, c.value,
+               c.asof_ts, p.purchase_value
+        FROM {cv} c ASOF LEFT JOIN {pv} p
+          ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
+    )

@@ -330,6 +330,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_stream_decay_score",
     "q_mixture_rebalance",
     "q_group_split",
+    "q_asof_sql",
     # r5-window keys -- freshest driver evidence (CORRECTNESS_r05
     # 50/50 green), re-checked last:
     "q_dedup_cluster_stats",

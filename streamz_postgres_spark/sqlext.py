@@ -1,0 +1,135 @@
+"""ASOF JOIN syntax for Spark SQL — the one ergonomics gap SURVEY
+§4.3 deferred (Spark has no ASOF keyword; DuckDB, QuestDB, and
+Snowflake do). The capability itself has always been covered by
+``operators.joins.asof_join``; this module adds the SQL spelling on
+top of it with a deliberately BOUNDED grammar, lowered onto the same
+library plan (union + last-ignoreNulls window — ONE shuffle, no
+range-expansion candidate blowup; see the asof_join docstring).
+
+Supported grammar (one ASOF join per query)::
+
+    SELECT <projections>
+    FROM <left_table> <la> ASOF [LEFT] JOIN <right_table> <ra>
+      ON <la>.<key> = <ra>.<key> AND <la>.<lts> >= <ra>.<rts>
+    [<trailing clauses>]
+
+- ``left_table`` / ``right_table`` must be resolvable via
+  ``spark.table`` (tables or registered temp views; CTEs are NOT
+  supported — register a view instead, the error says so).
+- Both aliases are required, the equality must come first, and the
+  time bound must be ``left >= right`` (backward as-of). Anything
+  outside the grammar raises ``ValueError`` with the reason — this
+  is a syntax adapter, not a SQL parser, and it refuses rather than
+  guesses.
+
+Lowering: the two sides are joined with :func:`asof_join` (all
+non-key/non-ts right columns become right_values; the right
+timestamp surfaces as ``asof_ts``), the result is registered under a
+unique temp view, the ASOF clause is replaced by that view, and the
+alias qualifiers are rewritten (``la.x`` -> ``x``; ``ra.rts`` ->
+``asof_ts``) so the surrounding SELECT works unchanged. Output
+column names therefore match the library function exactly, which is
+what keeps q_asof_sql value-checkable against DuckDB's native
+``ASOF LEFT JOIN``.
+"""
+
+from __future__ import annotations
+
+import re
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from streamz_postgres_spark.operators.joins import asof_join
+
+_ASOF_RE = re.compile(
+    r"""FROM\s+(?P<lt>\w+)\s+(?P<la>\w+)\s+
+        ASOF\s+(?P<left>LEFT\s+)?JOIN\s+(?P<rt>\w+)\s+(?P<ra>\w+)\s+
+        ON\s+(?P<ka>\w+)\.(?P<lk>\w+)\s*=\s*(?P<kb>\w+)\.(?P<rk>\w+)\s+
+        AND\s+(?P<ta>\w+)\.(?P<lts>\w+)\s*>=\s*(?P<tb>\w+)\.(?P<rts>\w+)""",
+    re.IGNORECASE | re.VERBOSE,
+)
+
+#: temp views registered by the most recent sql() call on this
+#: thread (dropped on the next call — the returned DataFrame is lazy
+#: and must outlive this invocation)
+_VIEW_SLOTS: dict = {}
+
+
+def sql(spark: SparkSession, query: str) -> DataFrame:
+    """Run ``query``, lowering one ASOF [LEFT] JOIN clause onto the
+    library as-of join (see module docstring for the grammar)."""
+    import threading
+
+    matches = list(_ASOF_RE.finditer(query))
+    if not matches:
+        if re.search(r"\bASOF\b", query, re.IGNORECASE):
+            raise ValueError(
+                "ASOF present but the clause does not match the supported "
+                "grammar: FROM <t> <a> ASOF [LEFT] JOIN <t> <a> ON "
+                "<a>.<k> = <a>.<k> AND <a>.<ts> >= <a>.<ts> "
+                "(tables must be named views — register CTE bodies as "
+                "temp views first)"
+            )
+        return spark.sql(query)
+    if len(matches) > 1:
+        raise ValueError("only one ASOF JOIN per query is supported")
+    m = matches[0]
+    la, ra = m.group("la"), m.group("ra")
+    # both halves of each predicate must use the declared aliases
+    if {m.group("ka"), m.group("kb")} != {la, ra} or {
+        m.group("ta"),
+        m.group("tb"),
+    } != {la, ra}:
+        raise ValueError(
+            "ON predicates must reference the two declared aliases"
+        )
+    # normalize predicate sides to (left, right)
+    lk = m.group("lk") if m.group("ka") == la else m.group("rk")
+    rk = m.group("rk") if m.group("kb") == ra else m.group("lk")
+    if m.group("ta") != la:
+        raise ValueError(
+            "the time bound must be <left_alias>.<ts> >= <right_alias>.<ts> "
+            "(backward as-of); use the forward variant via the library API"
+        )
+    lts, rts = m.group("lts"), m.group("rts")
+    try:
+        left = spark.table(m.group("lt"))
+        right = spark.table(m.group("rt"))
+    except Exception as e:  # noqa: BLE001
+        raise ValueError(
+            f"ASOF sides must be resolvable tables/views: {e}"
+        ) from None
+
+    right_in = right
+    if rk != lk:
+        right_in = right.withColumnRenamed(rk, lk)
+    right_values = [
+        c for c in right_in.columns if c not in (lk, rts)
+    ]
+    joined = asof_join(
+        left,
+        right_in,
+        on=lk,
+        left_ts=lts,
+        right_ts=rts,
+        right_values=right_values,
+        how="left" if m.group("left") else "inner",
+    )
+
+    view = f"__asof_{uuid.uuid4().hex[:12]}"
+    slot = threading.get_ident()
+    for old in _VIEW_SLOTS.pop(slot, []):
+        spark.catalog.dropTempView(old)
+    joined.createOrReplaceTempView(view)
+    _VIEW_SLOTS[slot] = [view]
+
+    rewritten = query[: m.start()] + f"FROM {view}" + query[m.end() :]
+    # right-alias refs: the right ts surfaces as asof_ts; everything
+    # else keeps its name. Left-alias refs keep their names.
+    rewritten = re.sub(
+        rf"\b{ra}\.{rts}\b", "asof_ts", rewritten
+    )
+    rewritten = re.sub(rf"\b{ra}\.", "", rewritten)
+    rewritten = re.sub(rf"\b{la}\.", "", rewritten)
+    return spark.sql(rewritten)

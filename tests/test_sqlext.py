@@ -1,0 +1,112 @@
+"""ASOF JOIN SQL-syntax adapter (streamz_postgres_spark.sqlext):
+grammar acceptance, lowering equivalence with the library asof_join,
+inner-vs-left semantics, key-rename alignment, and loud refusal of
+everything outside the bounded grammar."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from streamz_postgres_spark import sqlext
+from streamz_postgres_spark.operators.joins import asof_join
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture()
+def views(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00"), "a"),
+            (1, _ts("2024-01-01T12:00"), "b"),
+            (2, _ts("2024-01-01T08:00"), "early"),
+        ],
+        "k int, ts timestamp_ntz, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T09:00"), 10.0),
+            (1, _ts("2024-01-01T11:00"), 20.0),
+            (2, _ts("2024-01-01T11:00"), 30.0),
+        ],
+        "rk int, rts timestamp_ntz, v double",
+    )
+    left.createOrReplaceTempView("sqlext_left")
+    right.createOrReplaceTempView("sqlext_right")
+    return left, right
+
+
+def test_asof_left_join_matches_library(spark, views):
+    left, right = views
+    got = sqlext.sql(
+        spark,
+        """SELECT l.k, l.tag, r.rts AS asof_ts, r.v
+           FROM sqlext_left l ASOF LEFT JOIN sqlext_right r
+             ON l.k = r.rk AND l.ts >= r.rts""",
+    )
+    want = asof_join(
+        left,
+        right.withColumnRenamed("rk", "k"),
+        on="k",
+        left_ts="ts",
+        right_ts="rts",
+        right_values=["v"],
+        how="left",
+    ).select("k", "tag", "asof_ts", "v")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # left semantics: the unmatched row (k=2, ts before any right row)
+    # survives with nulls
+    rows = {r.tag: r.v for r in got.collect()}
+    assert rows["early"] is None and rows["a"] == 10.0 and rows["b"] == 20.0
+
+
+def test_asof_inner_join_drops_unmatched(spark, views):
+    got = sqlext.sql(
+        spark,
+        """SELECT l.tag, r.v
+           FROM sqlext_left l ASOF JOIN sqlext_right r
+             ON l.k = r.rk AND l.ts >= r.rts""",
+    )
+    assert {r.tag for r in got.collect()} == {"a", "b"}
+
+
+def test_plain_sql_passes_through(spark, views):
+    got = sqlext.sql(spark, "SELECT COUNT(*) AS n FROM sqlext_left")
+    assert got.collect()[0].n == 3
+
+
+def test_rejects_outside_grammar(spark, views):
+    with pytest.raises(ValueError, match="grammar"):
+        # missing alias on the right side
+        sqlext.sql(
+            spark,
+            "SELECT 1 FROM sqlext_left l ASOF JOIN sqlext_right "
+            "ON l.k = r.rk AND l.ts >= r.rts",
+        )
+    with pytest.raises(ValueError, match="backward"):
+        # forward time bound is library-API-only
+        sqlext.sql(
+            spark,
+            """SELECT l.tag FROM sqlext_left l ASOF JOIN sqlext_right r
+               ON l.k = r.rk AND r.rts >= l.ts""",
+        )
+    with pytest.raises(ValueError, match="one ASOF"):
+        sqlext.sql(
+            spark,
+            """SELECT 1 FROM a x ASOF JOIN b y ON x.k = y.k AND x.t >= y.t
+               JOIN (SELECT 1) z
+               WHERE EXISTS (SELECT 1 FROM c u ASOF JOIN d w
+                             ON u.k = w.k AND u.t >= w.t)""",
+        )
+    with pytest.raises(ValueError, match="resolvable"):
+        sqlext.sql(
+            spark,
+            """SELECT l.tag FROM no_such_view l ASOF JOIN sqlext_right r
+               ON l.k = r.rk AND l.ts >= r.rts""",
+        )
