@@ -331,6 +331,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_mixture_rebalance",
     "q_group_split",
     "q_asof_sql",
+    "q_stream_mixture_guard",
     # r5-window keys -- freshest driver evidence (CORRECTNESS_r05
     # 50/50 green), re-checked last:
     "q_dedup_cluster_stats",

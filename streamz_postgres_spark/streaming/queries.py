@@ -2879,3 +2879,75 @@ def q_stream_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_table(agg, "complete", spark)
+
+
+# -- live mixture guard (domain shares vs spec, at ingestion time) -----------
+
+#: relative drift tolerance: alert when a source's live share is
+#: more than 25% away from the uniform target share
+_MIX_GUARD_TOL_PCT = 25
+
+
+@register(
+    "q_stream_mixture_guard",
+    oracle=f"""
+WITH counts AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+  GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS total,
+         CAST(COUNT(*) AS BIGINT) AS n_sources
+  FROM counts
+)
+SELECT c.source, c.n_docs,
+       CAST(c.n_docs AS DOUBLE) / t.total AS share,
+       CAST(1 AS DOUBLE) / t.n_sources AS target_share,
+       CAST(CASE WHEN ABS(c.n_docs * t.n_sources * 100
+                          - t.total * 100)
+                      > t.total * {_MIX_GUARD_TOL_PCT}
+                 THEN 1 ELSE 0 END AS INTEGER) AS drift_alert
+FROM counts c CROSS JOIN tot t
+ORDER BY c.source
+""",
+    tags=("streaming", "corpus", "pipeline", "monitoring"),
+)
+def q_stream_mixture_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE mixture guard: as corpus documents stream in, maintain
+    per-source counts (complete-mode agg — one BIGINT of state per
+    source) and flag any source whose live share has drifted more
+    than 25% relative from the uniform target — the "is the
+    crawler suddenly 80% one domain" alarm that pairs with the batch
+    rebalancer (q_mixture_rebalance fixes the mixture; this guard
+    notices it breaking, before the batch job runs). The drift test
+    is PURE INTEGER arithmetic (|n*K*100 - total*100| > total*tol —
+    no float threshold comparison can flap across engines); the
+    share columns are single divisions of exact integers, read-side
+    only."""
+    src = _streaming_documents(spark, sf_dir)
+    agg = src.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    tbl = run_to_table(agg, "complete", spark)
+    tot = tbl.agg(
+        F.sum("n_docs").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+    )
+    drift = (
+        F.abs(
+            F.col("n_docs") * F.col("n_sources") * 100
+            - F.col("total") * 100
+        )
+        > F.col("total") * _MIX_GUARD_TOL_PCT
+    )
+    return (
+        tbl.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            (F.col("n_docs").cast("double") / F.col("total")).alias("share"),
+            (F.lit(1.0) / F.col("n_sources")).alias("target_share"),
+            drift.cast("int").alias("drift_alert"),
+        )
+        .orderBy("source")
+    )
