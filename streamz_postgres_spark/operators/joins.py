@@ -1001,3 +1001,85 @@ def q_asof_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
           ON c.user_id = p.user_id AND c.ts >= p.ts
         """,
     )
+
+
+@register(
+    "q_scd2_pointintime",
+    oracle="""
+WITH ch AS (
+  SELECT user_id, event_id AS seq, value AS val,
+         CASE WHEN event_id % 10 = 0 THEN 'd' ELSE 'u' END AS op,
+         lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id)
+           AS next_seq
+  FROM events
+),
+versions AS (
+  SELECT user_id, seq AS valid_from_seq, next_seq AS valid_to_seq,
+         val AS dim_value
+  FROM ch WHERE op <> 'd'
+),
+facts AS (
+  SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase'
+)
+SELECT f.event_id, f.user_id, f.value,
+       v.valid_from_seq, v.dim_value
+FROM facts f
+LEFT JOIN versions v
+  ON v.user_id = f.user_id
+ AND v.valid_from_seq <= f.event_id
+ AND (v.valid_to_seq IS NULL OR f.event_id < v.valid_to_seq)
+""",
+    tags=("join", "time", "scd2", "cdc"),
+)
+def q_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME join against an SCD2 history — the query side of
+    the SCD2 story (q_cdc_scd2 / q_stream_scd2 BUILD the history;
+    every warehouse then joins facts to the version valid AT the
+    fact's time). Each purchase fact picks up the dimension version
+    whose [valid_from, valid_to) interval contains its sequence
+    number.
+
+    Spark-first plan: NOT a range join — an as-of join on valid_from
+    (union + last-ignoreNulls window, one shuffle on the key, no
+    interval-expansion candidates) followed by a codegen null-out of
+    versions already closed at the fact's seq (a fact inside a
+    deleted gap gets NULLs, exactly like the interval predicate).
+    This as-of-plus-validity-check rewrite is the 100 TB form of any
+    point-in-time join: the validity intervals per key are disjoint
+    and ordered, so 'latest start at-or-before, then check the end'
+    is equivalent to the interval containment the oracle states
+    directly."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    versions = (
+        e.withColumn("next_seq", F.lead("event_id").over(w))
+        .filter(F.col("event_id") % 10 != 0)
+        .select(
+            "user_id",
+            F.col("event_id").alias("valid_from_seq"),
+            F.col("next_seq").alias("valid_to_seq"),
+            F.col("value").alias("dim_value"),
+        )
+    )
+    facts = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "value"
+    )
+    hit = asof_join(
+        facts,
+        versions,
+        on="user_id",
+        left_ts="event_id",
+        right_ts="valid_from_seq",
+        right_values=["dim_value", "valid_to_seq"],
+        how="left",
+    )
+    open_at_fact = F.col("valid_to_seq").isNull() | (
+        F.col("event_id") < F.col("valid_to_seq")
+    )
+    return hit.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.when(open_at_fact, F.col("asof_ts")).alias("valid_from_seq"),
+        F.when(open_at_fact, F.col("dim_value")).alias("dim_value"),
+    )

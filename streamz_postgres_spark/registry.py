@@ -334,6 +334,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_group_split",
     "q_asof_sql",
     "q_stream_mixture_guard",
+    "q_scd2_pointintime",
     # r5-window keys -- freshest driver evidence (CORRECTNESS_r05
     # 50/50 green), re-checked last:
     "q_dedup_cluster_stats",
