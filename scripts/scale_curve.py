@@ -40,6 +40,14 @@ N_RUNS = 3
 
 
 def main() -> None:
+    import os
+
+    # optional 4th grid point, e.g. SCALE_EXTRA=sf0.1x30=/tmp/.../sf0.1x30
+    points = list(POINTS)
+    extra = os.environ.get("SCALE_EXTRA")
+    if extra:
+        label, path = extra.split("=", 1)
+        points.append((label, path))
     keys = sys.argv[1:] or list(DEFAULT_KEYS)
     _load_all()
     spark = get_spark("scale_curve")
@@ -47,7 +55,7 @@ def main() -> None:
     for name in keys:
         fn = REGISTRY[name].spark_fn
         medians = {}
-        for label, sf_dir in POINTS:
+        for label, sf_dir in points:
             fn(spark, sf_dir).count()  # warm-up
             samples = []
             for _ in range(N_RUNS):

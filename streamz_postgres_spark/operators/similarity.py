@@ -35,6 +35,21 @@ _N_PLANES = 4
 _PROBE_VEC_ID = 0
 _TOP_K = 20
 
+
+def _vecs_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings repartitioned to the session's parallelism — the
+    embeddings twin of dedup._docs_parallel (round-6 scale-curve
+    catch): a small single-file embeddings table is ONE input split,
+    and when the blocked pairwise join broadcasts, every per-block
+    cosine lands in that ONE probe task — the 10x replica measured
+    3x SLOWER than the 30x replica because the latter's file size
+    tipped the join into a 32-way shuffle while the former serialized
+    ~54M dot products onto one core. One cheap re-split buys full
+    parallelism for the compute-heavy probe stage; at 100 TB inputs
+    are already many splits and this is a no-op choice."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+
 # IVF: 8 cells seeded from fixed vec_ids (the "trained" centroids —
 # at scale these come from a k-means|| sample job, written to a tiny
 # broadcast table exactly like this one); probe scans nprobe cells.
@@ -114,8 +129,10 @@ def blocked_cosine_pairs(
     The label is the blocking key (IVF-cell stand-in): the join is an
     equi join on label, never an unblocked cross join. Shared by
     q_sim_pairs and q_dedup_embed (same pipeline, different
-    thresholds)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    thresholds). The probe side is re-split first (_vecs_parallel) so
+    a single-file input cannot serialize the per-block cosines onto
+    one task."""
+    e = _vecs_parallel(spark, sf_dir)
     v = e.select(
         "vec_id", "label", F.col("embedding").alias("e"),
         l2_norm(F.col("embedding")).alias("nrm"),
@@ -679,8 +696,10 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over the block pairs with a deterministic (cosine,
     neighbor-id) tie-break. At 100 TB the block assignment comes
     from the learned IVF codebook (q_sim_ann_ivf) and k stays small,
-    so shuffle volume is O(corpus x k) edges out."""
-    e = load_table(spark, sf_dir, "embeddings")
+    so shuffle volume is O(corpus x k) edges out. Probe side re-split
+    first (_vecs_parallel) — single-file inputs must not serialize
+    the per-block cosines onto one task."""
+    e = _vecs_parallel(spark, sf_dir)
     v = e.select(
         "vec_id", "label", F.col("embedding").alias("e"),
         l2_norm(F.col("embedding")).alias("nrm"),

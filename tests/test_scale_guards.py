@@ -230,3 +230,19 @@ def test_bucketed_join_is_exchange_free(spark):
     assert "SortMergeJoin" in plan
     assert plan.count("Exchange") == 1, plan
     assert plan.count("Bucketed: true") == 2, plan
+
+
+def test_pairwise_embedding_plans_resplit_single_file_inputs(spark):
+    """Round-6 scale-curve catch: a small single-file embeddings
+    table is ONE input split, and when the blocked pairwise join
+    broadcasts, every per-block cosine serializes onto that one probe
+    task (measured: the 10x replica ran 3x SLOWER than the 30x one,
+    whose file size happened to tip the join into a shuffle). The
+    pairwise operators must therefore re-split the probe side before
+    the join — visible as a vec_id hash exchange in the plan."""
+    # q_dedup_clusters shares the same pairs pipeline but its CC
+    # fixpoint localCheckpoints away the lineage, so the pairs plan
+    # is asserted through q_dedup_embed instead
+    for key in ("q_dedup_embed", "q_knn_graph", "q_sim_pairs"):
+        plan = _plan(spark, key)
+        assert "hashpartitioning(vec_id" in plan, key
