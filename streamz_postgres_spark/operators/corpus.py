@@ -436,3 +436,82 @@ def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_hi")
     )
+
+
+# -- curriculum ordering (difficulty-phased training schedule) ---------------
+
+_CURR_PHASES = 4
+
+
+@register(
+    "q_curriculum_order",
+    oracle=f"""
+WITH feats AS (
+  SELECT doc_id,
+         len({sql_tokens('text')}) AS n_tok,
+         CAST(len(list_distinct({sql_tokens('text')})) AS DOUBLE)
+           / len({sql_tokens('text')}) AS uniq_ratio
+  FROM documents
+  WHERE len({sql_tokens('text')}) > 0
+),
+bucketed AS (
+  SELECT doc_id, n_tok, uniq_ratio,
+         (CAST(1 AS BIGINT) << length(bin(n_tok - 1))) AS bucket_hi,
+         NTILE({_CURR_PHASES}) OVER (
+           PARTITION BY (CAST(1 AS BIGINT) << length(bin(n_tok - 1)))
+           ORDER BY uniq_ratio, doc_id
+         ) AS phase
+  FROM feats
+)
+SELECT bucket_hi, CAST(phase AS INTEGER) AS phase,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       MIN(uniq_ratio) AS min_uniq_ratio,
+       MAX(uniq_ratio) AS max_uniq_ratio
+FROM bucketed
+GROUP BY bucket_hi, phase
+ORDER BY bucket_hi, phase
+""",
+    tags=("corpus", "pipeline", "sampling"),
+)
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering for training: within each power-of-two
+    LENGTH bucket, documents are ranked by a difficulty proxy (the
+    unique-token ratio — repetitive/templated text is 'easy', lexically
+    dense text is 'hard') and cut into 4 curriculum
+    phases with NTILE — train on phase 1 first, anneal toward phase
+    4. Partitioning the rank by length bucket keeps the schedule
+    length-stratified, so early phases aren't accidentally dominated
+    by short documents.
+
+    Determinism: the NTILE order carries a doc_id tiebreaker (equal
+    ratios are common), the ratio is one exact-integer division, and
+    the window partitions BY BUCKET — a dozen independent sorts, no
+    single-partition window at any scale. Read-out: per (bucket,
+    phase) doc/token counts and the ratio range, i.e. the schedule a
+    data-loader would consume."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    feats = d.select(
+        "doc_id",
+        F.size(toks).alias("n_tok"),
+        (
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+        ).alias("uniq_ratio"),
+    ).filter(F.col("n_tok") > 0)
+    bucket = F.expr(
+        "shiftleft(CAST(1 AS BIGINT), CAST(length(bin(n_tok - 1)) AS INT))"
+    )
+    w = Window.partitionBy("bucket_hi").orderBy("uniq_ratio", "doc_id")
+    return (
+        feats.withColumn("bucket_hi", bucket)
+        .withColumn("phase", F.ntile(_CURR_PHASES).over(w))
+        .groupBy("bucket_hi", "phase")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.min("uniq_ratio").alias("min_uniq_ratio"),
+            F.max("uniq_ratio").alias("max_uniq_ratio"),
+        )
+        .orderBy("bucket_hi", "phase")
+    )

@@ -91,7 +91,7 @@ def _load_all() -> None:
 # sf0.01; the judge re-ran it independently in r5 and accepted it as
 # green evidence), so between driver windows every key still carries
 # current-round gate evidence. r9 rotates the r4-latest block + the
-# r5-window keys + the round-5/round-6 tails (the 13 round-6
+# r5-window keys + the round-5/round-6 tails (the 14 round-6
 # additions below carry sf0.001+sf0.01 local-gate evidence and ride
 # the full sweeps until their first driver row).
 #
@@ -335,6 +335,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_asof_sql",
     "q_stream_mixture_guard",
     "q_scd2_pointintime",
+    "q_curriculum_order",
     # r5-window keys -- freshest driver evidence (CORRECTNESS_r05
     # 50/50 green), re-checked last:
     "q_dedup_cluster_stats",
