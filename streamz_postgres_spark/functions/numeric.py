@@ -47,13 +47,26 @@ from pyspark.sql import functions as F
 # below 2^63/1e6 ~ 9.2e12 for the BIGINT micro-units (far above any
 # per-row value this engine aggregates; group SUMS then accumulate
 # in decimal(38,0)/HUGEINT with ~1e31 headroom).
+#
+# PRECONDITION (round-6 advisor): inputs must be FINITE. The three
+# implementations disagree on NaN/inf — Spark's floor(NaN*1e6+0.5)
+# cast contributes NULL->0 micro-units silently, DuckDB's
+# CAST(FLOOR(NaN) AS HUGEINT) raises, and Python math.floor(nan)
+# raises ValueError inside a streaming-state fold. Every registered
+# query feeds dsum from fixture columns or arithmetic over them
+# (never a 0/0 or log(<=0) path), and the hypothesis property suite
+# generates finite doubles only. Callers introducing a new dsum site
+# with a potentially non-finite expression must null it out first
+# (F.when(isnan|isinf, None)); nulls are skipped identically by all
+# three implementations.
 _MICRO = 1e6
 
 
 def dsum(col: Column | str) -> Column:
     """Order-independent double sum, exact on any partitioning AND
     bit-identical to DuckDB's :func:`sql_dsum` (micro-unit integer
-    accumulator; see module comment for why not a decimal cast)."""
+    accumulator; see module comment for why not a decimal cast, and
+    for the FINITE-INPUT precondition shared with sql_dsum/micro6)."""
     c = F.col(col) if isinstance(col, str) else col
     micro = F.floor(c * F.lit(_MICRO) + F.lit(0.5)).cast("decimal(38,0)")
     return F.sum(micro).cast("double") / F.lit(_MICRO)
@@ -110,7 +123,9 @@ def sql_dsum(expr: str) -> str:
 def micro6(v: float):
     """Python-side mirror of the dsum quantization for hand-rolled
     streaming-state folds: the exact Decimal the engine-side
-    floor(v*1e6 + 0.5) micro-unit rule assigns to ``v``."""
+    floor(v*1e6 + 0.5) micro-unit rule assigns to ``v``. Finite
+    inputs only (math.floor raises on NaN/inf — see module
+    precondition note)."""
     import math
     from decimal import Decimal
 

@@ -38,17 +38,32 @@ _SLOTS: dict[tuple[str, int], list[DataFrame]] = {}
 _LOCK = threading.Lock()
 
 
+def _release_slot(key: str, fresh: bool) -> None:
+    """Drop (and unpersist) the slot's previous frames if ``fresh``.
+
+    Must run BEFORE the new frames are persisted: Spark's CacheManager
+    keys entries by canonicalized plan, so when invocation N+1 builds
+    a plan identical to invocation N (the common repeated-call case),
+    persisting the new frame first would be a no-op on the already
+    cached entry and the subsequent unpersist of the "previous" frame
+    would evict that shared entry — silently voiding the caching this
+    helper exists to provide (round-6 advisor finding)."""
+    if not fresh:
+        return
+    slot = (key, threading.get_ident())
+    with _LOCK:
+        prev = _SLOTS.pop(slot, [])
+    for f in prev:
+        f.unpersist()
+
+
 def _store(key: str, frames: tuple[DataFrame, ...], fresh: bool) -> None:
     slot = (key, threading.get_ident())
     with _LOCK:
         if fresh:
-            prev = _SLOTS.pop(slot, [])
             _SLOTS[slot] = list(frames)
         else:
-            prev = []
             _SLOTS.setdefault(slot, []).extend(frames)
-    for f in prev:
-        f.unpersist()
 
 
 def persist_scoped(key: str, *frames: DataFrame, fresh: bool = True) -> None:
@@ -57,7 +72,9 @@ def persist_scoped(key: str, *frames: DataFrame, fresh: bool = True) -> None:
     whatever the same slot held from a previous invocation;
     ``fresh=False`` appends to the slot (multi-stage operators that
     pin several frames across one logical invocation, e.g. zip_seq's
-    inner with_seq calls)."""
+    inner with_seq calls). Release happens before persist — see
+    :func:`_release_slot` for why the order is load-bearing."""
+    _release_slot(key, fresh)
     for f in frames:
         f.persist()
     _store(key, frames, fresh)
@@ -68,6 +85,7 @@ def track_scoped(key: str, *frames: DataFrame, fresh: bool = True) -> None:
     results, whose blocks must also outlive the returned lazy plan)
     for release on the slot's next fresh store — without calling
     ``persist`` on them."""
+    _release_slot(key, fresh)
     _store(key, frames, fresh)
 
 
@@ -75,7 +93,7 @@ def release_scoped(key: str) -> None:
     """Release the (key, current-thread) slot now — for operators
     that pin several frames via ``fresh=False`` appends and need one
     explicit drain point up front (e.g. zip_seq)."""
-    _store(key, (), fresh=True)
+    _release_slot(key, fresh=True)
 
 
 def release_all() -> None:

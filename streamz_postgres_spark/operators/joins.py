@@ -992,15 +992,23 @@ def q_asof_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max_by("value", "event_id").alias("purchase_value"))
         .createOrReplaceTempView(pv)
     )
-    return sqlext.sql(
-        spark,
-        f"""
-        SELECT c.event_id, c.user_id, c.ts, c.value,
-               c.asof_ts, p.purchase_value
-        FROM {cv} c ASOF LEFT JOIN {pv} p
-          ON c.user_id = p.user_id AND c.ts >= p.ts
-        """,
-    )
+    try:
+        # the views are needed only while the plan is ANALYZED (which
+        # happens inside sqlext.sql); dropping them immediately after
+        # keeps repeated invocations (bench loops, gate sweeps) from
+        # growing the session catalog without bound (round-6 advisor).
+        return sqlext.sql(
+            spark,
+            f"""
+            SELECT c.event_id, c.user_id, c.ts, c.value,
+                   c.asof_ts, p.purchase_value
+            FROM {cv} c ASOF LEFT JOIN {pv} p
+              ON c.user_id = p.user_id AND c.ts >= p.ts
+            """,
+        )
+    finally:
+        spark.catalog.dropTempView(cv)
+        spark.catalog.dropTempView(pv)
 
 
 @register(

@@ -890,12 +890,12 @@ _DECAY_MAX_K = 62
     oracle=f"""
 WITH aged AS (
   SELECT user_id, value,
-         LEAST(date_diff('second', TIMESTAMP '{_DECAY_EPOCH}',
+         GREATEST(LEAST(date_diff('second', TIMESTAMP '{_DECAY_EPOCH}',
                          TIMESTAMP '{_DECAY_ANCHOR}')
                // 86400
                - date_diff('second', TIMESTAMP '{_DECAY_EPOCH}', ts)
                // 86400,
-               {_DECAY_MAX_K}) AS k
+               {_DECAY_MAX_K}), 0) AS k
   FROM events
 )
 SELECT user_id,
@@ -926,9 +926,17 @@ def q_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"timestampdiff(SECOND, TIMESTAMP_NTZ '{_DECAY_EPOCH}', "
         f"TIMESTAMP_NTZ '{_DECAY_ANCHOR}')"
     )
-    k = F.least(
-        (anchor_es / 86400).cast("bigint") - (es / 86400).cast("bigint"),
-        F.lit(_DECAY_MAX_K),
+    # clamp BOTH ways (round-6 advisor): k > 62 would shift past
+    # BIGINT, and k < 0 (an event after the anchor, i.e. late/future
+    # data) would hit Spark's masked shift count (k & 63) while
+    # DuckDB's << does not mask — clamping to [0, 62] makes late data
+    # degrade to undecayed weight identically on both engines.
+    k = F.greatest(
+        F.least(
+            (anchor_es / 86400).cast("bigint") - (es / 86400).cast("bigint"),
+            F.lit(_DECAY_MAX_K),
+        ),
+        F.lit(0),
     )
     e = load_table(spark, sf_dir, "events")
     decayed = F.col("value") / F.expr(

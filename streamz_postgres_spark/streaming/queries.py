@@ -2466,11 +2466,17 @@ def q_stream_enrich_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: dyadic pre-scale for the log2 histogram: value*64 is EXACT (a
 #: power-of-two multiply never rounds), so the bucket id is a pure
-#: integer function of the input on both engines.
+#: integer function of the input on both engines. The GREATEST clamp
+#: is load-bearing (round-6 advisor): a negative input would make
+#: bin() of a negative BIGINT a 64-char string, and Spark's shiftleft
+#: masks the shift count (64 & 63 = 0) while DuckDB's << does not —
+#: a silent cross-engine divergence. Clamping to 0 routes all
+#: negative values into the lowest bucket identically on both sides.
 _QSKETCH_SCALE = 64
 _QSKETCH_BUCKET = (
     "shiftleft(CAST(1 AS BIGINT), "
-    f"CAST(length(bin(CAST(FLOOR(value * {_QSKETCH_SCALE}) AS BIGINT))) AS INT))"
+    "CAST(length(bin(CAST(FLOOR(GREATEST(value, 0.0) * "
+    f"{_QSKETCH_SCALE}) AS BIGINT))) AS INT))"
 )
 
 
@@ -2480,7 +2486,7 @@ _QSKETCH_BUCKET = (
 WITH b AS (
   SELECT event_type,
          (CAST(1 AS BIGINT) << length(bin(
-            CAST(FLOOR(value * {_QSKETCH_SCALE}) AS BIGINT)))) AS bucket_hi,
+            CAST(FLOOR(GREATEST(value, 0.0) * {_QSKETCH_SCALE}) AS BIGINT)))) AS bucket_hi,
          COUNT(*) AS n
   FROM events
   GROUP BY event_type, bucket_hi
@@ -2862,9 +2868,14 @@ def q_stream_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"timestampdiff(SECOND, TIMESTAMP_NTZ '{_DECAY_EPOCH}', "
         f"TIMESTAMP_NTZ '{_DECAY_ANCHOR}')"
     )
-    k = F.least(
-        (anchor_es / 86400).cast("bigint") - (es / 86400).cast("bigint"),
-        F.lit(_DECAY_MAX_K),
+    # [0, 62] clamp mirrors the batch twin (round-6 advisor): late
+    # data past the anchor must not hit Spark's masked shift count.
+    k = F.greatest(
+        F.least(
+            (anchor_es / 86400).cast("bigint") - (es / 86400).cast("bigint"),
+            F.lit(_DECAY_MAX_K),
+        ),
+        F.lit(0),
     )
     decayed = F.col("value") / F.expr(
         "CAST(shiftleft(CAST(1 AS BIGINT), CAST(k AS INT)) AS DOUBLE)"

@@ -182,3 +182,36 @@ def test_lifecycle_slots_are_thread_scoped():
     lifecycle.release_scoped("op")
     assert not a2.persisted and not a3.persisted
     lifecycle.release_all()
+
+
+def test_lifecycle_releases_before_persisting():
+    """ADVICE r6: Spark's CacheManager keys cache entries by
+    canonicalized plan, so when invocation N+1 builds a plan identical
+    to invocation N, persisting the new frame first is a no-op on the
+    already-cached entry and the subsequent unpersist of the previous
+    frame evicts that SHARED entry. The helper must therefore release
+    the previous slot's frames BEFORE persisting the new ones. Model
+    the shared entry with an event log and assert the order."""
+    from streamz_postgres_spark import lifecycle
+
+    events: list[str] = []
+
+    class LoggingFrame:
+        def __init__(self, tag):
+            self.tag = tag
+
+        def persist(self):
+            events.append(f"persist:{self.tag}")
+            return self
+
+        def unpersist(self):
+            events.append(f"unpersist:{self.tag}")
+            return self
+
+    lifecycle.persist_scoped("op_order", LoggingFrame("n1"))
+    lifecycle.persist_scoped("op_order", LoggingFrame("n2"))
+    assert events == ["persist:n1", "unpersist:n1", "persist:n2"], (
+        "previous frames must be unpersisted before the new persist "
+        f"(got {events})"
+    )
+    lifecycle.release_all()
