@@ -1,0 +1,994 @@
+"""Custom stateful streaming operators: transformWithState processors
+and applyInPandasWithState folds (split from streaming/queries.py in
+round 7 — registry keys unchanged).
+
+The transformWithStateInPandas queries register only when a protobuf
+runtime is importable (see _protobuf_available / GATED_KEYS in the
+registry); _tws_environment pins the worker environment all five TWS
+queries share.
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+from decimal import ROUND_HALF_EVEN, Decimal
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from streamz_postgres_spark.catalog import load_table
+from streamz_postgres_spark.functions.numeric import micro6, sql_dsum
+from streamz_postgres_spark.registry import register
+from streamz_postgres_spark.streaming.runner import replay_events, run_to_table
+
+
+class _UserTotalsProcessor:
+    """transformWithState processor: per-key (count, exact decimal
+    sum) in a ValueState, emitting the updated totals per batch —
+    the Spark 4 successor to applyInPandasWithState and the richest
+    analogue of streamz ``accumulate`` (typed state, timers, TTL)."""
+
+    def init(self, handle) -> None:
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        # first point our code runs inside the worker: make the pb2
+        # runtime importable before any state-server call needs it
+        from streamz_postgres_spark.protobuf_shim import install
+
+        install()
+        self._state = handle.getValueState(
+            "totals",
+            StructType(
+                [
+                    StructField("n", LongType()),
+                    StructField("acc", StringType()),
+                ]
+            ),
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        if self._state.exists():
+            n, acc_str = self._state.get()
+            acc = Decimal(acc_str)
+        else:
+            n, acc = 0, Decimal(0)
+        for pdf in rows:
+            for v in pdf["value"]:
+                acc += micro6(float(v))
+                n += 1
+        self._state.update((n, str(acc)))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [float(acc)]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def _protobuf_available() -> bool:
+    """transformWithStateInPandas speaks protobuf to the JVM; the
+    query registers when a runtime is importable OR alias-able from
+    the system's vendored pure-Python copy (protobuf_shim.py);
+    applyInPandasWithState covers arbitrary streaming state
+    regardless, see q_stream_accumulate."""
+    from streamz_postgres_spark.protobuf_shim import available
+
+    return available()
+
+
+@contextmanager
+def _tws_environment(spark: SparkSession) -> Iterator[None]:
+    """Scope the transformWithStateInPandas execution environment to
+    one query, shared by all five TWS queries:
+
+    - vendored protobuf runtime + this library on the WORKER
+      PYTHONPATH (``sc.environment`` is captured at UDF creation
+      inside transformWithStateInPandas, and the TWS schema-check
+      worker touches pb2 before any user code runs);
+    - the RocksDB state-store provider (TWS state uses multiple
+      column families, which only RocksDB supports; the engine
+      session pins it globally but the external driver's plain
+      session does not).
+
+    Both are restored to the caller's values on exit — unset confs
+    read via ``conf.get(key, None)`` so nothing but genuinely-unset
+    is swallowed."""
+    from streamz_postgres_spark.protobuf_shim import install, worker_pythonpath
+
+    if not install():  # pragma: no cover - registration already gated
+        raise RuntimeError("no protobuf runtime available")
+    env = spark.sparkContext.environment
+    prev = env.get("PYTHONPATH")
+    env["PYTHONPATH"] = worker_pythonpath(prev)
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming."
+        "state.RocksDBStateStoreProvider"
+    )
+    prev_provider = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key, rocksdb)
+    try:
+        yield
+    finally:
+        if prev is None:
+            env.pop("PYTHONPATH", None)
+        else:
+            env["PYTHONPATH"] = prev
+        if prev_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev_provider)
+
+
+def _latest_totals(tbl: DataFrame) -> DataFrame:
+    """Collapse an update-mode memory-sink totals table to the LAST
+    emission per user. The memory sink appends each micro-batch's
+    update rows rather than upserting, so a multi-file fixture (more
+    than one replay batch) leaves earlier cumulative emissions behind
+    as stale rows; ``n_events`` is monotone per key, so max_by picks
+    the final state. No-op on single-batch replays."""
+    latest = tbl.groupBy("user_id").agg(
+        F.max_by(F.struct("n_events", "sum_value"), F.col("n_events")).alias(
+            "s"
+        )
+    )
+    return latest.select("user_id", "s.n_events", "s.sum_value")
+
+
+_TWS_ORACLE = f"""
+SELECT user_id, COUNT(*) AS n_events, {sql_dsum('value')} AS sum_value
+FROM events
+GROUP BY user_id
+"""
+
+
+def q_stream_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user totals via transformWithStateInPandas (Spark 4 typed
+    arbitrary state): ValueState holds (count, exact decimal sum) so
+    the emitted doubles match the oracle's decimal aggregation
+    exactly. State is O(1) per key and survives across batches via
+    the RocksDB store."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    cls = type(
+        "UserTotalsProcessor", (StatefulProcessor,), dict(_UserTotalsProcessor.__dict__)
+    )
+    s = replay_events(spark, sf_dir)
+    with _tws_environment(spark):
+        out = s.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=cls(),
+            outputStructType="user_id long, n_events long, sum_value double",
+            outputMode="Update",
+            timeMode="None",
+        )
+        return _latest_totals(run_to_table(out, "update", spark))
+
+
+if _protobuf_available():  # pragma: no cover - depends on environment
+    register(
+        "q_stream_transform_state",
+        oracle=_TWS_ORACLE,
+        tags=("streaming", "stateful", "udf"),
+    )(q_stream_transform_state)
+
+
+
+# -- streaming EWMA ---------------------------------------------------------
+
+
+def _ewma_fold(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-key recursive EWMA (decay 0.5): e_1 = x_1,
+    e_t = 0.5*x_t + 0.5*e_{t-1}.
+
+    Every step is two exact halvings plus ONE rounded add, evaluated
+    in the same order as the oracle's recursive CTE — so the
+    streaming fold and the SQL recursion produce bit-identical
+    doubles with no decimal detour. State is a single double."""
+    if state.exists:
+        (prev,) = state.get
+    else:
+        prev = None
+    pdf = pd.concat(list(batches), ignore_index=True).sort_values("event_id")
+    out = []
+    for v in pdf["value"]:
+        x = float(v)
+        prev = x if prev is None else 0.5 * x + 0.5 * prev
+        out.append(prev)
+    state.update((float(prev),))
+    yield pd.DataFrame(
+        {
+            "user_id": pdf["user_id"],
+            "event_id": pdf["event_id"],
+            "value": pdf["value"],
+            "ewma": out,
+        }
+    )
+
+
+@register(
+    "q_stream_ewma",
+    oracle="""
+WITH RECURSIVE t AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+  FROM events
+),
+r AS (
+  SELECT user_id, event_id, value, rn, value AS ewma
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.user_id, t.event_id, t.value, t.rn,
+         0.5 * t.value + 0.5 * r.ewma
+  FROM t JOIN r ON t.user_id = r.user_id AND t.rn = r.rn + 1
+)
+SELECT user_id, event_id, value, ewma FROM r
+""",
+    tags=("streaming", "stateful", "udf", "timeseries"),
+)
+def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-key EWMA via applyInPandasWithState — the live
+    twin of the batch q_ewma (which renormalizes a depth-8 kernel;
+    here the genuinely recursive filter runs forever on one double
+    of state per key). The oracle replays the identical recursion as
+    a recursive CTE, row-parity down to the last bit thanks to the
+    dyadic decay. This is the canonical 'smoothed metric' monitor: at
+    100 TB of events the state store holds |active keys| doubles and
+    every micro-batch does one Arrow round-trip per key group."""
+    s = replay_events(spark, sf_dir)
+    out = s.groupBy("user_id").applyInPandasWithState(
+        _ewma_fold,
+        outputStructType=(
+            "user_id long, event_id long, value double, ewma double"
+        ),
+        stateStructType="prev double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_table(out, "append", spark)
+
+
+# -- streaming anomaly detection (running z-score) --------------------------
+
+
+def _anomaly_fold(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-key streaming anomaly flag: each event is tested against
+    the mean/variance of the PRIOR events of its key, then folded in.
+
+    State is (n, exact 6-dp decimal sum, exact 12-dp decimal sum of
+    squares) — O(1) per key forever. The flag itself is computed in
+    pure double arithmetic over the exact-decimal moments, with the
+    variance test algebraically cleared of divisions:
+
+        (x*n - s)^2 * (n-1) > 9 * n * (q*n - s^2)
+
+    (i.e. |x - mean| > 3*stddev_sample), the same expression the SQL
+    oracle evaluates — every operand is an IEEE double derived from
+    the same decimals, so the comparison is bit-deterministic across
+    engines and partitionings."""
+    six = Decimal("0.000001")
+    twelve = Decimal("0.000000000001")
+    if state.exists:
+        n, s_str, q_str = state.get
+        s, q = Decimal(s_str), Decimal(q_str)
+    else:
+        n, s, q = 0, Decimal(0), Decimal(0)
+    pdf = pd.concat(list(batches), ignore_index=True).sort_values("event_id")
+    flags, n_prevs = [], []
+    for v in pdf["value"]:
+        xd = float(v)
+        nd, sd, qd = float(n), float(s), float(q)
+        if n >= 2:
+            lhs = xd * nd - sd
+            flag = lhs * lhs * (nd - 1.0) > 9.0 * nd * (qd * nd - sd * sd)
+        else:
+            flag = False
+        n_prevs.append(n)
+        flags.append(flag)
+        s += Decimal(xd).quantize(six, rounding=ROUND_HALF_EVEN)
+        q += Decimal(xd * xd).quantize(twelve, rounding=ROUND_HALF_EVEN)
+        n += 1
+    state.update((n, str(s), str(q)))
+    yield pd.DataFrame(
+        {
+            "user_id": pdf["user_id"],
+            "event_id": pdf["event_id"],
+            "value": pdf["value"],
+            "n_prev": pd.Series(n_prevs, dtype="int64"),
+            "is_anomaly": pd.Series(flags, dtype="bool"),
+        }
+    )
+
+
+@register(
+    "q_stream_anomaly",
+    oracle="""
+WITH t AS (
+  SELECT user_id, event_id, value,
+         CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS BIGINT) AS n_prev,
+         CAST(COALESCE(SUM(CAST(value AS DECIMAL(38,6)))
+              OVER (PARTITION BY user_id ORDER BY event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS DOUBLE) AS s,
+         CAST(COALESCE(SUM(CAST(value * value AS DECIMAL(38,12)))
+              OVER (PARTITION BY user_id ORDER BY event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS DOUBLE) AS q
+  FROM events
+)
+SELECT user_id, event_id, value, n_prev,
+       CASE WHEN n_prev >= 2 THEN
+         (value * n_prev - s) * (value * n_prev - s) * (n_prev - 1.0)
+           > 9.0 * n_prev * (q * n_prev - s * s)
+       ELSE FALSE END AS is_anomaly
+FROM t
+""",
+    tags=("streaming", "stateful", "udf", "timeseries"),
+)
+def q_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming 3-sigma anomaly monitor via applyInPandasWithState:
+    each event is flagged against its key's running mean/variance so
+    the alert fires IN the stream, not in a nightly batch — the live
+    twin of the batch q_anomaly_zscore. State per key is three
+    scalars (count + two exact decimal moments); the oracle replays
+    the identical prior-window test relationally, value-parity down
+    to the boolean. At 100 TB of events: state is |active keys| x 3
+    scalars, one Arrow round-trip per key group per micro-batch, and
+    a watermark ages out idle keys (documented divergence: bounded
+    replay runs without one)."""
+    s = replay_events(spark, sf_dir)
+    out = s.groupBy("user_id").applyInPandasWithState(
+        _anomaly_fold,
+        outputStructType=(
+            "user_id long, event_id long, value double, n_prev long, "
+            "is_anomaly boolean"
+        ),
+        stateStructType="n long, s string, q string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_table(out, "append", spark)
+
+
+# -- streaming exact distinct via bitmap state ------------------------------
+
+
+@register(
+    "q_stream_bitmap_distinct",
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+""",
+    tags=("streaming", "agg", "bitmap"),
+)
+def q_stream_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct users per hourly window, maintained LIVE: the
+    streaming aggregation state is one fixed-32KB bitmap per
+    (window, type, id-bucket) — each micro-batch ORs new ids in, so
+    state size is bounded by the id domain, not the event count, and
+    never re-expands history the way a streaming COUNT(DISTINCT)
+    dedup-set would. The popcount rollup over bucket bitmaps is
+    read-side presentation on the tiny materialized state (batch
+    q_bitmap_distinct is the same two-level pattern). Production:
+    update mode + watermark closes old windows and ages their
+    bitmaps out of the store."""
+    s = replay_events(spark, sf_dir)
+    agg = s.groupBy(
+        F.window("ts", "1 hour").alias("w"),
+        "event_type",
+        F.expr("bitmap_bucket_number(user_id)").alias("bkt"),
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias(
+            "bm"
+        )
+    )
+    tbl = run_to_table(agg, "complete", spark)
+    return tbl.groupBy(
+        F.col("w.start").alias("window_start"), "event_type"
+    ).agg(F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias("n_users"))
+
+
+# -- transformWithState: typed ListState ------------------------------------
+
+
+class _RecentEventsProcessor:
+    """transformWithState processor holding each user's LAST-3 events
+    in a typed ListState — the bounded-buffer shape (recent-activity
+    feeds, small replay caches) that ValueState can't express and
+    applyInPandasWithState forces into one opaque blob. The list is
+    merged, sorted, truncated per batch, so state stays 3 rows per
+    key forever."""
+
+    def init(self, handle) -> None:
+        from pyspark.sql.types import (
+            DoubleType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        from streamz_postgres_spark.protobuf_shim import install
+
+        install()
+        self._recent = handle.getListState(
+            "recent",
+            StructType(
+                [
+                    StructField("event_id", LongType()),
+                    StructField("value", DoubleType()),
+                ]
+            ),
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        cur = [(int(r[0]), float(r[1])) for r in self._recent.get()]
+        for pdf in rows:
+            cur.extend(
+                (int(i), float(v))
+                for i, v in zip(pdf["event_id"], pdf["value"])
+            )
+        cur.sort()
+        cur = cur[-3:]
+        self._recent.put([(i, v) for i, v in cur])
+        total = 0.0
+        for _, v in cur:  # ascending event_id: same fold as the oracle
+            total = total + v
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_recent": [len(cur)],
+                "recent_ids": [",".join(str(i) for i, _ in cur)],
+                "recent_sum": [total],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def q_stream_transform_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-3 events per user via transformWithState ListState (see
+    _RecentEventsProcessor). Environment pinning via
+    _tws_environment. The sink is collapsed to the last emission per
+    user (largest trailing id in ``recent_ids`` — the max event_id
+    seen so far, monotone across batches) so a multi-file fixture's
+    per-batch cumulative re-emissions can't leave stale rows."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    cls = type(
+        "RecentEventsProcessor",
+        (StatefulProcessor,),
+        dict(_RecentEventsProcessor.__dict__),
+    )
+    s = replay_events(spark, sf_dir)
+    with _tws_environment(spark):
+        out = s.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=cls(),
+            outputStructType=(
+                "user_id long, n_recent long, recent_ids string, "
+                "recent_sum double"
+            ),
+            outputMode="Update",
+            timeMode="None",
+        )
+        tbl = run_to_table(out, "update", spark)
+    seq = F.element_at(F.split("recent_ids", ","), -1).cast("long")
+    latest = tbl.groupBy("user_id").agg(
+        F.max_by(
+            F.struct("n_recent", "recent_ids", "recent_sum"), seq
+        ).alias("s")
+    )
+    return latest.select(
+        "user_id", "s.n_recent", "s.recent_ids", "s.recent_sum"
+    )
+
+
+_TWS_LIST_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY event_id DESC) AS rk
+  FROM events
+),
+last3 AS (SELECT user_id, event_id, value FROM ranked WHERE rk <= 3)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_recent,
+       string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id)
+         AS recent_ids,
+       list_reduce(list_prepend(
+         0.0, list(value ORDER BY event_id)), (x, y) -> x + y)
+         AS recent_sum
+FROM last3
+GROUP BY user_id
+"""
+
+if _protobuf_available():  # pragma: no cover - depends on environment
+    register(
+        "q_stream_transform_list",
+        oracle=_TWS_LIST_ORACLE,
+        tags=("streaming", "stateful", "udf"),
+    )(q_stream_transform_list)
+
+
+# -- transformWithState: typed MapState -------------------------------------
+
+
+class _TypeCountsProcessor:
+    """transformWithState processor keeping per-user event-type
+    counts in a typed MapState — the keyed-substate shape (counters
+    per category, per-device cursors) that completes the typed-state
+    triad next to ValueState (q_stream_transform_state) and
+    ListState (q_stream_transform_list). State grows with DISTINCT
+    types per user, not events."""
+
+    def init(self, handle) -> None:
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        from streamz_postgres_spark.protobuf_shim import install
+
+        install()
+        self._counts = handle.getMapState(
+            "type_counts",
+            StructType([StructField("event_type", StringType())]),
+            StructType([StructField("n", LongType())]),
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        for pdf in rows:
+            for et in pdf["event_type"]:
+                k = (str(et),)
+                cur = (
+                    self._counts.getValue(k)[0]
+                    if self._counts.containsKey(k)
+                    else 0
+                )
+                self._counts.updateValue(k, (cur + 1,))
+        items = sorted(
+            (k[0], v[0]) for k, v in self._counts.iterator()
+        )
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(items),
+                "event_type": [t for t, _ in items],
+                "n_events": [n for _, n in items],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def q_stream_transform_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, event-type) counts via transformWithState MapState
+    (see _TypeCountsProcessor); emitted per batch from the map, so
+    the sink holds the complete per-user breakdown after replay.
+    Environment pinning via _tws_environment; per-(user, type) counts
+    are monotone, so the max per key is the final state even when a
+    multi-file fixture replays as several batches."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    cls = type(
+        "TypeCountsProcessor",
+        (StatefulProcessor,),
+        dict(_TypeCountsProcessor.__dict__),
+    )
+    s = replay_events(spark, sf_dir)
+    with _tws_environment(spark):
+        out = s.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=cls(),
+            outputStructType=(
+                "user_id long, event_type string, n_events long"
+            ),
+            outputMode="Update",
+            timeMode="None",
+        )
+        tbl = run_to_table(out, "update", spark)
+    return tbl.groupBy("user_id", "event_type").agg(
+        F.max("n_events").alias("n_events")
+    )
+
+
+_TWS_MAP_ORACLE = """
+SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY user_id, event_type
+"""
+
+if _protobuf_available():  # pragma: no cover - depends on environment
+    register(
+        "q_stream_transform_map",
+        oracle=_TWS_MAP_ORACLE,
+        tags=("streaming", "stateful", "udf"),
+    )(q_stream_transform_map)
+
+
+# -- transformWithState: event-time timers ----------------------------------
+
+
+class _InactivityFlushProcessor:
+    """transformWithState processor that emits a user's totals ONLY
+    when the user goes quiet: every batch folds rows into ValueState
+    and (re)arms an event-time timer 30 minutes past the user's last
+    event; nothing is emitted inline. When the watermark passes the
+    timer, handleExpiredTimer fires once, emits the summary, and
+    clears the state — streamz's 'emit on timeout' idiom, impossible
+    to express in applyInPandasWithState without hand-rolling timer
+    bookkeeping into the state blob."""
+
+    def init(self, handle) -> None:
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        from streamz_postgres_spark.protobuf_shim import install
+
+        install()
+        self._handle = handle
+        self._state = handle.getValueState(
+            "totals",
+            StructType(
+                [
+                    StructField("n", LongType()),
+                    StructField("acc", StringType()),
+                ]
+            ),
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        if self._state.exists():
+            n, acc_str = self._state.get()
+            acc = Decimal(acc_str)
+        else:
+            n, acc = 0, Decimal(0)
+        last_ms = None
+        for pdf in rows:
+            for v in pdf["value"]:
+                acc += micro6(float(v))
+                n += 1
+            batch_max = pdf["ts_evt"].max()
+            ms = int(batch_max.value // 1_000_000)
+            last_ms = ms if last_ms is None else max(last_ms, ms)
+        self._state.update((n, str(acc)))
+        for t in self._handle.listTimers():
+            self._handle.deleteTimer(t)
+        self._handle.registerTimer(last_ms + 30 * 60 * 1000)
+        return iter(())
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        if self._state.exists():
+            n, acc_str = self._state.get()
+            self._state.clear()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "sum_value": [float(Decimal(acc_str))],
+                }
+            )
+
+    def close(self) -> None:
+        pass
+
+
+def q_stream_transform_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user totals emitted ONLY on 30-minute inactivity, via
+    transformWithState EVENT-TIME TIMERS (see
+    _InactivityFlushProcessor). The replay stages a far-future flush
+    row so the final watermark expires every armed timer — each real
+    user emits exactly once; the flush row's own key is dropped
+    after the stateful operator (filtering it before would also
+    remove it from the watermark node, the documented pushdown
+    trap). Environment pinning via _tws_environment."""
+    import shutil
+
+    from streamz_postgres_spark.streaming.runner import staged_replay_with_flush
+
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    cls = type(
+        "InactivityFlushProcessor",
+        (StatefulProcessor,),
+        dict(_InactivityFlushProcessor.__dict__),
+    )
+    s, staging = staged_replay_with_flush(spark, sf_dir)
+    micros = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    src = s.withColumn("ts_evt", F.timestamp_micros(micros)).withWatermark(
+        "ts_evt", "0 seconds"
+    )
+    from streamz_postgres_spark.streaming.runner import run_to_parquet_resumed
+
+    try:
+        with _tws_environment(spark):
+            out = src.groupBy("user_id").transformWithStateInPandas(
+                statefulProcessor=cls(),
+                outputStructType=(
+                    "user_id long, n_events long, sum_value double"
+                ),
+                outputMode="Update",
+                timeMode="EventTime",
+            ).filter(F.col("user_id") >= 0)
+            # two availableNow runs over one checkpoint: the second
+            # fires any timer whose end-of-stream expiry batch lost
+            # the termination race (observed ~1/10 under load);
+            # state checkpointing keeps the union exactly-once.
+            # Sink mode is append (parquet supports nothing else);
+            # the operator's Update mode is independent, and each
+            # user emits exactly once on expiry anyway.
+            return run_to_parquet_resumed(out, "append", spark)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
+if _protobuf_available():  # pragma: no cover - depends on environment
+    register(
+        "q_stream_transform_timers",
+        oracle=_TWS_ORACLE,
+        tags=("streaming", "stateful", "udf", "watermark"),
+    )(q_stream_transform_timers)
+
+
+# -- transformWithState: initial state bootstrap -----------------------------
+
+
+class _WarmStartTotalsProcessor:
+    """transformWithState processor warm-started from a batch
+    snapshot: handleInitialState seeds each key's ValueState with
+    pre-aggregated (count, exact decimal sum) BEFORE the first
+    micro-batch, then handleInputRows folds live rows on top — the
+    snapshot + incremental pattern every CDC consumer and metric
+    backfill needs (rebuild state from the warehouse, then tail the
+    stream). Emission happens on input, so pair with timers for keys
+    that may never appear in the stream."""
+
+    def init(self, handle) -> None:
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        from streamz_postgres_spark.protobuf_shim import install
+
+        install()
+        self._state = handle.getValueState(
+            "totals",
+            StructType(
+                [
+                    StructField("n", LongType()),
+                    StructField("acc", StringType()),
+                ]
+            ),
+        )
+
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        # arrives as a 1-row pandas frame (or a Row, per the API
+        # union) — extract scalars either way
+        n, acc = initialState["n"], initialState["acc"]
+        if hasattr(n, "iloc"):
+            n, acc = n.iloc[0], acc.iloc[0]
+        self._state.update((int(n), str(acc)))
+
+    def handleInputRows(self, key, rows, timerValues):
+        if self._state.exists():
+            n, acc_str = self._state.get()
+            acc = Decimal(acc_str)
+        else:
+            n, acc = 0, Decimal(0)
+        for pdf in rows:
+            for v in pdf["value"]:
+                acc += micro6(float(v))
+                n += 1
+        self._state.update((n, str(acc)))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [float(acc)]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def q_stream_transform_init(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot + incremental totals via transformWithState
+    initialState (see _WarmStartTotalsProcessor): 'historical' events
+    (event_id % 10 < 3) are aggregated in ONE batch job whose exact
+    decimal sums seed the state, and only the remaining rows flow
+    through the stream — yet the emitted totals equal a full-history
+    aggregation, which is exactly what the oracle checks. Keys whose
+    events ALL fell in the snapshot partition never enter the stream,
+    so the processor (which emits on input) never surfaces them; the
+    read side unions their seeded totals back in via a left-anti join
+    — the snapshot-∪-live serving pattern — so parity holds for ANY
+    fixture, not just ones where every user has a live row.
+    Environment pinning via _tws_environment."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    cls = type(
+        "WarmStartTotalsProcessor",
+        (StatefulProcessor,),
+        dict(_WarmStartTotalsProcessor.__dict__),
+    )
+    hist = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 10 < 3)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("string")
+            .alias("acc"),
+        )
+    )
+    s = replay_events(spark, sf_dir).filter(F.col("event_id") % 10 >= 3)
+    with _tws_environment(spark):
+        out = s.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=cls(),
+            outputStructType=(
+                "user_id long, n_events long, sum_value double"
+            ),
+            outputMode="Update",
+            timeMode="None",
+            initialState=hist.groupBy("user_id"),
+        )
+        streamed = _latest_totals(run_to_table(out, "update", spark))
+    # snapshot-only keys: serve the seed directly (same decimal->
+    # double conversion the processor applies on emission)
+    absent = hist.join(streamed, "user_id", "left_anti").select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        F.col("acc").cast("decimal(38,6)").cast("double").alias("sum_value"),
+    )
+    return streamed.unionByName(absent)
+
+
+if _protobuf_available():  # pragma: no cover - depends on environment
+    register(
+        "q_stream_transform_init",
+        oracle=_TWS_ORACLE,
+        tags=("streaming", "stateful", "udf", "cdc"),
+    )(q_stream_transform_init)
+
+
+
+# -- transformWithState: streaming exact percentiles via ListState ----------
+
+
+class _PercentileProcessor:
+    """transformWithState processor maintaining each event-type's
+    full value multiset in a typed ListState and emitting exact
+    p50/p90 per micro-batch. Percentile indices are PURE INTEGER
+    arithmetic over the sorted multiset — value at zero-based index
+    (n-1)//2 resp. ((n-1)*9)//10 — never float interpolation, whose
+    lower+(hi-lo)*frac vs (lo+hi)/2 formulas differ in the last bit
+    across engines.
+
+    State is the full per-key multiset, appended (not rewritten)
+    each batch: exact streaming percentiles fundamentally need the
+    multiset. At 100 TB this is the documented trade; the BOUNDED
+    production twin is q_stream_percentile_windowed (same exact
+    read-out over per-hour windows, state evicted by the watermark),
+    with this unbounded variant retained as the whole-stream
+    correctness baseline."""
+
+    def init(self, handle) -> None:
+        from pyspark.sql.types import (
+            DoubleType,
+            StructField,
+            StructType,
+        )
+
+        from streamz_postgres_spark.protobuf_shim import install
+
+        install()
+        # value-only state: each element is exactly the 8 bytes the
+        # percentile needs — order comes from sorting, never arrival
+        self._vals = handle.getListState(
+            "vals",
+            StructType([StructField("value", DoubleType())]),
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        cur = [float(r[0]) for r in self._vals.get()]
+        fresh = []
+        for pdf in rows:
+            fresh.extend((float(v),) for v in pdf["value"])
+        self._vals.appendList(fresh)
+        cur.extend(v for (v,) in fresh)
+        cur.sort()
+        n = len(cur)
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_events": [n],
+                "p50": [cur[(n - 1) // 2]],
+                "p90": [cur[((n - 1) * 9) // 10]],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def q_stream_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE exact p50/p90 per event type via transformWithState
+    ListState (see _PercentileProcessor): each micro-batch appends
+    its values to the key's multiset and re-reads the exact order
+    statistics — the latency-dashboard shape where approximate
+    sketches need a correctness baseline. The sink is collapsed to
+    the last emission per key (n_events is monotone across batches),
+    so multi-file fixtures can't leave stale rows. Environment
+    pinning via _tws_environment."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    cls = type(
+        "PercentileProcessor",
+        (StatefulProcessor,),
+        dict(_PercentileProcessor.__dict__),
+    )
+    s = replay_events(spark, sf_dir)
+    with _tws_environment(spark):
+        out = s.groupBy("event_type").transformWithStateInPandas(
+            statefulProcessor=cls(),
+            outputStructType=(
+                "event_type string, n_events long, p50 double, p90 double"
+            ),
+            outputMode="Update",
+            timeMode="None",
+        )
+        tbl = run_to_table(out, "update", spark)
+    latest = tbl.groupBy("event_type").agg(
+        F.max_by(F.struct("n_events", "p50", "p90"), F.col("n_events")).alias(
+            "s"
+        )
+    )
+    return latest.select("event_type", "s.n_events", "s.p50", "s.p90")
+
+
+_TWS_PCTL_ORACLE = """
+WITH s AS (
+  SELECT event_type,
+         list(value ORDER BY value) AS vals,
+         COUNT(*) AS n_events
+  FROM events
+  GROUP BY event_type
+)
+SELECT event_type, n_events,
+       vals[CAST((n_events - 1) // 2 AS BIGINT) + 1] AS p50,
+       vals[CAST(((n_events - 1) * 9) // 10 AS BIGINT) + 1] AS p90
+FROM s
+"""
+
+if _protobuf_available():  # pragma: no cover - depends on environment
+    register(
+        "q_stream_percentile",
+        oracle=_TWS_PCTL_ORACLE,
+        tags=("streaming", "stateful", "udf", "stats"),
+    )(q_stream_percentile)
+
+

@@ -1,0 +1,785 @@
+"""Windowed / relational streaming operators, oracle-checked via
+bounded replay.
+
+Each q_stream_* here runs a REAL Structured Streaming query
+(file-stream source, state stores, output modes, availableNow
+trigger) over the events fixture and returns the materialized sink
+table; the oracle is the same SQL as the batch twin, so the driver
+value-checks true streaming execution, not a batch re-expression.
+
+streamz parity (SURVEY §2.3/§2.5): timed_window -> q_stream_tumbling;
+SDF rolling -> q_stream_sliding; groupby().agg() in update mode ->
+q_stream_latest_per_key; unique -> q_stream_dedup; accumulate (per-
+key stateful fold) -> q_stream_accumulate (applyInPandasWithState);
+stream-stream join within time bound -> q_stream_interval_join.
+
+Watermark policy: bounded replays run in complete/append modes that
+do not drop data, keeping results equal to batch semantics (streamz
+has no watermarks — SURVEY §2.3 flags this divergence); production
+jobs add ``withWatermark`` to bound state, documented per query.
+"""
+
+from __future__ import annotations
+
+from decimal import ROUND_HALF_EVEN, Decimal
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from streamz_postgres_spark.catalog import load_table
+from streamz_postgres_spark.functions.numeric import sql_dsum
+from streamz_postgres_spark.registry import register
+from streamz_postgres_spark.streaming.runner import replay_events, run_to_table
+
+
+@register(
+    "q_stream_tumbling",
+    oracle=f"""
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS sum_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+""",
+    tags=("streaming", "time"),
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window agg as a streaming query (complete mode).
+    Production: update mode + withWatermark('ts', <delay>) bounds
+    window state; complete mode here keeps bounded-replay results
+    identical to batch."""
+    from streamz_postgres_spark.functions.numeric import dsum
+
+    s = replay_events(spark, sf_dir)
+    out = (
+        s.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_to_table(out, "complete", spark)
+
+
+@register(
+    "q_stream_topk",
+    oracle="""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS window_start, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events
+  GROUP BY date_trunc('hour', ts), event_type
+)
+SELECT window_start, event_type, n_events, rn
+FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY window_start
+              ORDER BY n_events DESC, event_type) AS BIGINT) AS rn
+  FROM hourly
+) t
+WHERE rn <= 3
+""",
+    tags=("streaming", "time", "topk"),
+)
+def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE top-3 event types per hourly window: the trending-items
+    dashboard query. The STREAM maintains the per-(window, type)
+    counts (the only state — O(windows x types), watermark-bounded in
+    production); the rank is a read-side window over the tiny
+    materialized state, recomputed per refresh because a row's rank
+    can change with every micro-batch — ranking inside the stream
+    would need update-mode re-emission of whole windows, the classic
+    top-k-in-streaming trap. Deterministic tie-break (count desc,
+    then type) keeps the cut line engine-stable."""
+    s = replay_events(spark, sf_dir)
+    agg = (
+        s.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    tbl = run_to_table(agg, "complete", spark)
+    rn = F.row_number().over(
+        Window.partitionBy("window_start").orderBy(
+            F.col("n_events").desc(), "event_type"
+        )
+    )
+    return tbl.withColumn("rn", rn.cast("long")).filter(F.col("rn") <= 3)
+
+
+@register(
+    "q_stream_sliding",
+    oracle=f"""
+WITH b AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS bucket, value FROM events
+), assigned AS (
+  SELECT bucket AS window_start, value FROM b
+  UNION ALL
+  SELECT bucket - INTERVAL '30 minutes' AS window_start, value FROM b
+)
+SELECT window_start, COUNT(*) AS n_events, {sql_dsum('value')} AS sum_value
+FROM assigned
+GROUP BY window_start
+""",
+    tags=("streaming", "time"),
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window agg (1h window / 30min slide), streaming."""
+    from streamz_postgres_spark.functions.numeric import dsum
+
+    s = replay_events(spark, sf_dir)
+    out = (
+        s.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+    return run_to_table(out, "complete", spark)
+
+
+@register(
+    "q_stream_tumbling_watermarked",
+    oracle=f"""
+SELECT date_trunc('hour', ts) AS window_start,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS sum_value
+FROM events
+GROUP BY date_trunc('hour', ts)
+""",
+    tags=("streaming", "time", "watermark"),
+)
+def q_stream_tumbling_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling window WITH a declared watermark in append mode —
+    the production shape: window state is dropped (and the final row
+    emitted) only once the watermark passes the window end. Append
+    mode withholds the window containing max(ts) forever on a
+    bounded input, so the replay stages the events file plus one
+    synthetic far-future flush row: the watermark jumps past every
+    real window (all emit) while the flush row's own window stays
+    withheld — the standard end-of-stream flush for append-mode
+    verification. The flush row never reaches the output."""
+    import shutil
+
+    from streamz_postgres_spark.functions.numeric import dsum
+    from streamz_postgres_spark.streaming.runner import staged_replay_with_flush
+
+    s, staging = staged_replay_with_flush(spark, sf_dir)
+    # watermarks require TimestampType; build the instant from epoch
+    # micros (tz-free both ways: NTZ -> micros -> instant, and the
+    # output instant -> micros -> NTZ) so the UTC-aligned hour grid
+    # and emitted wall clocks are session-timezone-independent
+    micros = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    out = (
+        s.withColumn("ts_evt", F.timestamp_micros(micros))
+        .withWatermark("ts_evt", "0 seconds")
+        .groupBy(F.window("ts_evt", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            F.expr(
+                "timestampadd(MICROSECOND, unix_micros(w.start), "
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ).alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+        # defensive: the flush window is withheld by the watermark,
+        # but make the contract explicit
+        .filter(F.col("window_start") < F.lit("2024-06-01").cast("timestamp_ntz"))
+    )
+    try:
+        result = run_to_table(out, "append", spark)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return result
+
+
+@register(
+    "q_stream_session",
+    oracle=f"""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts, value,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS sum_value
+FROM numbered
+GROUP BY user_id, session_id
+""",
+    tags=("streaming", "session"),
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) as a streaming stateful agg —
+    the operator streamz lacks entirely (SURVEY §2.3): merging
+    session state lives in the state store, keyed by user."""
+    from streamz_postgres_spark.functions.numeric import dsum
+
+    s = replay_events(spark, sf_dir)
+    out = (
+        s.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_to_table(out, "complete", spark)
+
+
+@register(
+    "q_stream_latest_per_key",
+    oracle="""
+SELECT user_id,
+       arg_max(value, event_id) AS latest_value,
+       max(event_id)            AS latest_event_id
+FROM events
+GROUP BY user_id
+""",
+    tags=("streaming", "cdc"),
+)
+def q_stream_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streamz ``latest()`` in true streaming form: per-key max_by
+    aggregate, complete mode (= SDF emit-updated-aggregate)."""
+    s = replay_events(spark, sf_dir)
+    out = s.groupBy("user_id").agg(
+        F.max_by("value", "event_id").alias("latest_value"),
+        F.max("event_id").alias("latest_event_id"),
+    )
+    return run_to_table(out, "complete", spark)
+
+
+@register(
+    "q_stream_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    tags=("streaming", "dedup"),
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming first-occurrence dedup (streamz ``unique`` parity):
+    dropDuplicates keyed state emits one row per key. The key SET is
+    deterministic (which row represents it is arrival-order, so only
+    keys are emitted). Production uses
+    dropDuplicatesWithinWatermark to bound the seen-set, mirroring
+    streamz's ``unique(maxsize)`` bounded history."""
+    s = replay_events(spark, sf_dir)
+    out = s.dropDuplicates(["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+    return run_to_table(out, "append", spark)
+
+
+@register(
+    "q_stream_static_join",
+    oracle="""
+SELECT c_mktsegment,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_purchases
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c_mktsegment
+""",
+    tags=("streaming", "join"),
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the most common production
+    streaming pattern (events stream joined to a slowly-changing
+    dimension) and the streaming face of streamz's per-event lookup
+    maps. The static side is a broadcast hash join probed per
+    micro-batch with NO stream state (unlike stream-stream joins);
+    at 100 TB/day of events the dim stays broadcast and the stream
+    side never shuffles before the join."""
+    s = replay_events(spark, sf_dir)
+    dim = F.broadcast(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    )
+    out = (
+        s.join(dim, s["user_id"] == dim["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).cast("long").alias("n_purchases"),
+        )
+    )
+    return run_to_table(out, "complete", spark)
+
+
+@register(
+    "q_stream_dedup_watermarked",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    tags=("streaming", "dedup", "watermark"),
+)
+def q_stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION form of streaming dedup:
+    dropDuplicatesWithinWatermark bounds the seen-set by event time —
+    state for a key is dropped once the watermark passes it, which is
+    what makes infinite-stream dedup feasible (plain dropDuplicates
+    state grows forever; streamz ``unique(maxsize)`` bounds by count,
+    this bounds by time). The delay (60d) exceeds the fixture's 30-day
+    span, so no key expires mid-replay and the output is exactly
+    DISTINCT — the same oracle as q_stream_dedup, now with bounded
+    state semantics exercised."""
+    s = replay_events(spark, sf_dir)
+    micros = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    out = (
+        s.withColumn("ts_evt", F.timestamp_micros(micros))
+        .withWatermark("ts_evt", "60 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return run_to_table(out, "append", spark)
+
+
+@register(
+    "q_stream_interval_join",
+    oracle="""
+SELECT c.event_id AS click_id, c.user_id,
+       p.event_id AS purchase_id, p.value AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+""",
+    tags=("streaming", "join"),
+)
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchases within 30 min after a
+    click, same user — the Spark-native form of the zip/combine
+    compositions streamz users build (SURVEY §2.4). Watermarks bound
+    join state in production; inner-join emission itself is
+    watermark-independent, so the bounded replay emits every match."""
+    s = replay_events(spark, sf_dir)
+    clicks = s.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    purchases = s.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    out = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTE")),
+    ).select("click_id", "user_id", "purchase_id", "purchase_value")
+    return run_to_table(out, "append", spark)
+
+
+@register(
+    "q_stream_join_outer",
+    oracle="""
+SELECT c.event_id AS click_id, c.user_id,
+       p.event_id AS purchase_id, p.value AS purchase_value
+FROM (SELECT * FROM events
+      WHERE event_type = 'click'
+        AND ts < TIMESTAMP '2024-01-29 00:00:00') c
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+""",
+    tags=("streaming", "join", "watermark"),
+)
+def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every click, paired
+    with its within-30-min purchases or a null row if none came.
+    Unlike the inner join, outer emission is watermark-DRIVEN: a
+    click's null row may only surface once the watermark proves no
+    matching purchase can still arrive, so both inputs carry
+    watermarks and the left side is restricted to clicks at least a
+    day older than the replay's end — the availableNow run then
+    flushes every pending state row (Spark keeps running no-data
+    batches while eviction is possible) and the result equals the
+    batch LEFT JOIN the oracle computes. Production keeps the same
+    query without the cutoff and accepts tail rows emitting on the
+    NEXT trigger. State: bounded by watermark + 30-min condition."""
+    s = replay_events(spark, sf_dir)
+    # watermarks require TimestampType; NTZ -> epoch micros ->
+    # instant is tz-free in both directions (same trick as the
+    # watermarked tumbling query), and no timestamp is emitted so
+    # nothing converts back
+    micros = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    # Catalyst pushes the branch filters below this shared watermark
+    # node, so the watermark clock tracks the FILTERED union of both
+    # branches (clicks<cutoff ∪ purchases), NOT the raw stream. The
+    # purchase branch runs to the stream's end (Jan 30), which keeps
+    # the final watermark a day past the click cutoff — every
+    # pre-cutoff click is then provably match-less and its null row
+    # flushes. A query that cut off BOTH branches would silently
+    # withhold the last ~30 min of null rows; q_stream_join_full
+    # documents that trap and its flush-row fix.
+    s = s.withColumn("ts_evt", F.timestamp_micros(micros)).withWatermark(
+        "ts_evt", "1 minute"
+    )
+    clicks = (
+        s.filter(
+            (F.col("event_type") == "click")
+            & (F.col("ts") < F.lit("2024-01-29 00:00:00").cast("timestamp_ntz"))
+        )
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts_evt").alias("c_ts"),
+        )
+    )
+    purchases = (
+        s.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts_evt").alias("p_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    out = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTE")),
+        "left_outer",
+    ).select("click_id", "user_id", "purchase_id", "purchase_value")
+    return run_to_table(out, "append", spark)
+
+
+@register(
+    "q_stream_join_full",
+    oracle="""
+SELECT c.event_id AS click_id, c.user_id AS click_user,
+       p.event_id AS purchase_id, p.user_id AS purchase_user,
+       p.value AS purchase_value
+FROM (SELECT * FROM events
+      WHERE event_type = 'click'
+        AND ts < TIMESTAMP '2024-01-29 00:00:00') c
+FULL JOIN (SELECT * FROM events
+           WHERE event_type = 'purchase'
+             AND ts < TIMESTAMP '2024-01-29 00:00:00') p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+""",
+    tags=("streaming", "join", "watermark"),
+)
+def q_stream_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — the hardest join
+    case: BOTH sides hold state and BOTH emit watermark-proven null
+    rows (a click with no purchase within 30 min, and a purchase no
+    click preceded).
+
+    The watermark trap this query exists to pin down: Catalyst
+    pushes the branch filters BELOW a shared ``withWatermark`` node,
+    so the watermark clock tracks max(event time) of the FILTERED
+    union, not the raw stream. With both branches cut off at Jan 29
+    the watermark caps ~1 min below the cutoff and every click in
+    the last 30 min before it is never provably match-less — its
+    null row stays in state forever (measured: exactly the latest
+    unmatched click went missing). The replay therefore stages the
+    events file plus one far-future flush CLICK (user_id -1, ts
+    past all data) that survives the click branch's filter and
+    drags the watermark past every real row; the flush row's OWN
+    null emission needs wm > flush_ts + 30 min, which the final
+    wm = flush_ts - delay never reaches, so it stays withheld (the
+    same end-of-stream-flush idiom as q_stream_tumbling_watermarked,
+    plus a defensive output filter). Production equivalents: idle-
+    source watermark advance or heartbeat events. Per-side state is
+    bounded by watermark + the 30-min condition."""
+    import shutil
+
+    from streamz_postgres_spark.streaming.runner import staged_replay_with_flush
+
+    s, staging = staged_replay_with_flush(spark, sf_dir, event_type="click")
+    micros = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    s = s.withColumn("ts_evt", F.timestamp_micros(micros)).withWatermark(
+        "ts_evt", "1 minute"
+    )
+    cutoff = F.col("ts") < F.lit("2024-01-29 00:00:00").cast("timestamp_ntz")
+    clicks = s.filter(
+        (F.col("event_type") == "click") & (cutoff | (F.col("user_id") == -1))
+    ).select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user"),
+        F.col("ts_evt").alias("c_ts"),
+    )
+    purchases = s.filter((F.col("event_type") == "purchase") & cutoff).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("purchase_user"),
+        F.col("ts_evt").alias("p_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    out = (
+        clicks.join(
+            purchases,
+            (F.col("click_user") == F.col("purchase_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTE")),
+            "full_outer",
+        )
+        # defensive: the flush click's null row is withheld by the
+        # watermark; make the contract explicit
+        .filter(F.col("click_user").isNull() | (F.col("click_user") != -1))
+        .select(
+            "click_id",
+            "click_user",
+            "purchase_id",
+            "purchase_user",
+            "purchase_value",
+        )
+    )
+    try:
+        return run_to_table(out, "append", spark)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
+def _running_totals(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-key stateful fold (streamz ``accumulate`` parity).
+
+    State: (count, exact decimal sum as string). Rows are processed
+    in event_id order; the decimal accumulator makes the emitted
+    running sums bit-equal to the oracle's decimal window sum.
+    """
+    if state.exists:
+        n, acc_str = state.get
+        acc = Decimal(acc_str)
+    else:
+        n, acc = 0, Decimal(0)
+    six = Decimal("0.000001")
+    # concatenate BEFORE sorting: a large group arrives as several
+    # Arrow chunks and per-chunk sorting would accumulate out of
+    # global event order (running values are order-sensitive)
+    pdf = pd.concat(list(batches), ignore_index=True).sort_values("event_id")
+    sums = []
+    for v in pdf["value"]:
+        acc += Decimal(float(v)).quantize(six, rounding=ROUND_HALF_EVEN)
+        n += 1
+        sums.append((float(acc), n))
+    state.update((n, str(acc)))
+    yield pd.DataFrame(
+        {
+            "user_id": pdf["user_id"],
+            "event_id": pdf["event_id"],
+            "value": pdf["value"],
+            "running_sum": [s for s, _ in sums],
+            "running_n": [c for _, c in sums],
+        }
+    )
+
+
+@register(
+    "q_stream_accumulate",
+    oracle="""
+SELECT user_id, event_id, value,
+  CAST(SUM(CAST(value AS DECIMAL(38,6)))
+       OVER (PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+    AS running_sum,
+  COUNT(*) OVER (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    AS running_n
+FROM events
+""",
+    tags=("streaming", "stateful", "udf"),
+)
+def q_stream_accumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary per-key streaming state via applyInPandasWithState:
+    running (sum, count) per user emitted per event — the direct
+    analogue of streamz ``accumulate(func, start)``. State is two
+    scalars per key (bounded); batches arrive via Arrow."""
+    s = replay_events(spark, sf_dir)
+    out = s.groupBy("user_id").applyInPandasWithState(
+        _running_totals,
+        outputStructType=(
+            "user_id long, event_id long, value double, "
+            "running_sum double, running_n long"
+        ),
+        stateStructType="n long, acc string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_table(out, "append", spark)
+
+
+
+@register(
+    "q_stream_funnel",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_type,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts, event_type,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clicks,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_purchases,
+       CAST(CASE WHEN MIN(CASE WHEN event_type = 'click' THEN ts END)
+                      IS NOT NULL
+                  AND MAX(CASE WHEN event_type = 'purchase' THEN ts END)
+                      > MIN(CASE WHEN event_type = 'click' THEN ts END)
+                 THEN 1 ELSE 0 END AS INTEGER) AS converted
+FROM numbered
+GROUP BY user_id, session_id
+""",
+    tags=("streaming", "session", "funnel"),
+)
+def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The conversion funnel as a LIVE streaming query: session
+    windows merge in the state store as events arrive, and the
+    click→purchase conversion flag is conditional aggregation inside
+    each session — the real-time form of q_funnel, checked against
+    the identical batch oracle. Production adds a watermark to close
+    sessions and emit them incrementally (update mode); the bounded
+    replay runs complete mode so the final state equals batch
+    semantics exactly."""
+    s = replay_events(spark, sf_dir)
+    click_ts = F.min(F.when(F.col("event_type") == "click", F.col("ts")))
+    purchase_ts = F.max(F.when(F.col("event_type") == "purchase", F.col("ts")))
+    out = (
+        s.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.sum((F.col("event_type") == "click").cast("long")).alias(
+                "n_clicks"
+            ),
+            F.sum((F.col("event_type") == "purchase").cast("long")).alias(
+                "n_purchases"
+            ),
+            F.coalesce(
+                (click_ts.isNotNull() & (purchase_ts > click_ts)).cast("int"),
+                F.lit(0),
+            ).alias("converted"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_clicks",
+            "n_purchases",
+            "converted",
+        )
+    )
+    return run_to_table(out, "complete", spark)
+
+
+@register(
+    "q_stream_chained_aggs",
+    oracle="""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n
+  FROM events
+  GROUP BY date_trunc('hour', ts)
+)
+SELECT CAST(date_trunc('day', h) AS TIMESTAMP) AS day_start,
+       CAST(MAX(n) AS BIGINT) AS peak_hourly,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS BIGINT) AS n_hours
+FROM hourly
+GROUP BY CAST(date_trunc('day', h) AS TIMESTAMP)
+""",
+    tags=("streaming", "time", "watermark", "chained"),
+)
+def q_stream_chained_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTIPLE stateful operators in one streaming query (Spark 4's
+    chained time-window aggregation): hourly counts re-windowed into
+    daily peak/total/coverage — two state stores, one pipeline, no
+    intermediate sink. The second agg windows over the FIRST agg's
+    window column (``F.window(w)`` re-windowing), so hourly rows
+    flow into daily state as the watermark closes each hour, and
+    each daily row emits once the watermark passes the day.
+    Append-mode verification uses the staged flush row to close
+    every real hour AND day; the flush row's own hour/day stay
+    withheld. This is the streaming form of a rollup cascade — at
+    100 TB it replaces the 'hourly job feeding a daily job' pattern
+    with one query and exactly-once state."""
+    import shutil
+
+    from streamz_postgres_spark.streaming.runner import staged_replay_with_flush
+
+    s, staging = staged_replay_with_flush(spark, sf_dir)
+    micros = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    hourly = (
+        s.withColumn("ts_evt", F.timestamp_micros(micros))
+        .withWatermark("ts_evt", "0 seconds")
+        .groupBy(F.window("ts_evt", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    daily = (
+        hourly.groupBy(F.window(F.col("w"), "1 day").alias("d"))
+        .agg(
+            F.max("n").alias("peak_hourly"),
+            F.sum("n").alias("n_events"),
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+        )
+        .select(
+            F.expr(
+                "timestampadd(MICROSECOND, unix_micros(d.start), "
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ).alias("day_start"),
+            "peak_hourly",
+            "n_events",
+            "n_hours",
+        )
+        .filter(F.col("day_start") < F.lit("2024-06-01").cast("timestamp_ntz"))
+    )
+    try:
+        return run_to_table(daily, "append", spark)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
