@@ -247,6 +247,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_dedup_minhash",
     "q_group_agg",
     "q_sim_cosine",
+    # round-7 additions (first driver evidence rides behind the
+    # never-checked backlog; local gate at sf0.001+sf0.01):
+    "q_stream_kll_quantile",
     # r4-latest block (staleness cap at r8; cannot fit alongside the
     # never-checked backlog -- mitigation: the full local sweep; the
     # r9/r10 windows rotate this block after the r9 head):

@@ -992,3 +992,139 @@ if _protobuf_available():  # pragma: no cover - depends on environment
     )(q_stream_percentile)
 
 
+
+
+# -- streaming KLL quantile sketch (bounded rank error, self-calibrating) ----
+
+#: per-level buffer capacity; at the fixtures' n this gives a
+#: ~2-3% worst-case rank-error ledger and O(k log(n/k)) state
+_KLL_K = 256
+
+
+def _kll_fold(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-key KLL fold: state is the serialized sketch (functions/
+    kll.py) plus its exact rank-error ledger; each batch folds its
+    rows in event_id order and emits the current read-out. Rows are
+    O(k log n) JSON in a single string state column — bounded
+    forever, vs the exact percentile fold's O(n) multiset."""
+    from streamz_postgres_spark.functions.kll import KLLSketch
+
+    if state.exists:
+        _, blob = state.get
+        sk = KLLSketch.from_json(blob)
+    else:
+        sk = KLLSketch(_KLL_K)
+    pdf = pd.concat(list(batches), ignore_index=True)
+    for v in pdf.sort_values("event_id")["value"]:
+        sk.add(float(v))
+    state.update((sk.n, sk.to_json()))
+    t50 = (sk.n - 1) // 2 + 1
+    t90 = ((sk.n - 1) * 9) // 10 + 1
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "n_events": [sk.n],
+            "p50_est": [sk.query(t50)],
+            "p90_est": [sk.query(t90)],
+            "err_bound": [sk.err],
+            "state_items": [sk.size()],
+        }
+    )
+
+
+@register(
+    "q_stream_kll_quantile",
+    oracle="""
+WITH s AS (
+  SELECT event_type,
+         list(value ORDER BY value) AS vals,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events
+  GROUP BY event_type
+)
+SELECT event_type, n_events,
+       vals[CAST((n_events - 1) // 2 AS BIGINT) + 1] AS p50_exact,
+       vals[CAST(((n_events - 1) * 9) // 10 AS BIGINT) + 1] AS p90_exact,
+       CAST(1 AS INTEGER) AS p50_in_bound,
+       CAST(1 AS INTEGER) AS p90_in_bound,
+       CAST(1 AS INTEGER) AS state_bounded
+FROM s
+""",
+    tags=("streaming", "stateful", "stats", "sketch"),
+)
+def q_stream_kll_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOUNDED-RANK-ERROR streaming percentiles (round-6 verdict #3,
+    upgrading the log2-histogram's bucket-relative error): a
+    deterministic KLL/MRL sketch (functions/kll.py) runs per event
+    type as an applyInPandasWithState fold with O(k log n) state and
+    an EXACT worst-case rank-error ledger (sum of 2^level over
+    compactions) maintained alongside. Because a compacting sketch's
+    contents are insertion-order-dependent, the estimate itself is
+    not cross-engine checkable; instead the query is SELF-CALIBRATING
+    in the q_kmv_distinct pattern: it reads the final sketch, ranks
+    its p50/p90 answers against the exact value multiset, and emits
+    the exact order statistics (value-checked against the oracle)
+    plus in-bound flags asserting |realized rank - target rank| <=
+    ledger and a state-cap flag asserting size <= k*(2+ceil(log2(2n/
+    k))) — any sketch bug flips a flag and fails the hash gate. The
+    exact side exists only to AUDIT the sketch (the q_ann_recall
+    shape); the 100 TB consumer reads the sketch alone, whose
+    per-key state is a few KB forever and whose partials merge
+    losslessly (KLLSketch.merge) like any mergeable aggregate."""
+    s = replay_events(spark, sf_dir)
+    out = s.groupBy("event_type").applyInPandasWithState(
+        _kll_fold,
+        outputStructType=(
+            "event_type string, n_events long, p50_est double, "
+            "p90_est double, err_bound long, state_items long"
+        ),
+        stateStructType="n long, sketch string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    tbl = run_to_table(out, "append", spark)
+    latest = tbl.groupBy("event_type").agg(
+        F.max_by(
+            F.struct("n_events", "p50_est", "p90_est", "err_bound",
+                     "state_items"),
+            F.col("n_events"),
+        ).alias("s")
+    ).select("event_type", "s.*")
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sort_array(F.collect_list("value")).alias("vals"),
+        )
+    )
+    j = latest.join(exact, "event_type")
+
+    def in_bound(est_col: str, target_expr: str) -> F.Column:
+        lt = F.expr(f"size(filter(vals, v -> v < {est_col}))").cast("bigint")
+        le = F.expr(f"size(filter(vals, v -> v <= {est_col}))").cast("bigint")
+        t = F.expr(target_expr).cast("bigint")
+        dist = F.greatest(lt + 1 - t, t - le, F.lit(0).cast("bigint"))
+        return (dist <= F.col("err_bound")).cast("int")
+
+    state_cap = F.expr(
+        f"CAST({_KLL_K} * (2 + ceil(log2(greatest(2.0 * n_events / "
+        f"{_KLL_K}, 1.0)))) AS BIGINT)"
+    )
+    return j.select(
+        "event_type",
+        F.col("n_exact").cast("bigint").alias("n_events"),
+        F.expr(
+            "element_at(vals, CAST((n_exact - 1) DIV 2 AS INT) + 1)"
+        ).alias("p50_exact"),
+        F.expr(
+            "element_at(vals, CAST(((n_exact - 1) * 9) DIV 10 AS INT) + 1)"
+        ).alias("p90_exact"),
+        in_bound("p50_est", "(n_events - 1) DIV 2 + 1").alias("p50_in_bound"),
+        in_bound("p90_est", "((n_events - 1) * 9) DIV 10 + 1").alias(
+            "p90_in_bound"
+        ),
+        (F.col("state_items") <= state_cap).cast("int").alias("state_bounded"),
+    )
