@@ -250,6 +250,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # round-7 additions (first driver evidence rides behind the
     # never-checked backlog; local gate at sf0.001+sf0.01):
     "q_stream_kll_quantile",
+    "q_stream_zip_seq",
     # r4-latest block (staleness cap at r8; cannot fit alongside the
     # never-checked backlog -- mitigation: the full local sweep; the
     # r9/r10 windows rotate this block after the r9 head):

@@ -38,5 +38,6 @@ from streamz_postgres_spark.streaming.stateful import (  # noqa: F401
 )
 from streamz_postgres_spark.streaming.windowed import (  # noqa: F401
     _running_totals,
+    _zip_seq_fold,
     q_stream_accumulate,
 )

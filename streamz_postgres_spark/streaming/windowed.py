@@ -783,3 +783,114 @@ def q_stream_chained_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(staging, ignore_errors=True)
 
 
+
+
+# -- streaming lockstep zip (streamz ``zip`` parity, per key) ----------------
+
+
+def _zip_seq_fold(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-key lockstep zip: buffer whichever side is ahead, emit a
+    pair the moment both sides have an unmatched element — exactly
+    streamz ``zip``'s buffer-the-faster-stream contract, per key.
+    State is (emitted-pair counter, JSON queue of the single side
+    currently ahead): the queue holds only the IMBALANCE between the
+    sides, so state is bounded by side skew, not stream length, and
+    each pair is emitted exactly once, in append mode."""
+    import json as _json
+
+    if state.exists:
+        n_pairs, side, queue_blob = state.get
+        queue = _json.loads(queue_blob)
+    else:
+        n_pairs, side, queue = 0, "", []
+    pdf = pd.concat(list(batches), ignore_index=True)
+    pdf = pdf.sort_values("event_id")
+    out_rows = []
+    for _, r in pdf.iterrows():
+        this_side = "s" if r["event_type"] == "signup" else "c"
+        item = [int(r["event_id"]), float(r["value"])]
+        if queue and side != this_side:
+            other = queue.pop(0)
+            n_pairs += 1
+            s_item, c_item = (
+                (other, item) if this_side == "c" else (item, other)
+            )
+            out_rows.append(
+                {
+                    "user_id": int(key[0]),
+                    "seq": n_pairs,
+                    "signup_id": s_item[0],
+                    "signup_value": s_item[1],
+                    "click_id": c_item[0],
+                    "click_value": c_item[1],
+                }
+            )
+        else:
+            side = this_side
+            queue.append(item)
+    state.update((n_pairs, side, _json.dumps(queue)))
+    yield pd.DataFrame(
+        out_rows,
+        columns=[
+            "user_id",
+            "seq",
+            "signup_id",
+            "signup_value",
+            "click_id",
+            "click_value",
+        ],
+    )
+
+
+@register(
+    "q_stream_zip_seq",
+    oracle="""
+WITH s AS (
+  SELECT user_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS seq,
+         event_id AS signup_id, value AS signup_value
+  FROM events WHERE event_type = 'signup'
+), c AS (
+  SELECT user_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS seq,
+         event_id AS click_id, value AS click_value
+  FROM events WHERE event_type = 'click'
+)
+SELECT user_id, CAST(seq AS BIGINT) AS seq,
+       signup_id, signup_value, click_id, click_value
+FROM s JOIN c USING (user_id, seq)
+""",
+    tags=("streaming", "join", "zip", "stateful"),
+)
+def q_stream_zip_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE-STREAMING lockstep zip (closes SURVEY §2.4's last HARD
+    deferral; batch twin q_zip_seq): each user's i-th signup is
+    paired with their i-th click, incrementally. Spark cannot chain
+    an arbitrary-stateful operator into a stream-stream join (the
+    generated-sequence-id join needs row_number state BEFORE the
+    join), so the zip runs as ONE applyInPandasWithState fold per
+    user that implements streamz zip's actual contract directly:
+    buffer the side that is ahead, emit a pair as soon as both sides
+    have an unmatched element. Each pair emits exactly once (append
+    mode, no retraction); per-key state is the COUNTER plus only the
+    unmatched imbalance between the sides — bounded by side skew,
+    never by stream length (a production job adds a timeout to cap a
+    permanently one-sided key). The oracle is the per-key
+    row_number-join — checking that incremental pairing equals the
+    batch zip on the full log."""
+    s = replay_events(spark, sf_dir).filter(
+        F.col("event_type").isin("signup", "click")
+    )
+    out = s.groupBy("user_id").applyInPandasWithState(
+        _zip_seq_fold,
+        outputStructType=(
+            "user_id long, seq long, signup_id long, signup_value double, "
+            "click_id long, click_value double"
+        ),
+        stateStructType="n_pairs long, side string, queue string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_table(out, "append", spark)

@@ -665,3 +665,71 @@ def test_enrich_asof_state_survives_batches(spark, split_dir):
         else:
             exp[r.event_id] = state.get(r.user_id, (None, None))
     assert got == exp
+
+
+def test_zip_seq_state_survives_batches(spark, split_dir):
+    """q_stream_zip_seq's unmatched-side buffer must hand off across
+    micro-batches: a signup left unpaired at the end of batch 1 must
+    pair with the first click of a later batch, with the pair
+    counter continuing. Replay the 4-way event_id-ordered split one
+    file per trigger and require the emitted pairs to equal the
+    batch per-key row_number zip over the whole table."""
+    from streamz_postgres_spark.streaming.queries import _zip_seq_fold
+
+    src = (
+        spark.readStream.schema(load_table(spark, SF_DIR, "events").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{split_dir}/part*")
+        .filter(F.col("event_type").isin("signup", "click"))
+    )
+    out = src.groupBy("user_id").applyInPandasWithState(
+        _zip_seq_fold,
+        outputStructType=(
+            "user_id long, seq long, signup_id long, signup_value double, "
+            "click_id long, click_value double"
+        ),
+        stateStructType="n_pairs long, side string, queue string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    got = {
+        (r.user_id, r.seq): (r.signup_id, r.click_id)
+        for r in run_to_table(out, "append", spark).collect()
+    }
+
+    from pyspark.sql import Window
+
+    e = load_table(spark, SF_DIR, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .select("user_id", "event_id")
+        .withColumn("seq", F.row_number().over(w))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"), F.col("event_id").alias("c_id")
+        )
+        .withColumn(
+            "seq",
+            F.row_number().over(
+                Window.partitionBy("c_user").orderBy("c_id")
+            ),
+        )
+    )
+    want = {
+        (r.user_id, r.seq): (r.event_id, r.c_id)
+        for r in s.join(
+            c, (s.user_id == c.c_user) & (s.seq == c.seq)
+        ).collect()
+    }
+    assert got == want
+    # at least one pair must span a batch boundary, or this test
+    # proved nothing: find a pair whose two sides fall in different
+    # event_id quarters of the table
+    total = e.count()
+    step = total // 4 + 1
+    assert any(
+        (sid // step) != (cid // step) for sid, cid in got.values()
+    ), "no cross-batch pair in fixture — split differently"
