@@ -207,6 +207,109 @@ class JdbcPollingLoader:
 
 
 @dataclass
+class PsqlPollingLoader:
+    """Cursor-paged loader over the ``psql`` CLI (jar-less fallback).
+
+    Issues the SAME server-side SQL as :class:`JdbcPollingLoader`
+    (identical ``cursor_expr`` default, snapshot/incremental/
+    safe_cursor queries) but transports rows via
+    ``COPY (query) TO STDOUT (FORMAT CSV)`` into a scratch file that
+    Spark reads with an explicit schema. Exists for two reasons:
+
+    - environments with a Postgres server but no JDBC driver jar on
+      the Spark classpath (this sandbox: /usr/local/bin/psql exists,
+      Maven is unreachable) — the live integration suite uses it to
+      exercise the REAL xmin-cursor semantics against a real server;
+    - operational escape hatch (debugging a poll from a shell host).
+
+    Production stays on JdbcPollingLoader: the CSV hop funnels the
+    snapshot through one driver-side process (no server-side
+    parallel range scan) and CSV round-trips only the scalar types
+    the ``schema`` names — fine for a poll loop's row volumes, wrong
+    for a 100 TB backfill. ``schema`` is the table's Spark DDL
+    WITHOUT the cursor column (appended automatically).
+    """
+
+    spark: SparkSession
+    dsn: list[str]  # psql args, e.g. ["-h", sockdir, "-p", "5433", ...]
+    table: str
+    schema: str
+    cursor_expr: str = "(xmin::text::bigint)"
+    psql_path: str = "psql"
+
+    def __post_init__(self) -> None:
+        self.table = quote_qualified_ident(self.table)
+
+    def _scalar(self, sql: str) -> str:
+        import subprocess
+
+        out = subprocess.run(
+            [self.psql_path, *self.dsn, "-X", "-A", "-t", "-c", sql],
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        return out.stdout.strip()
+
+    def _frame(self, query: str) -> DataFrame:
+        import subprocess
+        import tempfile
+
+        out = subprocess.run(
+            [
+                self.psql_path,
+                *self.dsn,
+                "-X",
+                "-c",
+                f"COPY ({query}) TO STDOUT (FORMAT CSV, HEADER)",
+            ],
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        f = tempfile.NamedTemporaryFile(
+            mode="w", suffix=".csv", delete=False, prefix="psql_poll_"
+        )
+        f.write(out.stdout)
+        f.close()
+        return (
+            self.spark.read.option("header", True)
+            .schema(f"{self.schema}, __cursor bigint")
+            .csv(f.name)
+        )
+
+    def snapshot(self) -> DataFrame:
+        return self._frame(
+            f"SELECT t.*, {self.cursor_expr} AS __cursor FROM {self.table} t"
+        )
+
+    def max_cursor(self) -> int:
+        return int(
+            self._scalar(
+                f"SELECT COALESCE(MAX({self.cursor_expr}), 0) "
+                f"FROM {self.table} t"
+            )
+        )
+
+    def safe_cursor(self) -> int | None:
+        if "xmin" not in self.cursor_expr:
+            return None
+        return int(
+            self._scalar(
+                "SELECT (pg_snapshot_xmin(pg_current_snapshot())"
+                "::text::bigint % 4294967296) - 1"
+            )
+        )
+
+    def incremental(self, cursor: int) -> DataFrame:
+        return self._frame(
+            f"SELECT t.*, {self.cursor_expr} AS __cursor "
+            f"FROM {self.table} t "
+            f"WHERE {self.cursor_expr} > {int(cursor)}"
+        )
+
+
+@dataclass
 class ParquetReplayLoader:
     """Loader over the events fixture: event_id is the cursor.
 
