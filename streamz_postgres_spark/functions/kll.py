@@ -150,3 +150,74 @@ class KLLSketch:
         sk.n = int(d["n"])
         sk.err = int(d["err"])
         return sk
+
+
+def calibrated_readout(latest, events):
+    """Shared self-calibration read-out for the KLL queries (batch
+    q_kll_quantile and streaming q_stream_kll_quantile).
+
+    ``latest``: one row per event_type with the sketch's final
+    (n_events, p50_est, p90_est, err_bound, state_items).
+    ``events``: the batch events frame the sketch consumed.
+
+    Emits only cross-engine-deterministic columns: the exact
+    integer-index order statistics (value-checked against the
+    oracle) and flags asserting the sketch's realized rank error
+    sits within its ledger and its state within the
+    k*(2+ceil(log2(2n/k))) cap — a sketch bug flips a flag and
+    fails the hash gate (the q_kmv_distinct calibration pattern).
+    The O(n) exact side exists only to AUDIT the sketch (the
+    q_ann_recall shape); production consumers read the sketch alone.
+    """
+    from pyspark.sql import functions as F
+
+    exact = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sort_array(F.collect_list("value")).alias("vals"),
+    )
+    j = latest.join(exact, "event_type")
+
+    def in_bound(est_col: str, target_expr: str):
+        lt = F.expr(f"size(filter(vals, v -> v < {est_col}))").cast("bigint")
+        le = F.expr(f"size(filter(vals, v -> v <= {est_col}))").cast("bigint")
+        t = F.expr(target_expr).cast("bigint")
+        dist = F.greatest(lt + 1 - t, t - le, F.lit(0).cast("bigint"))
+        return (dist <= F.col("err_bound")).cast("int")
+
+    state_cap = F.expr(
+        f"CAST({DEFAULT_K} * (2 + ceil(log2(greatest(2.0 * n_events / "
+        f"{DEFAULT_K}, 1.0)))) AS BIGINT)"
+    )
+    return j.select(
+        "event_type",
+        F.col("n_exact").cast("bigint").alias("n_events"),
+        F.expr(
+            "element_at(vals, CAST((n_exact - 1) DIV 2 AS INT) + 1)"
+        ).alias("p50_exact"),
+        F.expr(
+            "element_at(vals, CAST(((n_exact - 1) * 9) DIV 10 AS INT) + 1)"
+        ).alias("p90_exact"),
+        in_bound("p50_est", "(n_events - 1) DIV 2 + 1").alias("p50_in_bound"),
+        in_bound("p90_est", "((n_events - 1) * 9) DIV 10 + 1").alias(
+            "p90_in_bound"
+        ),
+        (F.col("state_items") <= state_cap).cast("int").alias("state_bounded"),
+    )
+
+
+KLL_ORACLE_SQL = """
+WITH s AS (
+  SELECT event_type,
+         list(value ORDER BY value) AS vals,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events
+  GROUP BY event_type
+)
+SELECT event_type, n_events,
+       vals[CAST((n_events - 1) // 2 AS BIGINT) + 1] AS p50_exact,
+       vals[CAST(((n_events - 1) * 9) // 10 AS BIGINT) + 1] AS p90_exact,
+       CAST(1 AS INTEGER) AS p50_in_bound,
+       CAST(1 AS INTEGER) AS p90_in_bound,
+       CAST(1 AS INTEGER) AS state_bounded
+FROM s
+"""

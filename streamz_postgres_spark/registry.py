@@ -251,6 +251,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # never-checked backlog; local gate at sf0.001+sf0.01):
     "q_stream_kll_quantile",
     "q_stream_zip_seq",
+    "q_kll_quantile",
     # r4-latest block (staleness cap at r8; cannot fit alongside the
     # never-checked backlog -- mitigation: the full local sweep; the
     # r9/r10 windows rotate this block after the r9 head):

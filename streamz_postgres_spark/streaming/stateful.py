@@ -1036,22 +1036,9 @@ def _kll_fold(
 
 @register(
     "q_stream_kll_quantile",
-    oracle="""
-WITH s AS (
-  SELECT event_type,
-         list(value ORDER BY value) AS vals,
-         CAST(COUNT(*) AS BIGINT) AS n_events
-  FROM events
-  GROUP BY event_type
-)
-SELECT event_type, n_events,
-       vals[CAST((n_events - 1) // 2 AS BIGINT) + 1] AS p50_exact,
-       vals[CAST(((n_events - 1) * 9) // 10 AS BIGINT) + 1] AS p90_exact,
-       CAST(1 AS INTEGER) AS p50_in_bound,
-       CAST(1 AS INTEGER) AS p90_in_bound,
-       CAST(1 AS INTEGER) AS state_bounded
-FROM s
-""",
+    oracle=__import__(
+        "streamz_postgres_spark.functions.kll", fromlist=["KLL_ORACLE_SQL"]
+    ).KLL_ORACLE_SQL,
     tags=("streaming", "stateful", "stats", "sketch"),
 )
 def q_stream_kll_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1092,39 +1079,6 @@ def q_stream_kll_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_events"),
         ).alias("s")
     ).select("event_type", "s.*")
-    exact = (
-        load_table(spark, sf_dir, "events")
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_exact"),
-            F.sort_array(F.collect_list("value")).alias("vals"),
-        )
-    )
-    j = latest.join(exact, "event_type")
+    from streamz_postgres_spark.functions.kll import calibrated_readout
 
-    def in_bound(est_col: str, target_expr: str) -> F.Column:
-        lt = F.expr(f"size(filter(vals, v -> v < {est_col}))").cast("bigint")
-        le = F.expr(f"size(filter(vals, v -> v <= {est_col}))").cast("bigint")
-        t = F.expr(target_expr).cast("bigint")
-        dist = F.greatest(lt + 1 - t, t - le, F.lit(0).cast("bigint"))
-        return (dist <= F.col("err_bound")).cast("int")
-
-    state_cap = F.expr(
-        f"CAST({_KLL_K} * (2 + ceil(log2(greatest(2.0 * n_events / "
-        f"{_KLL_K}, 1.0)))) AS BIGINT)"
-    )
-    return j.select(
-        "event_type",
-        F.col("n_exact").cast("bigint").alias("n_events"),
-        F.expr(
-            "element_at(vals, CAST((n_exact - 1) DIV 2 AS INT) + 1)"
-        ).alias("p50_exact"),
-        F.expr(
-            "element_at(vals, CAST(((n_exact - 1) * 9) DIV 10 AS INT) + 1)"
-        ).alias("p90_exact"),
-        in_bound("p50_est", "(n_events - 1) DIV 2 + 1").alias("p50_in_bound"),
-        in_bound("p90_est", "((n_events - 1) * 9) DIV 10 + 1").alias(
-            "p90_in_bound"
-        ),
-        (F.col("state_items") <= state_cap).cast("int").alias("state_bounded"),
-    )
+    return calibrated_readout(latest, load_table(spark, sf_dir, "events"))
