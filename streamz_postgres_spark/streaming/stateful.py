@@ -996,9 +996,7 @@ if _protobuf_available():  # pragma: no cover - depends on environment
 
 # -- streaming KLL quantile sketch (bounded rank error, self-calibrating) ----
 
-#: per-level buffer capacity; at the fixtures' n this gives a
-#: ~2-3% worst-case rank-error ledger and O(k log(n/k)) state
-_KLL_K = 256
+
 
 
 def _kll_fold(
@@ -1009,13 +1007,16 @@ def _kll_fold(
     rows in event_id order and emits the current read-out. Rows are
     O(k log n) JSON in a single string state column — bounded
     forever, vs the exact percentile fold's O(n) multiset."""
-    from streamz_postgres_spark.functions.kll import KLLSketch
+    from streamz_postgres_spark.functions.kll import DEFAULT_K, KLLSketch
 
     if state.exists:
         _, blob = state.get
         sk = KLLSketch.from_json(blob)
     else:
-        sk = KLLSketch(_KLL_K)
+        # DEFAULT_K (256): ~2-3% worst-case rank-error ledger at the
+        # fixtures' n, O(k log(n/k)) state; shared with the batch
+        # twin and calibrated_readout's state cap
+        sk = KLLSketch(DEFAULT_K)
     pdf = pd.concat(list(batches), ignore_index=True)
     for v in pdf.sort_values("event_id")["value"]:
         sk.add(float(v))

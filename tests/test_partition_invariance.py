@@ -29,6 +29,9 @@ KEYS = (
     "q_rolling_median",   # window order statistics
     "q_pagerank",         # unrolled iterative ranks (qround grid)
     "q_stream_quantile_sketch",  # streaming complete-mode merge
+    "q_kll_quantile",     # mergeable sketch partials (calibration
+                          # read-out must survive any partial split)
+    "q_stream_zip_seq",   # per-key stateful pairing
 )
 
 
