@@ -239,6 +239,22 @@ class PsqlPollingLoader:
 
     def __post_init__(self) -> None:
         self.table = quote_qualified_ident(self.table)
+        # scratch CSVs of returned frames: a frame is read lazily, so
+        # its file must outlive the call; each _frame call releases
+        # the PREVIOUS call's files (the _MATERIALIZE_DIRS lifecycle)
+        # and close() drops the last one.
+        self._scratch: list[str] = []
+
+    def close(self) -> None:
+        """Remove any scratch CSV still held (call when the last
+        returned frame has been consumed)."""
+        import os
+
+        while self._scratch:
+            try:
+                os.unlink(self._scratch.pop())
+            except OSError:
+                pass
 
     def _scalar(self, sql: str) -> str:
         import subprocess
@@ -267,11 +283,13 @@ class PsqlPollingLoader:
             text=True,
             check=True,
         )
+        self.close()  # previous frame's scratch is now consumable-free
         f = tempfile.NamedTemporaryFile(
             mode="w", suffix=".csv", delete=False, prefix="psql_poll_"
         )
         f.write(out.stdout)
         f.close()
+        self._scratch.append(f.name)
         return (
             self.spark.read.option("header", True)
             .schema(f"{self.schema}, __cursor bigint")

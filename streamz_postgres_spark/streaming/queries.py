@@ -28,6 +28,7 @@ from streamz_postgres_spark.streaming.corpus_live import (  # noqa: F401
 from streamz_postgres_spark.streaming.stateful import (  # noqa: F401
     _anomaly_fold,
     _ewma_fold,
+    _kll_fold,
     _latest_totals,
     _PercentileProcessor,
     _protobuf_available,

@@ -245,3 +245,84 @@ def test_tws_restart_resumes_typed_state(spark, dirs):
     got_m = {r.user_id: (r.n_events, r.sum_value) for r in final.collect()}
     exp_m = {r.user_id: (r.n_events, r.sum_value) for r in want.collect()}
     assert got_m == exp_m
+
+
+@pytest.mark.slow
+def test_kll_restart_resumes_sketch_state(spark, dirs):
+    """KLL sketch recovery: the serialized sketch (level buffers +
+    rank-error ledger) must survive a stop/restart boundary. After
+    restarting with file b, each type's final emission must carry
+    the FULL-history count (a lost state store would restart n at
+    file-b counts) and its p50 estimate must sit within the ledger
+    of the full-data exact rank — the sketch keeps its guarantee
+    across the crash boundary, not just within one run."""
+    from streamz_postgres_spark.streaming.queries import _kll_fold
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    src, sink = dirs
+    data, ckpt = os.path.join(sink, "data"), os.path.join(sink, "ckpt")
+    t = pq.read_table(
+        table_path(SF_DIR, "events"),
+        columns=["event_id", "event_type", "value"],
+    )
+    half = t.num_rows // 2
+    schema = "event_id bigint, event_type string, value double"
+
+    def run_available_now():
+        s = spark.readStream.schema(schema).parquet(src)
+        out = s.groupBy("event_type").applyInPandasWithState(
+            _kll_fold,
+            outputStructType=(
+                "event_type string, n_events long, p50_est double, "
+                "p90_est double, err_bound long, state_items long"
+            ),
+            stateStructType="n long, sketch string",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", data)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    pq.write_table(t.slice(0, half), f"{src}/a.parquet")
+    run_available_now()
+    pq.write_table(t.slice(half), f"{src}/b.parquet")
+    run_available_now()
+
+    final = (
+        spark.read.parquet(data)
+        .groupBy("event_type")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("p50_est", "n_events").alias("p50_est"),
+            F.max_by("err_bound", "n_events").alias("err_bound"),
+        )
+    )
+    full = spark.createDataFrame(t.to_pandas())
+    want_n = {
+        r.event_type: r.n
+        for r in full.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    vals = {
+        r.event_type: sorted(r.vals)
+        for r in full.groupBy("event_type")
+        .agg(F.collect_list("value").alias("vals"))
+        .collect()
+    }
+    for r in final.collect():
+        assert r.n_events == want_n[r.event_type], r.event_type
+        sv = vals[r.event_type]
+        target = (r.n_events - 1) // 2 + 1
+        lt = sum(1 for v in sv if v < r.p50_est)
+        le = sum(1 for v in sv if v <= r.p50_est)
+        dist = max(0, lt + 1 - target, target - le)
+        assert dist <= r.err_bound, (r.event_type, dist, r.err_bound)
