@@ -515,3 +515,80 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_hi", "phase")
     )
+
+
+# -- out-of-vocabulary rate vs the corpus top-V vocabulary -------------------
+
+#: vocabulary size: top V tokens by corpus frequency (count desc,
+#: token asc as the deterministic tie-break)
+_OOV_V = 500
+
+
+@register(
+    "q_oov_rate",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest({sql_tokens('text')}) AS tok FROM documents
+), vocab AS (
+  SELECT tok FROM (
+    SELECT tok, row_number() OVER (ORDER BY COUNT(*) DESC, tok) AS rk
+    FROM tok GROUP BY tok
+  ) r WHERE rk <= {_OOV_V}
+)
+SELECT t.doc_id, t.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) FILTER (WHERE v.tok IS NULL) AS BIGINT) AS n_oov,
+       CAST(COUNT(*) FILTER (WHERE v.tok IS NULL) AS DOUBLE) / COUNT(*)
+         AS oov_rate
+FROM tok t LEFT JOIN vocab v ON t.tok = v.tok
+GROUP BY t.doc_id, t.lang
+""",
+    tags=("corpus", "text", "quality"),
+)
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus's own
+    top-{_OOV_V} token vocabulary — the tokenizer-coverage
+    diagnostic run before committing a vocab/tokenizer to a
+    training corpus (high-OOV docs are noise, code, or a language
+    the vocab underserves). Two-phase: (1) global token counts ->
+    top-V with a DETERMINISTIC tie-break (count desc, token asc —
+    never hash-order), (2) per-doc conditional count against the
+    vocabulary, which Catalyst executes as a BROADCAST join (the
+    vocab is V rows by construction) — per-doc work is map-side,
+    the only full shuffle is the token-count aggregation, and the
+    oov ratio is ONE IEEE division of two exact integers. At 100 TB
+    the vocab stage is the q_vocab_topk plan (partial-agg counts)
+    and the audit stage stays broadcast — no pairwise anything."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.explode(tokens("text")).alias("tok")
+    )
+    # orderBy + limit compiles to TakeOrderedAndProject — a
+    # DISTRIBUTED top-V (per-partition heads merged on the driver),
+    # never a single-partition row_number sort of the whole vocab
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok"))
+        .limit(_OOV_V)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.count_if(F.col("in_vocab").isNull())
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "n_oov",
+            (F.col("n_oov").cast("double") / F.col("n_tokens")).alias(
+                "oov_rate"
+            ),
+        )
+    )

@@ -907,3 +907,81 @@ def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# -- temperature-scaled mixture weights (multilingual sampling standard) -----
+
+#: fixed training-token budget the plan is computed for (the
+#: read-out is a PLAN — expected docs per source at this budget)
+_TEMP_BUDGET_DOCS = 10_000
+
+
+@register(
+    "q_mixture_temperature",
+    oracle=f"""
+WITH counts AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+  GROUP BY source
+), t AS (
+  SELECT source, n_docs, SQRT(CAST(n_docs AS DOUBLE)) AS w
+  FROM counts
+), z AS (
+  SELECT CAST(SUM(CAST(FLOOR(w * 1000000.0 + 0.5) AS HUGEINT)) AS DOUBLE)
+           / 1000000.0 AS z_w,
+         CAST(SUM(n_docs) AS BIGINT) AS n_total
+  FROM t
+)
+SELECT t.source, t.n_docs,
+       CAST(t.n_docs AS DOUBLE) / z.n_total AS obs_share,
+       t.w / z.z_w AS temp_share,
+       (t.w / z.z_w) / (CAST(t.n_docs AS DOUBLE) / z.n_total)
+         AS resample_factor,
+       CAST(FLOOR((t.w / z.z_w) * {_TEMP_BUDGET_DOCS} + 0.5) AS BIGINT)
+         AS docs_at_budget
+FROM t CROSS JOIN z
+""",
+    tags=("pipeline", "corpus", "mixture"),
+)
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights — the multilingual/
+    multi-domain sampling standard (mT5/XLM-R practice, public
+    methodology): sample source i proportionally to p_i^alpha so
+    low-resource sources are boosted without flattening to uniform.
+    alpha is FIXED AT 0.5 deliberately: p^0.5 = sqrt(count), and
+    IEEE-754 sqrt is CORRECTLY ROUNDED on every conforming platform
+    — the one power that is bit-identical across Spark, DuckDB, and
+    any executor, where a libm pow(p, 0.3) would diverge in the last
+    bit between engines (the q_decay_score power-of-two lesson,
+    applied to fractional powers). The normalizer is a dsum over the
+    sqrt weights (order-independent), and each output is one IEEE
+    division — bit-exact at any parallelism. Emits the audit a
+    mixture pipeline consumes: observed share, temperature share,
+    the implied re-sampling factor per source, and expected docs at
+    a fixed budget (floor-rule rounded). One O(sources) aggregate;
+    the downstream sampler is q_domain_mix/q_mixture_rebalance with
+    this as the target-share vector."""
+    from streamz_postgres_spark.functions.numeric import dsum
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    t = counts.select(
+        "source", "n_docs", F.sqrt(F.col("n_docs").cast("double")).alias("w")
+    )
+    z = t.agg(
+        dsum("w").alias("z_w"),
+        F.sum("n_docs").cast("bigint").alias("n_total"),
+    )
+    temp_share = F.col("w") / F.col("z_w")
+    obs_share = F.col("n_docs").cast("double") / F.col("n_total")
+    return t.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        obs_share.alias("obs_share"),
+        temp_share.alias("temp_share"),
+        (temp_share / obs_share).alias("resample_factor"),
+        F.floor(temp_share * _TEMP_BUDGET_DOCS + F.lit(0.5))
+        .cast("bigint")
+        .alias("docs_at_budget"),
+    )

@@ -253,6 +253,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_stream_zip_seq",
     "q_kll_quantile",
     "q_dedup_substring",
+    "q_oov_rate",
+    "q_mixture_temperature",
     # r4-latest block (staleness cap at r8; cannot fit alongside the
     # never-checked backlog -- mitigation: the full local sweep; the
     # r9/r10 windows rotate this block after the r9 head):
