@@ -495,3 +495,61 @@ def test_hash60_cross_engine_on_arbitrary_strings(spark, duck, texts):
         lit = "'" + t.replace("'", "''") + "'"
         (want,) = duck.execute(f"SELECT {sql_hash60(lit)}").fetchone()
         assert got[t] == want, repr(t)
+
+
+# -- winnowing guarantee (q_dedup_substring) ---------------------------------
+
+def _winnow_fps(text: str, k: int = 24, w: int = 8) -> set:
+    """Pure-Python mirror of q_dedup_substring's fingerprint
+    extraction (same hash, same first-min selection rule), for
+    property-testing the winnowing theorem without Spark."""
+    import hashlib
+
+    n = len(text) - k + 1
+    if n < w:
+        return set()
+    hs = [
+        int(hashlib.md5(text[i : i + k].encode()).hexdigest()[:15], 16)
+        for i in range(n)
+    ]
+    fps = set()
+    for j in range(n - w + 1):
+        win = hs[j : j + w]
+        p = win.index(min(win))
+        fps.add(text[j + p : j + p + k])
+    return fps
+
+
+_chars = st.text(alphabet="abcdefgh ,.", min_size=0, max_size=120)
+
+
+@given(
+    shared=st.text(alphabet="abcdefgh ,.", min_size=31, max_size=60),
+    pre_a=_chars,
+    post_a=_chars,
+    pre_b=_chars,
+    post_b=_chars,
+)
+@settings(max_examples=60, deadline=None)
+def test_winnowing_guarantee_shared_span_shares_fingerprint(
+    shared, pre_a, post_a, pre_b, post_b
+):
+    """The theorem q_dedup_substring's docstring claims (Schleimer
+    et al. 2003): two documents sharing ANY verbatim span of length
+    >= K + W - 1 = 31 chars MUST share at least one winnowing
+    fingerprint, wherever the span sits in each document. A
+    violation here means the operator can silently miss duplicated
+    substrings — the one failure mode a dedup candidate generator
+    must not have."""
+    a = pre_a + shared + post_a
+    b = pre_b + shared + post_b
+    fa, fb = _winnow_fps(a), _winnow_fps(b)
+    common = fa & fb
+    assert common, (
+        f"no shared fingerprint for shared span {shared!r} "
+        f"(a={a!r}, b={b!r})"
+    )
+    # and every shared fingerprint is a genuine verbatim 24-char
+    # span of both docs (the zero-false-positive claim)
+    for g in common:
+        assert g in a and g in b and len(g) == 24
