@@ -38,6 +38,7 @@ from streamz_postgres_spark.streaming.stateful import (  # noqa: F401
     _UserTotalsProcessor,
 )
 from streamz_postgres_spark.streaming.windowed import (  # noqa: F401
+    _combine_latest_fold,
     _running_totals,
     _zip_seq_fold,
     q_stream_accumulate,

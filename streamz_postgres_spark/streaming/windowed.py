@@ -894,3 +894,91 @@ def q_stream_zip_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return run_to_table(out, "append", spark)
+
+
+# -- streaming combine_latest (streamz core parity) --------------------------
+
+
+def _combine_latest_fold(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-key combine_latest: remember the latest value of each
+    side; once BOTH sides have been seen, every incoming event emits
+    one row pairing the current latests — streamz combine_latest's
+    default emit-on-any contract. State is exactly two scalars per
+    key forever."""
+    if state.exists:
+        click_v, purch_v = state.get
+    else:
+        click_v, purch_v = None, None
+    pdf = pd.concat(list(batches), ignore_index=True).sort_values("event_id")
+    rows = []
+    for eid, etype, val in zip(
+        pdf["event_id"], pdf["event_type"], pdf["value"]
+    ):
+        if etype == "click":
+            click_v = float(val)
+        else:
+            purch_v = float(val)
+        if click_v is not None and purch_v is not None:
+            rows.append(
+                {
+                    "user_id": int(key[0]),
+                    "event_id": int(eid),
+                    "click_value": click_v,
+                    "purchase_value": purch_v,
+                }
+            )
+    state.update((click_v, purch_v))
+    yield pd.DataFrame(
+        rows,
+        columns=["user_id", "event_id", "click_value", "purchase_value"],
+    )
+
+
+@register(
+    "q_stream_combine_latest",
+    oracle="""
+WITH w AS (
+  SELECT user_id, event_id,
+         LAST_VALUE(CASE WHEN event_type = 'click' THEN value END
+                    IGNORE NULLS) OVER win AS click_value,
+         LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END
+                    IGNORE NULLS) OVER win AS purchase_value
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+  WINDOW win AS (PARTITION BY user_id ORDER BY event_id
+                 ROWS UNBOUNDED PRECEDING)
+)
+SELECT user_id, event_id, click_value, purchase_value
+FROM w
+WHERE click_value IS NOT NULL AND purchase_value IS NOT NULL
+""",
+    tags=("streaming", "join", "stateful"),
+)
+def q_stream_combine_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE-STREAMING combine_latest (streamz core, SURVEY §2.4;
+    batch semantics ride q_asof_join): per user, every click or
+    purchase emits the pair of CURRENT latest values of both sides,
+    starting once both sides have produced at least one value —
+    streamz's default emit-on-any-update contract, including the
+    emit for the event that completes the pair. One
+    applyInPandasWithState fold; state is two scalars per key
+    FOREVER (the lightest stateful operator in the registry), each
+    event emits exactly once in append mode. Oracle: the
+    last-ignoreNulls window pair over the full log with the
+    both-seen filter."""
+    s = replay_events(spark, sf_dir).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    out = s.groupBy("user_id").applyInPandasWithState(
+        _combine_latest_fold,
+        outputStructType=(
+            "user_id long, event_id long, click_value double, "
+            "purchase_value double"
+        ),
+        stateStructType="click_v double, purch_v double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_table(out, "append", spark)

@@ -733,3 +733,55 @@ def test_zip_seq_state_survives_batches(spark, split_dir):
     assert any(
         (sid // step) != (cid // step) for sid, cid in got.values()
     ), "no cross-batch pair in fixture — split differently"
+
+
+def test_combine_latest_state_survives_batches(spark, split_dir):
+    """q_stream_combine_latest's two-scalar state must hand off
+    across micro-batches: a click from batch 1 must pair with a
+    purchase from batch 3 when nothing intervened. Replay the 4-way
+    split one file per trigger; emissions must equal the plain
+    Python fold over the whole table in event_id order."""
+    from streamz_postgres_spark.streaming.queries import (
+        _combine_latest_fold,
+    )
+
+    src = (
+        spark.readStream.schema(load_table(spark, SF_DIR, "events").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{split_dir}/part*")
+        .filter(F.col("event_type").isin("click", "purchase"))
+    )
+    out = src.groupBy("user_id").applyInPandasWithState(
+        _combine_latest_fold,
+        outputStructType=(
+            "user_id long, event_id long, click_value double, "
+            "purchase_value double"
+        ),
+        stateStructType="click_v double, purch_v double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    got = {
+        r.event_id: (r.click_value, r.purchase_value)
+        for r in run_to_table(out, "append", spark).collect()
+    }
+
+    rows = sorted(
+        load_table(spark, SF_DIR, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select("user_id", "event_id", "event_type", "value")
+        .collect(),
+        key=lambda r: r.event_id,
+    )
+    state: dict[int, list] = {}
+    want = {}
+    for r in rows:
+        c, p = state.get(r.user_id, (None, None))
+        if r.event_type == "click":
+            c = r.value
+        else:
+            p = r.value
+        state[r.user_id] = (c, p)
+        if c is not None and p is not None:
+            want[r.event_id] = (c, p)
+    assert got == want
