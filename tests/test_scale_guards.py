@@ -246,3 +246,27 @@ def test_pairwise_embedding_plans_resplit_single_file_inputs(spark):
     for key in ("q_dedup_embed", "q_knn_graph", "q_sim_pairs"):
         plan = _plan(spark, key)
         assert "hashpartitioning(vec_id" in plan, key
+
+
+def test_oov_vocab_topv_is_distributed(spark):
+    """q_oov_rate's top-V vocabulary must compile to a distributed
+    TakeOrderedAndProject, never a single-partition row_number sort
+    of the whole token vocabulary (which would serialize a
+    billion-token vocab onto one task at scale)."""
+    from streamz_postgres_spark.plans.scale import explain_summary
+
+    plan = _plan(spark, "q_oov_rate")
+    assert "TakeOrderedAndProject" in plan
+    from streamz_postgres_spark.registry import REGISTRY
+
+    df = REGISTRY["q_oov_rate"].spark_fn(spark, SF_DIR)
+    assert explain_summary(df)["single_partition_windows"] is False
+
+
+def test_kll_partials_run_after_resplit(spark):
+    """q_kll_quantile's Python partial-sketch stage must run after a
+    round-robin re-split (RoundRobinPartitioning exchange), not on
+    the fixture's single input split — the _vecs_parallel lesson
+    applied to mapInPandas."""
+    plan = _plan(spark, "q_kll_quantile")
+    assert "RoundRobinPartitioning" in plan or "ROUND_ROBIN" in plan, plan
