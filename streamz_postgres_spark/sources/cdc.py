@@ -239,15 +239,19 @@ class PsqlPollingLoader:
 
     def __post_init__(self) -> None:
         self.table = quote_qualified_ident(self.table)
-        # scratch CSVs of returned frames: a frame is read lazily, so
-        # its file must outlive the call; each _frame call releases
-        # the PREVIOUS call's files (the _MATERIALIZE_DIRS lifecycle)
-        # and close() drops the last one.
+        # scratch CSVs of returned frames: frames are read LAZILY,
+        # and a caller may legitimately hold several at once (e.g.
+        # union a snapshot with a later delta before collecting), so
+        # files are only released by close() — which PollingCdcSource
+        # calls after each envelope batch is consumed, keeping the
+        # poll loop leak-free without invalidating live frames.
         self._scratch: list[str] = []
 
     def close(self) -> None:
-        """Remove any scratch CSV still held (call when the last
-        returned frame has been consumed)."""
+        """Remove every scratch CSV handed out so far. Frames
+        returned before this call must not be re-read afterwards
+        (same consume-within-the-batch contract PollingCdcSource
+        already imposes on envelope frames)."""
         import os
 
         while self._scratch:
@@ -283,7 +287,6 @@ class PsqlPollingLoader:
             text=True,
             check=True,
         )
-        self.close()  # previous frame's scratch is now consumable-free
         f = tempfile.NamedTemporaryFile(
             mode="w", suffix=".csv", delete=False, prefix="psql_poll_"
         )
@@ -485,6 +488,9 @@ class PollingCdcSource:
             self.cursor = int(row["c"] or 0)
         finally:
             env.unpersist()
+            # the batch is fully consumed: let scratch-holding
+            # loaders (PsqlPollingLoader) drop their temp files
+            getattr(self.loader, "close", lambda: None)()
 
     def poll_once(self, apply_fn: Callable[[DataFrame, int], None], idx: int) -> int:
         """One poll: returns the number of change rows emitted.
@@ -526,4 +532,74 @@ class PollingCdcSource:
                     self.cursor = 0
         finally:
             env.unpersist()
+            getattr(self.loader, "close", lambda: None)()
         return n
+
+
+@dataclass
+class PsqlTableSink:
+    """Write-back sink over the ``psql`` CLI (jar-less fallback) —
+    the consumer half PsqlPollingLoader is the source half of: a
+    materialized CDC table living IN Postgres, round-trippable
+    without a JDBC driver on the classpath.
+
+    ``write`` creates the table from the frame's schema when absent
+    (Spark -> PG types via :func:`pg_types.pg_type_for`) and COPYs
+    the rows in as CSV through one psql process. The frame funnels
+    through the driver (``toPandas``) — right for a poll loop's
+    batch sizes and for tests against a live server; a 100 TB
+    backfill uses the JDBC writer (``df.write.jdbc``) or
+    per-partition COPY workers instead, and the docstring is the
+    contract that says so.
+    """
+
+    spark: SparkSession
+    dsn: list[str]
+    table: str
+    psql_path: str = "psql"
+
+    def __post_init__(self) -> None:
+        self.table = quote_qualified_ident(self.table)
+
+    def _run(self, argv: list[str], stdin_text: str | None = None) -> str:
+        import subprocess
+
+        out = subprocess.run(
+            [self.psql_path, *self.dsn, "-X", *argv],
+            input=stdin_text,
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        return out.stdout
+
+    def _ddl(self, df: DataFrame) -> str:
+        from streamz_postgres_spark.sources.pg_types import pg_type_for
+
+        cols = ", ".join(
+            f'"{f.name}" {pg_type_for(f.dataType.simpleString())}'
+            for f in df.schema.fields
+        )
+        return f"CREATE TABLE IF NOT EXISTS {self.table} ({cols})"
+
+    def write(self, df: DataFrame, mode: str = "append") -> int:
+        """Write ``df`` into the PG table; returns rows written.
+        ``mode``: 'append' adds rows, 'overwrite' truncates first.
+        """
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"unsupported mode {mode!r}")
+        self._run(["-c", self._ddl(df)])
+        if mode == "overwrite":
+            self._run(["-c", f"TRUNCATE {self.table}"])
+        pdf = df.toPandas()
+        csv_text = pdf.to_csv(index=False, header=False)
+        collist = ", ".join(f'"{c}"' for c in pdf.columns)
+        self._run(
+            [
+                "-c",
+                f"COPY {self.table} ({collist}) "
+                "FROM STDIN (FORMAT CSV, NULL '')",
+            ],
+            stdin_text=csv_text,
+        )
+        return len(pdf)

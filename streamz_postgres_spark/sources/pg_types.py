@@ -71,3 +71,34 @@ def custom_schema(columns: list[tuple[str, str]]) -> str:
     pairs, e.g. [('id','bigint'),('price','numeric(12,2)')] ->
     'id BIGINT, price DECIMAL(12,2)'."""
     return ", ".join(f"{name} {spark_type_for(t)}" for name, t in columns)
+
+
+#: reverse direction, for DDL emitted by the psql write-back sink
+#: (PsqlTableSink): Spark simpleString -> PG column type
+SPARK_TO_PG = {
+    "tinyint": "smallint",
+    "smallint": "smallint",
+    "int": "integer",
+    "bigint": "bigint",
+    "float": "real",
+    "double": "double precision",
+    "string": "text",
+    "boolean": "boolean",
+    "binary": "bytea",
+    "date": "date",
+    "timestamp_ntz": "timestamp",
+    "timestamp": "timestamptz",
+}
+
+
+def pg_type_for(spark_type: str) -> str:
+    """Map one Spark DDL/simpleString type to a PG column type
+    (decimal keeps precision; arrays map recursively; anything
+    unmapped lands as text — PG's lossless fallback, mirroring
+    spark_type_for's)."""
+    t = spark_type.strip().lower()
+    if t.startswith("array<") and t.endswith(">"):
+        return f"{pg_type_for(t[6:-1])}[]"
+    if t.startswith("decimal"):
+        return t.replace("decimal", "numeric")
+    return SPARK_TO_PG.get(t, "text")

@@ -261,3 +261,62 @@ def test_polling_cdc_source_full_loop_live(spark, fresh_table):
     assert json.loads(rows[0].after)["note"] == "polled"
     # quiet poll: no rows, cursor stable
     assert src.poll_once(apply_fn, 2) == 0
+
+
+def test_write_back_round_trip_live(spark, fresh_table):
+    """Full source->consumer->sink cycle against the live server:
+    poll a table out through PsqlPollingLoader, materialize the
+    latest rows with apply_changes, write them back into a second
+    PG table through PsqlTableSink, and verify IN POSTGRES that the
+    materialization tracks the source through an update."""
+    from pyspark.sql import functions as F
+
+    from streamz_postgres_spark.sources.cdc import (
+        PsqlTableSink,
+        apply_changes,
+        to_envelope,
+    )
+
+    dsn = fresh_table
+    _sql(
+        dsn,
+        "INSERT INTO t_cdc SELECT i, i * 1.0, 'v1' "
+        "FROM generate_series(1, 6) i",
+    )
+    ld = _loader(spark, dsn)
+    sink = PsqlTableSink(spark=spark, dsn=dsn, table="t_mat")
+
+    snap = to_envelope(ld.snapshot(), ["id"], "r")
+    mat = apply_changes(snap)
+    n = sink.write(
+        mat.select(
+            F.get_json_object("after", "$.id").cast("bigint").alias("id"),
+            F.get_json_object("after", "$.v").cast("double").alias("v"),
+            F.get_json_object("after", "$.note").alias("note"),
+        ),
+        mode="overwrite",
+    )
+    assert n == 6
+    assert _sql(dsn, "SELECT COUNT(*) || ',' || SUM(v) FROM t_mat") == "6,21"
+
+    # source moves: one update + one insert; poll the delta, apply it
+    # over the materialized state, write back, verify in PG
+    cursor = ld.max_cursor()
+    _sql(dsn, "UPDATE t_cdc SET v = 100.0, note = 'v2' WHERE id = 3")
+    _sql(dsn, "INSERT INTO t_cdc VALUES (7, 7.0, 'v1')")
+    delta = to_envelope(ld.incremental(cursor), ["id"], "u")
+    mat2 = apply_changes(snap.unionByName(delta))
+    sink.write(
+        mat2.select(
+            F.get_json_object("after", "$.id").cast("bigint").alias("id"),
+            F.get_json_object("after", "$.v").cast("double").alias("v"),
+            F.get_json_object("after", "$.note").alias("note"),
+        ),
+        mode="overwrite",
+    )
+    assert _sql(dsn, "SELECT COUNT(*) FROM t_mat") == "7"
+    assert _sql(dsn, "SELECT v || '/' || note FROM t_mat WHERE id = 3") == (
+        "100/v2"
+    )
+    assert _sql(dsn, "SELECT note FROM t_mat WHERE id = 7") == "v1"
+    ld.close()  # drop the loader's scratch CSVs now that frames are consumed
