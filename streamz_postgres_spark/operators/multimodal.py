@@ -13,12 +13,15 @@ this module demonstrates end-to-end:
 - feature-detected decode hooks (``decode_image``/``decode_audio``/
   ``resize_frame``): REAL Pillow/soundfile decode when those
   libraries are importable, a clearly-raised ``NotImplementedError``
-  when not (this container ships neither). The registered queries
-  stay on the deterministic synthetic path either way — the fixture
-  payloads are utf-8 text, not media — so the oracle contract never
-  depends on an optional dependency; the hooks are the swap-in point
-  for a production media pipeline, unit-tested in both directions
-  (tests/test_multimodal_codecs.py).
+  when not (this container ships neither) — EXCEPT WAV, which
+  decodes for real through the stdlib ``wave`` module with zero
+  dependencies (q_multimodal_audio encodes deterministic 16-bit PCM
+  and round-trips it through that path under the value oracle). The
+  other registered queries stay on the deterministic synthetic path
+  — the fixture payloads are utf-8 text, not media — so the oracle
+  contract never depends on an optional dependency; the hooks are
+  the swap-in point for a production media pipeline, unit-tested in
+  both directions (tests/test_multimodal_codecs.py).
 
 The oracle checks the extracted features relationally (byte length,
 checksum, frame count are all derivable from the text in SQL), so
@@ -74,17 +77,40 @@ def decode_image(payload: bytes) -> "object":
 
 
 def decode_audio(payload: bytes) -> "object":
-    """Audio payload -> ``(samples ndarray, sample_rate)`` when
-    soundfile is importable; ``NotImplementedError`` otherwise."""
-    sf = _optional_module("soundfile")
-    if sf is None:
-        raise NotImplementedError(
-            "audio codecs not available (pip install soundfile)"
-        )
+    """Audio payload -> ``(samples, sample_rate)``.
+
+    Decode ladder: soundfile when importable (any format it knows);
+    otherwise REAL stdlib decode for RIFF/WAVE PCM via the ``wave``
+    module — no dependency needed, so the WAV path is never a stub
+    (q_multimodal_audio round-trips through it under the oracle
+    gate). Non-WAV payloads without soundfile raise a clear
+    ``NotImplementedError``; a malformed WAV raises ``wave.Error``
+    (a decode error, not a missing-codec error)."""
     import io
 
-    data, rate = sf.read(io.BytesIO(payload))
-    return data, rate
+    sf = _optional_module("soundfile")
+    if sf is not None:
+        data, rate = sf.read(io.BytesIO(payload))
+        return data, rate
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        import wave
+
+        import numpy as np
+
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            if w.getsampwidth() != 2:
+                raise NotImplementedError(
+                    f"stdlib WAV path handles 16-bit PCM only "
+                    f"(got sampwidth={w.getsampwidth()}); install "
+                    "soundfile for other widths"
+                )
+            frames = w.readframes(w.getnframes())
+            rate = w.getframerate()
+        return np.frombuffer(frames, dtype="<i2"), rate
+    raise NotImplementedError(
+        "audio codecs not available for non-WAV payloads "
+        "(pip install soundfile)"
+    )
 
 
 def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -380,4 +406,111 @@ def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("bytes_saved"),
         )
         .filter(F.col("n_copies") > 1)
+    )
+
+
+# -- real WAV round trip (stdlib codec — decode is NOT a stub) ---------------
+
+#: synthesized PCM: n_samples and every sample value are pure
+#: integer functions of doc_id, so the oracle can compute the
+#: decoded statistics from first principles without parsing WAV
+_WAV_RATE = 16000
+_WAV_BASE_SAMPLES = 100
+
+
+def _wav_payloads(batches):
+    """mapInPandas stage 1: deterministic 16-bit PCM WAV bytes per
+    doc (the ENCODE half of the round trip)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    for pdf in batches:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            n = _WAV_BASE_SAMPLES + d % 50
+            k = np.arange(n, dtype=np.int64)
+            samples = ((d * 31 + k * 7) % 2001 - 1000).astype("<i2")
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(_WAV_RATE)
+                w.writeframes(samples.tobytes())
+            payloads.append(buf.getvalue())
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def _wav_features(batches):
+    """mapInPandas stage 2: REAL decode through decode_audio's
+    stdlib WAV path, then integer signal stats."""
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            samples, rate = decode_audio(bytes(payload))
+            a = abs(samples.astype("int64"))
+            rows.append(
+                {
+                    "doc_id": int(doc_id),
+                    "sample_rate": int(rate),
+                    "n_samples": int(len(samples)),
+                    "sum_abs": int(a.sum()),
+                    "max_abs": int(a.max()),
+                }
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "sample_rate", "n_samples", "sum_abs", "max_abs",
+            ],
+        )
+
+
+@register(
+    "q_multimodal_audio",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(0, {_WAV_BASE_SAMPLES} + doc_id % 50 - 1),
+           k -> abs((doc_id * 31 + k * 7) % 2001 - 1000)) AS vals
+  FROM documents
+)
+SELECT doc_id,
+       CAST({_WAV_RATE} AS BIGINT) AS sample_rate,
+       CAST(len(vals) AS BIGINT) AS n_samples,
+       CAST(list_sum(vals) AS BIGINT) AS sum_abs,
+       CAST(list_max(vals) AS BIGINT) AS max_abs
+FROM s
+""",
+    tags=("multimodal", "audio", "udf"),
+)
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode round trip — upgrading the multimodal
+    story's decode step from feature-detected stub to an actual
+    codec with zero dependencies: deterministic 16-bit PCM WAV
+    payloads are ENCODED per doc (stdlib ``wave``), flow through the
+    pipeline as BinaryType, and are DECODED back through
+    decode_audio's stdlib RIFF/WAVE path into integer signal stats
+    (n_samples, sum|x|, max|x|). Every decoded statistic is a pure
+    integer function of doc_id, so the DuckDB oracle computes the
+    expected values from first principles — if the WAV encode or
+    decode were wrong in any byte the stats would not match. Both
+    stages are Arrow-batched mapInPandas after the standard re-split;
+    payload bytes never shuffle (encode and decode live in the same
+    task), which is exactly the media-pipeline posture the module
+    docstring prescribes."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    payloads = d.mapInPandas(
+        _wav_payloads, schema="doc_id long, payload binary"
+    )
+    return payloads.mapInPandas(
+        _wav_features,
+        schema=(
+            "doc_id long, sample_rate long, n_samples long, "
+            "sum_abs long, max_abs long"
+        ),
     )

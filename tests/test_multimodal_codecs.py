@@ -65,3 +65,33 @@ def test_decode_real_wav():
     sf.write(buf, np.zeros(1600, dtype="float32"), 16000, format="WAV")
     data, rate = decode_audio(buf.getvalue())
     assert rate == 16000 and len(data) == 1600
+
+
+def test_stdlib_wav_decode_without_soundfile():
+    """The WAV path must be a REAL decoder with zero dependencies:
+    encode known 16-bit PCM with the stdlib wave module, decode
+    through decode_audio, and get the samples and rate back exactly
+    (soundfile, when present, takes the same payload through its own
+    path — either way the contract holds)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    samples = np.array([0, 1000, -1000, 32767, -32768, 7], dtype="<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(samples.tobytes())
+
+    got, rate = decode_audio(buf.getvalue())
+    assert rate == 8000
+    assert np.array_equal(np.asarray(got).ravel().astype("i2"), samples)
+
+
+@pytest.mark.skipif(_HAS_SF, reason="soundfile installed: ladder n/a")
+def test_non_wav_payload_still_raises_without_soundfile():
+    with pytest.raises(NotImplementedError, match="soundfile"):
+        decode_audio(b"\x00\x01\x02\x03 not riff")
