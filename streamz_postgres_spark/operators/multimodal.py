@@ -514,3 +514,156 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_abs long, max_abs long"
         ),
     )
+
+
+# -- real BMP round trip (stdlib codec — image decode is NOT a stub) ---------
+
+
+def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
+    """Pack raw RGB bytes (logical top-down, RGB order) into a
+    24-bit uncompressed BMP — pure ``struct``, zero dependencies.
+    BMP stores rows bottom-up, pixels as BGR, rows padded to 4
+    bytes; the encoder applies all three so decode_bmp must undo
+    all three exactly."""
+    import struct
+
+    row_raw = width * 3
+    pad = (4 - row_raw % 4) % 4
+    rows = []
+    for y in range(height - 1, -1, -1):
+        row = rgb[y * row_raw : (y + 1) * row_raw]
+        # RGB -> BGR per pixel
+        bgr = bytearray()
+        for x in range(width):
+            r, g, b = row[x * 3 : x * 3 + 3]
+            bgr += bytes((b, g, r))
+        rows.append(bytes(bgr) + b"\x00" * pad)
+    pixel_data = b"".join(rows)
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(pixel_data), 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixel_data),
+        2835, 2835, 0, 0,
+    )
+    return header + pixel_data
+
+
+def decode_bmp(payload: bytes) -> tuple:
+    """24-bit uncompressed BMP -> (width, height, rgb bytes in
+    logical top-down RGB order) — the stdlib image codec
+    (decode_image's PIL path covers general formats; this one needs
+    nothing). Raises ValueError on non-BMP or unsupported variants."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0 or height <= 0:
+        raise ValueError(
+            f"stdlib BMP path handles bottom-up uncompressed 24-bit only "
+            f"(bpp={bpp}, compression={compression}, height={height})"
+        )
+    row_raw = width * 3
+    stride = row_raw + (4 - row_raw % 4) % 4
+    out = bytearray()
+    for y in range(height):  # logical top-down
+        src = offset + (height - 1 - y) * stride
+        row = payload[src : src + row_raw]
+        for x in range(width):
+            b, g, r = row[x * 3 : x * 3 + 3]
+            out += bytes((r, g, b))
+    return width, height, bytes(out)
+
+
+#: deterministic image geometry + pixels per doc (pure integer
+#: functions, so the oracle recomputes decoded stats directly)
+def _img_dims(doc_id: int) -> tuple:
+    return 8 + doc_id % 8, 6 + doc_id % 6
+
+
+def _img_payloads(batches):
+    import numpy as np
+
+    for pdf in batches:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            w, h = _img_dims(d)
+            i = np.arange(w * h * 3, dtype=np.int64)
+            rgb = ((d * 31 + i * 7) % 256).astype(np.uint8).tobytes()
+            payloads.append(encode_bmp(w, h, rgb))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def _img_features(batches):
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, rgb = decode_bmp(bytes(payload))
+            v = np.frombuffer(rgb, dtype=np.uint8).astype(np.int64)
+            i = np.arange(len(v), dtype=np.int64)
+            rows.append(
+                {
+                    "doc_id": int(doc_id),
+                    "width": w,
+                    "height": h,
+                    "sum_rgb": int(v.sum()),
+                    # position-weighted: catches BGR swaps and row
+                    # flips that a plain sum cannot see
+                    "wsum_rgb": int((i * v).sum()),
+                }
+            )
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "width", "height", "sum_rgb", "wsum_rgb"]
+        )
+
+
+@register(
+    "q_multimodal_image",
+    oracle="""
+WITH s AS (
+  SELECT doc_id, 8 + doc_id % 8 AS width, 6 + doc_id % 6 AS height,
+         list_transform(
+           generate_series(0, (8 + doc_id % 8) * (6 + doc_id % 6) * 3 - 1),
+           i -> STRUCT_PACK(i := i, v := (doc_id * 31 + i * 7) % 256)) AS px
+  FROM documents
+)
+SELECT doc_id,
+       CAST(width AS BIGINT) AS width,
+       CAST(height AS BIGINT) AS height,
+       CAST(list_sum(list_transform(px, p -> p.v)) AS BIGINT) AS sum_rgb,
+       CAST(list_sum(list_transform(px, p -> p.i * p.v)) AS BIGINT)
+         AS wsum_rgb
+FROM s
+""",
+    tags=("multimodal", "image", "udf"),
+)
+def q_multimodal_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode round trip, stdlib-only (the image sibling
+    of q_multimodal_audio): deterministic RGB pixels are packed into
+    genuine 24-bit BMPs (bottom-up rows, BGR pixel order, 4-byte row
+    padding — all applied by encode_bmp and undone by decode_bmp),
+    flow through Arrow batches as BinaryType, and decode back into
+    integer stats including a POSITION-WEIGHTED checksum over the
+    logical RGB byte order — a plain sum survives a BGR swap or row
+    flip, the weighted sum does not, so the oracle (expected stats
+    as pure integer functions of doc_id) pins the decoder
+    byte-for-byte. Payloads never shuffle; both stages are
+    mapInPandas after the standard re-split."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    payloads = d.mapInPandas(
+        _img_payloads, schema="doc_id long, payload binary"
+    )
+    return payloads.mapInPandas(
+        _img_features,
+        schema=(
+            "doc_id long, width long, height long, sum_rgb long, "
+            "wsum_rgb long"
+        ),
+    )
