@@ -1336,6 +1336,14 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprints (~2.len/(W+1) per doc), the self-join is equi on
     fingerprint with per-key fan-out bounded by the DF cap — no
     all-pairs anywhere."""
+    return _winnow_pairs(spark, sf_dir).select("doc_a", "doc_b", "n_shared")
+
+
+def _winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared candidate stage for the substring-dedup family:
+    winnowing fingerprints -> DF-capped gram join -> one row per doc
+    pair with (n_shared distinct grams, lexicographic MIN shared
+    gram as the deterministic representative for span extension)."""
     d = _docs_parallel(spark, sf_dir)
     g = (
         d.selectExpr("doc_id", f"{_SUB_HS} AS hs", "text")
@@ -1359,6 +1367,143 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
         )
-        .agg(F.countDistinct("a.gram").alias("n_shared"))
+        .agg(
+            F.countDistinct("a.gram").alias("n_shared"),
+            F.min("a.gram").alias("gram"),
+        )
         .filter(F.col("n_shared") >= _SUB_MIN_SHARED)
+    )
+
+
+#: the winnowing CTE chain, shared verbatim by both substring oracles
+_SUB_ORACLE_PAIRS_CTE = f"""
+WITH h AS (
+  SELECT doc_id, text,
+         list_transform(
+           generate_series(1, greatest(length(text) - {_SUB_K} + 1, 0)),
+           i -> CAST('0x' || substr(md5(substr(text, i, {_SUB_K})), 1, 15)
+                AS BIGINT)) AS hs
+  FROM documents
+), fp AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1,
+             greatest(length(text) - {_SUB_K + _SUB_W - 1} + 1, 0)),
+           j -> substr(text,
+                       j - 1 + list_position(hs[j:j+{_SUB_W - 1}],
+                                             list_min(hs[j:j+{_SUB_W - 1}])),
+                       {_SUB_K})))) AS gram
+  FROM h
+), keep AS (
+  SELECT gram FROM fp GROUP BY gram
+  HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND {_SUB_DF_CAP}
+), c AS (
+  SELECT fp.doc_id, fp.gram FROM fp JOIN keep USING (gram)
+), p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(DISTINCT a.gram) AS BIGINT) AS n_shared,
+         MIN(a.gram) AS gram
+  FROM c a JOIN c b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING COUNT(DISTINCT a.gram) >= {_SUB_MIN_SHARED}
+)"""
+
+
+def _ext_expr(mism_list: str, bound: str) -> str:
+    """Maximal run length before the first mismatch: bound when the
+    mismatch list has no true, else first-true index - 1; 0 when the
+    bound is empty. (The CASE guard matters cross-engine: Spark's
+    sequence(1, 0) is the DESCENDING [1, 0] while DuckDB's
+    generate_series(1, 0) is empty.)"""
+    return (
+        f"CASE WHEN {bound} >= 1 THEN "
+        f"coalesce(nullif(__POS__({mism_list}, true), 0) - 1, {bound}) "
+        "ELSE 0 END"
+    )
+
+
+@register(
+    "q_dedup_substring_spans",
+    oracle=f"""{_SUB_ORACLE_PAIRS_CTE}, e AS (
+  SELECT p.doc_a, p.doc_b, p.n_shared, p.gram,
+         position(p.gram IN da.text) AS pa,
+         position(p.gram IN db.text) AS pb,
+         da.text AS ta, db.text AS tb
+  FROM p JOIN documents da ON da.doc_id = p.doc_a
+         JOIN documents db ON db.doc_id = p.doc_b
+)
+SELECT doc_a, doc_b, n_shared,
+  CAST({_SUB_K}
+   + ({_ext_expr("list_transform(generate_series(1, least(pa, pb) - 1), "
+                 "i -> substr(ta, pa - i, 1) != substr(tb, pb - i, 1))",
+                 "least(pa, pb) - 1").replace("__POS__", "list_position")})
+   + ({_ext_expr(f"list_transform(generate_series(1, "
+                 f"least(length(ta) - pa - {_SUB_K} + 1, "
+                 f"      length(tb) - pb - {_SUB_K} + 1)), "
+                 f"i -> substr(ta, pa + {_SUB_K} - 1 + i, 1) != "
+                 f"     substr(tb, pb + {_SUB_K} - 1 + i, 1))",
+                 f"least(length(ta) - pa - {_SUB_K} + 1, "
+                 f"      length(tb) - pb - {_SUB_K} + 1)"
+                 ).replace("__POS__", "list_position")})
+   AS BIGINT) AS span_len
+FROM e
+""",
+    tags=("dedup", "text", "fingerprint"),
+)
+def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMAL shared-span extents per duplicate pair — the
+    actionable form of q_dedup_substring's detection (Lee et al.
+    2022 removes the duplicated SPAN, so the pipeline needs its
+    extent, not just the pair): take each pair's deterministic
+    representative fingerprint (lexicographic min of the shared
+    grams), locate its first occurrence in both texts, and extend
+    left and right while the characters agree — the maximal verbatim
+    span CONTAINING that gram, computed as pure string HOFs
+    (first-mismatch index over a character-comparison array, with an
+    explicit empty-range guard because Spark's sequence(1,0) is
+    descending where DuckDB's generate_series(1,0) is empty). Cost
+    on top of the pair stage: two broadcast-able text joins + O(span)
+    character work per pair, all codegen. The fixture's injected
+    duplicates surface spans of 100-400+ chars."""
+    pairs = _winnow_pairs(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    j = (
+        pairs.join(
+            docs.select(
+                F.col("doc_id").alias("doc_a"), F.col("text").alias("ta")
+            ),
+            "doc_a",
+        )
+        .join(
+            docs.select(
+                F.col("doc_id").alias("doc_b"), F.col("text").alias("tb")
+            ),
+            "doc_b",
+        )
+        .selectExpr(
+            "doc_a", "doc_b", "n_shared",
+            "locate(gram, ta) AS pa", "locate(gram, tb) AS pb",
+            "ta", "tb",
+        )
+    )
+    left = _ext_expr(
+        "transform(sequence(1, least(pa, pb) - 1), "
+        "i -> substr(ta, pa - i, 1) != substr(tb, pb - i, 1))",
+        "least(pa, pb) - 1",
+    ).replace("__POS__", "array_position")
+    rbound = (
+        f"least(length(ta) - pa - {_SUB_K} + 1, "
+        f"length(tb) - pb - {_SUB_K} + 1)"
+    )
+    right = _ext_expr(
+        f"transform(sequence(1, {rbound}), "
+        f"i -> substr(ta, pa + {_SUB_K} - 1 + i, 1) != "
+        f"substr(tb, pb + {_SUB_K} - 1 + i, 1))",
+        rbound,
+    ).replace("__POS__", "array_position")
+    return j.selectExpr(
+        "doc_a",
+        "doc_b",
+        "n_shared",
+        f"CAST({_SUB_K} + ({left}) + ({right}) AS BIGINT) AS span_len",
     )
