@@ -1091,3 +1091,139 @@ def q_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(open_at_fact, F.col("asof_ts")).alias("valid_from_seq"),
         F.when(open_at_fact, F.col("dim_value")).alias("dim_value"),
     )
+
+
+# -- interval x interval overlap join (co-presence analytics) ----------------
+
+def interval_overlap_pairs(
+    intervals: DataFrame,
+    id_col: str,
+    s_col: str,
+    e_col: str,
+    bin_width: int,
+) -> DataFrame:
+    """Interval x interval OVERLAP join as a hash equi-join: each
+    half-open interval [s, e) explodes onto the bins it touches,
+    pairs (id_a < id_b) meet on a shared bin with the residual
+    overlap predicate, and keeping only the bin containing
+    GREATEST(s_a, s_b) yields EXACTLY ONE row per overlapping pair
+    — that bin is shared whenever the pair overlaps, and no other
+    bin satisfies the equality (the binned_range_join uniqueness
+    argument extended to interval x interval; property-tested
+    against brute force). Returns the joined frame with sides
+    aliased ``a`` and ``b``."""
+    binned = intervals.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(s_col) / bin_width),
+                F.floor(F.col(e_col) / bin_width),
+            )
+        ),
+    )
+    a, b = binned.alias("a"), binned.alias("b")
+    return a.join(
+        b,
+        (F.col("a.bin") == F.col("b.bin"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        & (F.col(f"a.{s_col}") < F.col(f"b.{e_col}"))
+        & (F.col(f"b.{s_col}") < F.col(f"a.{e_col}"))
+        & (
+            F.col("a.bin")
+            == F.floor(
+                F.greatest(F.col(f"a.{s_col}"), F.col(f"b.{s_col}"))
+                / bin_width
+            )
+        ),
+    )
+
+
+
+#: binning for the overlap equi-join rewrite; epoch precedes every
+#: fixture row (the house sub-second-safe aligned-epoch rule)
+_OVL_EPOCH = "1990-01-01 00:00:00"
+_OVL_BIN_SEC = 3600
+_OVL_GAP = "30 minutes"
+
+
+@register(
+    "q_interval_overlap",
+    oracle=f"""
+WITH flagged AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+), sess AS (
+  SELECT user_id,
+         date_diff('second', TIMESTAMP '{_OVL_EPOCH}', MIN(ts)) AS s,
+         date_diff('second', TIMESTAMP '{_OVL_EPOCH}',
+                   MAX(ts) + INTERVAL 30 MINUTE) AS e
+  FROM numbered GROUP BY user_id, session_id
+)
+SELECT a.user_id AS user_a, b.user_id AS user_b,
+       CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+       CAST(SUM(LEAST(a.e, b.e) - GREATEST(a.s, b.s)) AS BIGINT)
+         AS overlap_seconds
+FROM sess a JOIN sess b
+  ON a.user_id < b.user_id AND a.s < b.e AND b.s < a.e
+GROUP BY 1, 2
+""",
+    tags=("join", "time", "session", "scale"),
+)
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL x INTERVAL overlap join — the non-equi join class
+    binned_range_join does not cover (that one is point-in-range):
+    which pairs of users had overlapping activity sessions, and for
+    how long (co-presence / concurrency analytics; the same primitive
+    computes shift overlap, ad-slot contention, connection
+    concurrency). Sessions come from the native session_window
+    (30-min gap, q_session's plumbing); the overlap JOIN is rewritten
+    as a HASH EQUI-JOIN: each session explodes onto the O(duration)
+    hour bins it touches, pairs meet on a shared bin, and the residual
+    predicate keeps true overlaps. An overlapping pair meets in EVERY
+    shared bin, so the rewrite keeps exactly the bin containing
+    GREATEST(start_a, start_b) — one row per overlapping pair, no
+    distinct needed (the binned_range_join uniqueness argument,
+    extended to interval x interval). The oracle is the PLAIN theta
+    self-join over the same sessions — proving the binned rewrite is
+    answer-preserving, not just fast. Scale: shuffle keys are hour
+    bins (time-partitioned work), per-bin fan-out is concurrent
+    session count — the quadratic term a 100 TB run controls by
+    narrowing the bin, exactly like blocking cardinality in dedup."""
+    e = load_table(spark, sf_dir, "events")
+    es = lambda c: F.expr(  # noqa: E731
+        f"timestampdiff(SECOND, TIMESTAMP_NTZ '{_OVL_EPOCH}', {c})"
+    )
+    sess = (
+        e.groupBy(F.session_window("ts", _OVL_GAP).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            es("w.start").alias("s"),
+            es("w.end").alias("e"),
+        )
+    )
+    pairs = interval_overlap_pairs(sess, "user_id", "s", "e", _OVL_BIN_SEC)
+    return (
+        pairs.groupBy(
+            F.col("a.user_id").alias("user_a"),
+            F.col("b.user_id").alias("user_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_overlaps"),
+            F.sum(
+                F.least(F.col("a.e"), F.col("b.e"))
+                - F.greatest(F.col("a.s"), F.col("b.s"))
+            )
+            .cast("bigint")
+            .alias("overlap_seconds"),
+        )
+    )

@@ -553,3 +553,45 @@ def test_winnowing_guarantee_shared_span_shares_fingerprint(
     # span of both docs (the zero-false-positive claim)
     for g in common:
         assert g in a and g in b and len(g) == 24
+
+
+# -- binned interval-overlap join == brute force -----------------------------
+
+_intervals = st.lists(
+    st.tuples(st.integers(0, 60), st.integers(1, 30)),  # (start, duration)
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ivals=_intervals, width=st.sampled_from([1, 5, 16]))
+def test_interval_overlap_pairs_matches_brute_force(spark, ivals, width):
+    """The one-bin dedup argument (keep only the bin containing
+    greatest(s_a, s_b)) must yield exactly one row per overlapping
+    pair for ANY interval layout — including touching intervals
+    (e_a == s_b: NOT an overlap under half-open semantics), nested
+    intervals, and bin-straddling spans."""
+    from pyspark.sql import functions as F
+
+    from streamz_postgres_spark.operators.joins import interval_overlap_pairs
+
+    df = spark.createDataFrame(
+        [(i, s, s + d) for i, (s, d) in enumerate(ivals)],
+        "iid int, s long, e long",
+    )
+    sel = interval_overlap_pairs(df, "iid", "s", "e", width).select(
+        F.col("a.iid").alias("ia"), F.col("b.iid").alias("ib")
+    )
+    got = sorted((r.ia, r.ib) for r in sel.collect())
+    want = sorted(
+        (i, j)
+        for i, (si, di) in enumerate(ivals)
+        for j, (sj, dj) in enumerate(ivals)
+        if i < j and si < sj + dj and sj < si + di
+    )
+    assert got == want
