@@ -951,3 +951,42 @@ def q_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("dv").alias("decay_score"),
         )
     )
+
+
+@register(
+    "q_sample_by_sql",
+    oracle=f"""
+SELECT date_trunc('hour', ts) AS sample_ts,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {sql_dsum('value')} AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("time", "sql"),
+)
+def q_sample_by_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLE BY in SQL SYNTAX — the second sqlext grammar (after
+    ASOF JOIN): the QuestDB time-bucket idiom ``... SAMPLE BY 1h``
+    lowers onto an epoch-aligned bucket GROUP BY (integer
+    epoch-second division — tz-free and equal to date_trunc for
+    whole-unit widths), with the bucket surfaced as ``sample_ts``
+    and bare-column projections joining the grouping key. Semantics
+    are exactly q_tumbling's; the native-SQL oracle checks the
+    lowering end-to-end."""
+    import uuid as _uuid
+
+    from streamz_postgres_spark import sqlext
+
+    view = f"events_{_uuid.uuid4().hex[:8]}"
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(view)
+    try:
+        return sqlext.sql(
+            spark,
+            f"""SELECT event_type, count(*) AS n_events,
+                CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5)
+                     AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS sum_value
+                FROM {view} SAMPLE BY 1h""",
+        )
+    finally:
+        spark.catalog.dropTempView(view)

@@ -1,10 +1,17 @@
-"""ASOF JOIN syntax for Spark SQL — the one ergonomics gap SURVEY
-§4.3 deferred (Spark has no ASOF keyword; DuckDB, QuestDB, and
-Snowflake do). The capability itself has always been covered by
-``operators.joins.asof_join``; this module adds the SQL spelling on
-top of it with a deliberately BOUNDED grammar, lowered onto the same
-library plan (union + last-ignoreNulls window — ONE shuffle, no
-range-expansion candidate blowup; see the asof_join docstring).
+"""Time-series SQL syntax extensions for Spark SQL — the ergonomics
+gaps SURVEY §4.3 deferred, each a deliberately BOUNDED grammar
+lowered onto an existing library plan (this is a syntax adapter,
+not a SQL parser; anything outside a grammar raises ValueError with
+the reason):
+
+- ``ASOF [LEFT] JOIN`` (DuckDB/QuestDB/Snowflake spelling) ->
+  ``operators.joins.asof_join`` (union + last-ignoreNulls window —
+  ONE shuffle, no range-expansion candidate blowup);
+- ``SAMPLE BY <N><s|m|h|d> [ON <ts_col>]`` (the QuestDB time-bucket
+  idiom) -> an epoch-aligned bucket GROUP BY (integer epoch-second
+  division, the house tz-free form), with the bucket surfaced as
+  ``sample_ts`` and bare-column projections joining the grouping
+  key, QuestDB-style.
 
 Supported grammar (one ASOF join per query)::
 
@@ -55,12 +62,61 @@ _ASOF_RE = re.compile(
 #: and must outlive this invocation)
 _VIEW_SLOTS: dict = {}
 
+_SAMPLE_RE = re.compile(
+    r"""^\s*SELECT\s+(?P<proj>.+?)\s+
+        FROM\s+(?P<t>\w+)
+        (?:\s+WHERE\s+(?P<where>.+?))?\s+
+        SAMPLE\s+BY\s+(?P<n>\d+)(?P<u>[smhd])
+        (?:\s+ON\s+(?P<col>\w+))?\s*$""",
+    re.IGNORECASE | re.VERBOSE | re.DOTALL,
+)
+
+_UNIT_SEC = {"s": 1, "m": 60, "h": 3600, "d": 86400}
+
+
+def _lower_sample_by(spark: SparkSession, query: str) -> DataFrame:
+    m = _SAMPLE_RE.match(query)
+    if m is None:
+        raise ValueError(
+            "SAMPLE BY present but the query does not match the supported "
+            "grammar: SELECT <projections> FROM <table> [WHERE <pred>] "
+            "SAMPLE BY <N><s|m|h|d> [ON <ts_col>] (one table, SAMPLE BY "
+            "last; register subqueries as temp views first)"
+        )
+    width = int(m.group("n")) * _UNIT_SEC[m.group("u").lower()]
+    col = m.group("col") or "ts"
+    # epoch-aligned integer bucketing: tz-free, engine-exact, and
+    # equal to date_trunc for whole-unit widths
+    bucket = (
+        "timestampadd(SECOND, CAST(timestampdiff(SECOND, "
+        f"TIMESTAMP_NTZ '1970-01-01 00:00:00', {col}) DIV {width} "
+        f"AS BIGINT) * {width}, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+    )
+    proj = m.group("proj")
+    # QuestDB-style: bare column projections join the grouping key
+    bare = [
+        p.strip()
+        for p in proj.split(",")
+        if re.fullmatch(r"\w+", p.strip())
+    ]
+    keys = ", ".join(["sample_ts", *bare])
+    where = f" WHERE {m.group('where')}" if m.group("where") else ""
+    rewritten = (
+        f"SELECT {bucket} AS sample_ts, {proj} "
+        f"FROM {m.group('t')}{where} GROUP BY {keys}"
+    )
+    return spark.sql(rewritten)
+
 
 def sql(spark: SparkSession, query: str) -> DataFrame:
-    """Run ``query``, lowering one ASOF [LEFT] JOIN clause onto the
-    library as-of join (see module docstring for the grammar)."""
+    """Run ``query``, lowering one supported extension clause —
+    ASOF [LEFT] JOIN onto the library as-of join, or SAMPLE BY onto
+    an epoch-aligned bucket GROUP BY (module docstring has both
+    grammars)."""
     import threading
 
+    if re.search(r"\bSAMPLE\s+BY\b", query, re.IGNORECASE):
+        return _lower_sample_by(spark, query)
     matches = list(_ASOF_RE.finditer(query))
     if not matches:
         if re.search(r"\bASOF\b", query, re.IGNORECASE):

@@ -110,3 +110,61 @@ def test_rejects_outside_grammar(spark, views):
             """SELECT l.tag FROM no_such_view l ASOF JOIN sqlext_right r
                ON l.k = r.rk AND l.ts >= r.rts""",
         )
+
+
+class TestSampleBy:
+    def test_lowering_matches_native_group_by(self, spark):
+        from streamz_postgres_spark import sqlext
+        from streamz_postgres_spark.catalog import load_table
+        from tests.conftest import SF_DIR
+
+        load_table(spark, SF_DIR, "events").createOrReplaceTempView(
+            "ev_sample"
+        )
+        got = sqlext.sql(
+            spark,
+            "SELECT event_type, count(*) AS n FROM ev_sample "
+            "WHERE value >= 0 SAMPLE BY 2h",
+        )
+        assert got.columns == ["sample_ts", "event_type", "n"]
+        want = spark.sql(
+            """SELECT timestampadd(SECOND,
+                 CAST(timestampdiff(SECOND,
+                   TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) DIV 7200
+                 AS BIGINT) * 7200,
+                 TIMESTAMP_NTZ '1970-01-01 00:00:00') AS sample_ts,
+               event_type, count(*) AS n
+               FROM ev_sample WHERE value >= 0 GROUP BY 1, 2"""
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+        spark.catalog.dropTempView("ev_sample")
+
+    def test_custom_ts_column_and_units(self, spark):
+        from streamz_postgres_spark import sqlext
+
+        spark.sql(
+            "SELECT TIMESTAMP_NTZ '2024-01-01 00:02:30' AS t, 1 AS v "
+            "UNION ALL SELECT TIMESTAMP_NTZ '2024-01-01 00:03:10', 2"
+        ).createOrReplaceTempView("tiny_sample")
+        got = sqlext.sql(
+            spark, "SELECT count(*) AS n FROM tiny_sample SAMPLE BY 60s ON t"
+        )
+        rows = {str(r.sample_ts): r.n for r in got.collect()}
+        assert rows == {
+            "2024-01-01 00:02:00": 1,
+            "2024-01-01 00:03:00": 1,
+        }
+        spark.catalog.dropTempView("tiny_sample")
+
+    def test_refuses_out_of_grammar(self, spark):
+        import pytest as _pytest
+
+        from streamz_postgres_spark import sqlext
+
+        with _pytest.raises(ValueError, match="SAMPLE BY"):
+            sqlext.sql(
+                spark,
+                "SELECT * FROM a JOIN b ON a.x = b.x SAMPLE BY 1h",
+            )
