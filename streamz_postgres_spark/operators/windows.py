@@ -869,3 +869,45 @@ def q_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "secs_since_prev"
         ),
     )
+
+
+@register(
+    "q_distinct_on_sql",
+    oracle="""
+SELECT DISTINCT ON (user_id)
+       user_id, event_id AS last_event, event_type AS last_type,
+       value AS last_value
+FROM events
+ORDER BY user_id, event_id DESC
+""",
+    tags=("window", "sql", "dedup"),
+)
+def q_distinct_on_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT ON in SQL SYNTAX — the third sqlext grammar, and the
+    one the reference's own users write daily (streamz_postgres
+    users come from Postgres, where SELECT DISTINCT ON (k) ... ORDER
+    BY k, ts DESC is THE latest-row-per-key idiom; Spark has no
+    DISTINCT ON keyword). sqlext lowers the bounded grammar onto a
+    row_number window over the keys ordered by the residual ORDER BY
+    (one shuffle — not the naive translate-to-self-join-on-max that
+    reads the input twice), enforcing Postgres's
+    ORDER-BY-leads-with-the-keys rule. Semantics equal
+    q_latest_per_key; the oracle is DuckDB's NATIVE DISTINCT ON —
+    checking the lowering against a real implementation of the
+    idiom, exactly like q_asof_sql does for ASOF JOIN."""
+    import uuid as _uuid
+
+    from streamz_postgres_spark import sqlext
+
+    view = f"events_{_uuid.uuid4().hex[:8]}"
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(view)
+    try:
+        return sqlext.sql(
+            spark,
+            f"""SELECT DISTINCT ON (user_id)
+                user_id, event_id AS last_event, event_type AS last_type,
+                value AS last_value
+                FROM {view} ORDER BY user_id, event_id DESC""",
+        )
+    finally:
+        spark.catalog.dropTempView(view)

@@ -11,7 +11,12 @@ the reason):
   idiom) -> an epoch-aligned bucket GROUP BY (integer epoch-second
   division, the house tz-free form), with the bucket surfaced as
   ``sample_ts`` and bare-column projections joining the grouping
-  key, QuestDB-style.
+  key, QuestDB-style;
+- ``SELECT DISTINCT ON (<keys>) ... ORDER BY <keys>, <tiebreak>``
+  (the Postgres latest-row-per-key idiom the reference's users
+  write daily) -> a row_number window over the keys ordered by the
+  residual ORDER BY, keeping rank 1 — Spark has no DISTINCT ON and
+  the naive translation (self-join on max) reads the input twice.
 
 Supported grammar (one ASOF join per query)::
 
@@ -73,6 +78,44 @@ _SAMPLE_RE = re.compile(
 
 _UNIT_SEC = {"s": 1, "m": 60, "h": 3600, "d": 86400}
 
+_DISTINCT_ON_RE = re.compile(
+    r"""^\s*SELECT\s+DISTINCT\s+ON\s*\((?P<keys>[\w\s,]+)\)\s*
+        (?P<proj>.+?)\s+
+        FROM\s+(?P<t>\w+)
+        (?:\s+WHERE\s+(?P<where>.+?))?\s+
+        ORDER\s+BY\s+(?P<order>.+?)\s*$""",
+    re.IGNORECASE | re.VERBOSE | re.DOTALL,
+)
+
+
+def _lower_distinct_on(spark: SparkSession, query: str) -> DataFrame:
+    m = _DISTINCT_ON_RE.match(query)
+    if m is None:
+        raise ValueError(
+            "DISTINCT ON present but the query does not match the supported "
+            "grammar: SELECT DISTINCT ON (<keys>) <projections> FROM "
+            "<table> [WHERE <pred>] ORDER BY <keys>, <tiebreak...> "
+            "(one table; ORDER BY must lead with the DISTINCT ON keys, "
+            "as Postgres requires)"
+        )
+    keys = [k.strip() for k in m.group("keys").split(",") if k.strip()]
+    order = [o.strip() for o in m.group("order").split(",") if o.strip()]
+    lead = [re.split(r"\s+", o)[0] for o in order[: len(keys)]]
+    if lead != keys:
+        raise ValueError(
+            "ORDER BY must lead with the DISTINCT ON keys in the same "
+            f"order (Postgres rule): keys={keys}, order leads with {lead}"
+        )
+    tiebreak = ", ".join(order[len(keys):]) or ", ".join(keys)
+    where = f" WHERE {m.group('where')}" if m.group("where") else ""
+    rewritten = (
+        f"SELECT {m.group('proj')} FROM ("
+        f"SELECT *, row_number() OVER (PARTITION BY {', '.join(keys)} "
+        f"ORDER BY {tiebreak}) AS __rn FROM {m.group('t')}{where}"
+        f") WHERE __rn = 1"
+    )
+    return spark.sql(rewritten)
+
 
 def _lower_sample_by(spark: SparkSession, query: str) -> DataFrame:
     m = _SAMPLE_RE.match(query)
@@ -117,6 +160,8 @@ def sql(spark: SparkSession, query: str) -> DataFrame:
 
     if re.search(r"\bSAMPLE\s+BY\b", query, re.IGNORECASE):
         return _lower_sample_by(spark, query)
+    if re.search(r"\bDISTINCT\s+ON\b", query, re.IGNORECASE):
+        return _lower_distinct_on(spark, query)
     matches = list(_ASOF_RE.finditer(query))
     if not matches:
         if re.search(r"\bASOF\b", query, re.IGNORECASE):

@@ -168,3 +168,58 @@ class TestSampleBy:
                 spark,
                 "SELECT * FROM a JOIN b ON a.x = b.x SAMPLE BY 1h",
             )
+
+
+class TestDistinctOn:
+    def test_matches_window_form(self, spark):
+        from streamz_postgres_spark import sqlext
+        from streamz_postgres_spark.catalog import load_table
+        from tests.conftest import SF_DIR
+
+        load_table(spark, SF_DIR, "events").createOrReplaceTempView("ev_don")
+        got = sqlext.sql(
+            spark,
+            "SELECT DISTINCT ON (user_id) user_id, event_id, value "
+            "FROM ev_don ORDER BY user_id, event_id DESC",
+        )
+        want = spark.sql(
+            """SELECT user_id, event_id, value FROM (
+                 SELECT user_id, event_id, value,
+                        row_number() OVER (PARTITION BY user_id
+                                           ORDER BY event_id DESC) rn
+                 FROM ev_don) WHERE rn = 1"""
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+        spark.catalog.dropTempView("ev_don")
+
+    def test_multi_key_and_where(self, spark):
+        from streamz_postgres_spark import sqlext
+
+        spark.sql(
+            "SELECT * FROM VALUES (1, 'a', 10, 5.0), (1, 'a', 20, 6.0), "
+            "(1, 'b', 5, 7.0), (2, 'a', 1, 8.0) AS t(k1, k2, ord, v)"
+        ).createOrReplaceTempView("don_multi")
+        got = sqlext.sql(
+            spark,
+            "SELECT DISTINCT ON (k1, k2) k1, k2, ord, v FROM don_multi "
+            "WHERE v > 4.0 ORDER BY k1, k2, ord DESC",
+        )
+        assert sorted(map(tuple, got.collect())) == [
+            (1, "a", 20, 6.0),
+            (1, "b", 5, 7.0),
+            (2, "a", 1, 8.0),
+        ]
+        spark.catalog.dropTempView("don_multi")
+
+    def test_refuses_order_by_not_leading_with_keys(self, spark):
+        import pytest as _pytest
+
+        from streamz_postgres_spark import sqlext
+
+        with _pytest.raises(ValueError, match="lead with the DISTINCT ON"):
+            sqlext.sql(
+                spark,
+                "SELECT DISTINCT ON (a) a, b FROM t ORDER BY b",
+            )
