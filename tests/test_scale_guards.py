@@ -270,3 +270,22 @@ def test_kll_partials_run_after_resplit(spark):
     applied to mapInPandas."""
     plan = _plan(spark, "q_kll_quantile")
     assert "RoundRobinPartitioning" in plan or "ROUND_ROBIN" in plan, plan
+
+
+@pytest.mark.slow
+def test_no_single_partition_windows_anywhere(spark):
+    """Registry-wide: no batch query may plan a window over an empty
+    PARTITION BY (the silent serialize-everything-onto-one-task
+    class with_seq exists to avoid). Streaming keys are excluded the
+    same way as the cartesian sweep (plans materialize through a
+    sink)."""
+    from streamz_postgres_spark.plans.scale import explain_summary
+
+    offenders = []
+    for key in sorted(REGISTRY):
+        if key.startswith("q_stream") or key.startswith("q_cdc"):
+            continue
+        df = REGISTRY[key].spark_fn(spark, SF_DIR)
+        if explain_summary(df)["single_partition_windows"]:
+            offenders.append(key)
+    assert offenders == [], offenders
