@@ -38,6 +38,9 @@ KEYS = (
     # round-6 calendar-touching additions
     "q_stream_percentile_windowed",
     "q_decay_score",
+    # round-7 calendar-touching additions
+    "q_sample_by_sql",
+    "q_interval_overlap",
 )
 
 _TZ = "Asia/Kathmandu"  # +05:45: off every hour and half-hour grid
