@@ -1339,12 +1339,16 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _winnow_pairs(spark, sf_dir).select("doc_a", "doc_b", "n_shared")
 
 
-def _winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _winnow_pairs(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """Shared candidate stage for the substring-dedup family:
     winnowing fingerprints -> DF-capped gram join -> one row per doc
     pair with (n_shared distinct grams, lexicographic MIN shared
-    gram as the deterministic representative for span extension)."""
-    d = _docs_parallel(spark, sf_dir)
+    gram as the deterministic representative for span extension).
+    ``docs`` overrides the input corpus (pipeline compositions that
+    dedup a FILTERED frame, e.g. q_corpus_pipeline_v2)."""
+    d = docs if docs is not None else _docs_parallel(spark, sf_dir)
     g = (
         d.selectExpr("doc_id", f"{_SUB_HS} AS hs", "text")
         .selectExpr("doc_id", f"explode({_SUB_FPS}) AS gram")
@@ -1375,15 +1379,17 @@ def _winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: the winnowing CTE chain, shared verbatim by both substring oracles
-_SUB_ORACLE_PAIRS_CTE = f"""
-WITH h AS (
+def _sub_pairs_ctes(src: str = "documents") -> str:
+    """The winnowing CTE chain (h, fp, keep, c, p) over ``src`` —
+    shared by the substring oracles and composable after upstream
+    CTEs (q_corpus_pipeline_v2 runs it over a filtered corpus)."""
+    return f"""h AS (
   SELECT doc_id, text,
          list_transform(
            generate_series(1, greatest(length(text) - {_SUB_K} + 1, 0)),
            i -> CAST('0x' || substr(md5(substr(text, i, {_SUB_K})), 1, 15)
                 AS BIGINT)) AS hs
-  FROM documents
+  FROM {src}
 ), fp AS (
   SELECT doc_id,
          unnest(list_distinct(list_transform(
@@ -1407,6 +1413,9 @@ WITH h AS (
   GROUP BY 1, 2
   HAVING COUNT(DISTINCT a.gram) >= {_SUB_MIN_SHARED}
 )"""
+
+
+_SUB_ORACLE_PAIRS_CTE = "WITH " + _sub_pairs_ctes("documents")
 
 
 def _ext_expr(mism_list: str, bound: str) -> str:

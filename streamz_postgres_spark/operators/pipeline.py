@@ -985,3 +985,159 @@ def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("docs_at_budget"),
     )
+
+
+# -- round-7 corpus pipeline: quality -> substring-dedup -> OOV -> mixture ---
+
+_V2_MIN_CHARS = 200
+_V2_VOCAB = 500
+
+
+def _v2_oracle() -> str:
+    from streamz_postgres_spark.functions.numeric import sql_dsum
+    from streamz_postgres_spark.operators.dedup import _sub_pairs_ctes
+
+    return f"""
+WITH quality AS (
+  SELECT * FROM documents WHERE n_chars >= {_V2_MIN_CHARS}
+), {_sub_pairs_ctes("quality")},
+drops AS (SELECT DISTINCT doc_b AS doc_id FROM p),
+deduped AS (
+  SELECT q.* FROM quality q ANTI JOIN drops USING (doc_id)
+), tok AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+  FROM deduped
+), vocab AS (
+  SELECT tok FROM (
+    SELECT tok, row_number() OVER (ORDER BY COUNT(*) DESC, tok) AS rk
+    FROM tok GROUP BY tok
+  ) r WHERE rk <= {_V2_VOCAB}
+), oov AS (
+  SELECT t.doc_id, any_value(t.source) AS source,
+         COUNT(*) AS n_tok,
+         COUNT(*) FILTER (WHERE v.tok IS NULL) AS n_oov
+  FROM tok t LEFT JOIN vocab v ON t.tok = v.tok
+  GROUP BY t.doc_id
+), finals AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_final
+  FROM oov WHERE 2 * n_oov <= n_tok GROUP BY source
+), init AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_initial
+  FROM documents GROUP BY source
+), qc AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_quality
+  FROM quality GROUP BY source
+), dc AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_dedup
+  FROM deduped GROUP BY source
+), asm AS (
+  SELECT i.source, i.n_initial,
+         COALESCE(qc.n_quality, 0) AS n_quality,
+         COALESCE(dc.n_dedup, 0) AS n_dedup,
+         COALESCE(f.n_final, 0) AS n_final
+  FROM init i LEFT JOIN qc USING (source) LEFT JOIN dc USING (source)
+       LEFT JOIN finals f USING (source)
+), z AS (
+  SELECT {sql_dsum('SQRT(CAST(n_final AS DOUBLE))')} AS zw FROM asm
+)
+SELECT asm.source, n_initial, n_quality, n_dedup, n_final,
+       SQRT(CAST(n_final AS DOUBLE)) / z.zw AS temp_share
+FROM asm CROSS JOIN z
+"""
+
+
+def q_corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-7 corpus pipeline — the new operators composed into
+    ONE lazy plan, audited as a per-source funnel: (1) quality gate
+    (n_chars >= {_V2_MIN_CHARS}); (2) EXACT-SUBSTRING dedup over the
+    survivors (the q_dedup_substring winnowing stage on the FILTERED
+    corpus — drop the higher doc_id of every pair, the keep-first
+    rule); (3) tokenizer-coverage gate (q_oov_rate's top-{_V2_VOCAB}
+    vocab, rebuilt over the deduped survivors; keep docs with OOV
+    rate <= 1/2 via the integer form 2*n_oov <= n_tok — no division
+    anywhere); (4) temperature mixture shares (alpha = 0.5, the
+    IEEE-exact sqrt) over the final per-source counts. Emits one row
+    per source with all four funnel counts plus the share — the
+    audit a data-curation run reports. Every stage reuses the
+    already-verified building block (shared helper or identical
+    expression), and the oracle chains the same CTEs, so the
+    COMPOSITION is value-checked end-to-end, not just the pieces.
+    Scale posture inherits from the pieces: winnowing re-split, DF
+    cap, distributed top-V, broadcast vocab; stage outputs are
+    per-source scalars."""
+    from streamz_postgres_spark.functions.numeric import dsum
+    from streamz_postgres_spark.operators.dedup import _winnow_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    quality = d.filter(F.col("n_chars") >= _V2_MIN_CHARS)
+    qp = quality.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    pairs = _winnow_pairs(spark, sf_dir, docs=qp)
+    drops = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    deduped = quality.join(drops, "doc_id", "left_anti")
+    tok = deduped.select(
+        "doc_id", "source", F.explode(tokens("text")).alias("tok")
+    )
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok"))
+        .limit(_V2_VOCAB)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    oov = (
+        tok.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.count_if(F.col("in_vocab").isNull()).alias("n_oov"),
+        )
+    )
+    finals = (
+        oov.filter(2 * F.col("n_oov") <= F.col("n_tok"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_final"))
+    )
+    init = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_initial")
+    )
+    qc = quality.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_quality")
+    )
+    dc = deduped.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dedup")
+    )
+    asm = (
+        init.join(qc, "source", "left")
+        .join(dc, "source", "left")
+        .join(finals, "source", "left")
+        .select(
+            "source",
+            "n_initial",
+            F.coalesce("n_quality", F.lit(0)).alias("n_quality"),
+            F.coalesce("n_dedup", F.lit(0)).alias("n_dedup"),
+            F.coalesce("n_final", F.lit(0)).alias("n_final"),
+        )
+    )
+    w = F.sqrt(F.col("n_final").cast("double"))
+    z = asm.agg(dsum(w).alias("zw"))
+    return asm.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_initial",
+        "n_quality",
+        "n_dedup",
+        "n_final",
+        (w / F.col("zw")).alias("temp_share"),
+    )
+
+
+def _register_v2() -> None:
+    register(
+        "q_corpus_pipeline_v2",
+        oracle=_v2_oracle(),
+        tags=("pipeline", "corpus", "dedup", "mixture"),
+    )(q_corpus_pipeline_v2)
+
+
+_register_v2()
