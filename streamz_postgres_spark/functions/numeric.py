@@ -16,6 +16,16 @@ them algebraically over exact sums:
 
 `SQL_DSUM` mirrors the construction for the DuckDB oracle strings.
 
+DuckDB literal trap (round-7 hypothesis find): a BARE numeric
+literal like 900719926.2578125 is typed DECIMAL(16,7) by DuckDB,
+whose unscaled integer exceeds 2^53 — the DECIMAL->DOUBLE
+conversion then lands one ulp off the IEEE parse, which flips the
+floor rule at exact half-micro-unit ties. Oracles reading parquet
+are immune (same bits both engines); anything FEEDING doubles to
+DuckDB as SQL text must use quoted strings (CAST('<repr>' AS
+DOUBLE)) or exponent notation (typed DOUBLE), never bare decimal
+literals. Pinned by test_dsum_tie_value_via_string_literal.
+
 Cost note (100 TB): decimal aggregation is still whole-stage-codegen
 JVM arithmetic with map-side partial aggregation — it shuffles one
 128-bit value per group per partition, exactly like a double sum.

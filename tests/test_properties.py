@@ -448,9 +448,45 @@ def test_dsum_matches_duckdb_on_arbitrary_doubles(spark, duck, vals):
 
     df = spark.createDataFrame([(v,) for v in vals], "x double")
     got = df.agg(dsum("x").alias("s")).collect()[0].s
-    lits = ", ".join(f"(CAST({v!r} AS DOUBLE))" for v in vals)
+    # the literals are QUOTED strings on purpose: DuckDB types a bare
+    # numeric literal as DECIMAL, and for >16 significant digits the
+    # DECIMAL's unscaled integer exceeds 2^53, so DECIMAL->DOUBLE
+    # conversion lands one ulp off the IEEE parse — the hypothesis
+    # counterexample 900719926.2578125 reached DuckDB one ulp
+    # different from Spark and flipped the floor at an exact
+    # half-micro-unit tie. A quoted string parses straight to DOUBLE.
+    # (Real oracles are immune: they read the same parquet doubles.)
+    lits = ", ".join(f"(CAST('{v!r}' AS DOUBLE))" for v in vals)
     (want,) = duck.execute(
         f"SELECT {sql_dsum('x')} FROM (VALUES {lits}) t(x)"
+    ).fetchone()
+    assert got == want
+
+
+def test_dsum_tie_value_via_string_literal(spark, duck):
+    """Regression pin for the DuckDB bare-literal DECIMAL trap: the
+    exact value hypothesis found (a half-micro-unit tie whose repr
+    has 16 significant digits) must agree across engines when fed
+    correctly, and the bare-literal form must demonstrably corrupt
+    the input — so this test fails loudly if DuckDB ever changes
+    either behavior."""
+    v = 900719926.2578125
+    (via_string,) = duck.execute(
+        f"SELECT CAST('{v!r}' AS DOUBLE)"
+    ).fetchone()
+    assert via_string == v
+    (via_bare,) = duck.execute(f"SELECT CAST({v!r} AS DOUBLE)").fetchone()
+    assert via_bare != v, (
+        "DuckDB now parses bare high-precision literals exactly — "
+        "the quoted-string workaround in the dsum property test can "
+        "be simplified"
+    )
+    from streamz_postgres_spark.functions.numeric import dsum, sql_dsum
+
+    df = spark.createDataFrame([(v,)], "x double")
+    got = df.agg(dsum("x").alias("s")).collect()[0].s
+    (want,) = duck.execute(
+        f"SELECT {sql_dsum('x')} FROM (SELECT CAST('{v!r}' AS DOUBLE) x) t"
     ).fetchone()
     assert got == want
 
