@@ -519,6 +519,33 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- out-of-vocabulary rate vs the corpus top-V vocabulary -------------------
 
+
+
+def oov_counts(tok: DataFrame, vocab_size: int, keys: list) -> DataFrame:
+    """Shared OOV stage (q_oov_rate and q_corpus_pipeline_v2): build
+    the top-``vocab_size`` vocabulary from ``tok`` (a (doc_id, <keys>,
+    tok) frame) via distributed TakeOrdered with the deterministic
+    (count desc, token asc) tie-break, broadcast it back, and return
+    per-(doc_id, keys) token/OOV counts. One definition so a tie-break
+    or null-token fix can never apply to one consumer and not the
+    other (round-7 review find)."""
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok"))
+        .limit(vocab_size)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id", *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.count_if(F.col("in_vocab").isNull()).alias("n_oov"),
+        )
+    )
+
+
 #: vocabulary size: top V tokens by corpus frequency (count desc,
 #: token asc as the deterministic tie-break)
 _OOV_V = 500
@@ -563,32 +590,12 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select(
         "doc_id", "lang", F.explode(tokens("text")).alias("tok")
     )
-    # orderBy + limit compiles to TakeOrderedAndProject — a
-    # DISTRIBUTED top-V (per-partition heads merged on the driver),
-    # never a single-partition row_number sort of the whole vocab
-    vocab = (
-        tok.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy(F.col("cnt").desc(), F.col("tok"))
-        .limit(_OOV_V)
-        .select("tok", F.lit(1).alias("in_vocab"))
-    )
-    return (
-        tok.join(F.broadcast(vocab), "tok", "left")
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-            F.count_if(F.col("in_vocab").isNull())
-            .cast("bigint")
-            .alias("n_oov"),
-        )
-        .select(
-            "doc_id",
-            "lang",
-            "n_tokens",
-            "n_oov",
-            (F.col("n_oov").cast("double") / F.col("n_tokens")).alias(
-                "oov_rate"
-            ),
-        )
+    return oov_counts(tok, _OOV_V, ["lang"]).select(
+        "doc_id",
+        "lang",
+        F.col("n_tok").cast("bigint").alias("n_tokens"),
+        F.col("n_oov").cast("bigint").alias("n_oov"),
+        (
+            F.col("n_oov").cast("double") / F.col("n_tok")
+        ).alias("oov_rate"),
     )

@@ -1267,28 +1267,37 @@ _SUB_DF_CAP = 50
 _SUB_MIN_SHARED = 2
 
 _SUB_HS = (
-    f"transform(sequence(1, greatest(length(text) - {_SUB_K} + 1, 0)), "
+    # the IF guard is load-bearing (round-7 review find, confirmed
+    # live): Spark's sequence(1, 0) is the DESCENDING [1, 0] — NOT
+    # empty like DuckDB's generate_series — so without it a document
+    # shorter than K (resp. K+W-1) feeds slice() a zero start and
+    # crashes the whole job (INVALID_PARAMETER_VALUE.START). Short
+    # docs simply have no fingerprints, on both engines.
+    f"IF(length(text) < {_SUB_K}, array(), "
+    f"transform(sequence(1, length(text) - {_SUB_K} + 1), "
     f"i -> CAST(conv(substr(md5(substr(text, i, {_SUB_K})), 1, 15), 16, 10)"
-    " AS BIGINT))"
+    " AS BIGINT)))"
 )
 _SUB_FPS = (
+    f"IF(length(text) < {_SUB_K + _SUB_W - 1}, array(), "
     "array_distinct(transform("
-    f"sequence(1, greatest(length(text) - {_SUB_K + _SUB_W - 1} + 1, 0)), "
+    f"sequence(1, length(text) - {_SUB_K + _SUB_W - 1} + 1), "
     f"j -> substr(text, j - 1 + array_position(slice(hs, j, {_SUB_W}), "
-    f"array_min(slice(hs, j, {_SUB_W}))), {_SUB_K})))"
+    f"array_min(slice(hs, j, {_SUB_W}))), {_SUB_K}))))"
 )
 
 
-@register(
-    "q_dedup_substring",
-    oracle=f"""
-WITH h AS (
+def _sub_pairs_ctes(src: str = "documents") -> str:
+    """The winnowing CTE chain (h, fp, keep, c, p) over ``src`` —
+    shared by the substring oracles and composable after upstream
+    CTEs (q_corpus_pipeline_v2 runs it over a filtered corpus)."""
+    return f"""h AS (
   SELECT doc_id, text,
          list_transform(
            generate_series(1, greatest(length(text) - {_SUB_K} + 1, 0)),
            i -> CAST('0x' || substr(md5(substr(text, i, {_SUB_K})), 1, 15)
                 AS BIGINT)) AS hs
-  FROM documents
+  FROM {src}
 ), fp AS (
   SELECT doc_id,
          unnest(list_distinct(list_transform(
@@ -1304,13 +1313,25 @@ WITH h AS (
   HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND {_SUB_DF_CAP}
 ), c AS (
   SELECT fp.doc_id, fp.gram FROM fp JOIN keep USING (gram)
-)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(COUNT(DISTINCT a.gram) AS BIGINT) AS n_shared
-FROM c a JOIN c b ON a.gram = b.gram AND a.doc_id < b.doc_id
-GROUP BY 1, 2
-HAVING COUNT(DISTINCT a.gram) >= {_SUB_MIN_SHARED}
-""",
+), p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(DISTINCT a.gram) AS BIGINT) AS n_shared,
+         MIN(a.gram) AS gram
+  FROM c a JOIN c b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING COUNT(DISTINCT a.gram) >= {_SUB_MIN_SHARED}
+)"""
+
+
+_SUB_ORACLE_PAIRS_CTE = "WITH " + _sub_pairs_ctes("documents")
+
+
+@register(
+    "q_dedup_substring",
+    oracle=(
+        _SUB_ORACLE_PAIRS_CTE
+        + " SELECT doc_a, doc_b, n_shared FROM p"
+    ),
     tags=("dedup", "text", "fingerprint"),
 )
 def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1379,43 +1400,6 @@ def _winnow_pairs(
     )
 
 
-def _sub_pairs_ctes(src: str = "documents") -> str:
-    """The winnowing CTE chain (h, fp, keep, c, p) over ``src`` —
-    shared by the substring oracles and composable after upstream
-    CTEs (q_corpus_pipeline_v2 runs it over a filtered corpus)."""
-    return f"""h AS (
-  SELECT doc_id, text,
-         list_transform(
-           generate_series(1, greatest(length(text) - {_SUB_K} + 1, 0)),
-           i -> CAST('0x' || substr(md5(substr(text, i, {_SUB_K})), 1, 15)
-                AS BIGINT)) AS hs
-  FROM {src}
-), fp AS (
-  SELECT doc_id,
-         unnest(list_distinct(list_transform(
-           generate_series(1,
-             greatest(length(text) - {_SUB_K + _SUB_W - 1} + 1, 0)),
-           j -> substr(text,
-                       j - 1 + list_position(hs[j:j+{_SUB_W - 1}],
-                                             list_min(hs[j:j+{_SUB_W - 1}])),
-                       {_SUB_K})))) AS gram
-  FROM h
-), keep AS (
-  SELECT gram FROM fp GROUP BY gram
-  HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND {_SUB_DF_CAP}
-), c AS (
-  SELECT fp.doc_id, fp.gram FROM fp JOIN keep USING (gram)
-), p AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         CAST(COUNT(DISTINCT a.gram) AS BIGINT) AS n_shared,
-         MIN(a.gram) AS gram
-  FROM c a JOIN c b ON a.gram = b.gram AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-  HAVING COUNT(DISTINCT a.gram) >= {_SUB_MIN_SHARED}
-)"""
-
-
-_SUB_ORACLE_PAIRS_CTE = "WITH " + _sub_pairs_ctes("documents")
 
 
 def _ext_expr(mism_list: str, bound: str) -> str:

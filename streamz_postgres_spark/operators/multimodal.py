@@ -106,7 +106,15 @@ def decode_audio(payload: bytes) -> "object":
                 )
             frames = w.readframes(w.getnframes())
             rate = w.getframerate()
-        return np.frombuffer(frames, dtype="<i2"), rate
+            nch = w.getnchannels()
+        samples = np.frombuffer(frames, dtype="<i2")
+        if nch > 1:
+            # match soundfile's contract: (n_frames, channels), so a
+            # consumer's n_samples/stats do not silently differ by
+            # the channel count depending on which decoder ran
+            # (round-7 review find)
+            samples = samples.reshape(-1, nch)
+        return samples, rate
     raise NotImplementedError(
         "audio codecs not available for non-WAV payloads "
         "(pip install soundfile)"

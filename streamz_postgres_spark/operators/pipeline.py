@@ -1076,24 +1076,12 @@ def q_corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _winnow_pairs(spark, sf_dir, docs=qp)
     drops = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     deduped = quality.join(drops, "doc_id", "left_anti")
+    from streamz_postgres_spark.operators.corpus import oov_counts
+
     tok = deduped.select(
         "doc_id", "source", F.explode(tokens("text")).alias("tok")
     )
-    vocab = (
-        tok.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy(F.col("cnt").desc(), F.col("tok"))
-        .limit(_V2_VOCAB)
-        .select("tok", F.lit(1).alias("in_vocab"))
-    )
-    oov = (
-        tok.join(F.broadcast(vocab), "tok", "left")
-        .groupBy("doc_id", "source")
-        .agg(
-            F.count(F.lit(1)).alias("n_tok"),
-            F.count_if(F.col("in_vocab").isNull()).alias("n_oov"),
-        )
-    )
+    oov = oov_counts(tok, _V2_VOCAB, ["source"])
     finals = (
         oov.filter(2 * F.col("n_oov") <= F.col("n_tok"))
         .groupBy("source")

@@ -281,7 +281,13 @@ class PsqlPollingLoader:
                 *self.dsn,
                 "-X",
                 "-c",
-                f"COPY ({query}) TO STDOUT (FORMAT CSV, HEADER)",
+                # FORCE_QUOTE * so every non-NULL value is quoted:
+                # an unquoted empty field is then unambiguously NULL
+                # and a quoted "" unambiguously the empty string
+                # (round-7 review find — COPY's default leaves empty
+                # strings unquoted, identical to the NULL sentinel)
+                f"COPY ({query}) TO STDOUT "
+                "(FORMAT CSV, HEADER, FORCE_QUOTE *)",
             ],
             capture_output=True,
             text=True,
@@ -295,6 +301,18 @@ class PsqlPollingLoader:
         self._scratch.append(f.name)
         return (
             self.spark.read.option("header", True)
+            # RFC-4180 options (round-7 review find): PG COPY doubles
+            # quotes ("" inside a quoted field) and keeps newlines
+            # inside quotes; Spark's defaults (backslash escape, no
+            # multiLine) silently misparse both
+            .option("escape", '"')
+            .option("multiLine", True)
+            # with FORCE_QUOTE * on the COPY side, a quoted "" is an
+            # empty string and an unquoted empty field is NULL; the
+            # sentinel nullValue stops Spark's default (nullValue="")
+            # from mapping the quoted form to null too — univocity
+            # still reads unquoted-empty as null regardless
+            .option("nullValue", "\\N__NULL__")
             .schema(f"{self.schema}, __cursor bigint")
             .csv(f.name)
         )
@@ -591,9 +609,25 @@ class PsqlTableSink:
         self._run(["-c", self._ddl(df)])
         if mode == "overwrite":
             self._run(["-c", f"TRUNCATE {self.table}"])
-        pdf = df.toPandas()
-        csv_text = pdf.to_csv(index=False, header=False)
-        collist = ", ".join(f'"{c}"' for c in pdf.columns)
+        # hand-rolled CSV from collected Rows (round-7 review find):
+        # toPandas coerces nullable integer columns to float64 ('1.0'
+        # breaks a bigint COPY) and its unquoted empty strings
+        # conflate with NULL. Rows keep Python ints/None; rendering
+        # None as unquoted-empty and EVERY string quoted makes NULL
+        # vs '' unambiguous under COPY's CSV rules.
+        def cell(v) -> str:
+            if v is None:
+                return ""
+            if isinstance(v, str):
+                return '"' + v.replace('"', '""') + '"'
+            return str(v)
+
+        cols = df.columns
+        rows = df.collect()
+        csv_text = "".join(
+            ",".join(cell(row[c]) for c in cols) + "\n" for row in rows
+        )
+        collist = ", ".join(f'"{c}"' for c in cols)
         self._run(
             [
                 "-c",
@@ -602,4 +636,4 @@ class PsqlTableSink:
             ],
             stdin_text=csv_text,
         )
-        return len(pdf)
+        return len(rows)

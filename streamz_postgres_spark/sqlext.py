@@ -117,6 +117,33 @@ def _lower_distinct_on(spark: SparkSession, query: str) -> DataFrame:
     return spark.sql(rewritten)
 
 
+
+
+def _split_top_level(expr_list: str) -> list:
+    """Split a SELECT projection list on commas at paren/quote depth
+    zero (so function arguments and string literals stay intact)."""
+    parts, depth, in_str, buf = [], 0, False, []
+    for ch in expr_list:
+        if in_str:
+            buf.append(ch)
+            if ch == "'":
+                in_str = False
+            continue
+        if ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+            continue
+        buf.append(ch)
+    parts.append("".join(buf))
+    return parts
+
+
 def _lower_sample_by(spark: SparkSession, query: str) -> DataFrame:
     m = _SAMPLE_RE.match(query)
     if m is None:
@@ -136,10 +163,13 @@ def _lower_sample_by(spark: SparkSession, query: str) -> DataFrame:
         f"AS BIGINT) * {width}, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
     )
     proj = m.group("proj")
-    # QuestDB-style: bare column projections join the grouping key
+    # QuestDB-style: bare column projections join the grouping key.
+    # Split on TOP-LEVEL commas only (round-7 review find: a naive
+    # split leaked multi-arg function arguments like
+    # coalesce(a, fallback, 'x') into GROUP BY)
     bare = [
         p.strip()
-        for p in proj.split(",")
+        for p in _split_top_level(proj)
         if re.fullmatch(r"\w+", p.strip())
     ]
     keys = ", ".join(["sample_ts", *bare])

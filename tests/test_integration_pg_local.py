@@ -320,3 +320,47 @@ def test_write_back_round_trip_live(spark, fresh_table):
     )
     assert _sql(dsn, "SELECT note FROM t_mat WHERE id = 7") == "v1"
     ld.close()  # drop the loader's scratch CSVs now that frames are consumed
+
+
+def test_hostile_values_round_trip_live(spark, fresh_table):
+    """Round-7 review finds, pinned live: quotes/newlines inside
+    text survive the COPY CSV hop in BOTH directions, NULL and empty
+    string stay distinct, and a NULL in a bigint column does not
+    become '1.0' (the pandas float64 coercion). Write hostile rows
+    through PsqlTableSink, read them back through PsqlPollingLoader,
+    and compare exactly."""
+    dsn = fresh_table
+    from streamz_postgres_spark.sources.cdc import (
+        PsqlPollingLoader,
+        PsqlTableSink,
+    )
+
+    hostile = [
+        (1, 1.5, 'he said "hi"'),
+        (2, None, "line one\nline two"),
+        (3, 2.5, ""),           # empty string, NOT null
+        (4, 3.5, None),         # null, NOT empty string
+        (5, None, 'comma, "quoted, too", end'),
+    ]
+    df = spark.createDataFrame(hostile, "id long, v double, note string")
+    sink = PsqlTableSink(spark=spark, dsn=dsn, table="t_hostile")
+    assert sink.write(df, mode="overwrite") == 5
+
+    # server-side truth checks (no CSV on this path)
+    assert _sql(dsn, "SELECT note FROM t_hostile WHERE id = 1") == (
+        'he said "hi"'
+    )
+    assert _sql(dsn, "SELECT v IS NULL FROM t_hostile WHERE id = 2") == "t"
+    assert _sql(dsn, "SELECT note = '' FROM t_hostile WHERE id = 3") == "t"
+    assert _sql(dsn, "SELECT note IS NULL FROM t_hostile WHERE id = 4") == "t"
+
+    ld = PsqlPollingLoader(
+        spark=spark, dsn=dsn, table="t_hostile",
+        schema="id long, v double, note string",
+    )
+    back = {
+        r.id: (r.v, r.note)
+        for r in ld.snapshot().select("id", "v", "note").collect()
+    }
+    assert back == {i: (v, n) for i, v, n in hostile}
+    ld.close()

@@ -134,3 +134,30 @@ def test_stdlib_bmp_agrees_with_pillow():
     img = Image.open(io.BytesIO(encode_bmp(w, h, rgb)))
     assert img.size == (w, h)
     assert img.convert("RGB").tobytes() == rgb
+
+
+def test_stdlib_wav_stereo_matches_soundfile_shape():
+    """Round-7 review find: the stdlib WAV path must return
+    (n_frames, channels) for multichannel audio like soundfile does,
+    not a flat interleaved array twice as long."""
+    import io
+    import wave
+
+    import numpy as np
+
+    left = np.array([100, 200, 300], dtype="<i2")
+    right = np.array([-1, -2, -3], dtype="<i2")
+    inter = np.empty(6, dtype="<i2")
+    inter[0::2], inter[1::2] = left, right
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(inter.tobytes())
+    got, rate = decode_audio(buf.getvalue())
+    arr = np.asarray(got)
+    assert rate == 8000
+    assert arr.shape == (3, 2)
+    assert np.array_equal(arr[:, 0].astype("i2"), left)
+    assert np.array_equal(arr[:, 1].astype("i2"), right)

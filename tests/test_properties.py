@@ -631,3 +631,30 @@ def test_interval_overlap_pairs_matches_brute_force(spark, ivals, width):
         if i < j and si < sj + dj and sj < si + di
     )
     assert got == want
+
+
+def test_winnowing_survives_short_documents(spark):
+    """Round-7 review find (confirmed live before the fix): a doc
+    shorter than K (or K+W-1) used to feed slice() a zero start via
+    Spark's descending sequence(1,0) and CRASH the whole job. Short
+    docs must simply contribute no fingerprints — and long docs in
+    the same corpus must still pair."""
+    from streamz_postgres_spark.operators.dedup import _winnow_pairs
+
+    long_text = ("the quick brown fox jumps over the lazy dog and keeps "
+                 "running through the meadow at dawn " * 3)
+    df = spark.createDataFrame(
+        [
+            (1, ""),
+            (2, "short"),
+            (3, "x" * 30),       # one below the 31-char guarantee
+            (4, long_text),
+            (5, long_text + " tail a"),
+            (6, "y" * 31),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = _winnow_pairs(spark, "/nonexistent", docs=df).collect()
+    got = {(r.doc_a, r.doc_b) for r in pairs}
+    assert (4, 5) in got, "long duplicate pair must still be found"
+    assert all(a not in (1, 2, 3) and b not in (1, 2, 3) for a, b in got)

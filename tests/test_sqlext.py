@@ -223,3 +223,28 @@ class TestDistinctOn:
                 spark,
                 "SELECT DISTINCT ON (a) a, b FROM t ORDER BY b",
             )
+
+
+def test_sample_by_multiarg_functions_do_not_leak_into_group_by(spark):
+    """Round-7 review find: a naive comma split leaked multi-arg
+    function ARGUMENTS into GROUP BY (changing the grain, or blowing
+    up on numeric ordinals). Only top-level bare columns may join
+    the grouping key."""
+    from streamz_postgres_spark import sqlext
+
+    spark.sql(
+        "SELECT TIMESTAMP_NTZ '2024-01-01 00:10:00' AS ts, 'a' AS k, "
+        "CAST(NULL AS STRING) AS alt, 1 AS v "
+        "UNION ALL SELECT TIMESTAMP_NTZ '2024-01-01 00:20:00', 'a', 'b', 2"
+    ).createOrReplaceTempView("sb_args")
+    got = sqlext.sql(
+        spark,
+        "SELECT k, count(*) AS n, any_value(coalesce(k, alt, 'z')) AS kk, "
+        "any_value(conv('10', 16, 10)) AS c FROM sb_args SAMPLE BY 1h",
+    )
+    rows = sorted(map(tuple, got.collect()))
+    # one bucket, one group keyed by the bare column k alone: the
+    # inner args (alt, 16, 10) must NOT have become grouping keys
+    # (numeric ordinals would error or change the grain)
+    assert len(rows) == 1 and rows[0][1:] == ("a", 2, "a", "16")
+    spark.catalog.dropTempView("sb_args")
