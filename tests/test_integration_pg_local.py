@@ -364,3 +364,43 @@ def test_hostile_values_round_trip_live(spark, fresh_table):
     }
     assert back == {i: (v, n) for i, v, n in hostile}
     ld.close()
+
+
+def test_pk_cursor_loader_live(spark, fresh_table):
+    """The non-xmin cursor path live: a PK cursor has no
+    in-flight-transaction horizon (safe_cursor None), so
+    PollingCdcSource must fall back to the table-max regression
+    check — and a PK cursor must NOT re-emit updates (it tracks
+    inserts only, the documented difference from xmin)."""
+    from streamz_postgres_spark.sources.cdc import (
+        PollingCdcSource,
+        PsqlPollingLoader,
+    )
+
+    dsn = fresh_table
+    _sql(
+        dsn,
+        "INSERT INTO t_cdc SELECT i, i * 1.0, 'seed' "
+        "FROM generate_series(1, 4) i",
+    )
+    ld = PsqlPollingLoader(
+        spark=spark, dsn=dsn, table="t_cdc", schema=_SCHEMA,
+        cursor_expr="id",
+    )
+    assert ld.safe_cursor() is None
+    assert ld.max_cursor() == 4
+
+    src = PollingCdcSource(ld, key_cols=["id"])
+    seen = []
+    src.start(lambda env, idx: seen.append(env.count()))
+    assert src.cursor == 4
+
+    # an UPDATE does not move a PK cursor; an INSERT does
+    _sql(dsn, "UPDATE t_cdc SET v = 99.0 WHERE id = 2")
+    assert src.poll_once(lambda env, idx: seen.append(env.count()), 1) == 0
+    _sql(dsn, "INSERT INTO t_cdc VALUES (9, 9.0, 'new')")
+    assert src.poll_once(lambda env, idx: seen.append(env.count()), 2) == 1
+    assert src.cursor == 9
+    # quiet poll exercises the table-max fallback branch (safe=None)
+    assert src.poll_once(lambda env, idx: None, 3) == 0
+    assert src.cursor == 9
