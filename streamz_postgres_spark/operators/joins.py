@@ -45,7 +45,9 @@ def asof_join(
     """As-of join: attach to each left row the most recent right row
     (``right_ts <= left_ts``) with the same key(s) — or, with
     ``direction="forward"``, the NEXT right row (``right_ts >=
-    left_ts``), pandas ``merge_asof(direction=...)`` semantics.
+    left_ts``), or ``direction="nearest"``, the right row with the
+    smallest |ts distance| (ties to the backward side) — pandas
+    ``merge_asof(direction=...)`` semantics, all three directions.
 
     ``tolerance`` (an SQL interval literal body, e.g. ``'2 HOURS'``)
     bounds the lookback (or lookahead): a match further away than the
@@ -67,8 +69,10 @@ def asof_join(
     The right side must be unique per (key, right_ts) — pre-aggregate
     duplicates first or the tie-winner is engine-dependent.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward: {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest: {direction!r}"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     payload = F.struct(
         F.col(right_ts).alias("__asof_ts"),
@@ -77,7 +81,9 @@ def asof_join(
     # sort position of right rows at EQUAL timestamps: before the left
     # row (0 < 1) for backward (inclusive <=), after it (2 > 1) for
     # forward (inclusive >=)
-    r_ord = 0 if direction == "backward" else 2
+    # nearest uses the backward placement: an equal-ts right row is
+    # distance 0 and the backward window wins it
+    r_ord = 0 if direction in ("backward", "nearest") else 2
     r = right.select(
         *keys,
         F.col(right_ts).alias("__ts"),
@@ -98,26 +104,63 @@ def asof_join(
     r = r.select(*left_cols, "__ts", "__side", "__payload")
 
     w = Window.partitionBy(*keys).orderBy("__ts", "__side")
+    w_back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    union = l.unionByName(r)
     if direction == "backward":
-        w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        pick = F.last("__payload", ignorenulls=True)
+        joined = union.withColumn(
+            "__latest", F.last("__payload", ignorenulls=True).over(w_back)
+        )
+    elif direction == "forward":
+        joined = union.withColumn(
+            "__latest", F.first("__payload", ignorenulls=True).over(w_fwd)
+        )
     else:
-        w = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        pick = F.first("__payload", ignorenulls=True)
-    joined = (
-        l.unionByName(r)
-        .withColumn("__latest", pick.over(w))
-        .filter(F.col("__side") == 1)
-    )
+        # nearest (pandas merge_asof direction='nearest'): evaluate
+        # BOTH windows over the SAME union — still one shuffle — and
+        # keep the candidate with the smaller |ts distance|, ties to
+        # the backward side (documented rule; pandas leaves ties
+        # unspecified)
+        back = F.last("__payload", ignorenulls=True).over(w_back)
+        fwd = F.first("__payload", ignorenulls=True).over(w_fwd)
+        joined = (
+            union.withColumn("__b", back)
+            .withColumn("__f", fwd)
+            .withColumn(
+                "__latest",
+                F.when(F.col("__b").isNull(), F.col("__f"))
+                .when(F.col("__f").isNull(), F.col("__b"))
+                .when(
+                    F.expr(
+                        "timestampdiff(MICROSECOND, __b.__asof_ts, __ts)"
+                    )
+                    <= F.expr(
+                        "timestampdiff(MICROSECOND, __ts, __f.__asof_ts)"
+                    ),
+                    F.col("__b"),
+                )
+                .otherwise(F.col("__f")),
+            )
+            .drop("__b", "__f")
+        )
+    joined = joined.filter(F.col("__side") == 1)
     latest = F.col("__latest")
     if tolerance is not None:
         if direction == "backward":
             in_tol = F.col("__latest.__asof_ts") >= F.col("__ts") - F.expr(
                 f"INTERVAL {tolerance}"
             )
-        else:
+        elif direction == "forward":
             in_tol = F.col("__latest.__asof_ts") <= F.col("__ts") + F.expr(
                 f"INTERVAL {tolerance}"
+            )
+        else:
+            in_tol = (
+                F.col("__latest.__asof_ts")
+                >= F.col("__ts") - F.expr(f"INTERVAL {tolerance}")
+            ) & (
+                F.col("__latest.__asof_ts")
+                <= F.col("__ts") + F.expr(f"INTERVAL {tolerance}")
             )
         latest = F.when(in_tol, latest)
     joined = joined.withColumn("__latest", latest)
@@ -1226,4 +1269,84 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("overlap_seconds"),
         )
+    )
+
+
+@register(
+    "q_asof_nearest",
+    oracle="""
+WITH clicks AS (
+  SELECT event_id, user_id, ts, value FROM events
+  WHERE event_type = 'click'
+), purch AS (
+  SELECT user_id, ts, arg_max(value, event_id) AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, ts
+), u AS (
+  SELECT user_id, ts, NULL AS purchase_value, 1 AS side,
+         event_id, value
+  FROM clicks
+  UNION ALL
+  SELECT user_id, ts, purchase_value, 0 AS side, NULL, NULL FROM purch
+), w AS (
+  SELECT *,
+    LAST_VALUE(CASE WHEN side = 0 THEN ts END IGNORE NULLS)
+      OVER wb AS b_ts,
+    LAST_VALUE(CASE WHEN side = 0 THEN purchase_value END IGNORE NULLS)
+      OVER wb AS b_val,
+    FIRST_VALUE(CASE WHEN side = 0 THEN ts END IGNORE NULLS)
+      OVER wf AS f_ts,
+    FIRST_VALUE(CASE WHEN side = 0 THEN purchase_value END IGNORE NULLS)
+      OVER wf AS f_val
+  FROM u
+  WINDOW wb AS (PARTITION BY user_id ORDER BY ts, side
+                ROWS UNBOUNDED PRECEDING),
+         wf AS (PARTITION BY user_id ORDER BY ts, side
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_id, user_id, ts, value,
+       CASE WHEN b_ts IS NULL THEN f_ts
+            WHEN f_ts IS NULL THEN b_ts
+            WHEN date_diff('microseconds', b_ts, ts)
+                 <= date_diff('microseconds', ts, f_ts) THEN b_ts
+            ELSE f_ts END AS asof_ts,
+       CASE WHEN b_ts IS NULL THEN f_val
+            WHEN f_ts IS NULL THEN b_val
+            WHEN date_diff('microseconds', b_ts, ts)
+                 <= date_diff('microseconds', ts, f_ts) THEN b_val
+            ELSE f_val END AS purchase_value
+FROM w
+WHERE side = 1
+""",
+    tags=("join", "time", "asof"),
+)
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-direction as-of join — the third pandas merge_asof
+    direction (backward = q_asof_join, forward = q_asof_forward):
+    each click picks the purchase closest in time on EITHER side,
+    ties to the backward side (documented; pandas leaves ties
+    unspecified). Implementation evaluates both direction windows
+    over the SAME union in one pass — still exactly ONE shuffle on
+    the key, no range join, no second exchange (the plan is the
+    asof_join plan with two window functions instead of one). The
+    oracle replays the same two-window construction in DuckDB
+    (DuckDB's native ASOF is backward-only, so nearest needs the
+    explicit form on both engines)."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purch = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("purchase_value"))
+    )
+    return asof_join(
+        clicks,
+        purch,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_values=["purchase_value"],
+        direction="nearest",
     )

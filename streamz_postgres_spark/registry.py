@@ -263,6 +263,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_sample_by_sql",
     "q_distinct_on_sql",
     "q_corpus_pipeline_v2",
+    "q_asof_nearest",
     # r4-latest block (staleness cap at r8; cannot fit alongside the
     # never-checked backlog -- mitigation: the full local sweep; the
     # r9/r10 windows rotate this block after the r9 head):

@@ -658,3 +658,45 @@ def test_winnowing_survives_short_documents(spark):
     got = {(r.doc_a, r.doc_b) for r in pairs}
     assert (4, 5) in got, "long duplicate pair must still be found"
     assert all(a not in (1, 2, 3) and b not in (1, 2, 3) for a, b in got)
+
+
+def _brute_force_nearest(left, right):
+    out = {}
+    for i, (k, lt) in enumerate(left):
+        back = max((m for k2, m in right if k2 == k and m <= lt), default=None)
+        fwd = min((m for k2, m in right if k2 == k and m >= lt), default=None)
+        if back is None:
+            out[i] = fwd
+        elif fwd is None:
+            out[i] = back
+        else:
+            out[i] = back if (lt - back) <= (fwd - lt) else fwd
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(left=_left_rows, right=_right_rows)
+def test_asof_nearest_matches_brute_force(spark, left, right):
+    """direction='nearest': closest right row on either side, ties
+    to backward — against a per-row brute force."""
+    ldf = spark.createDataFrame(
+        [(i, k, _BASE + dt.timedelta(minutes=m)) for i, (k, m) in enumerate(left)],
+        "idx int, k int, ts timestamp_ntz",
+    )
+    rdf = spark.createDataFrame(
+        [(k, _BASE + dt.timedelta(minutes=m), float(m)) for k, m in right],
+        "k int, ts timestamp_ntz, v double",
+    )
+    got = {
+        r.idx: (r.asof_ts - _BASE).total_seconds() / 60 if r.asof_ts else None
+        for r in asof_join(
+            ldf, rdf, "k", "ts", "ts", ["v"], direction="nearest"
+        ).collect()
+    }
+    want = {i: float(m) if m is not None else None
+            for i, m in _brute_force_nearest(left, right).items()}
+    assert got == want
