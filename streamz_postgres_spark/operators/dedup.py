@@ -1500,3 +1500,46 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_shared",
         f"CAST({_SUB_K} + ({left}) + ({right}) AS BIGINT) AS span_len",
     )
+
+
+@register(
+    "q_dedup_substring_clusters",
+    oracle=f"""WITH RECURSIVE {_sub_pairs_ctes("documents")},
+edges AS (
+  SELECT doc_a AS u, doc_b AS w FROM p
+  UNION
+  SELECT doc_b AS u, doc_a AS w FROM p
+),
+reach AS (
+  SELECT doc_id AS u, doc_id AS r FROM documents
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON e.w = reach.u
+)
+SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u
+""",
+    tags=("dedup", "graph", "fingerprint", "scale"),
+)
+def q_dedup_substring_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-duplication CLUSTERS: q_dedup_substring's verified
+    winnowing pairs fed through the connected-components reducer, so
+    every document gets the min doc_id of its duplication component
+    (singletons keep their own id). This is the SCALE-SAFE read-out
+    of substring dedup — SCALE.md's 10x curve showed the pair list
+    itself growing ~quadratically inside mega-clusters (a replica
+    corpus of k near-copies emits k(k-1)/2 pairs), while the label
+    table stays O(docs) no matter how duplicated the corpus is; a
+    100 TB pipeline keeps one canonical doc per cluster_id and drops
+    the rest without ever materializing the pair blowup. Cost on top
+    of the pair stage: O(log diameter) pointer-doubling rounds of
+    hash joins over the (small) edge set; the oracle is a recursive
+    CTE computing the same transitive closure, so the iterative loop
+    is value-checked end to end."""
+    pairs = _winnow_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("w")
+    )
+    nodes = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id")
+    )
+    return connected_components(nodes, pairs).select(
+        F.col("vec_id").alias("doc_id"), "cluster_id"
+    )

@@ -212,7 +212,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_grouping_id",
     "q_knn_ivf_batch",
     "q_anomaly_zscore",
-    # -- round-8 additions are inserted here as they register --
+    # -- round-8 additions (first driver evidence due r9):
+    "q_dedup_substring_clusters",
+    "q_concurrency_profile",
     # r4-latest block (r9 window tail / r10; oldest evidence first):
     "q_agg_distinct",
     "q_asof_join",
