@@ -911,3 +911,45 @@ def q_distinct_on_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.catalog.dropTempView(view)
+
+
+@register(
+    "q_qualify_sql",
+    oracle="""
+SELECT event_type, event_id, value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY event_type
+                           ORDER BY value DESC, event_id) <= 3
+""",
+    tags=("window", "sql"),
+)
+def q_qualify_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALIFY in SQL SYNTAX — the fourth sqlext grammar, the
+    Snowflake/DuckDB/BigQuery window-filter clause behind the
+    top-k-per-group idiom users type constantly (q_topk_per_group is
+    the DataFrame form; Spark SQL has no QUALIFY keyword and forces
+    the subquery rewrite by hand). sqlext lowers the bounded grammar
+    (rank-family function, PARTITION BY + ORDER BY, =/</<= bound)
+    onto exactly that rewrite: the window computed in a subquery,
+    filtered in the outer SELECT — one shuffle on the partition
+    keys. The oracle is DuckDB's NATIVE QUALIFY, so the lowering is
+    value-checked against a real implementation of the clause, the
+    same native-cross-check pattern as q_asof_sql and
+    q_distinct_on_sql. Deterministic top-3 via the event_id
+    tiebreak."""
+    import uuid as _uuid
+
+    from streamz_postgres_spark import sqlext
+
+    view = f"events_{_uuid.uuid4().hex[:8]}"
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(view)
+    try:
+        return sqlext.sql(
+            spark,
+            f"""SELECT event_type, event_id, value
+                FROM {view}
+                QUALIFY row_number() OVER (PARTITION BY event_type
+                ORDER BY value DESC, event_id) <= 3""",
+        )
+    finally:
+        spark.catalog.dropTempView(view)

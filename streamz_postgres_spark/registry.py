@@ -215,6 +215,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # -- round-8 additions (first driver evidence due r9):
     "q_dedup_substring_clusters",
     "q_concurrency_profile",
+    "q_qualify_sql",
     # r4-latest block (r9 window tail / r10; oldest evidence first):
     "q_agg_distinct",
     "q_asof_join",

@@ -16,7 +16,14 @@ the reason):
   (the Postgres latest-row-per-key idiom the reference's users
   write daily) -> a row_number window over the keys ordered by the
   residual ORDER BY, keeping rank 1 — Spark has no DISTINCT ON and
-  the naive translation (self-join on max) reads the input twice.
+  the naive translation (self-join on max) reads the input twice;
+- ``QUALIFY <rankfn>() OVER (PARTITION BY <keys> ORDER BY <ord>)
+  <op> <N>`` (the Snowflake/DuckDB/BigQuery window-filter clause,
+  the top-k-per-group idiom) -> the window function computed in a
+  subquery and filtered in the outer SELECT — the rewrite users
+  hand-write today because Spark SQL has no QUALIFY. ``rankfn`` is
+  ``row_number``/``rank``/``dense_rank``; ``op`` is ``=``, ``<``
+  or ``<=``.
 
 Supported grammar (one ASOF join per query)::
 
@@ -86,6 +93,44 @@ _DISTINCT_ON_RE = re.compile(
         ORDER\s+BY\s+(?P<order>.+?)\s*$""",
     re.IGNORECASE | re.VERBOSE | re.DOTALL,
 )
+
+
+_QUALIFY_RE = re.compile(
+    r"""^\s*SELECT\s+(?P<proj>.+?)\s+
+        FROM\s+(?P<t>\w+)
+        (?:\s+WHERE\s+(?P<where>.+?))?\s+
+        QUALIFY\s+(?P<fn>row_number|rank|dense_rank)\s*\(\s*\)\s+
+        OVER\s*\(\s*PARTITION\s+BY\s+(?P<part>[\w\s,]+?)\s+
+        ORDER\s+BY\s+(?P<order>.+?)\s*\)\s*
+        (?P<op><=|<|=)\s*(?P<n>\d+)\s*$""",
+    re.IGNORECASE | re.VERBOSE | re.DOTALL,
+)
+
+
+def _lower_qualify(spark: SparkSession, query: str) -> DataFrame:
+    m = _QUALIFY_RE.match(query)
+    if m is None:
+        raise ValueError(
+            "QUALIFY present but the query does not match the supported "
+            "grammar: SELECT <projections> FROM <table> [WHERE <pred>] "
+            "QUALIFY row_number()|rank()|dense_rank() OVER (PARTITION BY "
+            "<keys> ORDER BY <order>) =|<|<= <N> (one table, QUALIFY "
+            "last; register subqueries as temp views first)"
+        )
+    proj = m.group("proj").strip()
+    if proj == "*":
+        # the rank column is plumbing, not a result column
+        proj = "* EXCEPT (__q)"
+    where = f" WHERE {m.group('where')}" if m.group("where") else ""
+    rewritten = (
+        f"SELECT {proj} FROM ("
+        f"SELECT *, {m.group('fn').lower()}() OVER ("
+        f"PARTITION BY {m.group('part').strip()} "
+        f"ORDER BY {m.group('order').strip()}) AS __q "
+        f"FROM {m.group('t')}{where}"
+        f") WHERE __q {m.group('op')} {m.group('n')}"
+    )
+    return spark.sql(rewritten)
 
 
 def _lower_distinct_on(spark: SparkSession, query: str) -> DataFrame:
@@ -183,15 +228,17 @@ def _lower_sample_by(spark: SparkSession, query: str) -> DataFrame:
 
 def sql(spark: SparkSession, query: str) -> DataFrame:
     """Run ``query``, lowering one supported extension clause —
-    ASOF [LEFT] JOIN onto the library as-of join, or SAMPLE BY onto
-    an epoch-aligned bucket GROUP BY (module docstring has both
-    grammars)."""
+    ASOF [LEFT] JOIN onto the library as-of join, SAMPLE BY onto an
+    epoch-aligned bucket GROUP BY, DISTINCT ON / QUALIFY onto rank
+    windows (module docstring has all four grammars)."""
     import threading
 
     if re.search(r"\bSAMPLE\s+BY\b", query, re.IGNORECASE):
         return _lower_sample_by(spark, query)
     if re.search(r"\bDISTINCT\s+ON\b", query, re.IGNORECASE):
         return _lower_distinct_on(spark, query)
+    if re.search(r"\bQUALIFY\b", query, re.IGNORECASE):
+        return _lower_qualify(spark, query)
     matches = list(_ASOF_RE.finditer(query))
     if not matches:
         if re.search(r"\bASOF\b", query, re.IGNORECASE):

@@ -248,3 +248,84 @@ def test_sample_by_multiarg_functions_do_not_leak_into_group_by(spark):
     # (numeric ordinals would error or change the grain)
     assert len(rows) == 1 and rows[0][1:] == ("a", 2, "a", "16")
     spark.catalog.dropTempView("sb_args")
+
+
+class TestQualify:
+    def test_matches_subquery_rewrite(self, spark):
+        from streamz_postgres_spark import sqlext
+
+        spark.sql(
+            "SELECT * FROM VALUES ('a', 1, 5.0), ('a', 2, 9.0), "
+            "('a', 3, 7.0), ('b', 4, 1.0), ('b', 5, 2.0) "
+            "AS t(grp, id, v)"
+        ).createOrReplaceTempView("q_ev")
+        got = sqlext.sql(
+            spark,
+            "SELECT grp, id, v FROM q_ev QUALIFY row_number() OVER "
+            "(PARTITION BY grp ORDER BY v DESC, id) <= 2",
+        )
+        assert sorted(map(tuple, got.collect())) == [
+            ("a", 2, 9.0),
+            ("a", 3, 7.0),
+            ("b", 4, 1.0),
+            ("b", 5, 2.0),
+        ]
+        spark.catalog.dropTempView("q_ev")
+
+    def test_star_projection_hides_rank_column(self, spark):
+        from streamz_postgres_spark import sqlext
+
+        spark.sql(
+            "SELECT * FROM VALUES ('a', 1), ('a', 2) AS t(grp, id)"
+        ).createOrReplaceTempView("q_star")
+        got = sqlext.sql(
+            spark,
+            "SELECT * FROM q_star QUALIFY row_number() OVER "
+            "(PARTITION BY grp ORDER BY id) = 1",
+        )
+        assert got.columns == ["grp", "id"]
+        assert got.collect() == [("a", 1)]
+        spark.catalog.dropTempView("q_star")
+
+    def test_rank_and_where_compose(self, spark):
+        from streamz_postgres_spark import sqlext
+
+        spark.sql(
+            "SELECT * FROM VALUES ('a', 1, 5.0), ('a', 2, 5.0), "
+            "('a', 3, 1.0), ('b', 4, 0.5) AS t(grp, id, v)"
+        ).createOrReplaceTempView("q_rank")
+        got = sqlext.sql(
+            spark,
+            "SELECT grp, id FROM q_rank WHERE v >= 1.0 "
+            "QUALIFY rank() OVER (PARTITION BY grp ORDER BY v DESC) = 1",
+        )
+        # rank keeps BOTH tied rows; the WHERE filtered grp b out
+        assert sorted(map(tuple, got.collect())) == [("a", 1), ("a", 2)]
+        spark.catalog.dropTempView("q_rank")
+
+    def test_refuses_out_of_grammar(self, spark):
+        import pytest as _pytest
+
+        from streamz_postgres_spark import sqlext
+
+        # window aggregate (sum) is outside the rank-family grammar
+        with _pytest.raises(ValueError, match="QUALIFY present"):
+            sqlext.sql(
+                spark,
+                "SELECT a FROM t QUALIFY sum(v) OVER "
+                "(PARTITION BY a ORDER BY b) <= 3",
+            )
+        # no PARTITION BY
+        with _pytest.raises(ValueError, match="QUALIFY present"):
+            sqlext.sql(
+                spark,
+                "SELECT a FROM t QUALIFY row_number() OVER "
+                "(ORDER BY b) <= 3",
+            )
+        # join on the left side is outside the one-table grammar
+        with _pytest.raises(ValueError, match="QUALIFY present"):
+            sqlext.sql(
+                spark,
+                "SELECT a FROM t JOIN u ON t.k = u.k QUALIFY "
+                "row_number() OVER (PARTITION BY a ORDER BY b) <= 3",
+            )
