@@ -124,18 +124,22 @@ WHERE rn = 1 AND op <> 'd'
 def q_cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE canonical reference use case end-to-end: a CDC change
     stream applied to a materialized table copy. The envelope stream
-    runs through writeStream.foreachBatch; each micro-batch MERGEs
-    into a parquet target (read current + union batch + latest-wins
-    compaction + overwrite — the transactional-sink-free upsert;
-    with Delta/Iceberg the body becomes MERGE INTO). The input is
-    split into 4 files with maxFilesPerTrigger=1, so four real
-    incremental merges run; the final table must equal the oracle's
-    latest-row-wins state with deletes applied."""
+    runs through writeStream.foreachBatch; each micro-batch upserts
+    into the target through the pluggable MERGE seam
+    (streaming/merge.py): pick_merge_sink chooses transactional
+    MERGE INTO when the session has a Delta runtime and the
+    snapshot-versioned keyed-overwrite otherwise — same latest-wins
+    + tombstone contract either way, contract-tested through the
+    seam in tests/test_merge_sink.py. The input is split into 4
+    files with maxFilesPerTrigger=1, so four real incremental merges
+    run; the final table must equal the oracle's latest-row-wins
+    state with deletes applied."""
     import os
     import shutil
     import tempfile
 
     from streamz_postgres_spark.catalog import load_table
+    from streamz_postgres_spark.streaming.merge import pick_merge_sink
 
     # previous invocation's target snapshots are released here (the
     # returned DataFrame reads the final snapshot lazily, so this
@@ -147,7 +151,9 @@ def q_cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     staging = tempfile.mkdtemp(prefix="cdc_src_")
     target = tempfile.mkdtemp(prefix="cdc_target_")
     _MATERIALIZE_DIRS.append(target)
-    target_data = os.path.join(target, "state")
+    sink = pick_merge_sink(
+        target, key_cols=["user_id"], seq_col="last_seq", op_col="op"
+    )
     e = load_table(spark, sf_dir, "events")
     total = e.count()
     step = total // 4 + 1
@@ -170,39 +176,17 @@ def q_cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(os.path.join(staging, "part*"))
     )
 
-    last = {"v": -1}
-
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:
-        # snapshot-versioned upsert (what Delta's MERGE does under
-        # the hood): read snapshot epoch-1, merge, write snapshot
-        # epoch — no overwrite-while-reading, no driver
-        # materialization. The version IS the epoch_id, so a restart
-        # from the checkpoint resumes against the last committed
-        # snapshot instead of starting over (a driver-side counter
-        # would reset to -1 and silently discard merged state), and
-        # re-running a failed epoch overwrites its own snapshot —
-        # idempotent. Deletes stay as TOMBSTONES so a late-arriving
-        # older update for a deleted key cannot resurrect it.
-        epoch = int(epoch_id)
+        # envelope shaping is the pipeline's job; the upsert
+        # mechanics (snapshot chaining / MERGE INTO, idempotent
+        # epochs, tombstones) live behind the sink seam
         changes = batch.select(
             F.col("user_id"),
             F.col("event_id").alias("last_seq"),
             F.col("value").alias("current_value"),
             F.when(F.col("event_id") % 10 == 0, "d").otherwise("u").alias("op"),
         )
-        sess = batch.sparkSession
-        merged = changes
-        prev_path = f"{target_data}_v{epoch - 1}"
-        if epoch > 0 and os.path.exists(prev_path):
-            merged = sess.read.parquet(prev_path).unionByName(changes)
-        w = Window.partitionBy("user_id").orderBy(F.col("last_seq").desc())
-        compacted = (
-            merged.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
-        compacted.write.mode("overwrite").parquet(f"{target_data}_v{epoch}")
-        last["v"] = max(last["v"], epoch)
+        sink.merge_batch(changes, epoch_id)
 
     ckpt = tempfile.mkdtemp(prefix="cdc_ckpt_")
     try:
@@ -216,17 +200,13 @@ def q_cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(staging, ignore_errors=True)
-    if last["v"] < 0:  # empty stream: no snapshot was written
+    sink.compact()
+    final = sink.current(spark)
+    if final is None:  # empty stream: no snapshot was written
         return spark.createDataFrame(
             [], "user_id long, last_seq long, current_value double"
         )
-    # superseded snapshots are dead weight once the final one exists
-    for v in range(last["v"]):
-        shutil.rmtree(f"{target_data}_v{v}", ignore_errors=True)
-    final = spark.read.parquet(f"{target_data}_v{last['v']}")
-    return final.filter(F.col("op") != "d").select(
-        "user_id", "last_seq", "current_value"
-    )
+    return final.select("user_id", "last_seq", "current_value")
 
 
 @register(
