@@ -1543,3 +1543,63 @@ def q_dedup_substring_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(nodes, pairs).select(
         F.col("vec_id").alias("doc_id"), "cluster_id"
     )
+
+
+@register(
+    "q_dedup_minhash_clusters",
+    # the candidate-overlap chain starts with "WITH sig AS"; the
+    # closure CTE needs the RECURSIVE keyword on the same WITH
+    oracle=_SQL_CANDIDATE_OVERLAP.replace("WITH ", "WITH RECURSIVE ", 1)
+    + f""",
+p AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes za ON za.doc_id = i.doc_a
+  JOIN sizes zb ON zb.doc_id = i.doc_b
+  WHERE CAST(i.n_common AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_common)
+        >= {_MINHASH_JACCARD}
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS w FROM p
+  UNION
+  SELECT doc_b AS u, doc_a AS w FROM p
+),
+reach AS (
+  SELECT doc_id AS u, doc_id AS r FROM documents
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON e.w = reach.u
+)
+SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u
+""",
+    tags=("dedup", "lsh", "graph", "scale"),
+)
+def q_dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level near-duplicate CLUSTERS: q_dedup_minhash's
+    VERIFIED pairs (banded LSH candidates, exact shingle-Jaccard >=
+    {_MINHASH_JACCARD}) through the connected-components reducer —
+    completing the cluster read-out family (q_dedup_clusters covers
+    the embedding graph, q_dedup_substring_clusters the verbatim-span
+    graph; this is the token-set graph, the one CCNet/RefinedWeb-
+    style pipelines actually dedup on). Near-dup relations are not
+    transitive (A~B, B~C does not imply A~C at any Jaccard
+    threshold), so pair lists over-count and a pipeline that keeps
+    "one doc per pair" deletes too much or too little — the
+    standard resolution IS the connected-component hull, one
+    canonical doc (min doc_id) kept per component. Output is
+    O(docs) regardless of how duplicated the corpus is. Same shared
+    pipeline as the pair key (one fix propagates), same
+    pointer-doubling CC loop, recursive-CTE closure oracle."""
+    ov = _banded_candidate_overlap(spark, sf_dir)
+    jaccard = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    pairs = (
+        ov.filter(jaccard >= _MINHASH_JACCARD)
+        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("w"))
+    )
+    nodes = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id")
+    )
+    return connected_components(nodes, pairs).select(
+        F.col("vec_id").alias("doc_id"), "cluster_id"
+    )

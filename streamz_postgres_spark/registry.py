@@ -216,6 +216,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_dedup_substring_clusters",
     "q_concurrency_profile",
     "q_qualify_sql",
+    "q_dedup_minhash_clusters",
     # r4-latest block (r9 window tail / r10; oldest evidence first):
     "q_agg_distinct",
     "q_asof_join",
