@@ -599,3 +599,75 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_oov").cast("double") / F.col("n_tok")
         ).alias("oov_rate"),
     )
+
+
+_NOV_N = 5  # same word n-gram order as the contamination coverage
+_NOV_SALT = "#nov"
+
+
+@register(
+    "q_ngram_novelty",
+    oracle=f"""
+WITH g AS (
+  SELECT DISTINCT doc_id,
+         {sql_hash60(f"gram || '{_NOV_SALT}'")} AS gh
+  FROM (
+    SELECT doc_id,
+           unnest({sql_shingles(sql_tokens('text'), _NOV_N)}) AS gram
+    FROM documents
+  ) raw
+),
+f AS (
+  SELECT doc_id, gh,
+         MIN(doc_id) OVER (PARTITION BY gh) AS first_doc
+  FROM g
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+            AS DOUBLE) / COUNT(*) AS novelty
+FROM f GROUP BY doc_id
+""",
+    tags=("corpus", "dedup", "text"),
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY in arrival order (doc_id = crawl
+    order in the fixture): the share of a doc's distinct word
+    5-grams that no EARLIER document contains. The marginal-value
+    curve a continuously-crawled corpus watches — novelty trending
+    to zero means the crawl is re-fetching what it already has, and
+    the per-doc score doubles as a curriculum / keep-drop signal
+    (complements q_ngram_coverage, which is the symmetric
+    contamination share without the order semantics).
+
+    Scale shape: grams are hashed to 60-bit ints immediately (the
+    q_ngram_coverage rule — the wide shuffle carries 8-byte keys,
+    never gram strings); first-seen is ONE window min over the gram
+    hash (a keyed shuffle, no self-join), and the per-doc fold is a
+    map-side-combinable count/sum. Short docs (no 5-grams) drop out
+    of both engines identically. The share is one exact-integer
+    division."""
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    g = (
+        d.select(
+            "doc_id",
+            F.explode(shingles(tokens("text"), _NOV_N)).alias("gram"),
+        )
+        .select(
+            "doc_id",
+            hash60(F.concat(F.col("gram"), F.lit(_NOV_SALT))).alias("gh"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("gh")
+    f = g.withColumn("first_doc", F.min("doc_id").over(w))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return f.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+        F.sum(novel).cast("bigint").alias("n_novel"),
+        (F.sum(novel).cast("double") / F.count(F.lit(1))).alias("novelty"),
+    )

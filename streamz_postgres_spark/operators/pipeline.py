@@ -783,6 +783,67 @@ def q_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LDIV_L = 3  # required distinct sensitive values per QI class
+_LDIV_BUCKET = 1000  # acctbal bucket width standing in for the sensitive attr
+
+
+@register(
+    "q_l_diversity",
+    oracle=f"""
+WITH groups AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS grp_size,
+         CAST(COUNT(DISTINCT CAST(floor(c_acctbal / {_LDIV_BUCKET})
+                                  AS BIGINT)) AS BIGINT) AS n_sensitive
+  FROM customer
+  GROUP BY c_nationkey, c_mktsegment
+)
+SELECT COUNT(*) AS n_groups,
+       CAST(SUM(CASE WHEN n_sensitive < {_LDIV_L} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_homogeneous_groups,
+       CAST(SUM(CASE WHEN n_sensitive < {_LDIV_L} THEN grp_size ELSE 0 END)
+            AS BIGINT) AS n_rows_at_risk,
+       MIN(n_sensitive) AS min_diversity,
+       MAX(n_sensitive) AS max_diversity
+FROM groups
+""",
+    tags=("pipeline", "privacy", "agg"),
+)
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the release gate k-anonymity alone cannot
+    provide (Machanavajjhala et al. 2007): a QI class can satisfy
+    k>=5 yet leak the sensitive attribute outright when every member
+    shares the same value (the homogeneity attack). Same QI tuple as
+    q_kanonymity (nation, market segment); the sensitive attribute
+    is the bucketed account balance; a class is HOMOGENEOUS when it
+    carries fewer than l={_LDIV_L} distinct sensitive buckets, and
+    the audit reports how many classes — and rows — that exposes.
+    Run beside q_kanonymity before any anonymized export; the two
+    share the release-gate loop (coarsen QI, re-audit).
+
+    Same scale shape as the k-audit: one keyed shuffle on the QI
+    tuple (count-distinct folds map-side via the two-phase expand
+    over a BOUNDED bucket domain), then a constant-size global
+    fold."""
+    c = load_table(spark, sf_dir, "customer")
+    sens = F.floor(F.col("c_acctbal") / _LDIV_BUCKET).cast("bigint")
+    groups = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("grp_size"),
+        F.countDistinct(sens).cast("bigint").alias("n_sensitive"),
+    )
+    homog = F.when(F.col("n_sensitive") < _LDIV_L, 1).otherwise(0)
+    rows_risk = F.when(
+        F.col("n_sensitive") < _LDIV_L, F.col("grp_size")
+    ).otherwise(0)
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(homog).cast("bigint").alias("n_homogeneous_groups"),
+        F.sum(rows_risk).cast("bigint").alias("n_rows_at_risk"),
+        F.min("n_sensitive").alias("min_diversity"),
+        F.max("n_sensitive").alias("max_diversity"),
+    )
+
+
 # -- data-driven mixture rebalance (downsample to the smallest source) -------
 
 _REBAL_SALT = "#rebal"

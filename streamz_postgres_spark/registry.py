@@ -217,6 +217,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_concurrency_profile",
     "q_qualify_sql",
     "q_dedup_minhash_clusters",
+    "q_ngram_novelty",
+    "q_l_diversity",
     # r4-latest block (r9 window tail / r10; oldest evidence first):
     "q_agg_distinct",
     "q_asof_join",
