@@ -64,3 +64,23 @@ def sql_l2_norm(e: str) -> str:
         f"list_transform({e}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), "
         "(a, b) -> a + b))"
     )
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two equal-length BIGINT arrays
+    (quantized-level vectors): order-independent by integerness, so
+    it is the one dot product that needs no fold-order discipline."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def sql_int_dot(a: str, b: str) -> str:
+    """DuckDB mirror of :func:`int_dot`."""
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(list_zip({a}, {b}), p -> p[1] * p[2])), "
+        "(x, y) -> x + y)"
+    )

@@ -27,7 +27,14 @@ from streamz_postgres_spark.functions.numeric import (
     sql_dstddev_samp,
     sql_dsum,
 )
-from streamz_postgres_spark.functions.vector import dot, l2_norm, sql_dot, sql_l2_norm
+from streamz_postgres_spark.functions.vector import (
+    dot,
+    int_dot,
+    l2_norm,
+    sql_dot,
+    sql_int_dot,
+    sql_l2_norm,
+)
 from streamz_postgres_spark.registry import register
 
 _DIM = 64
@@ -1362,4 +1369,171 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count("P.prune_id").cast("double") / F.count(F.lit(1))).alias(
             "prune_frac"
         ),
+    )
+
+
+@register(
+    "q_sim_ann_ivf_int8",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+         {_sql_norm('embedding')} AS nrm
+  FROM embeddings
+),
+qz AS (
+  SELECT vec_id, label, e, nrm, s,
+         CASE WHEN s = 0
+              THEN list_transform(e, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(e,
+                     x -> CAST(floor(x / s + 0.5) AS BIGINT))
+         END AS lvl
+  FROM (
+    SELECT vec_id, label, e, nrm,
+           list_reduce(list_prepend(0.0,
+             list_transform(e, x -> abs(x))), (a, b) -> greatest(a, b))
+             / 127.0 AS s
+    FROM v
+  ) sc
+),
+c AS (
+  SELECT vec_id AS cent_id, e AS ce, nrm AS cnrm
+  FROM v WHERE vec_id < {_IVF_N_CELLS}
+),
+scored AS (
+  SELECT q.vec_id, q.label, q.e, q.nrm, q.s, q.lvl, c.cent_id,
+         {sql_dot('q.e', 'c.ce')} / (q.nrm * c.cnrm) AS csim
+  FROM qz q, c
+),
+assigned AS (
+  SELECT vec_id, label, e, nrm, s, lvl, cent_id AS cell FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
+    FROM scored
+  ) r WHERE rn = 1
+),
+pcells AS (
+  SELECT cent_id AS pcell FROM scored
+  WHERE vec_id = {_PROBE_VEC_ID}
+  ORDER BY csim DESC, cent_id LIMIT {_IVF_NPROBE}
+),
+probe AS (
+  SELECT e AS pe, nrm AS pnrm, s AS ps, lvl AS plvl
+  FROM qz WHERE vec_id = {_PROBE_VEC_ID}
+)
+SELECT a.vec_id, a.label, a.cell,
+       ((CAST({sql_int_dot('probe.plvl', 'a.lvl')} AS DOUBLE)
+         * probe.ps) * a.s) / (probe.pnrm * a.nrm) AS approx_cos,
+       {sql_dot('a.e', 'probe.pe')} / (a.nrm * probe.pnrm) AS cosine
+FROM assigned a JOIN pcells ON a.cell = pcells.pcell, probe
+WHERE a.vec_id <> {_PROBE_VEC_ID}
+ORDER BY approx_cos DESC, vec_id
+LIMIT 10
+""",
+    tags=("similarity", "ivf", "compression"),
+)
+def q_sim_ann_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe SERVED FROM THE int8 STORE — the memory-bound ANN
+    shape a 100 TB vector corpus actually deploys (FAISS
+    IVF+scalar-quantizer class): the codebook assignment happens
+    offline in float (same argmax stage as q_sim_ann_ivf), but the
+    candidate RANKING runs on q_embed_quantize's symmetric int8
+    levels — an exact INTEGER dot product rescaled by the two
+    per-vector scales — so the serving tier holds 4x less memory and
+    the hot loop is SIMD int8 multiply-adds. The read-out returns,
+    per top-10 candidate, the quantized score it was RANKED by next
+    to the exact float cosine — making the quantization-induced
+    ranking error directly visible (the audit q_embed_quantize does
+    per-vector, completed at the search level). Every number is
+    value-checked: the level vectors are integers, the integer dot
+    is exact in any order, and the rescale is a fixed
+    parenthesization both engines evaluate identically. Scale shape:
+    centroids broadcast, assignment is a map-side-combinable argmax,
+    the probe touches nprobe/n_cells of the data, and the int8
+    payload never shuffles wider than the float path it replaces."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id", "label", F.col("embedding").alias("e"),
+        l2_norm(F.col("embedding")).alias("nrm"),
+    )
+    s = (
+        F.aggregate(
+            F.col("e"),
+            F.lit(0.0),
+            lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+        )
+        / F.lit(127.0)
+    )
+    lvl = F.when(
+        F.col("s") == 0,
+        F.transform(F.col("e"), lambda x: F.lit(0).cast("long")),
+    ).otherwise(
+        F.transform(
+            F.col("e"),
+            lambda x: F.floor(x.cast("double") / F.col("s") + F.lit(0.5)),
+        )
+    )
+    qz = v.withColumn("s", s).withColumn("lvl", lvl)
+
+    cents = F.broadcast(
+        v.filter(F.col("vec_id") < _IVF_N_CELLS).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("e").alias("ce"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+    csim = dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cnrm"))
+    scored = qz.crossJoin(cents).withColumn("csim", csim)
+    best = F.max(
+        F.struct(F.col("csim").alias("c"), (-F.col("cent_id")).alias("nc"))
+    ).alias("best")
+    assigned = (
+        scored.groupBy("vec_id")
+        .agg(
+            best,
+            F.any_value("label").alias("label"),
+            F.any_value("e").alias("e"),
+            F.any_value("nrm").alias("nrm"),
+            F.any_value("s").alias("s"),
+            F.any_value("lvl").alias("lvl"),
+        )
+        .select(
+            "vec_id", "label", "e", "nrm", "s", "lvl",
+            (-F.col("best.nc")).alias("cell"),
+        )
+    )
+
+    pcells = F.broadcast(
+        scored.filter(F.col("vec_id") == _PROBE_VEC_ID)
+        .orderBy(F.col("csim").desc(), "cent_id")
+        .limit(_IVF_NPROBE)
+        .select(F.col("cent_id").alias("pcell"))
+    )
+    probe = F.broadcast(
+        qz.filter(F.col("vec_id") == _PROBE_VEC_ID).select(
+            F.col("e").alias("pe"),
+            F.col("nrm").alias("pnrm"),
+            F.col("s").alias("ps"),
+            F.col("lvl").alias("plvl"),
+        )
+    )
+    approx = (
+        (
+            int_dot(F.col("plvl"), F.col("lvl")).cast("double")
+            * F.col("ps")
+        )
+        * F.col("s")
+    ) / (F.col("pnrm") * F.col("nrm"))
+    cosine = dot(F.col("e"), F.col("pe")) / (F.col("nrm") * F.col("pnrm"))
+    return (
+        assigned.join(pcells, F.col("cell") == F.col("pcell"))
+        .crossJoin(probe)
+        .filter(F.col("vec_id") != _PROBE_VEC_ID)
+        .select(
+            "vec_id", "label", "cell",
+            approx.alias("approx_cos"),
+            cosine.alias("cosine"),
+        )
+        .orderBy(F.col("approx_cos").desc(), "vec_id")
+        .limit(10)
     )

@@ -219,6 +219,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_dedup_minhash_clusters",
     "q_ngram_novelty",
     "q_l_diversity",
+    "q_sim_ann_ivf_int8",
     # r4-latest block (r9 window tail / r10; oldest evidence first):
     "q_agg_distinct",
     "q_asof_join",
