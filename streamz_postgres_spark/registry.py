@@ -220,6 +220,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_ngram_novelty",
     "q_l_diversity",
     "q_sim_ann_ivf_int8",
+    "q_stream_concurrency",
+    "q_cdc_time_travel",
     # r4-latest block (r9 window tail / r10; oldest evidence first):
     "q_agg_distinct",
     "q_asof_join",

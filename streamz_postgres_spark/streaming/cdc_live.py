@@ -107,33 +107,14 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_cdc_materialize",
-    oracle="""
-SELECT user_id, seq AS last_seq, val AS current_value
-FROM (
-  SELECT user_id, event_id AS seq, value AS val,
-         CASE WHEN event_id % 10 = 0 THEN 'd' ELSE 'u' END AS op,
-         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
-  FROM events
-) t
-WHERE rn = 1 AND op <> 'd'
-""",
-    tags=("cdc", "streaming", "sink"),
-)
-def q_cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """THE canonical reference use case end-to-end: a CDC change
-    stream applied to a materialized table copy. The envelope stream
-    runs through writeStream.foreachBatch; each micro-batch upserts
-    into the target through the pluggable MERGE seam
-    (streaming/merge.py): pick_merge_sink chooses transactional
-    MERGE INTO when the session has a Delta runtime and the
-    snapshot-versioned keyed-overwrite otherwise — same latest-wins
-    + tombstone contract either way, contract-tested through the
-    seam in tests/test_merge_sink.py. The input is split into 4
-    files with maxFilesPerTrigger=1, so four real incremental merges
-    run; the final table must equal the oracle's latest-row-wins
-    state with deletes applied."""
+def _materialized_sink(spark: SparkSession, sf_dir: str):
+    """Shared CDC-materialization run: stage the events as 4 files,
+    stream them through foreachBatch (maxFilesPerTrigger=1, so four
+    real incremental merges run), upsert each micro-batch through
+    the pluggable MERGE seam, and return the sink — the caller
+    decides the read-out (final state for q_cdc_materialize, an
+    earlier epoch for q_cdc_time_travel) and whether to compact the
+    version chain."""
     import os
     import shutil
     import tempfile
@@ -142,12 +123,11 @@ def q_cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamz_postgres_spark.streaming.merge import pick_merge_sink
 
     # previous invocation's target snapshots are released here (the
-    # returned DataFrame reads the final snapshot lazily, so this
-    # call cannot delete its own)
+    # returned DataFrame reads its snapshot lazily, so this call
+    # cannot delete its own)
     while _MATERIALIZE_DIRS:
         shutil.rmtree(_MATERIALIZE_DIRS.pop(), ignore_errors=True)
 
-    # stage the events as 4 files => 4 micro-batches / 4 merges
     staging = tempfile.mkdtemp(prefix="cdc_src_")
     target = tempfile.mkdtemp(prefix="cdc_target_")
     _MATERIALIZE_DIRS.append(target)
@@ -200,6 +180,36 @@ def q_cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(staging, ignore_errors=True)
+    return sink
+
+
+@register(
+    "q_cdc_materialize",
+    oracle="""
+SELECT user_id, seq AS last_seq, val AS current_value
+FROM (
+  SELECT user_id, event_id AS seq, value AS val,
+         CASE WHEN event_id % 10 = 0 THEN 'd' ELSE 'u' END AS op,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+) t
+WHERE rn = 1 AND op <> 'd'
+""",
+    tags=("cdc", "streaming", "sink"),
+)
+def q_cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE canonical reference use case end-to-end: a CDC change
+    stream applied to a materialized table copy. The envelope stream
+    runs through writeStream.foreachBatch; each micro-batch upserts
+    into the target through the pluggable MERGE seam
+    (streaming/merge.py): pick_merge_sink chooses transactional
+    MERGE INTO when the session has a Delta runtime and the
+    snapshot-versioned keyed-overwrite otherwise — same latest-wins
+    + tombstone contract either way, contract-tested through the
+    seam in tests/test_merge_sink.py. Four real incremental merges
+    run (shared harness: _materialized_sink); the final table must
+    equal the oracle's latest-row-wins state with deletes applied."""
+    sink = _materialized_sink(spark, sf_dir)
     sink.compact()
     final = sink.current(spark)
     if final is None:  # empty stream: no snapshot was written
@@ -207,6 +217,45 @@ def q_cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
             [], "user_id long, last_seq long, current_value double"
         )
     return final.select("user_id", "last_seq", "current_value")
+
+
+_TT_EPOCH = 2  # read the table as of the third of the four merges
+
+
+@register(
+    "q_cdc_time_travel",
+    oracle=f"""
+WITH n AS (SELECT COUNT(*) // 4 + 1 AS step FROM events)
+SELECT user_id, seq AS last_seq, val AS current_value
+FROM (
+  SELECT user_id, event_id AS seq, value AS val,
+         CASE WHEN event_id % 10 = 0 THEN 'd' ELSE 'u' END AS op,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events, n
+  WHERE event_id < {_TT_EPOCH + 1} * n.step
+) t
+WHERE rn = 1 AND op <> 'd'
+""",
+    tags=("cdc", "streaming", "sink"),
+)
+def q_cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL over the materialized CDC table — Delta's
+    ``versionAsOf`` through the MERGE seam: after the same four-merge
+    run as q_cdc_materialize, read the table AS OF epoch
+    {_TT_EPOCH} (the state after three of the four micro-batches
+    committed, before the last one) via ``sink.as_of``. The
+    epoch-versioned snapshot chain provides this for free — the
+    reason compact() is a separate, optional retention step — and
+    the Delta strategy maps epoch to table version 1:1. The oracle
+    recomputes latest-row-wins over exactly the first three chunks'
+    event range, so the versioned read is VALUE-checked, not just
+    present: audits, reproducible training snapshots, and
+    what-did-the-dashboard-say-yesterday debugging all hang off this
+    read path."""
+    sink = _materialized_sink(spark, sf_dir)
+    return sink.as_of(spark, _TT_EPOCH).select(
+        "user_id", "last_seq", "current_value"
+    )
 
 
 @register(

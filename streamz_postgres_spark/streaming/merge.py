@@ -102,6 +102,17 @@ class SnapshotMergeSink:
             cur = cur.filter(F.col(self.op_col) != self.delete_op)
         return cur
 
+    def as_of(self, spark: SparkSession, epoch: int) -> DataFrame:
+        """TIME TRAVEL: the live rows as they stood after ``epoch``
+        committed (Delta's ``versionAsOf``, which the epoch-versioned
+        snapshot chain provides for free — the reason ``compact()``
+        is a separate, optional step). Requires the epoch's snapshot
+        to still exist (i.e. retention not yet compacted away)."""
+        cur = spark.read.parquet(f"{self.target_data}_v{int(epoch)}")
+        if self.op_col is not None:
+            cur = cur.filter(F.col(self.op_col) != self.delete_op)
+        return cur
+
 
 class DeltaMergeSink:
     """Transactional ``MERGE INTO`` upsert for Delta-capable
@@ -173,6 +184,19 @@ class DeltaMergeSink:
         if self.last_epoch < 0:
             return None
         cur = spark.read.format("delta").load(self.target_data)
+        if self.op_col is not None:
+            cur = cur.filter(F.col(self.op_col) != self.delete_op)
+        return cur
+
+    def as_of(self, spark: SparkSession, epoch: int) -> DataFrame:
+        """Delta-native time travel; epoch_id maps 1:1 onto the
+        table version because merge_batch commits exactly once per
+        epoch."""
+        cur = (
+            spark.read.format("delta")
+            .option("versionAsOf", int(epoch))
+            .load(self.target_data)
+        )
         if self.op_col is not None:
             cur = cur.filter(F.col(self.op_col) != self.delete_op)
         return cur

@@ -982,3 +982,93 @@ def q_stream_combine_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return run_to_table(out, "append", spark)
+
+
+# -- live concurrency profile (the O(bins) co-presence read-out) -------------
+
+
+def _stream_concurrency_oracle() -> str:
+    from streamz_postgres_spark.operators.joins import (
+        _OVL_BIN_SEC,
+        _OVL_SESS_CTES,
+    )
+
+    return f"""
+WITH {_OVL_SESS_CTES},
+bins AS (
+  SELECT user_id, s, e,
+         unnest(generate_series(s // {_OVL_BIN_SEC},
+                                (e - 1) // {_OVL_BIN_SEC})) AS bin
+  FROM sess
+)
+SELECT CAST(bin * {_OVL_BIN_SEC} AS BIGINT) AS bin_start_sec,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(LEAST(e, (bin + 1) * {_OVL_BIN_SEC})
+              - GREATEST(s, bin * {_OVL_BIN_SEC})) AS BIGINT)
+         AS active_seconds
+FROM bins GROUP BY bin
+"""
+
+
+@register(
+    "q_stream_concurrency",
+    oracle=_stream_concurrency_oracle(),
+    tags=("streaming", "session", "scale"),
+)
+def q_stream_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE concurrency profile — q_concurrency_profile's streaming
+    twin: the session table is maintained as a true streaming
+    stateful aggregate (native session_window keyed by user, the
+    q_stream_session state plumbing — state store holds only the
+    OPEN sessions), and the hour-bin profile (active sessions /
+    distinct users / in-bin active seconds) is the read-side
+    roll-up over the maintained table, the same read-side-walk
+    split as q_stream_quantile_sketch. That split is the production
+    shape: the expensive, unbounded part (sessionization of the raw
+    event firehose) runs incrementally with bounded state; the
+    O(bins) profile is recomputed from the compact session table on
+    every dashboard refresh. All-integer bin arithmetic; value-
+    checked against the batch oracle."""
+    from streamz_postgres_spark.operators.joins import (
+        _OVL_BIN_SEC,
+        _OVL_EPOCH,
+    )
+
+    s = replay_events(spark, sf_dir)
+    sess_live = (
+        s.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.col("w.start").alias("w_start"),
+                F.col("w.end").alias("w_end"))
+    )
+    tbl = run_to_table(sess_live, "complete", spark)
+    es = lambda c: F.expr(  # noqa: E731
+        f"timestampdiff(SECOND, TIMESTAMP_NTZ '{_OVL_EPOCH}', {c})"
+    )
+    sess = tbl.select(
+        "user_id", es("w_start").alias("s"), es("w_end").alias("e")
+    )
+    b = _OVL_BIN_SEC
+    binned = sess.withColumn(
+        "bin", F.explode(F.expr(f"sequence(s DIV {b}, (e - 1) DIV {b})"))
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.sum(
+                F.least(F.col("e"), (F.col("bin") + 1) * b)
+                - F.greatest(F.col("s"), F.col("bin") * b)
+            )
+            .cast("bigint")
+            .alias("active_seconds"),
+        )
+        .select(
+            (F.col("bin") * b).cast("bigint").alias("bin_start_sec"),
+            "n_sessions",
+            "n_users",
+            "active_seconds",
+        )
+    )
