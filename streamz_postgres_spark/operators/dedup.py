@@ -1603,3 +1603,205 @@ def q_dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(nodes, pairs).select(
         F.col("vec_id").alias("doc_id"), "cluster_id"
     )
+
+
+# -- LSH banding sweep (which (bands x rows) to run at scale) ---------------
+
+#: the factorizations of the 16-slot signature under audit
+_SWEEP_CONFIGS = ((16, 1), (8, 2), (4, 4), (2, 8))
+
+
+def _sql_sweep_bands() -> str:
+    """UNION ALL of band keys for every sweep config, each labeled
+    ``b{bands}r{rows}`` — the SQL mirror of the stacked Spark band
+    frame (same NULL-signature exclusion as _sql_band_keys)."""
+    selects = []
+    for nb, rpb in _SWEEP_CONFIGS:
+        for b in range(nb):
+            cols = " || ',' || ".join(
+                f"m{b * rpb + r}" for r in range(rpb)
+            )
+            selects.append(
+                f"SELECT 'b{nb}r{rpb}' AS config, doc_id, "
+                f"'{b}:' || {cols} AS band_key FROM sig "
+                f"WHERE m0 IS NOT NULL"
+            )
+    return "\n  UNION ALL\n  ".join(selects)
+
+
+@register(
+    "q_lsh_band_sweep",
+    oracle=f"""
+WITH sig AS ({_sql_minhash_signature()}),
+bands AS (
+  {_sql_sweep_bands()}
+),
+cand AS (
+  SELECT DISTINCT a.config, a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.config = b.config AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+shset AS (
+  SELECT DISTINCT doc_id, h1, h2 FROM (
+    SELECT doc_id, {sql_double_hash_parts('shingle')[0]} AS h1,
+           {sql_double_hash_parts('shingle')[1]} AS h2
+    FROM (
+      SELECT doc_id, unnest({sql_shingles(sql_tokens('text'))}) AS shingle
+      FROM documents
+    ) raw
+  ) hashed
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shset GROUP BY doc_id),
+wide AS (SELECT DISTINCT doc_a, doc_b FROM cand WHERE config = 'b16r1'),
+inter AS (
+  SELECT w.doc_a, w.doc_b, COUNT(*) AS n_common
+  FROM wide w
+  JOIN shset sa ON sa.doc_id = w.doc_a
+  JOIN shset sb ON sb.doc_id = w.doc_b
+              AND sb.h1 = sa.h1 AND sb.h2 = sa.h2
+  GROUP BY w.doc_a, w.doc_b
+),
+truth AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes za ON za.doc_id = i.doc_a
+  JOIN sizes zb ON zb.doc_id = i.doc_b
+  WHERE CAST(i.n_common AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_common)
+        >= {_MINHASH_JACCARD}
+),
+percfg AS (
+  SELECT c.config,
+         CAST(COUNT(*) AS BIGINT) AS n_candidates,
+         CAST(SUM(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_true
+  FROM cand c
+  LEFT JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+  GROUP BY c.config
+)
+SELECT config, n_candidates, n_true,
+       CAST(n_true AS DOUBLE) / n_candidates AS precision,
+       CAST(n_true AS DOUBLE)
+         / (SELECT n_true FROM percfg WHERE config = 'b16r1')
+         AS recall_vs_b16r1
+FROM percfg
+""",
+    tags=("dedup", "lsh", "tuning"),
+)
+def q_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH BANDING SWEEP — the tuning table you read before choosing
+    a (bands x rows) factorization at 100 TB, where re-running dedup
+    per candidate config is unaffordable but one sweep over the SAME
+    16-slot signatures is one job: for every factorization of the
+    signature (16x1, 8x2, 4x4, 2x8), the candidate-pair count (the
+    cost knob: what the verify stage must process), the TRUE pairs
+    among them (exact shingle-Jaccard >= {_MINHASH_JACCARD}),
+    precision, and recall relative to the widest config. The
+    containment argument that makes exact recall computable WITHOUT
+    an all-pairs pass: a b x r candidate requires r consecutive
+    matching slots, which implies at least one matching slot — so
+    every config's candidate set is a subset of 16x1's, and scoring
+    exact Jaccard on 16x1's candidates alone grounds every config's
+    truth count. (At 100 TB the same sweep runs on a sampled
+    signature table; the containment argument is sample-free.)
+    One stacked band frame serves all four configs through a single
+    (config, band_key) self-join — shuffle keys stay band buckets,
+    per-key fan-out is the b16r1 collision rate, the quantity this
+    audit exists to measure."""
+    from streamz_postgres_spark.lifecycle import persist_scoped
+
+    hashed = _hashed_shingles(_exploded_shingles(spark, sf_dir))
+    sig = _minhash_signature(hashed)
+    shset = hashed.distinct()
+    persist_scoped("q_lsh_band_sweep", hashed, sig, shset)
+
+    stack_args = []
+    n_rows = 0
+    for nb, rpb in _SWEEP_CONFIGS:
+        for b in range(nb):
+            key_cols = ", ".join(
+                f"CAST(m{b * rpb + r} AS STRING)" for r in range(rpb)
+            )
+            stack_args.append(
+                f"'b{nb}r{rpb}', concat_ws(',', '{b}:', {key_cols})"
+            )
+            n_rows += 1
+    bands = sig.filter(F.col("m0").isNotNull()).select(
+        "doc_id",
+        F.expr(
+            f"stack({n_rows}, {', '.join(stack_args)}) AS (config, band_key)"
+        ),
+    )
+    b2 = bands.select(
+        F.col("config").alias("cfg2"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("band_key").alias("bk2"),
+    )
+    cand = (
+        bands.join(
+            b2,
+            (F.col("config") == F.col("cfg2"))
+            & (F.col("band_key") == F.col("bk2"))
+            & (F.col("doc_id") < F.col("doc_b")),
+        )
+        .select("config", F.col("doc_id").alias("doc_a"), "doc_b")
+        .distinct()
+    )
+    persist_scoped("q_lsh_band_sweep_cand", cand)
+
+    wide = cand.filter(F.col("config") == "b16r1").select("doc_a", "doc_b")
+    sizes = shset.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = shset.select(F.col("doc_id").alias("doc_a"), "h1", "h2")
+    sb = shset.select(
+        F.col("doc_id").alias("doc_b2"),
+        F.col("h1").alias("h1_b"),
+        F.col("h2").alias("h2_b"),
+    )
+    inter = (
+        wide.join(sa, "doc_a")
+        .join(
+            sb,
+            (F.col("doc_b") == F.col("doc_b2"))
+            & (F.col("h1") == F.col("h1_b"))
+            & (F.col("h2") == F.col("h2_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jaccard = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    truth = (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .filter(jaccard >= _MINHASH_JACCARD)
+        .select("doc_a", "doc_b", F.lit(1).alias("is_true"))
+    )
+    percfg = (
+        cand.join(truth, ["doc_a", "doc_b"], "left")
+        .groupBy("config")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+            F.sum(F.coalesce(F.col("is_true"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_true"),
+        )
+    )
+    denom = F.broadcast(
+        percfg.filter(F.col("config") == "b16r1").select(
+            F.col("n_true").alias("n_true_wide")
+        )
+    )
+    return percfg.crossJoin(denom).select(
+        "config",
+        "n_candidates",
+        "n_true",
+        (F.col("n_true").cast("double") / F.col("n_candidates")).alias(
+            "precision"
+        ),
+        (F.col("n_true").cast("double") / F.col("n_true_wide")).alias(
+            "recall_vs_b16r1"
+        ),
+    )
