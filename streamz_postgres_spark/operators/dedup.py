@@ -177,19 +177,12 @@ def _sql_band_keys() -> str:
     return "\n  UNION ALL\n  ".join(selects)
 
 
-#: shared CTE chain for the LSH candidate pipeline: bands ->
-#: candidates -> exact shingle-set overlap + per-doc set sizes
-_SQL_CANDIDATE_OVERLAP = f"""
-WITH sig AS ({_sql_minhash_signature()}),
-bands AS (
-  {_sql_band_keys()}
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
-    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
-),
-shset AS (
+def _sql_overlap_tail(cand_src: str) -> str:
+    """The exact-verification CTE tail (shset / sizes / inter) over
+    an arbitrary candidate-pair source selecting (doc_a, doc_b) —
+    shared by the candidate-overlap chain and q_lsh_band_sweep so
+    the shingle-intersection join exists once in SQL."""
+    return f"""shset AS (
   SELECT DISTINCT doc_id, h1, h2 FROM (
     SELECT doc_id, {sql_double_hash_parts('shingle')[0]} AS h1,
            {sql_double_hash_parts('shingle')[1]} AS h2
@@ -202,12 +195,27 @@ shset AS (
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shset GROUP BY doc_id),
 inter AS (
   SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
-  FROM cand c
+  FROM {cand_src} c
   JOIN shset sa ON sa.doc_id = c.doc_a
   JOIN shset sb ON sb.doc_id = c.doc_b
               AND sb.h1 = sa.h1 AND sb.h2 = sa.h2
   GROUP BY c.doc_a, c.doc_b
-)
+)"""
+
+
+#: shared CTE chain for the LSH candidate pipeline: bands ->
+#: candidates -> exact shingle-set overlap + per-doc set sizes
+_SQL_CANDIDATE_OVERLAP = f"""
+WITH sig AS ({_sql_minhash_signature()}),
+bands AS (
+  {_sql_band_keys()}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+{_sql_overlap_tail('cand')}
 """
 
 _MINHASH_ORACLE = f"""
@@ -283,8 +291,17 @@ def _banded_candidate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # verification reuses the SAME persisted hashed frame the
     # signature was built from — no second shingling or md5 pass,
     # and every join/distinct below shuffles 8-byte ints, not strings
-    sizes = shset.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    return _exact_overlap(cand, shset)
 
+
+def _exact_overlap(cand: DataFrame, shset: DataFrame) -> DataFrame:
+    """Exact shingle-set verification for candidate pairs: given
+    ``cand`` (doc_a, doc_b) and the hashed shingle set, return
+    ``(doc_a, doc_b, n_common, n_a, n_b)``. The single Spark home of
+    the shingle-intersection join — q_dedup_minhash's pipeline and
+    q_lsh_band_sweep both call it (mirrored in SQL by
+    _sql_overlap_tail)."""
+    sizes = shset.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = shset.select(F.col("doc_id").alias("doc_a"), "h1", "h2")
     sb = shset.select(
         F.col("doc_id").alias("doc_b2"),
@@ -302,7 +319,6 @@ def _banded_candidate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-
     za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     return inter.join(za, "doc_a").join(zb, "doc_b")
@@ -650,6 +666,41 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CC_MAX_ITERS = 20
 
 
+def _sql_cc_closure(pairs_sql: str, nodes_from: str, node_id: str) -> str:
+    """The transitive-closure CTE pair every cluster oracle shares:
+    ``edges`` (undirected doubling of ``pairs_sql``, which must
+    select columns ``(u, w)``) and ``reach`` (recursive closure
+    seeded with every node of ``nodes_from``). Callers append their
+    own ``SELECT u, MIN(r) ... GROUP BY u`` read-out. One string,
+    four oracles (embedding / embedding-stats / substring / minhash
+    clusters) — a fix to the closure propagates everywhere."""
+    return f"""edges AS (
+  SELECT u, w FROM ({pairs_sql}) pr
+  UNION
+  SELECT w AS u, u AS w FROM ({pairs_sql}) pr
+),
+reach AS (
+  SELECT {node_id} AS u, {node_id} AS r FROM {nodes_from}
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON e.w = reach.u
+)"""
+
+
+def _doc_components(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame
+) -> DataFrame:
+    """documents-keyed connected components: ``pairs`` of doc_ids as
+    ``(u, w)`` -> ``(doc_id, cluster_id)``; singletons keep their
+    own id. The shared Spark wrapper of the substring/minhash
+    cluster keys (connected_components speaks vec_id internally)."""
+    nodes = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id")
+    )
+    return connected_components(nodes, pairs).select(
+        F.col("vec_id").alias("doc_id"), "cluster_id"
+    )
+
+
 def connected_components(
     nodes: DataFrame, pairs: DataFrame, max_iters: int = _CC_MAX_ITERS
 ) -> DataFrame:
@@ -752,12 +803,7 @@ pairs AS (
   FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
   WHERE {sql_dot('a.e', 'b.e')} / (a.nrm * b.nrm) >= {_EMBED_DUP_COSINE}
 ),
-edges AS (SELECT u, w FROM pairs UNION SELECT w AS u, u AS w FROM pairs),
-reach AS (
-  SELECT vec_id AS u, vec_id AS r FROM v
-  UNION
-  SELECT e.u, reach.r FROM edges e JOIN reach ON e.w = reach.u
-)
+{_sql_cc_closure("SELECT u, w FROM pairs", "v", "vec_id")}
 SELECT u AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY u
 """,
     tags=("dedup", "graph"),
@@ -936,12 +982,7 @@ pairs AS (
   FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
   WHERE {sql_dot('a.e', 'b.e')} / (a.nrm * b.nrm) >= {_EMBED_DUP_COSINE}
 ),
-edges AS (SELECT u, w FROM pairs UNION SELECT w AS u, u AS w FROM pairs),
-reach AS (
-  SELECT vec_id AS u, vec_id AS r FROM v
-  UNION
-  SELECT e.u, reach.r FROM edges e JOIN reach ON e.w = reach.u
-),
+{_sql_cc_closure("SELECT u, w FROM pairs", "v", "vec_id")},
 clusters AS (
   SELECT u AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY u
 ),
@@ -1505,16 +1546,8 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_dedup_substring_clusters",
     oracle=f"""WITH RECURSIVE {_sub_pairs_ctes("documents")},
-edges AS (
-  SELECT doc_a AS u, doc_b AS w FROM p
-  UNION
-  SELECT doc_b AS u, doc_a AS w FROM p
-),
-reach AS (
-  SELECT doc_id AS u, doc_id AS r FROM documents
-  UNION
-  SELECT e.u, reach.r FROM edges e JOIN reach ON e.w = reach.u
-)
+{_sql_cc_closure("SELECT doc_a AS u, doc_b AS w FROM p",
+                 "documents", "doc_id")}
 SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u
 """,
     tags=("dedup", "graph", "fingerprint", "scale"),
@@ -1537,12 +1570,7 @@ def q_dedup_substring_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _winnow_pairs(spark, sf_dir).select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("w")
     )
-    nodes = load_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("vec_id")
-    )
-    return connected_components(nodes, pairs).select(
-        F.col("vec_id").alias("doc_id"), "cluster_id"
-    )
+    return _doc_components(spark, sf_dir, pairs)
 
 
 @register(
@@ -1559,16 +1587,8 @@ p AS (
   WHERE CAST(i.n_common AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_common)
         >= {_MINHASH_JACCARD}
 ),
-edges AS (
-  SELECT doc_a AS u, doc_b AS w FROM p
-  UNION
-  SELECT doc_b AS u, doc_a AS w FROM p
-),
-reach AS (
-  SELECT doc_id AS u, doc_id AS r FROM documents
-  UNION
-  SELECT e.u, reach.r FROM edges e JOIN reach ON e.w = reach.u
-)
+{_sql_cc_closure("SELECT doc_a AS u, doc_b AS w FROM p",
+                 "documents", "doc_id")}
 SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u
 """,
     tags=("dedup", "lsh", "graph", "scale"),
@@ -1597,12 +1617,7 @@ def q_dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ov.filter(jaccard >= _MINHASH_JACCARD)
         .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("w"))
     )
-    nodes = load_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("vec_id")
-    )
-    return connected_components(nodes, pairs).select(
-        F.col("vec_id").alias("doc_id"), "cluster_id"
-    )
+    return _doc_components(spark, sf_dir, pairs)
 
 
 # -- LSH banding sweep (which (bands x rows) to run at scale) ---------------
@@ -1642,26 +1657,8 @@ cand AS (
     ON a.config = b.config AND a.band_key = b.band_key
    AND a.doc_id < b.doc_id
 ),
-shset AS (
-  SELECT DISTINCT doc_id, h1, h2 FROM (
-    SELECT doc_id, {sql_double_hash_parts('shingle')[0]} AS h1,
-           {sql_double_hash_parts('shingle')[1]} AS h2
-    FROM (
-      SELECT doc_id, unnest({sql_shingles(sql_tokens('text'))}) AS shingle
-      FROM documents
-    ) raw
-  ) hashed
-),
-sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shset GROUP BY doc_id),
 wide AS (SELECT DISTINCT doc_a, doc_b FROM cand WHERE config = 'b16r1'),
-inter AS (
-  SELECT w.doc_a, w.doc_b, COUNT(*) AS n_common
-  FROM wide w
-  JOIN shset sa ON sa.doc_id = w.doc_a
-  JOIN shset sb ON sb.doc_id = w.doc_b
-              AND sb.h1 = sa.h1 AND sb.h2 = sa.h2
-  GROUP BY w.doc_a, w.doc_b
-),
+{_sql_overlap_tail('wide')},
 truth AS (
   SELECT i.doc_a, i.doc_b
   FROM inter i
@@ -1750,32 +1747,11 @@ def q_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     persist_scoped("q_lsh_band_sweep_cand", cand)
 
     wide = cand.filter(F.col("config") == "b16r1").select("doc_a", "doc_b")
-    sizes = shset.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = shset.select(F.col("doc_id").alias("doc_a"), "h1", "h2")
-    sb = shset.select(
-        F.col("doc_id").alias("doc_b2"),
-        F.col("h1").alias("h1_b"),
-        F.col("h2").alias("h2_b"),
-    )
-    inter = (
-        wide.join(sa, "doc_a")
-        .join(
-            sb,
-            (F.col("doc_b") == F.col("doc_b2"))
-            & (F.col("h1") == F.col("h1_b"))
-            & (F.col("h2") == F.col("h2_b")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     jaccard = F.col("n_common").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("n_common")
     )
     truth = (
-        inter.join(za, "doc_a")
-        .join(zb, "doc_b")
+        _exact_overlap(wide, shset)
         .filter(jaccard >= _MINHASH_JACCARD)
         .select("doc_a", "doc_b", F.lit(1).alias("is_true"))
     )

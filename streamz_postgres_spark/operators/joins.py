@@ -1286,9 +1286,10 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_concurrency_profile",
-    oracle=f"""
+#: the concurrency-profile oracle — shared verbatim by the batch key
+#: and its streaming twin (q_stream_concurrency), so the two can
+#: never desynchronize
+_CONCURRENCY_ORACLE = f"""
 WITH {_OVL_SESS_CTES},
 bins AS (
   SELECT user_id, s, e,
@@ -1303,26 +1304,15 @@ SELECT CAST(bin * {_OVL_BIN_SEC} AS BIGINT) AS bin_start_sec,
               - GREATEST(s, bin * {_OVL_BIN_SEC})) AS BIGINT)
          AS active_seconds
 FROM bins GROUP BY bin
-""",
-    tags=("time", "session", "scale"),
-)
-def q_concurrency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Concurrency PROFILE — the aggregate, 100x-safe read-out of
-    interval overlap: per hour bin, how many sessions were active,
-    how many distinct users, and the total in-bin active seconds.
-    q_interval_overlap answers WHICH pairs co-occurred and its
-    output is inherently quadratic in per-bin concurrency (SCALE.md
-    measured 22.9x wall at 100x true pairs — output-bound); this is
-    the question operators actually ask at fleet scale ("how loaded
-    was each hour"), and its output is O(bins) regardless of
-    concurrency. Same session stage (native session_window, 30-min
-    gap), same hour binning; each session explodes onto the
-    O(duration) bins it touches and everything else is one
-    map-side-combinable groupBy on the bin — shuffle keys are time
-    bins, payloads are counters, nothing quadratic anywhere. All
-    integer arithmetic (epoch-second intervals, DIV bucketing), so
-    the profile is engine-exact."""
-    sess = _ovl_sessions(spark, sf_dir)
+"""
+
+
+def concurrency_rollup(sess: DataFrame) -> DataFrame:
+    """Hour-bin concurrency profile over a ``(user_id, s, e)``
+    session frame (integer epoch seconds, e exclusive): explode each
+    session onto the bins it touches, then one map-side-combinable
+    groupBy. Shared by q_concurrency_profile and the live twin —
+    one implementation, one fix point."""
     b = _OVL_BIN_SEC
     binned = sess.withColumn(
         "bin",
@@ -1347,6 +1337,30 @@ def q_concurrency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "active_seconds",
         )
     )
+
+
+@register(
+    "q_concurrency_profile",
+    oracle=_CONCURRENCY_ORACLE,
+    tags=("time", "session", "scale"),
+)
+def q_concurrency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrency PROFILE — the aggregate, 100x-safe read-out of
+    interval overlap: per hour bin, how many sessions were active,
+    how many distinct users, and the total in-bin active seconds.
+    q_interval_overlap answers WHICH pairs co-occurred and its
+    output is inherently quadratic in per-bin concurrency (SCALE.md
+    measured 22.9x wall at 100x true pairs — output-bound); this is
+    the question operators actually ask at fleet scale ("how loaded
+    was each hour"), and its output is O(bins) regardless of
+    concurrency. Same session stage (native session_window, 30-min
+    gap), same hour binning; each session explodes onto the
+    O(duration) bins it touches and everything else is one
+    map-side-combinable groupBy on the bin — shuffle keys are time
+    bins, payloads are counters, nothing quadratic anywhere. All
+    integer arithmetic (epoch-second intervals, DIV bucketing), so
+    the profile is engine-exact."""
+    return concurrency_rollup(_ovl_sessions(spark, sf_dir))
 
 
 @register(

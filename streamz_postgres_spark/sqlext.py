@@ -117,18 +117,22 @@ def _lower_qualify(spark: SparkSession, query: str) -> DataFrame:
             "<keys> ORDER BY <order>) =|<|<= <N> (one table, QUALIFY "
             "last; register subqueries as temp views first)"
         )
+    # collision-proof plumbing alias: the grammar places no
+    # restriction on source column names, so a fixed "__q" would
+    # break an in-grammar query over a table that already has one
+    rank_col = f"__q_{uuid.uuid4().hex[:8]}"
     proj = m.group("proj").strip()
     if proj == "*":
         # the rank column is plumbing, not a result column
-        proj = "* EXCEPT (__q)"
+        proj = f"* EXCEPT ({rank_col})"
     where = f" WHERE {m.group('where')}" if m.group("where") else ""
     rewritten = (
         f"SELECT {proj} FROM ("
         f"SELECT *, {m.group('fn').lower()}() OVER ("
         f"PARTITION BY {m.group('part').strip()} "
-        f"ORDER BY {m.group('order').strip()}) AS __q "
+        f"ORDER BY {m.group('order').strip()}) AS {rank_col} "
         f"FROM {m.group('t')}{where}"
-        f") WHERE __q {m.group('op')} {m.group('n')}"
+        f") WHERE {rank_col} {m.group('op')} {m.group('n')}"
     )
     return spark.sql(rewritten)
 

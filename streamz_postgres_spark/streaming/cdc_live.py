@@ -132,12 +132,14 @@ def _materialized_sink(spark: SparkSession, sf_dir: str):
     target = tempfile.mkdtemp(prefix="cdc_target_")
     _MATERIALIZE_DIRS.append(target)
     sink = pick_merge_sink(
-        target, key_cols=["user_id"], seq_col="last_seq", op_col="op"
+        spark, target, key_cols=["user_id"], seq_col="last_seq", op_col="op"
     )
     e = load_table(spark, sf_dir, "events")
     total = e.count()
     step = total // 4 + 1
+    base_mtime = None
     for i in range(4):
+        part_dir = os.path.join(staging, f"part{i}")
         (
             e.filter(
                 (F.col("event_id") >= i * step)
@@ -145,8 +147,19 @@ def _materialized_sink(spark: SparkSession, sf_dir: str):
             )
             .coalesce(1)
             .write.mode("overwrite")
-            .parquet(os.path.join(staging, f"part{i}"))
+            .parquet(part_dir)
         )
+        # pin the ingestion order: FileStreamSource orders batches by
+        # modification time with an unspecified tie-break, and
+        # q_cdc_time_travel's oracle depends on epoch i consuming
+        # chunk i — four quick sequential writes can land in the same
+        # mtime granule, so stamp strictly increasing mtimes
+        # explicitly instead of trusting the filesystem clock
+        for name in os.listdir(part_dir):
+            p = os.path.join(part_dir, name)
+            if base_mtime is None:
+                base_mtime = os.stat(p).st_mtime
+            os.utime(p, (base_mtime + i, base_mtime + i))
 
     # staged parts are dirs of part-*.parquet; the batch-written ts
     # is already TimestampNTZ so the plain schema read works

@@ -121,13 +121,16 @@ class DeltaMergeSink:
     not-matched -> insert), and idempotency comes from the
     ``seq_col`` guard — replaying an epoch re-merges rows that no
     longer win and changes nothing. Requires the ``delta-spark``
-    package and a session with the Delta SQL extension; constructing
-    it without one raises ImportError immediately (fail at wiring
-    time, not mid-stream), which is also what :func:`pick_merge_sink`
-    probes."""
+    package AND a session built with the Delta SQL extension;
+    constructing it without either raises ImportError immediately
+    (fail at wiring time, not mid-stream), which is also what
+    :func:`pick_merge_sink` probes — the package importing is NOT
+    sufficient (delta-spark can be present as a transitive
+    dependency on a session that cannot run `format("delta")`)."""
 
     def __init__(
         self,
+        spark: SparkSession,
         target_dir: str,
         key_cols: list,
         seq_col: str,
@@ -136,12 +139,24 @@ class DeltaMergeSink:
     ) -> None:
         from delta.tables import DeltaTable  # noqa: F401  (probe)
 
+        ext = spark.conf.get("spark.sql.extensions", "") or ""
+        if "DeltaSparkSessionExtension" not in ext:
+            raise ImportError(
+                "delta-spark is importable but this SparkSession was "
+                "built without io.delta.sql.DeltaSparkSessionExtension "
+                "— format('delta') would fail mid-stream"
+            )
         self.target_data = os.path.join(target_dir, "state")
         self.key_cols = list(key_cols)
         self.seq_col = seq_col
         self.op_col = op_col
         self.delete_op = delete_op
         self.last_epoch = -1
+        #: epoch -> committed Delta table version. Replayed epochs
+        #: create an EXTRA Delta commit (a no-op MERGE is still a
+        #: commit), so "version == epoch" does not survive restarts;
+        #: as_of must read through this ledger, not the epoch number.
+        self._epoch_version: dict = {}
 
     def merge_batch(self, batch: DataFrame, epoch_id: int) -> None:
         from delta.tables import DeltaTable
@@ -175,6 +190,17 @@ class DeltaMergeSink:
                 .whenNotMatchedInsertAll()
                 .execute()
             )
+        # record the version this epoch's commit produced; a replay
+        # overwrites its own entry (latest commit for that epoch
+        # wins), keeping the time-travel ledger correct across
+        # restarts
+        committed = (
+            DeltaTable.forPath(sess, self.target_data)
+            .history(1)
+            .select("version")
+            .collect()[0][0]
+        )
+        self._epoch_version[int(epoch_id)] = int(committed)
         self.last_epoch = max(self.last_epoch, int(epoch_id))
 
     def compact(self) -> None:  # the Delta log handles retention
@@ -189,12 +215,15 @@ class DeltaMergeSink:
         return cur
 
     def as_of(self, spark: SparkSession, epoch: int) -> DataFrame:
-        """Delta-native time travel; epoch_id maps 1:1 onto the
-        table version because merge_batch commits exactly once per
-        epoch."""
+        """Delta-native time travel through the epoch->version
+        ledger recorded at commit time (NOT ``versionAsOf=epoch``:
+        a replayed epoch adds an extra no-op commit and shifts every
+        later version by one, which would silently time-travel to
+        the wrong state)."""
+        version = self._epoch_version[int(epoch)]
         cur = (
             spark.read.format("delta")
-            .option("versionAsOf", int(epoch))
+            .option("versionAsOf", version)
             .load(self.target_data)
         )
         if self.op_col is not None:
@@ -203,18 +232,21 @@ class DeltaMergeSink:
 
 
 def pick_merge_sink(
+    spark: SparkSession,
     target_dir: str,
     key_cols: list,
     seq_col: str,
     op_col: str | None = None,
     delete_op: str = "d",
 ):
-    """The seam: transactional MERGE when the session supports it,
-    snapshot keyed-overwrite otherwise. Callers never branch on the
-    format themselves."""
+    """The seam: transactional MERGE when THIS SESSION supports it
+    (delta-spark importable AND the Delta SQL extension configured
+    — DeltaMergeSink probes both at wiring time), snapshot
+    keyed-overwrite otherwise. Callers never branch on the format
+    themselves."""
     try:
         return DeltaMergeSink(
-            target_dir, key_cols, seq_col, op_col, delete_op
+            spark, target_dir, key_cols, seq_col, op_col, delete_op
         )
     except ImportError:
         return SnapshotMergeSink(

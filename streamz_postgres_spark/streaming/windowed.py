@@ -988,27 +988,12 @@ def q_stream_combine_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _stream_concurrency_oracle() -> str:
-    from streamz_postgres_spark.operators.joins import (
-        _OVL_BIN_SEC,
-        _OVL_SESS_CTES,
-    )
+    # the batch key's oracle, verbatim — one string, two keys, so
+    # the twins cannot desynchronize (lazy import: operators.joins
+    # is fully loaded before streaming modules)
+    from streamz_postgres_spark.operators.joins import _CONCURRENCY_ORACLE
 
-    return f"""
-WITH {_OVL_SESS_CTES},
-bins AS (
-  SELECT user_id, s, e,
-         unnest(generate_series(s // {_OVL_BIN_SEC},
-                                (e - 1) // {_OVL_BIN_SEC})) AS bin
-  FROM sess
-)
-SELECT CAST(bin * {_OVL_BIN_SEC} AS BIGINT) AS bin_start_sec,
-       CAST(COUNT(*) AS BIGINT) AS n_sessions,
-       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
-       CAST(SUM(LEAST(e, (bin + 1) * {_OVL_BIN_SEC})
-              - GREATEST(s, bin * {_OVL_BIN_SEC})) AS BIGINT)
-         AS active_seconds
-FROM bins GROUP BY bin
-"""
+    return _CONCURRENCY_ORACLE
 
 
 @register(
@@ -1029,10 +1014,12 @@ def q_stream_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     event firehose) runs incrementally with bounded state; the
     O(bins) profile is recomputed from the compact session table on
     every dashboard refresh. All-integer bin arithmetic; value-
-    checked against the batch oracle."""
+    checked against the batch oracle. The roll-up itself is the
+    batch key's concurrency_rollup — one implementation, one oracle
+    string, the twins cannot desynchronize."""
     from streamz_postgres_spark.operators.joins import (
-        _OVL_BIN_SEC,
         _OVL_EPOCH,
+        concurrency_rollup,
     )
 
     s = replay_events(spark, sf_dir)
@@ -1049,26 +1036,4 @@ def q_stream_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess = tbl.select(
         "user_id", es("w_start").alias("s"), es("w_end").alias("e")
     )
-    b = _OVL_BIN_SEC
-    binned = sess.withColumn(
-        "bin", F.explode(F.expr(f"sequence(s DIV {b}, (e - 1) DIV {b})"))
-    )
-    return (
-        binned.groupBy("bin")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
-            F.countDistinct("user_id").cast("bigint").alias("n_users"),
-            F.sum(
-                F.least(F.col("e"), (F.col("bin") + 1) * b)
-                - F.greatest(F.col("s"), F.col("bin") * b)
-            )
-            .cast("bigint")
-            .alias("active_seconds"),
-        )
-        .select(
-            (F.col("bin") * b).cast("bigint").alias("bin_start_sec"),
-            "n_sessions",
-            "n_users",
-            "active_seconds",
-        )
-    )
+    return concurrency_rollup(sess)

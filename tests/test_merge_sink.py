@@ -100,15 +100,24 @@ def test_pick_merge_sink_selects_best_available(spark):
 
     d = tempfile.mkdtemp(prefix="merge_pick_")
     try:
-        s = pick_merge_sink(d, ["user_id"], "last_seq", "op")
+        s = pick_merge_sink(spark, d, ["user_id"], "last_seq", "op")
+        delta_capable = False
         try:
             import delta  # noqa: F401
 
-            assert isinstance(s, DeltaMergeSink)
+            delta_capable = "DeltaSparkSessionExtension" in (
+                spark.conf.get("spark.sql.extensions", "") or ""
+            )
         except ImportError:
+            pass
+        if delta_capable:
+            assert isinstance(s, DeltaMergeSink)
+        else:
+            # package absent OR session lacks the Delta extension:
+            # either way the Delta strategy must fail at WIRING
+            # time, loudly, and the factory must fall back
             assert isinstance(s, SnapshotMergeSink)
-            # the Delta strategy must fail at WIRING time, loudly
             with pytest.raises(ImportError):
-                DeltaMergeSink(d, ["user_id"], "last_seq", "op")
+                DeltaMergeSink(spark, d, ["user_id"], "last_seq", "op")
     finally:
         shutil.rmtree(d, ignore_errors=True)

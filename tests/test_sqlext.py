@@ -329,3 +329,21 @@ class TestQualify:
                 "SELECT a FROM t JOIN u ON t.k = u.k QUALIFY "
                 "row_number() OVER (PARTITION BY a ORDER BY b) <= 3",
             )
+
+
+def test_qualify_source_with_reserved_looking_column(spark):
+    """Review find: a fixed '__q' plumbing alias broke in-grammar
+    queries over tables that already have that column; the alias is
+    now collision-proof per call."""
+    from streamz_postgres_spark import sqlext
+
+    spark.sql(
+        "SELECT * FROM VALUES ('a', 1, 9), ('a', 2, 8) AS t(grp, id, __q)"
+    ).createOrReplaceTempView("q_coll")
+    got = sqlext.sql(
+        spark,
+        "SELECT grp, id, __q FROM q_coll QUALIFY row_number() OVER "
+        "(PARTITION BY grp ORDER BY id) = 1",
+    )
+    assert got.collect() == [("a", 1, 9)]
+    spark.catalog.dropTempView("q_coll")
