@@ -530,3 +530,134 @@ def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = part if rows is None else rows.unionByName(part)
     return rows
+
+
+# -- referential-integrity audit --------------------------------------------
+
+_FK_EDGES = (
+    # (child, fk, parent, pk) — grouped so each child table scans ONCE
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("events", "user_id", "customer", "c_custkey"),
+)
+
+
+def _sql_fk_edge(child: str, fk: str, parent: str, pk: str) -> str:
+    return f"""SELECT '{child}.{fk}->{parent}' AS edge,
+       CAST(COUNT(*) AS BIGINT) AS n_child,
+       CAST(SUM(CASE WHEN c.{fk} IS NOT NULL AND p.{pk} IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+       CAST(COUNT(DISTINCT CASE WHEN p.{pk} IS NULL THEN c.{fk} END)
+            AS BIGINT) AS n_missing_keys,
+       CAST((SELECT COUNT(*) FROM {parent}) AS BIGINT) AS n_parent,
+       CAST(COUNT(DISTINCT p.{pk}) AS BIGINT) AS n_referenced,
+       CAST(COUNT(DISTINCT p.{pk}) AS DOUBLE)
+         / (SELECT COUNT(*) FROM {parent}) AS ref_coverage
+FROM {child} c LEFT JOIN {parent} p ON c.{fk} = p.{pk}"""
+
+
+@register(
+    "q_referential_integrity",
+    oracle="\nUNION ALL\n".join(
+        _sql_fk_edge(*e) for e in _FK_EDGES
+    )
+    + "\nORDER BY edge",
+    tags=("relational", "quality", "join"),
+)
+def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over the whole star schema — the
+    feed-health companion to q_data_profile: for every FK edge, the
+    child row count, the orphan rows (non-NULL FK with no parent),
+    the DISTINCT missing key values (what a backfill would fetch),
+    the parent key count, how many parent keys are actually
+    referenced, and the referenced/parent coverage ratio (fact
+    tables that reference 4%% of a dimension tell you the dimension
+    snapshot and the fact feed are out of sync long before any join
+    "loses" rows).
+
+    Plan shape: each CHILD table is scanned once no matter how many
+    FK edges leave it (lineitem's three edges ride one scan with
+    three left joins and a single wide aggregate, unpivot-presented
+    like q_data_profile); geography-bounded parents (region/nation)
+    are broadcast explicitly, the rest are plain equi-joins AQE can
+    size. Parent row counts are a bounded one-row-per-table frame
+    broadcast onto the edge rows. The oracle keeps the textbook
+    per-edge LEFT JOIN form, so the gate proves the shared-scan
+    rewrite correct. At 100 TB swap the exact COUNT(DISTINCT ...)
+    trio for approx_count_distinct (the multi-distinct expand
+    multiplies the fact scan; the orphan/coverage question rarely
+    needs exact cardinalities) — same note as q_data_profile."""
+    by_child: dict[str, list[tuple[str, str, str]]] = {}
+    for child, fk, parent, pk in _FK_EDGES:
+        by_child.setdefault(child, []).append((fk, parent, pk))
+
+    rows = None
+    for child, edges in by_child.items():
+        df = load_table(spark, sf_dir, child).select(
+            *[F.col(fk) for fk, _, _ in edges]
+        )
+        agg_exprs = [F.count(F.lit(1)).cast("bigint").alias("n_child")]
+        for i, (fk, parent, pk) in enumerate(edges):
+            par = load_table(spark, sf_dir, parent).select(
+                F.col(pk).alias(f"__pk_{i}")
+            )
+            if parent in ("region", "nation"):
+                par = F.broadcast(par)
+            df = df.join(par, F.col(fk) == F.col(f"__pk_{i}"), "left")
+            orphan = F.col(fk).isNotNull() & F.col(f"__pk_{i}").isNull()
+            agg_exprs.extend(
+                [
+                    F.sum(orphan.cast("int"))
+                    .cast("bigint")
+                    .alias(f"orph_{i}"),
+                    F.countDistinct(
+                        F.when(F.col(f"__pk_{i}").isNull(), F.col(fk))
+                    )
+                    .cast("bigint")
+                    .alias(f"mkeys_{i}"),
+                    F.countDistinct(F.col(f"__pk_{i}"))
+                    .cast("bigint")
+                    .alias(f"ref_{i}"),
+                ]
+            )
+        wide = df.agg(*agg_exprs)
+        for i, (fk, parent, _) in enumerate(edges):
+            part = wide.select(
+                F.lit(f"{child}.{fk}->{parent}").alias("edge"),
+                F.lit(parent).alias("__parent"),
+                F.col("n_child"),
+                F.col(f"orph_{i}").alias("n_orphans"),
+                F.col(f"mkeys_{i}").alias("n_missing_keys"),
+                F.col(f"ref_{i}").alias("n_referenced"),
+            )
+            rows = part if rows is None else rows.unionByName(part)
+
+    pcounts = None
+    for parent in sorted({p for _, _, p, _ in _FK_EDGES}):
+        pc = (
+            load_table(spark, sf_dir, parent)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_parent"))
+            .select(F.lit(parent).alias("__parent"), "n_parent")
+        )
+        pcounts = pc if pcounts is None else pcounts.unionByName(pc)
+
+    return (
+        rows.join(F.broadcast(pcounts), "__parent")
+        .select(
+            "edge",
+            "n_child",
+            "n_orphans",
+            "n_missing_keys",
+            "n_parent",
+            "n_referenced",
+            (F.col("n_referenced").cast("double") / F.col("n_parent")).alias(
+                "ref_coverage"
+            ),
+        )
+        .orderBy("edge")
+    )
