@@ -84,3 +84,31 @@ def sql_int_dot(a: str, b: str) -> str:
         f"list_transform(list_zip({a}, {b}), p -> p[1] * p[2])), "
         "(x, y) -> x + y)"
     )
+
+
+def dist2(a: Column, b: Column) -> Column:
+    """Squared L2 distance between two equal-length float arrays,
+    as a sequential left fold (same discipline as :func:`dot` —
+    the difference is computed ONCE then squared, so the SQL mirror
+    must square the identical single subtraction)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def sql_dist2(a: str, b: str) -> str:
+    """DuckDB mirror of :func:`dist2`."""
+    return (
+        "list_reduce(list_prepend(0.0, "
+        f"list_transform(list_zip({a}, {b}), "
+        "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) "
+        "* (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), "
+        "(x, y) -> x + y)"
+    )

@@ -28,9 +28,11 @@ from streamz_postgres_spark.functions.numeric import (
     sql_dsum,
 )
 from streamz_postgres_spark.functions.vector import (
+    dist2,
     dot,
     int_dot,
     l2_norm,
+    sql_dist2,
     sql_dot,
     sql_int_dot,
     sql_l2_norm,
@@ -1536,4 +1538,147 @@ def q_sim_ann_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("approx_cos").desc(), "vec_id")
         .limit(10)
+    )
+
+
+# -- product quantization (PQ) codebook + encoding audit ---------------------
+
+_PQ_M = 4  # subspaces (64-dim fixture embeddings -> 16 dims each)
+_PQ_W = 16
+_PQ_K = 8  # codewords per subspace
+
+
+@register(
+    "q_embed_pq",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+sub AS (
+  SELECT vec_id, label, CAST(ms.m AS INTEGER) AS m,
+         e[(ms.m * {_PQ_W} + 1):((ms.m + 1) * {_PQ_W})] AS sv
+  FROM v CROSS JOIN (SELECT unnest(range({_PQ_M})) AS m) ms
+),
+c0 AS (
+  SELECT m, vec_id AS cl, sv AS ce FROM sub WHERE vec_id < {_PQ_K}
+),
+a0 AS (
+  SELECT vec_id, label, m, sv, cl FROM (
+    SELECT s.vec_id, s.label, s.m, s.sv, c.cl,
+           row_number() OVER (
+             PARTITION BY s.vec_id, s.m
+             ORDER BY {sql_dot('s.sv', 'c.ce')} DESC, c.cl) AS rn
+    FROM sub s JOIN c0 c ON s.m = c.m
+  ) t WHERE rn = 1
+),
+m1 AS (
+  SELECT m, cl, dim, {sql_dsum('val')} / COUNT(*) AS c
+  FROM (
+    SELECT m, cl, generate_subscripts(sv, 1) - 1 AS dim, unnest(sv) AS val
+    FROM a0
+  ) ex
+  GROUP BY m, cl, dim
+),
+c1 AS (
+  SELECT m, cl, list(c ORDER BY dim) AS ce FROM m1 GROUP BY m, cl
+),
+a1 AS (
+  SELECT vec_id, label, m, cl, ip, sv, ce FROM (
+    SELECT s.vec_id, s.label, s.m, s.sv, c.cl, c.ce,
+           {sql_dot('s.sv', 'c.ce')} AS ip,
+           row_number() OVER (
+             PARTITION BY s.vec_id, s.m
+             ORDER BY {sql_dot('s.sv', 'c.ce')} DESC, c.cl) AS rn
+    FROM sub s JOIN c1 c ON s.m = c.m
+  ) t WHERE rn = 1
+)
+SELECT vec_id, label, m, cl AS code, ip AS ip_score,
+       {sql_dist2('sv', 'ce')} AS sq_err
+FROM a1
+""",
+    tags=("similarity", "vector", "compression"),
+)
+def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jégou et al. 2011) over the embedding
+    store — the compression stage BETWEEN int8 (4x) and binary
+    hashing on the 100 TB memory ladder (PQ{_PQ_M}x{_PQ_K} stores
+    {_PQ_M} small codes per vector: 64x smaller than float32, the
+    representation IVF-PQ serving shelves actually hold). The vector
+    is split into {_PQ_M} x {_PQ_W}-dim subspaces; each subspace
+    trains its OWN {_PQ_K}-codeword codebook (seeded with the first
+    {_PQ_K} vectors' subvectors, one exact-decimal Lloyd update —
+    the q_kmeans_lloyd recipe per subspace), and every vector is
+    encoded as its per-subspace argmax-inner-product codeword
+    (MIPS-flavored PQ: codewords chosen by the same inner-product
+    objective ADC scoring uses, so encode and serve agree). Read-out
+    per (vector, subspace): the code, its winning inner product,
+    and the EXACT squared reconstruction error — the two per-cell
+    numbers that decide codebook health (dead codewords, distortion
+    outliers) before a PQ index ships.
+
+    Determinism: subvector slices are fixed spans; assignment folds
+    via dot/sql_dot (identical fold order), ties break on codeword
+    id; centroid means are exact micro-unit decimals; sq_err uses
+    the dist2/sql_dist2 mirrored fold. Scale shape: the codebook is
+    O(M x K x w) — broadcast at any corpus size; assignment is a
+    per-row argmax over K broadcast rows (no shuffle); the ONLY
+    shuffles are the O(M x K x w)-output centroid update and the
+    subspace explode, both map-side-combined. At 100 TB: same plan,
+    more Lloyd rounds chained like connected_components."""
+    from streamz_postgres_spark.functions.numeric import dsum
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id",
+        "label",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "e"
+        ),
+    )
+    slices = F.array(
+        *[F.slice("e", m * _PQ_W + 1, _PQ_W) for m in range(_PQ_M)]
+    )
+    sub = v.select(
+        "vec_id", "label", F.posexplode(slices).alias("m", "sv")
+    )
+    seeds = sub.filter(F.col("vec_id") < _PQ_K).select(
+        "m", F.col("vec_id").alias("cl"), F.col("sv").alias("ce")
+    )
+
+    def assign(cb: DataFrame) -> DataFrame:
+        ip = dot(F.col("sv"), F.col("ce"))
+        w = Window.partitionBy("vec_id", "m").orderBy(
+            F.col("ip").desc(), "cl"
+        )
+        return (
+            sub.join(F.broadcast(cb), "m")
+            .withColumn("ip", ip)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+        )
+
+    def update(assigned: DataFrame) -> DataFrame:
+        ex = assigned.select(
+            "m", "cl", F.posexplode("sv").alias("dim", "val")
+        )
+        cd = ex.groupBy("m", "cl", "dim").agg(
+            (dsum("val") / F.count(F.lit(1))).alias("c")
+        )
+        return cd.groupBy("m", "cl").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                lambda x: x.c,
+            ).alias("ce")
+        )
+
+    a1 = assign(update(assign(seeds)))
+    return a1.select(
+        "vec_id",
+        "label",
+        "m",
+        F.col("cl").alias("code"),
+        F.col("ip").alias("ip_score"),
+        dist2(F.col("sv"), F.col("ce")).alias("sq_err"),
     )
