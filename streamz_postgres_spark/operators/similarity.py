@@ -1541,19 +1541,28 @@ def q_sim_ann_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# -- product quantization (PQ) codebook + encoding audit ---------------------
+# -- product quantization (PQ): shared model + two read-outs -----------------
 
 _PQ_M = 4  # subspaces (64-dim fixture embeddings -> 16 dims each)
 _PQ_W = 16
 _PQ_K = 8  # codewords per subspace
+_ADC_QMOD = 100  # query set: vec_id % 100 == 7 (the q_knn_ivf_batch probe recipe)
+_ADC_QSEL = 7
+_ADC_K = 5
+
+# Shared DuckDB CTE prefix for the PQ model (mirrors _pq_model below
+# fold-for-fold): v = double vectors + norms, sub = fixed subspace
+# slices, c0 = seed codebooks, a0 = seed assignment, m1/c1 = one
+# exact-decimal Lloyd update, a1 = final assignment with codes.
+# Never copy these CTEs into an oracle — interpolate the helper.
 
 
-@register(
-    "q_embed_pq",
-    oracle=f"""
-WITH v AS (
+def _sql_pq_prefix() -> str:
+    return f"""v AS (
   SELECT vec_id, label,
-         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+         {sql_l2_norm("list_transform(embedding, x -> CAST(x AS DOUBLE))")}
+           AS nrm
   FROM embeddings
 ),
 sub AS (
@@ -1593,49 +1602,28 @@ a1 AS (
              ORDER BY {sql_dot('s.sv', 'c.ce')} DESC, c.cl) AS rn
     FROM sub s JOIN c1 c ON s.m = c.m
   ) t WHERE rn = 1
-)
-SELECT vec_id, label, m, cl AS code, ip AS ip_score,
-       {sql_dist2('sv', 'ce')} AS sq_err
-FROM a1
-""",
-    tags=("similarity", "vector", "compression"),
-)
-def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product quantization (Jégou et al. 2011) over the embedding
-    store — the compression stage BETWEEN int8 (4x) and binary
-    hashing on the 100 TB memory ladder (PQ{_PQ_M}x{_PQ_K} stores
-    {_PQ_M} small codes per vector: 64x smaller than float32, the
-    representation IVF-PQ serving shelves actually hold). The vector
-    is split into {_PQ_M} x {_PQ_W}-dim subspaces; each subspace
-    trains its OWN {_PQ_K}-codeword codebook (seeded with the first
-    {_PQ_K} vectors' subvectors, one exact-decimal Lloyd update —
-    the q_kmeans_lloyd recipe per subspace), and every vector is
-    encoded as its per-subspace argmax-inner-product codeword
-    (MIPS-flavored PQ: codewords chosen by the same inner-product
-    objective ADC scoring uses, so encode and serve agree). Read-out
-    per (vector, subspace): the code, its winning inner product,
-    and the EXACT squared reconstruction error — the two per-cell
-    numbers that decide codebook health (dead codewords, distortion
-    outliers) before a PQ index ships.
+)"""
 
-    Determinism: subvector slices are fixed spans; assignment folds
-    via dot/sql_dot (identical fold order), ties break on codeword
-    id; centroid means are exact micro-unit decimals; sq_err uses
-    the dist2/sql_dist2 mirrored fold. Scale shape: the codebook is
-    O(M x K x w) — broadcast at any corpus size; assignment is a
-    per-row argmax over K broadcast rows (no shuffle); the ONLY
-    shuffles are the O(M x K x w)-output centroid update and the
-    subspace explode, both map-side-combined. At 100 TB: same plan,
-    more Lloyd rounds chained like connected_components."""
+
+def _pq_model(spark: SparkSession, sf_dir: str):
+    """Shared PQ model: returns ``(v, sub, c1, a1)`` — double
+    vectors with norms, subspace slices, the trained codebook
+    (m, cl, ce), and the final coded assignment (vec_id, label, m,
+    sv, cl, ip, ce). Used by q_embed_pq (codebook/encoding audit)
+    and q_sim_ann_adc (ADC top-k serving); SQL twin:
+    :func:`_sql_pq_prefix`. Determinism recipe shared with
+    q_kmeans_lloyd: fixed spans, dot/sql_dot fold order, ties on
+    codeword id, exact micro-unit centroid means, arrays assembled
+    in sorted dim order."""
     from streamz_postgres_spark.functions.numeric import dsum
 
     e = load_table(spark, sf_dir, "embeddings")
+    ed = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     v = e.select(
         "vec_id",
         "label",
-        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
-            "e"
-        ),
+        ed.alias("e"),
+        l2_norm(ed).alias("nrm"),
     )
     slices = F.array(
         *[F.slice("e", m * _PQ_W + 1, _PQ_W) for m in range(_PQ_M)]
@@ -1673,7 +1661,46 @@ def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ce")
         )
 
-    a1 = assign(update(assign(seeds)))
+    c1 = update(assign(seeds))
+    a1 = assign(c1)
+    return v, sub, c1, a1
+
+
+@register(
+    "q_embed_pq",
+    oracle=f"""
+WITH {_sql_pq_prefix()}
+SELECT vec_id, label, m, cl AS code, ip AS ip_score,
+       {sql_dist2('sv', 'ce')} AS sq_err
+FROM a1
+""",
+    tags=("similarity", "vector", "compression"),
+)
+def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jégou et al. 2011) over the embedding
+    store — the compression stage BETWEEN int8 (4x) and binary
+    hashing on the 100 TB memory ladder (PQ{_PQ_M}x{_PQ_K} stores
+    {_PQ_M} small codes per vector: 64x smaller than float32, the
+    representation IVF-PQ serving shelves actually hold). The vector
+    is split into {_PQ_M} x {_PQ_W}-dim subspaces; each subspace
+    trains its OWN {_PQ_K}-codeword codebook (seeded with the first
+    {_PQ_K} vectors' subvectors, one exact-decimal Lloyd update —
+    the q_kmeans_lloyd recipe per subspace), and every vector is
+    encoded as its per-subspace argmax-inner-product codeword
+    (MIPS-flavored PQ: codewords chosen by the same inner-product
+    objective ADC scoring uses, so encode and serve agree). Read-out
+    per (vector, subspace): the code, its winning inner product,
+    and the EXACT squared reconstruction error — the two per-cell
+    numbers that decide codebook health (dead codewords, distortion
+    outliers) before a PQ index ships. Serving twin: q_sim_ann_adc.
+
+    Determinism: see :func:`_pq_model`. Scale shape: the codebook is
+    O(M x K x w) — broadcast at any corpus size; assignment is a
+    per-row argmax over K broadcast rows (no shuffle); the ONLY
+    shuffles are the O(M x K x w)-output centroid update and the
+    subspace explode, both map-side-combined. At 100 TB: same plan,
+    more Lloyd rounds chained like connected_components."""
+    _, _, _, a1 = _pq_model(spark, sf_dir)
     return a1.select(
         "vec_id",
         "label",
@@ -1681,4 +1708,122 @@ def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cl").alias("code"),
         F.col("ip").alias("ip_score"),
         dist2(F.col("sv"), F.col("ce")).alias("sq_err"),
+    )
+
+
+@register(
+    "q_sim_ann_adc",
+    oracle=f"""
+WITH {_sql_pq_prefix()},
+qv AS (
+  SELECT vec_id AS qid, e AS qe, nrm AS qnrm FROM v
+  WHERE vec_id % {_ADC_QMOD} = {_ADC_QSEL}
+),
+lut AS (
+  SELECT s.vec_id AS qid, s.m, c.cl, {sql_dot('s.sv', 'c.ce')} AS ip
+  FROM sub s JOIN c1 c ON s.m = c.m
+  WHERE s.vec_id % {_ADC_QMOD} = {_ADC_QSEL}
+),
+parts AS (
+  SELECT l.qid, a.vec_id,
+         SUM(CASE WHEN a.m = 0 THEN l.ip ELSE 0.0 END) AS p0,
+         SUM(CASE WHEN a.m = 1 THEN l.ip ELSE 0.0 END) AS p1,
+         SUM(CASE WHEN a.m = 2 THEN l.ip ELSE 0.0 END) AS p2,
+         SUM(CASE WHEN a.m = 3 THEN l.ip ELSE 0.0 END) AS p3
+  FROM a1 a JOIN lut l ON a.m = l.m AND a.cl = l.cl
+  WHERE a.vec_id <> l.qid
+  GROUP BY l.qid, a.vec_id
+),
+ranked AS (
+  SELECT qid, vec_id, p0 + p1 + p2 + p3 AS adc,
+         row_number() OVER (
+           PARTITION BY qid
+           ORDER BY p0 + p1 + p2 + p3 DESC, vec_id) AS rnk
+  FROM parts
+)
+SELECT r.qid, r.vec_id, CAST(r.rnk AS INTEGER) AS rnk,
+       r.adc AS adc_score,
+       {sql_dot('cv.e', 'q.qe')} / (cv.nrm * q.qnrm) AS cosine
+FROM ranked r
+JOIN v cv ON cv.vec_id = r.vec_id
+JOIN qv q ON q.qid = r.qid
+WHERE r.rnk <= {_ADC_K}
+""",
+    tags=("similarity", "vector", "ann", "compression"),
+)
+def q_sim_ann_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC (asymmetric distance computation) top-k serving from the
+    PQ codes — how an IVF-PQ index actually answers queries at
+    100 TB: the query stays FULL precision, candidates stay
+    {_PQ_M}-byte codes, and each query precomputes a tiny
+    M x K lookup table (inner product of its subvector against every
+    codeword) so scoring a candidate is {_PQ_M} table lookups + adds,
+    never a decode. Per query (the q_knn_ivf_batch probe recipe:
+    vec_id %% {_ADC_QMOD} == {_ADC_QSEL}), the top-{_ADC_K} by ADC
+    score with the EXACT cosine beside it — the rank-vs-truth gap IS
+    the PQ recall audit, the number you watch when trading codebook
+    size against recall (companion read-outs: q_embed_pq for
+    codebook health, q_ann_recall for the IVF stage).
+
+    Plan: the LUT is Q x M x K rows — broadcast; scoring joins the
+    code table to the LUT on (m, code) and folds the {_PQ_M}
+    partials per (query, candidate) in fixed subspace order (each
+    partial is a conditional sum over exactly one non-zero element,
+    so the fold is IEEE-exact and engine-identical). One keyed
+    shuffle on (qid, vec_id); top-k via rank window per query. At
+    100 TB compose with the IVF cell router (q_sim_ann_ivf) so the
+    code scan covers only nprobe cells instead of the full corpus —
+    the ADC stage itself is already candidate-count-linear with
+    {_PQ_M}-byte rows."""
+    v, sub, c1, a1 = _pq_model(spark, sf_dir)
+    is_q = F.col("vec_id") % _ADC_QMOD == _ADC_QSEL
+    lut = (
+        sub.filter(is_q)
+        .select(F.col("vec_id").alias("qid"), "m", "sv")
+        .join(F.broadcast(c1), "m")
+        .select(
+            "qid", "m", "cl", dot(F.col("sv"), F.col("ce")).alias("ip")
+        )
+    )
+    codes = a1.select("vec_id", "m", "cl")
+    parts = (
+        codes.join(F.broadcast(lut), ["m", "cl"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(
+            *[
+                F.sum(
+                    F.when(F.col("m") == i, F.col("ip")).otherwise(
+                        F.lit(0.0)
+                    )
+                ).alias(f"p{i}")
+                for i in range(_PQ_M)
+            ]
+        )
+    )
+    adc = (
+        (F.col("p0") + F.col("p1")) + F.col("p2")
+    ) + F.col("p3")
+    w = Window.partitionBy("qid").orderBy(F.col("adc").desc(), "vec_id")
+    ranked = (
+        parts.withColumn("adc", adc)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _ADC_K)
+    )
+    qv = v.filter(is_q).select(
+        F.col("vec_id").alias("qid"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+    )
+    cos = dot(F.col("e"), F.col("qe")) / (F.col("nrm") * F.col("qnrm"))
+    return (
+        ranked.join(v.select("vec_id", "e", "nrm"), "vec_id")
+        .join(F.broadcast(qv), "qid")
+        .select(
+            "qid",
+            "vec_id",
+            F.col("rnk").cast("int").alias("rnk"),
+            F.col("adc").alias("adc_score"),
+            cos.alias("cosine"),
+        )
     )

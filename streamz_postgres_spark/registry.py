@@ -225,6 +225,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_lsh_band_sweep",
     "q_referential_integrity",
     "q_embed_pq",
+    "q_sim_ann_adc",
     # r4-latest block (r9 window tail / r10; oldest evidence first):
     "q_agg_distinct",
     "q_asof_join",
