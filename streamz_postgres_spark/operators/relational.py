@@ -661,3 +661,40 @@ def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("edge")
     )
+
+
+@register(
+    "q_columns_sql",
+    oracle="""
+SELECT COLUMNS('^l_.*(key|price|discount)$') FROM lineitem
+WHERE l_quantity < 5.0
+""",
+    tags=("relational", "sql"),
+)
+def q_columns_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMNS('<regex>') in SQL SYNTAX — the fifth sqlext grammar,
+    DuckDB's star-expansion for wide feature tables (project every
+    column whose NAME matches; the idiom that keeps a 2,000-column
+    feature store queryable without typing 400 names). Spark SQL has
+    no COLUMNS; sqlext resolves the source view's schema at rewrite
+    time and splices in the explicit column list, so Catalyst sees a
+    plain projection and ReadSchema prunes the parquet scan to the
+    matched columns only — name-driven column pruning, the property
+    that matters at 100 TB where the unmatched columns are the wide
+    payload. The oracle is DuckDB's NATIVE COLUMNS (same
+    native-cross-check pattern as q_qualify_sql); the anchored
+    pattern keeps re/RE2 partial-match semantics identical."""
+    import uuid as _uuid
+
+    from streamz_postgres_spark import sqlext
+
+    view = f"lineitem_{_uuid.uuid4().hex[:8]}"
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(view)
+    try:
+        return sqlext.sql(
+            spark,
+            f"""SELECT COLUMNS('^l_.*(key|price|discount)$') FROM {view}
+                WHERE l_quantity < 5.0""",
+        )
+    finally:
+        spark.catalog.dropTempView(view)

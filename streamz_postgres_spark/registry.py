@@ -226,6 +226,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_referential_integrity",
     "q_embed_pq",
     "q_sim_ann_adc",
+    "q_columns_sql",
     # r4-latest block (r9 window tail / r10; oldest evidence first):
     "q_agg_distinct",
     "q_asof_join",

@@ -23,7 +23,16 @@ the reason):
   subquery and filtered in the outer SELECT — the rewrite users
   hand-write today because Spark SQL has no QUALIFY. ``rankfn`` is
   ``row_number``/``rank``/``dense_rank``; ``op`` is ``=``, ``<``
-  or ``<=``.
+  or ``<=``;
+- ``COLUMNS('<regex>')`` (the DuckDB star-expansion for wide
+  feature tables: project every column whose NAME matches) -> the
+  explicit column list resolved from the source view's schema at
+  rewrite time (partial match, ``re.search``, mirroring DuckDB's
+  semantics — COLUMNS('l_') matches ``xl_tax`` too; ANCHOR the
+  pattern when you mean a prefix). One COLUMNS per query, single
+  named table, no JOIN; DuckDB compiles the pattern with RE2 while
+  this adapter uses Python ``re`` — stay inside the common syntax
+  (anchors, classes, alternation) or the engines can disagree.
 
 Supported grammar (one ASOF join per query)::
 
@@ -105,6 +114,52 @@ _QUALIFY_RE = re.compile(
         (?P<op><=|<|=)\s*(?P<n>\d+)\s*$""",
     re.IGNORECASE | re.VERBOSE | re.DOTALL,
 )
+
+
+_COLUMNS_RE = re.compile(r"COLUMNS\(\s*'(?P<pat>[^']*)'\s*\)", re.IGNORECASE)
+
+
+def _lower_columns(spark: SparkSession, query: str) -> DataFrame:
+    tokens = list(_COLUMNS_RE.finditer(query))
+    if len(tokens) != 1:
+        raise ValueError(
+            "COLUMNS present but the query does not match the supported "
+            "grammar: exactly one COLUMNS('<regex>') projection item "
+            "(single-quoted pattern) per query"
+        )
+    if re.search(r"\bJOIN\b", query, re.IGNORECASE):
+        raise ValueError(
+            "COLUMNS expansion supports a single named table — no JOINs "
+            "(register the join as a temp view first)"
+        )
+    tmatch = re.search(r"\bFROM\s+(\w+)", query, re.IGNORECASE)
+    if tmatch is None:
+        raise ValueError(
+            "COLUMNS expansion needs FROM <table> (a named table or "
+            "registered temp view — CTEs/subqueries are not supported)"
+        )
+    try:
+        cols = spark.table(tmatch.group(1)).columns
+    except Exception as e:  # noqa: BLE001
+        raise ValueError(
+            f"COLUMNS source must be a resolvable table/view: {e}"
+        ) from None
+    pat = tokens[0].group("pat")
+    try:
+        rx = re.compile(pat)
+    except re.error as e:
+        raise ValueError(f"COLUMNS pattern does not compile: {e}") from None
+    matched = [c for c in cols if rx.search(c)]
+    if not matched:
+        # DuckDB also errors when COLUMNS matches nothing — an empty
+        # projection silently returning 0 columns helps nobody
+        raise ValueError(
+            f"COLUMNS({pat!r}) matched no column of "
+            f"{tmatch.group(1)} (columns: {', '.join(cols)})"
+        )
+    start, end = tokens[0].span()
+    rewritten = query[:start] + ", ".join(matched) + query[end:]
+    return spark.sql(rewritten)
 
 
 def _lower_qualify(spark: SparkSession, query: str) -> DataFrame:
@@ -234,9 +289,12 @@ def sql(spark: SparkSession, query: str) -> DataFrame:
     """Run ``query``, lowering one supported extension clause —
     ASOF [LEFT] JOIN onto the library as-of join, SAMPLE BY onto an
     epoch-aligned bucket GROUP BY, DISTINCT ON / QUALIFY onto rank
-    windows (module docstring has all four grammars)."""
+    windows, COLUMNS('<regex>') onto a schema-resolved projection
+    list (module docstring has all five grammars)."""
     import threading
 
+    if re.search(r"\bCOLUMNS\s*\(", query, re.IGNORECASE):
+        return _lower_columns(spark, query)
     if re.search(r"\bSAMPLE\s+BY\b", query, re.IGNORECASE):
         return _lower_sample_by(spark, query)
     if re.search(r"\bDISTINCT\s+ON\b", query, re.IGNORECASE):

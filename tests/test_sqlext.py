@@ -347,3 +347,62 @@ def test_qualify_source_with_reserved_looking_column(spark):
     )
     assert got.collect() == [("a", 1, 9)]
     spark.catalog.dropTempView("q_coll")
+
+
+class TestColumns:
+    def test_expands_matching_columns_in_table_order(self, spark):
+        spark.sql(
+            "SELECT * FROM VALUES (1, 2.0, 'x', 3) "
+            "AS t(f_a, f_b, label, f_c)"
+        ).createOrReplaceTempView("c_wide")
+        got = sqlext.sql(spark, "SELECT COLUMNS('^f_') FROM c_wide")
+        assert got.columns == ["f_a", "f_b", "f_c"]
+        assert got.collect() == [(1, 2.0, 3)]
+        spark.catalog.dropTempView("c_wide")
+
+    def test_partial_match_mirrors_duckdb(self, spark):
+        # DuckDB COLUMNS('l_') also matches xl_tax (partial match);
+        # the adapter must not silently anchor
+        spark.sql(
+            "SELECT * FROM VALUES (1, 2, 3) AS t(l_qty, xl_tax, okey)"
+        ).createOrReplaceTempView("c_part")
+        got = sqlext.sql(spark, "SELECT COLUMNS('l_') FROM c_part")
+        assert got.columns == ["l_qty", "xl_tax"]
+        spark.catalog.dropTempView("c_part")
+
+    def test_composes_with_where_and_order(self, spark):
+        spark.sql(
+            "SELECT * FROM VALUES (1, 10), (2, 20), (3, 30) AS t(a_id, a_v)"
+        ).createOrReplaceTempView("c_pred")
+        got = sqlext.sql(
+            spark,
+            "SELECT COLUMNS('^a_') FROM c_pred "
+            "WHERE a_v > 10 ORDER BY a_id DESC",
+        )
+        assert [tuple(r) for r in got.collect()] == [(3, 30), (2, 20)]
+        spark.catalog.dropTempView("c_pred")
+
+    def test_refuses_out_of_grammar(self, spark):
+        spark.sql("SELECT 1 AS x").createOrReplaceTempView("c_one")
+        # zero matches is an error, as in DuckDB
+        with pytest.raises(ValueError, match="matched no column"):
+            sqlext.sql(spark, "SELECT COLUMNS('^zz') FROM c_one")
+        # two COLUMNS items
+        with pytest.raises(ValueError, match="exactly one COLUMNS"):
+            sqlext.sql(
+                spark,
+                "SELECT COLUMNS('a'), COLUMNS('b') FROM c_one",
+            )
+        # joins are out of grammar
+        with pytest.raises(ValueError, match="no JOIN"):
+            sqlext.sql(
+                spark,
+                "SELECT COLUMNS('x') FROM c_one JOIN c_one ON 1=1",
+            )
+        # unresolvable source
+        with pytest.raises(ValueError, match="resolvable"):
+            sqlext.sql(spark, "SELECT COLUMNS('x') FROM no_such_view_42")
+        # bad regex
+        with pytest.raises(ValueError, match="does not compile"):
+            sqlext.sql(spark, "SELECT COLUMNS('[') FROM c_one")
+        spark.catalog.dropTempView("c_one")
