@@ -1827,3 +1827,177 @@ def q_sim_ann_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             cos.alias("cosine"),
         )
     )
+
+
+@register(
+    "q_sim_ann_ivfpq",
+    oracle=f"""
+WITH {_sql_pq_prefix()},
+cc AS (
+  SELECT vec_id AS cent_id, e AS ce, nrm AS cnrm
+  FROM v WHERE vec_id < {_IVF_N_CELLS}
+),
+cscored AS (
+  SELECT v.vec_id, c.cent_id,
+         {sql_dot('v.e', 'c.ce')} / (v.nrm * c.cnrm) AS csim
+  FROM v, cc c
+),
+cells AS (
+  SELECT vec_id, cent_id AS cell FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
+    FROM cscored
+  ) r WHERE rn = 1
+),
+qcells AS (
+  SELECT vec_id AS qid, cent_id AS pcell FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
+    FROM cscored WHERE vec_id % {_ADC_QMOD} = {_ADC_QSEL}
+  ) r WHERE rn <= {_IVF_NPROBE}
+),
+cand AS (
+  SELECT q.qid, ce.vec_id
+  FROM qcells q JOIN cells ce ON ce.cell = q.pcell
+  WHERE ce.vec_id <> q.qid
+),
+lut AS (
+  SELECT s.vec_id AS qid, s.m, c.cl, {sql_dot('s.sv', 'c.ce')} AS ip
+  FROM sub s JOIN c1 c ON s.m = c.m
+  WHERE s.vec_id % {_ADC_QMOD} = {_ADC_QSEL}
+),
+parts AS (
+  SELECT cd.qid, cd.vec_id,
+         SUM(CASE WHEN a.m = 0 THEN l.ip ELSE 0.0 END) AS p0,
+         SUM(CASE WHEN a.m = 1 THEN l.ip ELSE 0.0 END) AS p1,
+         SUM(CASE WHEN a.m = 2 THEN l.ip ELSE 0.0 END) AS p2,
+         SUM(CASE WHEN a.m = 3 THEN l.ip ELSE 0.0 END) AS p3
+  FROM cand cd
+  JOIN a1 a ON a.vec_id = cd.vec_id
+  JOIN lut l ON l.qid = cd.qid AND l.m = a.m AND l.cl = a.cl
+  GROUP BY cd.qid, cd.vec_id
+),
+ranked AS (
+  SELECT qid, vec_id, p0 + p1 + p2 + p3 AS adc,
+         row_number() OVER (
+           PARTITION BY qid
+           ORDER BY p0 + p1 + p2 + p3 DESC, vec_id) AS rnk
+  FROM parts
+)
+SELECT r.qid, r.vec_id, CAST(r.rnk AS INTEGER) AS rnk,
+       ce.cell,
+       r.adc AS adc_score,
+       {sql_dot('cv.e', 'q.e')} / (cv.nrm * q.nrm) AS cosine
+FROM ranked r
+JOIN cells ce ON ce.vec_id = r.vec_id
+JOIN v cv ON cv.vec_id = r.vec_id
+JOIN v q ON q.vec_id = r.qid
+WHERE r.rnk <= {_ADC_K}
+""",
+    tags=("similarity", "vector", "ann", "ivf", "compression"),
+)
+def q_sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ end to end — the industry-standard 100 TB ANN serving
+    pipeline, composed from this repo's two audited halves: the IVF
+    coarse quantizer routes each query to its nprobe={_IVF_NPROBE}
+    nearest of {_IVF_N_CELLS} cells (the q_sim_ann_ivf recipe), and
+    ONLY the vectors in those cells are scored — by ADC over the
+    {_PQ_M}-byte PQ codes (the q_sim_ann_adc recipe), never by
+    decoding. Per query: top-{_ADC_K} by ADC with the routed cell
+    and the exact cosine beside each hit, so one read-out shows both
+    stages' loss (cell routing recall x code quantization error).
+
+    Plan: both codebooks (coarse {_IVF_N_CELLS} x d, PQ M x K x w)
+    are broadcast; cell assignment is the map-side-combinable argmax
+    groupBy; the candidate set is a cell-equi-join (touching
+    ~nprobe/n_cells of the corpus — the whole point of IVF); ADC
+    scoring joins candidates to codes and folds the {_PQ_M}
+    IEEE-exact partials in fixed subspace order. At 100 TB the cell
+    id is a partition column, so the candidate join is a
+    partition-pruned scan and the PQ store is the only data read."""
+    v, sub, c1, a1 = _pq_model(spark, sf_dir)
+    cents = F.broadcast(
+        v.filter(F.col("vec_id") < _IVF_N_CELLS).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("e").alias("ce"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+    csim = dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cnrm"))
+    cscored = v.select("vec_id", "e", "nrm").crossJoin(cents).withColumn(
+        "csim", csim
+    )
+    # argmax cell per vector, map-side combinable (q_sim_ann_ivf)
+    best = F.max(
+        F.struct(F.col("csim").alias("c"), (-F.col("cent_id")).alias("nc"))
+    ).alias("best")
+    cells = (
+        cscored.groupBy("vec_id")
+        .agg(best)
+        .select("vec_id", (-F.col("best.nc")).alias("cell"))
+    )
+    is_q = F.col("vec_id") % _ADC_QMOD == _ADC_QSEL
+    wq = Window.partitionBy("vec_id").orderBy(
+        F.col("csim").desc(), "cent_id"
+    )
+    qcells = (
+        cscored.filter(is_q)
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _IVF_NPROBE)
+        .select(F.col("vec_id").alias("qid"), F.col("cent_id").alias("pcell"))
+    )
+    cand = (
+        cells.join(F.broadcast(qcells), F.col("cell") == F.col("pcell"))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", "cell")
+    )
+    lut = (
+        sub.filter(is_q)
+        .select(F.col("vec_id").alias("qid"), "m", "sv")
+        .join(F.broadcast(c1), "m")
+        .select(
+            "qid", "m", "cl", dot(F.col("sv"), F.col("ce")).alias("ip")
+        )
+    )
+    codes = a1.select("vec_id", "m", "cl")
+    parts = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(lut), ["qid", "m", "cl"])
+        .groupBy("qid", "vec_id")
+        .agg(
+            F.any_value("cell").alias("cell"),
+            *[
+                F.sum(
+                    F.when(F.col("m") == i, F.col("ip")).otherwise(
+                        F.lit(0.0)
+                    )
+                ).alias(f"p{i}")
+                for i in range(_PQ_M)
+            ],
+        )
+    )
+    adc = ((F.col("p0") + F.col("p1")) + F.col("p2")) + F.col("p3")
+    w = Window.partitionBy("qid").orderBy(F.col("adc").desc(), "vec_id")
+    ranked = (
+        parts.withColumn("adc", adc)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _ADC_K)
+    )
+    qv = v.filter(is_q).select(
+        F.col("vec_id").alias("qid"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+    )
+    cos = dot(F.col("e"), F.col("qe")) / (F.col("nrm") * F.col("qnrm"))
+    return (
+        ranked.join(v.select("vec_id", "e", "nrm"), "vec_id")
+        .join(F.broadcast(qv), "qid")
+        .select(
+            "qid",
+            "vec_id",
+            F.col("rnk").cast("int").alias("rnk"),
+            "cell",
+            F.col("adc").alias("adc_score"),
+            cos.alias("cosine"),
+        )
+    )

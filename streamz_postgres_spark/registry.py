@@ -227,6 +227,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_embed_pq",
     "q_sim_ann_adc",
     "q_columns_sql",
+    "q_sim_ann_ivfpq",
     # r4-latest block (r9 window tail / r10; oldest evidence first):
     "q_agg_distinct",
     "q_asof_join",
