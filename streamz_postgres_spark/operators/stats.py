@@ -689,3 +689,98 @@ def _register_kll_batch() -> None:
 
 
 _register_kll_batch()
+
+
+# -- one-scan correlation matrix --------------------------------------------
+
+_CORRM_MEASURES = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+_CORRM_PAIRS = tuple(
+    (a, b)
+    for i, a in enumerate(_CORRM_MEASURES)
+    for b in _CORRM_MEASURES[i + 1 :]
+)
+
+
+def _sql_corrm_pair(x: str, y: str) -> str:
+    corr = (
+        f"(n * s_{x}_{y} - s_{x} * s_{y}) "
+        f"/ (SQRT(n * s_{x}_{x} - s_{x} * s_{x}) "
+        f"* SQRT(n * s_{y}_{y} - s_{y} * s_{y}))"
+    )
+    return f"""SELECT '{x}' AS col_x, '{y}' AS col_y,
+       CAST(n AS BIGINT) AS n,
+       {sql_qround(corr, 10)} AS corr,
+       (s_{x}_{y} - s_{x} * s_{y} / n) / (n - 1) AS covar_samp
+FROM m"""
+
+
+def _sql_corrm_union() -> str:
+    return "\nUNION ALL\n".join(
+        _sql_corrm_pair(x, y) for x, y in _CORRM_PAIRS
+    )
+
+
+def _sql_corrm_sums() -> str:
+    sums = ["CAST(COUNT(*) AS DOUBLE) AS n"]
+    for c in _CORRM_MEASURES:
+        sums.append(f"{sql_dsum(c)} AS s_{c}")
+        sums.append(f"{sql_dsum(f'{c} * {c}')} AS s_{c}_{c}")
+    for x, y in _CORRM_PAIRS:
+        sums.append(f"{sql_dsum(f'{x} * {y}')} AS s_{x}_{y}")
+    return ",\n         ".join(sums)
+
+
+@register(
+    "q_corr_matrix",
+    oracle=f"""
+WITH m AS (
+  SELECT {_sql_corrm_sums()}
+  FROM lineitem
+)
+{_sql_corrm_union()}
+ORDER BY col_x, col_y
+""",
+    tags=("agg", "stats", "profile"),
+)
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pairwise correlation matrix of the lineitem measures in
+    ONE scan — the feature-redundancy screen a training pipeline
+    runs before picking inputs (|corr| near 1 between two features
+    means one is dead weight; q_stats_corr is the grouped single-
+    pair deep-dive, this is the all-pairs survey). All 15 algebraic
+    sums (count, 4 sums, 4 sum-of-squares, 6 cross-sums) ride a
+    single partial-aggregating shuffle of exact decimals, then each
+    of the 6 pairs is presented from the one-row frame
+    (q_data_profile's unpivot shape). corr goes through qround(10)
+    for the same sqrt-contraction reason as q_stats_corr; covariance
+    and the sums are bit-exact. At 100 TB this is ONE pass over the
+    fact table however many measures you add — the k x k matrix
+    costs O(k^2) aggregate slots, not O(k^2) scans."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for c in _CORRM_MEASURES:
+        aggs.append(dsum(F.col(c)).alias(f"s_{c}"))
+        aggs.append(dsum(F.col(c) * F.col(c)).alias(f"s_{c}_{c}"))
+    for x, y in _CORRM_PAIRS:
+        aggs.append(dsum(F.col(x) * F.col(y)).alias(f"s_{x}_{y}"))
+    m = li.agg(*aggs)
+
+    n = F.col("n")
+    rows = None
+    for x, y in _CORRM_PAIRS:
+        sx, sy = F.col(f"s_{x}"), F.col(f"s_{y}")
+        sxx, syy = F.col(f"s_{x}_{x}"), F.col(f"s_{y}_{y}")
+        sxy = F.col(f"s_{x}_{y}")
+        part = m.select(
+            F.lit(x).alias("col_x"),
+            F.lit(y).alias("col_y"),
+            n.cast("bigint").alias("n"),
+            qround(
+                (n * sxy - sx * sy)
+                / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+                10,
+            ).alias("corr"),
+            ((sxy - sx * sy / n) / (n - F.lit(1.0))).alias("covar_samp"),
+        )
+        rows = part if rows is None else rows.unionByName(part)
+    return rows.orderBy("col_x", "col_y")

@@ -228,6 +228,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_sim_ann_adc",
     "q_columns_sql",
     "q_sim_ann_ivfpq",
+    "q_corr_matrix",
     # r4-latest block (r9 window tail / r10; oldest evidence first):
     "q_agg_distinct",
     "q_asof_join",
