@@ -698,3 +698,38 @@ def q_columns_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.catalog.dropTempView(view)
+
+
+@register(
+    "q_exclude_sql",
+    oracle="""
+SELECT * EXCLUDE (text) FROM documents WHERE n_chars >= 400
+""",
+    tags=("relational", "sql"),
+)
+def q_exclude_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``* EXCLUDE (<cols>)`` in SQL SYNTAX — the sixth sqlext
+    grammar, the DuckDB/Snowflake star-minus idiom ("everything but
+    the wide payload"). Spark spells it ``* EXCEPT``; the adapter
+    validates every listed column against the source schema at
+    rewrite time (a typo'd name must ERROR, not silently keep the
+    payload column in the scan) and splices in the native form. The
+    registered query excludes the ``text`` payload of documents, so
+    the executed plan's ReadSchema drops the corpus body entirely —
+    at 100 TB that single clause is the difference between scanning
+    metadata and scanning the whole corpus. The oracle is DuckDB's
+    NATIVE ``* EXCLUDE`` (same native-cross-check pattern as
+    q_qualify_sql/q_columns_sql)."""
+    import uuid as _uuid
+
+    from streamz_postgres_spark import sqlext
+
+    view = f"documents_{_uuid.uuid4().hex[:8]}"
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(view)
+    try:
+        return sqlext.sql(
+            spark,
+            f"SELECT * EXCLUDE (text) FROM {view} WHERE n_chars >= 400",
+        )
+    finally:
+        spark.catalog.dropTempView(view)

@@ -32,7 +32,15 @@ the reason):
   pattern when you mean a prefix). One COLUMNS per query, single
   named table, no JOIN; DuckDB compiles the pattern with RE2 while
   this adapter uses Python ``re`` — stay inside the common syntax
-  (anchors, classes, alternation) or the engines can disagree.
+  (anchors, classes, alternation) or the engines can disagree;
+- ``* EXCLUDE (<cols>)`` (the DuckDB/Snowflake star-minus idiom —
+  "everything but the wide payload column") -> Spark's native
+  ``* EXCEPT (<cols>)`` after validating every listed column against
+  the source view's schema at rewrite time (DuckDB errors on an
+  unknown or duplicate EXCLUDE entry; silently passing a typo'd
+  column name through would keep the payload column in the scan,
+  defeating the pruning the user asked for). One ``* EXCLUDE`` per
+  query, single named table, no JOIN.
 
 Supported grammar (one ASOF join per query)::
 
@@ -117,6 +125,66 @@ _QUALIFY_RE = re.compile(
 
 
 _COLUMNS_RE = re.compile(r"COLUMNS\(\s*'(?P<pat>[^']*)'\s*\)", re.IGNORECASE)
+
+
+_EXCLUDE_RE = re.compile(
+    r"\*\s*EXCLUDE\s*\(\s*(?P<cols>[\w\s,]+?)\s*\)", re.IGNORECASE
+)
+
+
+def _lower_exclude(spark: SparkSession, query: str) -> DataFrame:
+    tokens = list(_EXCLUDE_RE.finditer(query))
+    if len(tokens) != 1:
+        raise ValueError(
+            "EXCLUDE present but the query does not match the supported "
+            "grammar: exactly one * EXCLUDE (<col>[, <col>...]) "
+            "projection item per query"
+        )
+    if re.search(r"\bJOIN\b", query, re.IGNORECASE):
+        raise ValueError(
+            "* EXCLUDE supports a single named table — no JOINs "
+            "(register the join as a temp view first)"
+        )
+    tmatch = re.search(r"\bFROM\s+(\w+)", query, re.IGNORECASE)
+    if tmatch is None:
+        raise ValueError(
+            "* EXCLUDE needs FROM <table> (a named table or registered "
+            "temp view — CTEs/subqueries are not supported)"
+        )
+    try:
+        cols = spark.table(tmatch.group(1)).columns
+    except Exception as e:  # noqa: BLE001
+        raise ValueError(
+            f"EXCLUDE source must be a resolvable table/view: {e}"
+        ) from None
+    listed = [c.strip() for c in tokens[0].group("cols").split(",") if c.strip()]
+    if not listed:
+        raise ValueError("* EXCLUDE () lists no columns")
+    seen: set = set()
+    for c in listed:
+        if c in seen:
+            # DuckDB: "Duplicate entry ... in EXCLUDE list"
+            raise ValueError(f"duplicate column in EXCLUDE list: {c}")
+        seen.add(c)
+        if c not in cols:
+            # DuckDB errors on an unknown EXCLUDE entry; silently
+            # ignoring a typo would leave the payload column in the
+            # scan — the opposite of what the user asked for
+            raise ValueError(
+                f"EXCLUDE column {c!r} is not a column of "
+                f"{tmatch.group(1)} (columns: {', '.join(cols)})"
+            )
+    if len(listed) == len(cols):
+        raise ValueError(
+            "* EXCLUDE removes every column of "
+            f"{tmatch.group(1)} — an empty projection (DuckDB also "
+            "refuses this)"
+        )
+    start, end = tokens[0].span()
+    rewritten = (
+        query[:start] + f"* EXCEPT ({', '.join(listed)})" + query[end:]
+    )
+    return spark.sql(rewritten)
 
 
 def _lower_columns(spark: SparkSession, query: str) -> DataFrame:
@@ -290,11 +358,14 @@ def sql(spark: SparkSession, query: str) -> DataFrame:
     ASOF [LEFT] JOIN onto the library as-of join, SAMPLE BY onto an
     epoch-aligned bucket GROUP BY, DISTINCT ON / QUALIFY onto rank
     windows, COLUMNS('<regex>') onto a schema-resolved projection
-    list (module docstring has all five grammars)."""
+    list, * EXCLUDE onto a schema-validated * EXCEPT (module
+    docstring has all six grammars)."""
     import threading
 
     if re.search(r"\bCOLUMNS\s*\(", query, re.IGNORECASE):
         return _lower_columns(spark, query)
+    if re.search(r"\bEXCLUDE\b", query, re.IGNORECASE):
+        return _lower_exclude(spark, query)
     if re.search(r"\bSAMPLE\s+BY\b", query, re.IGNORECASE):
         return _lower_sample_by(spark, query)
     if re.search(r"\bDISTINCT\s+ON\b", query, re.IGNORECASE):

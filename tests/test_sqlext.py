@@ -406,3 +406,70 @@ class TestColumns:
         with pytest.raises(ValueError, match="does not compile"):
             sqlext.sql(spark, "SELECT COLUMNS('[') FROM c_one")
         spark.catalog.dropTempView("c_one")
+
+
+class TestExclude:
+    def test_drops_listed_columns_keeps_order(self, spark):
+        spark.sql(
+            "SELECT * FROM VALUES (1, 'blob', 2.0, 'x') "
+            "AS t(id, payload, score, tag)"
+        ).createOrReplaceTempView("e_wide")
+        got = sqlext.sql(spark, "SELECT * EXCLUDE (payload) FROM e_wide")
+        assert got.columns == ["id", "score", "tag"]
+        assert got.collect() == [(1, 2.0, "x")]
+        spark.catalog.dropTempView("e_wide")
+
+    def test_multi_column_and_where(self, spark):
+        spark.sql(
+            "SELECT * FROM VALUES (1, 'a', 10), (2, 'b', 20) "
+            "AS t(id, blob, v)"
+        ).createOrReplaceTempView("e_two")
+        got = sqlext.sql(
+            spark,
+            "SELECT * EXCLUDE (blob, v) FROM e_two WHERE v > 10",
+        )
+        assert got.columns == ["id"]
+        assert got.collect() == [(2,)]
+        spark.catalog.dropTempView("e_two")
+
+    def test_refuses_out_of_grammar(self, spark):
+        spark.sql(
+            "SELECT * FROM VALUES (1, 2) AS t(a, b)"
+        ).createOrReplaceTempView("e_ref")
+        # unknown column must error (a typo'd name silently keeping
+        # the payload column in the scan is the failure mode)
+        with pytest.raises(ValueError, match="not a column"):
+            sqlext.sql(spark, "SELECT * EXCLUDE (zz) FROM e_ref")
+        # duplicate entry, as in DuckDB
+        with pytest.raises(ValueError, match="duplicate column"):
+            sqlext.sql(spark, "SELECT * EXCLUDE (a, a) FROM e_ref")
+        # excluding every column leaves an empty projection
+        with pytest.raises(ValueError, match="every column"):
+            sqlext.sql(spark, "SELECT * EXCLUDE (a, b) FROM e_ref")
+        # joins are out of grammar
+        with pytest.raises(ValueError, match="no JOIN"):
+            sqlext.sql(
+                spark, "SELECT * EXCLUDE (a) FROM e_ref JOIN e_ref ON 1=1"
+            )
+        # unresolvable source
+        with pytest.raises(ValueError, match="resolvable"):
+            sqlext.sql(spark, "SELECT * EXCLUDE (a) FROM no_such_view_99")
+        # empty list
+        with pytest.raises(ValueError, match="does not match the supported"):
+            sqlext.sql(spark, "SELECT * EXCLUDE () FROM e_ref")
+        spark.catalog.dropTempView("e_ref")
+
+    def test_readschema_drops_excluded_payload(self, spark, tmp_path):
+        # the point of the grammar: the excluded payload column must
+        # not appear in the parquet ReadSchema
+        p = str(tmp_path / "wide.parquet")
+        spark.sql(
+            "SELECT id, repeat('x', 100) AS payload, id * 2 AS v "
+            "FROM range(10) t(id)"
+        ).write.parquet(p)
+        spark.read.parquet(p).createOrReplaceTempView("e_scan")
+        got = sqlext.sql(spark, "SELECT * EXCLUDE (payload) FROM e_scan")
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "payload" not in plan
+        assert got.columns == ["id", "v"]
+        spark.catalog.dropTempView("e_scan")
