@@ -844,6 +844,143 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- t-closeness privacy audit ------------------------------------------------
+
+_TCLOSE_NUM = 1  # t = 1/5 as a ratio, so the violation flag is an
+_TCLOSE_DEN = 5  # exact integer comparison on both engines
+
+
+@register(
+    "q_t_closeness",
+    oracle=f"""
+WITH cells AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / {_LDIV_BUCKET}) AS BIGINT) AS b,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM customer
+  GROUP BY 1, 2, 3
+), grp AS (
+  SELECT c_nationkey, c_mktsegment, CAST(SUM(cnt) AS BIGINT) AS grp_size
+  FROM cells GROUP BY 1, 2
+), gdist AS (
+  SELECT b, CAST(SUM(cnt) AS BIGINT) AS g_cnt FROM cells GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(g_cnt) AS BIGINT) AS n_total,
+         CAST(COUNT(*) AS BIGINT) AS m
+  FROM gdist
+), grid AS (
+  SELECT g.c_nationkey, g.c_mktsegment, g.grp_size, gl.b, gl.g_cnt,
+         t.n_total, t.m, COALESCE(c.cnt, 0) AS cnt
+  FROM grp g
+  CROSS JOIN gdist gl
+  CROSS JOIN tot t
+  LEFT JOIN cells c
+    ON c.c_nationkey = g.c_nationkey
+   AND c.c_mktsegment = g.c_mktsegment
+   AND c.b = gl.b
+), cum AS (
+  SELECT c_nationkey, c_mktsegment, grp_size, n_total, m,
+         CAST(SUM(cnt)   OVER w AS BIGINT) AS cum_cnt,
+         CAST(SUM(g_cnt) OVER w AS BIGINT) AS cum_g
+  FROM grid
+  WINDOW w AS (PARTITION BY c_nationkey, c_mktsegment ORDER BY b)
+)
+SELECT c_nationkey, c_mktsegment, grp_size,
+       CAST(CAST(SUM(abs(cum_cnt * n_total - cum_g * grp_size))
+                 AS BIGINT) AS DOUBLE)
+         / CAST(grp_size * n_total * (m - 1) AS DOUBLE) AS emd,
+       CAST(CASE WHEN CAST(SUM(abs(cum_cnt * n_total - cum_g * grp_size))
+                           AS BIGINT) * {_TCLOSE_DEN}
+                      > grp_size * n_total * (m - 1) * {_TCLOSE_NUM}
+                 THEN 1 ELSE 0 END AS INTEGER) AS violates_t
+FROM cum
+GROUP BY c_nationkey, c_mktsegment, grp_size, n_total, m
+ORDER BY c_nationkey, c_mktsegment
+""",
+    tags=("pipeline", "privacy", "window"),
+)
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the third rung of the release-gate ladder
+    (Li, Li, Venkatasubramanian 2007) after q_kanonymity and
+    q_l_diversity: a QI class can be k-large AND l-diverse yet still
+    leak via a SKEWED sensitive distribution (all-high balances in
+    one class). Per class, the Earth Mover's Distance between the
+    class's sensitive-bucket distribution and the GLOBAL one, with
+    the ordered-attribute ground distance: EMD = sum_i |cumP_i -
+    cumQ_i| / (m - 1). A class violates when EMD > t = 1/5.
+
+    Determinism: the cumulative difference is kept in EXACT INTEGER
+    cross-multiplied form (|cum_cnt*N - cum_g*grp_size|, a bigint),
+    summed exactly, and divided ONCE at the end — and the violation
+    flag compares integers (num*5 > den), so neither engine ever
+    rounds. Scale: the only input-size work is the (QI, bucket) cell
+    count — one keyed shuffle; everything after lives on the bounded
+    QI-domain x bucket-domain grid (125 x 11 here), whose zero-fill
+    cross join broadcasts both bounded sides. Same shape at 100 TB:
+    the audit's cost is the cell count, not the grid."""
+    c = load_table(spark, sf_dir, "customer")
+    b = F.floor(F.col("c_acctbal") / _LDIV_BUCKET).cast("bigint").alias("b")
+    cells = (
+        c.select("c_nationkey", "c_mktsegment", b)
+        .groupBy("c_nationkey", "c_mktsegment", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    grp = cells.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("cnt").cast("bigint").alias("grp_size")
+    )
+    glob = cells.groupBy("b").agg(
+        F.sum("cnt").cast("bigint").alias("g_cnt")
+    )
+    tot = glob.agg(
+        F.sum("g_cnt").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+    )
+    grid = (
+        grp.crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(tot))
+        .join(cells, ["c_nationkey", "c_mktsegment", "b"], "left")
+        .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0).cast("bigint")))
+    )
+    w = (
+        Window.partitionBy("c_nationkey", "c_mktsegment")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "grp_size",
+        "n_total",
+        "m",
+        F.sum("cnt").over(w).cast("bigint").alias("cum_cnt"),
+        F.sum("g_cnt").over(w).cast("bigint").alias("cum_g"),
+    )
+    num = F.abs(
+        F.col("cum_cnt") * F.col("n_total")
+        - F.col("cum_g") * F.col("grp_size")
+    )
+    den = F.col("grp_size") * F.col("n_total") * (F.col("m") - F.lit(1))
+    return (
+        cum.groupBy("c_nationkey", "c_mktsegment", "grp_size", "n_total", "m")
+        .agg(F.sum(num).cast("bigint").alias("sum_num"))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "grp_size",
+            (F.col("sum_num").cast("double") / den.cast("double")).alias(
+                "emd"
+            ),
+            F.when(
+                F.col("sum_num") * _TCLOSE_DEN > den * _TCLOSE_NUM, 1
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("violates_t"),
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
+
+
 # -- data-driven mixture rebalance (downsample to the smallest source) -------
 
 _REBAL_SALT = "#rebal"

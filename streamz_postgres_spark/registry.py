@@ -229,6 +229,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_columns_sql",
     "q_sim_ann_ivfpq",
     "q_corr_matrix",
+    "q_exclude_sql",
+    "q_t_closeness",
     # r4-latest block (r9 window tail / r10; oldest evidence first):
     "q_agg_distinct",
     "q_asof_join",
