@@ -1083,3 +1083,101 @@ def _register_prf() -> None:
 
 
 _register_prf()
+
+
+# -- readability scoring ------------------------------------------------------
+
+_SYLL_RE = "[aeiouy]+"  # vowel-group syllable heuristic
+_SENT_RE = "[.!?]+"
+
+
+@register(
+    "q_text_readability",
+    oracle=f"""
+SELECT doc_id, lang, n_words, n_sentences, n_syllables,
+       CAST('206.835' AS DOUBLE)
+         - CAST('1.015' AS DOUBLE) * wps
+         - CAST('84.6' AS DOUBLE) * spw AS flesch,
+       CAST('0.39' AS DOUBLE) * wps
+         + CAST('11.8' AS DOUBLE) * spw
+         - CAST('15.59' AS DOUBLE) AS fk_grade,
+       CASE WHEN CAST('206.835' AS DOUBLE)
+                   - CAST('1.015' AS DOUBLE) * wps
+                   - CAST('84.6' AS DOUBLE) * spw >= 60.0 THEN 'easy'
+            WHEN CAST('206.835' AS DOUBLE)
+                   - CAST('1.015' AS DOUBLE) * wps
+                   - CAST('84.6' AS DOUBLE) * spw >= 30.0 THEN 'medium'
+            ELSE 'hard' END AS band
+FROM (
+  SELECT doc_id, lang, n_words, n_sentences, n_syllables,
+         CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE) AS wps,
+         CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE) AS spw
+  FROM (
+    SELECT doc_id, lang,
+           CAST(len({sql_tokens('text')}) AS BIGINT) AS n_words,
+           CAST(len(regexp_extract_all(text, '{_SENT_RE}')) + 1
+                AS BIGINT) AS n_sentences,
+           CAST(len(regexp_extract_all(lower(text), '{_SYLL_RE}'))
+                AS BIGINT) AS n_syllables
+    FROM documents
+  ) raw
+) f
+""",
+    tags=("text",),
+)
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability scoring (Flesch reading-ease + Flesch-Kincaid
+    grade) with the classic VOWEL-GROUP syllable heuristic — the
+    corpus-quality feature reading-level filters and curriculum
+    orderings key on. Sentence count is delimiter-based with a +1
+    floor (a delimiter-free document is one sentence — which is every
+    document in this fixture, so the variation the oracle checks
+    comes from the words-per-sentence and syllables-per-word terms).
+
+    Determinism: the three counts are exact integers from the same
+    regex semantics on both engines (non-overlapping leftmost vowel
+    groups; a space can never appear inside a group so tokens don't
+    fuse); the Flesch weights enter as quoted-string DOUBLE casts
+    (the house rule for feeding literals to DuckDB) and the two
+    divisions and the weighted sum are the same IEEE expression tree
+    on both engines, so the doubles — and the band cut at 60/30 —
+    match bit-for-bit. Pure per-row codegen: no shuffle at all, at
+    any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    n_words = F.size(tokens("text")).cast("bigint")
+    n_sent = (
+        F.regexp_count(F.col("text"), F.lit(_SENT_RE)) + F.lit(1)
+    ).cast("bigint")
+    n_syll = F.regexp_count(F.lower(F.col("text")), F.lit(_SYLL_RE)).cast(
+        "bigint"
+    )
+    base = d.select(
+        "doc_id",
+        "lang",
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syll.alias("n_syllables"),
+    )
+    wps = F.col("n_words").cast("double") / F.col("n_sentences").cast(
+        "double"
+    )
+    spw = F.col("n_syllables").cast("double") / F.col("n_words").cast(
+        "double"
+    )
+    flesch = (
+        F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    )
+    fk = F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)
+    return base.select(
+        "doc_id",
+        "lang",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        flesch.alias("flesch"),
+        fk.alias("fk_grade"),
+        F.when(flesch >= 60.0, "easy")
+        .when(flesch >= 30.0, "medium")
+        .otherwise("hard")
+        .alias("band"),
+    )
