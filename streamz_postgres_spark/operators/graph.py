@@ -257,3 +257,98 @@ def q_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_vectors"))
         .orderBy("in_degree")
     )
+
+
+# -- degree assortativity -----------------------------------------------------
+
+
+@register(
+    "q_graph_assortativity",
+    oracle="""
+WITH e AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), dc AS (
+  SELECT c, CAST(COUNT(*) AS BIGINT) AS dx FROM e GROUP BY c
+), ds AS (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS dy FROM e GROUP BY s
+), j AS (
+  SELECT dx, dy FROM e JOIN dc USING (c) JOIN ds USING (s)
+), sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(dx) AS BIGINT) AS sx,
+         CAST(SUM(dy) AS BIGINT) AS sy,
+         CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+         CAST(SUM(dy * dy) AS BIGINT) AS syy,
+         CAST(SUM(dx * dy) AS BIGINT) AS sxy
+  FROM j
+)
+SELECT n AS n_edges,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM dc) AS n_customers,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM ds) AS n_suppliers,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+         AS assortativity
+FROM sums
+""",
+    tags=("graph", "stats"),
+)
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the customer-supplier trade graph
+    (Newman 2002): the Pearson correlation between the two endpoint
+    degrees across edges — do high-degree customers trade with
+    high-degree suppliers (assortative, r > 0) or with the long tail
+    (disassortative, r < 0)? The graph-health audit run before any
+    graph algorithm whose convergence depends on degree mixing
+    (PageRank, label propagation, the CC reducer's hub behavior).
+
+    Plan: one fact-fact equi-join (orders |><| lineitem on orderkey)
+    -> distinct edge shuffle -> two key-only degree aggregations ->
+    two partitioned joins back onto the edges -> a SIX-SUM global
+    fold to one row. The five sums and the count are exact bigints
+    (degrees are integers); the Pearson combination happens ONCE in
+    double with the identical expression tree on both engines
+    (products of exact integers, one division, one correctly-rounded
+    sqrt) — bit-identical without any decimal detour. Nothing after
+    the degree joins scales with input; a zero denominator (all
+    degrees equal) would yield NaN on both engines identically."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    dc = e.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("dx"))
+    ds = e.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("dy"))
+    j = e.join(dc, "c").join(ds, "s").select("dx", "dy")
+    sums = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("dx").cast("bigint").alias("sx"),
+        F.sum("dy").cast("bigint").alias("sy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("bigint").alias("syy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("bigint").alias("sxy"),
+    )
+    ncust = dc.agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+    nsupp = ds.agg(F.count(F.lit(1)).cast("bigint").alias("n_suppliers"))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    num = d("n") * d("sxy") - d("sx") * d("sy")
+    den = F.sqrt(
+        (d("n") * d("sxx") - d("sx") * d("sx"))
+        * (d("n") * d("syy") - d("sy") * d("sy"))
+    )
+    return (
+        sums.crossJoin(F.broadcast(ncust))
+        .crossJoin(F.broadcast(nsupp))
+        .select(
+            F.col("n").alias("n_edges"),
+            "n_customers",
+            "n_suppliers",
+            (num / den).alias("assortativity"),
+        )
+    )

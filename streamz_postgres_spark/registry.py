@@ -232,6 +232,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_exclude_sql",
     "q_t_closeness",
     "q_text_readability",
+    "q_graph_assortativity",
     # r4-latest block (r9 window tail / r10; oldest evidence first):
     "q_agg_distinct",
     "q_asof_join",
