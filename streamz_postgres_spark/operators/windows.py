@@ -953,3 +953,69 @@ def q_qualify_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.catalog.dropTempView(view)
+
+
+@register(
+    "q_window_cume_dist",
+    oracle="""
+SELECT o_orderstatus, o_orderkey, o_totalprice,
+  cume_dist() OVER w AS cd,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+         OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC,
+               o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       AS DOUBLE)
+    / CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+             OVER (PARTITION BY o_orderstatus) AS DOUBLE) AS rev_share,
+  CASE WHEN CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+         OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC,
+               o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       AS DOUBLE)
+    / CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+             OVER (PARTITION BY o_orderstatus) AS DOUBLE) <= 0.5 THEN 'A'
+       WHEN CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+         OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC,
+               o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       AS DOUBLE)
+    / CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+             OVER (PARTITION BY o_orderstatus) AS DOUBLE) <= 0.8 THEN 'B'
+       ELSE 'C' END AS abc_class
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+""",
+    tags=("window",),
+)
+def q_window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/ABC analysis per order status: cume_dist (the one
+    member of the SQL window-distribution family not already covered
+    by q_window_rank/q_window_analytic) plus each order's running
+    share of its status's revenue, cut into the classic A/<=50% /
+    B/<=80% / C bands — "what fraction of orders carries what
+    fraction of revenue".
+
+    Determinism: cume_dist over a UNIQUE ordering is rn/n (two exact
+    integers, one division); the running revenue share accumulates in
+    exact DECIMAL along the defined order (DuckDB's segment-tree
+    windowed SUM re-associates additions, which is only safe because
+    decimal addition is associative — a raw double running sum would
+    diverge) and divides ONCE as double. One window shuffle on the
+    status key; same plan shape as q_running_sum at any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy("o_orderstatus")
+    run = F.sum(F.col("o_totalprice").cast(_DEC)).over(wrun).cast("double")
+    tot = F.sum(F.col("o_totalprice").cast(_DEC)).over(wall).cast("double")
+    share = run / tot
+    return o.select(
+        "o_orderstatus",
+        "o_orderkey",
+        "o_totalprice",
+        F.cume_dist().over(w).alias("cd"),
+        share.alias("rev_share"),
+        F.when(share <= 0.5, "A")
+        .when(share <= 0.8, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )

@@ -233,6 +233,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_t_closeness",
     "q_text_readability",
     "q_graph_assortativity",
+    "q_window_cume_dist",
     # r4-latest block (r9 window tail / r10; oldest evidence first):
     "q_agg_distinct",
     "q_asof_join",
