@@ -671,3 +671,110 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(novel).cast("bigint").alias("n_novel"),
         (F.sum(novel).cast("double") / F.count(F.lit(1))).alias("novelty"),
     )
+
+
+# -- vocabulary growth (Heaps-law checkpoints) --------------------------------
+
+
+@register(
+    "q_vocab_growth",
+    oracle=f"""
+WITH d AS (
+  SELECT source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+         len({sql_tokens('text')}) AS n_tok,
+         {sql_tokens('text')} AS toks
+  FROM documents
+), tot AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tok) AS BIGINT) AS tokens_total
+  FROM d GROUP BY source
+), fr AS (
+  SELECT source, w, CAST(MIN(rn) AS BIGINT) AS fr
+  FROM (SELECT source, rn, unnest(toks) AS w FROM d) x
+  GROUP BY source, w
+)
+SELECT f.source, t.n_docs, t.tokens_total,
+  CAST(SUM(CASE WHEN fr <= (n_docs + 3) // 4 THEN 1 ELSE 0 END)
+       AS BIGINT) AS types_q1,
+  CAST(SUM(CASE WHEN fr <= (n_docs + 1) // 2 THEN 1 ELSE 0 END)
+       AS BIGINT) AS types_q2,
+  CAST(SUM(CASE WHEN fr <= (3 * n_docs + 3) // 4 THEN 1 ELSE 0 END)
+       AS BIGINT) AS types_q3,
+  CAST(COUNT(*) AS BIGINT) AS types_total,
+  CAST(COUNT(*) AS DOUBLE) / CAST(t.tokens_total AS DOUBLE)
+    AS type_token_ratio
+FROM fr f JOIN tot t USING (source)
+GROUP BY f.source, t.n_docs, t.tokens_total
+ORDER BY f.source
+""",
+    tags=("corpus", "text"),
+)
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps-law) checkpoints per source: distinct
+    word types seen after 25% / 50% / 75% / 100% of the source's
+    documents in stable doc_id order, plus the final type/token
+    ratio. A healthy natural corpus keeps adding types sublinearly
+    (V ~ n^beta, beta ~ 0.5); a source whose curve FLATTENS early is
+    template/boilerplate spam and a candidate for aggressive dedup —
+    this read-out is how a curation run ranks sources for that
+    treatment without fitting anything.
+
+    Exactness: checkpoints are integer ceilings ((n+3) div 4 etc.),
+    first-appearance is MIN(row_number) per (source, word), and all
+    counts are exact bigints — only the final type/token ratio
+    divides, once, in double. Scale: the token explode feeds a
+    map-side-combined MIN per (source, word) — the shuffle carries
+    the VOCABULARY (types x sources), not the token stream; the
+    checkpoint fold is per-source and bounded. The per-source
+    row_number runs over doc METADATA (doc_id only), not payloads."""
+    d = load_table(spark, sf_dir, "documents")
+    wdoc = Window.partitionBy("source").orderBy("doc_id")
+    base = d.select(
+        "source",
+        F.row_number().over(wdoc).alias("rn"),
+        F.size(tokens("text")).alias("n_tok"),
+        tokens("text").alias("toks"),
+    )
+    tot = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("tokens_total"),
+    )
+    fr = (
+        base.select("source", "rn", F.explode("toks").alias("w"))
+        .groupBy("source", "w")
+        .agg(F.min("rn").cast("bigint").alias("fr"))
+    )
+    q1 = F.expr("(n_docs + 3) div 4")
+    q2 = F.expr("(n_docs + 1) div 2")
+    q3 = F.expr("(3 * n_docs + 3) div 4")
+    return (
+        fr.join(F.broadcast(tot), "source")
+        .groupBy("source", "n_docs", "tokens_total")
+        .agg(
+            F.sum(F.when(F.col("fr") <= q1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("types_q1"),
+            F.sum(F.when(F.col("fr") <= q2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("types_q2"),
+            F.sum(F.when(F.col("fr") <= q3, 1).otherwise(0))
+            .cast("bigint")
+            .alias("types_q3"),
+            F.count(F.lit(1)).cast("bigint").alias("types_total"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "tokens_total",
+            "types_q1",
+            "types_q2",
+            "types_q3",
+            "types_total",
+            (
+                F.col("types_total").cast("double")
+                / F.col("tokens_total").cast("double")
+            ).alias("type_token_ratio"),
+        )
+        .orderBy("source")
+    )
