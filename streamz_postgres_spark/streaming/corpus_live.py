@@ -745,3 +745,101 @@ def q_stream_mixture_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# -- live vocabulary-novelty monitor -----------------------------------------
+
+
+def _vocab_novelty_fold(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-source streaming vocabulary roster: each arriving doc (in
+    doc_id order within the batch) reports how many distinct word
+    types it carries and how many of those are NEW versus every
+    earlier doc of the same source, then joins the roster. The roster
+    is the exact seen-type set (JSON-sorted in state for stable
+    round-trips); it grows with the source's VOCABULARY — sublinear
+    in docs by Heaps' law — not with the document stream. A 100 TB
+    deployment swaps the exact set for a Bloom filter at the same
+    fold shape (novelty then carries the filter's false-positive
+    rate; the exact form here is what the oracle can value-check)."""
+    import json
+
+    roster = set(json.loads(state.get[0])) if state.exists else set()
+    pdf = pd.concat(list(batches), ignore_index=True).sort_values("doc_id")
+    ids, n_types, n_new = [], [], []
+    for _, row in pdf.iterrows():
+        types = set(str(row["text"]).split(" "))
+        ids.append(int(row["doc_id"]))
+        n_types.append(len(types))
+        n_new.append(len(types - roster))
+        roster |= types
+    state.update((json.dumps(sorted(roster)),))
+    yield pd.DataFrame(
+        {
+            "doc_id": pd.Series(ids, dtype="int64"),
+            "source": pd.Series([key[0]] * len(ids), dtype="object"),
+            "n_types": pd.Series(n_types, dtype="int64"),
+            "n_new_types": pd.Series(n_new, dtype="int64"),
+        }
+    )
+
+
+def q_stream_vocab_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE vocabulary-novelty monitor: as documents arrive, each one
+    reports its distinct-type count and how many types its source has
+    never seen before — the streaming twin of q_vocab_growth's
+    checkpoints. A source whose per-doc novelty collapses toward zero
+    is emitting template/boilerplate spam, and this stream is the
+    alarm that fires DURING the crawl instead of at the nightly
+    audit. Stateful fold per source (arrival order within a source is
+    the novelty order — inherent to the semantics, so the fold
+    serializes per source while sources run in parallel); state is
+    the seen-type roster, bounded by the source's vocabulary (Heaps-
+    sublinear), Bloom-swappable at scale. Oracle: novelty is
+    first-occurrence — a type is new in doc d iff min(doc_id) over
+    the source's docs containing it equals d — so the batch SQL
+    reproduces every per-doc count exactly."""
+    src = _streaming_documents(spark, sf_dir)
+    out = src.select("source", "doc_id", "text").groupBy(
+        "source"
+    ).applyInPandasWithState(
+        _vocab_novelty_fold,
+        outputStructType="doc_id long, source string, n_types long, "
+        "n_new_types long",
+        stateStructType="roster string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    tbl = run_to_table(out, "append", spark)
+    return tbl.select("doc_id", "source", "n_types", "n_new_types")
+
+
+def _vocab_novelty_oracle() -> str:
+    from streamz_postgres_spark.functions.text_features import sql_tokens
+
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT source, doc_id, w
+  FROM (
+    SELECT source, doc_id, unnest({sql_tokens('text')}) AS w
+    FROM documents
+  ) x
+), firsts AS (
+  SELECT source, w, MIN(doc_id) AS fd FROM toks GROUP BY source, w
+)
+SELECT t.doc_id, t.source,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(CASE WHEN f.fd = t.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_new_types
+FROM toks t
+JOIN firsts f ON f.source = t.source AND f.w = t.w
+GROUP BY t.doc_id, t.source
+"""
+
+
+register(
+    "q_stream_vocab_novelty",
+    oracle=_vocab_novelty_oracle(),
+    tags=("streaming", "corpus", "stateful"),
+)(q_stream_vocab_novelty)
