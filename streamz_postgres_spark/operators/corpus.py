@@ -20,8 +20,10 @@ from pyspark.sql import functions as F
 from streamz_postgres_spark.catalog import load_table
 from streamz_postgres_spark.functions.text_features import (
     hash60,
+    seeded_hash60,
     shingles,
     sql_hash60,
+    sql_seeded_hash60,
     sql_shingles,
     sql_tokens,
     tokens,
@@ -777,4 +779,142 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("type_token_ratio"),
         )
         .orderBy("source")
+    )
+
+
+# -- deterministic Bloom-filter audit -----------------------------------------
+
+_BLOOM_M = 4096  # filter bits
+_BLOOM_K = 2  # hash functions (double hashing: h1 + i*h2)
+_BLOOM_MOD = 97  # doc_id % 97 == 0 -> reference ("benchmark") docs
+_BLOOM_N = 3  # word n-gram order
+
+
+@register(
+    "q_bloom_filter_audit",
+    oracle=f"""
+WITH ref AS (
+  SELECT DISTINCT s FROM (
+    SELECT unnest({sql_shingles(sql_tokens('text'), _BLOOM_N)}) AS s
+    FROM documents WHERE doc_id % {_BLOOM_MOD} = 0
+  ) t
+), bits AS (
+  SELECT DISTINCT ({sql_hash60('s')}
+                   + i * {sql_seeded_hash60('s', 7)}) % {_BLOOM_M} AS pos
+  FROM ref CROSS JOIN (SELECT unnest([0, 1]) AS i) k
+), probe AS (
+  SELECT DISTINCT s FROM (
+    SELECT unnest({sql_shingles(sql_tokens('text'), _BLOOM_N)}) AS s
+    FROM documents WHERE doc_id % {_BLOOM_MOD} <> 0
+  ) t
+), hits AS (
+  SELECT p.s,
+         CAST(COUNT(b.pos) AS BIGINT) = {_BLOOM_K} AS hit,
+         MAX(CASE WHEN r.s IS NOT NULL THEN 1 ELSE 0 END) = 1 AS member
+  FROM probe p
+  CROSS JOIN (SELECT unnest([0, 1]) AS i) k
+  LEFT JOIN bits b
+    ON ({sql_hash60('p.s')}
+        + k.i * {sql_seeded_hash60('p.s', 7)}) % {_BLOOM_M} = b.pos
+  LEFT JOIN ref r ON r.s = p.s
+  GROUP BY p.s
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ref) AS n_ref,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS n_bits_set,
+       CAST(COUNT(*) AS BIGINT) AS n_probes,
+       CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       CAST(SUM(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+       CAST(SUM(CASE WHEN hit AND NOT member THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_pos,
+       CAST(SUM(CASE WHEN hit AND NOT member THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(CASE WHEN NOT member THEN 1 ELSE 0 END) AS DOUBLE)
+         AS fp_rate
+FROM hits
+""",
+    tags=("corpus", "sketch"),
+)
+def q_bloom_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bloom-filter audit: build an m={_BLOOM_M}-bit,
+    k={_BLOOM_K}-hash Bloom filter over the benchmark docs' word
+    {_BLOOM_N}-grams (double hashing, pos_i = (h1 + i*h2) mod m —
+    Kirsch-Mitzenmacher), probe every remaining corpus shingle, and
+    report the MEASURED false-positive rate against exact membership.
+    This is the calibration read-out for every "swap the exact roster
+    for a Bloom filter at scale" note in this engine (the
+    q_stream_vocab_novelty / q_contamination production form): before
+    a 100 TB run commits to (m, k), this audit prices the FP rate on
+    a sample, exactly.
+
+    Determinism: the filter IS deterministic — both hash functions
+    are the house md5-based hash60 family, so the set-bit table, the
+    per-probe hit verdict, and the FP count are exact integers on
+    both engines (no RNG, no sketch library); the one division is the
+    final rate. Scale: the bit table is at most m rows (broadcast);
+    probes join it by position — the shuffle carries distinct
+    shingles, never documents; the exact-membership join is the same
+    broadcast the contamination scan uses."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingles(tokens("text"), _BLOOM_N)
+    ref = (
+        d.filter(F.col("doc_id") % _BLOOM_MOD == 0)
+        .select(F.explode(sh).alias("s"))
+        .distinct()
+    )
+    probe = (
+        d.filter(F.col("doc_id") % _BLOOM_MOD != 0)
+        .select(F.explode(sh).alias("s"))
+        .distinct()
+    )
+
+    def _positions(col: F.Column) -> F.Column:
+        h1 = hash60(col)
+        h2 = seeded_hash60(col, 7)
+        return F.array(
+            *[(h1 + F.lit(i) * h2) % _BLOOM_M for i in range(_BLOOM_K)]
+        )
+
+    bits = ref.select(
+        F.explode(_positions(F.col("s"))).alias("pos")
+    ).distinct()
+    probed = probe.select(
+        "s", F.explode(_positions(F.col("s"))).alias("pos")
+    )
+    hits = (
+        probed.join(F.broadcast(bits.withColumn("__b", F.lit(1))), "pos", "left")
+        .groupBy("s")
+        .agg((F.count("__b") == _BLOOM_K).alias("hit"))
+        .join(
+            F.broadcast(ref.withColumn("__m", F.lit(1))), "s", "left"
+        )
+        .select("hit", F.col("__m").isNotNull().alias("member"))
+    )
+    nref = ref.agg(F.count(F.lit(1)).cast("bigint").alias("n_ref"))
+    nbits = bits.agg(F.count(F.lit(1)).cast("bigint").alias("n_bits_set"))
+    fp = F.when(F.col("hit") & ~F.col("member"), 1).otherwise(0)
+    nonmem = F.when(~F.col("member"), 1).otherwise(0)
+    return (
+        hits.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+            F.sum(F.when(F.col("hit"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hits"),
+            F.sum(F.when(F.col("member"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_members"),
+            F.sum(fp).cast("bigint").alias("n_false_pos"),
+            (F.sum(fp).cast("double") / F.sum(nonmem).cast("double")).alias(
+                "fp_rate"
+            ),
+        )
+        .crossJoin(F.broadcast(nref))
+        .crossJoin(F.broadcast(nbits))
+        .select(
+            "n_ref",
+            "n_bits_set",
+            "n_probes",
+            "n_hits",
+            "n_members",
+            "n_false_pos",
+            "fp_rate",
+        )
     )
