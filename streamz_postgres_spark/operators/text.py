@@ -1181,3 +1181,119 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("hard")
         .alias("band"),
     )
+
+
+# -- Kneser-Ney bigram LM scoring ---------------------------------------------
+
+_KN_D = 0.75  # absolute discount (exactly representable: 3/4)
+
+
+@register(
+    "q_doc_perplexity_kn",
+    oracle=f"""
+WITH bc AS (
+  SELECT bg, CAST(COUNT(*) AS BIGINT) AS cxy
+  FROM (SELECT unnest({sql_shingles(sql_tokens('text'), 2)}) AS bg
+        FROM documents)
+  GROUP BY bg
+),
+sp AS (
+  SELECT bg, cxy,
+         string_split(bg, ' ')[1] AS w1,
+         string_split(bg, ' ')[2] AS w2
+  FROM bc
+),
+fwd AS (
+  SELECT w1, CAST(SUM(cxy) AS BIGINT) AS c1,
+         CAST(COUNT(*) AS BIGINT) AS nf
+  FROM sp GROUP BY w1
+),
+back AS (
+  SELECT w2, CAST(COUNT(*) AS BIGINT) AS nb FROM sp GROUP BY w2
+),
+ntypes AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM bc),
+db AS (
+  SELECT doc_id, unnest({sql_shingles(sql_tokens('text'), 2)}) AS bg
+  FROM documents
+),
+terms AS (
+  SELECT db.doc_id,
+         {sql_qround(
+             "-ln(greatest(CAST(sp.cxy AS DOUBLE) - 0.75, 0.0)"
+             " / CAST(fwd.c1 AS DOUBLE)"
+             " + (0.75 * CAST(fwd.nf AS DOUBLE) / CAST(fwd.c1 AS DOUBLE))"
+             " * (CAST(back.nb AS DOUBLE) / CAST(ntypes.nt AS DOUBLE)))",
+             6)} AS term
+  FROM db
+  JOIN sp ON db.bg = sp.bg
+  JOIN fwd ON sp.w1 = fwd.w1
+  JOIN back ON sp.w2 = back.w2
+  CROSS JOIN ntypes
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       {sql_qround(f"{sql_dsum('term')} / COUNT(*)", 6)} AS avg_nll
+FROM terms
+GROUP BY doc_id
+""",
+    tags=("text", "pipeline"),
+)
+def q_doc_perplexity_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average negative log-likelihood under an
+    INTERPOLATED KNESER-NEY bigram model (d=0.75) — the production
+    n-gram smoothing (Chen & Goodman '98), beside q_doc_perplexity's
+    add-one baseline: P(w2|w1) = max(c12-d, 0)/c1 +
+    (d*N1+(w1,.)/c1) * (N1+(.,w2)/N1+(.,.)). The continuation
+    counts make the backoff reward words that follow MANY contexts,
+    not merely frequent words — the difference that makes KN the
+    default quality-filter LM.
+
+    Determinism: all five count tables are exact integers derived
+    from ONE bigram-type table; d=0.75 is dyadic-exact; the
+    probability is the identical IEEE expression tree on both
+    engines and each -ln term goes through qround(6) (libm ulp
+    guard) before the exact decimal mean. Scale: the LM tables are
+    vocabulary-sized (broadcast); scoring is the same instance-join
+    shape as the add-one key — shuffle O(bigram instances) on the
+    bigram key, never a cross join."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    bc = (
+        d.select(F.explode(shingles(tok, 2)).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cxy"))
+    )
+    sp = bc.select(
+        "bg",
+        "cxy",
+        F.split(F.col("bg"), " ").getItem(0).alias("w1"),
+        F.split(F.col("bg"), " ").getItem(1).alias("w2"),
+    )
+    fwd = sp.groupBy("w1").agg(
+        F.sum("cxy").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("nf"),
+    )
+    back = sp.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nb")
+    )
+    ntypes = bc.agg(F.count(F.lit(1)).cast("bigint").alias("nt"))
+    db = d.select("doc_id", F.explode(shingles(tok, 2)).alias("bg"))
+    p = (
+        F.greatest(
+            F.col("cxy").cast("double") - F.lit(_KN_D), F.lit(0.0)
+        )
+        / F.col("c1").cast("double")
+        + (F.lit(_KN_D) * F.col("nf").cast("double") / F.col("c1").cast("double"))
+        * (F.col("nb").cast("double") / F.col("nt").cast("double"))
+    )
+    terms = (
+        db.join(sp, "bg")
+        .join(F.broadcast(fwd), "w1")
+        .join(F.broadcast(back), "w2")
+        .crossJoin(F.broadcast(ntypes))
+        .select("doc_id", qround(-F.log(p), 6).alias("term"))
+    )
+    return terms.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        qround(dsum("term") / F.count(F.lit(1)), 6).alias("avg_nll"),
+    )
