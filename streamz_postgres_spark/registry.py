@@ -238,6 +238,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_stream_vocab_novelty",
     "q_bloom_filter_audit",
     "q_doc_perplexity_kn",
+    "q_stream_bloom_ingest",
     # r4-latest block (r9 window tail / r10; oldest evidence first):
     "q_agg_distinct",
     "q_asof_join",

@@ -843,3 +843,125 @@ register(
     oracle=_vocab_novelty_oracle(),
     tags=("streaming", "corpus", "stateful"),
 )(q_stream_vocab_novelty)
+
+
+# -- live Bloom-filter contamination guard -----------------------------------
+
+
+def q_stream_bloom_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE Bloom-filter contamination guard — the SCALE form of
+    q_stream_contamination: instead of joining arriving docs against
+    the exact benchmark shingle set, each doc probes a broadcast
+    m=4096-bit / k=2 Bloom filter built from it (the configuration
+    q_bloom_filter_audit prices: ~1.7% measured FP rate at these
+    fill levels). The probe is entirely ROW-LOCAL — distinct
+    shingles, two md5 positions each, membership via a higher-order
+    filter against the ONE-ROW broadcast bit set — so the stream
+    never shuffles and the guard's cost per doc is O(shingles),
+    independent of benchmark size. At 100 TB the bit set stays a few
+    KB broadcast where the exact set would be GBs. Oracle: the
+    filter is deterministic (md5 hash60 family), so the batch SQL
+    reproduces every per-doc hit count bit-for-bit."""
+    from streamz_postgres_spark.functions.text_features import (
+        hash60,
+        seeded_hash60,
+        shingles,
+        tokens,
+    )
+    from streamz_postgres_spark.operators.corpus import (
+        _BLOOM_K,
+        _BLOOM_M,
+        _BLOOM_MOD,
+        _BLOOM_N,
+    )
+
+    ref = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % _BLOOM_MOD == 0)
+        .select(F.explode(shingles(tokens("text"), _BLOOM_N)).alias("s"))
+        .distinct()
+    )
+    h1, h2 = hash60(F.col("s")), seeded_hash60(F.col("s"), 7)
+    bits = (
+        ref.select(
+            F.explode(
+                F.array(*[(h1 + F.lit(i) * h2) % _BLOOM_M for i in range(_BLOOM_K)])
+            ).alias("pos")
+        )
+        .distinct()
+        .agg(F.collect_set("pos").alias("bs"))
+    )
+
+    src = _streaming_documents(spark, sf_dir).filter(
+        F.col("doc_id") % _BLOOM_MOD != 0
+    )
+    sh = F.array_distinct(shingles(tokens("text"), _BLOOM_N))
+
+    def _is_hit(s):
+        sh1 = hash60(s)
+        sh2 = hash60(F.concat(s, F.lit("#7")))
+        return F.array_contains(F.col("bs"), sh1 % _BLOOM_M) & F.array_contains(
+            F.col("bs"), (sh1 + sh2) % _BLOOM_M
+        )
+
+    probed = (
+        src.select("doc_id", sh.alias("sh"))
+        .crossJoin(F.broadcast(bits))
+        .select(
+            "doc_id",
+            F.size("sh").cast("bigint").alias("n_shingles"),
+            F.size(F.filter(F.col("sh"), _is_hit)).cast("bigint").alias(
+                "n_bloom_hits"
+            ),
+        )
+    )
+    return run_to_table(probed, "append", spark)
+
+
+def _bloom_ingest_oracle() -> str:
+    from streamz_postgres_spark.functions.text_features import (
+        sql_hash60,
+        sql_seeded_hash60,
+        sql_shingles,
+        sql_tokens,
+    )
+    from streamz_postgres_spark.operators.corpus import (
+        _BLOOM_M,
+        _BLOOM_MOD,
+        _BLOOM_N,
+    )
+
+    h1 = sql_hash60("s")
+    h2 = sql_seeded_hash60("s", 7)
+    lh1 = sql_hash60("ls")
+    lh2 = sql_seeded_hash60("ls", 7)
+    return f"""
+WITH ref AS (
+  SELECT DISTINCT s FROM (
+    SELECT unnest({sql_shingles(sql_tokens('text'), _BLOOM_N)}) AS s
+    FROM documents WHERE doc_id % {_BLOOM_MOD} = 0
+  ) t
+), bits AS (
+  SELECT DISTINCT ({h1} + i * {h2}) % {_BLOOM_M} AS pos
+  FROM ref CROSS JOIN (SELECT unnest([0, 1]) AS i) k
+), bitset AS (SELECT list(pos) AS bs FROM bits),
+probe AS (
+  SELECT doc_id,
+         list_distinct({sql_shingles(sql_tokens('text'), _BLOOM_N)}) AS sh
+  FROM documents WHERE doc_id % {_BLOOM_MOD} <> 0
+)
+SELECT doc_id,
+       CAST(len(sh) AS BIGINT) AS n_shingles,
+       CAST(len(list_filter(sh, ls ->
+           list_contains(bs, {lh1} % {_BLOOM_M})
+           AND list_contains(bs, ({lh1} + {lh2}) % {_BLOOM_M})))
+         AS BIGINT) AS n_bloom_hits
+FROM probe CROSS JOIN bitset
+"""
+
+
+register(
+    "q_stream_bloom_ingest",
+    oracle=_bloom_ingest_oracle(),
+    tags=("streaming", "corpus", "sketch"),
+)(q_stream_bloom_ingest)
