@@ -23,9 +23,12 @@ from pyspark.sql import functions as F
 
 from streamz_postgres_spark.catalog import load_table
 from streamz_postgres_spark.functions.numeric import (
+    dsum,
+    qround,
     sql_davg,
     sql_dstddev_samp,
     sql_dsum,
+    sql_qround,
 )
 from streamz_postgres_spark.functions.vector import (
     dist2,
@@ -2000,4 +2003,114 @@ def q_sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("adc").alias("adc_score"),
             cos.alias("cosine"),
         )
+    )
+
+
+# -- matryoshka truncation audit ----------------------------------------------
+
+_MRL_KS = (8, 16, 64)  # prefix dims audited (64 = full)
+_MRL_QMOD = 25  # vec_id % 25 == 0 -> query sample (20 queries)
+
+
+@register(
+    "q_embed_matryoshka",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id % {_MRL_QMOD} = 0),
+ks AS (SELECT unnest({list(_MRL_KS)}) AS k),
+pairs AS (
+  SELECT ks.k, q.qid, v.vec_id,
+         {sql_dot('(v.e)[1:ks.k]', '(q.qe)[1:ks.k]')}
+           / ({sql_l2_norm('(v.e)[1:ks.k]')}
+              * {sql_l2_norm('(q.qe)[1:ks.k]')}) AS cos
+  FROM v CROSS JOIN q CROSS JOIN ks
+  WHERE v.vec_id <> q.qid
+),
+top1 AS (
+  SELECT k, qid, vec_id, cos,
+         row_number() OVER (PARTITION BY k, qid
+                            ORDER BY cos DESC, vec_id) AS rn
+  FROM pairs
+),
+t1 AS (SELECT k, qid, vec_id, cos FROM top1 WHERE rn = 1),
+full_t1 AS (SELECT qid, vec_id AS full_top FROM t1 WHERE k = {_MRL_KS[-1]})
+SELECT t1.k,
+       CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(CASE WHEN t1.vec_id = f.full_top THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_top1_agree,
+       CAST(SUM(CASE WHEN t1.vec_id = f.full_top THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS agree_rate,
+       {sql_qround(f"{sql_dsum(sql_qround('t1.cos', 6))} / COUNT(*)", 6)}
+         AS mean_top1_cos
+FROM t1 JOIN full_t1 f ON t1.qid = f.qid
+GROUP BY t1.k
+ORDER BY t1.k
+""",
+    tags=("similarity", "embedding"),
+)
+def q_embed_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit (Kusupati '22 / MRL serving): for
+    each query, the exact top-1 neighbor under the FIRST-k embedding
+    dims (k = 8 / 16 / 64) versus the full-dimension answer —
+    top-1 agreement rate and mean retained cosine per k. This is the
+    read-out that decides how hard an embedding store can truncate
+    (2x-8x smaller vectors, ANN candidate generation in the prefix,
+    re-rank in full precision) before retrieval quality moves. Run
+    beside q_embed_quantize / q_embed_pq: truncation, scalar
+    quantization, and product quantization are the three compression
+    axes, now each with its audit.
+
+    Determinism: prefix slices fold in the same element order on
+    both engines (the shared dot/norm discipline), top-1 breaks ties
+    on vec_id, and the mean cosine is qround(6)-then-exact-decimal.
+    Scale: queries x k is a bounded broadcast; candidates re-split
+    via _vecs_parallel; at 100 TB the candidate side is IVF-routed
+    (compose with q_sim_ann_ivf) so each query scores nprobe cells,
+    not the corpus — the audit shape is unchanged."""
+    e = _vecs_parallel(spark, sf_dir)
+    v = e.select("vec_id", F.col("embedding").alias("e"))
+    q = v.filter(F.col("vec_id") % _MRL_QMOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    qk = q.withColumn(
+        "k", F.explode(F.array(*[F.lit(k) for k in _MRL_KS]))
+    )
+    ek = F.slice(F.col("e"), 1, F.col("k"))
+    qek = F.slice(F.col("qe"), 1, F.col("k"))
+    cos = dot(ek, qek) / (l2_norm(ek) * l2_norm(qek))
+    pairs = (
+        v.crossJoin(F.broadcast(qk))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("k", "qid", "vec_id", cos.alias("cos"))
+    )
+    w = Window.partitionBy("k", "qid").orderBy(
+        F.col("cos").desc(), "vec_id"
+    )
+    t1 = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    full_t1 = (
+        t1.filter(F.col("k") == _MRL_KS[-1])
+        .select("qid", F.col("vec_id").alias("full_top"))
+    )
+    agree = F.when(F.col("vec_id") == F.col("full_top"), 1).otherwise(0)
+    return (
+        t1.join(F.broadcast(full_t1), "qid")
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+            F.sum(agree).cast("bigint").alias("n_top1_agree"),
+            (F.sum(agree).cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "agree_rate"
+            ),
+            qround(
+                dsum(qround(F.col("cos"), 6)) / F.count(F.lit(1)), 6
+            ).alias("mean_top1_cos"),
+        )
+        .orderBy("k")
     )

@@ -239,6 +239,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_bloom_filter_audit",
     "q_doc_perplexity_kn",
     "q_stream_bloom_ingest",
+    "q_embed_matryoshka",
     # r4-latest block (r9 window tail / r10; oldest evidence first):
     "q_agg_distinct",
     "q_asof_join",
