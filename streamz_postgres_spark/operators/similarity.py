@@ -2009,7 +2009,13 @@ def q_sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- matryoshka truncation audit ----------------------------------------------
 
 _MRL_KS = (8, 16, 64)  # prefix dims audited (64 = full)
-_MRL_QMOD = 25  # vec_id % 25 == 0 -> query sample (20 queries)
+_MRL_QMOD = 25  # vec_id % 25 == 0 within the panel range -> 20 queries
+#: the query panel is FIXED-SIZE by design (vec_id < 500): a
+#: truncation calibration needs a pinned probe panel, not a panel
+#: that grows with the corpus — without the bound the audit is a
+#: quadratic Q x N scan at scale (the 10x curve measured 32x wall);
+#: with it, wall is linear in the candidate store
+_MRL_PANEL_MAX = 500
 
 
 @register(
@@ -2019,7 +2025,8 @@ WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
   FROM embeddings
 ),
-q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id % {_MRL_QMOD} = 0),
+q AS (SELECT vec_id AS qid, e AS qe FROM v
+     WHERE vec_id % {_MRL_QMOD} = 0 AND vec_id < {_MRL_PANEL_MAX}),
 ks AS (SELECT unnest({list(_MRL_KS)}) AS k),
 pairs AS (
   SELECT ks.k, q.qid, v.vec_id,
@@ -2072,9 +2079,10 @@ def q_embed_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     not the corpus — the audit shape is unchanged."""
     e = _vecs_parallel(spark, sf_dir)
     v = e.select("vec_id", F.col("embedding").alias("e"))
-    q = v.filter(F.col("vec_id") % _MRL_QMOD == 0).select(
-        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
-    )
+    q = v.filter(
+        (F.col("vec_id") % _MRL_QMOD == 0)
+        & (F.col("vec_id") < _MRL_PANEL_MAX)
+    ).select(F.col("vec_id").alias("qid"), F.col("e").alias("qe"))
     qk = q.withColumn(
         "k", F.explode(F.array(*[F.lit(k) for k in _MRL_KS]))
     )

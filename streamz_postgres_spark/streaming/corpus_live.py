@@ -882,6 +882,13 @@ def q_stream_bloom_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     h1, h2 = hash60(F.col("s")), seeded_hash60(F.col("s"), 7)
+    # the filter is stored PACKED: 32 bits per word, keyed by word
+    # index in a map — the probe below is then O(1) per position
+    # (element_at on the broadcast map) instead of a linear
+    # array_contains scan of every set bit, which the 10x curve
+    # measured at 12.5x wall once the filter saturated. 32-bit words
+    # keep 1 << (pos % 32) inside positive int64 on both engines
+    # (the house variable-shift clamp rule).
     bits = (
         ref.select(
             F.explode(
@@ -889,7 +896,19 @@ def q_stream_bloom_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pos")
         )
         .distinct()
-        .agg(F.collect_set("pos").alias("bs"))
+        .select(
+            (F.col("pos") / 32).cast("int").alias("widx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias(
+                "bit"
+            ),
+        )
+        .groupBy("widx")
+        .agg(F.expr("bit_or(bit)").alias("word"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("widx", "word"))
+            ).alias("bw")
+        )
     )
 
     src = _streaming_documents(spark, sf_dir).filter(
@@ -897,22 +916,30 @@ def q_stream_bloom_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh = F.array_distinct(shingles(tokens("text"), _BLOOM_N))
 
-    def _is_hit(s):
-        sh1 = hash60(s)
-        sh2 = hash60(F.concat(s, F.lit("#7")))
-        return F.array_contains(F.col("bs"), sh1 % _BLOOM_M) & F.array_contains(
-            F.col("bs"), (sh1 + sh2) % _BLOOM_M
+    _h1 = "CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)"
+    _h2 = (
+        "CAST(conv(substring(md5(concat(s, '#7')), 1, 15), 16, 10) AS BIGINT)"
+    )
+
+    def _probe(pos_expr: str) -> str:
+        return (
+            f"(coalesce(element_at(bw, CAST(({pos_expr}) DIV 32 AS INT)), "
+            f"CAST(0 AS BIGINT)) & shiftleft(CAST(1 AS BIGINT), "
+            f"CAST(({pos_expr}) % 32 AS INT))) != 0"
         )
 
+    hits_expr = (
+        "size(filter(sh, s -> "
+        f"{_probe(f'{_h1} % {_BLOOM_M}')} AND "
+        f"{_probe(f'({_h1} + {_h2}) % {_BLOOM_M}')}))"
+    )
     probed = (
         src.select("doc_id", sh.alias("sh"))
         .crossJoin(F.broadcast(bits))
         .select(
             "doc_id",
             F.size("sh").cast("bigint").alias("n_shingles"),
-            F.size(F.filter(F.col("sh"), _is_hit)).cast("bigint").alias(
-                "n_bloom_hits"
-            ),
+            F.expr(hits_expr).cast("bigint").alias("n_bloom_hits"),
         )
     )
     return run_to_table(probed, "append", spark)
