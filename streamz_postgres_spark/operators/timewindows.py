@@ -990,3 +990,159 @@ def q_sample_by_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.catalog.dropTempView(view)
+
+
+# -- time-weighted average (TWAP) ---------------------------------------------
+
+_TW_EPOCH = "2024-01-01 00:00:00"  # whole-second epoch preceding all rows
+
+
+@register(
+    "q_twap",
+    oracle=f"""
+WITH seq AS (
+  SELECT event_type, value,
+         date_diff('second', TIMESTAMP '{_TW_EPOCH}', ts) AS x,
+         lead(date_diff('second', TIMESTAMP '{_TW_EPOCH}', ts))
+           OVER (PARTITION BY event_type
+                 ORDER BY date_diff('second', TIMESTAMP '{_TW_EPOCH}', ts),
+                          event_id) AS nx
+  FROM events
+), durs AS (
+  SELECT event_type, value, nx - x AS dur FROM seq WHERE nx IS NOT NULL
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_obs,
+       CAST(SUM(dur) AS BIGINT) AS total_dur,
+       {sql_dsum('value * CAST(dur AS DOUBLE)')}
+         / CAST(CAST(SUM(dur) AS BIGINT) AS DOUBLE) AS twap,
+       {sql_dsum('value')} / COUNT(*) AS plain_avg
+FROM durs
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("time", "window"),
+)
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (the kdb/QuestDB TWAP): each
+    observation is weighted by how long it REMAINED CURRENT (seconds
+    until the next observation of the same type; the last open-ended
+    observation is excluded). The canonical irregular-time-series
+    average — a plain AVG over-weights bursts, which is exactly the
+    bias the plain_avg column exposes beside the TWAP.
+
+    Determinism: timestamps become aligned epoch SECONDS first (the
+    house rule — both engines truncate identically when the epoch
+    precedes every row), durations are exact bigints, the weighted
+    sum goes through the micro-unit dsum, and the read-out is one
+    IEEE division by the exact total duration. One window shuffle on
+    event_type (at scale: key by (instrument, day) so no partition
+    holds a full history), then a map-side-combinable aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    x = F.expr(f"timestampdiff(SECOND, TIMESTAMP_NTZ '{_TW_EPOCH}', ts)")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("event_type").orderBy("x", "event_id")
+    seq = e.select(
+        "event_type", "value", "event_id", x.alias("x")
+    ).withColumn("nx", F.lead("x").over(w))
+    durs = seq.filter(F.col("nx").isNotNull()).select(
+        "event_type", "value", (F.col("nx") - F.col("x")).alias("dur")
+    )
+    return (
+        durs.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+            F.sum("dur").cast("bigint").alias("total_dur"),
+            (
+                dsum(F.col("value") * F.col("dur").cast("double"))
+                / F.sum("dur").cast("bigint").cast("double")
+            ).alias("twap"),
+            (dsum("value") / F.count(F.lit(1))).alias("plain_avg"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# -- OHLC bars ----------------------------------------------------------------
+
+_OHLC_BUCKET_SEC = 3600
+
+
+@register(
+    "q_ohlc_bars",
+    oracle=f"""
+WITH pts AS (
+  SELECT event_type, value, event_id,
+         date_diff('second', TIMESTAMP '{_TW_EPOCH}', ts)
+           // {_OHLC_BUCKET_SEC} AS bar,
+         row_number() OVER (
+           PARTITION BY event_type,
+             date_diff('second', TIMESTAMP '{_TW_EPOCH}', ts)
+               // {_OHLC_BUCKET_SEC}
+           ORDER BY date_diff('second', TIMESTAMP '{_TW_EPOCH}', ts),
+                    event_id) AS rn_a,
+         row_number() OVER (
+           PARTITION BY event_type,
+             date_diff('second', TIMESTAMP '{_TW_EPOCH}', ts)
+               // {_OHLC_BUCKET_SEC}
+           ORDER BY date_diff('second', TIMESTAMP '{_TW_EPOCH}', ts) DESC,
+                    event_id DESC) AS rn_d
+  FROM events
+)
+SELECT event_type, CAST(bar AS BIGINT) AS bar,
+       CAST(COUNT(*) AS BIGINT) AS n_obs,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+       {sql_dsum('value')} AS sum_value
+FROM pts
+GROUP BY event_type, bar
+ORDER BY event_type, bar
+""",
+    tags=("time", "window"),
+)
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candle bars per (type, hour): open/high/low/close +
+    volume — the time-series presentation every market/metrics
+    dashboard renders, and the classic first/last-in-window exercise.
+    Open and close are rank-1 rows under a TOTAL order (epoch
+    seconds, event_id tiebreak), never a bare first_value over ties.
+
+    One window shuffle keyed by (event_type, bar) — the bar is IN
+    the partition key, so no partition ever holds more than one
+    bucket's rows regardless of history length (the q_pack_sequences
+    shard lesson applied to time) — then the same keyed aggregate.
+    All-integer bucketing on aligned epoch seconds; the only doubles
+    are the raw values and the exact-decimal sum."""
+    e = load_table(spark, sf_dir, "events")
+    x = F.expr(f"timestampdiff(SECOND, TIMESTAMP_NTZ '{_TW_EPOCH}', ts)")
+    from pyspark.sql import Window as W
+
+    pts = e.select(
+        "event_type", "value", "event_id", x.alias("x")
+    ).withColumn("bar", F.expr(f"x div {_OHLC_BUCKET_SEC}").cast("bigint"))
+    wa = W.partitionBy("event_type", "bar").orderBy("x", "event_id")
+    wd = W.partitionBy("event_type", "bar").orderBy(
+        F.col("x").desc(), F.col("event_id").desc()
+    )
+    ranked = pts.select(
+        "event_type",
+        "bar",
+        "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return (
+        ranked.groupBy("event_type", "bar")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+            dsum("value").alias("sum_value"),
+        )
+        .orderBy("event_type", "bar")
+    )

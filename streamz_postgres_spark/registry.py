@@ -240,6 +240,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_doc_perplexity_kn",
     "q_stream_bloom_ingest",
     "q_embed_matryoshka",
+    "q_twap",
+    "q_ohlc_bars",
     # r4-latest block (r9 window tail / r10; oldest evidence first):
     "q_agg_distinct",
     "q_asof_join",
