@@ -733,3 +733,39 @@ def q_exclude_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.catalog.dropTempView(view)
+
+
+@register(
+    "q_replace_sql",
+    oracle="""
+SELECT * REPLACE (upper(lang) AS lang) FROM documents
+WHERE n_chars >= 400
+""",
+    tags=("relational", "sql"),
+)
+def q_replace_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``* REPLACE (<expr> AS <col>)`` in SQL SYNTAX — the seventh
+    sqlext grammar, the DuckDB/Snowflake star-replace ("every column
+    as-is, but normalize this one in place"). Spark has no
+    ``* REPLACE``; the adapter resolves the source schema at rewrite
+    time and splices the explicit projection, erroring on unknown or
+    duplicate targets exactly as DuckDB does. Column ORDER and the
+    rest of the star are preserved — the property that keeps
+    downstream positional consumers (parquet writers, ML feature
+    builders) stable while one column is normalized. The oracle is
+    DuckDB's NATIVE ``* REPLACE`` (the native-cross-check pattern of
+    the other star grammars)."""
+    import uuid as _uuid
+
+    from streamz_postgres_spark import sqlext
+
+    view = f"documents_{_uuid.uuid4().hex[:8]}"
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(view)
+    try:
+        return sqlext.sql(
+            spark,
+            f"SELECT * REPLACE (upper(lang) AS lang) FROM {view} "
+            "WHERE n_chars >= 400",
+        )
+    finally:
+        spark.catalog.dropTempView(view)

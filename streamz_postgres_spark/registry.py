@@ -242,6 +242,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_embed_matryoshka",
     "q_twap",
     "q_ohlc_bars",
+    "q_replace_sql",
     # r4-latest block (r9 window tail / r10; oldest evidence first):
     "q_agg_distinct",
     "q_asof_join",

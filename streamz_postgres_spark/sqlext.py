@@ -40,7 +40,15 @@ the reason):
   unknown or duplicate EXCLUDE entry; silently passing a typo'd
   column name through would keep the payload column in the scan,
   defeating the pruning the user asked for). One ``* EXCLUDE`` per
-  query, single named table, no JOIN.
+  query, single named table, no JOIN;
+- ``* REPLACE (<expr> AS <col>[, ...])`` (the DuckDB/Snowflake
+  star-replace: keep every column but substitute a computed
+  expression for the named ones in place) -> the explicit projection
+  resolved from the source schema at rewrite time (each target
+  column must exist; duplicates error — DuckDB refuses both too).
+  Spark has no ``* REPLACE``; hand-writing the projection is exactly
+  the 400-column chore the idiom exists to avoid. One ``* REPLACE``
+  per query, single named table, no JOIN.
 
 Supported grammar (one ASOF join per query)::
 
@@ -184,6 +192,68 @@ def _lower_exclude(spark: SparkSession, query: str) -> DataFrame:
     rewritten = (
         query[:start] + f"* EXCEPT ({', '.join(listed)})" + query[end:]
     )
+    return spark.sql(rewritten)
+
+
+_REPLACE_RE = re.compile(
+    r"\*\s*REPLACE\s*\(\s*(?P<items>.+?)\s*\)\s+FROM",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_REPLACE_ITEM_RE = re.compile(
+    r"^(?P<expr>.+?)\s+AS\s+(?P<col>\w+)$", re.IGNORECASE | re.DOTALL
+)
+
+
+def _lower_replace(spark: SparkSession, query: str) -> DataFrame:
+    tokens = list(_REPLACE_RE.finditer(query))
+    if len(tokens) != 1:
+        raise ValueError(
+            "REPLACE present but the query does not match the supported "
+            "grammar: exactly one * REPLACE (<expr> AS <col>[, ...]) "
+            "projection item per query, immediately before FROM"
+        )
+    if re.search(r"\bJOIN\b", query, re.IGNORECASE):
+        raise ValueError(
+            "* REPLACE supports a single named table — no JOINs "
+            "(register the join as a temp view first)"
+        )
+    tmatch = re.search(r"\bFROM\s+(\w+)", query, re.IGNORECASE)
+    if tmatch is None:
+        raise ValueError(
+            "* REPLACE needs FROM <table> (a named table or registered "
+            "temp view — CTEs/subqueries are not supported)"
+        )
+    try:
+        cols = spark.table(tmatch.group(1)).columns
+    except Exception as e:  # noqa: BLE001
+        raise ValueError(
+            f"REPLACE source must be a resolvable table/view: {e}"
+        ) from None
+    repl: dict = {}
+    for item in _split_top_level(tokens[0].group("items")):
+        m = _REPLACE_ITEM_RE.match(item.strip())
+        if m is None:
+            raise ValueError(
+                f"REPLACE item {item.strip()!r} is not <expr> AS <col>"
+            )
+        col = m.group("col")
+        if col in repl:
+            # DuckDB: "duplicate column name in replace list"
+            raise ValueError(f"duplicate column in REPLACE list: {col}")
+        if col not in cols:
+            # DuckDB errors on an unknown REPLACE target; silently
+            # appending a new column instead would change the shape
+            raise ValueError(
+                f"REPLACE target {col!r} is not a column of "
+                f"{tmatch.group(1)} (columns: {', '.join(cols)})"
+            )
+        repl[col] = m.group("expr").strip()
+    projection = ", ".join(
+        f"{repl[c]} AS {c}" if c in repl else c for c in cols
+    )
+    start, end = tokens[0].span()
+    rewritten = query[:start] + projection + " FROM" + query[end:]
     return spark.sql(rewritten)
 
 
@@ -358,14 +428,17 @@ def sql(spark: SparkSession, query: str) -> DataFrame:
     ASOF [LEFT] JOIN onto the library as-of join, SAMPLE BY onto an
     epoch-aligned bucket GROUP BY, DISTINCT ON / QUALIFY onto rank
     windows, COLUMNS('<regex>') onto a schema-resolved projection
-    list, * EXCLUDE onto a schema-validated * EXCEPT (module
-    docstring has all six grammars)."""
+    list, * EXCLUDE onto a schema-validated * EXCEPT, * REPLACE
+    onto a schema-resolved explicit projection (module docstring has
+    all seven grammars)."""
     import threading
 
     if re.search(r"\bCOLUMNS\s*\(", query, re.IGNORECASE):
         return _lower_columns(spark, query)
     if re.search(r"\bEXCLUDE\b", query, re.IGNORECASE):
         return _lower_exclude(spark, query)
+    if re.search(r"\*\s*REPLACE\s*\(", query, re.IGNORECASE):
+        return _lower_replace(spark, query)
     if re.search(r"\bSAMPLE\s+BY\b", query, re.IGNORECASE):
         return _lower_sample_by(spark, query)
     if re.search(r"\bDISTINCT\s+ON\b", query, re.IGNORECASE):

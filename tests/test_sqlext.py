@@ -473,3 +473,57 @@ class TestExclude:
         assert "payload" not in plan
         assert got.columns == ["id", "v"]
         spark.catalog.dropTempView("e_scan")
+
+
+class TestReplace:
+    def test_replaces_in_place_preserving_order(self, spark):
+        spark.sql(
+            "SELECT * FROM VALUES (1, 'ab', 2.0) AS t(id, code, score)"
+        ).createOrReplaceTempView("r_wide")
+        got = sqlext.sql(
+            spark, "SELECT * REPLACE (upper(code) AS code) FROM r_wide"
+        )
+        assert got.columns == ["id", "code", "score"]
+        assert got.collect() == [(1, "AB", 2.0)]
+        spark.catalog.dropTempView("r_wide")
+
+    def test_multi_item_with_function_commas_and_where(self, spark):
+        spark.sql(
+            "SELECT * FROM VALUES (1, 'x', 5), (2, 'y', 20) AS t(id, tag, v)"
+        ).createOrReplaceTempView("r_two")
+        got = sqlext.sql(
+            spark,
+            "SELECT * REPLACE (coalesce(tag, 'z', 'w') AS tag, v * 2 AS v) "
+            "FROM r_two WHERE v > 10",
+        )
+        assert got.columns == ["id", "tag", "v"]
+        assert got.collect() == [(2, "y", 40)]
+        spark.catalog.dropTempView("r_two")
+
+    def test_refuses_out_of_grammar(self, spark):
+        spark.sql(
+            "SELECT * FROM VALUES (1, 2) AS t(a, b)"
+        ).createOrReplaceTempView("r_ref")
+        # unknown target column, as in DuckDB
+        with pytest.raises(ValueError, match="not a column"):
+            sqlext.sql(spark, "SELECT * REPLACE (1 AS zz) FROM r_ref")
+        # duplicate target
+        with pytest.raises(ValueError, match="duplicate column"):
+            sqlext.sql(
+                spark, "SELECT * REPLACE (1 AS a, 2 AS a) FROM r_ref"
+            )
+        # item without AS
+        with pytest.raises(ValueError, match="not <expr> AS <col>"):
+            sqlext.sql(spark, "SELECT * REPLACE (a + 1) FROM r_ref")
+        # joins are out of grammar
+        with pytest.raises(ValueError, match="no JOIN"):
+            sqlext.sql(
+                spark,
+                "SELECT * REPLACE (1 AS a) FROM r_ref JOIN r_ref ON 1=1",
+            )
+        # unresolvable source
+        with pytest.raises(ValueError, match="resolvable"):
+            sqlext.sql(
+                spark, "SELECT * REPLACE (1 AS a) FROM no_such_view_7"
+            )
+        spark.catalog.dropTempView("r_ref")
