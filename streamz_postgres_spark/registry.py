@@ -243,6 +243,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_twap",
     "q_ohlc_bars",
     "q_replace_sql",
+    "q_stream_twap",
     # r4-latest block (r9 window tail / r10; oldest evidence first):
     "q_agg_distinct",
     "q_asof_join",

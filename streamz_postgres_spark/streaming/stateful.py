@@ -1083,3 +1083,97 @@ def q_stream_kll_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamz_postgres_spark.functions.kll import calibrated_readout
 
     return calibrated_readout(latest, load_table(spark, sf_dir, "events"))
+
+
+# -- streaming TWAP -----------------------------------------------------------
+
+
+def _twap_fold(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-type duration emitter: state is the OPEN observation
+    (epoch seconds, value); each arrival closes the previous one and
+    emits its (value, held-for-duration) increment. The open tail
+    stays in state and never emits — exactly the batch TWAP's
+    exclusion of the final open-ended observation, which is what
+    keeps the read-out equal to the batch aggregate."""
+    if state.exists:
+        last_x, last_v = state.get
+    else:
+        last_x, last_v = None, None
+    pdf = pd.concat(list(batches), ignore_index=True).sort_values(
+        ["x", "event_id"]
+    )
+    vals, durs = [], []
+    for _, row in pdf.iterrows():
+        x = int(row["x"])
+        if last_x is not None:
+            vals.append(float(last_v))
+            durs.append(x - last_x)
+        last_x, last_v = x, float(row["value"])
+    state.update((last_x, last_v))
+    yield pd.DataFrame(
+        {
+            "event_type": pd.Series([key[0]] * len(vals), dtype="object"),
+            "value": pd.Series(vals, dtype="float64"),
+            "dur": pd.Series(durs, dtype="int64"),
+        }
+    )
+
+
+def q_stream_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE time-weighted average: the stream holds ONE open
+    observation per type in state; each arrival closes it, emitting
+    the (value, duration) increment, and the read-out folds the
+    increments into the same n_obs / total_dur / twap / plain_avg
+    row as batch q_twap — a continuously-correct TWAP ticker whose
+    state is two scalars per instrument regardless of history
+    length. Exactness: durations are aligned-epoch-second bigints,
+    the weighted sum rides the micro-unit dsum, one final division —
+    so the stream's aggregate equals the batch key bit-for-bit (the
+    oracle IS batch q_twap's)."""
+    from streamz_postgres_spark.functions.numeric import dsum
+
+    s = replay_events(spark, sf_dir)
+    x = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)"
+    )
+    typed = s.select(
+        "event_type", "event_id", "value", x.alias("x")
+    )
+    out = typed.groupBy("event_type").applyInPandasWithState(
+        _twap_fold,
+        outputStructType="event_type string, value double, dur long",
+        stateStructType="x long, v double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    tbl = run_to_table(out, "append", spark)
+    return (
+        tbl.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+            F.sum("dur").cast("bigint").alias("total_dur"),
+            (
+                dsum(F.col("value") * F.col("dur").cast("double"))
+                / F.sum("dur").cast("bigint").cast("double")
+            ).alias("twap"),
+            (dsum("value") / F.count(F.lit(1))).alias("plain_avg"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _stream_twap_oracle() -> str:
+    import streamz_postgres_spark.operators.timewindows  # noqa: F401
+
+    from streamz_postgres_spark.registry import REGISTRY
+
+    return REGISTRY["q_twap"].oracle
+
+
+register(
+    "q_stream_twap",
+    oracle=_stream_twap_oracle(),
+    tags=("streaming", "stateful", "timeseries"),
+)(q_stream_twap)
