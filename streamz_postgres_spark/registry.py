@@ -244,6 +244,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_ohlc_bars",
     "q_replace_sql",
     "q_stream_twap",
+    "q_stream_ohlc",
     # r4-latest block (r9 window tail / r10; oldest evidence first):
     "q_agg_distinct",
     "q_asof_join",

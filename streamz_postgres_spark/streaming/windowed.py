@@ -1037,3 +1037,53 @@ def q_stream_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", es("w_start").alias("s"), es("w_end").alias("e")
     )
     return concurrency_rollup(sess)
+
+
+def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE OHLC candles: the bar chart that redraws as trades
+    arrive. Native streaming aggregation — no custom state code:
+    open/close are min_by/max_by over the TOTAL (epoch seconds,
+    event_id) order, which are declarative aggregates Spark
+    maintains incrementally per (type, bar) group; high/low/volume
+    are plain min/max/count, and the sum rides the exact decimal
+    path. State is one row per open bar; production adds a watermark
+    on ts so closed bars evict (complete mode here keeps the bounded
+    replay equal to batch). Oracle: batch q_ohlc_bars' — the stream
+    must converge to exactly the batch candles."""
+    from streamz_postgres_spark.functions.numeric import dsum
+
+    s = replay_events(spark, sf_dir)
+    x = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)"
+    )
+    pts = s.select(
+        "event_type",
+        "value",
+        "event_id",
+        x.alias("x"),
+    ).withColumn("bar", F.expr("x div 3600").cast("bigint"))
+    ordkey = F.struct("x", "event_id")
+    out = pts.groupBy("event_type", "bar").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        F.min_by("value", ordkey).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", ordkey).alias("close"),
+        dsum("value").alias("sum_value"),
+    )
+    return run_to_table(out, "complete", spark).orderBy("event_type", "bar")
+
+
+def _stream_ohlc_oracle() -> str:
+    import streamz_postgres_spark.operators.timewindows  # noqa: F401
+
+    from streamz_postgres_spark.registry import REGISTRY
+
+    return REGISTRY["q_ohlc_bars"].oracle
+
+
+register(
+    "q_stream_ohlc",
+    oracle=_stream_ohlc_oracle(),
+    tags=("streaming", "time", "timeseries"),
+)(q_stream_ohlc)
