@@ -1019,3 +1019,107 @@ def q_window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("C")
         .alias("abc_class"),
     )
+
+
+# -- RFM segmentation ---------------------------------------------------------
+
+_RFM_EPOCH = "1990-01-01 00:00:00"  # precedes every fixture orderdate
+
+
+@register(
+    "q_rfm_segmentation",
+    oracle=f"""
+WITH cust AS (
+  SELECT o_custkey,
+         date_diff('day', TIMESTAMP '{_RFM_EPOCH}', MAX(o_orderdate))
+           AS recency_day,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+           AS monetary
+  FROM orders
+  GROUP BY o_custkey
+), scored AS (
+  SELECT o_custkey, monetary,
+         ntile(5) OVER (ORDER BY recency_day, o_custkey) AS r_score,
+         ntile(5) OVER (ORDER BY frequency, o_custkey) AS f_score,
+         ntile(5) OVER (ORDER BY monetary, o_custkey) AS m_score
+  FROM cust
+)
+SELECT r_score, f_score, m_score,
+       CASE WHEN r_score = 5 AND f_score >= 4 THEN 'champions'
+            WHEN f_score >= 4 THEN 'loyal'
+            WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+            WHEN r_score <= 2 THEN 'hibernating'
+            ELSE 'regular' END AS tier,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(monetary AS DECIMAL(38,6))) AS DOUBLE)
+         AS segment_value
+FROM scored
+GROUP BY r_score, f_score, m_score
+ORDER BY r_score, f_score, m_score
+""",
+    tags=("window", "pipeline"),
+)
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic customer-base read-out:
+    quintile scores for Recency (days since last order), Frequency
+    (order count) and Monetary (exact-decimal lifetime spend), rolled
+    up to segment rows with a named tier (champions / loyal /
+    at_risk / hibernating / regular). Determinism: recency is an
+    integer epoch-day (epoch precedes every row), NTILE runs over a
+    TOTAL order (metric, custkey) so both engines assign identical
+    quintiles even at metric ties, and the monetary sums stay decimal
+    until the read-out. Scale note: the three global NTILEs are
+    single-partition by definition of a global quantile — at 100 TB
+    score against PRECOMPUTED quintile boundaries (approx_percentile
+    or the KLL key) instead; the segment semantics and this read-out
+    are unchanged."""
+    o = load_table(spark, sf_dir, "orders")
+    recency = F.expr(
+        f"date_diff(DAY, TIMESTAMP_NTZ '{_RFM_EPOCH}', MAX(o_orderdate))"
+    )
+    cust = o.groupBy("o_custkey").agg(
+        recency.alias("recency_day"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast(_DEC))
+        .cast("double")
+        .alias("monetary"),
+    )
+    scored = cust.select(
+        "o_custkey",
+        "monetary",
+        F.ntile(5)
+        .over(Window.orderBy("recency_day", "o_custkey"))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy("frequency", "o_custkey"))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy("monetary", "o_custkey"))
+        .alias("m_score"),
+    )
+    tier = (
+        F.when((F.col("r_score") == 5) & (F.col("f_score") >= 4), "champions")
+        .when(F.col("f_score") >= 4, "loyal")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 3), "at_risk")
+        .when(F.col("r_score") <= 2, "hibernating")
+        .otherwise("regular")
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum(F.col("monetary").cast(_DEC))
+            .cast("double")
+            .alias("segment_value"),
+        )
+        .select(
+            "r_score",
+            "f_score",
+            "m_score",
+            tier.alias("tier"),
+            "n_customers",
+            "segment_value",
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )

@@ -189,12 +189,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # over-cap key rides the END-OF-ROUND FULL LOCAL SWEEP
     # (driver-replica gate, whole registry, every round since r5)
     # between driver windows.
-    # NOTE (r8 third session): the round grew to 32 additions, so
-    # 22 stale + 32 new = 54 > 50 -- the LAST FOUR additions
-    # (q_ohlc_bars, q_replace_sql, q_stream_twap, q_stream_ohlc)
-    # overflow to the HEAD of the r10 window by construction of
-    # this ordering; all four carry 2-SF + hostile-TZ gate evidence
-    # from the session that registered them.
+    # NOTE (r8 third session): the round grew to 33 additions, so
+    # 22 stale + 33 new = 55 > 50 -- the LAST FIVE additions
+    # (q_ohlc_bars, q_replace_sql, q_stream_twap, q_stream_ohlc,
+    # q_rfm_segmentation) overflow to the HEAD of the r10 window by
+    # construction of this ordering; all five carry 2-SF +
+    # hostile-TZ gate evidence from the session that registered
+    # them.
     # -- 22 remaining r3-latest (r9 window head):
     "q_range_join_binned",
     "q_runtime_filter",
@@ -251,6 +252,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_replace_sql",
     "q_stream_twap",
     "q_stream_ohlc",
+    "q_rfm_segmentation",
     # r4-latest block (r9 window tail / r10; oldest evidence first):
     "q_agg_distinct",
     "q_asof_join",
