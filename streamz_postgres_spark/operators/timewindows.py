@@ -1146,3 +1146,85 @@ def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bar")
     )
+
+
+# -- seasonal-naive forecast backtest -----------------------------------------
+
+_SNAIVE_PERIOD = 24  # seasonal lag in hour-bars (one day)
+
+
+@register(
+    "q_seasonal_naive_eval",
+    oracle=f"""
+WITH bars AS (
+  SELECT event_type,
+         date_diff('second', TIMESTAMP '{_TW_EPOCH}', ts)
+           // {_OHLC_BUCKET_SEC} AS bar,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         {sql_dsum('value')} AS actual
+  FROM events
+  GROUP BY 1, 2
+), paired AS (
+  SELECT a.event_type, a.bar, a.actual, p.actual AS predicted
+  FROM bars a
+  JOIN bars p
+    ON p.event_type = a.event_type
+   AND p.bar = a.bar - {_SNAIVE_PERIOD}
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_bars,
+       {sql_dsum('abs(actual - predicted)')} / COUNT(*) AS mae,
+       {sql_dsum(
+           '2.0 * abs(actual - predicted) / (abs(actual) + abs(predicted))'
+       )} / COUNT(*) AS smape
+FROM paired
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("time", "stats"),
+)
+def q_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each hour-bar's
+    total by the SAME HOUR ONE DAY EARLIER and score per type with
+    MAE and sMAPE — the baseline every real forecasting model must
+    beat (M-competition practice), and the eval-harness shape (lag
+    join -> error fold) any model backtest reuses with its own
+    predictions column.
+
+    Determinism: bar totals are exact-decimal sums -> identical
+    doubles; |a-p| and the sMAPE ratio are the same IEEE tree on
+    both engines; error means ride the micro-unit dsum with ONE
+    division each. Scale: one keyed bar aggregate (map-side
+    combinable), then a self equi-join on (type, bar - 24) — an
+    O(bars) join, orders below the event count; zero bars are
+    impossible by construction (a bar exists only with >= 1 event),
+    so the sMAPE denominator never hits 0/0 on real totals."""
+    e = load_table(spark, sf_dir, "events")
+    x = F.expr(f"timestampdiff(SECOND, TIMESTAMP_NTZ '{_TW_EPOCH}', ts)")
+    bars = (
+        e.select("event_type", "value", x.alias("x"))
+        .withColumn("bar", F.expr(f"x div {_OHLC_BUCKET_SEC}").cast("bigint"))
+        .groupBy("event_type", "bar")
+        .agg(dsum("value").alias("actual"))
+    )
+    pred = bars.select(
+        "event_type",
+        (F.col("bar") + _SNAIVE_PERIOD).alias("bar"),
+        F.col("actual").alias("predicted"),
+    )
+    paired = bars.join(pred, ["event_type", "bar"])
+    err = F.abs(F.col("actual") - F.col("predicted"))
+    smape_term = (
+        F.lit(2.0)
+        * err
+        / (F.abs(F.col("actual")) + F.abs(F.col("predicted")))
+    )
+    return (
+        paired.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bars"),
+            (dsum(err) / F.count(F.lit(1))).alias("mae"),
+            (dsum(smape_term) / F.count(F.lit(1))).alias("smape"),
+        )
+        .orderBy("event_type")
+    )
