@@ -17,6 +17,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from streamz_postgres_spark.catalog import load_table
+from streamz_postgres_spark.functions.numeric import (
+    dsum,
+    qround,
+    sql_dsum,
+    sql_qround,
+)
 from streamz_postgres_spark.registry import register
 
 
@@ -769,3 +775,97 @@ def q_replace_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.catalog.dropTempView(view)
+
+
+# -- column entropy profile ---------------------------------------------------
+
+_ENTROPY_COLS = (
+    ("documents", "lang"),
+    ("documents", "source"),
+    ("events", "event_type"),
+    ("orders", "o_orderstatus"),
+)
+
+
+def _sql_entropy_counts() -> str:
+    return "\nUNION ALL\n".join(
+        f"SELECT '{t}.{c}' AS col, CAST({c} AS VARCHAR) AS v, "
+        f"CAST(COUNT(*) AS BIGINT) AS c FROM {t} GROUP BY 2"
+        for t, c in _ENTROPY_COLS
+    )
+
+
+@register(
+    "q_column_entropy_profile",
+    oracle=f"""
+WITH counts AS (
+  {_sql_entropy_counts()}
+), tot AS (
+  SELECT col, CAST(SUM(c) AS BIGINT) AS n FROM counts GROUP BY col
+), terms AS (
+  SELECT counts.col, n,
+         {sql_qround(
+             "-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))"
+             " * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))", 9)} AS term
+  FROM counts JOIN tot USING (col)
+)
+SELECT col, n AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       {sql_dsum('term')} AS entropy,
+       CASE WHEN COUNT(*) > 1
+            THEN {sql_dsum('term')}
+                 / {sql_qround('ln(CAST(COUNT(*) AS DOUBLE))', 9)}
+            ELSE 0.0 END AS norm_entropy
+FROM terms
+GROUP BY col, n
+ORDER BY col
+""",
+    tags=("relational", "stats"),
+)
+def q_column_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level Shannon-entropy profile beside q_data_profile's
+    null/distinct audit: per categorical column, the entropy of its
+    value distribution and the [0,1] normalization by ln(k) — the
+    feature-usefulness screen (norm_entropy ~ 0: one value dominates,
+    the column carries nothing; ~ 1: uniform). Run before training
+    exports to drop dead features and before partitioning choices to
+    spot skewed keys.
+
+    Per column the plan is one keyed value-count (map-side
+    combinable, shuffle O(distinct values)) then a constant fold;
+    columns union independently. Each -p*ln(p) term is qround(9)
+    ulp-guarded (the libm rule) before the exact decimal sum; the
+    normalizer ln(k) gets the same guard; one division."""
+    counts = None
+    for t, c in _ENTROPY_COLS:
+        part = (
+            load_table(spark, sf_dir, t)
+            .groupBy(F.col(c).cast("string").alias("v"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+            .select(F.lit(f"{t}.{c}").alias("col"), "v", "c")
+        )
+        counts = part if counts is None else counts.unionByName(part)
+    tot = counts.groupBy("col").agg(F.sum("c").cast("bigint").alias("n"))
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    terms = counts.join(F.broadcast(tot), "col").select(
+        "col", "n", qround(-p * F.log(p), 9).alias("term")
+    )
+    ln_k = qround(F.log(F.count(F.lit(1)).cast("double")), 9)
+    return (
+        terms.groupBy("col", "n")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            dsum("term").alias("entropy"),
+            F.when(F.count(F.lit(1)) > 1, dsum("term") / ln_k)
+            .otherwise(0.0)
+            .alias("norm_entropy"),
+        )
+        .select(
+            "col",
+            F.col("n").alias("n_rows"),
+            "n_distinct",
+            "entropy",
+            "norm_entropy",
+        )
+        .orderBy("col")
+    )

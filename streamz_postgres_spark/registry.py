@@ -254,6 +254,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_stream_ohlc",
     "q_rfm_segmentation",
     "q_seasonal_naive_eval",
+    "q_column_entropy_profile",
     # r4-latest block (r9 window tail / r10; oldest evidence first):
     "q_agg_distinct",
     "q_asof_join",
