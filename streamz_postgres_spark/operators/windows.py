@@ -1123,3 +1123,74 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+@register(
+    "q_gini_concentration",
+    oracle="""
+WITH spend AS (
+  SELECT c.c_mktsegment AS seg, o.o_custkey,
+         CAST(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS xc
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT seg, xc,
+         row_number() OVER (PARTITION BY seg ORDER BY xc, o_custkey) AS i
+  FROM spend
+)
+SELECT seg,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(CAST(SUM(xc) AS BIGINT) AS DOUBLE) / 100.0 AS total_spend,
+       CAST(2 * CAST(SUM(i * xc) AS BIGINT)
+              - (COUNT(*) + 1) * CAST(SUM(xc) AS BIGINT) AS DOUBLE)
+         / CAST(COUNT(*) * CAST(SUM(xc) AS BIGINT) AS DOUBLE) AS gini
+FROM ranked
+GROUP BY seg
+ORDER BY seg
+""",
+    tags=("window", "stats"),
+)
+def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend per market segment — the
+    inequality read-out beside the ABC bands (q_window_cume_dist):
+    0 = everyone spends the same, ->1 = one whale carries the
+    segment. Uses the exact rank formula G = (2*sum(i*x_i) -
+    (n+1)*sum(x)) / (n*sum(x)) over the ascending-sorted spends.
+
+    Exactness: spend is folded in integer CENTS (floor(x*100+0.5) is
+    exact on 2-decimal prices), ranks are integers from a TOTAL
+    order, so numerator and denominator are exact bigints (fits:
+    i*xc <= ~8e12 per row, sums <= ~1.2e18 at 10x) and the single
+    division is the only double op. Scale: one keyed spend fold, one
+    window ranked by segment (bounded partitions only if segments
+    are bounded — at 100 TB rank within (segment, spend-bucket)
+    shards and merge the partial Gini sums, same formula)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    spend = (
+        o.join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
+               o.o_custkey == F.col("c_custkey"))
+        .groupBy(F.col("c_mktsegment").alias("seg"), "o_custkey")
+        .agg(F.sum(cents).cast("bigint").alias("xc"))
+    )
+    w = Window.partitionBy("seg").orderBy("xc", "o_custkey")
+    ranked = spend.select(
+        "seg", "xc", F.row_number().over(w).cast("bigint").alias("i")
+    )
+    s0 = F.sum("xc").cast("bigint")
+    s1 = F.sum(F.col("i") * F.col("xc")).cast("bigint")
+    n = F.count(F.lit(1))
+    return (
+        ranked.groupBy("seg")
+        .agg(
+            n.cast("bigint").alias("n_customers"),
+            (s0.cast("double") / F.lit(100.0)).alias("total_spend"),
+            (
+                (F.lit(2) * s1 - (n + F.lit(1)) * s0).cast("double")
+                / (n * s0).cast("double")
+            ).alias("gini"),
+        )
+        .orderBy("seg")
+    )
