@@ -1030,22 +1030,25 @@ _RFM_EPOCH = "1990-01-01 00:00:00"  # precedes every fixture orderdate
     "q_rfm_segmentation",
     oracle=f"""
 WITH cust AS (
-  SELECT o_custkey,
-         date_diff('day', TIMESTAMP '{_RFM_EPOCH}', MAX(o_orderdate))
+  SELECT c.c_mktsegment AS seg, o.o_custkey,
+         date_diff('day', TIMESTAMP '{_RFM_EPOCH}', MAX(o.o_orderdate))
            AS recency_day,
          CAST(COUNT(*) AS BIGINT) AS frequency,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
            AS monetary
-  FROM orders
-  GROUP BY o_custkey
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
 ), scored AS (
-  SELECT o_custkey, monetary,
-         ntile(5) OVER (ORDER BY recency_day, o_custkey) AS r_score,
-         ntile(5) OVER (ORDER BY frequency, o_custkey) AS f_score,
-         ntile(5) OVER (ORDER BY monetary, o_custkey) AS m_score
+  SELECT seg, o_custkey, monetary,
+         ntile(5) OVER (PARTITION BY seg
+                        ORDER BY recency_day, o_custkey) AS r_score,
+         ntile(5) OVER (PARTITION BY seg
+                        ORDER BY frequency, o_custkey) AS f_score,
+         ntile(5) OVER (PARTITION BY seg
+                        ORDER BY monetary, o_custkey) AS m_score
   FROM cust
 )
-SELECT r_score, f_score, m_score,
+SELECT seg, r_score, f_score, m_score,
        CASE WHEN r_score = 5 AND f_score >= 4 THEN 'champions'
             WHEN f_score >= 4 THEN 'loyal'
             WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
@@ -1055,47 +1058,58 @@ SELECT r_score, f_score, m_score,
        CAST(SUM(CAST(monetary AS DECIMAL(38,6))) AS DOUBLE)
          AS segment_value
 FROM scored
-GROUP BY r_score, f_score, m_score
-ORDER BY r_score, f_score, m_score
+GROUP BY seg, r_score, f_score, m_score
+ORDER BY seg, r_score, f_score, m_score
 """,
     tags=("window", "pipeline"),
 )
 def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation — the classic customer-base read-out:
     quintile scores for Recency (days since last order), Frequency
-    (order count) and Monetary (exact-decimal lifetime spend), rolled
-    up to segment rows with a named tier (champions / loyal /
-    at_risk / hibernating / regular). Determinism: recency is an
-    integer epoch-day (epoch precedes every row), NTILE runs over a
-    TOTAL order (metric, custkey) so both engines assign identical
+    (order count) and Monetary (exact-decimal lifetime spend),
+    RELATIVE TO MARKET-SEGMENT PEERS (scoring within segment removes
+    cross-segment price-level bias — and keeps the NTILE windows
+    partitioned by a bounded key, never a global single-partition
+    sort), rolled up with a named tier (champions / loyal / at_risk /
+    hibernating / regular). Determinism: recency is an integer
+    epoch-day (epoch precedes every row), NTILE runs over a TOTAL
+    order (metric, custkey) so both engines assign identical
     quintiles even at metric ties, and the monetary sums stay decimal
-    until the read-out. Scale note: the three global NTILEs are
-    single-partition by definition of a global quantile — at 100 TB
-    score against PRECOMPUTED quintile boundaries (approx_percentile
-    or the KLL key) instead; the segment semantics and this read-out
-    are unchanged."""
+    until the read-out. Scale note: per-segment populations are still
+    unbounded — at 100 TB score against PRECOMPUTED per-segment
+    quintile boundaries (approx_percentile or the KLL key) instead;
+    the read-out is unchanged."""
     o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
     recency = F.expr(
         f"date_diff(DAY, TIMESTAMP_NTZ '{_RFM_EPOCH}', MAX(o_orderdate))"
     )
-    cust = o.groupBy("o_custkey").agg(
-        recency.alias("recency_day"),
-        F.count(F.lit(1)).cast("bigint").alias("frequency"),
-        F.sum(F.col("o_totalprice").cast(_DEC))
-        .cast("double")
-        .alias("monetary"),
+    cust = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_mktsegment")),
+            o.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_mktsegment").alias("seg"), "o_custkey")
+        .agg(
+            recency.alias("recency_day"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast(_DEC))
+            .cast("double")
+            .alias("monetary"),
+        )
     )
     scored = cust.select(
+        "seg",
         "o_custkey",
         "monetary",
         F.ntile(5)
-        .over(Window.orderBy("recency_day", "o_custkey"))
+        .over(Window.partitionBy("seg").orderBy("recency_day", "o_custkey"))
         .alias("r_score"),
         F.ntile(5)
-        .over(Window.orderBy("frequency", "o_custkey"))
+        .over(Window.partitionBy("seg").orderBy("frequency", "o_custkey"))
         .alias("f_score"),
         F.ntile(5)
-        .over(Window.orderBy("monetary", "o_custkey"))
+        .over(Window.partitionBy("seg").orderBy("monetary", "o_custkey"))
         .alias("m_score"),
     )
     tier = (
@@ -1106,7 +1120,7 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("regular")
     )
     return (
-        scored.groupBy("r_score", "f_score", "m_score")
+        scored.groupBy("seg", "r_score", "f_score", "m_score")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_customers"),
             F.sum(F.col("monetary").cast(_DEC))
@@ -1114,6 +1128,7 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("segment_value"),
         )
         .select(
+            "seg",
             "r_score",
             "f_score",
             "m_score",
@@ -1121,7 +1136,7 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_customers",
             "segment_value",
         )
-        .orderBy("r_score", "f_score", "m_score")
+        .orderBy("seg", "r_score", "f_score", "m_score")
     )
 
 
