@@ -1121,3 +1121,97 @@ def q_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# -- DAU / MAU stickiness -----------------------------------------------------
+
+_DAU_EPOCH = "2024-01-01 00:00:00"
+_MAU_DAYS = 28
+
+
+@register(
+    "q_dau_mau",
+    oracle=f"""
+WITH ev AS (
+  SELECT date_diff('second', TIMESTAMP '{_DAU_EPOCH}', ts) // 86400 AS d,
+         user_id
+  FROM events
+), days AS (SELECT DISTINCT d FROM ev),
+dau AS (
+  SELECT d, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+  FROM ev GROUP BY d
+), mau AS (
+  SELECT days.d, CAST(COUNT(DISTINCT ev.user_id) AS BIGINT) AS mau
+  FROM days JOIN ev
+    ON ev.d BETWEEN days.d - {_MAU_DAYS - 1} AND days.d
+  GROUP BY days.d
+)
+SELECT dau.d AS day_index, dau.dau, mau.mau,
+       CAST(dau.dau AS DOUBLE) / CAST(mau.mau AS DOUBLE) AS stickiness
+FROM dau JOIN mau ON dau.d = mau.d
+ORDER BY day_index
+""",
+    tags=("agg", "bitmap", "time"),
+)
+def q_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-28-day MAU / stickiness per day — the product
+    health line every dashboard opens with, and the canonical
+    SLIDING-WINDOW EXACT COUNT DISTINCT: the naive form recounts 28
+    days of raw events per output day (28x read amplification).
+    Here each day's users fold ONCE into per-(day, id-bucket)
+    bitmaps; each bitmap row then fans out to the <=28 trailing
+    windows it contributes to and the per-window union is a
+    bitmap_or_agg + popcount — shuffle O(days x buckets x 28)
+    fixed-size bitmaps, never re-touching events. The fan-out (not a
+    range window frame) is deliberate: a bucket silent on day d must
+    still contribute its d-5 users to MAU(d), which a per-bucket
+    window frame over EXISTING rows silently drops.
+
+    Exact integers throughout; the one division is the stickiness
+    ratio. At 100 TB the same bitmaps serve WAU/MAU/quarter windows
+    without another pass over events (mergeable-partials rule)."""
+    e = load_table(spark, sf_dir, "events")
+    d = F.expr(
+        f"timestampdiff(SECOND, TIMESTAMP_NTZ '{_DAU_EPOCH}', ts) div 86400"
+    ).cast("bigint")
+    ev = e.select(d.alias("d"), "user_id")
+    daily = ev.groupBy(
+        "d", F.expr("bitmap_bucket_number(user_id)").alias("bkt")
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias(
+            "bm"
+        )
+    )
+    dau = daily.groupBy("d").agg(
+        F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias("dau")
+    )
+    days = ev.select("d").distinct()
+    contrib = daily.select(
+        F.explode(
+            F.sequence(F.col("d"), F.col("d") + F.lit(_MAU_DAYS - 1))
+        ).alias("target_d"),
+        "bkt",
+        "bm",
+    )
+    mau = (
+        contrib.join(
+            F.broadcast(days.select(F.col("d").alias("target_d"))),
+            "target_d",
+        )
+        .groupBy("target_d", "bkt")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+        .groupBy("target_d")
+        .agg(F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias("mau"))
+    )
+    return (
+        dau.join(mau, dau.d == mau.target_d)
+        .select(
+            F.col("d").alias("day_index"),
+            "dau",
+            "mau",
+            (F.col("dau").cast("double") / F.col("mau").cast("double")).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("day_index")
+    )
