@@ -189,14 +189,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # over-cap key rides the END-OF-ROUND FULL LOCAL SWEEP
     # (driver-replica gate, whole registry, every round since r5)
     # between driver windows.
-    # NOTE (r8 third session): the round grew to 36 additions, so
-    # 22 stale + 36 new = 58 > 50 -- the LAST EIGHT additions
+    # NOTE (r8 third session): the round grew to 37 additions, so
+    # 22 stale + 37 new = 59 > 50 -- the LAST NINE additions
     # (q_ohlc_bars, q_replace_sql, q_stream_twap, q_stream_ohlc,
     # q_rfm_segmentation, q_seasonal_naive_eval,
-    # q_column_entropy_profile, q_gini_concentration) overflow to
-    # the HEAD of the r10 window by construction of this ordering;
-    # all carry 2-SF gate evidence (and the end-of-session sweep)
-    # from the session that registered them.
+    # q_column_entropy_profile, q_gini_concentration, q_dau_mau)
+    # overflow to the HEAD of the r10 window by construction of
+    # this ordering; all carry 2-SF gate evidence (and the
+    # end-of-session full sweep) from the session that registered
+    # them.
     # -- 22 remaining r3-latest (r9 window head):
     "q_range_join_binned",
     "q_runtime_filter",
