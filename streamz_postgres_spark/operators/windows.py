@@ -1209,3 +1209,91 @@ def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg")
     )
+
+
+# -- sequence pattern matching ------------------------------------------------
+
+#: one char per event type (initials are unique in the fixture)
+_SEQ_INITIAL = "substring(event_type, 1, 1)"
+
+
+@register(
+    "q_sequence_match",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id,
+         string_agg({_SEQ_INITIAL}, ''
+                    ORDER BY ts, event_id) AS s,
+         CAST(COUNT(*) AS BIGINT) AS seq_len
+  FROM events
+  GROUP BY user_id
+)
+SELECT user_id, seq_len,
+       CAST(CASE WHEN regexp_matches(s, 'v.*c.*p') THEN 1 ELSE 0 END
+            AS INTEGER) AS converted,
+       CAST(CASE WHEN regexp_matches(s, 'p.*e') THEN 1 ELSE 0 END
+            AS INTEGER) AS error_after_purchase,
+       CAST(CASE WHEN regexp_matches(s, 'vvv') THEN 1 ELSE 0 END
+            AS INTEGER) AS view_burst,
+       CAST(length(regexp_replace(s, '[^p]', '', 'g')) AS BIGINT)
+         AS n_purchases
+FROM seq
+ORDER BY user_id
+""",
+    tags=("window", "sequence"),
+)
+def q_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence pattern matching over each user's ordered event
+    history — the MATCH_RECOGNIZE / ClickHouse-sequenceMatch niche
+    expressed portably: the per-user event stream becomes an ordered
+    initial string (one char per event, TOTAL order ts+event_id) and
+    patterns become regexes over it — conversion (view then click
+    then purchase, any gaps), error-after-purchase, triple-view
+    bursts, purchase count. The string encoding is what makes
+    arbitrary sequence patterns cheap: any regex engine becomes a
+    sequence matcher, with no per-pattern join or window.
+
+    Determinism: the sequence string is built over a total order on
+    both engines (Spark: array_sort of (epoch, event_id, char)
+    structs, the house collect_list-ordering rule; DuckDB:
+    string_agg ORDER BY); patterns use shared regex syntax. Scale:
+    one keyed shuffle; per-user state is the initials string (1 byte
+    per event) — for unbounded histories, window the sequence by
+    session or month before matching (same encoding)."""
+    e = load_table(spark, sf_dir, "events")
+    x = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)"
+    )
+    seq = (
+        e.select(
+            "user_id",
+            F.struct(
+                x.alias("x"),
+                F.col("event_id").alias("eid"),
+                F.expr(_SEQ_INITIAL).alias("ch"),
+            ).alias("t"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("t")), lambda t: t["ch"]
+                ),
+                "",
+            ).alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("seq_len"),
+        )
+    )
+    flag = lambda pat: (  # noqa: E731
+        F.when(F.col("s").rlike(pat), 1).otherwise(0).cast("int")
+    )
+    return seq.select(
+        "user_id",
+        "seq_len",
+        flag("v.*c.*p").alias("converted"),
+        flag("p.*e").alias("error_after_purchase"),
+        flag("vvv").alias("view_burst"),
+        F.length(F.regexp_replace("s", "[^p]", "")).cast("bigint").alias(
+            "n_purchases"
+        ),
+    ).orderBy("user_id")
