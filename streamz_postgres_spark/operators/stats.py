@@ -784,3 +784,78 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = part if rows is None else rows.unionByName(part)
     return rows.orderBy("col_x", "col_y")
+
+
+# -- equi-height histogram (ANALYZE-style stats) ------------------------------
+
+_EQH_BUCKETS = 10
+_EQH_QS = [i / _EQH_BUCKETS for i in range(1, _EQH_BUCKETS)]  # 0.1..0.9
+
+
+@register(
+    "q_stats_histogram",
+    oracle=f"""
+WITH bounds AS (
+  SELECT list_transform(
+           quantile_cont(o_totalprice, {_EQH_QS}),
+           b -> {sql_qround('b', 4)}) AS bs
+  FROM orders
+), assigned AS (
+  SELECT o.o_totalprice AS v,
+         CAST(len(list_filter(b.bs, x -> x < o.o_totalprice)) AS INTEGER)
+           AS bucket
+  FROM orders o CROSS JOIN bounds b
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT v) AS BIGINT) AS ndv,
+       MIN(v) AS lo,
+       MAX(v) AS hi
+FROM assigned
+GROUP BY bucket
+ORDER BY bucket
+""",
+    tags=("stats", "agg"),
+)
+def q_stats_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-height histogram with per-bucket NDV over order totals —
+    the ANALYZE/compute-statistics artifact a cost-based optimizer
+    consumes for selectivity estimation (equal-height buckets bound
+    the estimation error where equi-width ones collapse on skew;
+    NDV per bucket is what prices equality predicates). Two passes:
+    ONE aggregate computes all nine interior boundaries (exact
+    interpolated percentiles, qround(4) on both engines so the
+    bucket-assignment comparisons see identical doubles), broadcast
+    as a single row; the assignment pass is a row-local
+    filter-count against the broadcast array feeding a keyed
+    aggregate. No global sort, no single-partition window — at
+    100 TB swap the exact percentile for percentile_approx and the
+    NDV for HLL partials; the read-out shape is unchanged."""
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.transform(
+            F.percentile(
+                "o_totalprice",
+                F.array(*[F.lit(q) for q in _EQH_QS]),
+            ),
+            lambda b: qround(b, 4),
+        ).alias("bs")
+    )
+    assigned = o.crossJoin(F.broadcast(bounds)).select(
+        F.col("o_totalprice").alias("v"),
+        F.size(
+            F.filter(F.col("bs"), lambda x: x < F.col("o_totalprice"))
+        )
+        .cast("int")
+        .alias("bucket"),
+    )
+    return (
+        assigned.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("v").cast("bigint").alias("ndv"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
