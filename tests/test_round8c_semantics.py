@@ -163,3 +163,36 @@ def test_kn_differs_from_add_one_and_is_finite(spark):
     assert set(kn) == set(addone)
     assert all(math.isfinite(v) and v > 0 for v in kn.values())
     assert any(abs(kn[d] - addone[d]) > 1e-6 for d in kn)
+
+
+def test_stats_histogram_partitions_the_table(spark):
+    """Equi-height buckets must partition the table exactly (row
+    counts sum to the table), be ordered (hi_i <= lo_{i+1}), and be
+    height-balanced within tie tolerance."""
+    rows = sorted(
+        REGISTRY["q_stats_histogram"].spark_fn(spark, SF_DIR).collect(),
+        key=lambda r: r["bucket"],
+    )
+    total = sum(r["n_rows"] for r in rows)
+    n_orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
+    assert total == n_orders
+    for a, b in zip(rows, rows[1:]):
+        assert a["hi"] <= b["lo"]
+        assert a["lo"] <= a["hi"]
+    target = n_orders / len(rows)
+    assert all(abs(r["n_rows"] - target) <= 0.2 * target for r in rows)
+
+
+def test_sequence_match_flags_consistent(spark):
+    """Flag consistency: a converted user's sequence necessarily
+    contains a purchase (n_purchases >= 1), and the per-user
+    sequence lengths sum to the event count."""
+    rows = REGISTRY["q_sequence_match"].spark_fn(spark, SF_DIR).collect()
+    assert sum(r["seq_len"] for r in rows) == spark.read.parquet(
+        f"{SF_DIR}/events.parquet"
+    ).count()
+    for r in rows:
+        if r["converted"]:
+            assert r["n_purchases"] >= 1
+        if r["error_after_purchase"]:
+            assert r["n_purchases"] >= 1
