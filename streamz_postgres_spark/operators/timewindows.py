@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from streamz_postgres_spark.catalog import load_table
-from streamz_postgres_spark.functions.numeric import dsum, sql_dsum, sql_qround
+from streamz_postgres_spark.functions.numeric import dsum, qround, sql_dsum, sql_qround
 from streamz_postgres_spark.registry import register
 
 
@@ -1227,4 +1227,109 @@ def q_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dsum(smape_term) / F.count(F.lit(1))).alias("smape"),
         )
         .orderBy("event_type")
+    )
+
+
+# -- seasonal-residual anomaly detection --------------------------------------
+
+_ANOM_K = 3.0  # MAD fence multiplier
+
+
+@register(
+    "q_anomaly_seasonal",
+    oracle=f"""
+WITH bars AS (
+  SELECT event_type,
+         date_diff('second', TIMESTAMP '{_TW_EPOCH}', ts)
+           // {_OHLC_BUCKET_SEC} AS bar,
+         {sql_dsum('value')} AS actual
+  FROM events
+  GROUP BY 1, 2
+), paired AS (
+  SELECT a.event_type, a.bar, a.actual, p.actual AS predicted,
+         a.actual - p.actual AS r
+  FROM bars a
+  JOIN bars p
+    ON p.event_type = a.event_type AND p.bar = a.bar - {_SNAIVE_PERIOD}
+), med AS (
+  SELECT event_type,
+         {sql_qround('quantile_cont(r, 0.5)', 4)} AS med_r
+  FROM paired GROUP BY event_type
+), fence AS (
+  SELECT paired.event_type,
+         med.med_r,
+         {sql_qround('quantile_cont(abs(r - med_r), 0.5)', 4)} AS mad
+  FROM paired JOIN med USING (event_type)
+  GROUP BY paired.event_type, med.med_r
+)
+SELECT p.event_type, CAST(p.bar AS BIGINT) AS bar, p.actual, p.predicted,
+       p.r - f.med_r AS deviation
+FROM paired p
+JOIN fence f ON f.event_type = p.event_type
+WHERE abs(p.r - f.med_r) > {_ANOM_K} * f.mad
+ORDER BY p.event_type, bar
+""",
+    tags=("time", "stats"),
+)
+def q_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-residual anomaly detection — the composition the two
+    pieces exist for: the seasonal-naive prediction (same hour, one
+    day earlier — q_seasonal_naive_eval's baseline) turns the series
+    into residuals, and a ROBUST median/MAD fence flags bars whose
+    residual deviates more than 3 MADs — so a real traffic spike
+    cannot drag the fence up and hide itself, which is exactly what
+    a mean/stddev fence (q_anomaly_zscore's) does under heavy
+    anomalies. The seasonal differencing also de-trends daily
+    rhythm, so quiet-hour anomalies aren't drowned by peak-hour
+    variance.
+
+    Determinism: bar totals are exact-decimal sums; residuals are
+    one IEEE subtraction of identical doubles; both medians go
+    through the shared interpolated-percentile + qround(4) guard; the
+    fence comparison then sees identical doubles. Scale: the bar
+    aggregate is the only input-size stage; medians are per-type
+    aggregates over O(bars) rows; fences broadcast back onto the
+    residual table."""
+    e = load_table(spark, sf_dir, "events")
+    x = F.expr(f"timestampdiff(SECOND, TIMESTAMP_NTZ '{_TW_EPOCH}', ts)")
+    bars = (
+        e.select("event_type", "value", x.alias("x"))
+        .withColumn("bar", F.expr(f"x div {_OHLC_BUCKET_SEC}").cast("bigint"))
+        .groupBy("event_type", "bar")
+        .agg(dsum("value").alias("actual"))
+    )
+    pred = bars.select(
+        "event_type",
+        (F.col("bar") + _SNAIVE_PERIOD).alias("bar"),
+        F.col("actual").alias("predicted"),
+    )
+    paired = bars.join(pred, ["event_type", "bar"]).withColumn(
+        "r", F.col("actual") - F.col("predicted")
+    )
+    med = paired.groupBy("event_type").agg(
+        qround(F.percentile("r", F.lit(0.5)), 4).alias("med_r")
+    )
+    fence = (
+        paired.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med_r")
+        .agg(
+            qround(
+                F.percentile(F.abs(F.col("r") - F.col("med_r")), F.lit(0.5)),
+                4,
+            ).alias("mad")
+        )
+    )
+    return (
+        paired.join(F.broadcast(fence), "event_type")
+        .filter(
+            F.abs(F.col("r") - F.col("med_r")) > F.lit(_ANOM_K) * F.col("mad")
+        )
+        .select(
+            "event_type",
+            "bar",
+            "actual",
+            "predicted",
+            (F.col("r") - F.col("med_r")).alias("deviation"),
+        )
+        .orderBy("event_type", "bar")
     )
