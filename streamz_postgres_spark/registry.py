@@ -260,6 +260,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_sequence_match",
     "q_stats_histogram",
     "q_anomaly_seasonal",
+    "q_stream_sequence_match",
     # r4-latest block (r9 window tail / r10; oldest evidence first):
     "q_agg_distinct",
     "q_asof_join",

@@ -1182,3 +1182,113 @@ register(
     oracle=_stream_twap_oracle(),
     tags=("streaming", "stateful", "timeseries"),
 )(q_stream_twap)
+
+
+# -- streaming sequence-pattern matching --------------------------------------
+
+_SEQ_PATTERNS = (
+    ("converted", r"v.*c.*p"),
+    ("error_after_purchase", r"p.*e"),
+    ("view_burst", r"vvv"),
+)
+
+
+def _seq_match_fold(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user accumulated initials string; each batch appends its
+    (sorted) arrivals and re-emits the user's CURRENT pattern flags —
+    the live conversion/incident detector. State is 1 byte per event
+    (window by session/month at scale, as the batch twin documents);
+    flags are recomputed on the full string so the latest emission
+    always equals the batch answer over everything seen."""
+    import re as _re
+
+    s = state.get[0] if state.exists else ""
+    pdf = pd.concat(list(batches), ignore_index=True).sort_values(
+        ["x", "event_id"]
+    )
+    s = s + "".join(pdf["ch"].tolist())
+    state.update((s,))
+    flags = {
+        name: 1 if _re.search(pat, s) else 0
+        for name, pat in _SEQ_PATTERNS
+    }
+    yield pd.DataFrame(
+        {
+            "user_id": pd.Series([key[0]], dtype="int64"),
+            "seq_len": pd.Series([len(s)], dtype="int64"),
+            "converted": pd.Series([flags["converted"]], dtype="int32"),
+            "error_after_purchase": pd.Series(
+                [flags["error_after_purchase"]], dtype="int32"
+            ),
+            "view_burst": pd.Series([flags["view_burst"]], dtype="int32"),
+            "n_purchases": pd.Series([s.count("p")], dtype="int64"),
+        }
+    )
+
+
+def q_stream_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE sequence-pattern matching (streaming twin of
+    q_sequence_match): each arrival appends its event initial to the
+    user's accumulated string in state and the current flags re-emit
+    — conversion and error-after-purchase incidents surface the
+    moment the completing event arrives, not at the nightly batch.
+    Per-batch re-emissions collapse read-side to the LATEST snapshot
+    per user (max_by on the monotone seq_len — the house update-mode
+    rule), which equals the batch answer exactly; the oracle IS the
+    batch key's."""
+    s = replay_events(spark, sf_dir)
+    x = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)"
+    )
+    typed = s.select(
+        "user_id",
+        "event_id",
+        x.alias("x"),
+        F.expr("substring(event_type, 1, 1)").alias("ch"),
+    )
+    out = typed.groupBy("user_id").applyInPandasWithState(
+        _seq_match_fold,
+        outputStructType="user_id long, seq_len long, converted int, "
+        "error_after_purchase int, view_burst int, n_purchases long",
+        stateStructType="s string",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    tbl = run_to_table(out, "update", spark)
+    snap = F.struct(
+        "seq_len",
+        "converted",
+        "error_after_purchase",
+        "view_burst",
+        "n_purchases",
+    )
+    return (
+        tbl.groupBy("user_id")
+        .agg(F.max_by(snap, "seq_len").alias("t"))
+        .select(
+            "user_id",
+            F.col("t.seq_len").alias("seq_len"),
+            F.col("t.converted").alias("converted"),
+            F.col("t.error_after_purchase").alias("error_after_purchase"),
+            F.col("t.view_burst").alias("view_burst"),
+            F.col("t.n_purchases").alias("n_purchases"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def _stream_seq_oracle() -> str:
+    import streamz_postgres_spark.operators.windows  # noqa: F401
+
+    from streamz_postgres_spark.registry import REGISTRY
+
+    return REGISTRY["q_sequence_match"].oracle
+
+
+register(
+    "q_stream_sequence_match",
+    oracle=_stream_seq_oracle(),
+    tags=("streaming", "stateful", "sequence"),
+)(q_stream_sequence_match)
