@@ -189,13 +189,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # over-cap key rides the END-OF-ROUND FULL LOCAL SWEEP
     # (driver-replica gate, whole registry, every round since r5)
     # between driver windows.
-    # NOTE (r8 third session): the round grew to 39 additions, so
-    # 22 stale + 39 new = 61 > 50 -- the LAST ELEVEN additions
-    # (q_ohlc_bars onward in this block, through q_stats_histogram)
-    # overflow to the HEAD of the r10 window by construction of
-    # this ordering; all carry 2-SF + hostile-TZ gate evidence and
-    # the end-of-session full sweeps from the session that
-    # registered them.
+    # NOTE (r8 third session): the round grew to 41 additions, so
+    # 22 stale + 41 new = 63 > 50 -- the LAST THIRTEEN additions
+    # (q_ohlc_bars onward in this block, through
+    # q_stream_sequence_match) overflow to the HEAD of the r10
+    # window by construction of this ordering; all carry 2-SF +
+    # hostile-TZ gate evidence and the end-of-session full sweeps
+    # from the session that registered them.
     # -- 22 remaining r3-latest (r9 window head):
     "q_range_join_binned",
     "q_runtime_filter",
