@@ -118,85 +118,13 @@ GATED_KEYS: frozenset[str] = frozenset(
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # ---- r8 WINDOW (first 50), exactly as the round-7 verdict
-    # prescribed (Next round #1): the 37 registered keys that have
-    # never received a driver CORRECTNESS row (22 left from the r6
-    # backlog + the 15 round-7 additions), then the 13 oldest
-    # r3-latest staleness canaries the verdict lists by name. A
-    # green CORRECTNESS_r08 on this window retires the
-    # judge-local-only evidence class: every key registered before
-    # r8 then has >= 1 driver row.
-    # -- 22 never-checked (r6 backlog; judge-verified r7):
-    "q_bitmap_overlap",
-    "q_stream_bitmap_overlap",
-    "q_embed_pc1",
-    "q_user_features",
-    "q_retrieval_prf",
-    "q_dedup_semantic",
-    "q_data_profile",
-    "q_ngram_coverage",
-    "q_shuffle_shard",
-    "q_seq_length_hist",
-    "q_filter_funnel",
-    "q_stream_percentile",
-    "q_kanonymity",
-    "q_rollup_cascade",
-    "q_lateness_audit",
-    "q_cooccurrence_lift",
-    "q_skew_report",
-    "q_stream_rollup_cascade",
-    "q_stream_scd2",
-    "q_kmv_intersect",
-    "q_stream_dedup_ingest",
-    "q_stream_contamination",
-    # -- 15 round-7 additions (judge-verified r7 via verify_local):
-    "q_stream_kll_quantile",
-    "q_stream_zip_seq",
-    "q_kll_quantile",
-    "q_dedup_substring",
-    "q_oov_rate",
-    "q_mixture_temperature",
-    "q_stream_combine_latest",
-    "q_multimodal_audio",
-    "q_multimodal_image",
-    "q_dedup_substring_spans",
-    "q_interval_overlap",
-    "q_sample_by_sql",
-    "q_distinct_on_sql",
-    "q_corpus_pipeline_v2",
-    "q_asof_nearest",
-    # -- 13 oldest r3-latest canaries (verdict r7 Next-round #1):
-    "q_array_funcs",
-    "q_approx_distinct",
-    "q_cast",
-    "q_multimodal_meta",
-    "q_dedup_minhash",
-    "q_group_agg",
-    "q_sim_cosine",
-    "q_minhash_estimate",
-    "q_text_repetition",
-    "q_text_entropy",
-    "q_sim_ann_multiprobe",
-    "q_stream_static_join",
-    "q_stream_dedup_watermarked",
-    # ---- 50-key window boundary ----
-    # r9 PLANNED WINDOW (next 50), committed now per verdict r7
-    # Next-round #5: first the 22 remaining r3-latest keys (the
-    # whole r3-era tail is then retired), then the round-8
-    # additions (new keys registered this round -- first driver
-    # evidence rides immediately behind the stale tail), then the
-    # oldest r4-latest keys fill the remaining slots. Every
-    # over-cap key rides the END-OF-ROUND FULL LOCAL SWEEP
-    # (driver-replica gate, whole registry, every round since r5)
-    # between driver windows.
-    # NOTE (r8 third session): the round grew to 41 additions, so
-    # 22 stale + 41 new = 63 > 50 -- the LAST THIRTEEN additions
-    # (q_ohlc_bars onward in this block, through
-    # q_stream_sequence_match) overflow to the HEAD of the r10
-    # window by construction of this ordering; all carry 2-SF +
-    # hostile-TZ gate evidence and the end-of-session full sweeps
-    # from the session that registered them.
-    # -- 22 remaining r3-latest (r9 window head):
+    # ---- r9 WINDOW (first 50), exactly as the round-8 verdict
+    # prescribed (Next round #1): the 22 remaining r3-latest keys
+    # (retiring the whole r3-era evidence tail), then the FIRST 28
+    # round-8 additions (first driver evidence for them). A green
+    # CORRECTNESS_r09 on this window leaves no key with driver
+    # evidence older than r4 and covers 28 of the 41 r8 adds.
+    # -- 22 remaining r3-latest (retire the r3 tail):
     "q_range_join_binned",
     "q_runtime_filter",
     "q_lateral_posexplode",
@@ -219,7 +147,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_grouping_id",
     "q_knn_ivf_batch",
     "q_anomaly_zscore",
-    # -- round-8 additions (first driver evidence due r9):
+    # -- first 28 round-8 additions (first driver evidence):
     "q_dedup_substring_clusters",
     "q_concurrency_profile",
     "q_qualify_sql",
@@ -248,6 +176,18 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_stream_bloom_ingest",
     "q_embed_matryoshka",
     "q_twap",
+    # ---- 50-key window boundary ----
+    # r10 PLANNED WINDOW (next 50), committed now per verdict r8
+    # Next-round #2: the 13 round-8 overflow additions (q_ohlc_bars
+    # .. q_stream_sequence_match), then the ROUND-9 ADDITIONS (new
+    # keys registered this round are inserted directly after the
+    # overflow block, capped at ~10 per the r8 verdict so the
+    # staleness arithmetic closes), then the oldest r4-latest keys
+    # fill the remaining slots; the r4 remainder heads r11. Every
+    # over-cap key rides the END-OF-ROUND FULL LOCAL SWEEP
+    # (driver-replica gate, whole registry, every round since r5)
+    # between driver windows.
+    # -- 13 round-8 overflow additions (r10 window head):
     "q_ohlc_bars",
     "q_replace_sql",
     "q_stream_twap",
@@ -261,7 +201,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_stats_histogram",
     "q_anomaly_seasonal",
     "q_stream_sequence_match",
-    # r4-latest block (r9 window tail / r10; oldest evidence first):
+    # -- round-9 additions (first driver evidence due r10):
+    # -- r4-latest block (oldest evidence first; head fills r10,
+    #    remainder heads r11):
     "q_agg_distinct",
     "q_asof_join",
     "q_cube",
@@ -308,7 +250,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_stream_json_lines",
     "q_ntile_buckets",
     "q_bool_agg",
-    # r5-window keys (driver-checked r5; rotate r10):
+    # r5-window keys (driver-checked r5; rotate r11):
     "q_dedup_cluster_stats",
     "q_stream_chained_aggs",
     "q_sim_threshold_sweep",
@@ -359,7 +301,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_stream_latest_per_key",
     "q_stream_tumbling_watermarked",
     "q_cdc_materialize",
-    # r6-window keys (driver-checked r6; rotate r10/r11):
+    # r6-window keys (driver-checked r6; rotate r11/r12):
     "q_funnel",
     "q_cdc_apply",
     "q_cdc_diff",
@@ -410,7 +352,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_knn_batch",
     "q_quality_filter",
     "q_dedup_clusters",
-    # r7-window keys (driver-checked r7 -- freshest; rotate r11):
+    # r7-window keys (driver-checked r7; rotate r12):
     "q_tpch_q2",
     "q_tpch_q4",
     "q_tpch_q5",
@@ -461,6 +403,57 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_click_attribution",
     "q_markov_transitions",
     "q_sla_percentiles",
+    # r8-window keys (driver-checked r8 -- freshest; rotate r12):
+    "q_bitmap_overlap",
+    "q_stream_bitmap_overlap",
+    "q_embed_pc1",
+    "q_user_features",
+    "q_retrieval_prf",
+    "q_dedup_semantic",
+    "q_data_profile",
+    "q_ngram_coverage",
+    "q_shuffle_shard",
+    "q_seq_length_hist",
+    "q_filter_funnel",
+    "q_stream_percentile",
+    "q_kanonymity",
+    "q_rollup_cascade",
+    "q_lateness_audit",
+    "q_cooccurrence_lift",
+    "q_skew_report",
+    "q_stream_rollup_cascade",
+    "q_stream_scd2",
+    "q_kmv_intersect",
+    "q_stream_dedup_ingest",
+    "q_stream_contamination",
+    "q_stream_kll_quantile",
+    "q_stream_zip_seq",
+    "q_kll_quantile",
+    "q_dedup_substring",
+    "q_oov_rate",
+    "q_mixture_temperature",
+    "q_stream_combine_latest",
+    "q_multimodal_audio",
+    "q_multimodal_image",
+    "q_dedup_substring_spans",
+    "q_interval_overlap",
+    "q_sample_by_sql",
+    "q_distinct_on_sql",
+    "q_corpus_pipeline_v2",
+    "q_asof_nearest",
+    "q_array_funcs",
+    "q_approx_distinct",
+    "q_cast",
+    "q_multimodal_meta",
+    "q_dedup_minhash",
+    "q_group_agg",
+    "q_sim_cosine",
+    "q_minhash_estimate",
+    "q_text_repetition",
+    "q_text_entropy",
+    "q_sim_ann_multiprobe",
+    "q_stream_static_join",
+    "q_stream_dedup_watermarked",
 )
 
 def ordered_registry() -> dict[str, Query]:
