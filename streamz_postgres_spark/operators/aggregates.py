@@ -1171,10 +1171,7 @@ def q_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio. At 100 TB the same bitmaps serve WAU/MAU/quarter windows
     without another pass over events (mergeable-partials rule)."""
     e = load_table(spark, sf_dir, "events")
-    d = F.expr(
-        f"timestampdiff(SECOND, TIMESTAMP_NTZ '{_DAU_EPOCH}', ts) div 86400"
-    ).cast("bigint")
-    ev = e.select(d.alias("d"), "user_id")
+    ev = e.select(dau_day_index().alias("d"), "user_id")
     daily = ev.groupBy(
         "d", F.expr("bitmap_bucket_number(user_id)").alias("bkt")
     ).agg(
@@ -1182,10 +1179,28 @@ def q_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bm"
         )
     )
+    return dau_mau_readout(daily)
+
+
+def dau_day_index():
+    """Integer day index since the DAU epoch (tz-free, engine-exact)."""
+    return F.expr(
+        f"timestampdiff(SECOND, TIMESTAMP_NTZ '{_DAU_EPOCH}', ts) div 86400"
+    ).cast("bigint")
+
+
+def dau_mau_readout(daily: DataFrame) -> DataFrame:
+    """Read-side DAU/MAU roll-up over the per-(day, id-bucket) bitmap
+    table — SHARED by q_dau_mau (bitmaps built in one batch fold) and
+    q_stream_dau_mau (bitmaps maintained live by a streaming
+    aggregate), so the twins cannot desynchronize: one roll-up
+    implementation, one oracle string. The day set is derived from
+    the bitmap table itself (every event lands in exactly one
+    bucket, so distinct d matches the raw-event day set)."""
     dau = daily.groupBy("d").agg(
         F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias("dau")
     )
-    days = ev.select("d").distinct()
+    days = daily.select("d").distinct()
     contrib = daily.select(
         F.explode(
             F.sequence(F.col("d"), F.col("d") + F.lit(_MAU_DAYS - 1))

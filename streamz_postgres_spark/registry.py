@@ -202,6 +202,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_anomaly_seasonal",
     "q_stream_sequence_match",
     # -- round-9 additions (first driver evidence due r10):
+    "q_stream_dau_mau",
     # -- r4-latest block (oldest evidence first; head fills r10,
     #    remainder heads r11):
     "q_agg_distinct",

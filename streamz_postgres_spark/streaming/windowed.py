@@ -1087,3 +1087,59 @@ register(
     oracle=_stream_ohlc_oracle(),
     tags=("streaming", "time", "timeseries"),
 )(q_stream_ohlc)
+
+
+# -- live DAU / MAU stickiness (read-side-split bitmap state) -----------------
+
+
+def q_stream_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE DAU / trailing-28-day MAU / stickiness — q_dau_mau's
+    streaming twin (r8 verdict Next-round #4): the per-(day,
+    id-bucket) bitmap table is maintained as a TRUE streaming
+    aggregate (native ``bitmap_construct_agg`` over
+    ``bitmap_bit_position`` — a declarative, mergeable aggregate
+    Spark folds incrementally; state is O(days x buckets)
+    FIXED-SIZE 32KB bitmaps, never raw user ids), and the
+    DAU/MAU/stickiness line is the read-side trailing-window
+    OR+popcount over the maintained table — the same
+    read-side-split shape as q_stream_concurrency: the unbounded
+    firehose folds incrementally with bounded state, the O(days)
+    dashboard roll-up recomputes from the compact bitmap table on
+    every refresh. The roll-up IS the batch key's dau_mau_readout —
+    one implementation, one oracle string, the twins cannot
+    desynchronize. Production adds a watermark on ts so bitmap
+    groups for closed days evict once they age past the 28-day
+    MAU horizon (complete mode here keeps the bounded replay equal
+    to batch)."""
+    from streamz_postgres_spark.operators.aggregates import (
+        dau_day_index,
+        dau_mau_readout,
+    )
+
+    s = replay_events(spark, sf_dir)
+    daily_live = (
+        s.select(dau_day_index().alias("d"), "user_id")
+        .groupBy("d", F.expr("bitmap_bucket_number(user_id)").alias("bkt"))
+        .agg(
+            F.expr(
+                "bitmap_construct_agg(bitmap_bit_position(user_id))"
+            ).alias("bm")
+        )
+    )
+    tbl = run_to_table(daily_live, "complete", spark)
+    return dau_mau_readout(tbl)
+
+
+def _stream_dau_mau_oracle() -> str:
+    import streamz_postgres_spark.operators.aggregates  # noqa: F401
+
+    from streamz_postgres_spark.registry import REGISTRY
+
+    return REGISTRY["q_dau_mau"].oracle
+
+
+register(
+    "q_stream_dau_mau",
+    oracle=_stream_dau_mau_oracle(),
+    tags=("streaming", "bitmap", "time"),
+)(q_stream_dau_mau)
