@@ -1297,3 +1297,64 @@ def q_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_purchases"
         ),
     ).orderBy("user_id")
+
+
+@register(
+    "q_pattern_sql",
+    oracle="""
+WITH seq AS (
+  SELECT user_id,
+         string_agg(CASE WHEN event_type = 'view' THEN 'V'
+                         WHEN event_type = 'click' THEN 'C'
+                         WHEN event_type = 'purchase' THEN 'P'
+                         ELSE '-' END, '' ORDER BY ts, event_id) AS s,
+         CAST(COUNT(*) AS BIGINT) AS seq_len
+  FROM events GROUP BY user_id
+)
+SELECT user_id, seq_len,
+       CAST(len(regexp_extract_all(s, 'VC*P')) AS BIGINT) AS n_matches,
+       CAST(CASE WHEN len(regexp_extract_all(s, 'VC*P')) > 0
+                 THEN 1 ELSE 0 END AS INTEGER) AS matched
+FROM seq ORDER BY user_id
+""",
+    tags=("window", "sequence", "sql"),
+)
+def q_pattern_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE in SQL SYNTAX — the EIGHTH sqlext grammar
+    (r8 verdict Next-round #5): the SQL:2016 row-pattern clause,
+    lowered onto q_sequence_match's initials-string plan (each row
+    classified into a one-letter symbol by its DEFINE predicates,
+    the per-user symbol string built over the TOTAL (ts, event_id)
+    order, PATTERN compiled to a regex over it — unclassified rows
+    become a match-breaking filler, preserving MATCH_RECOGNIZE's
+    contiguous-rows semantics). The niche exists precisely because
+    no portable form does: Spark and DuckDB both lack the clause,
+    ClickHouse (sequenceMatch) and Flink (CEP) each speak their own
+    dialect. Since neither engine is a native cross-check here, the
+    oracle is the string_agg + regexp construction itself — the
+    same public encoding, written independently in DuckDB SQL.
+    Counted pattern: a contiguous view -> clicks -> purchase run
+    (V C* P), non-overlapping left-to-right on both regex engines.
+    One keyed shuffle; 1 byte of string per event."""
+    import uuid as _uuid
+
+    from streamz_postgres_spark import sqlext
+
+    view = f"events_{_uuid.uuid4().hex[:8]}"
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(view)
+    try:
+        return sqlext.sql(
+            spark,
+            f"""SELECT user_id, seq_len, n_matches, matched
+                FROM {view}
+                MATCH_RECOGNIZE (
+                  PARTITION BY user_id
+                  ORDER BY ts, event_id
+                  PATTERN (V C* P)
+                  DEFINE V AS event_type = 'view',
+                         C AS event_type = 'click',
+                         P AS event_type = 'purchase'
+                ) ORDER BY user_id""",
+        )
+    finally:
+        spark.catalog.dropTempView(view)

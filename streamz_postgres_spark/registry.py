@@ -203,6 +203,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_stream_sequence_match",
     # -- round-9 additions (first driver evidence due r10):
     "q_stream_dau_mau",
+    "q_pattern_sql",
     # -- r4-latest block (oldest evidence first; head fills r10,
     #    remainder heads r11):
     "q_agg_distinct",

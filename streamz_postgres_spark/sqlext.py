@@ -48,7 +48,27 @@ the reason):
   column must exist; duplicates error — DuckDB refuses both too).
   Spark has no ``* REPLACE``; hand-writing the projection is exactly
   the 400-column chore the idiom exists to avoid. One ``* REPLACE``
-  per query, single named table, no JOIN.
+  per query, single named table, no JOIN;
+- ``MATCH_RECOGNIZE (PARTITION BY <key> ORDER BY <cols> PATTERN
+  (<symbols>) DEFINE <S> AS <pred>, ...)`` (the SQL:2016 row-pattern
+  clause, the ClickHouse-sequenceMatch / Flink-CEP niche — neither
+  Spark nor DuckDB implements it) -> the library's initials-string
+  plan (q_sequence_match): each row is classified into a
+  one-character symbol by its DEFINE predicates (FIRST MATCHING
+  DEFINE wins — a deliberate "lite" restriction: write disjoint
+  predicates, as overlapping symbol sets need the full NFA
+  semantics this adapter refuses to fake), the per-partition rows
+  concatenate into an ordered symbol string (TOTAL order from the
+  ORDER BY columns — supply a tiebreak), unclassified rows become
+  ``-`` (a match-breaking filler, preserving MATCH_RECOGNIZE's
+  contiguous-rows semantics), and PATTERN becomes a regex over that
+  string (symbols = single letters; quantifiers ``* + ?``,
+  grouping and ``|`` allowed). Output columns per partition key:
+  the key, ``seq_len``, ``n_matches`` (non-overlapping,
+  left-to-right — both regex engines scan identically), ``matched``
+  (0/1). One MATCH_RECOGNIZE per query, single named table, no
+  JOIN/WHERE (register a filtered view first); optional trailing
+  ORDER BY.
 
 Supported grammar (one ASOF join per query)::
 
@@ -138,6 +158,112 @@ _COLUMNS_RE = re.compile(r"COLUMNS\(\s*'(?P<pat>[^']*)'\s*\)", re.IGNORECASE)
 _EXCLUDE_RE = re.compile(
     r"\*\s*EXCLUDE\s*\(\s*(?P<cols>[\w\s,]+?)\s*\)", re.IGNORECASE
 )
+
+
+_PATTERN_RE = re.compile(
+    r"""^\s*SELECT\s+(?P<proj>.+?)\s+
+        FROM\s+(?P<t>\w+)\s+
+        MATCH_RECOGNIZE\s*\(\s*
+        PARTITION\s+BY\s+(?P<part>\w+)\s+
+        ORDER\s+BY\s+(?P<order>[\w\s,]+?)\s+
+        PATTERN\s*\(\s*(?P<pat>[A-Za-z\s*+?|()]+?)\s*\)\s+
+        DEFINE\s+(?P<defs>.+?)\s*\)\s*
+        (?:ORDER\s+BY\s+(?P<outorder>[\w\s,]+?(?:\s+(?:ASC|DESC))?)\s*)?$""",
+    re.IGNORECASE | re.VERBOSE | re.DOTALL,
+)
+
+_DEFINE_ITEM_RE = re.compile(
+    r"^\s*(?P<sym>[A-Za-z])\s+AS\s+(?P<pred>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
+    m = _PATTERN_RE.match(query)
+    if m is None:
+        raise ValueError(
+            "MATCH_RECOGNIZE present but the query does not match the "
+            "supported grammar: SELECT <projections> FROM <table> "
+            "MATCH_RECOGNIZE (PARTITION BY <key> ORDER BY <cols> "
+            "PATTERN (<symbols with * + ? | ()>) DEFINE <S> AS <pred>"
+            "[, ...]) [ORDER BY <cols>] (one table, single-letter "
+            "symbols, no WHERE/JOIN — register a filtered view first)"
+        )
+    # DEFINE list: single-letter symbols, first-match-wins order
+    defs: list = []
+    seen: set = set()
+    for item in _split_top_level(m.group("defs")):
+        if not item.strip():
+            continue
+        dm = _DEFINE_ITEM_RE.match(item.strip())
+        if dm is None:
+            raise ValueError(
+                f"DEFINE item {item.strip()!r} is not "
+                "<single-letter symbol> AS <predicate>"
+            )
+        sym = dm.group("sym").upper()
+        if sym in seen:
+            raise ValueError(f"duplicate DEFINE symbol: {sym}")
+        seen.add(sym)
+        defs.append((sym, dm.group("pred").strip()))
+    if not defs:
+        raise ValueError("DEFINE lists no symbols")
+    # PATTERN -> regex: strip whitespace, validate the alphabet
+    regex = re.sub(r"\s+", "", m.group("pat")).upper()
+    if not regex:
+        raise ValueError("PATTERN () is empty")
+    pat_syms = set(re.findall(r"[A-Z]", regex))
+    undefined = sorted(pat_syms - seen)
+    if undefined:
+        raise ValueError(
+            "PATTERN symbols without a DEFINE: "
+            + ", ".join(undefined)
+            + " (full MATCH_RECOGNIZE treats them as always-true; "
+            "this adapter refuses rather than guesses)"
+        )
+    try:
+        re.compile(regex)
+    except re.error as e:
+        raise ValueError(f"PATTERN does not compile as a regex: {e}")
+    part = m.group("part").strip()
+    order_cols = [
+        o.strip() for o in m.group("order").split(",") if o.strip()
+    ]
+    if any(not re.fullmatch(r"\w+", o) for o in order_cols):
+        raise ValueError(
+            "MATCH_RECOGNIZE ORDER BY takes plain ascending column "
+            f"names only (got {m.group('order').strip()!r})"
+        )
+    sym_case = (
+        "CASE "
+        + " ".join(f"WHEN {pred} THEN '{sym}'" for sym, pred in defs)
+        + " ELSE '-' END"
+    )
+    ord_fields = ", ".join(
+        f"{c} AS __o{i}" for i, c in enumerate(order_cols)
+    )
+    s_expr = (
+        "array_join(transform(array_sort(collect_list(struct("
+        f"{ord_fields}, {sym_case} AS __ch))), t -> t.__ch), '')"
+    )
+    outorder = (
+        f" ORDER BY {m.group('outorder').strip()}"
+        if m.group("outorder")
+        else ""
+    )
+    rewritten = (
+        f"SELECT {m.group('proj')} FROM ("
+        f"SELECT {part}, seq_len, n_matches, "
+        f"CAST(CASE WHEN n_matches > 0 THEN 1 ELSE 0 END AS INT) "
+        f"AS matched FROM ("
+        f"SELECT {part}, "
+        f"CAST(COUNT(*) AS BIGINT) AS seq_len, "
+        f"CAST(size(regexp_extract_all({s_expr}, '{regex}', 0)) "
+        f"AS BIGINT) AS n_matches "
+        f"FROM {m.group('t')} GROUP BY {part}"
+        f")){outorder}"
+    )
+    return spark.sql(rewritten)
 
 
 def _lower_exclude(spark: SparkSession, query: str) -> DataFrame:
@@ -429,10 +555,13 @@ def sql(spark: SparkSession, query: str) -> DataFrame:
     epoch-aligned bucket GROUP BY, DISTINCT ON / QUALIFY onto rank
     windows, COLUMNS('<regex>') onto a schema-resolved projection
     list, * EXCLUDE onto a schema-validated * EXCEPT, * REPLACE
-    onto a schema-resolved explicit projection (module docstring has
-    all seven grammars)."""
+    onto a schema-resolved explicit projection, MATCH_RECOGNIZE onto
+    the initials-string sequence matcher (module docstring has all
+    eight grammars)."""
     import threading
 
+    if re.search(r"\bMATCH_RECOGNIZE\b", query, re.IGNORECASE):
+        return _lower_pattern(spark, query)
     if re.search(r"\bCOLUMNS\s*\(", query, re.IGNORECASE):
         return _lower_columns(spark, query)
     if re.search(r"\bEXCLUDE\b", query, re.IGNORECASE):

@@ -527,3 +527,134 @@ class TestReplace:
                 spark, "SELECT * REPLACE (1 AS a) FROM no_such_view_7"
             )
         spark.catalog.dropTempView("r_ref")
+
+
+class TestMatchRecognize:
+    @pytest.fixture()
+    def mr_view(self, spark):
+        rows = [
+            # user 1: view, click, click, purchase -> one V C* P run
+            (1, 1, _ts("2024-01-01T10:00"), "view"),
+            (1, 2, _ts("2024-01-01T10:01"), "click"),
+            (1, 3, _ts("2024-01-01T10:02"), "click"),
+            (1, 4, _ts("2024-01-01T10:03"), "purchase"),
+            # user 2: view, ERROR, purchase -> the filler breaks the run
+            (2, 5, _ts("2024-01-01T11:00"), "view"),
+            (2, 6, _ts("2024-01-01T11:01"), "error"),
+            (2, 7, _ts("2024-01-01T11:02"), "purchase"),
+            # user 3: two back-to-back V P runs -> n_matches = 2
+            (3, 8, _ts("2024-01-01T12:00"), "view"),
+            (3, 9, _ts("2024-01-01T12:01"), "purchase"),
+            (3, 10, _ts("2024-01-01T12:02"), "view"),
+            (3, 11, _ts("2024-01-01T12:03"), "purchase"),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id int, event_id int, ts timestamp_ntz, "
+            "event_type string"
+        )
+        df.createOrReplaceTempView("mr_events")
+        yield df
+        spark.catalog.dropTempView("mr_events")
+
+    MR = """SELECT user_id, seq_len, n_matches, matched
+            FROM mr_events
+            MATCH_RECOGNIZE (
+              PARTITION BY user_id
+              ORDER BY ts, event_id
+              PATTERN (V C* P)
+              DEFINE V AS event_type = 'view',
+                     C AS event_type = 'click',
+                     P AS event_type = 'purchase'
+            ) ORDER BY user_id"""
+
+    def test_contiguous_match_and_filler_break(self, spark, mr_view):
+        got = sqlext.sql(spark, self.MR).collect()
+        assert [tuple(r) for r in got] == [
+            (1, 4, 1, 1),   # V C C P matches once
+            (2, 3, 0, 0),   # V - P: the error row breaks contiguity
+            (3, 4, 2, 1),   # VPVP: two non-overlapping matches
+        ]
+
+    def test_order_by_is_a_total_order_over_ties(self, spark, mr_view):
+        # same instant, ordered by the event_id tiebreak: without it
+        # the symbol string would be nondeterministic
+        spark.createDataFrame(
+            [
+                (9, 2, _ts("2024-01-01T10:00"), "purchase"),
+                (9, 1, _ts("2024-01-01T10:00"), "view"),
+            ],
+            "user_id int, event_id int, ts timestamp_ntz, "
+            "event_type string",
+        ).createOrReplaceTempView("mr_tie")
+        got = sqlext.sql(
+            spark,
+            """SELECT user_id, n_matches FROM mr_tie
+               MATCH_RECOGNIZE (
+                 PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 PATTERN (V P)
+                 DEFINE V AS event_type = 'view',
+                        P AS event_type = 'purchase'
+               )""",
+        ).collect()
+        assert [tuple(r) for r in got] == [(9, 1)]
+        spark.catalog.dropTempView("mr_tie")
+
+    def test_alternation_and_plus(self, spark, mr_view):
+        got = sqlext.sql(
+            spark,
+            """SELECT user_id, n_matches FROM mr_events
+               MATCH_RECOGNIZE (
+                 PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 PATTERN ((V | C)+ P)
+                 DEFINE V AS event_type = 'view',
+                        C AS event_type = 'click',
+                        P AS event_type = 'purchase'
+               ) ORDER BY user_id""",
+        ).collect()
+        assert [tuple(r) for r in got] == [(1, 1), (2, 0), (3, 2)]
+
+    def test_refuses_out_of_grammar(self, spark, mr_view):
+        # pattern symbol without a DEFINE
+        with pytest.raises(ValueError, match="without a DEFINE"):
+            sqlext.sql(
+                spark,
+                """SELECT user_id FROM mr_events MATCH_RECOGNIZE (
+                   PARTITION BY user_id ORDER BY ts
+                   PATTERN (V X) DEFINE V AS event_type = 'view')""",
+            )
+        # duplicate DEFINE symbol
+        with pytest.raises(ValueError, match="duplicate DEFINE"):
+            sqlext.sql(
+                spark,
+                """SELECT user_id FROM mr_events MATCH_RECOGNIZE (
+                   PARTITION BY user_id ORDER BY ts
+                   PATTERN (V) DEFINE V AS event_type = 'view',
+                   V AS event_type = 'click')""",
+            )
+        # multi-letter symbols are out of the lite grammar
+        with pytest.raises(ValueError, match="single-letter"):
+            sqlext.sql(
+                spark,
+                """SELECT user_id FROM mr_events MATCH_RECOGNIZE (
+                   PARTITION BY user_id ORDER BY ts
+                   PATTERN (V) DEFINE VW AS event_type = 'view')""",
+            )
+        # descending / expression ORDER BY is refused (the symbol
+        # string needs a plain ascending total order)
+        with pytest.raises(ValueError, match="plain ascending column"):
+            sqlext.sql(
+                spark,
+                """SELECT user_id FROM mr_events MATCH_RECOGNIZE (
+                   PARTITION BY user_id ORDER BY ts DESC
+                   PATTERN (V) DEFINE V AS event_type = 'view')""",
+            )
+        # clause present but malformed (no PARTITION BY)
+        with pytest.raises(ValueError, match="does not match the supported"):
+            sqlext.sql(
+                spark,
+                """SELECT user_id FROM mr_events MATCH_RECOGNIZE (
+                   ORDER BY ts PATTERN (V)
+                   DEFINE V AS event_type = 'view')""",
+            )
