@@ -859,3 +859,102 @@ def q_stats_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+_EQH_ACCURACY = 10_000  # approx_percentile accuracy: rank error <= n/accuracy
+
+
+@register(
+    "q_stats_histogram_approx",
+    oracle=f"""
+WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders)
+SELECT CAST(j.j AS INTEGER) AS j,
+       CAST(j.j AS DOUBLE) / {_EQH_BUCKETS}.0 AS q,
+       t.n AS n_total,
+       CAST((j.j * t.n) // {_EQH_BUCKETS} AS BIGINT) AS target_rank,
+       CAST(1 AS INTEGER) AS rank_in_bound,
+       CAST(1 AS INTEGER) AS order_ok
+FROM t JOIN (VALUES (1), (2), (3), (4), (5), (6), (7), (8), (9))
+  AS j(j) ON TRUE
+ORDER BY j
+""",
+    tags=("stats", "sketch", "scale"),
+)
+def q_stats_histogram_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-height histogram boundaries from APPROX_PERCENTILE with a
+    self-calibrating bounds read-out — the 100 TB form
+    q_stats_histogram's docstring promises (r8 verdict Next-round
+    #3): the exact interpolated percentile is an all-data sort-ish
+    aggregate, while approx_percentile is a mergeable
+    Greenwald-Khanna sketch with a WORST-CASE rank guarantee
+    |realized_rank(boundary_j) - target_rank_j| <= n/accuracy, which
+    is exactly what makes the swap auditable. Sketch contents are
+    not cross-engine reproducible (DuckDB has no GK twin), so the
+    registered read-out is the q_kmv_distinct calibration pattern:
+    per boundary, the EXACT target rank (checkable integers) plus a
+    rank_in_bound flag — realized rank measured by ONE row-local
+    count of rows <= boundary against the broadcast boundary array,
+    compared to the guarantee with +1 slack for the floor/ceil
+    convention — and an order_ok flag asserting the boundary array
+    is non-decreasing. The oracle emits the flags as literal 1: a
+    boundary outside its guaranteed rank band fails the VALUE gate,
+    not just a test. One sketch aggregate + one counting pass, both
+    mergeable map-side; nothing sorts, nothing is quadratic; the
+    exact key (q_stats_histogram) stays registered as the
+    calibration oracle for bucket shape itself."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("v")
+    )
+    bounds = o.agg(
+        F.percentile_approx(
+            "v",
+            F.array(*[F.lit(q) for q in _EQH_QS]),
+            F.lit(_EQH_ACCURACY),
+        ).alias("bs")
+    )
+    joined = o.crossJoin(F.broadcast(bounds))
+    realized = [
+        F.sum(
+            F.when(F.col("v") <= F.element_at("bs", j), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias(f"r{j}")
+        for j in range(1, _EQH_BUCKETS)
+    ]
+    agg = joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        *realized,
+        F.first("bs").alias("bs"),
+    )
+    per_j = agg.select(
+        "n",
+        F.when(
+            F.expr("bs = array_sort(bs)"), 1
+        ).otherwise(0).cast("int").alias("order_ok"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.col(f"r{j}").alias("realized"),
+                    )
+                    for j in range(1, _EQH_BUCKETS)
+                ]
+            )
+        ).alias("t"),
+    )
+    target = F.expr(f"(t.j * n) div {_EQH_BUCKETS}").cast("bigint")
+    tol = F.expr(f"n div {_EQH_ACCURACY}").cast("bigint") + F.lit(1)
+    return per_j.select(
+        F.col("t.j").cast("int").alias("j"),
+        (F.col("t.j").cast("double") / F.lit(float(_EQH_BUCKETS))).alias(
+            "q"
+        ),
+        F.col("n").alias("n_total"),
+        target.alias("target_rank"),
+        F.when(F.abs(F.col("t.realized") - target) <= tol, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("rank_in_bound"),
+        "order_ok",
+    ).orderBy("j")

@@ -1025,11 +1025,10 @@ def q_window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RFM_EPOCH = "1990-01-01 00:00:00"  # precedes every fixture orderdate
 
-
-@register(
-    "q_rfm_segmentation",
-    oracle=f"""
-WITH cust AS (
+#: the per-customer R/F/M metric fold, shared by the exact-NTILE key
+#: and the precomputed-boundary scorer (one definition per engine —
+#: the two forms cannot desynchronize on the input metrics)
+_RFM_CUST_SQL = f"""cust AS (
   SELECT c.c_mktsegment AS seg, o.o_custkey,
          date_diff('day', TIMESTAMP '{_RFM_EPOCH}', MAX(o.o_orderdate))
            AS recency_day,
@@ -1038,7 +1037,53 @@ WITH cust AS (
            AS monetary
   FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
   GROUP BY 1, 2
-), scored AS (
+)"""
+
+_RFM_TIER_SQL = """CASE WHEN r_score = 5 AND f_score >= 4 THEN 'champions'
+            WHEN f_score >= 4 THEN 'loyal'
+            WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+            WHEN r_score <= 2 THEN 'hibernating'
+            ELSE 'regular' END"""
+
+
+def _rfm_customer_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _RFM_CUST_SQL: one keyed fold to (seg, custkey,
+    recency_day, frequency, monetary)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    recency = F.expr(
+        f"date_diff(DAY, TIMESTAMP_NTZ '{_RFM_EPOCH}', MAX(o_orderdate))"
+    )
+    return (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_mktsegment")),
+            o.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_mktsegment").alias("seg"), "o_custkey")
+        .agg(
+            recency.alias("recency_day"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast(_DEC))
+            .cast("double")
+            .alias("monetary"),
+        )
+    )
+
+
+def _rfm_tier():
+    return (
+        F.when((F.col("r_score") == 5) & (F.col("f_score") >= 4), "champions")
+        .when(F.col("f_score") >= 4, "loyal")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 3), "at_risk")
+        .when(F.col("r_score") <= 2, "hibernating")
+        .otherwise("regular")
+    )
+
+
+@register(
+    "q_rfm_segmentation",
+    oracle=f"""
+WITH {_RFM_CUST_SQL}, scored AS (
   SELECT seg, o_custkey, monetary,
          ntile(5) OVER (PARTITION BY seg
                         ORDER BY recency_day, o_custkey) AS r_score,
@@ -1049,11 +1094,7 @@ WITH cust AS (
   FROM cust
 )
 SELECT seg, r_score, f_score, m_score,
-       CASE WHEN r_score = 5 AND f_score >= 4 THEN 'champions'
-            WHEN f_score >= 4 THEN 'loyal'
-            WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
-            WHEN r_score <= 2 THEN 'hibernating'
-            ELSE 'regular' END AS tier,
+       {_RFM_TIER_SQL} AS tier,
        CAST(COUNT(*) AS BIGINT) AS n_customers,
        CAST(SUM(CAST(monetary AS DECIMAL(38,6))) AS DOUBLE)
          AS segment_value
@@ -1077,27 +1118,9 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     quintiles even at metric ties, and the monetary sums stay decimal
     until the read-out. Scale note: per-segment populations are still
     unbounded — at 100 TB score against PRECOMPUTED per-segment
-    quintile boundaries (approx_percentile or the KLL key) instead;
-    the read-out is unchanged."""
-    o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
-    recency = F.expr(
-        f"date_diff(DAY, TIMESTAMP_NTZ '{_RFM_EPOCH}', MAX(o_orderdate))"
-    )
-    cust = (
-        o.join(
-            F.broadcast(c.select("c_custkey", "c_mktsegment")),
-            o.o_custkey == F.col("c_custkey"),
-        )
-        .groupBy(F.col("c_mktsegment").alias("seg"), "o_custkey")
-        .agg(
-            recency.alias("recency_day"),
-            F.count(F.lit(1)).cast("bigint").alias("frequency"),
-            F.sum(F.col("o_totalprice").cast(_DEC))
-            .cast("double")
-            .alias("monetary"),
-        )
-    )
+    quintile boundaries instead (q_rfm_boundaries is that registered
+    form); the read-out is unchanged."""
+    cust = _rfm_customer_metrics(spark, sf_dir)
     scored = cust.select(
         "seg",
         "o_custkey",
@@ -1112,13 +1135,12 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.partitionBy("seg").orderBy("monetary", "o_custkey"))
         .alias("m_score"),
     )
-    tier = (
-        F.when((F.col("r_score") == 5) & (F.col("f_score") >= 4), "champions")
-        .when(F.col("f_score") >= 4, "loyal")
-        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 3), "at_risk")
-        .when(F.col("r_score") <= 2, "hibernating")
-        .otherwise("regular")
-    )
+    return _rfm_rollup(scored)
+
+
+def _rfm_rollup(scored: DataFrame) -> DataFrame:
+    """Tier + segment-value read-out over (seg, scores, monetary)
+    rows — shared by the exact-NTILE and boundary-scored forms."""
     return (
         scored.groupBy("seg", "r_score", "f_score", "m_score")
         .agg(
@@ -1132,12 +1154,156 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "r_score",
             "f_score",
             "m_score",
-            tier.alias("tier"),
+            _rfm_tier().alias("tier"),
             "n_customers",
             "segment_value",
         )
         .orderBy("seg", "r_score", "f_score", "m_score")
     )
+
+
+@register(
+    "q_rfm_boundaries",
+    oracle=f"""
+WITH {_RFM_CUST_SQL}, melt AS (
+  SELECT seg, o_custkey, 'r' AS metric,
+         CAST(recency_day AS DOUBLE) AS v FROM cust
+  UNION ALL
+  SELECT seg, o_custkey, 'f', CAST(frequency AS DOUBLE) FROM cust
+  UNION ALL
+  SELECT seg, o_custkey, 'm', monetary FROM cust
+), ranked AS (
+  SELECT seg, metric, v,
+         row_number() OVER (PARTITION BY seg, metric
+                            ORDER BY v, o_custkey) AS rn,
+         COUNT(*) OVER (PARTITION BY seg, metric) AS n
+  FROM melt
+), bnd AS (
+  SELECT seg, metric, list(v ORDER BY j) AS bs
+  FROM (
+    SELECT r.seg, r.metric, r.v, j.j
+    FROM ranked r JOIN (VALUES (1), (2), (3), (4)) AS j(j)
+      ON r.rn = GREATEST(1, (j.j * r.n) // 5)
+  ) GROUP BY seg, metric
+), scored AS (
+  SELECT c.seg, c.monetary,
+         CAST(1 + len(list_filter(br.bs,
+              x -> x < CAST(c.recency_day AS DOUBLE))) AS INTEGER)
+           AS r_score,
+         CAST(1 + len(list_filter(bf.bs,
+              x -> x < CAST(c.frequency AS DOUBLE))) AS INTEGER)
+           AS f_score,
+         CAST(1 + len(list_filter(bm.bs,
+              x -> x < c.monetary)) AS INTEGER) AS m_score
+  FROM cust c
+  JOIN bnd br ON br.seg = c.seg AND br.metric = 'r'
+  JOIN bnd bf ON bf.seg = c.seg AND bf.metric = 'f'
+  JOIN bnd bm ON bm.seg = c.seg AND bm.metric = 'm'
+)
+SELECT seg, r_score, f_score, m_score,
+       {_RFM_TIER_SQL} AS tier,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(monetary AS DECIMAL(38,6))) AS DOUBLE)
+         AS segment_value
+FROM scored
+GROUP BY seg, r_score, f_score, m_score
+ORDER BY seg, r_score, f_score, m_score
+""",
+    tags=("window", "pipeline", "scale"),
+)
+def q_rfm_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM scored against a PRECOMPUTED, BROADCAST boundary table —
+    the 100 TB form q_rfm_segmentation's docstring promises (r8
+    verdict Next-round #3): instead of running NTILE over every
+    customer row (per-segment sort of an unbounded population), the
+    four interior quintile boundaries per (segment, metric) are
+    computed once — here as EXACT order statistics at integer ranks
+    GREATEST(1, j*n DIV 5), the house integer-index rule, so both
+    engines pick the identical row and the key stays value-checked;
+    at 100 TB the same 60-row table comes from approx_percentile or
+    a KLL sketch refreshed on a schedule — and every customer is
+    scored ROW-LOCALLY against the broadcast boundaries
+    (1 + count of boundaries strictly below the value; ties score
+    into the lower quintile deterministically, with no custkey
+    tiebreak needed because the comparison is against fixed
+    values, not peers). The scorer is one broadcast join + a
+    filter-count per metric: no window, no per-segment sort, scales
+    linearly and incrementally (new customers score without
+    re-ranking the population — exactly why production RFM uses
+    frozen boundaries). Input metrics and tier/rollup read-out are
+    SHARED with the exact key (_RFM_CUST_SQL /
+    _rfm_customer_metrics, _rfm_rollup) so the two forms cannot
+    desynchronize; the exact-NTILE key remains the calibration
+    oracle for the boundary quality itself."""
+    cust = _rfm_customer_metrics(spark, sf_dir)
+    melt = (
+        cust.selectExpr(
+            "seg", "o_custkey", "'r' AS metric",
+            "CAST(recency_day AS DOUBLE) AS v",
+        )
+        .unionByName(
+            cust.selectExpr(
+                "seg", "o_custkey", "'f' AS metric",
+                "CAST(frequency AS DOUBLE) AS v",
+            )
+        )
+        .unionByName(
+            cust.selectExpr(
+                "seg", "o_custkey", "'m' AS metric", "monetary AS v"
+            )
+        )
+    )
+    w = Window.partitionBy("seg", "metric").orderBy("v", "o_custkey")
+    wc = Window.partitionBy("seg", "metric")
+    ranked = melt.select(
+        "seg",
+        "metric",
+        "v",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    bnd = (
+        ranked.select(
+            "seg", "metric", "v", "rn", "n",
+            F.explode(F.expr("array(1, 2, 3, 4)")).alias("j"),
+        )
+        .filter(
+            F.col("rn")
+            == F.greatest(F.lit(1), F.expr("(j * n) div 5"))
+        )
+        .groupBy("seg", "metric")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "v"))),
+                lambda t: t["v"],
+            ).alias("bs")
+        )
+    )
+    one_metric = lambda mname, alias: F.broadcast(  # noqa: E731
+        bnd.filter(F.col("metric") == mname).select(
+            "seg", F.col("bs").alias(alias)
+        )
+    )
+    score = lambda bs, val: (  # noqa: E731
+        F.lit(1) + F.size(F.filter(F.col(bs), lambda x: x < val))
+    ).cast("int")
+    scored = (
+        cust.join(one_metric("r", "bs_r"), "seg")
+        .join(one_metric("f", "bs_f"), "seg")
+        .join(one_metric("m", "bs_m"), "seg")
+        .select(
+            "seg",
+            "monetary",
+            score("bs_r", F.col("recency_day").cast("double")).alias(
+                "r_score"
+            ),
+            score("bs_f", F.col("frequency").cast("double")).alias(
+                "f_score"
+            ),
+            score("bs_m", F.col("monetary")).alias("m_score"),
+        )
+    )
+    return _rfm_rollup(scored)
 
 
 @register(

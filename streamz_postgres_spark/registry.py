@@ -204,6 +204,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # -- round-9 additions (first driver evidence due r10):
     "q_stream_dau_mau",
     "q_pattern_sql",
+    "q_rfm_boundaries",
+    "q_stats_histogram_approx",
     # -- r4-latest block (oldest evidence first; head fills r10,
     #    remainder heads r11):
     "q_agg_distinct",
