@@ -41,13 +41,69 @@ KEYS = (
     # round-7 calendar-touching additions
     "q_sample_by_sql",
     "q_interval_overlap",
+    # round-8 calendar-touching additions (fast core; the rest of
+    # the 41 r8 keys are in R8_KEYS below, slow-marked)
+    "q_twap",
+    "q_ohlc_bars",
+    "q_dau_mau",
+    "q_sequence_match",
+    "q_seasonal_naive_eval",
+    "q_anomaly_seasonal",
+    "q_cdc_time_travel",
+    # round-9 calendar-touching additions
+    "q_stream_dau_mau",
+    "q_pattern_sql",
+)
+
+#: the remaining round-8/9 additions (r8 verdict Next-round #8: the
+#: whole r8 cohort joins the named-key matrix). Slow-marked: they are
+#: not calendar-heavy, but the sweep pins them against tz-sensitivity
+#: regressions (e.g. an epoch helper change) between the full
+#: end-of-round hostile-zone sweeps.
+R8_KEYS = (
+    "q_dedup_substring_clusters",
+    "q_concurrency_profile",
+    "q_qualify_sql",
+    "q_dedup_minhash_clusters",
+    "q_ngram_novelty",
+    "q_l_diversity",
+    "q_sim_ann_ivf_int8",
+    "q_stream_concurrency",
+    "q_lsh_band_sweep",
+    "q_referential_integrity",
+    "q_embed_pq",
+    "q_sim_ann_adc",
+    "q_columns_sql",
+    "q_sim_ann_ivfpq",
+    "q_corr_matrix",
+    "q_exclude_sql",
+    "q_t_closeness",
+    "q_text_readability",
+    "q_graph_assortativity",
+    "q_window_cume_dist",
+    "q_vocab_growth",
+    "q_stream_vocab_novelty",
+    "q_bloom_filter_audit",
+    "q_doc_perplexity_kn",
+    "q_stream_bloom_ingest",
+    "q_embed_matryoshka",
+    "q_replace_sql",
+    "q_stream_twap",
+    "q_stream_ohlc",
+    "q_rfm_segmentation",
+    "q_column_entropy_profile",
+    "q_gini_concentration",
+    "q_stats_histogram",
+    "q_stream_sequence_match",
+    # round-9 non-calendar additions
+    "q_rfm_boundaries",
+    "q_stats_histogram_approx",
 )
 
 _TZ = "Asia/Kathmandu"  # +05:45: off every hour and half-hour grid
 
 
-@pytest.mark.parametrize("key", KEYS)
-def test_value_match_under_nonutc_session(spark, duck, key):
+def _check_under_tz(spark, duck, key):
     tz_key = "spark.sql.session.timeZone"
     before = spark.conf.get(tz_key)
     spark.conf.set(tz_key, _TZ)
@@ -56,3 +112,14 @@ def test_value_match_under_nonutc_session(spark, duck, key):
     finally:
         spark.conf.set(tz_key, before)
     assert ok, f"{key} under {_TZ}: {msg}"
+
+
+@pytest.mark.parametrize("key", KEYS)
+def test_value_match_under_nonutc_session(spark, duck, key):
+    _check_under_tz(spark, duck, key)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("key", R8_KEYS)
+def test_r8_cohort_under_nonutc_session(spark, duck, key):
+    _check_under_tz(spark, duck, key)
