@@ -1235,24 +1235,28 @@ def q_rfm_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     _rfm_customer_metrics, _rfm_rollup) so the two forms cannot
     desynchronize; the exact-NTILE key remains the calibration
     oracle for the boundary quality itself."""
+    from streamz_postgres_spark.lifecycle import persist_scoped
+
     cust = _rfm_customer_metrics(spark, sf_dir)
-    melt = (
-        cust.selectExpr(
-            "seg", "o_custkey", "'r' AS metric",
-            "CAST(recency_day AS DOUBLE) AS v",
-        )
-        .unionByName(
-            cust.selectExpr(
-                "seg", "o_custkey", "'f' AS metric",
-                "CAST(frequency AS DOUBLE) AS v",
+    # the fold feeds the boundary pass AND the scorer — persist it so
+    # orders/customer are scanned ONCE, and melt via a single explode
+    # (a 3-way union of selects re-runs the fold per branch: PLANS.md
+    # showed 3 orders scans before this form)
+    persist_scoped("q_rfm_boundaries", cust)
+    melt = cust.select(
+        "seg",
+        "o_custkey",
+        F.explode(
+            F.expr(
+                "array(struct('r' AS metric,"
+                "             CAST(recency_day AS DOUBLE) AS v),"
+                "      struct('f' AS metric,"
+                "             CAST(frequency AS DOUBLE) AS v),"
+                "      struct('m' AS metric, monetary AS v))"
             )
-        )
-        .unionByName(
-            cust.selectExpr(
-                "seg", "o_custkey", "'m' AS metric", "monetary AS v"
-            )
-        )
-    )
+        ).alias("t"),
+    ).select("seg", "o_custkey", F.col("t.metric").alias("metric"),
+             F.col("t.v").alias("v"))
     w = Window.partitionBy("seg", "metric").orderBy("v", "o_custkey")
     wc = Window.partitionBy("seg", "metric")
     ranked = melt.select(
