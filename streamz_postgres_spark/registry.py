@@ -177,16 +177,17 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_embed_matryoshka",
     "q_twap",
     # ---- 50-key window boundary ----
-    # r10 PLANNED WINDOW (next 50), committed now per verdict r8
-    # Next-round #2: the 13 round-8 overflow additions (q_ohlc_bars
-    # .. q_stream_sequence_match), then the ROUND-9 ADDITIONS (new
-    # keys registered this round are inserted directly after the
-    # overflow block, capped at ~10 per the r8 verdict so the
-    # staleness arithmetic closes), then the oldest r4-latest keys
-    # fill the remaining slots; the r4 remainder heads r11. Every
-    # over-cap key rides the END-OF-ROUND FULL LOCAL SWEEP
-    # (driver-replica gate, whole registry, every round since r5)
-    # between driver windows.
+    # r10 PLANNED WINDOW (next 50), committed per verdict r8
+    # Next-round #2 and FINAL for round 9: the 13 round-8 overflow
+    # additions (q_ohlc_bars .. q_stream_sequence_match), then the
+    # FOUR round-9 additions (round-9 growth kept well under the
+    # ~10-key cap so the staleness arithmetic closes), then the 33
+    # oldest r4-latest keys — 13 + 4 + 33 = 50 exactly; the 13-key
+    # r4 remainder (q_rollup onward) heads r11. Every over-cap
+    # key rides the END-OF-ROUND FULL LOCAL SWEEP (driver-replica
+    # gate, whole registry, every round since r5) between driver
+    # windows — round 9's ran 313/313 green under
+    # TZ=America/Santiago (the 5th distinct hostile zone).
     # -- 13 round-8 overflow additions (r10 window head):
     "q_ohlc_bars",
     "q_replace_sql",
