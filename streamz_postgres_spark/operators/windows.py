@@ -1283,6 +1283,10 @@ def q_rfm_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bs")
         )
     )
+    # the three per-metric broadcasts each derive from bnd — persist
+    # it too (same slot) so the ranking window runs once, not per
+    # branch
+    persist_scoped("q_rfm_boundaries", bnd, fresh=False)
     one_metric = lambda mname, alias: F.broadcast(  # noqa: E731
         bnd.filter(F.col("metric") == mname).select(
             "seg", F.col("bs").alias(alias)
