@@ -342,8 +342,11 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     full filter pass — never a global sort). Spark's exact
     interpolated ``percentile`` matches DuckDB's ``quantile_cont``
     bit-for-bit on integer inputs. At 100 TB swap the exact
-    percentile for ``approx_percentile`` (t-digest) and keep the
-    identical broadcast-filter plan."""
+    percentile for ``approx_percentile`` and keep the identical
+    broadcast-filter plan — q_stats_histogram_approx is the
+    REGISTERED, rank-audited form of exactly this swap (boundaries
+    from the GK sketch, guarantee emitted as oracle-checked
+    flags)."""
     d = load_table(spark, sf_dir, "documents")
     thresh = d.agg(
         F.expr(f"percentile(n_chars, {_QF_PCT})").alias("cut")

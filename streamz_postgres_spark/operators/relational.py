@@ -597,7 +597,9 @@ def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrite correct. At 100 TB swap the exact COUNT(DISTINCT ...)
     trio for approx_count_distinct (the multi-distinct expand
     multiplies the fact scan; the orphan/coverage question rarely
-    needs exact cardinalities) — same note as q_data_profile."""
+    needs exact cardinalities) — same note as q_data_profile;
+    q_approx_distinct / q_kmv_distinct are the registered,
+    error-audited forms of that swap."""
     by_child: dict[str, list[tuple[str, str, str]]] = {}
     for child, fk, parent, pk in _FK_EDGES:
         by_child.setdefault(child, []).append((fk, parent, pk))

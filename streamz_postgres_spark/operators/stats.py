@@ -222,7 +222,9 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape: a per-group exact-percentile agg (5 rows out), then a
     broadcast join + pure least/greatest map — no window over the
     fact table, no second shuffle. At 100 TB swap the exact
-    percentile for percentile_approx; the clamp pass is unchanged.
+    percentile for percentile_approx (q_stats_histogram_approx is
+    the registered, rank-audited form of this swap); the clamp
+    pass is unchanged.
     Band edges go through qround(6) (interpolation ulp guard);
     clamped values are either the untouched input double or a band
     edge, so the output is bit-stable."""
