@@ -68,7 +68,10 @@ the reason):
   left-to-right — both regex engines scan identically), ``matched``
   (0/1). One MATCH_RECOGNIZE per query, single named table, no
   JOIN/WHERE (register a filtered view first); optional trailing
-  ORDER BY.
+  ORDER BY. Patterns that can match an EMPTY sequence (every term
+  ``*``/``?`` quantified) are refused: zero-width regex matches are
+  counted engine-divergently (Java find loop vs RE2 global scan)
+  and an empty row pattern is meaningless as a sequence match.
 
 Supported grammar (one ASOF join per query)::
 
@@ -222,9 +225,20 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
             "this adapter refuses rather than guesses)"
         )
     try:
-        re.compile(regex)
+        compiled = re.compile(regex)
     except re.error as e:
         raise ValueError(f"PATTERN does not compile as a regex: {e}")
+    if compiled.match("") is not None:
+        # zero-width matches are where regex engines disagree (Java's
+        # find loop vs RE2's global scan count empty matches at
+        # different positions), and an empty row-pattern is
+        # meaningless as a sequence match — refuse rather than let
+        # the two engines drift
+        raise ValueError(
+            "PATTERN can match an EMPTY row sequence (every term is "
+            "* or ? quantified) — require at least one mandatory "
+            "symbol"
+        )
     part = m.group("part").strip()
     order_cols = [
         o.strip() for o in m.group("order").split(",") if o.strip()

@@ -700,3 +700,100 @@ def test_asof_nearest_matches_brute_force(spark, left, right):
     want = {i: float(m) if m is not None else None
             for i, m in _brute_force_nearest(left, right).items()}
     assert got == want
+
+
+# -- MATCH_RECOGNIZE lowering vs a pure-Python reference matcher -------------
+
+_MR_TYPES = ("view", "click", "purchase", "error")
+_MR_SYMS = {"view": "V", "click": "C", "purchase": "P"}  # error -> filler
+
+#: per-user event-type index sequences; 1-6 users x 0-12 events
+_mr_corpus = st.lists(
+    st.lists(st.integers(0, len(_MR_TYPES) - 1), max_size=12),
+    min_size=1,
+    max_size=6,
+)
+
+#: pattern terms: (symbol index, quantifier index); at least one term
+#: is forced mandatory so the pattern cannot match empty
+_mr_pattern = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 3)),
+    min_size=1,
+    max_size=4,
+)
+
+_QUANT = ("", "*", "+", "?")
+
+
+def _mr_regex(pattern) -> str:
+    syms = ("V", "C", "P")
+    terms = [f"{syms[s]}{_QUANT[q]}" for s, q in pattern]
+    # force the first term mandatory (strip * / ? down to + / bare)
+    s0, q0 = pattern[0]
+    terms[0] = f"{syms[s0]}{'+' if _QUANT[q0] in ('*', '+') else ''}"
+    return "".join(terms)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpus=_mr_corpus, pattern=_mr_pattern)
+def test_match_recognize_lowering_matches_python_reference(
+    spark, corpus, pattern
+):
+    """The lowered MATCH_RECOGNIZE must agree with a brute-force
+    Python reference on arbitrary small corpora and random
+    non-empty-matchable patterns: same first-match-wins symbol
+    classification, same total (ts, event_id) order, same
+    non-overlapping left-to-right match count."""
+    import re as _re
+
+    from streamz_postgres_spark import sqlext
+
+    regex = _mr_regex(pattern)
+    rows = []
+    eid = 0
+    for u, seq in enumerate(corpus):
+        for j, t in enumerate(seq):
+            eid += 1
+            rows.append(
+                (u, eid, _BASE + dt.timedelta(minutes=j), _MR_TYPES[t])
+            )
+    if not rows:
+        return
+    spark.createDataFrame(
+        rows,
+        "user_id int, event_id int, ts timestamp_ntz, event_type string",
+    ).createOrReplaceTempView("mr_prop_events")
+    try:
+        got = {
+            r["user_id"]: (r["seq_len"], r["n_matches"], r["matched"])
+            for r in sqlext.sql(
+                spark,
+                f"""SELECT user_id, seq_len, n_matches, matched
+                    FROM mr_prop_events
+                    MATCH_RECOGNIZE (
+                      PARTITION BY user_id
+                      ORDER BY ts, event_id
+                      PATTERN ({' '.join(_mr_regex(pattern))})
+                      DEFINE V AS event_type = 'view',
+                             C AS event_type = 'click',
+                             P AS event_type = 'purchase'
+                    )""",
+            ).collect()
+        }
+    finally:
+        spark.catalog.dropTempView("mr_prop_events")
+    for u, seq in enumerate(corpus):
+        if not seq:
+            continue  # empty groups produce no row (no events at all)
+        s = "".join(
+            _MR_SYMS.get(_MR_TYPES[t], "-") for t in seq
+        )  # already in (ts, event_id) order by construction
+        n = len(_re.findall(regex, s))
+        assert got[u] == (len(seq), n, 1 if n > 0 else 0), (
+            f"user {u}: string {s!r} pattern {regex!r}: "
+            f"got {got[u]}, want {(len(seq), n, 1 if n > 0 else 0)}"
+        )

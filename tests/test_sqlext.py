@@ -658,3 +658,16 @@ class TestMatchRecognize:
                    ORDER BY ts PATTERN (V)
                    DEFINE V AS event_type = 'view')""",
             )
+
+    def test_refuses_empty_matchable_pattern(self, spark, mr_view):
+        # every term quantified with * / ? -> the regex matches the
+        # empty string; zero-width match counting is engine-divergent
+        with pytest.raises(ValueError, match="EMPTY row sequence"):
+            sqlext.sql(
+                spark,
+                """SELECT user_id FROM mr_events MATCH_RECOGNIZE (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   PATTERN (V* C?)
+                   DEFINE V AS event_type = 'view',
+                          C AS event_type = 'click')""",
+            )
