@@ -997,3 +997,72 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     )
+
+
+@register(
+    "q_tpch_q17",
+    oracle=f"""
+WITH pq AS (
+  SELECT p_partkey FROM part
+  WHERE p_brand = 'Brand#19' AND p_size < 15
+), lp AS (
+  SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+  FROM lineitem l JOIN pq ON l.l_partkey = pq.p_partkey
+), thr AS (
+  SELECT l_partkey,
+         0.2 * ({sql_dsum('l_quantity')} / COUNT(*)) AS t
+  FROM lp GROUP BY l_partkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_small,
+       {sql_dsum('lp.l_extendedprice')} / 7.0 AS avg_yearly
+FROM lp JOIN thr ON lp.l_partkey = thr.l_partkey
+WHERE lp.l_quantity < thr.t
+""",
+    tags=("tpch", "join", "subquery"),
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue (TPC-H Q17 shape; predicates
+    adapted to the fixture's part columns — brand + size band
+    instead of brand + container, the Q20 adaptation rule). The
+    LAST missing TPC-H number: with Q1/Q3 as the flagship pair the
+    registry now covers all 22. The classic correlated scalar
+    subquery (each lineitem compared to 0.2x ITS PART's average
+    quantity) decorrelates Spark-first into the two-phase shape:
+    one keyed aggregate builds the per-part threshold table — O(
+    filtered parts) rows — which then BROADCASTS back onto the same
+    filtered fact slice for a row-local comparison; no window over
+    the fact table, no per-row subquery re-execution, the exact
+    plan a 100 TB run wants (the per-part averages are the tiny
+    side). The filtered slice feeds both phases, so it is pinned
+    once via persist_scoped instead of being recomputed. Threshold
+    determinism: the average is dsum/COUNT (exact integer-microunit
+    sum, one IEEE division) and 0.2x is one IEEE multiply — both
+    engines build the identical double, so the strict < cut falls
+    identically; the revenue read-out rides dsum / 7.0."""
+    from streamz_postgres_spark.lifecycle import persist_scoped
+
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#19") & (F.col("p_size") < 15))
+        .select("p_partkey")
+    )
+    lp = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .drop("p_partkey")
+    )
+    persist_scoped("q_tpch_q17", lp)
+    thr = lp.groupBy("l_partkey").agg(
+        (
+            F.lit(0.2) * (dsum("l_quantity") / F.count(F.lit(1)))
+        ).alias("t")
+    )
+    return (
+        lp.join(F.broadcast(thr), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("t"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_small"),
+            (dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"),
+        )
+    )

@@ -180,14 +180,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # r10 PLANNED WINDOW (next 50), committed per verdict r8
     # Next-round #2 and FINAL for round 9: the 13 round-8 overflow
     # additions (q_ohlc_bars .. q_stream_sequence_match), then the
-    # FOUR round-9 additions (round-9 growth kept well under the
-    # ~10-key cap so the staleness arithmetic closes), then the 33
-    # oldest r4-latest keys — 13 + 4 + 33 = 50 exactly; the 13-key
-    # r4 remainder (q_rollup onward) heads r11. Every over-cap
+    # FIVE round-9 additions (round-9 growth kept well under the
+    # ~10-key cap so the staleness arithmetic closes), then the 32
+    # oldest r4-latest keys — 13 + 5 + 32 = 50 exactly; the 14-key
+    # r4 remainder heads r11. Every over-cap
     # key rides the END-OF-ROUND FULL LOCAL SWEEP (driver-replica
     # gate, whole registry, every round since r5) between driver
-    # windows — round 9's ran 313/313 green under
-    # TZ=America/Santiago (the 5th distinct hostile zone).
+    # windows — round 9's ran 314/314 green under
+    # TZ=America/Santiago (the 5th distinct hostile zone), re-run
+    # at the final 314-key size.
     # -- 13 round-8 overflow additions (r10 window head):
     "q_ohlc_bars",
     "q_replace_sql",
@@ -207,6 +208,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_pattern_sql",
     "q_rfm_boundaries",
     "q_stats_histogram_approx",
+    "q_tpch_q17",
     # -- r4-latest block (oldest evidence first; head fills r10,
     #    remainder heads r11):
     "q_agg_distinct",

@@ -98,6 +98,7 @@ R8_KEYS = (
     # round-9 non-calendar additions
     "q_rfm_boundaries",
     "q_stats_histogram_approx",
+    "q_tpch_q17",
 )
 
 _TZ = "Asia/Kathmandu"  # +05:45: off every hour and half-hour grid
