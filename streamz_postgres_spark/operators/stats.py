@@ -894,12 +894,19 @@ def q_stats_histogram_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     not cross-engine reproducible (DuckDB has no GK twin), so the
     registered read-out is the q_kmv_distinct calibration pattern:
     per boundary, the EXACT target rank (checkable integers) plus a
-    rank_in_bound flag — realized rank measured by ONE row-local
-    count of rows <= boundary against the broadcast boundary array,
-    compared to the guarantee with +1 slack for the floor/ceil
-    convention — and an order_ok flag asserting the boundary array
-    is non-decreasing. The oracle emits the flags as literal 1: a
-    boundary outside its guaranteed rank band fails the VALUE gate,
+    rank_in_bound flag — and an order_ok flag asserting the boundary
+    array is non-decreasing. The GK guarantee promises only that SOME
+    rank of the returned value is within n/accuracy of target, and on
+    a duplicate-heavy column a value occupies the whole rank interval
+    [COUNT(v < b)+1, COUNT(v <= b)] — so the flag checks that this
+    interval INTERSECTS [target-tol, target+tol] (both endpoint
+    counts from one row-local pass against the broadcast boundary
+    array, +1 slack for the floor/ceil convention), not that the
+    maximum rank alone lands in band (the r9 advisor's find: the
+    max-rank convention is sound on near-distinct columns like
+    o_totalprice but would mis-flag a guarantee-meeting sketch on a
+    low-cardinality column). The oracle emits the flags as literal 1:
+    a boundary outside its guaranteed rank band fails the VALUE gate,
     not just a test. One sketch aggregate + one counting pass, both
     mergeable map-side; nothing sorts, nothing is quadratic; the
     exact key (q_stats_histogram) stays registered as the
@@ -915,14 +922,22 @@ def q_stats_histogram_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bs")
     )
     joined = o.crossJoin(F.broadcast(bounds))
-    realized = [
-        F.sum(
-            F.when(F.col("v") <= F.element_at("bs", j), 1).otherwise(0)
+    realized = []
+    for j in range(1, _EQH_BUCKETS):
+        realized.append(
+            F.sum(
+                F.when(F.col("v") <= F.element_at("bs", j), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"le{j}")
         )
-        .cast("bigint")
-        .alias(f"r{j}")
-        for j in range(1, _EQH_BUCKETS)
-    ]
+        realized.append(
+            F.sum(
+                F.when(F.col("v") < F.element_at("bs", j), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"lt{j}")
+        )
     agg = joined.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         *realized,
@@ -938,7 +953,10 @@ def q_stats_histogram_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(j).alias("j"),
-                        F.col(f"r{j}").alias("realized"),
+                        # the boundary value's full rank interval:
+                        # [COUNT(v < b)+1, COUNT(v <= b)]
+                        (F.col(f"lt{j}") + F.lit(1)).alias("rank_lo"),
+                        F.col(f"le{j}").alias("rank_hi"),
                     )
                     for j in range(1, _EQH_BUCKETS)
                 ]
@@ -954,7 +972,14 @@ def q_stats_histogram_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("n").alias("n_total"),
         target.alias("target_rank"),
-        F.when(F.abs(F.col("t.realized") - target) <= tol, 1)
+        # interval intersection: [rank_lo, rank_hi] meets
+        # [target-tol, target+tol] iff lo <= target+tol AND
+        # hi >= target-tol
+        F.when(
+            (F.col("t.rank_lo") <= target + tol)
+            & (F.col("t.rank_hi") >= target - tol),
+            1,
+        )
         .otherwise(0)
         .cast("int")
         .alias("rank_in_bound"),

@@ -199,6 +199,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_bool_agg",
     # -- round-10 additions (first driver evidence due r11) are
     #    appended here as they land (cap ~10 per verdict r9 #8):
+    "q_pattern_bounds",
+    "q_pattern_measures",
     # -- r5-window keys (driver-checked r5; oldest fill the r11
     #    window to 50, remainder rotates r12):
     "q_dedup_cluster_stats",

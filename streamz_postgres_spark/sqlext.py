@@ -49,8 +49,9 @@ the reason):
   Spark has no ``* REPLACE``; hand-writing the projection is exactly
   the 400-column chore the idiom exists to avoid. One ``* REPLACE``
   per query, single named table, no JOIN;
-- ``MATCH_RECOGNIZE (PARTITION BY <key> ORDER BY <cols> PATTERN
-  (<symbols>) DEFINE <S> AS <pred>, ...)`` (the SQL:2016 row-pattern
+- ``MATCH_RECOGNIZE (PARTITION BY <key> ORDER BY <cols> [MEASURES
+  ...] [ONE ROW PER MATCH] [AFTER MATCH SKIP PAST LAST ROW] PATTERN
+  (<pattern>) DEFINE <S> AS <pred>, ...)`` (the SQL:2016 row-pattern
   clause, the ClickHouse-sequenceMatch / Flink-CEP niche — neither
   Spark nor DuckDB implements it) -> the library's initials-string
   plan (q_sequence_match): each row is classified into a
@@ -59,19 +60,32 @@ the reason):
   predicates, as overlapping symbol sets need the full NFA
   semantics this adapter refuses to fake), the per-partition rows
   concatenate into an ordered symbol string (TOTAL order from the
-  ORDER BY columns — supply a tiebreak), unclassified rows become
-  ``-`` (a match-breaking filler, preserving MATCH_RECOGNIZE's
-  contiguous-rows semantics), and PATTERN becomes a regex over that
-  string (symbols = single letters; quantifiers ``* + ?``,
-  grouping and ``|`` allowed). Output columns per partition key:
-  the key, ``seq_len``, ``n_matches`` (non-overlapping,
-  left-to-right — both regex engines scan identically), ``matched``
-  (0/1). One MATCH_RECOGNIZE per query, single named table, no
-  JOIN/WHERE (register a filtered view first); optional trailing
-  ORDER BY. Patterns that can match an EMPTY sequence (every term
-  ``*``/``?`` quantified) are refused: zero-width regex matches are
-  counted engine-divergently (Java find loop vs RE2 global scan)
-  and an empty row pattern is meaningless as a sequence match.
+  ORDER BY columns, ENFORCED — ties within a partition raise at
+  execution rather than silently returning order-dependent counts),
+  unclassified rows become ``-`` (a match-breaking filler,
+  preserving MATCH_RECOGNIZE's contiguous-rows semantics), and
+  PATTERN is PARSED (not passed through) into symbol/group terms
+  with at most one quantifier each — ``* + ?`` plus bounds ``{n}
+  {n,} {n,m}`` (n <= m <= 64), grouping and ``|`` — and re-emitted
+  as a canonical regex (adjacent quantifiers like the
+  Java-possessive ``*+`` are refused: engine-divergent). Without
+  MEASURES the output per partition key is the key, ``seq_len``,
+  ``n_matches`` (non-overlapping, left-to-right — both regex
+  engines scan identically), ``matched`` (0/1). With MEASURES the
+  output is ONE ROW PER MATCH: the key plus each measure, from the
+  bounded menu ``MATCH_NUMBER()`` / ``COUNT(*)`` (rows in match) /
+  ``FIRST(<col>)`` / ``LAST(<col>)``, positions recovered from the
+  gaps/matches decomposition of the symbol string (match i starts
+  after the first i gaps and i-1 matches). ``AFTER MATCH SKIP PAST
+  LAST ROW`` (the SQL:2016 default and exactly the non-overlapping
+  scan) is accepted explicitly; other skip modes are refused. One
+  MATCH_RECOGNIZE per query, single named table, no JOIN/WHERE
+  (register a filtered view first); optional trailing ORDER BY.
+  Patterns that can match an EMPTY sequence (every term ``*``/``?``
+  or ``{0,m}`` quantified) are refused: zero-width regex matches
+  are counted engine-divergently (Java find loop vs RE2 global
+  scan) and an empty row pattern is meaningless as a sequence
+  match.
 
 Supported grammar (one ASOF join per query)::
 
@@ -169,7 +183,10 @@ _PATTERN_RE = re.compile(
         MATCH_RECOGNIZE\s*\(\s*
         PARTITION\s+BY\s+(?P<part>\w+)\s+
         ORDER\s+BY\s+(?P<order>[\w\s,]+?)\s+
-        PATTERN\s*\(\s*(?P<pat>[A-Za-z\s*+?|()]+?)\s*\)\s+
+        (?:MEASURES\s+(?P<meas>.+?)\s+)??
+        (?:ONE\s+ROW\s+PER\s+MATCH\s+)?
+        (?:AFTER\s+MATCH\s+SKIP\s+(?P<skip>\w+(?:\s+\w+)*?)\s+)?
+        PATTERN\s*\(\s*(?P<pat>[A-Za-z0-9\s*+?|(){},]+?)\s*\)\s+
         DEFINE\s+(?P<defs>.+?)\s*\)\s*
         (?:ORDER\s+BY\s+(?P<outorder>[\w\s,]+?(?:\s+(?:ASC|DESC))?)\s*)?$""",
     re.IGNORECASE | re.VERBOSE | re.DOTALL,
@@ -180,6 +197,232 @@ _DEFINE_ITEM_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 
+#: bounded-quantifier ceiling: far above any sane row pattern, far
+#: below RE2's 1000-repetition hard limit (DuckDB's engine)
+_MR_BOUND_CAP = 64
+
+_MEASURE_RES = (
+    (
+        "match_number",
+        re.compile(
+            r"^MATCH_NUMBER\s*\(\s*\)\s+AS\s+(?P<name>\w+)$", re.IGNORECASE
+        ),
+    ),
+    (
+        "count",
+        re.compile(
+            r"^COUNT\s*\(\s*\*\s*\)\s+AS\s+(?P<name>\w+)$", re.IGNORECASE
+        ),
+    ),
+    (
+        "first",
+        re.compile(
+            r"^FIRST\s*\(\s*(?P<col>\w+)\s*\)\s+AS\s+(?P<name>\w+)$",
+            re.IGNORECASE,
+        ),
+    ),
+    (
+        "last",
+        re.compile(
+            r"^LAST\s*\(\s*(?P<col>\w+)\s*\)\s+AS\s+(?P<name>\w+)$",
+            re.IGNORECASE,
+        ),
+    ),
+)
+
+
+def _parse_pattern(raw: str) -> str:
+    """Parse PATTERN into (symbol | group)(quantifier?) terms with
+    explicit grouping/alternation and rebuild the regex CANONICALLY —
+    the r9 advisor's find: passing the raw string through admits
+    constructs the three engines treat differently (possessive
+    ``V*+`` compiles on Python>=3.11 and runs possessively in Java
+    but is a hard error in RE2). The grammar:
+
+        pattern := seq ('|' seq)*
+        seq     := term+
+        term    := (SYMBOL | '(' pattern ')') quant?
+        quant   := '*' | '+' | '?' | '{n}' | '{n,}' | '{n,m}'
+
+    Adjacent quantifiers (two of ``* + ? {`` in a row) are refused —
+    each symbol/group takes at most ONE quantifier. Bounds are
+    integers with n <= m <= 64 (RE2 caps repetition at 1000; the cap
+    keeps expansion sane on both engines). Patterns that can match
+    an EMPTY sequence are refused via a nullability computation on
+    the parse (zero-width match counting is engine-divergent).
+    Returns the canonical regex string — safe to embed in a
+    single-quoted SQL literal on both engines (alphabet is
+    ``A-Z 0-9 * + ? | ( ) { } ,``)."""
+    s = re.sub(r"\s+", "", raw).upper()
+    if not s:
+        raise ValueError("PATTERN () is empty")
+    pos = 0
+
+    def peek() -> str:
+        return s[pos] if pos < len(s) else ""
+
+    def parse_quant(base_nullable: bool) -> tuple:
+        nonlocal pos
+        ch = peek()
+        if ch == "*":
+            pos += 1
+            q, nullable = "*", True
+        elif ch == "+":
+            pos += 1
+            q, nullable = "+", base_nullable
+        elif ch == "?":
+            pos += 1
+            q, nullable = "?", True
+        elif ch == "{":
+            bm = re.match(r"\{(\d+)(,(\d*))?\}", s[pos:])
+            if bm is None:
+                raise ValueError(
+                    "PATTERN quantifier bound is malformed at "
+                    f"...{s[pos:pos + 8]!r} — use {{n}}, {{n,}} or "
+                    "{n,m} with integer bounds"
+                )
+            lo = int(bm.group(1))
+            hi = int(bm.group(3)) if bm.group(3) else None
+            if bm.group(2) is None:
+                hi = lo
+                q = f"{{{lo}}}"
+            elif hi is None:
+                q = f"{{{lo},}}"
+            else:
+                q = f"{{{lo},{hi}}}"
+            if hi is not None and hi < lo:
+                raise ValueError(
+                    f"PATTERN bound {{{lo},{hi}}} has max < min"
+                )
+            if max(lo, hi or 0) > _MR_BOUND_CAP:
+                raise ValueError(
+                    f"PATTERN bound exceeds the cap of {_MR_BOUND_CAP} "
+                    "repetitions (RE2/DuckDB hard-caps repetition; "
+                    "bounded patterns beyond this are a sequence-scan, "
+                    "not a row pattern)"
+                )
+            pos += bm.end()
+            nullable = base_nullable or lo == 0
+        else:
+            return "", base_nullable
+        if peek() and peek() in "*+?{":
+            raise ValueError(
+                "PATTERN has adjacent quantifiers "
+                f"(...{s[max(0, pos - 2):pos + 1]!r}) — possessive/"
+                "reluctant forms are engine-divergent (Java accepts "
+                "'*+', RE2 errors); quantify each symbol or group at "
+                "most once"
+            )
+        return q, nullable
+
+    def parse_seq() -> tuple:
+        nonlocal pos
+        parts: list = []
+        nullable = True
+        while peek() not in ("", "|", ")"):
+            ch = peek()
+            if ch == "(":
+                pos += 1
+                inner_re, inner_null = parse_alt()
+                if peek() != ")":
+                    raise ValueError("PATTERN has an unclosed group")
+                pos += 1
+                q, t_null = parse_quant(inner_null)
+                parts.append(f"({inner_re}){q}")
+            elif ch.isalpha():
+                pos += 1
+                q, t_null = parse_quant(False)
+                parts.append(ch + q)
+            else:
+                raise ValueError(
+                    f"unexpected character {ch!r} in PATTERN"
+                )
+            nullable = nullable and t_null
+        if not parts:
+            raise ValueError(
+                "PATTERN has an empty branch (a '|' with nothing on "
+                "one side, or an empty group)"
+            )
+        return "".join(parts), nullable
+
+    def parse_alt() -> tuple:
+        nonlocal pos
+        branches = [parse_seq()]
+        while peek() == "|":
+            pos += 1
+            branches.append(parse_seq())
+        return (
+            "|".join(b[0] for b in branches),
+            any(b[1] for b in branches),
+        )
+
+    regex, nullable = parse_alt()
+    if pos != len(s):
+        raise ValueError(
+            f"PATTERN has an unmatched ')' at position {pos}"
+        )
+    if nullable:
+        # zero-width matches are where regex engines disagree (Java's
+        # find loop vs RE2's global scan count empty matches at
+        # different positions), and an empty row-pattern is
+        # meaningless as a sequence match — refuse rather than let
+        # the two engines drift
+        raise ValueError(
+            "PATTERN can match an EMPTY row sequence (every term is "
+            "* or ? quantified or {0,...} bounded) — require at "
+            "least one mandatory symbol"
+        )
+    # canonical-regex sanity check (should be unreachable: the
+    # alphabet above is common to Python/Java/RE2)
+    try:
+        re.compile(regex)
+    except re.error as e:  # pragma: no cover
+        raise ValueError(f"PATTERN does not compile as a regex: {e}")
+    return regex
+
+
+def _mr_partition_subquery(
+    part: str,
+    order_cols: list,
+    sym_case: str,
+    table: str,
+    extra_fields: list,
+) -> str:
+    """The shared per-partition inner query: sorted struct array
+    (total order asserted — ties raise), symbol string. extra_fields
+    is [(field_alias, source_col), ...] carried through the struct
+    for MEASURES read-out."""
+    ord_fields = ", ".join(
+        f"{c} AS __o{i}" for i, c in enumerate(order_cols)
+    )
+    extra = "".join(f", {col} AS {fld}" for fld, col in extra_fields)
+    tie_eq = " AND ".join(
+        f"x.__o{i} <=> y.__o{i}" for i in range(len(order_cols))
+    )
+    # the documented 'supply a tiebreak' contract, ENFORCED (r9
+    # advisor): ties in the ORDER BY key make the symbol string —
+    # and so every match count/measure — order-dependent; the
+    # adapter refuses other silently-divergent cases, so it refuses
+    # this one too. One O(n) adjacent scan on the already-sorted
+    # array; the assert lives in a WHERE so column pruning cannot
+    # drop it.
+    guard = (
+        "assert_true(NOT exists(zip_with("
+        "slice(__arr, 1, size(__arr) - 1), "
+        "slice(__arr, 2, size(__arr) - 1), "
+        f"(x, y) -> {tie_eq}), b -> b), "
+        "'MATCH_RECOGNIZE ORDER BY ties within a partition make "
+        "match results nondeterministic — add a tiebreak column') "
+        "IS NULL"
+    )
+    return (
+        f"SELECT {part}, __arr, "
+        "array_join(transform(__arr, t -> t.__ch), '') AS __s "
+        f"FROM (SELECT {part}, array_sort(collect_list(struct("
+        f"{ord_fields}, {sym_case} AS __ch{extra}))) AS __arr "
+        f"FROM {table} GROUP BY {part}) WHERE {guard}"
+    )
+
 
 def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
     m = _PATTERN_RE.match(query)
@@ -188,10 +431,24 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
             "MATCH_RECOGNIZE present but the query does not match the "
             "supported grammar: SELECT <projections> FROM <table> "
             "MATCH_RECOGNIZE (PARTITION BY <key> ORDER BY <cols> "
-            "PATTERN (<symbols with * + ? | ()>) DEFINE <S> AS <pred>"
-            "[, ...]) [ORDER BY <cols>] (one table, single-letter "
-            "symbols, no WHERE/JOIN — register a filtered view first)"
+            "[MEASURES <item> AS <name>, ...] [ONE ROW PER MATCH] "
+            "[AFTER MATCH SKIP PAST LAST ROW] "
+            "PATTERN (<symbols with * + ? {n,m} | ()>) DEFINE <S> AS "
+            "<pred>[, ...]) [ORDER BY <cols>] (one table, "
+            "single-letter symbols, no WHERE/JOIN — register a "
+            "filtered view first)"
         )
+    if m.group("skip") is not None:
+        skip = re.sub(r"\s+", " ", m.group("skip")).upper()
+        if skip != "PAST LAST ROW":
+            raise ValueError(
+                f"AFTER MATCH SKIP {skip} is not supported — only "
+                "SKIP PAST LAST ROW (the SQL:2016 default; it is "
+                "exactly the non-overlapping left-to-right scan both "
+                "regex engines implement). TO NEXT ROW / TO "
+                "FIRST/LAST need overlapping-match semantics this "
+                "adapter refuses to fake"
+            )
     # DEFINE list: single-letter symbols, first-match-wins order
     defs: list = []
     seen: set = set()
@@ -211,10 +468,7 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
         defs.append((sym, dm.group("pred").strip()))
     if not defs:
         raise ValueError("DEFINE lists no symbols")
-    # PATTERN -> regex: strip whitespace, validate the alphabet
-    regex = re.sub(r"\s+", "", m.group("pat")).upper()
-    if not regex:
-        raise ValueError("PATTERN () is empty")
+    regex = _parse_pattern(m.group("pat"))
     pat_syms = set(re.findall(r"[A-Z]", regex))
     undefined = sorted(pat_syms - seen)
     if undefined:
@@ -223,21 +477,6 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
             + ", ".join(undefined)
             + " (full MATCH_RECOGNIZE treats them as always-true; "
             "this adapter refuses rather than guesses)"
-        )
-    try:
-        compiled = re.compile(regex)
-    except re.error as e:
-        raise ValueError(f"PATTERN does not compile as a regex: {e}")
-    if compiled.match("") is not None:
-        # zero-width matches are where regex engines disagree (Java's
-        # find loop vs RE2's global scan count empty matches at
-        # different positions), and an empty row-pattern is
-        # meaningless as a sequence match — refuse rather than let
-        # the two engines drift
-        raise ValueError(
-            "PATTERN can match an EMPTY row sequence (every term is "
-            "* or ? quantified) — require at least one mandatory "
-            "symbol"
         )
     part = m.group("part").strip()
     order_cols = [
@@ -253,29 +492,110 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
         + " ".join(f"WHEN {pred} THEN '{sym}'" for sym, pred in defs)
         + " ELSE '-' END"
     )
-    ord_fields = ", ".join(
-        f"{c} AS __o{i}" for i, c in enumerate(order_cols)
-    )
-    s_expr = (
-        "array_join(transform(array_sort(collect_list(struct("
-        f"{ord_fields}, {sym_case} AS __ch))), t -> t.__ch), '')"
-    )
     outorder = (
         f" ORDER BY {m.group('outorder').strip()}"
         if m.group("outorder")
         else ""
     )
+
+    if m.group("meas") is None:
+        # aggregate form: one row per partition key
+        inner = _mr_partition_subquery(
+            part, order_cols, sym_case, m.group("t"), []
+        )
+        rewritten = (
+            f"SELECT {m.group('proj')} FROM ("
+            f"SELECT {part}, seq_len, n_matches, "
+            "CAST(CASE WHEN n_matches > 0 THEN 1 ELSE 0 END AS INT) "
+            "AS matched FROM ("
+            f"SELECT {part}, "
+            "CAST(size(__arr) AS BIGINT) AS seq_len, "
+            f"CAST(size(regexp_extract_all(__s, '{regex}', 0)) "
+            "AS BIGINT) AS n_matches "
+            f"FROM ({inner})"
+            f")){outorder}"
+        )
+        return spark.sql(rewritten)
+
+    # MEASURES form: ONE ROW PER MATCH
+    try:
+        table_cols = spark.table(m.group("t")).columns
+    except Exception as e:  # noqa: BLE001
+        raise ValueError(
+            f"MATCH_RECOGNIZE source must be a resolvable table/view: {e}"
+        ) from None
+    measures: list = []  # (kind, col_or_None, name)
+    names: set = set()
+    col_fields: dict = {}  # source col -> struct field alias
+    for item in _split_top_level(m.group("meas")):
+        item = item.strip()
+        if not item:
+            continue
+        for kind, rx in _MEASURE_RES:
+            mm = rx.match(item)
+            if mm is not None:
+                break
+        else:
+            raise ValueError(
+                f"MEASURES item {item!r} is outside the supported "
+                "menu: MATCH_NUMBER() | COUNT(*) | FIRST(<col>) | "
+                "LAST(<col>), each AS <name> (full SQL:2016 "
+                "running/final aggregates need per-symbol row "
+                "attribution this adapter refuses to fake)"
+            )
+        name = mm.group("name")
+        if name in names:
+            raise ValueError(f"duplicate MEASURES name: {name}")
+        names.add(name)
+        col = mm.groupdict().get("col")
+        if col is not None:
+            if col not in table_cols:
+                raise ValueError(
+                    f"MEASURES column {col!r} is not a column of "
+                    f"{m.group('t')} (columns: {', '.join(table_cols)})"
+                )
+            col_fields.setdefault(col, f"__c{len(col_fields)}")
+        measures.append((kind, col, name))
+    if not measures:
+        raise ValueError("MEASURES lists no items")
+    inner = _mr_partition_subquery(
+        part, order_cols, sym_case, m.group("t"),
+        sorted(((f, c) for c, f in col_fields.items())),
+    )
+    sel = []
+    for kind, col, name in measures:
+        if kind == "match_number":
+            sel.append(f"CAST(m.no AS INT) AS {name}")
+        elif kind == "count":
+            sel.append(f"CAST(m.mlen AS BIGINT) AS {name}")
+        elif kind == "first":
+            sel.append(
+                f"element_at(__arr, m.sp).{col_fields[col]} AS {name}"
+            )
+        else:  # last
+            sel.append(
+                f"element_at(__arr, m.sp + m.mlen - 1)."
+                f"{col_fields[col]} AS {name}"
+            )
+    # per-match positions from the gaps/matches decomposition: both
+    # engines scan non-overlapping left-to-right, so match i starts
+    # after the first i gaps and the first i-1 matches. slice(x,1,0)
+    # is [] and explode of [] drops zero-match partitions — exactly
+    # ONE ROW PER MATCH.
     rewritten = (
         f"SELECT {m.group('proj')} FROM ("
-        f"SELECT {part}, seq_len, n_matches, "
-        f"CAST(CASE WHEN n_matches > 0 THEN 1 ELSE 0 END AS INT) "
-        f"AS matched FROM ("
-        f"SELECT {part}, "
-        f"CAST(COUNT(*) AS BIGINT) AS seq_len, "
-        f"CAST(size(regexp_extract_all({s_expr}, '{regex}', 0)) "
-        f"AS BIGINT) AS n_matches "
-        f"FROM {m.group('t')} GROUP BY {part}"
-        f")){outorder}"
+        f"SELECT {part}, {', '.join(sel)} FROM ("
+        f"SELECT {part}, __arr, "
+        f"regexp_extract_all(__s, '{regex}', 0) AS __ms, "
+        f"split(__s, '{regex}', -1) AS __gs "
+        f"FROM ({inner})"
+        ") LATERAL VIEW explode(transform("
+        "slice(sequence(1, greatest(size(__ms), 1)), 1, size(__ms)), "
+        "i -> struct(i AS no, length(element_at(__ms, i)) AS mlen, "
+        "aggregate(slice(__gs, 1, i), 0, (a, g) -> a + length(g)) + "
+        "aggregate(slice(__ms, 1, i - 1), 0, (a, g) -> a + length(g))"
+        " + 1 AS sp))) __mt AS m"
+        f"){outorder}"
     )
     return spark.sql(rewritten)
 

@@ -110,13 +110,20 @@ def test_rfm_boundary_scoring_equals_ntile_in_exact_regime(spark):
 
 
 def test_histogram_approx_audit_is_not_vacuous(spark):
-    """The rank_in_bound flag must be a real measurement: recompute
-    the realized rank of each approx boundary EXACTLY (count of rows
-    <= boundary) and require it within n/accuracy + 1 of the target
-    — the same bound the key emits. Then break the bound on purpose
-    (tolerance 0) and require that at least one boundary of a
-    100k-value heavy-tail column actually differs from the exact
-    order statistic, i.e. the audit has something to measure."""
+    """Two parts. (1) The key's own flags at SF_DIR: all in-bound,
+    ordered, targets are the exact integers j*n div 10. (2) The audit
+    CONVENTION is a real measurement, shown on a synthetic 100k
+    heavy-tail column sketched at accuracy 100 (rank budget
+    n/accuracy = 1000): recompute every boundary's realized rank
+    interval [count(v < b)+1, count(v <= b)] EXACTLY in Python and
+    require (a) each interval intersects the guarantee band — the
+    key's rank_in_bound convention re-derived independently — and
+    (b) at least one boundary DIFFERS from the exact order statistic
+    at its target rank, i.e. the sketch is genuinely approximate
+    here and in-bound is a measurement, not an identity (the r9
+    advisor's find: the old version asserted this only in prose)."""
+    from bisect import bisect_left, bisect_right
+
     df = REGISTRY["q_stats_histogram_approx"].spark_fn(spark, SF_DIR)
     rows = df.collect()
     assert len(rows) == 9
@@ -126,6 +133,41 @@ def test_histogram_approx_audit_is_not_vacuous(spark):
     n = rows[0]["n_total"]
     for r in rows:
         assert r["target_rank"] == (r["j"] * n) // 10
+
+    # -- part 2: the convention measured against a sketch that is
+    # actually lossy (accuracy 100 on 100k distinct-ish values)
+    acc = 100
+    vals = spark.range(100_000).selectExpr(
+        # deterministic heavy tail: Pareto-ish via an id-derived
+        # uniform, plus id/1e9 to break ties
+        "CAST(pow((CAST(id % 99991 AS DOUBLE) + 1.0) / 99991.0, -2.0)"
+        " + CAST(id AS DOUBLE) / 1e9 AS DOUBLE) AS v"
+    )
+    from streamz_postgres_spark.operators.stats import _EQH_QS
+
+    bs = vals.agg(
+        F.percentile_approx(
+            "v", F.array(*[F.lit(q) for q in _EQH_QS]), F.lit(acc)
+        ).alias("bs")
+    ).collect()[0]["bs"]
+    data = sorted(r["v"] for r in vals.collect())
+    n2 = len(data)
+    tol = n2 // acc + 1
+    diffs = 0
+    for j, b in enumerate(bs, start=1):
+        target = (j * n2) // 10
+        lo = bisect_left(data, b) + 1
+        hi = bisect_right(data, b)
+        assert lo <= target + tol and hi >= target - tol, (
+            f"boundary {j} rank interval [{lo}, {hi}] misses "
+            f"[{target - tol}, {target + tol}]"
+        )
+        if b != data[target - 1]:
+            diffs += 1
+    assert diffs > 0, (
+        "every approx boundary equals the exact order statistic — "
+        "the audit would be vacuous on this column"
+    )
 
 
 def test_pattern_sql_agrees_with_sequence_match_on_purchases(spark):

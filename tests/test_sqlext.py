@@ -671,3 +671,172 @@ class TestMatchRecognize:
                    DEFINE V AS event_type = 'view',
                           C AS event_type = 'click')""",
             )
+        # the bounded form of the same hole: {0,m} on every term
+        with pytest.raises(ValueError, match="EMPTY row sequence"):
+            sqlext.sql(
+                spark,
+                """SELECT user_id FROM mr_events MATCH_RECOGNIZE (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   PATTERN (V{0,3})
+                   DEFINE V AS event_type = 'view')""",
+            )
+
+    def test_bounded_quantifiers(self, spark, mr_view):
+        # V C{2,3} P: only user 1's VCCP has 2-3 clicks between
+        got = sqlext.sql(
+            spark,
+            """SELECT user_id, n_matches FROM mr_events
+               MATCH_RECOGNIZE (
+                 PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 PATTERN (V C{2,3} P)
+                 DEFINE V AS event_type = 'view',
+                        C AS event_type = 'click',
+                        P AS event_type = 'purchase'
+               ) ORDER BY user_id""",
+        ).collect()
+        assert [tuple(r) for r in got] == [(1, 1), (2, 0), (3, 0)]
+
+    def test_bounds_with_alternation_group(self, spark, mr_view):
+        # (V|C){1,2} P over VCCP / V-P / VPVP: greedy backtracking
+        # finds CCP for user 1, nothing for 2, both VPs for 3 —
+        # identically on Java and RE2
+        got = sqlext.sql(
+            spark,
+            """SELECT user_id, n_matches FROM mr_events
+               MATCH_RECOGNIZE (
+                 PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 AFTER MATCH SKIP PAST LAST ROW
+                 PATTERN ((V | C){1,2} P)
+                 DEFINE V AS event_type = 'view',
+                        C AS event_type = 'click',
+                        P AS event_type = 'purchase'
+               ) ORDER BY user_id""",
+        ).collect()
+        assert [tuple(r) for r in got] == [(1, 1), (2, 0), (3, 2)]
+
+    def test_measures_one_row_per_match(self, spark, mr_view):
+        got = sqlext.sql(
+            spark,
+            """SELECT user_id, match_no, n_rows, first_eid, last_eid
+               FROM mr_events
+               MATCH_RECOGNIZE (
+                 PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 MEASURES MATCH_NUMBER() AS match_no,
+                          COUNT(*) AS n_rows,
+                          FIRST(event_id) AS first_eid,
+                          LAST(event_id) AS last_eid
+                 ONE ROW PER MATCH
+                 PATTERN (V C* P)
+                 DEFINE V AS event_type = 'view',
+                        C AS event_type = 'click',
+                        P AS event_type = 'purchase'
+               ) ORDER BY user_id, match_no""",
+        ).collect()
+        # user 1: one 4-row match spanning events 1..4; user 2: no
+        # rows at all (ONE ROW PER MATCH); user 3: two 2-row matches
+        assert [tuple(r) for r in got] == [
+            (1, 1, 4, 1, 4),
+            (3, 1, 2, 8, 9),
+            (3, 2, 2, 10, 11),
+        ]
+
+    def test_refuses_adjacent_quantifiers(self, spark, mr_view):
+        # possessive 'V*+' runs possessively on Java but is a hard
+        # error in RE2 — the r9 advisor's engine-divergence find
+        with pytest.raises(ValueError, match="adjacent quantifiers"):
+            sqlext.sql(
+                spark,
+                """SELECT user_id FROM mr_events MATCH_RECOGNIZE (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   PATTERN (V*+ P)
+                   DEFINE V AS event_type = 'view',
+                          P AS event_type = 'purchase')""",
+            )
+
+    def test_refuses_bad_bounds(self, spark, mr_view):
+        with pytest.raises(ValueError, match="max < min"):
+            sqlext.sql(
+                spark,
+                """SELECT user_id FROM mr_events MATCH_RECOGNIZE (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   PATTERN (V{4,2} P)
+                   DEFINE V AS event_type = 'view',
+                          P AS event_type = 'purchase')""",
+            )
+        with pytest.raises(ValueError, match="exceeds the cap"):
+            sqlext.sql(
+                spark,
+                """SELECT user_id FROM mr_events MATCH_RECOGNIZE (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   PATTERN (V{65} P)
+                   DEFINE V AS event_type = 'view',
+                          P AS event_type = 'purchase')""",
+            )
+
+    def test_refuses_unsupported_skip_mode(self, spark, mr_view):
+        # TO NEXT ROW = overlapping matches = NFA semantics the
+        # initials-string plan cannot express — refuse, not fake
+        with pytest.raises(ValueError, match="SKIP TO NEXT ROW"):
+            sqlext.sql(
+                spark,
+                """SELECT user_id FROM mr_events MATCH_RECOGNIZE (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   AFTER MATCH SKIP TO NEXT ROW
+                   PATTERN (V P)
+                   DEFINE V AS event_type = 'view',
+                          P AS event_type = 'purchase')""",
+            )
+
+    def test_refuses_measure_outside_menu(self, spark, mr_view):
+        with pytest.raises(ValueError, match="outside the supported"):
+            sqlext.sql(
+                spark,
+                """SELECT user_id, s FROM mr_events MATCH_RECOGNIZE (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   MEASURES SUM(event_id) AS s
+                   PATTERN (V P)
+                   DEFINE V AS event_type = 'view',
+                          P AS event_type = 'purchase')""",
+            )
+        # unknown measure source column
+        with pytest.raises(ValueError, match="not a column"):
+            sqlext.sql(
+                spark,
+                """SELECT user_id, f FROM mr_events MATCH_RECOGNIZE (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   MEASURES FIRST(nope) AS f
+                   PATTERN (V P)
+                   DEFINE V AS event_type = 'view',
+                          P AS event_type = 'purchase')""",
+            )
+
+    def test_order_by_ties_raise_at_execution(self, spark):
+        # the documented 'supply a tiebreak' contract, enforced (r9
+        # advisor): two rows at the same instant under ORDER BY ts
+        # alone -> the symbol string is order-dependent -> refuse
+        spark.createDataFrame(
+            [
+                (9, 1, _ts("2024-01-01T10:00"), "view"),
+                (9, 2, _ts("2024-01-01T10:00"), "purchase"),
+            ],
+            "user_id int, event_id int, ts timestamp_ntz, "
+            "event_type string",
+        ).createOrReplaceTempView("mr_tied")
+        try:
+            df = sqlext.sql(
+                spark,
+                """SELECT user_id, n_matches FROM mr_tied
+                   MATCH_RECOGNIZE (
+                     PARTITION BY user_id
+                     ORDER BY ts
+                     PATTERN (V P)
+                     DEFINE V AS event_type = 'view',
+                            P AS event_type = 'purchase')""",
+            )
+            with pytest.raises(Exception, match="tiebreak"):
+                df.collect()
+        finally:
+            spark.catalog.dropTempView("mr_tied")
