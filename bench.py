@@ -4,7 +4,16 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
   {"metric": "headline_total_sec", "value": <sum of per-query
    medians>, "unit": "sec", "queries": {name: sec, ...}, "sf": ...,
-   "load": {...}}
+   "load": {...}, "heavy_tail": {...}}
+
+The trailing "heavy_tail" object (r10) is a NON-GATING second
+section over the registry's wall-clock tail — the five heaviest
+keys, where a plan regression would actually show (the headline set
+is all sub-2 s and tracks machine noise more than engine cost).
+Same sentinel bracketing, 3 samples each; informational in
+BASELINE.md, never judged against the 2x gate; SPARK_GRAFT_HEAVY=0
+disables it. The headline metric/value/load_flag are byte-compatible
+with pre-r10 consumers.
 
 Methodology: a session-wide warm-up pass (every headline query
 executed twice, untimed) before any timing, then one per-query
@@ -69,6 +78,23 @@ HEADLINE = (
     "q_multimodal",
 )
 
+#: NON-GATING second section (r9 verdict Next-round #6): the
+#: headline set is all sub-2 s at sf0.1 and tracks machine noise
+#: more than engine cost; these are the registry's measured
+#: wall-clock tail (3.4-8.6 s steady-state at sf0.1), where a plan
+#: regression would actually show. Same sentinel bracketing; 3
+#: samples each (cost ~2 min total); recorded in BASELINE.md as
+#: informational, never against the 2x gate. Disable with
+#: SPARK_GRAFT_HEAVY=0.
+HEAVY_TAIL = (
+    "q_sim_ann_ivfpq",
+    "q_doc_perplexity_kn",
+    "q_dedup_minhash_clusters",
+    "q_bloom_filter_audit",
+    "q_dedup_substring_clusters",
+)
+N_RUNS_HEAVY = 3
+
 #: round-4 drift audit: two identical back-to-back bench processes
 #: differed ~5% total and up to 25% per query with zero code change
 #: (7.488 vs 7.899 s; r3's 8.194 on r2's code was the same effect) —
@@ -112,7 +138,7 @@ def _calibrate_sentinel(spark) -> float:
 
 
 def time_query(
-    spark, name: str, sf_dir: str, sentinel_base: float
+    spark, name: str, sf_dir: str, sentinel_base: float, n_runs: int = 0
 ) -> tuple[float, int, int]:
     """Return (median_sec, clean_samples, contended_samples_discarded).
 
@@ -123,7 +149,7 @@ def time_query(
     """
     fn = REGISTRY[name].spark_fn
     fn(spark, sf_dir).count()  # warm-up
-    n = EXTRA_RUNS.get(name, N_RUNS)
+    n = n_runs or EXTRA_RUNS.get(name, N_RUNS)
     limit = sentinel_base * SENTINEL_TOLERANCE
     clean: list[float] = []
     contended: list[float] = []
@@ -186,6 +212,31 @@ def main() -> None:
             "load_flag": load_flag,
         },
     }
+
+    # non-gating heavy-tail section (module constant's rationale);
+    # headline totals/load_flag above are unchanged by it
+    if os.environ.get("SPARK_GRAFT_HEAVY", "1") != "0":
+        heavy_q: dict[str, float] = {}
+        heavy_clean: dict[str, int] = {}
+        heavy_disc: dict[str, int] = {}
+        for name in HEAVY_TAIL:
+            med, n_clean, n_cont = time_query(
+                spark, name, sf_dir, sentinel_base, n_runs=N_RUNS_HEAVY
+            )
+            heavy_q[name] = round(med, 3)
+            heavy_clean[name] = n_clean
+            if n_cont:
+                heavy_disc[name] = n_cont
+        out["heavy_tail"] = {
+            "total_sec": round(sum(heavy_q.values()), 3),
+            "queries": heavy_q,
+            "clean_samples": heavy_clean,
+            "contended_discarded": heavy_disc,
+            "load_flag": any(
+                heavy_clean[n] < N_RUNS_HEAVY for n in HEAVY_TAIL
+            ),
+        }
+
     print(json.dumps(out))
 
 
