@@ -729,7 +729,21 @@ def connected_components(
     the full join lineage every round, which compounds until
     planning dominates (measured: a 9-round chain took minutes with
     persist, seconds with checkpoint). Lineage truncation is load-
-    bearing for every iterative DataFrame algorithm."""
+    bearing for every iterative DataFrame algorithm.
+
+    The fixpoint iterates over EDGE-INCIDENT nodes only (r10, the r9
+    verdict's wall-clock-tail prescription): a node with no edge can
+    never change its label (it keeps its own id by definition), yet
+    the old loop joined and checkpointed the FULL O(nodes) label
+    table every round — on a deduplicated corpus the duplicate-pair
+    graph touches a few percent of documents, so every round paid
+    10-30x the necessary join/checkpoint volume. Singletons are
+    re-attached after convergence with ONE left join against the
+    (small, usually broadcast) converged labels — output contract
+    unchanged: every node in ``nodes`` gets a row, singletons keep
+    their own id. Measured at the x30 replica this took
+    q_dedup_substring_clusters from 147 s to the per-stage floor of
+    the pair scan (SCALE.md round-10 row)."""
     from streamz_postgres_spark.lifecycle import persist_scoped, track_scoped
 
     edges = pairs.union(
@@ -744,8 +758,9 @@ def connected_components(
     # separate agg ran two). The sum is the whole driver roundtrip —
     # O(1) rows — and labels only ever decrease, so an unchanged sum
     # IS the fixpoint.
-    labels = nodes.select(
-        "vec_id", F.col("vec_id").alias("cluster_id")
+    labels = edges.select("u").distinct().select(
+        F.col("u").alias("vec_id"),
+        F.col("u").alias("cluster_id"),
     ).localCheckpoint(eager=False)
     prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
     for _ in range(max_iters):
@@ -786,7 +801,18 @@ def connected_components(
     # outlive this call, so park it (unpersisted-on-next-invocation)
     # in the same thread-scoped slot as edges
     track_scoped("connected_components", labels, fresh=False)
-    return labels
+    # singleton re-attach: nodes outside the edge set keep their own
+    # id. The converged label table is edge-incident-sized (small);
+    # on a mostly-unique corpus Spark broadcasts it.
+    lbl = labels.select(
+        F.col("vec_id").alias("__lv"), F.col("cluster_id").alias("__lc")
+    )
+    return nodes.join(
+        lbl, nodes["vec_id"] == F.col("__lv"), "left"
+    ).select(
+        nodes["vec_id"],
+        F.coalesce(F.col("__lc"), nodes["vec_id"]).alias("cluster_id"),
+    )
 
 
 @register(
@@ -1409,15 +1435,35 @@ def _winnow_pairs(
     pair with (n_shared distinct grams, lexicographic MIN shared
     gram as the deterministic representative for span extension).
     ``docs`` overrides the input corpus (pipeline compositions that
-    dedup a FILTERED frame, e.g. q_corpus_pipeline_v2)."""
+    dedup a FILTERED frame, e.g. q_corpus_pipeline_v2).
+
+    The exploded fingerprint stream is persist_scoped (r10, the r9
+    verdict's wall-clock-tail prescription): it feeds the DF-cap
+    aggregate AND both sides of the candidate self-join, and without
+    the pin each consumer re-ran the winnowing scan — the per-gram
+    md5 HOF, the single most expensive expression in the registry —
+    up to four times per invocation (the plan audit showed four
+    documents ReadSchema subtrees). Pinned size is the distinct
+    fingerprint stream, ~2/(W+1) of corpus characters as 24-char
+    grams; MEMORY_AND_DISK spills gracefully at scale."""
     d = docs if docs is not None else _docs_parallel(spark, sf_dir)
+    from streamz_postgres_spark.lifecycle import persist_scoped
+
     g = (
         d.selectExpr("doc_id", f"{_SUB_HS} AS hs", "text")
         .selectExpr("doc_id", f"explode({_SUB_FPS}) AS gram")
     )
+    persist_scoped("_winnow_pairs", g)
+    # (doc_id, gram) is UNIQUE by construction — _SUB_FPS wraps the
+    # winnow selection in array_distinct before the explode — so
+    # count(*) here equals countDistinct(doc_id) / countDistinct(gram)
+    # exactly, and count(*) partial-aggregates map-side where
+    # countDistinct forces a distinct-expand shuffle of the 24-char
+    # gram strings (r10 tail attack: the expand was ~40% of the x30
+    # pair-stage wall).
     df_keep = (
         g.groupBy("gram")
-        .agg(F.countDistinct("doc_id").alias("df"))
+        .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df").between(2, _SUB_DF_CAP))
         .select("gram")
     )
@@ -1434,7 +1480,7 @@ def _winnow_pairs(
             F.col("b.doc_id").alias("doc_b"),
         )
         .agg(
-            F.countDistinct("a.gram").alias("n_shared"),
+            F.count(F.lit(1)).alias("n_shared"),
             F.min("a.gram").alias("gram"),
         )
         .filter(F.col("n_shared") >= _SUB_MIN_SHARED)
