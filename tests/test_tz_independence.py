@@ -53,6 +53,10 @@ KEYS = (
     # round-9 calendar-touching additions
     "q_stream_dau_mau",
     "q_pattern_sql",
+    # round-10 calendar-touching additions (q_pattern_measures reads
+    # FIRST/LAST(ts) back out — the classic tz-shift victim)
+    "q_pattern_bounds",
+    "q_pattern_measures",
 )
 
 #: the remaining round-8/9 additions (r8 verdict Next-round #8: the
