@@ -201,6 +201,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     #    appended here as they land (cap ~10 per verdict r9 #8):
     "q_pattern_bounds",
     "q_pattern_measures",
+    "q_stream_pattern_measures",
     # -- r5-window keys (driver-checked r5; oldest fill the r11
     #    window to 50, remainder rotates r12):
     "q_dedup_cluster_stats",

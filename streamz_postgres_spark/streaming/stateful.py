@@ -1292,3 +1292,136 @@ register(
     oracle=_stream_seq_oracle(),
     tags=("streaming", "stateful", "sequence"),
 )(q_stream_sequence_match)
+
+
+# -- streaming per-match MEASURES (live MATCH_RECOGNIZE read-out) -------------
+
+#: the same canonical pattern q_pattern_measures registers (symbols
+#: classified identically); Python re scans non-overlapping
+#: left-to-right exactly like Java/RE2, so match positions agree
+_STREAM_MR_PATTERN = r"VC{0,2}P"
+
+
+def _pattern_measures_fold(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user accumulated (symbol string, per-row epoch-micros
+    list); each batch appends its sorted arrivals and re-emits ALL
+    current matches with positions — the live Flink-CEP shape. A
+    non-overlapping left-to-right scan over an append-only string is
+    PREFIX-STABLE for patterns with a mandatory terminal symbol
+    (appending characters cannot alter an already-completed match),
+    so re-emissions only ever append matches; the read-out still
+    collapses to the latest snapshot per (user, match_no) for the
+    general case. State is 9 bytes per event (1 symbol char + one
+    int64); window by session/month at scale, as the batch twin
+    documents."""
+    import re as _re
+
+    s, xs = ("", []) if not state.exists else (
+        state.get[0],
+        list(state.get[1]),
+    )
+    pdf = pd.concat(list(batches), ignore_index=True).sort_values(
+        ["x", "event_id"]
+    )
+    s = s + "".join(pdf["ch"].tolist())
+    xs = xs + pdf["x"].tolist()
+    state.update((s, xs))
+    rows = []
+    for no, m in enumerate(
+        _re.finditer(_STREAM_MR_PATTERN, s), start=1
+    ):
+        rows.append(
+            (
+                key[0],
+                len(s),
+                no,
+                m.end() - m.start(),
+                xs[m.start()],
+                xs[m.end() - 1],
+            )
+        )
+    if rows:
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([r[0] for r in rows], dtype="int64"),
+                "seq_len": pd.Series([r[1] for r in rows], dtype="int64"),
+                "match_no": pd.Series([r[2] for r in rows], dtype="int32"),
+                "n_rows": pd.Series([r[3] for r in rows], dtype="int64"),
+                "start_x": pd.Series([r[4] for r in rows], dtype="int64"),
+                "end_x": pd.Series([r[5] for r in rows], dtype="int64"),
+            }
+        )
+
+
+def q_stream_pattern_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE MATCH_RECOGNIZE MEASURES (streaming twin of
+    q_pattern_measures): each arrival appends its classified symbol
+    + epoch-micros to the user's state and every CURRENT match
+    re-emits with MATCH_NUMBER / COUNT(*) / FIRST/LAST(ts) — the
+    view->clicks->purchase run surfaces the moment its completing
+    purchase arrives, the Flink-CEP niche with none of the dialect.
+    Timestamps ride through the Python boundary as epoch-MICROSECOND
+    bigints (exact: TimestampNTZ is micros-precision) and convert
+    back in the read-out, so the stream's rows equal the batch key's
+    bit-for-bit; per-batch re-emissions collapse to the latest
+    snapshot per (user, match_no) via max_by on the monotone seq_len
+    (the house update-mode rule). The oracle IS the batch key's
+    (DuckDB gaps/matches list arithmetic). State: 9 bytes/event."""
+    s = replay_events(spark, sf_dir)
+    x = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    typed = s.select(
+        "user_id",
+        "event_id",
+        x.alias("x"),
+        F.expr(
+            "CASE WHEN event_type = 'view' THEN 'V' "
+            "WHEN event_type = 'click' THEN 'C' "
+            "WHEN event_type = 'purchase' THEN 'P' ELSE '-' END"
+        ).alias("ch"),
+    )
+    out = typed.groupBy("user_id").applyInPandasWithState(
+        _pattern_measures_fold,
+        outputStructType="user_id long, seq_len long, match_no int, "
+        "n_rows long, start_x long, end_x long",
+        stateStructType="s string, xs array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    tbl = run_to_table(out, "update", spark)
+    snap = F.struct("n_rows", "start_x", "end_x")
+    epoch = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+    return (
+        tbl.groupBy("user_id", "match_no")
+        .agg(F.max_by(snap, "seq_len").alias("t"))
+        .select(
+            "user_id",
+            F.col("match_no").cast("int").alias("match_no"),
+            F.col("t.n_rows").cast("bigint").alias("n_rows"),
+            F.expr(
+                f"timestampadd(MICROSECOND, t.start_x, {epoch})"
+            ).alias("start_ts"),
+            F.expr(
+                f"timestampadd(MICROSECOND, t.end_x, {epoch})"
+            ).alias("end_ts"),
+        )
+        .orderBy("user_id", "match_no")
+    )
+
+
+def _stream_pattern_measures_oracle() -> str:
+    import streamz_postgres_spark.operators.windows  # noqa: F401
+
+    from streamz_postgres_spark.registry import REGISTRY
+
+    return REGISTRY["q_pattern_measures"].oracle
+
+
+register(
+    "q_stream_pattern_measures",
+    oracle=_stream_pattern_measures_oracle(),
+    tags=("streaming", "stateful", "sequence"),
+)(q_stream_pattern_measures)
