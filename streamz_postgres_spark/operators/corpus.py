@@ -849,10 +849,21 @@ def q_bloom_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     are the house md5-based hash60 family, so the set-bit table, the
     per-probe hit verdict, and the FP count are exact integers on
     both engines (no RNG, no sketch library); the one division is the
-    final rate. Scale: the bit table is at most m rows (broadcast);
-    probes join it by position — the shuffle carries distinct
-    shingles, never documents; the exact-membership join is the same
-    broadcast the contamination scan uses."""
+    final rate. Scale: the bit table is packed 32 bits/word into a
+    broadcast map (the q_stream_bloom_ingest form) and each probe
+    shingle tests its k positions ROW-LOCALLY — no position explode,
+    no position join, no re-group by shingle (r10 tail attack: the
+    old explode+join+groupBy shape tripled the probe-side shuffle
+    volume); the shuffle carries distinct shingles once, and the
+    exact-membership join is the same broadcast the contamination
+    scan uses. The md5 per distinct shingle is the remaining floor —
+    pinned by cross-engine determinism, same argument as the
+    winnowing scan. The ref shingle set and the bit table are
+    persist_scoped: ref feeds the filter build, the membership join,
+    and n_ref; without the pin each consumer re-ran the
+    explode+distinct."""
+    from streamz_postgres_spark.lifecycle import persist_scoped
+
     d = load_table(spark, sf_dir, "documents")
     sh = shingles(tokens("text"), _BLOOM_N)
     ref = (
@@ -876,13 +887,43 @@ def q_bloom_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits = ref.select(
         F.explode(_positions(F.col("s"))).alias("pos")
     ).distinct()
-    probed = probe.select(
-        "s", F.explode(_positions(F.col("s"))).alias("pos")
+    persist_scoped("q_bloom_filter_audit", ref, bits)
+    # 32 bits per word keeps 1 << (pos % 32) inside positive int64 on
+    # both engines (the house variable-shift clamp rule)
+    bw = (
+        bits.select(
+            (F.col("pos") / 32).cast("int").alias("widx"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("widx")
+        .agg(F.expr("bit_or(bit)").alias("word"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("widx", "word"))
+            ).alias("bw")
+        )
+    )
+    _h1 = "CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)"
+    _h2 = (
+        "CAST(conv(substring(md5(concat(s, '#7')), 1, 15), 16, 10) AS BIGINT)"
+    )
+
+    def _probe_bit(pos_expr: str) -> str:
+        return (
+            f"(coalesce(element_at(bw, CAST(({pos_expr}) DIV 32 AS INT)), "
+            f"CAST(0 AS BIGINT)) & shiftleft(CAST(1 AS BIGINT), "
+            f"CAST(({pos_expr}) % 32 AS INT))) != 0"
+        )
+
+    hit_expr = " AND ".join(
+        _probe_bit(f"({_h1} + {i} * {_h2}) % {_BLOOM_M}")
+        for i in range(_BLOOM_K)
     )
     hits = (
-        probed.join(F.broadcast(bits.withColumn("__b", F.lit(1))), "pos", "left")
-        .groupBy("s")
-        .agg((F.count("__b") == _BLOOM_K).alias("hit"))
+        probe.crossJoin(F.broadcast(bw))
+        .selectExpr("s", f"({hit_expr}) AS hit")
         .join(
             F.broadcast(ref.withColumn("__m", F.lit(1))), "s", "left"
         )
