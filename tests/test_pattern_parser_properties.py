@@ -1,0 +1,110 @@
+"""Property-based checks for the MATCH_RECOGNIZE PATTERN parser
+(sqlext._parse_pattern) — pure-Python, no Spark session needed.
+
+Three properties over randomly generated pattern ASTs:
+
+1. Rendering a valid AST (with random whitespace/lowercase noise)
+   parses, and the canonical regex is semantically equal to the
+   directly-rendered regex on random symbol strings (Python re is
+   the reference engine here; the engine-parity of the canonical
+   ALPHABET is what the adapter guarantees — see the adjacent
+   quantifier refusal).
+2. The parser's nullability computation agrees with Python re's
+   empty-match test: a pattern is refused for EMPTY-matchability
+   exactly when the rendered regex matches '' at position 0.
+3. Injecting an adjacent quantifier into any valid rendering is
+   always refused (the possessive/reluctant engine-divergence
+   guard).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from streamz_postgres_spark.sqlext import _parse_pattern
+
+_SYMS = "VCPE"
+
+
+@st.composite
+def _term(draw, depth: int):
+    quant = draw(
+        st.sampled_from(
+            ["", "*", "+", "?", "{1}", "{2}", "{0,2}", "{1,3}", "{2,}"]
+        )
+    )
+    if depth > 0 and draw(st.booleans()):
+        inner = draw(_alt(depth - 1))
+        return f"({inner}){quant}"
+    return draw(st.sampled_from(_SYMS)) + quant
+
+
+@st.composite
+def _seq(draw, depth: int):
+    return "".join(
+        draw(st.lists(_term(depth), min_size=1, max_size=4))
+    )
+
+
+@st.composite
+def _alt(draw, depth: int):
+    return "|".join(
+        draw(st.lists(_seq(depth), min_size=1, max_size=3))
+    )
+
+
+@st.composite
+def _pattern(draw):
+    return draw(_alt(2))
+
+
+def _noisy(draw_ws, pat: str) -> str:
+    """Scatter whitespace between tokens and lowercase some symbols
+    (the grammar upcases and strips)."""
+    out = []
+    for ch in pat:
+        out.append(ch.lower() if ch.isalpha() and draw_ws else ch)
+        if draw_ws:
+            out.append(" ")
+    return "".join(out)
+
+
+@given(pat=_pattern(), ws=st.booleans(), s=st.text(_SYMS + "-", max_size=30))
+@settings(max_examples=300, deadline=None)
+def test_canonical_regex_is_semantically_identical(pat, ws, s):
+    rendered = re.compile(pat)
+    empty_matchable = rendered.match("") is not None
+    try:
+        canonical = _parse_pattern(_noisy(ws, pat))
+    except ValueError as e:
+        # property 2: refusal reason must be empty-matchability (the
+        # generator never emits adjacent quantifiers or bad bounds)
+        assert "EMPTY row sequence" in str(e)
+        assert empty_matchable
+        return
+    assert not empty_matchable
+    # property 1: same matches, same positions, left-to-right
+    got = [m.span() for m in re.finditer(canonical, s)]
+    want = [m.span() for m in re.finditer(pat, s)]
+    assert got == want
+
+
+@given(pat=_pattern(), q=st.sampled_from(["*", "+", "?"]))
+@settings(max_examples=100, deadline=None)
+def test_adjacent_quantifiers_always_refused(pat, q):
+    # append a second quantifier after the first quantifier found;
+    # if the pattern has none, double-quantify the first symbol
+    m = re.search(r"[*+?}]", pat)
+    if m is None:
+        m2 = re.search(r"[A-Z]", pat)
+        i = m2.end()
+        hostile = pat[:i] + "*" + q + pat[i:]
+    else:
+        i = m.end()
+        hostile = pat[:i] + q + pat[i:]
+    with pytest.raises(ValueError, match="adjacent quantifiers"):
+        _parse_pattern(hostile)
