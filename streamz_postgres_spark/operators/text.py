@@ -1255,7 +1255,16 @@ def q_doc_perplexity_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
     guard) before the exact decimal mean. Scale: the LM tables are
     vocabulary-sized (broadcast); scoring is the same instance-join
     shape as the add-one key — shuffle O(bigram instances) on the
-    bigram key, never a cross join."""
+    bigram key, never a cross join. NOT persist_scoped, measured
+    deliberately (r10 tail attack): the bigram-type table feeds four
+    consumers, but their scans share an IDENTICAL exchange that
+    Spark's ReuseExchange already deduplicates, so pinning it only
+    added cache-materialization cost — sf0.1 3->7.7 s, x10
+    27.5->45.8 s WORSE with the pin. Contrast the winnowing scan in
+    dedup._winnow_pairs, where the repeated stage is an expensive
+    md5 HOF underneath DIFFERENT consumers and the pin wins 2x —
+    persist pays only when the shared stage is not already
+    exchange-reused."""
     d = load_table(spark, sf_dir, "documents")
     tok = tokens(F.col("text"))
     bc = (
