@@ -166,6 +166,7 @@ AUDITED = (
     # round-10 additions:
     "q_pattern_bounds",
     "q_pattern_measures",
+    "q_asof_forward_sql",
 )
 
 

@@ -1055,6 +1055,67 @@ def q_asof_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_asof_forward_sql",
+    oracle="""
+WITH clicks AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+), purch AS (
+  SELECT user_id, ts, arg_max(value, event_id) AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, ts
+)
+SELECT c.event_id, c.user_id, c.ts, c.value,
+       p.ts AS asof_ts, p.purchase_value
+FROM clicks c
+ASOF LEFT JOIN purch p ON c.user_id = p.user_id AND c.ts <= p.ts
+""",
+    tags=("join", "time", "asof", "sql"),
+)
+def q_asof_forward_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD ASOF JOIN in SQL SYNTAX (r10): the sqlext ASOF
+    grammar previously accepted only the backward bound and told
+    forward users to drop to the library API; the DuckDB/Snowflake
+    convention is that the inequality's DIRECTION is the as-of
+    direction, so ``c.ts <= p.ts`` now lowers onto
+    asof_join(direction="forward") — each click gets the NEXT
+    purchase at-or-after it (the time-to-conversion shape),
+    inclusive at equality. Rare cross-check quality: the oracle is
+    DuckDB's NATIVE forward ASOF LEFT JOIN, native-vs-native on both
+    engines, not a reconstruction. Same plan posture as the
+    backward form: union + first-ignoreNulls window over the
+    (key, ts) order — one shuffle, linear state, no range blowup."""
+    import uuid as _uuid
+
+    from streamz_postgres_spark import sqlext
+
+    e = load_table(spark, sf_dir, "events")
+    tag = _uuid.uuid4().hex[:8]
+    cv, pv = f"fclicks_{tag}", f"fpurch_{tag}"
+    e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    ).createOrReplaceTempView(cv)
+    (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("purchase_value"))
+        .createOrReplaceTempView(pv)
+    )
+    try:
+        return sqlext.sql(
+            spark,
+            f"""
+            SELECT c.event_id, c.user_id, c.ts, c.value,
+                   c.asof_ts, p.purchase_value
+            FROM {cv} c ASOF LEFT JOIN {pv} p
+              ON c.user_id = p.user_id AND c.ts <= p.ts
+            """,
+        )
+    finally:
+        spark.catalog.dropTempView(cv)
+        spark.catalog.dropTempView(pv)
+
+
+@register(
     "q_scd2_pointintime",
     oracle="""
 WITH ch AS (

@@ -202,6 +202,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_pattern_bounds",
     "q_pattern_measures",
     "q_stream_pattern_measures",
+    "q_asof_forward_sql",
     # -- r5-window keys (driver-checked r5; oldest fill the r11
     #    window to 50, remainder rotates r12):
     "q_dedup_cluster_stats",

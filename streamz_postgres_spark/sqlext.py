@@ -91,17 +91,19 @@ Supported grammar (one ASOF join per query)::
 
     SELECT <projections>
     FROM <left_table> <la> ASOF [LEFT] JOIN <right_table> <ra>
-      ON <la>.<key> = <ra>.<key> AND <la>.<lts> >= <ra>.<rts>
+      ON <la>.<key> = <ra>.<key> AND <la>.<lts> {>=|<=} <ra>.<rts>
     [<trailing clauses>]
 
 - ``left_table`` / ``right_table`` must be resolvable via
   ``spark.table`` (tables or registered temp views; CTEs are NOT
   supported — register a view instead, the error says so).
 - Both aliases are required, the equality must come first, and the
-  time bound must be ``left >= right`` (backward as-of). Anything
-  outside the grammar raises ``ValueError`` with the reason — this
-  is a syntax adapter, not a SQL parser, and it refuses rather than
-  guesses.
+  time bound must lead with the left alias; its DIRECTION is the
+  as-of direction (DuckDB convention): ``left >= right`` attaches
+  the most recent right row (backward), ``left <= right`` the NEXT
+  one (forward), both inclusive at equality. Anything outside the
+  grammar raises ``ValueError`` with the reason — this is a syntax
+  adapter, not a SQL parser, and it refuses rather than guesses.
 
 Lowering: the two sides are joined with :func:`asof_join` (all
 non-key/non-ts right columns become right_values; the right
@@ -127,7 +129,8 @@ _ASOF_RE = re.compile(
     r"""FROM\s+(?P<lt>\w+)\s+(?P<la>\w+)\s+
         ASOF\s+(?P<left>LEFT\s+)?JOIN\s+(?P<rt>\w+)\s+(?P<ra>\w+)\s+
         ON\s+(?P<ka>\w+)\.(?P<lk>\w+)\s*=\s*(?P<kb>\w+)\.(?P<rk>\w+)\s+
-        AND\s+(?P<ta>\w+)\.(?P<lts>\w+)\s*>=\s*(?P<tb>\w+)\.(?P<rts>\w+)""",
+        AND\s+(?P<ta>\w+)\.(?P<lts>\w+)\s*(?P<op>>=|<=)\s*
+        (?P<tb>\w+)\.(?P<rts>\w+)""",
     re.IGNORECASE | re.VERBOSE,
 )
 
@@ -936,9 +939,15 @@ def sql(spark: SparkSession, query: str) -> DataFrame:
     rk = m.group("rk") if m.group("kb") == ra else m.group("lk")
     if m.group("ta") != la:
         raise ValueError(
-            "the time bound must be <left_alias>.<ts> >= <right_alias>.<ts> "
-            "(backward as-of); use the forward variant via the library API"
+            "the time bound must lead with the left alias: "
+            "<left_alias>.<ts> >= <right_alias>.<ts> (backward as-of) "
+            "or <left_alias>.<ts> <= <right_alias>.<ts> (forward)"
         )
+    # DuckDB/Snowflake convention: the inequality's direction IS the
+    # as-of direction — l.ts >= r.ts attaches the most recent right
+    # row, l.ts <= r.ts the NEXT one (both inclusive at equality,
+    # matching pandas merge_asof and DuckDB's native ASOF)
+    direction = "backward" if m.group("op") == ">=" else "forward"
     lts, rts = m.group("lts"), m.group("rts")
     try:
         left = spark.table(m.group("lt"))
@@ -962,6 +971,7 @@ def sql(spark: SparkSession, query: str) -> DataFrame:
         right_ts=rts,
         right_values=right_values,
         how="left" if m.group("left") else "inner",
+        direction=direction,
     )
 
     view = f"__asof_{uuid.uuid4().hex[:12]}"

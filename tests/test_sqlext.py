@@ -66,6 +66,35 @@ def test_asof_left_join_matches_library(spark, views):
     assert rows["early"] is None and rows["a"] == 10.0 and rows["b"] == 20.0
 
 
+def test_asof_forward_join_matches_library(spark, views):
+    # the inequality's direction IS the as-of direction (DuckDB
+    # convention, r10): l.ts <= r.rts attaches the NEXT right row
+    left, right = views
+    got = sqlext.sql(
+        spark,
+        """SELECT l.k, l.tag, r.rts AS asof_ts, r.v
+           FROM sqlext_left l ASOF LEFT JOIN sqlext_right r
+             ON l.k = r.rk AND l.ts <= r.rts""",
+    )
+    want = asof_join(
+        left,
+        right.withColumnRenamed("rk", "k"),
+        on="k",
+        left_ts="ts",
+        right_ts="rts",
+        right_values=["v"],
+        how="left",
+        direction="forward",
+    ).select("k", "tag", "asof_ts", "v")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    rows = {r.tag: r.v for r in got.collect()}
+    # a@10:00 -> next right 11:00 (20.0); b@12:00 -> none;
+    # early@08:00 -> 11:00 (30.0)
+    assert rows["a"] == 20.0 and rows["b"] is None and rows["early"] == 30.0
+
+
 def test_asof_inner_join_drops_unmatched(spark, views):
     got = sqlext.sql(
         spark,
@@ -90,7 +119,8 @@ def test_rejects_outside_grammar(spark, views):
             "ON l.k = r.rk AND l.ts >= r.rts",
         )
     with pytest.raises(ValueError, match="backward"):
-        # forward time bound is library-API-only
+        # the bound must LEAD with the left alias; write
+        # l.ts <= r.rts for the forward direction (r10 grammar)
         sqlext.sql(
             spark,
             """SELECT l.tag FROM sqlext_left l ASOF JOIN sqlext_right r

@@ -57,6 +57,7 @@ KEYS = (
     # FIRST/LAST(ts) back out — the classic tz-shift victim)
     "q_pattern_bounds",
     "q_pattern_measures",
+    "q_asof_forward_sql",
 )
 
 #: the remaining round-8/9 additions (r8 verdict Next-round #8: the
