@@ -773,6 +773,37 @@ class TestMatchRecognize:
             (3, 2, 2, 10, 11),
         ]
 
+    def test_measures_with_group_pattern(self, spark, mr_view):
+        # capture groups in the pattern must not perturb the gaps
+        # decomposition: Java's Pattern.split and RE2's
+        # regexp_split_to_array both ignore capture groups (unlike
+        # Python re.split) — positions stay correct
+        got = sqlext.sql(
+            spark,
+            """SELECT user_id, match_no, n_rows, first_eid, last_eid
+               FROM mr_events
+               MATCH_RECOGNIZE (
+                 PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 MEASURES MATCH_NUMBER() AS match_no,
+                          COUNT(*) AS n_rows,
+                          FIRST(event_id) AS first_eid,
+                          LAST(event_id) AS last_eid
+                 ONE ROW PER MATCH
+                 PATTERN ((V | C){1,2} P)
+                 DEFINE V AS event_type = 'view',
+                        C AS event_type = 'click',
+                        P AS event_type = 'purchase'
+               ) ORDER BY user_id, match_no""",
+        ).collect()
+        # user 1 'VCCP': greedy backtracks to CCP (events 2..4);
+        # user 2 'V-P': none; user 3 'VPVP': two VP matches
+        assert [tuple(r) for r in got] == [
+            (1, 1, 3, 2, 4),
+            (3, 1, 2, 8, 9),
+            (3, 2, 2, 10, 11),
+        ]
+
     def test_refuses_adjacent_quantifiers(self, spark, mr_view):
         # possessive 'V*+' runs possessively on Java but is a hard
         # error in RE2 — the r9 advisor's engine-divergence find
