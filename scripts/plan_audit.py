@@ -211,6 +211,14 @@ def main() -> None:
         "exchange (shuffle) count. Regenerate after plan-affecting",
         "changes; tests/test_scale_guards.py enforces the invariants.",
         "",
+        "Reading note: a BroadcastNestedLoopJoin here is the",
+        "broadcast-SCALAR pattern (crossJoin of a 1-row aggregate —",
+        "a global count, a boundary array, a codebook), not a",
+        "row-pair nested loop: the build side is one row by",
+        "construction, so the 'loop' is a constant attach per probe",
+        "row. The cartesian guard (False on every plan below) is the",
+        "structural check that no true pairwise product exists.",
+        "",
     ]
     def _audit(key: str) -> None:
         df = REGISTRY[key].spark_fn(spark, args.sf)
