@@ -93,6 +93,46 @@ def test_canonical_regex_is_semantically_identical(pat, ws, s):
     assert got == want
 
 
+@st.composite
+def _sql_item(draw):
+    """One projection-list item: identifiers, nested calls with
+    comma-separated args, and single-quoted literals that may
+    contain commas and parens."""
+    depth = draw(st.integers(0, 2))
+
+    def item(d):
+        base = draw(st.sampled_from(["a", "b1", "col_x"]))
+        if d == 0:
+            return base
+        n = draw(st.integers(1, 3))
+        args = []
+        for _ in range(n):
+            if draw(st.booleans()):
+                args.append(item(d - 1))
+            else:
+                args.append(
+                    "'" + draw(st.text(alphabet=",()ab ", max_size=5)) + "'"
+                )
+        return f"{base}({', '.join(args)})"
+
+    return item(depth)
+
+
+@given(items=st.lists(_sql_item(), min_size=1, max_size=5))
+@settings(max_examples=200, deadline=None)
+def test_split_top_level_round_trips(items):
+    """_split_top_level is load-bearing for DEFINE / MEASURES /
+    REPLACE parsing: commas inside function calls and string
+    literals must not split, and joining the parts back with ','
+    must reproduce the input byte-for-byte."""
+    from streamz_postgres_spark.sqlext import _split_top_level
+
+    joined = ",".join(items)
+    parts = _split_top_level(joined)
+    assert ",".join(parts) == joined
+    assert parts == items
+
+
 @given(pat=_pattern(), q=st.sampled_from(["*", "+", "?"]))
 @settings(max_examples=100, deadline=None)
 def test_adjacent_quantifiers_always_refused(pat, q):
