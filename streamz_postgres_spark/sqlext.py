@@ -549,6 +549,15 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
         name = mm.group("name")
         if name in names:
             raise ValueError(f"duplicate MEASURES name: {name}")
+        if name == m.group("part").strip():
+            # the output already carries the partition key; a measure
+            # of the same name would make every downstream reference
+            # ambiguous (Spark errors only when it is referenced —
+            # refuse up front instead)
+            raise ValueError(
+                f"MEASURES name {name!r} collides with the PARTITION "
+                "BY column"
+            )
         names.add(name)
         col = mm.groupdict().get("col")
         if col is not None:

@@ -862,6 +862,18 @@ class TestMatchRecognize:
                    DEFINE V AS event_type = 'view',
                           P AS event_type = 'purchase')""",
             )
+        # measure alias shadowing the partition key is refused up
+        # front (Spark would error only when the dup is referenced)
+        with pytest.raises(ValueError, match="collides with the PARTITION"):
+            sqlext.sql(
+                spark,
+                """SELECT user_id FROM mr_events MATCH_RECOGNIZE (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   MEASURES COUNT(*) AS user_id
+                   PATTERN (V P)
+                   DEFINE V AS event_type = 'view',
+                          P AS event_type = 'purchase')""",
+            )
         # unknown measure source column
         with pytest.raises(ValueError, match="not a column"):
             sqlext.sql(
