@@ -226,10 +226,18 @@ def main() -> None:
         heavy_q: dict[str, float] = {}
         heavy_clean: dict[str, int] = {}
         heavy_disc: dict[str, int] = {}
+        heavy_err: dict[str, str] = {}
         for name in HEAVY_TAIL:
-            med, n_clean, n_cont = time_query(
-                spark, name, sf_dir, sentinel_base, n_runs=N_RUNS_HEAVY
-            )
+            # a failure in the informational section must never
+            # destroy the gating headline JSON that is already
+            # computed (r10 review find) — record and continue
+            try:
+                med, n_clean, n_cont = time_query(
+                    spark, name, sf_dir, sentinel_base, n_runs=N_RUNS_HEAVY
+                )
+            except Exception as e:  # noqa: BLE001
+                heavy_err[name] = f"{type(e).__name__}: {e}"[:200]
+                continue
             heavy_q[name] = round(med, 3)
             heavy_clean[name] = n_clean
             if n_cont:
@@ -239,8 +247,9 @@ def main() -> None:
             "queries": heavy_q,
             "clean_samples": heavy_clean,
             "contended_discarded": heavy_disc,
+            "errors": heavy_err,
             "load_flag": any(
-                heavy_clean[n] < N_RUNS_HEAVY for n in HEAVY_TAIL
+                heavy_clean.get(n, 0) < N_RUNS_HEAVY for n in HEAVY_TAIL
             ),
         }
 

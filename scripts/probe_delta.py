@@ -79,8 +79,24 @@ def probe() -> dict:
         import tempfile
 
         with tempfile.TemporaryDirectory() as d:
-            spark.range(3).write.format("delta").save(f"{d}/t")
+            spark.range(3).selectExpr("id", "id AS v").write.format(
+                "delta"
+            ).save(f"{d}/t")
             spark.read.format("delta").load(f"{d}/t").count()
+            # an ACTUAL MERGE INTO — a write/read round trip succeeds
+            # via the datasource alone even when the Delta SQL
+            # extension failed to activate (pre-existing session,
+            # mismatched jars), and MERGE is exactly what
+            # DeltaMergeSink needs (r10 review find)
+            spark.range(2).selectExpr(
+                "id", "id * 10 AS v"
+            ).createOrReplaceTempView("__delta_probe_src")
+            spark.sql(
+                f"MERGE INTO delta.`{d}/t` t "
+                "USING __delta_probe_src s ON t.id = s.id "
+                "WHEN MATCHED THEN UPDATE SET * "
+                "WHEN NOT MATCHED THEN INSERT *"
+            )
         out["merge_roundtrip"] = True
         out["verdict"] = "Delta AVAILABLE — run the DeltaMergeSink contract tests"
     except Exception as e:  # noqa: BLE001

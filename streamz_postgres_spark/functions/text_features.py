@@ -50,6 +50,22 @@ def sql_seeded_hash60(expr: str, seed: int) -> str:
     return sql_hash60(f"({expr}) || '#{seed}'")
 
 
+def spark_sql_hash60(expr: str) -> str:
+    """hash60 as a Spark-SQL expression STRING — for call sites that
+    build expr strings (HOF lambdas, selectExpr) rather than Columns.
+    Spark's CAST cannot parse a '0x…' literal (that form is the
+    DuckDB-side sql_hash60), so the Spark string uses conv(). One
+    definition here keeps the build and probe sides of every
+    hash-keyed structure (Bloom bits, LSH buckets) on the same
+    formula (r10 review find: hand-copied literals in two modules)."""
+    return f"CAST(conv(substring(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def spark_sql_seeded_hash60(expr: str, seed: int) -> str:
+    """Spark-SQL string form of :func:`seeded_hash60`."""
+    return spark_sql_hash60(f"concat({expr}, '#{seed}')")
+
+
 #: Mersenne prime 2^61-1 for the double-hashing family.
 DH_MOD = (1 << 61) - 1
 

@@ -905,10 +905,13 @@ def q_bloom_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bw")
         )
     )
-    _h1 = "CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)"
-    _h2 = (
-        "CAST(conv(substring(md5(concat(s, '#7')), 1, 15), 16, 10) AS BIGINT)"
+    from streamz_postgres_spark.functions.text_features import (
+        spark_sql_hash60,
+        spark_sql_seeded_hash60,
     )
+
+    _h1 = spark_sql_hash60("s")
+    _h2 = spark_sql_seeded_hash60("s", 7)
 
     def _probe_bit(pos_expr: str) -> str:
         return (

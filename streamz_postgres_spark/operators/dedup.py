@@ -758,10 +758,26 @@ def connected_components(
     # separate agg ran two). The sum is the whole driver roundtrip —
     # O(1) rows — and labels only ever decrease, so an unchanged sum
     # IS the fixpoint.
-    labels = edges.select("u").distinct().select(
-        F.col("u").alias("vec_id"),
-        F.col("u").alias("cluster_id"),
-    ).localCheckpoint(eager=False)
+    # seed = edge-incident nodes INTERSECTED with ``nodes`` (one
+    # semi-join against the incident set, which is small): an edge
+    # endpoint absent from ``nodes`` must stay inert — exactly the
+    # old all-nodes-seeded behavior, where such edges dropped at the
+    # labels join — not become a phantom label that bridges
+    # components or mints cluster ids outside ``nodes`` (r10 review
+    # find; latent today since every call site derives pairs from
+    # the nodes table, but the contract doesn't require it)
+    labels = (
+        edges.select("u")
+        .distinct()
+        .join(
+            nodes.select(F.col("vec_id").alias("u")), "u", "left_semi"
+        )
+        .select(
+            F.col("u").alias("vec_id"),
+            F.col("u").alias("cluster_id"),
+        )
+        .localCheckpoint(eager=False)
+    )
     prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
     for _ in range(max_iters):
         prev_labels = labels

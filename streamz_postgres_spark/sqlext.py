@@ -187,7 +187,7 @@ _PATTERN_RE = re.compile(
         PARTITION\s+BY\s+(?P<part>\w+)\s+
         ORDER\s+BY\s+(?P<order>[\w\s,]+?)\s+
         (?:MEASURES\s+(?P<meas>.+?)\s+)??
-        (?:ONE\s+ROW\s+PER\s+MATCH\s+)?
+        (?P<orpm>ONE\s+ROW\s+PER\s+MATCH\s+)?
         (?:AFTER\s+MATCH\s+SKIP\s+(?P<skip>\w+(?:\s+\w+)*?)\s+)?
         PATTERN\s*\(\s*(?P<pat>[A-Za-z0-9\s*+?|(){},]+?)\s*\)\s+
         DEFINE\s+(?P<defs>.+?)\s*\)\s*
@@ -440,6 +440,17 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
             "<pred>[, ...]) [ORDER BY <cols>] (one table, "
             "single-letter symbols, no WHERE/JOIN — register a "
             "filtered view first)"
+        )
+    if m.group("orpm") is not None and m.group("meas") is None:
+        # without MEASURES the lowering is the aggregate
+        # one-row-per-PARTITION form — silently honoring the clause
+        # would return the wrong row multiplicity (zero-match
+        # partitions present, multi-match partitions collapsed), so
+        # refuse rather than guess (r10 review find)
+        raise ValueError(
+            "ONE ROW PER MATCH requires a MEASURES clause in this "
+            "adapter (without MEASURES the output is the aggregate "
+            "per-partition form: key, seq_len, n_matches, matched)"
         )
     if m.group("skip") is not None:
         skip = re.sub(r"\s+", " ", m.group("skip")).upper()
@@ -926,7 +937,7 @@ def sql(spark: SparkSession, query: str) -> DataFrame:
             raise ValueError(
                 "ASOF present but the clause does not match the supported "
                 "grammar: FROM <t> <a> ASOF [LEFT] JOIN <t> <a> ON "
-                "<a>.<k> = <a>.<k> AND <a>.<ts> >= <a>.<ts> "
+                "<a>.<k> = <a>.<k> AND <a>.<ts> {>=|<=} <a>.<ts> "
                 "(tables must be named views — register CTE bodies as "
                 "temp views first)"
             )

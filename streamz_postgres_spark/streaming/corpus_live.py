@@ -916,10 +916,13 @@ def q_stream_bloom_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh = F.array_distinct(shingles(tokens("text"), _BLOOM_N))
 
-    _h1 = "CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)"
-    _h2 = (
-        "CAST(conv(substring(md5(concat(s, '#7')), 1, 15), 16, 10) AS BIGINT)"
+    from streamz_postgres_spark.functions.text_features import (
+        spark_sql_hash60,
+        spark_sql_seeded_hash60,
     )
+
+    _h1 = spark_sql_hash60("s")
+    _h2 = spark_sql_seeded_hash60("s", 7)
 
     def _probe(pos_expr: str) -> str:
         return (

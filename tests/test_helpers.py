@@ -215,3 +215,28 @@ def test_lifecycle_releases_before_persisting():
         f"(got {events})"
     )
     lifecycle.release_all()
+
+
+def test_connected_components_phantom_endpoints_stay_inert(spark):
+    """r10 review find: the edge-incident fixpoint seed must be
+    intersected with ``nodes`` — an edge endpoint absent from nodes
+    stays inert (the old all-nodes-seeded behavior), rather than
+    becoming a phantom label that bridges components or mints a
+    cluster_id outside nodes. Here 5 links 10 and 30 but is not a
+    node: both must stay singletons labeled by themselves."""
+    from streamz_postgres_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(10,), (30,)], "vec_id long")
+    pairs = spark.createDataFrame([(10, 5), (5, 30)], "u long, w long")
+    got = {
+        r.vec_id: r.cluster_id
+        for r in connected_components(nodes, pairs).collect()
+    }
+    assert got == {10: 10, 30: 30}
+    # and a real edge still merges: 10-30 directly
+    pairs2 = spark.createDataFrame([(30, 10)], "u long, w long")
+    got2 = {
+        r.vec_id: r.cluster_id
+        for r in connected_components(nodes, pairs2).collect()
+    }
+    assert got2 == {10: 10, 30: 10}

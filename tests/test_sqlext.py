@@ -837,6 +837,21 @@ class TestMatchRecognize:
                           P AS event_type = 'purchase')""",
             )
 
+    def test_refuses_one_row_per_match_without_measures(self, spark, mr_view):
+        # without MEASURES the lowering is the aggregate
+        # per-partition form — honoring the clause silently would
+        # return the wrong row multiplicity (r10 review find)
+        with pytest.raises(ValueError, match="requires a MEASURES"):
+            sqlext.sql(
+                spark,
+                """SELECT user_id FROM mr_events MATCH_RECOGNIZE (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ONE ROW PER MATCH
+                   PATTERN (V P)
+                   DEFINE V AS event_type = 'view',
+                          P AS event_type = 'purchase')""",
+            )
+
     def test_refuses_unsupported_skip_mode(self, spark, mr_view):
         # TO NEXT ROW = overlapping matches = NFA semantics the
         # initials-string plan cannot express — refuse, not fake
