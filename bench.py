@@ -243,7 +243,13 @@ def main() -> None:
             if n_cont:
                 heavy_disc[name] = n_cont
         out["heavy_tail"] = {
-            "total_sec": round(sum(heavy_q.values()), 3),
+            # a partial total is not comparable round-over-round (a
+            # failed key would read as a speedup) — null it when any
+            # key errored so consumers can't mistake it for complete
+            # (r10 advisor)
+            "total_sec": (
+                round(sum(heavy_q.values()), 3) if not heavy_err else None
+            ),
             "queries": heavy_q,
             "clean_samples": heavy_clean,
             "contended_discarded": heavy_disc,

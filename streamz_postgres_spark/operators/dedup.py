@@ -743,7 +743,20 @@ def connected_components(
     unchanged: every node in ``nodes`` gets a row, singletons keep
     their own id. Measured at the x30 replica this took
     q_dedup_substring_clusters from 147 s to the per-stage floor of
-    the pair scan (SCALE.md round-10 row)."""
+    the pair scan (SCALE.md round-10 row).
+
+    MATERIALIZATION CONTRACT (changed in r10, flagged by the r10
+    advisor): the returned frame is LAZY — the converged labels are
+    checkpointed (lineage-truncated), but the singleton re-attach
+    joins them against the caller's ``nodes`` frame, so each action
+    on the result re-evaluates the ``nodes`` lineage (pre-r10 the
+    whole result was checkpointed). Single-action consumers — every
+    registry key — pay nothing extra; a caller that fires multiple
+    actions on the result should persist()/localCheckpoint() it (or
+    pass an already-persisted ``nodes``). Not pinned here because
+    the common case is one action and an unconditional checkpoint
+    would re-materialize the full O(nodes) table every invocation —
+    the exact cost the incident-only fixpoint removed."""
     from streamz_postgres_spark.lifecycle import persist_scoped, track_scoped
 
     edges = pairs.union(

@@ -16,7 +16,7 @@ from typing import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -1201,7 +1201,17 @@ def _seq_match_fold(
     the live conversion/incident detector. State is 1 byte per event
     (window by session/month at scale, as the batch twin documents);
     flags are recomputed on the full string so the latest emission
-    always equals the batch answer over everything seen."""
+    always equals the batch answer over everything seen.
+
+    ORDERING ASSUMPTION (deliberate, unlike _pattern_measures_fold):
+    arrivals are sorted within a batch only, so cross-batch
+    out-of-order events would land out of event-time order in the
+    string. The bounded replay harness feeds batches in file order
+    (in-order by construction), and the three flag patterns here are
+    subsequence/run tests whose value the read-out takes at max
+    seq_len; for order-sensitive production use, carry (x, event_id)
+    in state and merge-sort per batch as _pattern_measures_fold
+    does."""
     import re as _re
 
     s = state.get[0] if state.exists else ""
@@ -1305,29 +1315,38 @@ _STREAM_MR_PATTERN = r"VC{0,2}P"
 def _pattern_measures_fold(
     key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    """Per-user accumulated (symbol string, per-row epoch-micros
-    list); each batch appends its sorted arrivals and re-emits ALL
-    current matches with positions — the live Flink-CEP shape. A
-    non-overlapping left-to-right scan over an append-only string is
-    PREFIX-STABLE for patterns with a mandatory terminal symbol
-    (appending characters cannot alter an already-completed match),
-    so re-emissions only ever append matches; the read-out still
-    collapses to the latest snapshot per (user, match_no) for the
-    general case. State is 9 bytes per event (1 symbol char + one
-    int64); window by session/month at scale, as the batch twin
-    documents."""
+    """Per-user accumulated (epoch-micros, event_id, symbol) triples;
+    each batch MERGES its arrivals into the accumulated sequence and
+    re-sorts by (x, event_id), so CROSS-BATCH out-of-order arrivals
+    land in event-time order and the fold equals the batch oracle
+    regardless of how the replay slices the file (r10 advisor: the
+    old append-only fold assumed in-order batches). Every batch
+    re-emits ALL current matches with positions — the live Flink-CEP
+    shape — and because a late arrival can insert MID-string
+    (renumbering or reshaping matches), the read-out collapses to
+    the latest FULL snapshot per user (rows at max seq_len), not to
+    per-(user, match_no) maxima. State is ~17 bytes per event
+    (symbol char + two int64s), unbounded under
+    GroupStateTimeout.NoTimeout by design for the bounded replay; in
+    production, window by session/month (partition the symbol stream
+    on a time bucket) or arm EventTimeTimeout so quiet users age
+    out — the batch twin documents the same bound."""
     import re as _re
 
-    s, xs = ("", []) if not state.exists else (
-        state.get[0],
+    xs, eids, s = ([], [], "") if not state.exists else (
+        list(state.get[0]),
         list(state.get[1]),
+        state.get[2],
     )
-    pdf = pd.concat(list(batches), ignore_index=True).sort_values(
-        ["x", "event_id"]
-    )
-    s = s + "".join(pdf["ch"].tolist())
-    xs = xs + pdf["x"].tolist()
-    state.update((s, xs))
+    pdf = pd.concat(list(batches), ignore_index=True)
+    xs += pdf["x"].tolist()
+    eids += pdf["event_id"].tolist()
+    s += "".join(pdf["ch"].tolist())
+    order = sorted(range(len(xs)), key=lambda i: (xs[i], eids[i]))
+    xs = [xs[i] for i in order]
+    eids = [eids[i] for i in order]
+    s = "".join(s[i] for i in order)
+    state.update((xs, eids, s))
     rows = []
     for no, m in enumerate(
         _re.finditer(_STREAM_MR_PATTERN, s), start=1
@@ -1365,10 +1384,12 @@ def q_stream_pattern_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     Timestamps ride through the Python boundary as epoch-MICROSECOND
     bigints (exact: TimestampNTZ is micros-precision) and convert
     back in the read-out, so the stream's rows equal the batch key's
-    bit-for-bit; per-batch re-emissions collapse to the latest
-    snapshot per (user, match_no) via max_by on the monotone seq_len
-    (the house update-mode rule). The oracle IS the batch key's
-    (DuckDB gaps/matches list arithmetic). State: 9 bytes/event."""
+    bit-for-bit; per-batch re-emissions collapse to the latest FULL
+    snapshot per user (rows at the user's max seq_len — robust to
+    late arrivals renumbering matches, unlike a per-match_no max_by).
+    The oracle IS the batch key's (DuckDB gaps/matches list
+    arithmetic). State: ~17 bytes/event (see the fold's docstring
+    for the production windowing bound)."""
     s = replay_events(spark, sf_dir)
     x = F.expr(
         "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
@@ -1387,25 +1408,25 @@ def q_stream_pattern_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pattern_measures_fold,
         outputStructType="user_id long, seq_len long, match_no int, "
         "n_rows long, start_x long, end_x long",
-        stateStructType="s string, xs array<long>",
+        stateStructType="xs array<long>, eids array<long>, s string",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     tbl = run_to_table(out, "update", spark)
-    snap = F.struct("n_rows", "start_x", "end_x")
     epoch = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+    latest = Window.partitionBy("user_id")
     return (
-        tbl.groupBy("user_id", "match_no")
-        .agg(F.max_by(snap, "seq_len").alias("t"))
+        tbl.withColumn("max_len", F.max("seq_len").over(latest))
+        .filter(F.col("seq_len") == F.col("max_len"))
         .select(
             "user_id",
             F.col("match_no").cast("int").alias("match_no"),
-            F.col("t.n_rows").cast("bigint").alias("n_rows"),
+            F.col("n_rows").cast("bigint").alias("n_rows"),
             F.expr(
-                f"timestampadd(MICROSECOND, t.start_x, {epoch})"
+                f"timestampadd(MICROSECOND, start_x, {epoch})"
             ).alias("start_ts"),
             F.expr(
-                f"timestampadd(MICROSECOND, t.end_x, {epoch})"
+                f"timestampadd(MICROSECOND, end_x, {epoch})"
             ).alias("end_ts"),
         )
         .orderBy("user_id", "match_no")

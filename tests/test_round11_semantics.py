@@ -1,0 +1,123 @@
+"""Round-11 semantic pins.
+
+The r10 advisor flagged that _pattern_measures_fold appended batches
+in arrival order (sorted only WITHIN a batch), so a replay that
+sliced the file out of event-time order would silently diverge from
+the batch oracle. The fold now merge-sorts the full accumulated
+sequence by (x, event_id) every batch; these tests drive the fold
+directly with a fake GroupState and ADVERSARIALLY out-of-order batch
+splits, asserting the final emission equals a single-batch (fully
+sorted) run — the property the streaming twin's correctness rests
+on, unreachable through the in-order replay harness.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+import pytest
+
+from streamz_postgres_spark.streaming.stateful import (
+    _STREAM_MR_PATTERN,
+    _pattern_measures_fold,
+)
+
+
+class _FakeState:
+    """Duck-typed applyInPandasWithState GroupState: `exists` and
+    `get` are PROPERTIES (the house gotcha), `update` stores a
+    tuple."""
+
+    def __init__(self):
+        self._t = None
+
+    @property
+    def exists(self):
+        return self._t is not None
+
+    @property
+    def get(self):
+        return self._t
+
+    def update(self, t):
+        self._t = t
+
+
+def _run_fold(batches):
+    state = _FakeState()
+    last = None
+    for b in batches:
+        out = list(_pattern_measures_fold((1,), iter([b]), state))
+        if out:
+            last = pd.concat(out, ignore_index=True)
+    return last, state
+
+
+def _mk(rows):
+    return pd.DataFrame(
+        {
+            "x": pd.Series([r[0] for r in rows], dtype="int64"),
+            "event_id": pd.Series([r[1] for r in rows], dtype="int64"),
+            "ch": pd.Series([r[2] for r in rows], dtype="object"),
+        }
+    )
+
+
+# symbol sequence in EVENT-TIME order: V C C P V P V C P
+# (matches for VC{0,2}P: [VCCP] [VP] [VCP] — 3 matches)
+_EVENTS = [
+    (10, 1, "V"),
+    (20, 2, "C"),
+    (30, 3, "C"),
+    (40, 4, "P"),
+    (50, 5, "V"),
+    (60, 6, "P"),
+    (70, 7, "V"),
+    (80, 8, "C"),
+    (90, 9, "P"),
+]
+
+
+def _expected():
+    s = "".join(ch for _, _, ch in _EVENTS)
+    xs = [x for x, _, _ in _EVENTS]
+    rows = []
+    for no, m in enumerate(re.finditer(_STREAM_MR_PATTERN, s), start=1):
+        rows.append((no, m.end() - m.start(), xs[m.start()], xs[m.end() - 1]))
+    assert len(rows) == 3  # fixture sanity — not vacuous
+    return rows
+
+
+@pytest.mark.parametrize(
+    "split",
+    [
+        # in-order slices (the replay harness shape)
+        [_EVENTS[:4], _EVENTS[4:]],
+        # a LATE batch: the middle third arrives last
+        [_EVENTS[:3], _EVENTS[6:], _EVENTS[3:6]],
+        # fully reversed arrival order, one event per batch
+        [[e] for e in reversed(_EVENTS)],
+        # interleaved odd/even arrival
+        [_EVENTS[::2], _EVENTS[1::2]],
+    ],
+)
+def test_fold_order_independent(split):
+    last, state = _run_fold([_mk(b) for b in split])
+    got = sorted(
+        zip(last["match_no"], last["n_rows"], last["start_x"], last["end_x"])
+    )
+    assert [tuple(map(int, r)) for r in got] == _expected()
+    # state holds the fully event-time-sorted sequence
+    xs, eids, s = state.get
+    assert list(xs) == sorted(xs)
+    assert s == "".join(ch for _, _, ch in _EVENTS)
+
+
+def test_fold_tie_breaks_on_event_id():
+    # two events at the SAME x: event_id orders them deterministically
+    rows = [(10, 2, "P"), (10, 1, "V")]
+    last, state = _run_fold([_mk([rows[0]]), _mk([rows[1]])])
+    assert state.get[2] == "VP"
+    assert last is not None and len(last) == 1
+    assert int(last["n_rows"][0]) == 2
