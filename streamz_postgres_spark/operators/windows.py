@@ -1682,3 +1682,177 @@ def q_pattern_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.catalog.dropTempView(view)
+
+
+@register(
+    "q_pattern_overlap",
+    oracle="""
+WITH seq AS (
+  SELECT user_id,
+         string_agg(CASE WHEN event_type = 'view' THEN 'V'
+                         WHEN event_type = 'click' THEN 'C'
+                         WHEN event_type = 'purchase' THEN 'P'
+                         ELSE '-' END, '' ORDER BY ts, event_id) AS s,
+         list(ts ORDER BY ts, event_id) AS tss
+  FROM events GROUP BY user_id
+),
+st AS (
+  SELECT user_id, tss,
+         list_filter(list_transform(generate_series(1, length(s)),
+           p -> struct_pack(sp := p,
+                mlen := length(regexp_extract(s[p:],
+                                              '^((V|C){1,3}P)', 1)))),
+           t -> t.mlen > 0) AS ov
+  FROM seq
+),
+x AS (
+  SELECT user_id, tss,
+         unnest(list_transform(range(1, len(ov)+1), i -> struct_pack(
+            no := i, mlen := ov[i].mlen, sp := ov[i].sp))) AS m
+  FROM st
+)
+SELECT user_id, CAST((m).no AS INTEGER) AS match_no,
+       CAST((m).mlen AS BIGINT) AS n_rows,
+       tss[CAST((m).sp AS BIGINT)] AS start_ts,
+       tss[CAST((m).sp + (m).mlen - 1 AS BIGINT)] AS end_ts
+FROM x ORDER BY user_id, match_no
+""",
+    tags=("window", "sequence", "sql"),
+)
+def q_pattern_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE with ``AFTER MATCH SKIP TO NEXT ROW`` —
+    OVERLAPPING matches, the r10 verdict's most-reached-for refused
+    construct (every burst/funnel overlap question needs it): each
+    1-to-3-engagements-then-purchase run is reported from EVERY
+    starting row, so a purchase preceded by three views yields three
+    nested matches where SKIP PAST LAST ROW reports one (1161 vs 761
+    on this fixture — the semantics are value-distinct, pinned by
+    test). Lowering: overlapping-match enumeration = "every position
+    where an anchored match begins", one ``'^pattern'`` probe per
+    position over the symbol string — NOT a lookahead regex, because
+    RE2 (DuckDB's engine) hard-errors on ``(?=`` (probed r11); the
+    per-position probe stays in the Java∩RE2 subset and creates no
+    zero-width matches (the engine-divergent case the parser's
+    nullability refusal guards). Cost: O(len) probes of O(len) per
+    partition string vs the non-overlapping scan's single pass —
+    per-entity event strings are short; window long-lived entities
+    by session/month first at 100 TB (same note as the batch
+    initials-string plan). One keyed shuffle; match positions ride
+    the same sorted struct array as q_pattern_measures, so
+    MEASURES/MATCH_NUMBER read out unchanged. The oracle re-derives
+    the identical per-position scan in DuckDB list arithmetic."""
+    import uuid as _uuid
+
+    from streamz_postgres_spark import sqlext
+
+    view = f"events_{_uuid.uuid4().hex[:8]}"
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(view)
+    try:
+        return sqlext.sql(
+            spark,
+            f"""SELECT user_id, match_no, n_rows, start_ts, end_ts
+                FROM {view}
+                MATCH_RECOGNIZE (
+                  PARTITION BY user_id
+                  ORDER BY ts, event_id
+                  MEASURES MATCH_NUMBER() AS match_no,
+                           COUNT(*) AS n_rows,
+                           FIRST(ts) AS start_ts,
+                           LAST(ts) AS end_ts
+                  ONE ROW PER MATCH
+                  AFTER MATCH SKIP TO NEXT ROW
+                  PATTERN ((V | C){{1,3}} P)
+                  DEFINE V AS event_type = 'view',
+                         C AS event_type = 'click',
+                         P AS event_type = 'purchase'
+                ) ORDER BY user_id, match_no""",
+        )
+    finally:
+        spark.catalog.dropTempView(view)
+
+
+@register(
+    "q_pattern_all_rows",
+    oracle="""
+WITH seq AS (
+  SELECT user_id,
+         string_agg(CASE WHEN event_type = 'view' THEN 'V'
+                         WHEN event_type = 'click' THEN 'C'
+                         WHEN event_type = 'purchase' THEN 'P'
+                         ELSE '-' END, '' ORDER BY ts, event_id) AS s,
+         list(ts ORDER BY ts, event_id) AS tss
+  FROM events GROUP BY user_id
+),
+mm AS (
+  SELECT user_id, tss, s,
+         regexp_extract_all(s, 'VC{0,2}P') AS ms,
+         regexp_split_to_array(s, 'VC{0,2}P') AS gs
+  FROM seq
+),
+x AS (
+  SELECT user_id, tss, s,
+         unnest(flatten(list_transform(range(1, len(ms)+1), i ->
+           list_transform(range(1, length(ms[i])+1), j -> struct_pack(
+             no := i, j := j,
+             sp := coalesce(list_sum(list_transform(gs[1:i],
+                                                    g -> length(g))), 0)
+                 + coalesce(list_sum(list_transform(ms[1:i-1],
+                                                    g -> length(g))), 0)
+                 + 1))))) AS m
+  FROM mm
+)
+SELECT user_id, CAST((m).no AS INTEGER) AS match_no,
+       CAST((m).j AS BIGINT) AS rn,
+       substring(s, CAST((m).sp + (m).j - 1 AS BIGINT), 1) AS sym,
+       tss[CAST((m).sp + (m).j - 1 AS BIGINT)] AS row_ts
+FROM x ORDER BY user_id, match_no, rn
+""",
+    tags=("window", "sequence", "sql"),
+)
+def q_pattern_all_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE with ``ALL ROWS PER MATCH`` — the r10
+    verdict's decide-or-document item, decided IMPLEMENTED: every
+    input row belonging to a view->clicks->purchase match is emitted
+    (unmatched rows omitted — the spec default; WITH UNMATCHED ROWS
+    stays refused), carrying MATCH_NUMBER(), RUNNING COUNT(*) (the
+    row's 1-based position in its match — the SQL:2016 default
+    semantics under ALL ROWS), CLASSIFIER() (the row's one-letter
+    symbol: per-symbol attribution is free here because the symbol
+    string IS the classification), and RUNNING LAST(ts) (= the
+    CURRENT row's ts — how a per-row source column is projected
+    out). Lowering: the same gaps/matches position arithmetic as
+    q_pattern_measures, then each match fans out to its mlen rows
+    with one flatten+explode — per-row emission really is "an
+    explode away" (r10 verdict #5). Output is linear in matched
+    rows; one keyed shuffle, no new state. The oracle re-derives the
+    decomposition plus the per-row fan-out in DuckDB list
+    arithmetic, value-checking per-row positions, classifiers, and
+    timestamps cross-engine."""
+    import uuid as _uuid
+
+    from streamz_postgres_spark import sqlext
+
+    view = f"events_{_uuid.uuid4().hex[:8]}"
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(view)
+    try:
+        return sqlext.sql(
+            spark,
+            f"""SELECT user_id, match_no, rn, sym, row_ts
+                FROM {view}
+                MATCH_RECOGNIZE (
+                  PARTITION BY user_id
+                  ORDER BY ts, event_id
+                  MEASURES MATCH_NUMBER() AS match_no,
+                           COUNT(*) AS rn,
+                           CLASSIFIER() AS sym,
+                           LAST(ts) AS row_ts
+                  ALL ROWS PER MATCH
+                  AFTER MATCH SKIP PAST LAST ROW
+                  PATTERN (V C{{0,2}} P)
+                  DEFINE V AS event_type = 'view',
+                         C AS event_type = 'click',
+                         P AS event_type = 'purchase'
+                ) ORDER BY user_id, match_no, rn""",
+        )
+    finally:
+        spark.catalog.dropTempView(view)

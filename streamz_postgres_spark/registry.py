@@ -106,82 +106,15 @@ GATED_KEYS: frozenset[str] = frozenset(
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # ---- r10 WINDOW (first 50), exactly as the round-9 verdict
-    # prescribed (Next round #1) and exactly as committed since the
-    # round-9 rotation: the 13 round-8 overflow additions, the FIVE
-    # round-9 additions, then the 32 oldest r4-latest keys —
-    # 13 + 5 + 32 = 50. All 18 never-driver-checked keys lead the
-    # window (the round-9 judge's replica run verified all 18 green);
-    # a green CORRECTNESS_r10 here retires the judge-local-only
-    # evidence class and leaves only the 14-key r4 remainder (heads
-    # the committed r11 window below) past the staleness cap.
-    # -- 13 round-8 overflow additions (never driver-checked):
-    "q_ohlc_bars",
-    "q_replace_sql",
-    "q_stream_twap",
-    "q_stream_ohlc",
-    "q_rfm_segmentation",
-    "q_seasonal_naive_eval",
-    "q_column_entropy_profile",
-    "q_gini_concentration",
-    "q_dau_mau",
-    "q_sequence_match",
-    "q_stats_histogram",
-    "q_anomaly_seasonal",
-    "q_stream_sequence_match",
-    # -- 5 round-9 additions (never driver-checked):
-    "q_stream_dau_mau",
-    "q_pattern_sql",
-    "q_rfm_boundaries",
-    "q_stats_histogram_approx",
-    "q_tpch_q17",
-    # -- 32 oldest r4-latest keys (staleness retirement, first half):
-    "q_agg_distinct",
-    "q_asof_join",
-    "q_cube",
-    "q_dedup_embed",
-    "q_dedup_exact",
-    "q_dedup_ngram",
-    "q_dedup_simhash",
-    "q_distinct",
-    "q_explode",
-    "q_filter",
-    "q_flagship_q3",
-    "q_global_agg",
-    "q_grouping_sets",
-    "q_having",
-    "q_histogram",
-    "q_interval_join",
-    "q_join_anti",
-    "q_join_broadcast",
-    "q_join_full",
-    "q_join_inner",
-    "q_join_left",
-    "q_join_multiway",
-    "q_join_right",
-    "q_join_salted",
-    "q_join_semi",
-    "q_join_theta",
-    "q_limit",
-    "q_multimodal",
-    "q_multimodal_frames",
-    "q_null_agg",
-    "q_pivot",
-    "q_pluck",
-    # ---- 50-key window boundary ----
-    # r11 PLANNED WINDOW (next 50), committed per verdict r9
-    # Next-round #2 and FINAL for round 10: the 14-key r4 remainder
-    # (q_project .. q_bool_agg — the last keys whose newest driver
-    # row is r4), then the round-10 additions (growth capped at ~10
-    # per the verdict so the staleness arithmetic closes), then the
-    # oldest r5-window keys fill to 50. After r11 lands, no key's
-    # latest driver row is older than 3 rounds — the staleness
-    # policy is restored for the first time since r7. Every over-cap
-    # key rides the END-OF-ROUND FULL LOCAL SWEEP (driver-replica
-    # gate, whole registry, every round since r5) between driver
-    # windows — round 9 ran it twice (314/314 under
-    # TZ=America/Santiago and 313/313 at sf0.001, the first
-    # second-SF full sweep).
+    # ---- r11 WINDOW (first 50) — rotated to the head at round-11
+    # start, exactly as committed in round 10 (verdict r10 Next-round
+    # #1): the 14-key r4 remainder (the last keys whose newest driver
+    # row is r4), the 4 round-10 additions (first driver evidence),
+    # then the 32 oldest r5-window keys fill to 50. A green
+    # CORRECTNESS_r11 here restores the staleness policy (no key's
+    # latest driver row older than 3 rounds) for the first time
+    # since r7 AND gives the 4 judge-replica-only keys their first
+    # driver row.
     # -- 14-key r4 remainder (oldest evidence, heads r11):
     "q_project",
     "q_rollup",
@@ -237,6 +170,19 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_countmin",
     "q_stream_transform_list",
     "q_stream_transform_map",
+    # ---- 50-key window boundary ----
+    # r12 PLANNED WINDOW (next 50), committed per verdict r10
+    # Next-round #2 before r11 closes: the THREE round-11 additions
+    # (never driver-checked, so they lead), then the 18 remaining
+    # r5-window keys, then the oldest r6-window keys fill to 50
+    # (3 + 18 + 29 = 50). Every over-cap key rides the end-of-round
+    # full local sweep (driver-replica gate, whole registry, both
+    # SFs since r9) between driver windows.
+    # -- round-11 additions (first driver evidence due r12):
+    "q_pattern_overlap",
+    "q_pattern_all_rows",
+    "q_group_by_all",
+    # -- 18 remaining r5-window keys (driver-checked r5):
     "q_stream_transform_timers",
     "q_stream_transform_init",
     "q_benford",
@@ -459,6 +405,57 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_stream_bloom_ingest",
     "q_embed_matryoshka",
     "q_twap",
+    # r10-window keys (driver-checked r10 -- freshest; rotate r13/r14):
+    "q_ohlc_bars",
+    "q_replace_sql",
+    "q_stream_twap",
+    "q_stream_ohlc",
+    "q_rfm_segmentation",
+    "q_seasonal_naive_eval",
+    "q_column_entropy_profile",
+    "q_gini_concentration",
+    "q_dau_mau",
+    "q_sequence_match",
+    "q_stats_histogram",
+    "q_anomaly_seasonal",
+    "q_stream_sequence_match",
+    "q_stream_dau_mau",
+    "q_pattern_sql",
+    "q_rfm_boundaries",
+    "q_stats_histogram_approx",
+    "q_tpch_q17",
+    "q_agg_distinct",
+    "q_asof_join",
+    "q_cube",
+    "q_dedup_embed",
+    "q_dedup_exact",
+    "q_dedup_ngram",
+    "q_dedup_simhash",
+    "q_distinct",
+    "q_explode",
+    "q_filter",
+    "q_flagship_q3",
+    "q_global_agg",
+    "q_grouping_sets",
+    "q_having",
+    "q_histogram",
+    "q_interval_join",
+    "q_join_anti",
+    "q_join_broadcast",
+    "q_join_full",
+    "q_join_inner",
+    "q_join_left",
+    "q_join_multiway",
+    "q_join_right",
+    "q_join_salted",
+    "q_join_semi",
+    "q_join_theta",
+    "q_limit",
+    "q_multimodal",
+    "q_multimodal_frames",
+    "q_null_agg",
+    "q_pivot",
+    "q_pluck",
 )
 
 def ordered_registry() -> dict[str, Query]:

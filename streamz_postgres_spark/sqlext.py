@@ -70,16 +70,28 @@ the reason):
   as a canonical regex (adjacent quantifiers like the
   Java-possessive ``*+`` are refused: engine-divergent). Without
   MEASURES the output per partition key is the key, ``seq_len``,
-  ``n_matches`` (non-overlapping, left-to-right — both regex
-  engines scan identically), ``matched`` (0/1). With MEASURES the
-  output is ONE ROW PER MATCH: the key plus each measure, from the
-  bounded menu ``MATCH_NUMBER()`` / ``COUNT(*)`` (rows in match) /
-  ``FIRST(<col>)`` / ``LAST(<col>)``, positions recovered from the
-  gaps/matches decomposition of the symbol string (match i starts
-  after the first i gaps and i-1 matches). ``AFTER MATCH SKIP PAST
-  LAST ROW`` (the SQL:2016 default and exactly the non-overlapping
-  scan) is accepted explicitly; other skip modes are refused. One
-  MATCH_RECOGNIZE per query, single named table, no JOIN/WHERE
+  ``n_matches``, ``matched`` (0/1). With MEASURES the output is one
+  row PER MATCH (``ONE ROW PER MATCH``) or per MATCHED INPUT ROW
+  (``ALL ROWS PER MATCH``), the key plus each measure from the
+  bounded menu ``MATCH_NUMBER()`` / ``COUNT(*)`` / ``FIRST(<col>)``
+  / ``LAST(<col>)`` / ``CLASSIFIER()`` (the row's one-letter
+  symbol). Under ONE ROW the aggregates are FINAL (COUNT(*) = rows
+  in match, LAST/CLASSIFIER read the match's last row); under ALL
+  ROWS they are RUNNING — the SQL:2016 defaults for each mode —
+  so ``COUNT(*)`` is the row's 1-based position in its match and
+  ``LAST(<col>)``/``CLASSIFIER()`` read the CURRENT row (which is
+  how a per-row column is projected out). ``WITH UNMATCHED ROWS``
+  is not supported: unmatched rows are omitted. Skip modes:
+  ``AFTER MATCH SKIP PAST LAST ROW`` (the SQL:2016 default — the
+  non-overlapping left-to-right scan, positions recovered from the
+  gaps/matches decomposition: match i starts after the first i gaps
+  and i-1 matches) and ``AFTER MATCH SKIP TO NEXT ROW``
+  (OVERLAPPING matches, one per starting row — lowered as one
+  anchored ``^pattern`` probe per position, NOT a lookahead regex:
+  RE2/DuckDB refuses ``(?=``; costs O(len) probes per partition
+  string, so window long-lived entities first at scale). ``TO
+  FIRST/LAST <symbol>`` is refused (needs per-symbol attribution).
+  One MATCH_RECOGNIZE per query, single named table, no JOIN/WHERE
   (register a filtered view first); optional trailing ORDER BY.
   Patterns that can match an EMPTY sequence (every term ``*``/``?``
   or ``{0,m}`` quantified) are refused: zero-width regex matches
@@ -187,7 +199,7 @@ _PATTERN_RE = re.compile(
         PARTITION\s+BY\s+(?P<part>\w+)\s+
         ORDER\s+BY\s+(?P<order>[\w\s,]+?)\s+
         (?:MEASURES\s+(?P<meas>.+?)\s+)??
-        (?P<orpm>ONE\s+ROW\s+PER\s+MATCH\s+)?
+        (?P<rpm>(?:ONE\s+ROW|ALL\s+ROWS)\s+PER\s+MATCH\s+)?
         (?:AFTER\s+MATCH\s+SKIP\s+(?P<skip>\w+(?:\s+\w+)*?)\s+)?
         PATTERN\s*\(\s*(?P<pat>[A-Za-z0-9\s*+?|(){},]+?)\s*\)\s+
         DEFINE\s+(?P<defs>.+?)\s*\)\s*
@@ -229,6 +241,12 @@ _MEASURE_RES = (
         re.compile(
             r"^LAST\s*\(\s*(?P<col>\w+)\s*\)\s+AS\s+(?P<name>\w+)$",
             re.IGNORECASE,
+        ),
+    ),
+    (
+        "classifier",
+        re.compile(
+            r"^CLASSIFIER\s*\(\s*\)\s+AS\s+(?P<name>\w+)$", re.IGNORECASE
         ),
     ),
 )
@@ -434,34 +452,54 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
             "MATCH_RECOGNIZE present but the query does not match the "
             "supported grammar: SELECT <projections> FROM <table> "
             "MATCH_RECOGNIZE (PARTITION BY <key> ORDER BY <cols> "
-            "[MEASURES <item> AS <name>, ...] [ONE ROW PER MATCH] "
-            "[AFTER MATCH SKIP PAST LAST ROW] "
+            "[MEASURES <item> AS <name>, ...] "
+            "[ONE ROW PER MATCH | ALL ROWS PER MATCH] "
+            "[AFTER MATCH SKIP PAST LAST ROW | "
+            "AFTER MATCH SKIP TO NEXT ROW] "
             "PATTERN (<symbols with * + ? {n,m} | ()>) DEFINE <S> AS "
             "<pred>[, ...]) [ORDER BY <cols>] (one table, "
             "single-letter symbols, no WHERE/JOIN — register a "
             "filtered view first)"
         )
-    if m.group("orpm") is not None and m.group("meas") is None:
+    all_rows = (
+        m.group("rpm") is not None
+        and m.group("rpm").upper().lstrip().startswith("ALL")
+    )
+    if m.group("rpm") is not None and m.group("meas") is None:
         # without MEASURES the lowering is the aggregate
         # one-row-per-PARTITION form — silently honoring the clause
         # would return the wrong row multiplicity (zero-match
         # partitions present, multi-match partitions collapsed), so
-        # refuse rather than guess (r10 review find)
+        # refuse rather than guess (r10 review find). ALL ROWS PER
+        # MATCH without MEASURES would additionally need every input
+        # column carried through the struct array — name a column
+        # via LAST(<col>) instead.
         raise ValueError(
-            "ONE ROW PER MATCH requires a MEASURES clause in this "
-            "adapter (without MEASURES the output is the aggregate "
-            "per-partition form: key, seq_len, n_matches, matched)"
+            f"{'ALL ROWS' if all_rows else 'ONE ROW'} PER MATCH "
+            "requires a MEASURES clause in this adapter (without "
+            "MEASURES the output is the aggregate per-partition "
+            "form: key, seq_len, n_matches, matched)"
         )
+    overlap = False
     if m.group("skip") is not None:
         skip = re.sub(r"\s+", " ", m.group("skip")).upper()
-        if skip != "PAST LAST ROW":
+        if skip == "TO NEXT ROW":
+            # overlapping matches: resume the scan one row after each
+            # match's START. That is exactly "every position where an
+            # anchored match begins", recoverable on both engines as
+            # a per-position '^pattern' probe over the symbol string
+            # — NO lookahead regex (RE2/DuckDB hard-errors on (?=);
+            # probed r11), and no zero-width matches (the
+            # engine-divergent case the nullability refusal guards).
+            overlap = True
+        elif skip != "PAST LAST ROW":
             raise ValueError(
                 f"AFTER MATCH SKIP {skip} is not supported — only "
-                "SKIP PAST LAST ROW (the SQL:2016 default; it is "
-                "exactly the non-overlapping left-to-right scan both "
-                "regex engines implement). TO NEXT ROW / TO "
-                "FIRST/LAST need overlapping-match semantics this "
-                "adapter refuses to fake"
+                "SKIP PAST LAST ROW (the SQL:2016 default, the "
+                "non-overlapping left-to-right scan) and SKIP TO "
+                "NEXT ROW (overlapping matches, one per starting "
+                "row). TO FIRST/LAST <symbol> needs per-symbol row "
+                "attribution this adapter refuses to fake"
             )
     # DEFINE list: single-letter symbols, first-match-wins order
     defs: list = []
@@ -517,6 +555,23 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
         inner = _mr_partition_subquery(
             part, order_cols, sym_case, m.group("t"), []
         )
+        if overlap:
+            # overlapping count = number of positions where an
+            # anchored match begins (see the skip-mode comment);
+            # O(len) regex probes of O(len) per partition string vs
+            # the non-overlapping scan's single pass — fine for
+            # per-entity event sequences, window long-lived entities
+            # by session/month first at 100 TB
+            n_matches = (
+                "CAST(size(filter(transform(sequence(1, "
+                "length(__s)), p -> regexp_extract(substr(__s, p), "
+                f"'^({regex})', 1)), x -> x <> '')) AS BIGINT)"
+            )
+        else:
+            n_matches = (
+                f"CAST(size(regexp_extract_all(__s, '{regex}', 0)) "
+                "AS BIGINT)"
+            )
         rewritten = (
             f"SELECT {m.group('proj')} FROM ("
             f"SELECT {part}, seq_len, n_matches, "
@@ -524,8 +579,7 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
             "AS matched FROM ("
             f"SELECT {part}, "
             "CAST(size(__arr) AS BIGINT) AS seq_len, "
-            f"CAST(size(regexp_extract_all(__s, '{regex}', 0)) "
-            "AS BIGINT) AS n_matches "
+            f"{n_matches} AS n_matches "
             f"FROM ({inner})"
             f")){outorder}"
         )
@@ -553,9 +607,12 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
             raise ValueError(
                 f"MEASURES item {item!r} is outside the supported "
                 "menu: MATCH_NUMBER() | COUNT(*) | FIRST(<col>) | "
-                "LAST(<col>), each AS <name> (full SQL:2016 "
-                "running/final aggregates need per-symbol row "
-                "attribution this adapter refuses to fake)"
+                "LAST(<col>) | CLASSIFIER(), each AS <name> (full "
+                "SQL:2016 per-symbol aggregates like LAST(C.ts) need "
+                "per-symbol row attribution this adapter refuses to "
+                "fake; COUNT(*)/LAST/CLASSIFIER are FINAL under ONE "
+                "ROW PER MATCH and RUNNING under ALL ROWS PER MATCH "
+                "— the SQL:2016 defaults)"
             )
         name = mm.group("name")
         if name in names:
@@ -585,39 +642,88 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
         part, order_cols, sym_case, m.group("t"),
         sorted(((f, c) for c, f in col_fields.items())),
     )
+    # per-row position within the emitted row's scope: the current
+    # row for ALL ROWS (running semantics, the SQL:2016 default
+    # there), the match's last row for ONE ROW (final semantics)
+    cur = "m.sp + m.j - 1" if all_rows else "m.sp + m.mlen - 1"
     sel = []
     for kind, col, name in measures:
         if kind == "match_number":
             sel.append(f"CAST(m.no AS INT) AS {name}")
         elif kind == "count":
-            sel.append(f"CAST(m.mlen AS BIGINT) AS {name}")
+            # ALL ROWS: RUNNING COUNT(*) = row position in the match
+            sel.append(
+                f"CAST({'m.j' if all_rows else 'm.mlen'} AS BIGINT) "
+                f"AS {name}"
+            )
+        elif kind == "classifier":
+            # the per-row symbol IS the classifier (first-matching
+            # DEFINE); ONE ROW returns the LAST row's (SQL:2016)
+            sel.append(f"substring(__s, {cur}, 1) AS {name}")
         elif kind == "first":
             sel.append(
                 f"element_at(__arr, m.sp).{col_fields[col]} AS {name}"
             )
-        else:  # last
+        else:  # last — running (current row) under ALL ROWS
             sel.append(
-                f"element_at(__arr, m.sp + m.mlen - 1)."
+                f"element_at(__arr, {cur})."
                 f"{col_fields[col]} AS {name}"
             )
-    # per-match positions from the gaps/matches decomposition: both
-    # engines scan non-overlapping left-to-right, so match i starts
-    # after the first i gaps and the first i-1 matches. slice(x,1,0)
-    # is [] and explode of [] drops zero-match partitions — exactly
-    # ONE ROW PER MATCH.
+    # match enumeration -> array<struct<no, mlen, sp>>:
+    # - non-overlapping (SKIP PAST LAST ROW): the gaps/matches
+    #   decomposition — both engines scan non-overlapping
+    #   left-to-right, so match i starts after the first i gaps and
+    #   the first i-1 matches (regexp_extract_all + split + HOF
+    #   arithmetic);
+    # - overlapping (SKIP TO NEXT ROW): one anchored '^pattern'
+    #   probe per position, filtered to hits, numbered by start
+    #   order (the index lambda).
+    if overlap:
+        pre = ""
+        mt = (
+            "transform(filter(transform(sequence(1, length(__s)), "
+            "p -> struct(p AS sp, length(regexp_extract("
+            f"substr(__s, p), '^({regex})', 1)) AS mlen)), "
+            "t -> t.mlen > 0), (t, i) -> "
+            "struct(i + 1 AS no, t.mlen AS mlen, t.sp AS sp))"
+        )
+    else:
+        pre = (
+            f"regexp_extract_all(__s, '{regex}', 0) AS __ms, "
+            f"split(__s, '{regex}', -1) AS __gs, "
+        )
+        mt = (
+            "transform("
+            "slice(sequence(1, greatest(size(__ms), 1)), 1, "
+            "size(__ms)), "
+            "i -> struct(i AS no, length(element_at(__ms, i)) AS "
+            "mlen, "
+            "aggregate(slice(__gs, 1, i), 0, (a, g) -> a + length(g))"
+            " + "
+            "aggregate(slice(__ms, 1, i - 1), 0, (a, g) -> a + "
+            "length(g)) + 1 AS sp))"
+        )
+    if all_rows:
+        # one row per MATCHED INPUT ROW: fan each match out to its
+        # mlen rows (j = 1-based row index within the match).
+        # Unmatched rows are omitted — the ALL ROWS PER MATCH default
+        # (WITH UNMATCHED ROWS is not supported).
+        mt = (
+            f"flatten(transform({mt}, m0 -> "
+            "transform(sequence(1, m0.mlen), j -> "
+            "struct(m0.no AS no, m0.mlen AS mlen, m0.sp AS sp, "
+            "j AS j))))"
+        )
+    # explode of an empty array drops zero-match partitions — exactly
+    # the PER MATCH contract (slice(x, 1, 0) is [] in the
+    # non-overlapping enumeration; filter() yields [] in the
+    # overlapping one).
     rewritten = (
         f"SELECT {m.group('proj')} FROM ("
         f"SELECT {part}, {', '.join(sel)} FROM ("
-        f"SELECT {part}, __arr, "
-        f"regexp_extract_all(__s, '{regex}', 0) AS __ms, "
-        f"split(__s, '{regex}', -1) AS __gs "
-        f"FROM ({inner})"
-        ") LATERAL VIEW explode(transform("
-        "slice(sequence(1, greatest(size(__ms), 1)), 1, size(__ms)), "
-        "i -> struct(i AS no, length(element_at(__ms, i)) AS mlen, "
-        "aggregate(slice(__gs, 1, i), 0, (a, g) -> a + length(g)) + "
-        "aggregate(slice(__ms, 1, i - 1), 0, (a, g) -> a + length(g))"
-        " + 1 AS sp))) __mt AS m"
+        f"SELECT {part}, __arr, {pre}"
+        f"__s FROM ({inner})"
+        f") LATERAL VIEW explode({mt}) __mt AS m"
         f"){outorder}"
     )
     return spark.sql(rewritten)

@@ -853,18 +853,130 @@ class TestMatchRecognize:
             )
 
     def test_refuses_unsupported_skip_mode(self, spark, mr_view):
-        # TO NEXT ROW = overlapping matches = NFA semantics the
-        # initials-string plan cannot express — refuse, not fake
-        with pytest.raises(ValueError, match="SKIP TO NEXT ROW"):
+        # TO FIRST/LAST <symbol> needs per-symbol row attribution —
+        # refuse, not fake (TO NEXT ROW is supported since r11)
+        with pytest.raises(ValueError, match="SKIP TO FIRST V"):
             sqlext.sql(
                 spark,
                 """SELECT user_id FROM mr_events MATCH_RECOGNIZE (
                    PARTITION BY user_id ORDER BY ts, event_id
-                   AFTER MATCH SKIP TO NEXT ROW
+                   AFTER MATCH SKIP TO FIRST V
                    PATTERN (V P)
                    DEFINE V AS event_type = 'view',
                           P AS event_type = 'purchase')""",
             )
+
+    def test_skip_to_next_row_counts_overlaps(self, spark, mr_view):
+        # user 1 is V C C P: under (V|C)+ P the non-overlapping scan
+        # finds 1 match, the overlapping scan one per starting row
+        # (VCCP, CCP, CP) = 3 — the two skip modes must be
+        # value-distinct on the same input
+        base = """SELECT user_id, n_matches FROM mr_events
+                  MATCH_RECOGNIZE (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    {skip}
+                    PATTERN ((V|C)+ P)
+                    DEFINE V AS event_type = 'view',
+                           C AS event_type = 'click',
+                           P AS event_type = 'purchase')
+                  ORDER BY user_id"""
+        non = {
+            r["user_id"]: r["n_matches"]
+            for r in sqlext.sql(
+                spark, base.format(skip="AFTER MATCH SKIP PAST LAST ROW")
+            ).collect()
+        }
+        ov = {
+            r["user_id"]: r["n_matches"]
+            for r in sqlext.sql(
+                spark, base.format(skip="AFTER MATCH SKIP TO NEXT ROW")
+            ).collect()
+        }
+        assert non[1] == 1 and ov[1] == 3
+        # user 3's two disjoint V P runs: both modes agree
+        assert non[3] == 2 and ov[3] == 2
+
+    def test_skip_to_next_row_measures_positions(self, spark, mr_view):
+        rows = sqlext.sql(
+            spark,
+            """SELECT user_id, match_no, n_rows, first_id, last_id
+               FROM mr_events MATCH_RECOGNIZE (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 MEASURES MATCH_NUMBER() AS match_no,
+                          COUNT(*) AS n_rows,
+                          FIRST(event_id) AS first_id,
+                          LAST(event_id) AS last_id
+                 ONE ROW PER MATCH
+                 AFTER MATCH SKIP TO NEXT ROW
+                 PATTERN ((V|C)+ P)
+                 DEFINE V AS event_type = 'view',
+                        C AS event_type = 'click',
+                        P AS event_type = 'purchase')
+               ORDER BY user_id, match_no""",
+        ).collect()
+        u1 = [tuple(r)[1:] for r in rows if r["user_id"] == 1]
+        # three overlapping matches, numbered by start position,
+        # all ending at the purchase (event_id 4)
+        assert u1 == [(1, 4, 1, 4), (2, 3, 2, 4), (3, 2, 3, 4)]
+
+    def test_all_rows_per_match_running_semantics(self, spark, mr_view):
+        rows = sqlext.sql(
+            spark,
+            """SELECT user_id, match_no, rn, sym, row_id
+               FROM mr_events MATCH_RECOGNIZE (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 MEASURES MATCH_NUMBER() AS match_no,
+                          COUNT(*) AS rn,
+                          CLASSIFIER() AS sym,
+                          LAST(event_id) AS row_id
+                 ALL ROWS PER MATCH
+                 PATTERN (V C* P)
+                 DEFINE V AS event_type = 'view',
+                        C AS event_type = 'click',
+                        P AS event_type = 'purchase')
+               ORDER BY user_id, match_no, rn""",
+        ).collect()
+        u1 = [
+            (r["rn"], r["sym"], r["row_id"])
+            for r in rows
+            if r["user_id"] == 1
+        ]
+        # one row per MATCHED INPUT ROW, RUNNING COUNT(*) = position,
+        # CLASSIFIER = the row's symbol, LAST = the CURRENT row's col
+        assert u1 == [(1, "V", 1), (2, "C", 2), (3, "C", 3), (4, "P", 4)]
+        # user 2's filler-broken run contributes no rows at all
+        assert not [r for r in rows if r["user_id"] == 2]
+        # user 3: two matches of two rows each
+        u3 = [(r["match_no"], r["rn"]) for r in rows if r["user_id"] == 3]
+        assert u3 == [(1, 1), (1, 2), (2, 1), (2, 2)]
+
+    def test_all_rows_requires_measures(self, spark, mr_view):
+        with pytest.raises(ValueError, match="ALL ROWS.*requires a MEASURES"):
+            sqlext.sql(
+                spark,
+                """SELECT user_id FROM mr_events MATCH_RECOGNIZE (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ALL ROWS PER MATCH
+                   PATTERN (V P)
+                   DEFINE V AS event_type = 'view',
+                          P AS event_type = 'purchase')""",
+            )
+
+    def test_classifier_one_row_reads_last_row(self, spark, mr_view):
+        # SQL:2016: under ONE ROW PER MATCH, CLASSIFIER() is FINAL —
+        # the last row's symbol (always P here)
+        rows = sqlext.sql(
+            spark,
+            """SELECT user_id, sym FROM mr_events MATCH_RECOGNIZE (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 MEASURES CLASSIFIER() AS sym
+                 ONE ROW PER MATCH
+                 PATTERN (V C* P)
+                 DEFINE V AS event_type = 'view',
+                        C AS event_type = 'click',
+                        P AS event_type = 'purchase')""",
+        ).collect()
+        assert rows and all(r["sym"] == "P" for r in rows)
 
     def test_refuses_measure_outside_menu(self, spark, mr_view):
         with pytest.raises(ValueError, match="outside the supported"):
