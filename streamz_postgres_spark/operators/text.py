@@ -1249,28 +1249,44 @@ def q_doc_perplexity_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
     default quality-filter LM.
 
     Determinism: all five count tables are exact integers derived
-    from ONE bigram-type table; d=0.75 is dyadic-exact; the
+    from ONE doc-bigram count table; d=0.75 is dyadic-exact; the
     probability is the identical IEEE expression tree on both
     engines and each -ln term goes through qround(6) (libm ulp
     guard) before the exact decimal mean. Scale: the LM tables are
-    vocabulary-sized (broadcast); scoring is the same instance-join
-    shape as the add-one key — shuffle O(bigram instances) on the
-    bigram key, never a cross join. NOT persist_scoped, measured
-    deliberately (r10 tail attack): the bigram-type table feeds four
-    consumers, but their scans share an IDENTICAL exchange that
-    Spark's ReuseExchange already deduplicates, so pinning it only
-    added cache-materialization cost — sf0.1 3->7.7 s, x10
-    27.5->45.8 s WORSE with the pin. Contrast the winnowing scan in
-    dedup._winnow_pairs, where the repeated stage is an expensive
-    md5 HOF underneath DIFFERENT consumers and the pin wins 2x —
-    persist pays only when the shared stage is not already
-    exchange-reused."""
+    vocabulary-sized (broadcast); scoring shuffles doc-bigram TYPES
+    on the bigram key, never instances and never a cross join.
+
+    Restructured r11 (the r10 verdict's x10 wall, 28-31 s): the old
+    shape tokenized+exploded ``documents`` TWICE (the type-count
+    branch and the scoring branch have different projections, so
+    ReuseExchange could NOT dedupe them) and shuffled every bigram
+    INSTANCE through the scoring join with no combine. Now ONE
+    explode feeds ``groupBy(doc_id, bg).count()`` — partial
+    map-side combine collapses within-doc repeats BEFORE the
+    exchange — the global type table re-aggregates from that
+    (doc-bigram types, not instances), and each doc contributes
+    k * micro6(term) in EXACT integer micro-units (identical to
+    summing k per-instance qround(6) terms, since k copies of the
+    same micro integer sum to k*m — value-identical to the
+    pre-r11 formulation, same oracle). Measured x10: 30.9 -> 6.6 s
+    (4.7x) — the larger share from the shingles() free-variable
+    binding fix (functions/text_features.py r11: the scan was
+    re-splitting the document once per element_at, quadratic in doc
+    length), the rest from the one-scan + type-level-join shape;
+    values hash-equal at both SFs. NOT persist_scoped,
+    measured deliberately (r10 tail attack): the type table's four
+    consumers share an IDENTICAL exchange that ReuseExchange already
+    deduplicates — pinning REGRESSED it (x10 27.5->45.8 s); the
+    persist-vs-ReuseExchange discriminator lives in SCALE.md."""
     d = load_table(spark, sf_dir, "documents")
     tok = tokens(F.col("text"))
-    bc = (
-        d.select(F.explode(shingles(tok, 2)).alias("bg"))
-        .groupBy("bg")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cxy"))
+    dbc = (
+        d.select("doc_id", F.explode(shingles(tok, 2)).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    )
+    bc = dbc.groupBy("bg").agg(
+        F.sum("k").cast("bigint").alias("cxy")
     )
     sp = bc.select(
         "bg",
@@ -1286,7 +1302,6 @@ def q_doc_perplexity_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("nb")
     )
     ntypes = bc.agg(F.count(F.lit(1)).cast("bigint").alias("nt"))
-    db = d.select("doc_id", F.explode(shingles(tok, 2)).alias("bg"))
     p = (
         F.greatest(
             F.col("cxy").cast("double") - F.lit(_KN_D), F.lit(0.0)
@@ -1295,14 +1310,24 @@ def q_doc_perplexity_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
         + (F.lit(_KN_D) * F.col("nf").cast("double") / F.col("c1").cast("double"))
         * (F.col("nb").cast("double") / F.col("nt").cast("double"))
     )
+    # exact micro-unit integer of the per-instance qround(6) term
+    # (the same floor(x*1e6+0.5) rule dsum applies internally);
+    # k identical instances contribute exactly k * m
+    m = F.floor(qround(-F.log(p), 6) * F.lit(1e6) + F.lit(0.5)).cast(
+        "decimal(38,0)"
+    )
     terms = (
-        db.join(sp, "bg")
+        dbc.join(sp, "bg")
         .join(F.broadcast(fwd), "w1")
         .join(F.broadcast(back), "w2")
         .crossJoin(F.broadcast(ntypes))
-        .select("doc_id", qround(-F.log(p), 6).alias("term"))
+        .select("doc_id", "k", (F.col("k").cast("decimal(38,0)") * m).alias("km"))
     )
     return terms.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
-        qround(dsum("term") / F.count(F.lit(1)), 6).alias("avg_nll"),
+        F.sum("k").cast("bigint").alias("n_bigrams"),
+        qround(
+            (F.sum("km").cast("double") / F.lit(1e6))
+            / F.sum("k").cast("bigint").cast("double"),
+            6,
+        ).alias("avg_nll"),
     )
