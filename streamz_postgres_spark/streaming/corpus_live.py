@@ -436,35 +436,59 @@ def _streaming_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _stream_minhash_sig_cols() -> list:
-    """Row-local minhash signature via HOFs — identical values to the
-    batch explode+groupBy-min pipeline (same md5 double-hash family),
-    but computed with ZERO shuffle: the signature never leaves its
-    row, which is exactly what an ingestion stream needs."""
+def _stream_minhash_sig(df: DataFrame) -> DataFrame:
+    """doc_id + the 16 row-local minhash signature columns m0..m15 —
+    identical values to the batch explode+groupBy-min pipeline (same
+    md5 double-hash family), but computed with ZERO shuffle: the
+    signature never leaves its row, which is exactly what an
+    ingestion stream needs.
+
+    Restructured r11 (the shingles-binding find applied to the SQL
+    HOF form): the old single-projection shape inlined the whole
+    shingle+md5 pipeline into EVERY m_j column AND re-split the text
+    per element_at inside the shingle lambda — 16 copies of a
+    per-document-quadratic scan (value-forced sf0.1: 59 s; x10
+    exceeded a 10-minute timeout). Now the token array is let-bound
+    (the single-element-array-transform trick), md5 runs ONCE per
+    shingle, and the (h1, h2) pair array is materialized as one
+    attribute column that a SECOND projection derives all 16 sigs
+    from (CollapseProject keeps multi-referenced non-cheap aliases
+    un-inlined). Value-forced sf0.1: 4.2 s; x10: 9.4 s —
+    value-identical (same md5 family, same min), same zero-shuffle
+    posture.
+
+    Guard: sequence(1, n-2) DESCENDS when n < 3 (negative step
+    inference) — short docs must produce an empty shingle array,
+    mirroring functions.text_features.shingles."""
     from streamz_postgres_spark.functions.text_features import DH_MOD
 
-    # guard: sequence(1, n-2) DESCENDS when n < 3 (negative step
-    # inference) — short docs must produce an empty shingle array,
-    # mirroring functions.text_features.shingles
-    shingle_hashes = (
-        "transform(CASE WHEN size(split(text, ' ')) >= 3 THEN "
-        "transform(sequence(1, size(split(text, ' ')) - 2), "
-        "i -> concat_ws(' ', element_at(split(text, ' '), i), "
-        "element_at(split(text, ' '), i + 1), "
-        "element_at(split(text, ' '), i + 2))) "
-        "ELSE CAST(array() AS ARRAY<STRING>) END, "
-        "s -> struct(CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) "
-        "AS h1, CAST(conv(substring(md5(s), 16, 14), 16, 10) AS BIGINT) AS h2))"
+    hashed = (
+        "transform(element_at(transform(array(split(text, ' ')), tk -> "
+        "CASE WHEN size(tk) >= 3 THEN "
+        "transform(sequence(1, size(tk) - 2), "
+        "i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1), "
+        "element_at(tk, i + 2))) "
+        "ELSE CAST(array() AS ARRAY<STRING>) END), 1), "
+        "s -> md5(s))"
     )
-    cols = []
-    for j in range(16):
-        cols.append(
+    pre = df.select(
+        "doc_id",
+        F.expr(
+            f"transform({hashed}, h -> struct("
+            "CAST(conv(substring(h, 1, 15), 16, 10) AS BIGINT) AS h1, "
+            "CAST(conv(substring(h, 16, 14), 16, 10) AS BIGINT) AS h2))"
+        ).alias("__hp"),
+    )
+    return pre.select(
+        "doc_id",
+        *[
             F.expr(
-                f"array_min(transform({shingle_hashes}, "
-                f"p -> (p.h1 + {j} * p.h2) % {DH_MOD}))"
+                f"array_min(transform(__hp, p -> "
+                f"(p.h1 + {j} * p.h2) % {DH_MOD}))"
             ).alias(f"m{j}")
-        )
-    return cols
+            for j in range(16)
+        ],
+    )
 
 
 def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -483,9 +507,7 @@ def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate+estimate pipeline (exact parity holds while no bucket
     exceeds the cap — 8x headroom at sf0.1)."""
     src = _streaming_documents(spark, sf_dir)
-    sig = src.select("doc_id", *_stream_minhash_sig_cols()).filter(
-        F.col("m0").isNotNull()
-    )
+    sig = _stream_minhash_sig(src).filter(F.col("m0").isNotNull())
     band_key = F.explode(
         F.array(
             *[

@@ -22,7 +22,7 @@ from streamz_postgres_spark.streaming.cdc_live import (  # noqa: F401
 from streamz_postgres_spark.streaming.corpus_live import (  # noqa: F401
     _LSH_ROSTER_CAP,
     _lsh_bucket_fold,
-    _stream_minhash_sig_cols,
+    _stream_minhash_sig,
     _streaming_documents,
 )
 from streamz_postgres_spark.streaming.stateful import (  # noqa: F401

@@ -453,7 +453,7 @@ def test_stream_lsh_pairs_straddle_batches(spark):
 
     from streamz_postgres_spark.streaming.queries import (
         _lsh_bucket_fold,
-        _stream_minhash_sig_cols,
+        _stream_minhash_sig,
     )
 
     d = tempfile.mkdtemp(prefix="docs_split_")
@@ -475,9 +475,7 @@ def test_stream_lsh_pairs_straddle_batches(spark):
         .option("maxFilesPerTrigger", "1")
         .parquet(f"{d}/part*")
     )
-    sig = src.select("doc_id", *_stream_minhash_sig_cols()).filter(
-        F.col("m0").isNotNull()
-    )
+    sig = _stream_minhash_sig(src).filter(F.col("m0").isNotNull())
     band_key = F.explode(
         F.array(
             *[
