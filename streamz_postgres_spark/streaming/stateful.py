@@ -1311,6 +1311,11 @@ register(
 #: left-to-right exactly like Java/RE2, so match positions agree
 _STREAM_MR_PATTERN = r"VC{0,2}P"
 
+#: q_pattern_overlap's pattern, wrapped in a lookahead for the
+#: overlapping (SKIP TO NEXT ROW) enumeration — legal in Python re
+#: (the batch lowering can't use it: RE2/DuckDB refuses `(?=`)
+_STREAM_MR_OVERLAP_LOOKAHEAD = r"(?=((V|C){1,3}P))"
+
 
 def _pattern_measures_fold(
     key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
@@ -1331,8 +1336,46 @@ def _pattern_measures_fold(
     production, window by session/month (partition the symbol stream
     on a time bucket) or arm EventTimeTimeout so quiet users age
     out — the batch twin documents the same bound."""
+    return _mr_fold(key, batches, state, _mr_nonoverlap_matches)
+
+
+def _mr_nonoverlap_matches(s: str) -> list:
+    """Non-overlapping left-to-right (start, length) matches — the
+    SKIP PAST LAST ROW scan, identical on Python/Java/RE2."""
     import re as _re
 
+    return [
+        (m.start(), m.end() - m.start())
+        for m in _re.finditer(_STREAM_MR_PATTERN, s)
+    ]
+
+
+def _mr_overlap_matches(s: str) -> list:
+    """OVERLAPPING (start, length) matches — the SKIP TO NEXT ROW
+    enumeration: one match per position where an anchored match
+    begins. Python re DOES support lookahead (unlike RE2), and a
+    zero-width finditer hit advances by one — exactly the
+    every-starting-row scan; group 1 carries the extent the
+    leftmost-first engine picks at that position, agreeing with the
+    batch key's per-position '^pattern' probe on both engines."""
+    import re as _re
+
+    return [
+        (m.start(), len(m.group(1)))
+        for m in _re.finditer(_STREAM_MR_OVERLAP_LOOKAHEAD, s)
+    ]
+
+
+def _mr_fold(
+    key: tuple,
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+    matches_fn,
+) -> Iterator[pd.DataFrame]:
+    """Shared merge-sort + re-emit body for the pattern folds (see
+    _pattern_measures_fold's docstring for the ordering and state
+    contracts); ``matches_fn(s) -> [(start, length), ...]`` supplies
+    the skip-mode-specific enumeration."""
     xs, eids, s = ([], [], "") if not state.exists else (
         list(state.get[0]),
         list(state.get[1]),
@@ -1348,18 +1391,9 @@ def _pattern_measures_fold(
     s = "".join(s[i] for i in order)
     state.update((xs, eids, s))
     rows = []
-    for no, m in enumerate(
-        _re.finditer(_STREAM_MR_PATTERN, s), start=1
-    ):
+    for no, (sp, ln) in enumerate(matches_fn(s), start=1):
         rows.append(
-            (
-                key[0],
-                len(s),
-                no,
-                m.end() - m.start(),
-                xs[m.start()],
-                xs[m.end() - 1],
-            )
+            (key[0], len(s), no, ln, xs[sp], xs[sp + ln - 1])
         )
     if rows:
         yield pd.DataFrame(
@@ -1390,6 +1424,15 @@ def q_stream_pattern_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle IS the batch key's (DuckDB gaps/matches list
     arithmetic). State: ~17 bytes/event (see the fold's docstring
     for the production windowing bound)."""
+    return _stream_pattern_query(spark, sf_dir, _pattern_measures_fold)
+
+
+def _stream_pattern_query(
+    spark: SparkSession, sf_dir: str, fold
+) -> DataFrame:
+    """Shared pipeline for the live pattern twins: classify -> fold
+    (skip-mode-specific) -> latest-full-snapshot collapse -> micros
+    back to TimestampNTZ."""
     s = replay_events(spark, sf_dir)
     x = F.expr(
         "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
@@ -1405,7 +1448,7 @@ def q_stream_pattern_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ch"),
     )
     out = typed.groupBy("user_id").applyInPandasWithState(
-        _pattern_measures_fold,
+        fold,
         outputStructType="user_id long, seq_len long, match_no int, "
         "n_rows long, start_x long, end_x long",
         stateStructType="xs array<long>, eids array<long>, s string",
@@ -1446,3 +1489,46 @@ register(
     oracle=_stream_pattern_measures_oracle(),
     tags=("streaming", "stateful", "sequence"),
 )(q_stream_pattern_measures)
+
+
+def _pattern_overlap_fold(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """OVERLAPPING-match variant of _pattern_measures_fold (same
+    merge-sorted state and snapshot-re-emit contracts): enumeration
+    is one match per starting row — SKIP TO NEXT ROW, live."""
+    return _mr_fold(key, batches, state, _mr_overlap_matches)
+
+
+def q_stream_pattern_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE OVERLAPPING MATCH_RECOGNIZE (streaming twin of
+    q_pattern_overlap, completing the skip-mode pair the way
+    q_stream_pattern_measures twins the non-overlapping key): every
+    1-to-3-engagements-then-purchase run re-emits from EVERY starting
+    row the moment its purchase lands — the burst-overlap detector,
+    live. The fold's enumeration uses Python re's LOOKAHEAD
+    (``(?=(pat))`` + zero-width finditer advance = one probe per
+    starting position) — legal here because only Spark's JVM and
+    DuckDB's RE2 refuse lookahead, not CPython; positions and extents
+    agree with the batch key's per-position anchored probe because
+    all three engines are leftmost-first at a fixed position. Same
+    merge-sorted state (~17 bytes/event, window by session/month at
+    scale), same latest-full-snapshot collapse, same epoch-micros
+    boundary crossing; the oracle IS the batch overlap key's (DuckDB
+    per-position list arithmetic)."""
+    return _stream_pattern_query(spark, sf_dir, _pattern_overlap_fold)
+
+
+def _stream_pattern_overlap_oracle() -> str:
+    import streamz_postgres_spark.operators.windows  # noqa: F401
+
+    from streamz_postgres_spark.registry import REGISTRY
+
+    return REGISTRY["q_pattern_overlap"].oracle
+
+
+register(
+    "q_stream_pattern_overlap",
+    oracle=_stream_pattern_overlap_oracle(),
+    tags=("streaming", "stateful", "sequence"),
+)(q_stream_pattern_overlap)

@@ -121,3 +121,47 @@ def test_fold_tie_breaks_on_event_id():
     assert state.get[2] == "VP"
     assert last is not None and len(last) == 1
     assert int(last["n_rows"][0]) == 2
+
+
+def test_overlap_fold_enumerates_every_start():
+    # VVCP under (V|C){1,3}P: overlapping starts at 1, 2, 3 — the
+    # non-overlapping scan would report exactly one match
+    rows = [(10, 1, "V"), (20, 2, "V"), (30, 3, "C"), (40, 4, "P")]
+    from streamz_postgres_spark.streaming.stateful import (
+        _pattern_overlap_fold,
+    )
+
+    state = _FakeState()
+    out = list(_pattern_overlap_fold((1,), iter([_mk(rows)]), state))
+    got = sorted(
+        zip(out[0]["match_no"], out[0]["n_rows"],
+            out[0]["start_x"], out[0]["end_x"])
+    )
+    assert [tuple(map(int, r)) for r in got] == [
+        (1, 4, 10, 40),
+        (2, 3, 20, 40),
+        (3, 2, 30, 40),
+    ]
+
+
+def test_stream_pattern_overlap_closes_to_batch(spark):
+    from streamz_postgres_spark.registry import REGISTRY, _load_all
+    from tests.conftest import SF_DIR
+
+    _load_all()
+    batch = sorted(
+        map(
+            tuple,
+            REGISTRY["q_pattern_overlap"].spark_fn(spark, SF_DIR).collect(),
+        )
+    )
+    live = sorted(
+        map(
+            tuple,
+            REGISTRY["q_stream_pattern_overlap"]
+            .spark_fn(spark, SF_DIR)
+            .collect(),
+        )
+    )
+    assert batch == live
+    assert len(batch) > 0
