@@ -58,6 +58,12 @@ KEYS = (
     "q_pattern_bounds",
     "q_pattern_measures",
     "q_asof_forward_sql",
+    # round-11 calendar-touching additions (overlap/all-rows read
+    # ts measures back out; GROUP BY ALL groups on month(ts))
+    "q_pattern_overlap",
+    "q_pattern_all_rows",
+    "q_stream_pattern_overlap",
+    "q_group_by_all",
 )
 
 #: the remaining round-8/9 additions (r8 verdict Next-round #8: the
