@@ -148,3 +148,41 @@ def test_adjacent_quantifiers_always_refused(pat, q):
         hostile = pat[:i] + q + pat[i:]
     with pytest.raises(ValueError, match="adjacent quantifiers"):
         _parse_pattern(hostile)
+
+
+@given(pat=_pattern(), s=st.text(_SYMS + "-", max_size=30))
+@settings(max_examples=200, deadline=None)
+def test_overlap_enumeration_matches_duckdb_probe(pat, s):
+    """The SKIP TO NEXT ROW lowering's core claim (r11): the
+    per-position anchored '^pattern' probe — the only overlap form
+    DuckDB/RE2 can run, since RE2 refuses lookahead — enumerates
+    exactly the same (start, extent) set as Python re's lookahead
+    scan, for every pattern the parser admits and every symbol
+    string. A divergence here would silently split the Spark result
+    from its oracle on some corpus; pinning it property-wise means
+    the fixture doesn't have to happen to cover the edge."""
+    import duckdb
+
+    try:
+        canonical = _parse_pattern(pat)
+    except ValueError:
+        return  # refused patterns never reach the lowering
+    # Python reference: lookahead enumeration (also what the live
+    # streaming twin q_stream_pattern_overlap executes)
+    want = [
+        (m.start() + 1, len(m.group(1)))
+        for m in re.finditer(f"(?=({canonical}))", s)
+    ]
+    # DuckDB: per-position anchored probe in list arithmetic (the
+    # oracle form); RE2 compiles the same canonical alphabet
+    got = duckdb.connect().execute(
+        """
+        SELECT coalesce(list_filter(
+          list_transform(generate_series(1, length(?)), p ->
+            struct_pack(sp := p,
+                        mlen := length(regexp_extract(?[p:], ?, 1)))),
+          t -> t.mlen > 0), []) AS ov
+        """,
+        [s, s, f"^({canonical})"],
+    ).fetchone()[0]
+    assert [(t["sp"], t["mlen"]) for t in got] == want
