@@ -962,6 +962,34 @@ class TestMatchRecognize:
                           P AS event_type = 'purchase')""",
             )
 
+    def test_overlap_composes_with_all_rows(self, spark, mr_view):
+        # SKIP TO NEXT ROW x ALL ROWS PER MATCH: user 1 (V C C P)
+        # under (V|C)+ P has overlapping matches starting at rows
+        # 1, 2, 3, each fanned out per row — 4 + 3 + 2 = 9 rows
+        rows = sqlext.sql(
+            spark,
+            """SELECT user_id, match_no, rn, sym FROM mr_events
+               MATCH_RECOGNIZE (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 MEASURES MATCH_NUMBER() AS match_no,
+                          COUNT(*) AS rn,
+                          CLASSIFIER() AS sym
+                 ALL ROWS PER MATCH
+                 AFTER MATCH SKIP TO NEXT ROW
+                 PATTERN ((V|C)+ P)
+                 DEFINE V AS event_type = 'view',
+                        C AS event_type = 'click',
+                        P AS event_type = 'purchase')
+               ORDER BY user_id, match_no, rn""",
+        ).collect()
+        u1 = [(r["match_no"], r["rn"], r["sym"]) for r in rows
+              if r["user_id"] == 1]
+        assert u1 == [
+            (1, 1, "V"), (1, 2, "C"), (1, 3, "C"), (1, 4, "P"),
+            (2, 1, "C"), (2, 2, "C"), (2, 3, "P"),
+            (3, 1, "C"), (3, 2, "P"),
+        ]
+
     def test_classifier_one_row_reads_last_row(self, spark, mr_view):
         # SQL:2016: under ONE ROW PER MATCH, CLASSIFIER() is FINAL —
         # the last row's symbol (always P here)
