@@ -920,12 +920,21 @@ def q_bloom_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(({pos_expr}) % 32 AS INT))) != 0"
         )
 
+    # bind the two hashes ONCE per probed shingle (r11 rule): the
+    # inline form expanded _h1/_h2 into both halves of every one of
+    # the K probes — 4K md5 evaluations per distinct shingle where 2
+    # suffice. The struct alias is multi-referenced, so
+    # CollapseProject keeps it materialized; the probe arithmetic
+    # over t.a/t.b is integer-cheap.
     hit_expr = " AND ".join(
-        _probe_bit(f"({_h1} + {i} * {_h2}) % {_BLOOM_M}")
+        _probe_bit(f"(t.a + {i} * t.b) % {_BLOOM_M}")
         for i in range(_BLOOM_K)
     )
     hits = (
         probe.crossJoin(F.broadcast(bw))
+        .selectExpr(
+            "s", "bw", f"struct(({_h1}) AS a, ({_h2}) AS b) AS t"
+        )
         .selectExpr("s", f"({hit_expr}) AS hit")
         .join(
             F.broadcast(ref.withColumn("__m", F.lit(1))), "s", "left"

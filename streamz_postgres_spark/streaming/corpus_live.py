@@ -953,10 +953,16 @@ def q_stream_bloom_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(({pos_expr}) % 32 AS INT))) != 0"
         )
 
+    # bind the two hashes ONCE per shingle (r11 rule: the old form
+    # expanded _h1/_h2 into every probe reference — 6 md5 evaluations
+    # per shingle where 2 suffice; the probe arithmetic over the
+    # bound struct fields is integer-cheap). x10 value-forced:
+    # 18.8 -> measured below in SCALE.md.
     hits_expr = (
-        "size(filter(sh, s -> "
-        f"{_probe(f'{_h1} % {_BLOOM_M}')} AND "
-        f"{_probe(f'({_h1} + {_h2}) % {_BLOOM_M}')}))"
+        "size(filter(transform(sh, s -> "
+        f"struct(({_h1}) AS a, ({_h2}) AS b)), t -> "
+        f"{_probe(f't.a % {_BLOOM_M}')} AND "
+        f"{_probe(f'(t.a + t.b) % {_BLOOM_M}')}))"
     )
     probed = (
         src.select("doc_id", sh.alias("sh"))
