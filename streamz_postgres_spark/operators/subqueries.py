@@ -71,3 +71,78 @@ def q_subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice").alias("sum_price"),
         )
     )
+
+
+@register(
+    "q_recursive_cte",
+    oracle="""
+WITH RECURSIVE edges AS (
+  SELECT CAST(c_custkey AS INTEGER) AS node, c_name AS name,
+         CASE WHEN c_custkey = 0 THEN NULL
+              ELSE CAST(floor((c_custkey - 1) / 2.0) AS INTEGER)
+         END AS parent
+  FROM customer
+),
+walk AS (
+  SELECT node, CAST(0 AS INTEGER) AS depth, name AS path
+  FROM edges WHERE parent IS NULL
+  UNION ALL
+  SELECT e.node, CAST(w.depth + 1 AS INTEGER) AS depth,
+         w.path || '>' || e.name AS path
+  FROM edges e JOIN walk w ON e.parent = w.node
+)
+SELECT node, depth, path FROM walk ORDER BY node
+""",
+    tags=("subquery", "sql", "iterative"),
+)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``WITH RECURSIVE`` — hierarchy walk (root path + depth for
+    every node of a parent-child tree), the one iterative-SQL
+    surface the repo previously expressed only as library loops
+    (pagerank/connected-components drive the iteration from Python;
+    here the ENGINE does). Spark SQL supports recursive CTEs
+    natively since 4.0 (probed on this image) with the same
+    anchor-UNION ALL-recursive-member grammar DuckDB and Postgres
+    use, so the SAME query text runs on both engines — the oracle
+    is literally this query. Fixture: a binary-heap hierarchy over
+    customer (parent(k) = floor((k-1)/2), root 0) — deterministic,
+    derives from data (no synthetic table), and its depth GROWS with
+    the fixture (log2 N: 10 levels at sf0.01) so the recursion is
+    exercised for real, not a 2-level toy. Execution/scale: Spark
+    lowers the recursive member to an iterative union-loop — each
+    round joins the FRONTIER (previous round's rows) against the
+    edge table, exactly the pointer-chasing join pattern of the
+    library's CC fixpoint but engine-managed; rounds = tree depth =
+    log2 N (37 at 10^11 rows — far under the
+    spark.sql.cteRecursionLevelLimit default of 100), each round a
+    keyed equi-join (broadcastable frontier when narrow), output
+    linear in nodes. Postgres-parity note: this is the reference
+    ecosystem's daily org-chart/bill-of-materials idiom
+    (streamz_postgres users run it against live PG), so the engine
+    owning it matters for drop-in parity."""
+    import uuid as _uuid
+
+    view = f"customer_{_uuid.uuid4().hex[:8]}"
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(view)
+    try:
+        return spark.sql(
+            f"""WITH RECURSIVE edges AS (
+              SELECT CAST(c_custkey AS INTEGER) AS node, c_name AS name,
+                     CASE WHEN c_custkey = 0 THEN NULL
+                          ELSE CAST(floor((c_custkey - 1) / 2.0)
+                               AS INTEGER)
+                     END AS parent
+              FROM {view}
+            ),
+            walk AS (
+              SELECT node, CAST(0 AS INTEGER) AS depth, name AS path
+              FROM edges WHERE parent IS NULL
+              UNION ALL
+              SELECT e.node, CAST(w.depth + 1 AS INTEGER) AS depth,
+                     w.path || '>' || e.name AS path
+              FROM edges e JOIN walk w ON e.parent = w.node
+            )
+            SELECT node, depth, path FROM walk ORDER BY node"""
+        )
+    finally:
+        spark.catalog.dropTempView(view)

@@ -172,10 +172,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_stream_transform_map",
     # ---- 50-key window boundary ----
     # r12 PLANNED WINDOW (next 50), committed per verdict r10
-    # Next-round #2 before r11 closes: the FOUR round-11 additions
-    # (never driver-checked, so they lead), then the 18 remaining
-    # r5-window keys, then the oldest r6-window keys fill to 50
-    # (4 + 18 + 28 = 50). Every over-cap key rides the end-of-round
+    # Next-round #2 before r11 closes: the SEVEN round-11 additions
+    # (never driver-checked, so they lead — 4 from the early r11
+    # sessions + 3 late: PERMUTE, per-symbol MEASURES, recursive
+    # CTE), then the 18 remaining r5-window keys, then the oldest
+    # r6-window keys fill to 50 (7 + 18 + 25 = 50; the 3 displaced
+    # r6 keys rotate r13). Every over-cap key rides the end-of-round
     # full local sweep (driver-replica gate, whole registry, both
     # SFs since r9) between driver windows.
     # -- round-11 additions (first driver evidence due r12):
@@ -183,6 +185,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_pattern_all_rows",
     "q_group_by_all",
     "q_stream_pattern_overlap",
+    "q_pattern_permute",
+    "q_pattern_symbol_measures",
+    "q_recursive_cte",
     # -- 18 remaining r5-window keys (driver-checked r5):
     "q_stream_transform_timers",
     "q_stream_transform_init",

@@ -68,19 +68,41 @@ the reason):
   with at most one quantifier each — ``* + ?`` plus bounds ``{n}
   {n,} {n,m}`` (n <= m <= 64), grouping and ``|`` — and re-emitted
   as a canonical regex (adjacent quantifiers like the
-  Java-possessive ``*+`` are refused: engine-divergent). Without
+  Java-possessive ``*+`` are refused: engine-divergent).
+  ``PERMUTE(A, B[, ...])`` (the SQL:2016 any-order construct) is
+  expanded at parse time into the alternation of all permutations
+  in lexicographic order of the listed elements — the standard's
+  defined expansion — capped at 4 elements (24 branches; beyond
+  that the construct is a combinatorial scan, not a row pattern);
+  elements must be plain symbols (no groups/quantifiers/nesting
+  inside PERMUTE) and the expansion group takes at most one outer
+  quantifier like any other group. Without
   MEASURES the output per partition key is the key, ``seq_len``,
   ``n_matches``, ``matched`` (0/1). With MEASURES the output is one
   row PER MATCH (``ONE ROW PER MATCH``) or per MATCHED INPUT ROW
   (``ALL ROWS PER MATCH``), the key plus each measure from the
   bounded menu ``MATCH_NUMBER()`` / ``COUNT(*)`` / ``FIRST(<col>)``
   / ``LAST(<col>)`` / ``CLASSIFIER()`` (the row's one-letter
-  symbol). Under ONE ROW the aggregates are FINAL (COUNT(*) = rows
-  in match, LAST/CLASSIFIER read the match's last row); under ALL
-  ROWS they are RUNNING — the SQL:2016 defaults for each mode —
-  so ``COUNT(*)`` is the row's 1-based position in its match and
+  symbol) / the PER-SYMBOL forms ``FIRST(<S>.<col>)`` /
+  ``LAST(<S>.<col>)`` / ``COUNT(<S>.*)`` (NULL / 0 when symbol
+  ``<S>`` does not participate in the match — the SQL:2016
+  contract). Per-symbol attribution is EXACT in this lowering, not
+  faked: the regex consumed character p of the symbol string AS the
+  symbol written there (first-matching DEFINE, decided row-locally
+  before the match scan), so "the rows matched as S" are precisely
+  the S-positions inside the match span — recovered as one
+  ``filter(sequence(...))`` over the match's positions, bound ONCE
+  per referenced symbol (the round-11 let-binding rule: sibling
+  measures share the array instead of re-deriving it). Under ONE
+  ROW the aggregates are FINAL (COUNT(*) = rows in match,
+  LAST/CLASSIFIER read the match's last row, per-symbol FIRST/LAST
+  read the first/last S-row of the whole match); under ALL ROWS
+  they are RUNNING — the SQL:2016 defaults for each mode — so
+  ``COUNT(*)`` is the row's 1-based position in its match,
   ``LAST(<col>)``/``CLASSIFIER()`` read the CURRENT row (which is
-  how a per-row column is projected out). ``WITH UNMATCHED ROWS``
+  how a per-row column is projected out), and per-symbol forms see
+  only S-rows AT OR BEFORE the current row (NULL until the first S
+  arrives). ``WITH UNMATCHED ROWS``
   is not supported: unmatched rows are omitted. Skip modes:
   ``AFTER MATCH SKIP PAST LAST ROW`` (the SQL:2016 default — the
   non-overlapping left-to-right scan, positions recovered from the
@@ -90,7 +112,13 @@ the reason):
   anchored ``^pattern`` probe per position, NOT a lookahead regex:
   RE2/DuckDB refuses ``(?=``; costs O(len) probes per partition
   string, so window long-lived entities first at scale). ``TO
-  FIRST/LAST <symbol>`` is refused (needs per-symbol attribution).
+  FIRST/LAST <symbol>`` is refused — not for attribution (per-symbol
+  positions are exact, see MEASURES above) but because skipping INTO
+  a match's interior changes the resume point in ways SQL:2016
+  itself guards with runtime errors (skipping to the match's first
+  row loops forever; skipping to a symbol that did not participate
+  is an error) — engine-divergent edge semantics this adapter
+  refuses to guess at.
   One MATCH_RECOGNIZE per query, single named table, no JOIN/WHERE
   (register a filtered view first); optional trailing ORDER BY.
   Patterns that can match an EMPTY sequence (every term ``*``/``?``
@@ -132,6 +160,8 @@ from __future__ import annotations
 
 import re
 import uuid
+from itertools import permutations as _permutations
+from math import factorial as _factorial
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -229,6 +259,34 @@ _MEASURE_RES = (
             r"^COUNT\s*\(\s*\*\s*\)\s+AS\s+(?P<name>\w+)$", re.IGNORECASE
         ),
     ),
+    # per-symbol forms must precede the bare-column ones so the menu
+    # error message never misattributes a dotted item (the bare
+    # regexes cannot match a dot, but first-match order documents
+    # the intent)
+    (
+        "sym_count",
+        re.compile(
+            r"^COUNT\s*\(\s*(?P<sym>[A-Za-z])\s*\.\s*\*\s*\)\s+AS\s+"
+            r"(?P<name>\w+)$",
+            re.IGNORECASE,
+        ),
+    ),
+    (
+        "sym_first",
+        re.compile(
+            r"^FIRST\s*\(\s*(?P<sym>[A-Za-z])\s*\.\s*(?P<col>\w+)\s*\)"
+            r"\s+AS\s+(?P<name>\w+)$",
+            re.IGNORECASE,
+        ),
+    ),
+    (
+        "sym_last",
+        re.compile(
+            r"^LAST\s*\(\s*(?P<sym>[A-Za-z])\s*\.\s*(?P<col>\w+)\s*\)"
+            r"\s+AS\s+(?P<name>\w+)$",
+            re.IGNORECASE,
+        ),
+    ),
     (
         "first",
         re.compile(
@@ -262,8 +320,20 @@ def _parse_pattern(raw: str) -> str:
 
         pattern := seq ('|' seq)*
         seq     := term+
-        term    := (SYMBOL | '(' pattern ')') quant?
+        term    := (SYMBOL | '(' pattern ')' | permute) quant?
+        permute := 'PERMUTE' '(' SYMBOL (',' SYMBOL)* ')'
         quant   := '*' | '+' | '?' | '{n}' | '{n,}' | '{n,m}'
+
+    ``PERMUTE(A,B,...)`` is the SQL:2016 any-order construct,
+    expanded HERE (parse time) into the alternation of all
+    permutations in lexicographic order of the listed elements —
+    the expansion the standard defines — so the emitted regex stays
+    inside the engine-common alphabet. Elements are plain distinct
+    symbols only (a group/quantifier/nested PERMUTE inside would
+    square the expansion) and the list is capped at 4 (24 branches).
+    ``PERMUTE`` is a reserved word in the SQL:2016 row-pattern
+    grammar, so the letter sequence P,E,R,M,U,T,E followed by ``(``
+    cannot be a symbol run.
 
     Adjacent quantifiers (two of ``* + ? {`` in a row) are refused —
     each symbol/group takes at most ONE quantifier. Bounds are
@@ -350,6 +420,58 @@ def _parse_pattern(raw: str) -> str:
                 pos += 1
                 q, t_null = parse_quant(inner_null)
                 parts.append(f"({inner_re}){q}")
+            elif s.startswith("PERMUTE(", pos):
+                pos += len("PERMUTE(")
+                elems: list = []
+                while True:
+                    e = peek()
+                    if not e.isalpha() or s.startswith("PERMUTE(", pos):
+                        raise ValueError(
+                            "PERMUTE takes a comma-separated list of "
+                            "plain symbols — groups, quantifiers and "
+                            "nested PERMUTE are not supported inside "
+                            "it (the expansion would be combinatorial"
+                            " on top of combinatorial)"
+                        )
+                    pos += 1
+                    if peek().isalpha():
+                        raise ValueError(
+                            "PERMUTE elements are SINGLE-letter "
+                            "symbols (same restriction as DEFINE); "
+                            f"got a multi-letter run at ...{e}{peek()}"
+                        )
+                    if e in elems:
+                        raise ValueError(
+                            f"PERMUTE lists symbol {e} twice — "
+                            "permutations of a multiset collapse to "
+                            "duplicate branches; repeat a symbol with "
+                            "a bound ({2}) outside PERMUTE instead"
+                        )
+                    elems.append(e)
+                    if peek() == ",":
+                        pos += 1
+                        continue
+                    break
+                if peek() != ")":
+                    raise ValueError(
+                        "PERMUTE(...) is missing its closing ')' — "
+                        "elements are single symbols separated by "
+                        "commas"
+                    )
+                pos += 1
+                if len(elems) > 4:
+                    raise ValueError(
+                        f"PERMUTE of {len(elems)} symbols expands to "
+                        f"{_factorial(len(elems))} alternation "
+                        "branches — capped at 4 (24 branches); beyond"
+                        " that the construct is a combinatorial scan,"
+                        " not a row pattern"
+                    )
+                perm_re = "|".join(
+                    "".join(p) for p in _permutations(elems)
+                )
+                q, t_null = parse_quant(False)
+                parts.append(f"({perm_re}){q}")
             elif ch.isalpha():
                 pos += 1
                 q, t_null = parse_quant(False)
@@ -456,7 +578,8 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
             "[ONE ROW PER MATCH | ALL ROWS PER MATCH] "
             "[AFTER MATCH SKIP PAST LAST ROW | "
             "AFTER MATCH SKIP TO NEXT ROW] "
-            "PATTERN (<symbols with * + ? {n,m} | ()>) DEFINE <S> AS "
+            "PATTERN (<symbols with * + ? {n,m} | () PERMUTE(..)>) "
+            "DEFINE <S> AS "
             "<pred>[, ...]) [ORDER BY <cols>] (one table, "
             "single-letter symbols, no WHERE/JOIN — register a "
             "filtered view first)"
@@ -592,7 +715,7 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
         raise ValueError(
             f"MATCH_RECOGNIZE source must be a resolvable table/view: {e}"
         ) from None
-    measures: list = []  # (kind, col_or_None, name)
+    measures: list = []  # (kind, col_or_None, name, sym_or_None)
     names: set = set()
     col_fields: dict = {}  # source col -> struct field alias
     for item in _split_top_level(m.group("meas")):
@@ -607,12 +730,12 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
             raise ValueError(
                 f"MEASURES item {item!r} is outside the supported "
                 "menu: MATCH_NUMBER() | COUNT(*) | FIRST(<col>) | "
-                "LAST(<col>) | CLASSIFIER(), each AS <name> (full "
-                "SQL:2016 per-symbol aggregates like LAST(C.ts) need "
-                "per-symbol row attribution this adapter refuses to "
-                "fake; COUNT(*)/LAST/CLASSIFIER are FINAL under ONE "
-                "ROW PER MATCH and RUNNING under ALL ROWS PER MATCH "
-                "— the SQL:2016 defaults)"
+                "LAST(<col>) | CLASSIFIER() | per-symbol "
+                "FIRST(<S>.<col>) | LAST(<S>.<col>) | COUNT(<S>.*), "
+                "each AS <name> (other per-symbol aggregates like "
+                "SUM(C.x)/AVG(C.x) are not lowered; aggregates are "
+                "FINAL under ONE ROW PER MATCH and RUNNING under "
+                "ALL ROWS PER MATCH — the SQL:2016 defaults)"
             )
         name = mm.group("name")
         if name in names:
@@ -635,7 +758,16 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
                     f"{m.group('t')} (columns: {', '.join(table_cols)})"
                 )
             col_fields.setdefault(col, f"__c{len(col_fields)}")
-        measures.append((kind, col, name))
+        sym = mm.groupdict().get("sym")
+        if sym is not None:
+            sym = sym.upper()
+            if sym not in pat_syms:
+                raise ValueError(
+                    f"MEASURES item {item!r} references symbol "
+                    f"{sym} which does not appear in PATTERN "
+                    f"(pattern symbols: {', '.join(sorted(pat_syms))})"
+                )
+        measures.append((kind, col, name, sym))
     if not measures:
         raise ValueError("MEASURES lists no items")
     inner = _mr_partition_subquery(
@@ -646,8 +778,9 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
     # row for ALL ROWS (running semantics, the SQL:2016 default
     # there), the match's last row for ONE ROW (final semantics)
     cur = "m.sp + m.j - 1" if all_rows else "m.sp + m.mlen - 1"
+    syms_used = sorted({s for _, _, _, s in measures if s is not None})
     sel = []
-    for kind, col, name in measures:
+    for kind, col, name, sym in measures:
         if kind == "match_number":
             sel.append(f"CAST(m.no AS INT) AS {name}")
         elif kind == "count":
@@ -663,6 +796,20 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
         elif kind == "first":
             sel.append(
                 f"element_at(__arr, m.sp).{col_fields[col]} AS {name}"
+            )
+        elif kind == "sym_count":
+            # rows matched as <sym> in scope (FINAL under ONE ROW,
+            # RUNNING under ALL ROWS) — the bound position array
+            sel.append(f"CAST(size(__ps_{sym}) AS BIGINT) AS {name}")
+        elif kind in ("sym_first", "sym_last"):
+            # SQL:2016: NULL when the symbol has no rows in scope
+            # (CASE branches evaluate lazily, so the element_at on
+            # the empty array is never reached under ANSI mode)
+            idx = "1" if kind == "sym_first" else "-1"
+            sel.append(
+                f"CASE WHEN size(__ps_{sym}) > 0 THEN element_at("
+                f"__arr, element_at(__ps_{sym}, {idx}))."
+                f"{col_fields[col]} END AS {name}"
             )
         else:  # last — running (current row) under ALL ROWS
             sel.append(
@@ -718,13 +865,27 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
     # the PER MATCH contract (slice(x, 1, 0) is [] in the
     # non-overlapping enumeration; filter() yields [] in the
     # overlapping one).
+    # per-symbol measures read from position arrays bound ONCE in
+    # the lateral-view-level projection (the round-11 let-binding
+    # rule: sibling measures reading the same symbol share the
+    # filter() through a named column, they do not re-derive it);
+    # the match scope is [sp, cur] — the whole match under ONE ROW
+    # (final semantics), up to the current row under ALL ROWS
+    # (running). When no per-symbol measure is present ps is empty
+    # and the mid projection is a pass-through Catalyst collapses.
+    ps = "".join(
+        f", filter(sequence(m.sp, {cur}), "
+        f"p -> substring(__s, p, 1) = '{y}') AS __ps_{y}"
+        for y in syms_used
+    )
     rewritten = (
         f"SELECT {m.group('proj')} FROM ("
         f"SELECT {part}, {', '.join(sel)} FROM ("
+        f"SELECT {part}, __arr, __s, m{ps} FROM ("
         f"SELECT {part}, __arr, {pre}"
         f"__s FROM ({inner})"
         f") LATERAL VIEW explode({mt}) __mt AS m"
-        f"){outorder}"
+        f")){outorder}"
     )
     return spark.sql(rewritten)
 

@@ -165,3 +165,28 @@ def test_stream_pattern_overlap_closes_to_batch(spark):
     )
     assert batch == live
     assert len(batch) > 0
+
+
+def test_recursive_cte_walk_is_a_real_recursion(spark):
+    """q_recursive_cte: engine-native WITH RECURSIVE over the
+    binary-heap hierarchy — depth must equal floor(log2(k+1)) for
+    every node (the heap invariant), the walk must be complete
+    (every customer appears exactly once), and the root path must
+    chain parent-to-child (path has depth+1 segments, ending at the
+    node itself). Pins that the recursion really iterates (max depth
+    > 2 even at sf0.001) rather than returning the anchor only."""
+    from tests.conftest import SF_DIR
+
+    from streamz_postgres_spark.registry import REGISTRY
+
+    rows = REGISTRY["q_recursive_cte"].spark_fn(spark, SF_DIR).collect()
+    assert len(rows) == len({r.node for r in rows})  # complete, unique
+    maxd = 0
+    for r in rows:
+        expected_depth = (r.node + 1).bit_length() - 1
+        assert r.depth == expected_depth, (r.node, r.depth)
+        segs = r.path.split(">")
+        assert len(segs) == r.depth + 1
+        assert segs[-1] == f"Customer#{r.node:09d}"
+        maxd = max(maxd, r.depth)
+    assert maxd > 2  # the loop ran, not just the anchor

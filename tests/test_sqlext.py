@@ -1068,3 +1068,128 @@ class TestMatchRecognize:
                 df.collect()
         finally:
             spark.catalog.dropTempView("mr_tied")
+
+    # ---- round-11 late additions: PERMUTE + per-symbol MEASURES ----
+
+    def test_permute_expands_lexicographically(self):
+        # the SQL:2016-defined expansion: all permutations,
+        # lexicographic in the order the elements were written
+        assert (
+            sqlext._parse_pattern("PERMUTE(A,B,C)")
+            == "(ABC|ACB|BAC|BCA|CAB|CBA)"
+        )
+        # quantifies like any group, composes with plain terms
+        assert sqlext._parse_pattern("V PERMUTE(C,P)? X") == "V(CP|PC)?X"
+        # trivial single-element PERMUTE is legal (and pointless)
+        assert sqlext._parse_pattern("PERMUTE(A)") == "(A)"
+
+    def test_permute_refusals(self):
+        for bad, why in [
+            ("PERMUTE(A,A)", "twice"),
+            ("PERMUTE(A,B,C,D,E)", "capped at 4"),
+            ("PERMUTE((A),B)", "plain symbols"),
+            ("PERMUTE(A,PERMUTE(B,C))", "plain symbols"),
+            ("PERMUTE(AB)", "SINGLE-letter"),
+            ("PERMUTE(A,B", "closing"),
+        ]:
+            with pytest.raises(ValueError, match=why):
+                sqlext._parse_pattern(bad)
+
+    def test_permute_matches_any_adjacent_order(self, spark, mr_view):
+        # PERMUTE(V, P): user 1 'VCCP' has no ADJACENT view+purchase
+        # pair in either order; user 3 'VPVP' has two
+        got = sqlext.sql(
+            spark,
+            """SELECT user_id, n_matches FROM mr_events
+               MATCH_RECOGNIZE (
+                 PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 PATTERN (PERMUTE(V, P))
+                 DEFINE V AS event_type = 'view',
+                        P AS event_type = 'purchase'
+               ) ORDER BY user_id""",
+        ).collect()
+        assert [tuple(r) for r in got] == [(1, 0), (2, 0), (3, 2)]
+
+    def test_per_symbol_measures_final_and_nulls(self, spark, mr_view):
+        # ONE ROW PER MATCH (final): user 1's VCCP match has two C
+        # rows (events 2, 3); user 3's two VP matches have none —
+        # the SQL:2016 contract is COUNT(C.*)=0 and NULL FIRST/LAST
+        got = sqlext.sql(
+            spark,
+            """SELECT user_id, match_no, n_c, first_c, last_c
+               FROM mr_events
+               MATCH_RECOGNIZE (
+                 PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 MEASURES MATCH_NUMBER() AS match_no,
+                          COUNT(C.*) AS n_c,
+                          FIRST(C.event_id) AS first_c,
+                          LAST(C.event_id) AS last_c
+                 ONE ROW PER MATCH
+                 PATTERN (V C* P)
+                 DEFINE V AS event_type = 'view',
+                        C AS event_type = 'click',
+                        P AS event_type = 'purchase'
+               ) ORDER BY user_id, match_no""",
+        ).collect()
+        assert [tuple(r) for r in got] == [
+            (1, 1, 2, 2, 3),
+            (3, 1, 0, None, None),
+            (3, 2, 0, None, None),
+        ]
+
+    def test_per_symbol_measures_running_under_all_rows(
+        self, spark, mr_view
+    ):
+        # ALL ROWS PER MATCH (running): per-symbol forms see only
+        # C-rows AT OR BEFORE the current row — NULL until the first
+        # C arrives, then sticky
+        got = sqlext.sql(
+            spark,
+            """SELECT user_id, rn, c_so_far, last_c
+               FROM mr_events
+               MATCH_RECOGNIZE (
+                 PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 MEASURES COUNT(*) AS rn,
+                          COUNT(C.*) AS c_so_far,
+                          LAST(C.event_id) AS last_c
+                 ALL ROWS PER MATCH
+                 PATTERN (V C* P)
+                 DEFINE V AS event_type = 'view',
+                        C AS event_type = 'click',
+                        P AS event_type = 'purchase'
+               ) ORDER BY user_id, rn""",
+        ).filter("user_id = 1").collect()
+        assert [tuple(r) for r in got] == [
+            (1, 1, 0, None),
+            (1, 2, 1, 2),
+            (1, 3, 2, 3),
+            (1, 4, 2, 3),
+        ]
+
+    def test_refuses_symbol_measure_not_in_pattern(self, spark, mr_view):
+        with pytest.raises(ValueError, match="does not appear in PATTERN"):
+            sqlext.sql(
+                spark,
+                """SELECT user_id, f FROM mr_events MATCH_RECOGNIZE (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   MEASURES FIRST(Z.ts) AS f
+                   ONE ROW PER MATCH
+                   PATTERN (V P)
+                   DEFINE V AS event_type = 'view',
+                          P AS event_type = 'purchase')""",
+            )
+        # per-symbol column still schema-validated
+        with pytest.raises(ValueError, match="not a column"):
+            sqlext.sql(
+                spark,
+                """SELECT user_id, f FROM mr_events MATCH_RECOGNIZE (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   MEASURES FIRST(V.nope) AS f
+                   ONE ROW PER MATCH
+                   PATTERN (V P)
+                   DEFINE V AS event_type = 'view',
+                          P AS event_type = 'purchase')""",
+            )
