@@ -1366,16 +1366,14 @@ def _mr_overlap_matches(s: str) -> list:
     ]
 
 
-def _mr_fold(
-    key: tuple,
-    batches: Iterator[pd.DataFrame],
-    state: GroupState,
-    matches_fn,
-) -> Iterator[pd.DataFrame]:
-    """Shared merge-sort + re-emit body for the pattern folds (see
-    _pattern_measures_fold's docstring for the ordering and state
-    contracts); ``matches_fn(s) -> [(start, length), ...]`` supplies
-    the skip-mode-specific enumeration."""
+def _mr_merge(
+    batches: Iterator[pd.DataFrame], state: GroupState
+) -> tuple:
+    """Merge this batch's arrivals into the accumulated per-user
+    (epoch-micros, event_id, symbol) triples and re-sort by
+    (x, event_id) — the cross-batch out-of-order contract every
+    pattern fold shares (r10 advisor). Updates state; returns the
+    merged (xs, eids, s)."""
     xs, eids, s = ([], [], "") if not state.exists else (
         list(state.get[0]),
         list(state.get[1]),
@@ -1390,6 +1388,20 @@ def _mr_fold(
     eids = [eids[i] for i in order]
     s = "".join(s[i] for i in order)
     state.update((xs, eids, s))
+    return xs, eids, s
+
+
+def _mr_fold(
+    key: tuple,
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+    matches_fn,
+) -> Iterator[pd.DataFrame]:
+    """Shared merge-sort + re-emit body for the pattern folds (see
+    _pattern_measures_fold's docstring for the ordering and state
+    contracts); ``matches_fn(s) -> [(start, length), ...]`` supplies
+    the skip-mode-specific enumeration."""
+    xs, eids, s = _mr_merge(batches, state)
     rows = []
     for no, (sp, ln) in enumerate(matches_fn(s), start=1):
         rows.append(
@@ -1427,17 +1439,15 @@ def q_stream_pattern_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _stream_pattern_query(spark, sf_dir, _pattern_measures_fold)
 
 
-def _stream_pattern_query(
-    spark: SparkSession, sf_dir: str, fold
-) -> DataFrame:
-    """Shared pipeline for the live pattern twins: classify -> fold
-    (skip-mode-specific) -> latest-full-snapshot collapse -> micros
-    back to TimestampNTZ."""
+def _classified_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared classify stage of the live pattern twins: each
+    arrival becomes (user_id, event_id, epoch-micros x, one-char
+    symbol ch) — the exact symbol CASE the batch keys register."""
     s = replay_events(spark, sf_dir)
     x = F.expr(
         "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
     )
-    typed = s.select(
+    return s.select(
         "user_id",
         "event_id",
         x.alias("x"),
@@ -1447,6 +1457,15 @@ def _stream_pattern_query(
             "WHEN event_type = 'purchase' THEN 'P' ELSE '-' END"
         ).alias("ch"),
     )
+
+
+def _stream_pattern_query(
+    spark: SparkSession, sf_dir: str, fold
+) -> DataFrame:
+    """Shared pipeline for the live pattern twins: classify -> fold
+    (skip-mode-specific) -> latest-full-snapshot collapse -> micros
+    back to TimestampNTZ."""
+    typed = _classified_stream(spark, sf_dir)
     out = typed.groupBy("user_id").applyInPandasWithState(
         fold,
         outputStructType="user_id long, seq_len long, match_no int, "
@@ -1532,3 +1551,106 @@ register(
     oracle=_stream_pattern_overlap_oracle(),
     tags=("streaming", "stateful", "sequence"),
 )(q_stream_pattern_overlap)
+
+
+def _pattern_symbol_fold(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """PER-SYMBOL MEASURES variant of _pattern_measures_fold (same
+    merge-sorted state and snapshot-re-emit contracts): for every
+    current non-overlapping match, read out COUNT(C.*) /
+    FIRST(V.ts) / LAST(C.event_id) by scanning the match span for
+    the symbol's positions — attribution is exact because s[p] IS
+    the symbol the regex consumed at p (the same argument the batch
+    lowering makes). A match with no C rows emits count 0 and a
+    NULL event_id (pandas nullable Int64 crosses Arrow as a null
+    long) — the SQL:2016 absent-symbol contract, live."""
+    xs, eids, s = _mr_merge(batches, state)
+    rows = []
+    for no, (sp, ln) in enumerate(_mr_nonoverlap_matches(s), start=1):
+        span = range(sp, sp + ln)
+        pv = [p for p in span if s[p] == "V"]
+        pc = [p for p in span if s[p] == "C"]
+        rows.append(
+            (
+                key[0],
+                len(s),
+                no,
+                len(pc),
+                xs[pv[0]] if pv else None,
+                eids[pc[-1]] if pc else None,
+            )
+        )
+    if rows:
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([r[0] for r in rows], dtype="int64"),
+                "seq_len": pd.Series([r[1] for r in rows], dtype="int64"),
+                "match_no": pd.Series([r[2] for r in rows], dtype="int32"),
+                "n_clicks": pd.Series([r[3] for r in rows], dtype="int64"),
+                "first_view_x": pd.Series(
+                    [r[4] for r in rows], dtype="Int64"
+                ),
+                "last_click_eid": pd.Series(
+                    [r[5] for r in rows], dtype="Int64"
+                ),
+            }
+        )
+
+
+def q_stream_pattern_symbol_measures(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LIVE PER-SYMBOL MEASURES (streaming twin of
+    q_pattern_symbol_measures, completing the measures trio the way
+    the overlap twin completed the skip modes): every
+    view->clicks->purchase run re-emits COUNT(C.*) / FIRST(V.ts) /
+    LAST(C.event_id) the moment its purchase lands — "how many
+    clicks did this conversion take, and which was the last one",
+    live. Same merge-sorted state (~17 bytes/event; window by
+    session/month at scale), same latest-full-snapshot collapse,
+    same epoch-micros boundary crossing; NULL last_click_id rows
+    (zero-click conversions) survive the Python->Arrow->JVM round
+    trip as null longs. The oracle IS the batch key's (DuckDB
+    list_filter per-symbol positions)."""
+    typed = _classified_stream(spark, sf_dir)
+    out = typed.groupBy("user_id").applyInPandasWithState(
+        _pattern_symbol_fold,
+        outputStructType="user_id long, seq_len long, match_no int, "
+        "n_clicks long, first_view_x long, last_click_eid long",
+        stateStructType="xs array<long>, eids array<long>, s string",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    tbl = run_to_table(out, "update", spark)
+    epoch = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+    latest = Window.partitionBy("user_id")
+    return (
+        tbl.withColumn("max_len", F.max("seq_len").over(latest))
+        .filter(F.col("seq_len") == F.col("max_len"))
+        .select(
+            "user_id",
+            F.col("match_no").cast("int").alias("match_no"),
+            F.col("n_clicks").cast("bigint").alias("n_clicks"),
+            F.expr(
+                f"timestampadd(MICROSECOND, first_view_x, {epoch})"
+            ).alias("first_view_ts"),
+            F.col("last_click_eid").cast("bigint").alias("last_click_id"),
+        )
+        .orderBy("user_id", "match_no")
+    )
+
+
+def _stream_pattern_symbol_oracle() -> str:
+    import streamz_postgres_spark.operators.windows  # noqa: F401
+
+    from streamz_postgres_spark.registry import REGISTRY
+
+    return REGISTRY["q_pattern_symbol_measures"].oracle
+
+
+register(
+    "q_stream_pattern_symbol_measures",
+    oracle=_stream_pattern_symbol_oracle(),
+    tags=("streaming", "stateful", "sequence"),
+)(q_stream_pattern_symbol_measures)

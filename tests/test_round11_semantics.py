@@ -190,3 +190,40 @@ def test_recursive_cte_walk_is_a_real_recursion(spark):
         assert segs[-1] == f"Customer#{r.node:09d}"
         maxd = max(maxd, r.depth)
     assert maxd > 2  # the loop ran, not just the anchor
+
+
+@pytest.mark.parametrize(
+    "split",
+    [
+        [_EVENTS[:4], _EVENTS[4:]],
+        [[e] for e in reversed(_EVENTS)],  # fully reversed arrivals
+        [_EVENTS[::2], _EVENTS[1::2]],  # interleaved odd/even
+    ],
+)
+def test_symbol_fold_order_independent_with_nulls(split):
+    """_pattern_symbol_fold: per-symbol read-out equals the in-order
+    scan under any arrival slicing, INCLUDING the NULL placement —
+    the VP match (no C rows) must emit n_clicks=0 and a null
+    last_click_eid from every split."""
+    from streamz_postgres_spark.streaming.stateful import (
+        _pattern_symbol_fold,
+    )
+
+    state = _FakeState()
+    last = None
+    for b in [_mk(b) for b in split]:
+        out = list(_pattern_symbol_fold((1,), iter([b]), state))
+        if out:
+            last = pd.concat(out, ignore_index=True)
+    got = sorted(
+        (
+            int(r.match_no),
+            int(r.n_clicks),
+            int(r.first_view_x),
+            None if pd.isna(r.last_click_eid) else int(r.last_click_eid),
+        )
+        for r in last.itertuples()
+    )
+    # V C C P | V P | V C P -> clicks 2/0/1, first views 10/50/70,
+    # last click event_ids 3/None/8
+    assert got == [(1, 2, 10, 3), (2, 0, 50, None), (3, 1, 70, 8)]
