@@ -2030,3 +2030,104 @@ def q_pattern_symbol_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.catalog.dropTempView(view)
+
+
+@register(
+    "q_pattern_prev",
+    oracle="""
+WITH nav AS (
+  SELECT user_id, ts, event_id, value,
+         lag(value) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS pv
+  FROM events
+),
+seq AS (
+  SELECT user_id,
+         string_agg(CASE WHEN value < pv THEN 'D'
+                         WHEN value > pv THEN 'U'
+                         ELSE '-' END, '' ORDER BY ts, event_id) AS s,
+         list(value ORDER BY ts, event_id) AS vals
+  FROM nav GROUP BY user_id
+),
+mm AS (
+  SELECT user_id, vals, s,
+         regexp_extract_all(s, 'D{2,}U{2,}') AS ms,
+         regexp_split_to_array(s, 'D{2,}U{2,}') AS gs
+  FROM seq
+),
+x AS (
+  SELECT user_id, vals, s,
+         unnest(list_transform(range(1, len(ms)+1), i -> struct_pack(
+            no := i, mlen := length(ms[i]),
+            sp := coalesce(list_sum(list_transform(gs[1:i],
+                                                   g -> length(g))), 0)
+                + coalesce(list_sum(list_transform(ms[1:i-1],
+                                                   g -> length(g))), 0)
+                + 1))) AS m
+  FROM mm
+),
+y AS (
+  SELECT user_id, vals, (m).no AS no, (m).mlen AS mlen,
+         list_filter(generate_series(CAST((m).sp AS BIGINT),
+                                     CAST((m).sp + (m).mlen - 1
+                                          AS BIGINT)),
+                     p -> s[p:p] = 'D') AS pd
+  FROM x
+)
+SELECT user_id, CAST(no AS INTEGER) AS match_no,
+       CAST(mlen AS BIGINT) AS n_rows,
+       CAST(len(pd) AS BIGINT) AS n_down,
+       vals[pd[-1]] AS trough
+FROM y ORDER BY user_id, match_no
+""",
+    tags=("window", "sequence", "sql"),
+)
+def q_pattern_prev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE with ``PREV()`` in DEFINE — the canonical
+    V-shape pattern (Oracle's flagship MATCH_RECOGNIZE example):
+    ``D AS value < PREV(value), U AS value > PREV(value)``, pattern
+    ``D{2,} U{2,}`` = two-plus consecutive drops then two-plus
+    consecutive rises, reading the trough back out via the
+    per-symbol measure ``LAST(D.value)``. The old refusal reasoned
+    that cross-row predicates "change the lowering, since symbols
+    stop being row-local" — WRONG for physical navigation:
+    SQL:2016's PREV/NEXT navigate the ordered input partition by
+    fixed offset irrespective of symbol assignment, so each distinct
+    PREV(col, k) is ONE lag window column computed before
+    classification, and symbols stay row-local (match-relative
+    navigation — FIRST/LAST inside DEFINE — is what needs the NFA
+    and stays refused). Plan: the lag window partitions on the same
+    key the aggregate groups by, so EnsureRequirements inserts NO
+    second exchange — one keyed shuffle total, verified in the
+    executed plan; a partition's first row sees NULL (unclassified,
+    the spec's behavior — and the '-' filler preserves contiguity).
+    The oracle re-derives the identical nav column + decomposition
+    in DuckDB; trough doubles are raw values read back (no
+    arithmetic), so equality is exact."""
+    import uuid as _uuid
+
+    from streamz_postgres_spark import sqlext
+
+    view = f"events_{_uuid.uuid4().hex[:8]}"
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(view)
+    try:
+        return sqlext.sql(
+            spark,
+            f"""SELECT user_id, match_no, n_rows, n_down, trough
+                FROM {view}
+                MATCH_RECOGNIZE (
+                  PARTITION BY user_id
+                  ORDER BY ts, event_id
+                  MEASURES MATCH_NUMBER() AS match_no,
+                           COUNT(*) AS n_rows,
+                           COUNT(D.*) AS n_down,
+                           LAST(D.value) AS trough
+                  ONE ROW PER MATCH
+                  AFTER MATCH SKIP PAST LAST ROW
+                  PATTERN (D{{2,}} U{{2,}})
+                  DEFINE D AS value < PREV(value),
+                         U AS value > PREV(value)
+                ) ORDER BY user_id, match_no""",
+        )
+    finally:
+        spark.catalog.dropTempView(view)

@@ -58,7 +58,18 @@ the reason):
   one-character symbol by its DEFINE predicates (FIRST MATCHING
   DEFINE wins — a deliberate "lite" restriction: write disjoint
   predicates, as overlapping symbol sets need the full NFA
-  semantics this adapter refuses to fake), the per-partition rows
+  semantics this adapter refuses to fake). DEFINE predicates may
+  navigate PHYSICAL rows with ``PREV(<col>[, <k>])`` /
+  ``NEXT(<col>[, <k>])`` (plain column, literal offset, default 1):
+  SQL:2016's PREV/NEXT navigate the ordered input partition
+  irrespective of symbol assignment, so each distinct navigation is
+  exactly ONE lag/lead window column computed BEFORE classification
+  — symbols stay row-local and the lowering is unchanged (the
+  canonical V-shape ``DOWN AS price < PREV(price)`` works);
+  match-relative navigation (FIRST/LAST inside DEFINE) stays out of
+  grammar, and a partition's first/last rows see NULL (predicate
+  not TRUE -> unclassified, the spec's behavior). The per-partition
+  rows
   concatenate into an ordered symbol string (TOTAL order from the
   ORDER BY columns, ENFORCED — ties within a partition raise at
   execution rather than silently returning order-dependent counts),
@@ -240,6 +251,15 @@ _PATTERN_RE = re.compile(
 _DEFINE_ITEM_RE = re.compile(
     r"^\s*(?P<sym>[A-Za-z])\s+AS\s+(?P<pred>.+)$",
     re.IGNORECASE | re.DOTALL,
+)
+
+#: PREV/NEXT physical-row navigation inside DEFINE predicates:
+#: PREV(<col>[, <k>]) / NEXT(<col>[, <k>]) with a plain column name
+#: and a literal non-negative offset (default 1)
+_NAV_RE = re.compile(
+    r"\b(?P<fn>PREV|NEXT)\s*\(\s*(?P<col>\w+)\s*"
+    r"(?:,\s*(?P<k>\d+)\s*)?\)",
+    re.IGNORECASE,
 )
 
 #: bounded-quantifier ceiling: far above any sane row pattern, far
@@ -662,6 +682,79 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
             "MATCH_RECOGNIZE ORDER BY takes plain ascending column "
             f"names only (got {m.group('order').strip()!r})"
         )
+
+    # PREV/NEXT navigation in DEFINE: SQL:2016's PREV/NEXT navigate
+    # the ORDERED INPUT PARTITION by physical offset (irrespective of
+    # symbol assignment — the spec's row pattern navigation on the
+    # underlying row sequence), so PREV(col, k) is exactly
+    # lag(col, k) OVER (PARTITION BY key ORDER BY order) — computable
+    # per row BEFORE classification. Symbols stay row-local and the
+    # initials-string lowering is UNCHANGED; the old "cross-row
+    # predicates change the lowering" concern applied to
+    # match-relative navigation (FIRST/LAST inside DEFINE), which
+    # remains out of grammar. Each distinct (fn, col, k) is bound
+    # ONCE as a window column (let-binding rule); string literals in
+    # predicates are never rewritten; the first rows of a partition
+    # see NULL (predicate not TRUE -> row unclassified, the spec's
+    # behavior). Ties in the ORDER BY would make lag/lead
+    # order-dependent — the same execution-time tie guard that
+    # protects the symbol string covers this (same total order).
+    nav_aliases: dict = {}
+    table_cols: list = None  # lazy; shared with the MEASURES path
+
+    def _get_table_cols() -> list:
+        nonlocal table_cols
+        if table_cols is None:
+            try:
+                table_cols = spark.table(m.group("t")).columns
+            except Exception as e:  # noqa: BLE001
+                raise ValueError(
+                    "MATCH_RECOGNIZE source must be a resolvable "
+                    f"table/view: {e}"
+                ) from None
+        return table_cols
+
+    def _nav_repl(mm2: "re.Match") -> str:
+        fn = mm2.group("fn").upper()
+        col = mm2.group("col")
+        k = int(mm2.group("k")) if mm2.group("k") else 1
+        if col not in _get_table_cols():
+            raise ValueError(
+                f"{fn}({col}) in DEFINE: {col!r} is not a column of "
+                f"{m.group('t')} (columns: "
+                f"{', '.join(_get_table_cols())})"
+            )
+        return nav_aliases.setdefault(
+            (fn, col, k), f"__nav{len(nav_aliases)}"
+        )
+
+    def _rewrite_nav(pred: str) -> str:
+        # split on single-quoted literals; rewrite only the code
+        # segments (even indexes) so 'PREV(x)' the string survives
+        segs = re.split(r"('(?:[^'])*')", pred)
+        for i in range(0, len(segs), 2):
+            segs[i] = _NAV_RE.sub(_nav_repl, segs[i])
+            if re.search(r"\b(?:PREV|NEXT)\s*\(", segs[i], re.IGNORECASE):
+                raise ValueError(
+                    "PREV/NEXT in DEFINE takes a plain column and an "
+                    "optional literal offset — PREV(<col>[, <k>]) — "
+                    "navigation over an expression is not lowered "
+                    f"(in: {pred.strip()!r})"
+                )
+        return "".join(segs)
+
+    defs = [(sym, _rewrite_nav(pred)) for sym, pred in defs]
+    if nav_aliases:
+        navsel = ", ".join(
+            f"{'lag' if fn == 'PREV' else 'lead'}({col}, {k}) OVER "
+            f"(PARTITION BY {part} ORDER BY {', '.join(order_cols)}) "
+            f"AS {alias}"
+            for (fn, col, k), alias in nav_aliases.items()
+        )
+        src = f"(SELECT *, {navsel} FROM {m.group('t')})"
+    else:
+        src = m.group("t")
+
     sym_case = (
         "CASE "
         + " ".join(f"WHEN {pred} THEN '{sym}'" for sym, pred in defs)
@@ -676,7 +769,7 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
     if m.group("meas") is None:
         # aggregate form: one row per partition key
         inner = _mr_partition_subquery(
-            part, order_cols, sym_case, m.group("t"), []
+            part, order_cols, sym_case, src, []
         )
         if overlap:
             # overlapping count = number of positions where an
@@ -709,12 +802,7 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
         return spark.sql(rewritten)
 
     # MEASURES form: ONE ROW PER MATCH
-    try:
-        table_cols = spark.table(m.group("t")).columns
-    except Exception as e:  # noqa: BLE001
-        raise ValueError(
-            f"MATCH_RECOGNIZE source must be a resolvable table/view: {e}"
-        ) from None
+    _get_table_cols()
     measures: list = []  # (kind, col_or_None, name, sym_or_None)
     names: set = set()
     col_fields: dict = {}  # source col -> struct field alias
@@ -771,7 +859,7 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
     if not measures:
         raise ValueError("MEASURES lists no items")
     inner = _mr_partition_subquery(
-        part, order_cols, sym_case, m.group("t"),
+        part, order_cols, sym_case, src,
         sorted(((f, c) for c, f in col_fields.items())),
     )
     # per-row position within the emitted row's scope: the current

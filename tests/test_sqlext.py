@@ -1193,3 +1193,111 @@ class TestMatchRecognize:
                    DEFINE V AS event_type = 'view',
                           P AS event_type = 'purchase')""",
             )
+
+    def test_per_symbol_composes_with_overlap_skip(self, spark, mr_view):
+        # SKIP TO NEXT ROW x per-symbol: user 1 'VCCP' has three
+        # overlapping (V|C){1,3}P matches (starting at V, C, C);
+        # COUNT(C.*) counts the C rows inside each span
+        got = sqlext.sql(
+            spark,
+            """SELECT user_id, match_no, n_c FROM mr_events
+               MATCH_RECOGNIZE (
+                 PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 MEASURES MATCH_NUMBER() AS match_no,
+                          COUNT(C.*) AS n_c
+                 ONE ROW PER MATCH
+                 AFTER MATCH SKIP TO NEXT ROW
+                 PATTERN ((V | C){1,3} P)
+                 DEFINE V AS event_type = 'view',
+                        C AS event_type = 'click',
+                        P AS event_type = 'purchase'
+               ) ORDER BY user_id, match_no""",
+        ).filter("user_id = 1").collect()
+        assert [tuple(r) for r in got] == [(1, 1, 2), (1, 2, 2), (1, 3, 1)]
+
+    def test_prev_next_navigation_in_define(self, spark):
+        # physical-row navigation: D/U classify against the PREVIOUS
+        # row's value (first row NULL -> unclassified '-'), and an
+        # E symbol reads the NEXT row (last row NULL -> '-')
+        spark.createDataFrame(
+            [
+                (7, 1, _ts("2024-01-01T10:00"), "x", 10.0),
+                (7, 2, _ts("2024-01-01T10:01"), "x", 8.0),
+                (7, 3, _ts("2024-01-01T10:02"), "x", 5.0),
+                (7, 4, _ts("2024-01-01T10:03"), "x", 6.0),
+                (7, 5, _ts("2024-01-01T10:04"), "x", 9.0),
+            ],
+            "user_id int, event_id int, ts timestamp_ntz, "
+            "event_type string, value double",
+        ).createOrReplaceTempView("mr_vshape")
+        try:
+            got = sqlext.sql(
+                spark,
+                """SELECT user_id, match_no, n_down, trough
+                   FROM mr_vshape
+                   MATCH_RECOGNIZE (
+                     PARTITION BY user_id
+                     ORDER BY ts, event_id
+                     MEASURES MATCH_NUMBER() AS match_no,
+                              COUNT(D.*) AS n_down,
+                              LAST(D.value) AS trough
+                     ONE ROW PER MATCH
+                     PATTERN (D{2} U{2})
+                     DEFINE D AS value < PREV(value),
+                            U AS value > PREV(value)
+                   )""",
+            ).collect()
+            # rows classify -DDUU (first row unclassified): one
+            # match, trough = 5.0 (the last D row's value)
+            assert [tuple(r) for r in got] == [(7, 1, 2, 5.0)]
+            # NEXT: N = rows whose next value is higher; last row
+            # unclassified -> string -NN fails, -DNN... recompute:
+            # values 10,8,5,6,9 -> next-higher at rows 3,4 -> '--NN-'
+            got2 = sqlext.sql(
+                spark,
+                """SELECT user_id, n_matches FROM mr_vshape
+                   MATCH_RECOGNIZE (
+                     PARTITION BY user_id
+                     ORDER BY ts, event_id
+                     PATTERN (N{2})
+                     DEFINE N AS value < NEXT(value)
+                   )""",
+            ).collect()
+            assert [tuple(r) for r in got2] == [(7, 1)]
+        finally:
+            spark.catalog.dropTempView("mr_vshape")
+
+    def test_prev_refusals_and_literal_safety(self, spark, mr_view):
+        # navigation over an expression is refused, not mis-lowered
+        with pytest.raises(ValueError, match="navigation over an exp"):
+            sqlext.sql(
+                spark,
+                """SELECT user_id FROM mr_events MATCH_RECOGNIZE (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   PATTERN (D P)
+                   DEFINE D AS event_id < PREV(event_id + 1),
+                          P AS event_type = 'purchase')""",
+            )
+        # unknown column inside PREV is schema-validated
+        with pytest.raises(ValueError, match="not a column"):
+            sqlext.sql(
+                spark,
+                """SELECT user_id FROM mr_events MATCH_RECOGNIZE (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   PATTERN (D P)
+                   DEFINE D AS PREV(nope) = 1,
+                          P AS event_type = 'purchase')""",
+            )
+        # 'PREV(...)' inside a string literal is data, not navigation
+        got = sqlext.sql(
+            spark,
+            """SELECT user_id, n_matches FROM mr_events
+               MATCH_RECOGNIZE (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 PATTERN (Z P)
+                 DEFINE Z AS event_type = 'PREV(view)',
+                        P AS event_type = 'purchase'
+               ) ORDER BY user_id""",
+        ).collect()
+        assert all(r.n_matches == 0 for r in got)  # no such type

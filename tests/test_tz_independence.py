@@ -64,6 +64,14 @@ KEYS = (
     "q_pattern_all_rows",
     "q_stream_pattern_overlap",
     "q_group_by_all",
+    # round-11 LATE additions (per-symbol measures read FIRST(V.ts)
+    # back out — batch and live; permute/recursive are not
+    # calendar-touching but ride the cohort like the r8 set does)
+    "q_pattern_permute",
+    "q_pattern_symbol_measures",
+    "q_stream_pattern_symbol_measures",
+    "q_recursive_cte",
+    "q_pattern_prev",
 )
 
 #: the remaining round-8/9 additions (r8 verdict Next-round #8: the
