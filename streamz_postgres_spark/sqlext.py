@@ -641,8 +641,13 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
                 "SKIP PAST LAST ROW (the SQL:2016 default, the "
                 "non-overlapping left-to-right scan) and SKIP TO "
                 "NEXT ROW (overlapping matches, one per starting "
-                "row). TO FIRST/LAST <symbol> needs per-symbol row "
-                "attribution this adapter refuses to fake"
+                "row). TO FIRST/LAST <symbol> is refused — not for "
+                "attribution (per-symbol positions are exact; see "
+                "the MEASURES menu) but because skipping INTO a "
+                "match's interior has the edge semantics SQL:2016 "
+                "itself guards with runtime errors (skip-to-first-"
+                "row loops; skip-to-absent-symbol errors) — this "
+                "adapter refuses rather than guesses"
             )
     # DEFINE list: single-letter symbols, first-match-wins order
     defs: list = []

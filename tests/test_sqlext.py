@@ -853,8 +853,11 @@ class TestMatchRecognize:
             )
 
     def test_refuses_unsupported_skip_mode(self, spark, mr_view):
-        # TO FIRST/LAST <symbol> needs per-symbol row attribution —
-        # refuse, not fake (TO NEXT ROW is supported since r11)
+        # TO FIRST/LAST <symbol> is refused for its edge semantics
+        # (skip-to-first-row loops; skip-to-absent-symbol errors in
+        # SQL:2016 itself) — attribution is exact since the
+        # per-symbol MEASURES landed, so the reason changed, not the
+        # refusal (TO NEXT ROW is supported since r11)
         with pytest.raises(ValueError, match="SKIP TO FIRST V"):
             sqlext.sql(
                 spark,
