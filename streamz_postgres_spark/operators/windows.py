@@ -2131,3 +2131,114 @@ def q_pattern_prev(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.catalog.dropTempView(view)
+
+
+@register(
+    "q_pattern_agg_measures",
+    oracle="""
+WITH seq AS (
+  SELECT user_id,
+         string_agg(CASE WHEN event_type = 'view' THEN 'V'
+                         WHEN event_type = 'click' THEN 'C'
+                         WHEN event_type = 'purchase' THEN 'P'
+                         ELSE '-' END, '' ORDER BY ts, event_id) AS s,
+         list(event_id ORDER BY ts, event_id) AS eids,
+         list(value ORDER BY ts, event_id) AS vls
+  FROM events GROUP BY user_id
+),
+mm AS (
+  SELECT user_id, eids, vls, s,
+         regexp_extract_all(s, 'VC{0,2}P') AS ms,
+         regexp_split_to_array(s, 'VC{0,2}P') AS gs
+  FROM seq
+),
+x AS (
+  SELECT user_id, eids, vls, s,
+         unnest(list_transform(range(1, len(ms)+1), i -> struct_pack(
+            no := i, mlen := length(ms[i]),
+            sp := coalesce(list_sum(list_transform(gs[1:i],
+                                                   g -> length(g))), 0)
+                + coalesce(list_sum(list_transform(ms[1:i-1],
+                                                   g -> length(g))), 0)
+                + 1))) AS m
+  FROM mm
+),
+y AS (
+  SELECT user_id, (m).no AS no,
+         list_transform(
+           list_filter(generate_series(CAST((m).sp AS BIGINT),
+                                       CAST((m).sp + (m).mlen - 1
+                                            AS BIGINT)),
+                       p -> s[p:p] = 'C'),
+           p -> eids[p]) AS ce,
+         list_transform(
+           list_filter(generate_series(CAST((m).sp AS BIGINT),
+                                       CAST((m).sp + (m).mlen - 1
+                                            AS BIGINT)),
+                       p -> s[p:p] = 'C'),
+           p -> vls[p]) AS cv
+  FROM x
+)
+SELECT user_id, CAST(no AS INTEGER) AS match_no,
+       CAST(list_sum(ce) AS BIGINT) AS sum_c_eid,
+       CASE WHEN len(ce) > 0
+            THEN CAST(list_sum(ce) AS DOUBLE) / len(ce) END
+         AS avg_c_eid,
+       list_aggregate(cv, 'min') AS min_c_val,
+       list_aggregate(cv, 'max') AS max_c_val
+FROM y ORDER BY user_id, match_no
+""",
+    tags=("window", "sequence", "sql"),
+)
+def q_pattern_agg_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE with PER-SYMBOL AGGREGATE MEASURES —
+    ``SUM(C.event_id)``, ``AVG(C.event_id)``, ``MIN/MAX(C.value)``
+    — completing the per-symbol menu (FIRST/LAST/COUNT landed
+    earlier this round): "total/average engagement ids and the
+    value range of the clicks inside each conversion run". Lowering:
+    the symbol's in-scope value array is bound ONCE per
+    (symbol, column) in a second wrapping projection (a projection
+    cannot reference a sibling alias, so the value arrays sit one
+    layer above the position arrays — let-binding rule twice over);
+    SUM folds left-to-right from the first element
+    (type-preserving: bigint sums stay bigint, no zero literal to
+    type-guess), MIN/MAX are the array HOFs, AVG divides the
+    double-cast sum by the count, and an absent symbol yields NULL
+    for all four — the SQL no-rows contract (pinned by the C-less
+    VP matches on this C-optional pattern). Exactness: integer sums
+    are order-free; the double MIN/MAX compare, not accumulate; AVG
+    is one division of an exact integer sum — all cross-engine
+    exact. Scale: unchanged from the sibling measures keys (one
+    keyed shuffle; arrays are O(match length)). The oracle
+    re-derives the per-symbol value lists in DuckDB
+    (list_filter -> list_transform -> list_sum/list_aggregate)."""
+    import uuid as _uuid
+
+    from streamz_postgres_spark import sqlext
+
+    view = f"events_{_uuid.uuid4().hex[:8]}"
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(view)
+    try:
+        return sqlext.sql(
+            spark,
+            f"""SELECT user_id, match_no, sum_c_eid, avg_c_eid,
+                       min_c_val, max_c_val
+                FROM {view}
+                MATCH_RECOGNIZE (
+                  PARTITION BY user_id
+                  ORDER BY ts, event_id
+                  MEASURES MATCH_NUMBER() AS match_no,
+                           SUM(C.event_id) AS sum_c_eid,
+                           AVG(C.event_id) AS avg_c_eid,
+                           MIN(C.value) AS min_c_val,
+                           MAX(C.value) AS max_c_val
+                  ONE ROW PER MATCH
+                  AFTER MATCH SKIP PAST LAST ROW
+                  PATTERN (V C{{0,2}} P)
+                  DEFINE V AS event_type = 'view',
+                         C AS event_type = 'click',
+                         P AS event_type = 'purchase'
+                ) ORDER BY user_id, match_no""",
+        )
+    finally:
+        spark.catalog.dropTempView(view)

@@ -172,15 +172,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_stream_transform_map",
     # ---- 50-key window boundary ----
     # r12 PLANNED WINDOW (next 50), committed per verdict r10
-    # Next-round #2 before r11 closes: the NINE round-11 additions
+    # Next-round #2 before r11 closes: the TEN round-11 additions
     # (never driver-checked, so they lead — 4 from the early r11
-    # sessions + 5 late: PERMUTE, per-symbol MEASURES batch + live,
-    # recursive CTE, PREV-in-DEFINE), then the 18 remaining
-    # r5-window keys, then the oldest r6-window keys fill to 50
-    # (9 + 18 + 23 = 50; the 5 displaced r6 keys rotate r13). Every
-    # over-cap key rides the end-of-round full local sweep
-    # (driver-replica gate, whole registry, both SFs since r9)
-    # between driver windows.
+    # sessions + 6 late: PERMUTE, per-symbol MEASURES batch + live +
+    # aggregates, recursive CTE, PREV-in-DEFINE; exactly at the ~10
+    # cap), then the 18 remaining r5-window keys, then the oldest
+    # r6-window keys fill to 50 (10 + 18 + 22 = 50; the 6 displaced
+    # r6 keys rotate r13). Every over-cap key rides the end-of-round
+    # full local sweep (driver-replica gate, whole registry, both
+    # SFs since r9) between driver windows.
     # -- round-11 additions (first driver evidence due r12):
     "q_pattern_overlap",
     "q_pattern_all_rows",
@@ -191,6 +191,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_recursive_cte",
     "q_stream_pattern_symbol_measures",
     "q_pattern_prev",
+    "q_pattern_agg_measures",
     # -- 18 remaining r5-window keys (driver-checked r5):
     "q_stream_transform_timers",
     "q_stream_transform_init",

@@ -95,9 +95,12 @@ the reason):
   bounded menu ``MATCH_NUMBER()`` / ``COUNT(*)`` / ``FIRST(<col>)``
   / ``LAST(<col>)`` / ``CLASSIFIER()`` (the row's one-letter
   symbol) / the PER-SYMBOL forms ``FIRST(<S>.<col>)`` /
-  ``LAST(<S>.<col>)`` / ``COUNT(<S>.*)`` (NULL / 0 when symbol
+  ``LAST(<S>.<col>)`` / ``COUNT(<S>.*)`` /
+  ``SUM/MIN/MAX/AVG(<S>.<col>)`` (NULL / 0-count when symbol
   ``<S>`` does not participate in the match — the SQL:2016
-  contract). Per-symbol attribution is EXACT in this lowering, not
+  no-rows contract; SUM folds the symbol's in-scope values
+  left-to-right type-preservingly, AVG divides the double-cast sum
+  by the count). Per-symbol attribution is EXACT in this lowering, not
   faked: the regex consumed character p of the symbol string AS the
   symbol written there (first-matching DEFINE, decided row-locally
   before the match scan), so "the rows matched as S" are precisely
@@ -288,6 +291,14 @@ _MEASURE_RES = (
         re.compile(
             r"^COUNT\s*\(\s*(?P<sym>[A-Za-z])\s*\.\s*\*\s*\)\s+AS\s+"
             r"(?P<name>\w+)$",
+            re.IGNORECASE,
+        ),
+    ),
+    (
+        "sym_agg",
+        re.compile(
+            r"^(?P<agg>SUM|MIN|MAX|AVG)\s*\(\s*(?P<sym>[A-Za-z])\s*"
+            r"\.\s*(?P<col>\w+)\s*\)\s+AS\s+(?P<name>\w+)$",
             re.IGNORECASE,
         ),
     ),
@@ -824,11 +835,13 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
                 f"MEASURES item {item!r} is outside the supported "
                 "menu: MATCH_NUMBER() | COUNT(*) | FIRST(<col>) | "
                 "LAST(<col>) | CLASSIFIER() | per-symbol "
-                "FIRST(<S>.<col>) | LAST(<S>.<col>) | COUNT(<S>.*), "
-                "each AS <name> (other per-symbol aggregates like "
-                "SUM(C.x)/AVG(C.x) are not lowered; aggregates are "
-                "FINAL under ONE ROW PER MATCH and RUNNING under "
-                "ALL ROWS PER MATCH — the SQL:2016 defaults)"
+                "FIRST(<S>.<col>) | LAST(<S>.<col>) | COUNT(<S>.*) "
+                "| SUM/MIN/MAX/AVG(<S>.<col>), each AS <name> "
+                "(aggregates are FINAL under ONE ROW PER MATCH and "
+                "RUNNING under ALL ROWS PER MATCH — the SQL:2016 "
+                "defaults; aggregates over expressions like "
+                "SUM(C.x * 2) are not lowered — compute the column "
+                "in a view first)"
             )
         name = mm.group("name")
         if name in names:
@@ -860,7 +873,10 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
                     f"{sym} which does not appear in PATTERN "
                     f"(pattern symbols: {', '.join(sorted(pat_syms))})"
                 )
-        measures.append((kind, col, name, sym))
+        agg = mm.groupdict().get("agg")
+        measures.append(
+            (kind, col, name, sym, agg.upper() if agg else None)
+        )
     if not measures:
         raise ValueError("MEASURES lists no items")
     inner = _mr_partition_subquery(
@@ -871,9 +887,20 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
     # row for ALL ROWS (running semantics, the SQL:2016 default
     # there), the match's last row for ONE ROW (final semantics)
     cur = "m.sp + m.j - 1" if all_rows else "m.sp + m.mlen - 1"
-    syms_used = sorted({s for _, _, _, s in measures if s is not None})
+    syms_used = sorted(
+        {s for _, _, _, s, _ in measures if s is not None}
+    )
+    # distinct (symbol, column) pairs consumed by SUM/MIN/MAX/AVG —
+    # each binds one in-scope value array (let-binding rule)
+    agg_vals = sorted(
+        {
+            (s, c)
+            for k, c, _, s, _ in measures
+            if k == "sym_agg"
+        }
+    )
     sel = []
-    for kind, col, name, sym in measures:
+    for kind, col, name, sym, agg in measures:
         if kind == "match_number":
             sel.append(f"CAST(m.no AS INT) AS {name}")
         elif kind == "count":
@@ -904,6 +931,32 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
                 f"__arr, element_at(__ps_{sym}, {idx}))."
                 f"{col_fields[col]} END AS {name}"
             )
+        elif kind == "sym_agg":
+            # SQL aggregates over the symbol's in-scope rows; empty
+            # scope -> NULL (the no-rows contract). SUM folds
+            # left-to-right from the first element (type-preserving,
+            # no zero literal to type-guess); MIN/MAX are the array
+            # HOFs (NULL on empty already); AVG = SUM cast double
+            # over COUNT. The value array is bound once per
+            # (symbol, column) in the wrapping projection.
+            v = f"__vals_{sym}_{col_fields[col]}"
+            fold = (
+                f"aggregate(slice({v}, 2, size({v}) - 1), "
+                f"element_at({v}, 1), (a, x) -> a + x)"
+            )
+            if agg == "SUM":
+                sel.append(
+                    f"CASE WHEN size({v}) > 0 THEN {fold} END AS {name}"
+                )
+            elif agg == "AVG":
+                sel.append(
+                    f"CASE WHEN size({v}) > 0 THEN CAST({fold} AS "
+                    f"DOUBLE) / size({v}) END AS {name}"
+                )
+            else:  # MIN / MAX
+                sel.append(
+                    f"array_{agg.lower()}({v}) AS {name}"
+                )
         else:  # last — running (current row) under ALL ROWS
             sel.append(
                 f"element_at(__arr, {cur})."
@@ -971,14 +1024,30 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
         f"p -> substring(__s, p, 1) = '{y}') AS __ps_{y}"
         for y in syms_used
     )
-    rewritten = (
-        f"SELECT {m.group('proj')} FROM ("
-        f"SELECT {part}, {', '.join(sel)} FROM ("
+    base = (
         f"SELECT {part}, __arr, __s, m{ps} FROM ("
         f"SELECT {part}, __arr, {pre}"
         f"__s FROM ({inner})"
         f") LATERAL VIEW explode({mt}) __mt AS m"
-        f")){outorder}"
+    )
+    if agg_vals:
+        # a second wrap binds each aggregated (symbol, column) value
+        # array once — it must sit ABOVE the __ps layer because a
+        # projection cannot reference a sibling alias
+        psrefs = "".join(f", __ps_{y}" for y in syms_used)
+        vals = "".join(
+            f", transform(__ps_{y}, p -> element_at(__arr, p)."
+            f"{col_fields[c]}) AS __vals_{y}_{col_fields[c]}"
+            for (y, c) in agg_vals
+        )
+        base = (
+            f"SELECT {part}, __arr, __s, m{psrefs}{vals} "
+            f"FROM ({base})"
+        )
+    rewritten = (
+        f"SELECT {m.group('proj')} FROM ("
+        f"SELECT {part}, {', '.join(sel)} FROM ({base})"
+        f"){outorder}"
     )
     return spark.sql(rewritten)
 

@@ -1304,3 +1304,74 @@ class TestMatchRecognize:
                ) ORDER BY user_id""",
         ).collect()
         assert all(r.n_matches == 0 for r in got)  # no such type
+
+    def test_per_symbol_aggregates_final_and_null(self, spark, mr_view):
+        # SUM/AVG/MIN/MAX over the symbol's rows: user 1's VCCP match
+        # has C event_ids {2,3}; user 3's VP matches have none -> the
+        # SQL no-rows contract is NULL for all four
+        got = sqlext.sql(
+            spark,
+            """SELECT user_id, match_no, s_c, a_c, mn_c, mx_c
+               FROM mr_events
+               MATCH_RECOGNIZE (
+                 PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 MEASURES MATCH_NUMBER() AS match_no,
+                          SUM(C.event_id) AS s_c,
+                          AVG(C.event_id) AS a_c,
+                          MIN(C.event_id) AS mn_c,
+                          MAX(C.event_id) AS mx_c
+                 ONE ROW PER MATCH
+                 PATTERN (V C* P)
+                 DEFINE V AS event_type = 'view',
+                        C AS event_type = 'click',
+                        P AS event_type = 'purchase'
+               ) ORDER BY user_id, match_no""",
+        ).collect()
+        assert [tuple(r) for r in got] == [
+            (1, 1, 5, 2.5, 2, 3),
+            (3, 1, None, None, None, None),
+            (3, 2, None, None, None, None),
+        ]
+        # type preservation: bigint-summed column stays integral
+        assert got[0].s_c == 5 and isinstance(got[0].s_c, int)
+
+    def test_per_symbol_aggregates_running_under_all_rows(
+        self, spark, mr_view
+    ):
+        # RUNNING SUM(C.event_id) for user 1's VCCP rows:
+        # NULL (no C yet), 2, 5, 5
+        got = sqlext.sql(
+            spark,
+            """SELECT user_id, rn, s_c FROM mr_events
+               MATCH_RECOGNIZE (
+                 PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 MEASURES COUNT(*) AS rn, SUM(C.event_id) AS s_c
+                 ALL ROWS PER MATCH
+                 PATTERN (V C* P)
+                 DEFINE V AS event_type = 'view',
+                        C AS event_type = 'click',
+                        P AS event_type = 'purchase'
+               ) ORDER BY user_id, rn""",
+        ).filter("user_id = 1").collect()
+        assert [tuple(r) for r in got] == [
+            (1, 1, None),
+            (1, 2, 2),
+            (1, 3, 5),
+            (1, 4, 5),
+        ]
+
+    def test_refuses_aggregate_over_expression(self, spark, mr_view):
+        with pytest.raises(ValueError, match="outside the supported"):
+            sqlext.sql(
+                spark,
+                """SELECT user_id, s FROM mr_events MATCH_RECOGNIZE (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   MEASURES SUM(C.event_id * 2) AS s
+                   ONE ROW PER MATCH
+                   PATTERN (V C* P)
+                   DEFINE V AS event_type = 'view',
+                          C AS event_type = 'click',
+                          P AS event_type = 'purchase')""",
+            )

@@ -72,6 +72,7 @@ KEYS = (
     "q_stream_pattern_symbol_measures",
     "q_recursive_cte",
     "q_pattern_prev",
+    "q_pattern_agg_measures",
 )
 
 #: the remaining round-8/9 additions (r8 verdict Next-round #8: the
