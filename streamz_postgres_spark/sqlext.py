@@ -716,7 +716,7 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
     # order-dependent — the same execution-time tie guard that
     # protects the symbol string covers this (same total order).
     nav_aliases: dict = {}
-    table_cols: list = None  # lazy; shared with the MEASURES path
+    table_cols = None  # lazy (list once fetched); shared with MEASURES
 
     def _get_table_cols() -> list:
         nonlocal table_cols

@@ -186,3 +186,46 @@ def test_overlap_enumeration_matches_duckdb_probe(pat, s):
         [s, s, f"^({canonical})"],
     ).fetchone()[0]
     assert [(t["sp"], t["mlen"]) for t in got] == want
+
+
+@given(
+    syms=st.lists(
+        st.sampled_from(_SYMS), min_size=2, max_size=4, unique=True
+    ),
+    quant=st.sampled_from(["", "+", "?", "{1,2}"]),
+    lead=st.sampled_from(["", "V", "E?"]),
+    ws=st.booleans(),
+    s=st.text(_SYMS + "-", max_size=30),
+)
+@settings(max_examples=200, deadline=None)
+def test_permute_expands_to_the_lexicographic_alternation(
+    syms, quant, lead, ws, s
+):
+    """PERMUTE(...) parses (under whitespace/lowercase noise — the
+    keyword itself survives the strip+upcase) to exactly the
+    alternation of permutations in the written element order, capped
+    grouping parens included, composing with leading terms and an
+    outer quantifier; and the canonical regex matches like the
+    hand-expanded one (trivially, but via the full parse path)."""
+    from itertools import permutations as _perms
+
+    pat = f"{lead}PERMUTE({','.join(syms)}){quant}"
+    want = (
+        lead.upper()
+        + "("
+        + "|".join("".join(p) for p in _perms(syms))
+        + ")"
+        + quant
+    )
+    try:
+        got = _parse_pattern(_noisy(ws, pat))
+    except ValueError as e:
+        # only the empty-matchability refusal is legal here (e.g.
+        # E? PERMUTE(..)?): PERMUTE itself is always valid input
+        assert "EMPTY row sequence" in str(e)
+        assert re.compile(want).match("") is not None
+        return
+    assert got == want
+    assert [m.span() for m in re.finditer(got, s)] == [
+        m.span() for m in re.finditer(want, s)
+    ]

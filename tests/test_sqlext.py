@@ -1375,3 +1375,40 @@ class TestMatchRecognize:
                           C AS event_type = 'click',
                           P AS event_type = 'purchase')""",
             )
+
+    def test_per_symbol_counts_partition_the_match(self, spark):
+        # invariant: every matched row carries exactly one pattern
+        # symbol, so COUNT(*) == sum of per-symbol COUNTs, per match
+        # — checked over the full sf0.001 events fixture
+        from streamz_postgres_spark.catalog import load_table
+        from tests.conftest import SF_DIR
+
+        load_table(spark, SF_DIR, "events").createOrReplaceTempView(
+            "mr_inv_events"
+        )
+        try:
+            rows = sqlext.sql(
+                spark,
+                """SELECT user_id, n_rows, n_v, n_c, n_p
+                   FROM mr_inv_events
+                   MATCH_RECOGNIZE (
+                     PARTITION BY user_id
+                     ORDER BY ts, event_id
+                     MEASURES COUNT(*) AS n_rows,
+                              COUNT(V.*) AS n_v,
+                              COUNT(C.*) AS n_c,
+                              COUNT(P.*) AS n_p
+                     ONE ROW PER MATCH
+                     PATTERN (V C{0,2} P)
+                     DEFINE V AS event_type = 'view',
+                            C AS event_type = 'click',
+                            P AS event_type = 'purchase'
+                   )""",
+            ).collect()
+            assert rows  # non-vacuous
+            for r in rows:
+                assert r.n_rows == r.n_v + r.n_c + r.n_p
+                assert r.n_v == 1 and r.n_p == 1  # unquantified symbols
+                assert 0 <= r.n_c <= 2  # the {0,2} bound, attributed
+        finally:
+            spark.catalog.dropTempView("mr_inv_events")
