@@ -1412,3 +1412,50 @@ class TestMatchRecognize:
                 assert 0 <= r.n_c <= 2  # the {0,2} bound, attributed
         finally:
             spark.catalog.dropTempView("mr_inv_events")
+
+    def test_round11_constructs_compose(self, spark):
+        # kitchen sink: PERMUTE inside a quantified group, PREV in
+        # DEFINE, per-symbol aggregate + positional measures, under
+        # the overlapping skip mode — every round-11 construct in
+        # one statement, value-pinned by hand
+        spark.createDataFrame(
+            [
+                # values: 5, 3(D), 9(U), 2(D), 7(U)
+                (1, 1, _ts("2024-01-01T10:00"), 5.0),
+                (1, 2, _ts("2024-01-01T10:01"), 3.0),
+                (1, 3, _ts("2024-01-01T10:02"), 9.0),
+                (1, 4, _ts("2024-01-01T10:03"), 2.0),
+                (1, 5, _ts("2024-01-01T10:04"), 7.0),
+            ],
+            "user_id int, event_id int, ts timestamp_ntz, value double",
+        ).createOrReplaceTempView("mr_sink")
+        try:
+            got = sqlext.sql(
+                spark,
+                """SELECT user_id, match_no, n_rows, n_d, mx_u
+                   FROM mr_sink
+                   MATCH_RECOGNIZE (
+                     PARTITION BY user_id
+                     ORDER BY ts, event_id
+                     MEASURES MATCH_NUMBER() AS match_no,
+                              COUNT(*) AS n_rows,
+                              COUNT(D.*) AS n_d,
+                              MAX(U.value) AS mx_u
+                     ONE ROW PER MATCH
+                     AFTER MATCH SKIP TO NEXT ROW
+                     PATTERN ((PERMUTE(D, U)){1,2})
+                     DEFINE D AS value < PREV(value),
+                            U AS value > PREV(value)
+                   ) ORDER BY user_id, match_no""",
+            ).collect()
+            # symbol string: -DUDU. Overlapping (DU|UD){1,2} greedy:
+            # start 2: DUDU (4 rows, 2 D, max U value 9.0? U rows are
+            # 9 and 7 -> 9.0); start 3: UD (U=9, D=2 -> mx 9.0);
+            # start 4: DU (D=2, U=7 -> 7.0); start 5: U alone no.
+            assert [tuple(r) for r in got] == [
+                (1, 1, 4, 2, 9.0),
+                (1, 2, 2, 1, 9.0),
+                (1, 3, 2, 1, 7.0),
+            ]
+        finally:
+            spark.catalog.dropTempView("mr_sink")
