@@ -117,7 +117,13 @@ the reason):
   how a per-row column is projected out), and per-symbol forms see
   only S-rows AT OR BEFORE the current row (NULL until the first S
   arrives). ``WITH UNMATCHED ROWS``
-  is not supported: unmatched rows are omitted. Skip modes:
+  is not supported — a REASONED refusal, not a gap: SQL:2016 makes
+  every measure NULL on an unmatched row, and this adapter's output
+  is the key plus measures only (no source-column passthrough), so
+  an unmatched row would emit as ``(key, NULL, NULL, ...)`` —
+  contentless; the anti-join against the matched read-out gives the
+  unmatched rows WITH their columns in one extra line of SQL.
+  Unmatched rows are omitted. Skip modes:
   ``AFTER MATCH SKIP PAST LAST ROW`` (the SQL:2016 default — the
   non-overlapping left-to-right scan, positions recovered from the
   gaps/matches decomposition: match i starts after the first i gaps

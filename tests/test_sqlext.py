@@ -1459,3 +1459,36 @@ class TestMatchRecognize:
             ]
         finally:
             spark.catalog.dropTempView("mr_sink")
+
+    def test_prev_with_explicit_offset(self, spark):
+        # PREV(col, 2): rows classify against the value TWO rows
+        # back; first two rows of the partition are unclassified
+        spark.createDataFrame(
+            [
+                # values: 1, 9, 5(T: 5>1), 2, 8(T: 8>5), 1, 9(T: 9>8)
+                (3, 1, _ts("2024-01-01T10:00"), 1.0),
+                (3, 2, _ts("2024-01-01T10:01"), 9.0),
+                (3, 3, _ts("2024-01-01T10:02"), 5.0),
+                (3, 4, _ts("2024-01-01T10:03"), 2.0),
+                (3, 5, _ts("2024-01-01T10:04"), 8.0),
+                (3, 6, _ts("2024-01-01T10:05"), 1.0),
+                (3, 7, _ts("2024-01-01T10:06"), 9.0),
+            ],
+            "user_id int, event_id int, ts timestamp_ntz, value double",
+        ).createOrReplaceTempView("mr_off2")
+        try:
+            got = sqlext.sql(
+                spark,
+                """SELECT user_id, seq_len, n_matches FROM mr_off2
+                   MATCH_RECOGNIZE (
+                     PARTITION BY user_id
+                     ORDER BY ts, event_id
+                     PATTERN (T)
+                     DEFINE T AS value > PREV(value, 2)
+                   )""",
+            ).collect()
+            # string --T-T-T (rows 3,5,7 exceed value two back),
+            # wait: row4 (2 > 9?) no; row6 (1 > 2?) no -> 3 matches
+            assert [tuple(r) for r in got] == [(3, 7, 3)]
+        finally:
+            spark.catalog.dropTempView("mr_off2")
