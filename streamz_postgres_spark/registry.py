@@ -106,81 +106,15 @@ GATED_KEYS: frozenset[str] = frozenset(
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # ---- r11 WINDOW (first 50) — rotated to the head at round-11
-    # start, exactly as committed in round 10 (verdict r10 Next-round
-    # #1): the 14-key r4 remainder (the last keys whose newest driver
-    # row is r4), the 4 round-10 additions (first driver evidence),
-    # then the 32 oldest r5-window keys fill to 50. A green
-    # CORRECTNESS_r11 here restores the staleness policy (no key's
-    # latest driver row older than 3 rounds) for the first time
-    # since r7 AND gives the 4 judge-replica-only keys their first
-    # driver row.
-    # -- 14-key r4 remainder (oldest evidence, heads r11):
-    "q_project",
-    "q_rollup",
-    "q_scan",
-    "q_sim_ann_ivf",
-    "q_sim_ann_lsh",
-    "q_sim_pairs",
-    "q_sort_multi",
-    "q_str_funcs",
-    "q_string_agg",
-    "q_unpivot",
-    "q_zip_seq",
-    "q_stream_json_lines",
-    "q_ntile_buckets",
-    "q_bool_agg",
-    # -- round-10 additions (first driver evidence due r11) are
-    #    appended here as they land (cap ~10 per verdict r9 #8):
-    "q_pattern_bounds",
-    "q_pattern_measures",
-    "q_stream_pattern_measures",
-    "q_asof_forward_sql",
-    # -- r5-window keys (driver-checked r5; oldest fill the r11
-    #    window to 50, remainder rotates r12):
-    "q_dedup_cluster_stats",
-    "q_stream_chained_aggs",
-    "q_sim_threshold_sweep",
-    "q_gaps_islands",
-    "q_knn_graph",
-    "q_triangle_count",
-    "q_pagerank",
-    "q_ewma",
-    "q_rolling_median",
-    "q_event_paths",
-    "q_skyline",
-    "q_weighted_sample",
-    "q_bitmap_distinct",
-    "q_pmi_collocations",
-    "q_doc_outliers",
-    "q_stream_ewma",
-    "q_winsorize",
-    "q_join_bucketed",
-    "q_stream_bitmap_distinct",
-    "q_cohort_retention",
-    "q_abtest_welch",
-    "q_doc_perplexity",
-    "q_mad",
-    "q_autocorr",
-    "q_changepoint_cusum",
-    "q_seasonality",
-    "q_boilerplate_spans",
-    "q_schema_evolution",
-    "q_ann_recall",
-    "q_countmin",
-    "q_stream_transform_list",
-    "q_stream_transform_map",
-    # ---- 50-key window boundary ----
-    # r12 PLANNED WINDOW (next 50), committed per verdict r10
-    # Next-round #2 before r11 closes: the TEN round-11 additions
-    # (never driver-checked, so they lead — 4 from the early r11
-    # sessions + 6 late: PERMUTE, per-symbol MEASURES batch + live +
-    # aggregates, recursive CTE, PREV-in-DEFINE; exactly at the ~10
-    # cap), then the 18 remaining r5-window keys, then the oldest
-    # r6-window keys fill to 50 (10 + 18 + 22 = 50; the 6 displaced
-    # r6 keys rotate r13). Every over-cap key rides the end-of-round
-    # full local sweep (driver-replica gate, whole registry, both
-    # SFs since r9) between driver windows.
+    # ---- r12 WINDOW (first 50) — rotated to the head at round-12
+    # start, exactly as committed in round 11 (verdict r11
+    # Next-round #1): the TEN round-11 additions lead (never
+    # driver-checked — judge-replica green r11), then the 18
+    # remaining r5-window keys (retiring the entire r5 staleness
+    # cohort, the oldest evidence class), then the 22 oldest
+    # r6-window keys fill to 50 (10 + 18 + 22 = 50). A green
+    # CORRECTNESS_r12 here gives every r11 addition first driver
+    # evidence AND leaves no key with driver evidence older than r6.
     # -- round-11 additions (first driver evidence due r12):
     "q_pattern_overlap",
     "q_pattern_all_rows",
@@ -211,7 +145,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_stream_latest_per_key",
     "q_stream_tumbling_watermarked",
     "q_cdc_materialize",
-    # r6-window keys (driver-checked r6; rotate r11/r12):
+    # -- 22 oldest r6-window keys (driver-checked r6) fill to 50:
     "q_funnel",
     "q_cdc_apply",
     "q_cdc_diff",
@@ -234,6 +168,17 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_stats_corr",
     "q_str_funcs2",
     "q_stream_file_sink",
+    # ---- 50-key window boundary ----
+    # r13 PLANNED WINDOW (next 50), committed per verdict r11
+    # Next-round #2 before r12 closes: the round-12 additions lead
+    # (first driver evidence; kept at or under the ~10 cap), then
+    # the 28 remaining r6-window keys, then the oldest r7-window
+    # keys fill to 50. Every over-cap key rides the end-of-round
+    # full local sweep (driver-replica gate, whole registry, both
+    # SFs since r9) between driver windows.
+    # -- round-12 additions (first driver evidence due r13) are
+    #    appended here as they land:
+    # -- 28 remaining r6-window keys (driver-checked r6):
     "q_stream_textfile",
     "q_subquery_in",
     "q_subquery_scalar",
@@ -466,6 +411,57 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_null_agg",
     "q_pivot",
     "q_pluck",
+    # r11-window keys (driver-checked r11 -- freshest; rotate r14):
+    "q_project",
+    "q_rollup",
+    "q_scan",
+    "q_sim_ann_ivf",
+    "q_sim_ann_lsh",
+    "q_sim_pairs",
+    "q_sort_multi",
+    "q_str_funcs",
+    "q_string_agg",
+    "q_unpivot",
+    "q_zip_seq",
+    "q_stream_json_lines",
+    "q_ntile_buckets",
+    "q_bool_agg",
+    "q_pattern_bounds",
+    "q_pattern_measures",
+    "q_stream_pattern_measures",
+    "q_asof_forward_sql",
+    "q_dedup_cluster_stats",
+    "q_stream_chained_aggs",
+    "q_sim_threshold_sweep",
+    "q_gaps_islands",
+    "q_knn_graph",
+    "q_triangle_count",
+    "q_pagerank",
+    "q_ewma",
+    "q_rolling_median",
+    "q_event_paths",
+    "q_skyline",
+    "q_weighted_sample",
+    "q_bitmap_distinct",
+    "q_pmi_collocations",
+    "q_doc_outliers",
+    "q_stream_ewma",
+    "q_winsorize",
+    "q_join_bucketed",
+    "q_stream_bitmap_distinct",
+    "q_cohort_retention",
+    "q_abtest_welch",
+    "q_doc_perplexity",
+    "q_mad",
+    "q_autocorr",
+    "q_changepoint_cusum",
+    "q_seasonality",
+    "q_boilerplate_spans",
+    "q_schema_evolution",
+    "q_ann_recall",
+    "q_countmin",
+    "q_stream_transform_list",
+    "q_stream_transform_map",
 )
 
 def ordered_registry() -> dict[str, Query]:
