@@ -98,9 +98,11 @@ the reason):
   ``LAST(<S>.<col>)`` / ``COUNT(<S>.*)`` /
   ``SUM/MIN/MAX/AVG(<S>.<col>)`` (NULL / 0-count when symbol
   ``<S>`` does not participate in the match — the SQL:2016
-  no-rows contract; SUM folds the symbol's in-scope values
-  left-to-right type-preservingly, AVG divides the double-cast sum
-  by the count). Per-symbol attribution is EXACT in this lowering, not
+  no-rows contract; SUM folds the symbol's in-scope NON-NULL
+  values left-to-right type-preservingly, AVG divides the
+  double-cast sum by the non-null count — SQL aggregates skip
+  NULL inputs, so an all-NULL scope yields NULL like an empty
+  one, while COUNT(<S>.*) still counts ROWS). Per-symbol attribution is EXACT in this lowering, not
   faked: the regex consumed character p of the symbol string AS the
   symbol written there (first-matching DEFINE, decided row-locally
   before the match scan), so "the rows matched as S" are precisely
@@ -368,9 +370,16 @@ def _parse_pattern(raw: str) -> str:
     inside the engine-common alphabet. Elements are plain distinct
     symbols only (a group/quantifier/nested PERMUTE inside would
     square the expansion) and the list is capped at 4 (24 branches).
-    ``PERMUTE`` is a reserved word in the SQL:2016 row-pattern
-    grammar, so the letter sequence P,E,R,M,U,T,E followed by ``(``
-    cannot be a symbol run.
+    The keyword is detected on the RAW text BEFORE whitespace
+    stripping (r11 advisor): SQL tokenization makes the CONTIGUOUS
+    identifier ``PERMUTE`` followed by ``(`` the reserved word, but
+    seven whitespace-separated single-letter symbols ``P E R M U T
+    E (A)`` are a standard-legal symbol run that must NOT collapse
+    into the keyword — the raw-text rewrite (contiguous keyword ->
+    a ``~`` sentinel outside the grammar's alphabet) keeps the two
+    apart, so the separated form parses as the seven symbols it is
+    (and then fails the undefined-symbol check unless each is
+    DEFINEd, instead of silently matching as PERMUTE).
 
     Adjacent quantifiers (two of ``* + ? {`` in a row) are refused —
     each symbol/group takes at most ONE quantifier. Bounds are
@@ -381,7 +390,17 @@ def _parse_pattern(raw: str) -> str:
     Returns the canonical regex string — safe to embed in a
     single-quoted SQL literal on both engines (alphabet is
     ``A-Z 0-9 * + ? | ( ) { } ,``)."""
-    s = re.sub(r"\s+", "", raw).upper()
+    # keyword detection happens on the RAW text: only a CONTIGUOUS
+    # 'PERMUTE' identifier (not preceded by another letter/digit)
+    # followed by '(' is the reserved word; whitespace-separated
+    # letters that would spell PERMUTE after stripping stay symbols.
+    # '~' is outside _PATTERN_RE's alphabet, so it cannot occur in
+    # SQL-path input and is unambiguous as the keyword sentinel.
+    s = re.sub(
+        r"(?<![A-Za-z0-9_])PERMUTE(?=\s*\()", "~", raw,
+        flags=re.IGNORECASE,
+    )
+    s = re.sub(r"\s+", "", s).upper()
     if not s:
         raise ValueError("PATTERN () is empty")
     pos = 0
@@ -457,12 +476,20 @@ def _parse_pattern(raw: str) -> str:
                 pos += 1
                 q, t_null = parse_quant(inner_null)
                 parts.append(f"({inner_re}){q}")
-            elif s.startswith("PERMUTE(", pos):
-                pos += len("PERMUTE(")
+            elif ch == "~":
+                if not s.startswith("~(", pos):  # pragma: no cover
+                    # unreachable from SQL input (the sentinel only
+                    # comes from the keyword rewrite above, which
+                    # guarantees a following '('); guards direct
+                    # _parse_pattern calls with a literal '~'
+                    raise ValueError(
+                        "unexpected character '~' in PATTERN"
+                    )
+                pos += 2
                 elems: list = []
                 while True:
                     e = peek()
-                    if not e.isalpha() or s.startswith("PERMUTE(", pos):
+                    if not e.isalpha() or s.startswith("~(", pos):
                         raise ValueError(
                             "PERMUTE takes a comma-separated list of "
                             "plain symbols — groups, quantifiers and "
@@ -944,7 +971,13 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
             # no zero literal to type-guess); MIN/MAX are the array
             # HOFs (NULL on empty already); AVG = SUM cast double
             # over COUNT. The value array is bound once per
-            # (symbol, column) in the wrapping projection.
+            # (symbol, column) in the wrapping projection, ALREADY
+            # NULL-filtered there (r11 advisor): SQL aggregates skip
+            # NULL inputs, but a left fold propagates one NULL into
+            # the whole SUM and size() would count NULL rows into the
+            # AVG divisor — so the binding drops NULLs and size(v) IS
+            # the non-null count; all-NULL scope folds to the same
+            # NULL as empty scope, exactly the SQL contract.
             v = f"__vals_{sym}_{col_fields[col]}"
             fold = (
                 f"aggregate(slice({v}, 2, size({v}) - 1), "
@@ -1041,9 +1074,15 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
         # array once — it must sit ABOVE the __ps layer because a
         # projection cannot reference a sibling alias
         psrefs = "".join(f", __ps_{y}" for y in syms_used)
+        # NULL rows are dropped HERE so every consumer sees SQL
+        # aggregate semantics: SUM's left fold never touches a NULL
+        # (one would poison the whole sum), AVG's size(v) divisor is
+        # the NON-NULL count, and MIN/MAX are unchanged (array_min/
+        # max already skip NULLs) — one filter serves all four.
         vals = "".join(
-            f", transform(__ps_{y}, p -> element_at(__arr, p)."
-            f"{col_fields[c]}) AS __vals_{y}_{col_fields[c]}"
+            f", filter(transform(__ps_{y}, p -> element_at(__arr, p)."
+            f"{col_fields[c]}), x -> x IS NOT NULL) "
+            f"AS __vals_{y}_{col_fields[c]}"
             for (y, c) in agg_vals
         )
         base = (

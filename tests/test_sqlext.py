@@ -1098,6 +1098,49 @@ class TestMatchRecognize:
             with pytest.raises(ValueError, match=why):
                 sqlext._parse_pattern(bad)
 
+    def test_permute_keyword_is_contiguous_only(self, spark, mr_view):
+        # the keyword is detected on the RAW text (r11 advisor):
+        # 'PERMUTE (A, B)' — keyword then a separated paren — is the
+        # construct, but seven whitespace-separated single-letter
+        # symbols 'P E R M U T E (V)' are a symbol run and must NOT
+        # collapse into the keyword after whitespace stripping
+        assert sqlext._parse_pattern("PERMUTE (A, B)") == "(AB|BA)"
+        assert sqlext._parse_pattern("PERMUTE\n(A,B)") == "(AB|BA)"
+        # the separated form parses as symbols -> the undefined-
+        # symbol refusal names them instead of silently matching
+        with pytest.raises(ValueError, match="without a DEFINE"):
+            sqlext.sql(
+                spark,
+                """SELECT user_id, n_matches FROM mr_events
+                   MATCH_RECOGNIZE (
+                     PARTITION BY user_id
+                     ORDER BY ts, event_id
+                     PATTERN (P E R M U T E (V))
+                     DEFINE V AS event_type = 'view',
+                            P AS event_type = 'purchase'
+                   )""",
+            )
+        # ...and with every letter DEFINEd it is a plain 8-symbol
+        # sequence (never present in the fixture -> zero matches),
+        # not a 1-symbol PERMUTE (which user 1/2/3 all would match)
+        got = sqlext.sql(
+            spark,
+            """SELECT user_id, n_matches FROM mr_events
+               MATCH_RECOGNIZE (
+                 PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 PATTERN (P E R M U T E (V))
+                 DEFINE P AS event_type = 'purchase',
+                        E AS event_type = 'error',
+                        R AS event_type = 'view',
+                        M AS event_type = 'view',
+                        U AS event_type = 'view',
+                        T AS event_type = 'view',
+                        V AS event_type = 'view'
+               ) ORDER BY user_id""",
+        ).collect()
+        assert [tuple(r) for r in got] == [(1, 0), (2, 0), (3, 0)]
+
     def test_permute_matches_any_adjacent_order(self, spark, mr_view):
         # PERMUTE(V, P): user 1 'VCCP' has no ADJACENT view+purchase
         # pair in either order; user 3 'VPVP' has two
@@ -1360,6 +1403,53 @@ class TestMatchRecognize:
             (1, 2, 2),
             (1, 3, 5),
             (1, 4, 5),
+        ]
+
+    def test_per_symbol_aggregates_skip_nulls(self, spark):
+        # SQL aggregates skip NULL inputs (r11 advisor): one NULL in
+        # the aggregated column must not poison SUM's left fold, AVG
+        # divides by the NON-NULL count, and an all-NULL scope is
+        # NULL like an empty one — while COUNT(C.*) still counts ROWS
+        rows = [
+            # user 1: V C(v=2) C(v=NULL) C(v=4) P
+            (1, 1, "view", 10),
+            (1, 2, "click", 2),
+            (1, 3, "click", None),
+            (1, 4, "click", 4),
+            (1, 5, "purchase", 20),
+            # user 2: V C(v=NULL) P — the symbol participates but
+            # contributes no non-null values
+            (2, 6, "view", 10),
+            (2, 7, "click", None),
+            (2, 8, "purchase", 20),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id int, event_id int, event_type string, v int"
+        )
+        df.createOrReplaceTempView("mr_null_events")
+        try:
+            got = sqlext.sql(
+                spark,
+                """SELECT user_id, s_c, a_c, mn_c, mx_c, n_c
+                   FROM mr_null_events
+                   MATCH_RECOGNIZE (
+                     PARTITION BY user_id
+                     ORDER BY event_id
+                     MEASURES SUM(C.v) AS s_c, AVG(C.v) AS a_c,
+                              MIN(C.v) AS mn_c, MAX(C.v) AS mx_c,
+                              COUNT(C.*) AS n_c
+                     ONE ROW PER MATCH
+                     PATTERN (V C* P)
+                     DEFINE V AS event_type = 'view',
+                            C AS event_type = 'click',
+                            P AS event_type = 'purchase'
+                   ) ORDER BY user_id""",
+            ).collect()
+        finally:
+            spark.catalog.dropTempView("mr_null_events")
+        assert [tuple(r) for r in got] == [
+            (1, 6, 3.0, 2, 4, 3),  # SUM/AVG over {2,4}; 3 C-ROWS
+            (2, None, None, None, None, 1),  # all-NULL scope
         ]
 
     def test_refuses_aggregate_over_expression(self, spark, mr_view):
