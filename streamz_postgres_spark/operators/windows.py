@@ -2242,3 +2242,100 @@ def q_pattern_agg_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.catalog.dropTempView(view)
+
+
+@register(
+    "q_pattern_skip_to",
+    oracle="""
+WITH RECURSIVE seq AS (
+  SELECT user_id,
+         string_agg(CASE WHEN event_type = 'view' THEN 'V'
+                         WHEN event_type = 'click' THEN 'C'
+                         WHEN event_type = 'purchase' THEN 'P'
+                         ELSE '-' END, '' ORDER BY ts, event_id) AS s,
+         list(ts ORDER BY ts, event_id) AS tss
+  FROM events GROUP BY user_id
+),
+scan AS (
+  SELECT user_id, s, 0 AS no, 1 AS r, 0 AS sp, 0 AS mlen FROM seq
+  UNION ALL
+  SELECT user_id, s, no + 1,
+         sp2 + ml - strpos(reverse(s[sp2 : sp2 + ml - 1]), 'V') AS r,
+         sp2 AS sp, ml AS mlen
+  FROM (
+    SELECT user_id, s, no, sp2,
+           length(regexp_extract(s[sp2:], '^(VC*V)', 1)) AS ml
+    FROM (
+      SELECT user_id, s, no,
+             [q FOR q IN range(r, length(s) + 1)
+                IF regexp_matches(s[q:], '^(VC*V)')][1] AS sp2
+      FROM scan
+    ) WHERE sp2 IS NOT NULL
+  )
+)
+SELECT c.user_id, CAST(c.no AS INTEGER) AS match_no,
+       CAST(c.mlen AS BIGINT) AS n_rows,
+       CAST(c.mlen - length(replace(c.s[c.sp : c.sp + c.mlen - 1],
+                                    'C', '')) AS BIGINT) AS n_clicks,
+       s2.tss[c.sp] AS start_ts,
+       s2.tss[c.sp + c.mlen - 1] AS end_ts
+FROM scan c JOIN seq s2 USING (user_id) WHERE c.no > 0
+ORDER BY user_id, match_no
+""",
+    tags=("window", "sequence", "sql"),
+)
+def q_pattern_skip_to(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE with ``AFTER MATCH SKIP TO LAST <symbol>`` —
+    the last mainstream skip mode (r11 verdict #3): view-to-view
+    engagement spans ``(V C* V)`` CHAIN through their shared
+    boundary view, because the scan resumes AT the last V of each
+    match and that row opens the next one (487 matches vs 377 under
+    PAST LAST ROW at sf0.01 — value-distinct by construction, chains
+    up to 11 deep). Lowering: unlike PAST LAST ROW (gaps/matches
+    decomposition) and TO NEXT ROW (independent anchored probes),
+    the resume point depends on the PREVIOUS match's symbol layout,
+    so the enumeration is a sequential left fold (``aggregate``)
+    over the symbol-string positions — accumulator (resume, matches,
+    err), one anchored probe per visited position, O(len^2) worst
+    case per partition string (the TO NEXT ROW class; window
+    long-lived entities first at scale). SQL:2016's runtime errors
+    are honored, not guessed away: an absent skip symbol and a
+    resume-at-match-start both latch an error the emitted plan
+    raises via assert_true (pinned by tests; neither fires on this
+    pattern — it always ENDS with the skip symbol, so the resume
+    row is the match end, never the start). The oracle re-derives
+    the identical sequential scan as a DuckDB RECURSIVE CTE: one
+    recursion step per match, leftmost anchored probe via a list
+    comprehension, the same last-V resume arithmetic. Per-symbol
+    ``COUNT(C.*)`` composes with the fold (same position-array
+    read-out as the other measures keys)."""
+    import uuid as _uuid
+
+    from streamz_postgres_spark import sqlext
+
+    view = f"events_{_uuid.uuid4().hex[:8]}"
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(view)
+    try:
+        return sqlext.sql(
+            spark,
+            f"""SELECT user_id, match_no, n_rows, n_clicks,
+                       start_ts, end_ts
+                FROM {view}
+                MATCH_RECOGNIZE (
+                  PARTITION BY user_id
+                  ORDER BY ts, event_id
+                  MEASURES MATCH_NUMBER() AS match_no,
+                           COUNT(*) AS n_rows,
+                           COUNT(C.*) AS n_clicks,
+                           FIRST(ts) AS start_ts,
+                           LAST(ts) AS end_ts
+                  ONE ROW PER MATCH
+                  AFTER MATCH SKIP TO LAST V
+                  PATTERN (V C* V)
+                  DEFINE V AS event_type = 'view',
+                         C AS event_type = 'click',
+                         P AS event_type = 'purchase'
+                ) ORDER BY user_id, match_no""",
+        )
+    finally:
+        spark.catalog.dropTempView(view)

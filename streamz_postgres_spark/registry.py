@@ -178,6 +178,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # SFs since r9) between driver windows.
     # -- round-12 additions (first driver evidence due r13) are
     #    appended here as they land:
+    "q_pattern_skip_to",
     # -- 28 remaining r6-window keys (driver-checked r6):
     "q_stream_textfile",
     "q_subquery_in",

@@ -129,18 +129,24 @@ the reason):
   ``AFTER MATCH SKIP PAST LAST ROW`` (the SQL:2016 default — the
   non-overlapping left-to-right scan, positions recovered from the
   gaps/matches decomposition: match i starts after the first i gaps
-  and i-1 matches) and ``AFTER MATCH SKIP TO NEXT ROW``
+  and i-1 matches), ``AFTER MATCH SKIP TO NEXT ROW``
   (OVERLAPPING matches, one per starting row — lowered as one
   anchored ``^pattern`` probe per position, NOT a lookahead regex:
   RE2/DuckDB refuses ``(?=``; costs O(len) probes per partition
-  string, so window long-lived entities first at scale). ``TO
-  FIRST/LAST <symbol>`` is refused — not for attribution (per-symbol
-  positions are exact, see MEASURES above) but because skipping INTO
-  a match's interior changes the resume point in ways SQL:2016
-  itself guards with runtime errors (skipping to the match's first
-  row loops forever; skipping to a symbol that did not participate
-  is an error) — engine-divergent edge semantics this adapter
-  refuses to guess at.
+  string, so window long-lived entities first at scale) and
+  ``AFTER MATCH SKIP TO [FIRST|LAST] <symbol>`` (resume the scan
+  AT the first/last row matched as ``<symbol>`` — inclusive, so a
+  boundary row can start the next match and matches chain; bare
+  ``TO <symbol>`` is the standard's shorthand for LAST). The
+  resume point of SKIP TO depends on the previous match's symbol
+  layout, so the enumeration is a sequential left fold
+  (``aggregate``) over the positions rather than independent
+  probes — same O(len^2) worst case as TO NEXT ROW — and
+  SQL:2016's OWN runtime errors are raised at execution, not
+  guessed away: a match in which ``<symbol>`` did not participate
+  errors, and a resume target equal to the match's first row (the
+  infinite-loop case) errors; a skip symbol absent from PATTERN
+  altogether is refused statically.
   One MATCH_RECOGNIZE per query, single named table, no JOIN/WHERE
   (register a filtered view first); optional trailing ORDER BY.
   Patterns that can match an EMPTY sequence (every term ``*``/``?``
@@ -631,6 +637,63 @@ def _mr_partition_subquery(
     )
 
 
+def _skip_to_fold(regex: str, mode: str, sym: str) -> str:
+    """The SKIP TO FIRST/LAST <sym> match enumeration: a sequential
+    left fold (``aggregate``) over the symbol-string positions. The
+    accumulator is struct(r: next allowed scan position, ms: matches
+    found so far as struct<mlen, sp>, err: first runtime error). Per
+    position p: skipped cheaply when p < r or an error is latched
+    (CASE short-circuits before the probe); otherwise ONE anchored
+    '^pattern' probe (bound once via a 1-element transform — the r11
+    let-binding rule) and, on a match, the resume point is the
+    first/last <sym> offset inside the matched substring. SQL:2016's
+    two runtime errors latch into err (raised by the caller's
+    assert_true guard): <sym> absent from the match, and a resume
+    target equal to the match's first row (the infinite-loop case —
+    offset 1 for FIRST whenever the match STARTS with <sym>, and for
+    LAST when the only <sym> is the start row). Cost: O(len) probes
+    of O(len) worst-case per partition string — the same class as
+    SKIP TO NEXT ROW; window long-lived entities first at scale."""
+    if mode == "FIRST":
+        off = f"CAST(locate('{sym}', mstr) AS INT)"
+    else:  # LAST — two locate() calls, a bounded constant (not
+        # per-element re-evaluation), so no extra binding layer
+        off = (
+            f"CAST(CASE WHEN locate('{sym}', reverse(mstr)) = 0 "
+            f"THEN 0 ELSE length(mstr) - "
+            f"locate('{sym}', reverse(mstr)) + 1 END AS INT)"
+        )
+    err_absent = (
+        f"AFTER MATCH SKIP TO {mode} {sym} failed: symbol {sym} "
+        "did not participate in a match (SQL:2016 runtime error)"
+    )
+    err_loop = (
+        f"AFTER MATCH SKIP TO {mode} {sym} failed: the resume row "
+        "is the first row of its match, which would loop forever "
+        "(SQL:2016 runtime error)"
+    )
+    return (
+        "aggregate(sequence(1, length(__s)), "
+        "named_struct('r', 1, "
+        "'ms', CAST(array() AS ARRAY<STRUCT<mlen: INT, sp: INT>>), "
+        "'err', CAST(NULL AS STRING)), "
+        "(acc, p) -> CASE "
+        "WHEN acc.err IS NOT NULL OR p < acc.r THEN acc "
+        "ELSE element_at(transform(array("
+        f"regexp_extract(substr(__s, p), '^({regex})', 1)), "
+        "mstr -> CASE WHEN mstr = '' THEN acc "
+        f"ELSE element_at(transform(array({off}), o -> CASE "
+        f"WHEN o = 0 THEN named_struct('r', acc.r, 'ms', acc.ms, "
+        f"'err', '{err_absent}') "
+        f"WHEN o = 1 THEN named_struct('r', acc.r, 'ms', acc.ms, "
+        f"'err', '{err_loop}') "
+        "ELSE named_struct('r', p + o - 1, "
+        "'ms', array_append(acc.ms, named_struct("
+        "'mlen', CAST(length(mstr) AS INT), 'sp', CAST(p AS INT))), "
+        "'err', acc.err) END), 1) END), 1) END)"
+    )
+
+
 def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
     m = _PATTERN_RE.match(query)
     if m is None:
@@ -641,7 +704,8 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
             "[MEASURES <item> AS <name>, ...] "
             "[ONE ROW PER MATCH | ALL ROWS PER MATCH] "
             "[AFTER MATCH SKIP PAST LAST ROW | "
-            "AFTER MATCH SKIP TO NEXT ROW] "
+            "AFTER MATCH SKIP TO NEXT ROW | "
+            "AFTER MATCH SKIP TO [FIRST|LAST] <symbol>] "
             "PATTERN (<symbols with * + ? {n,m} | () PERMUTE(..)>) "
             "DEFINE <S> AS "
             "<pred>[, ...]) [ORDER BY <cols>] (one table, "
@@ -668,8 +732,12 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
             "form: key, seq_len, n_matches, matched)"
         )
     overlap = False
+    skip_to = None  # ("FIRST"|"LAST", symbol) for SKIP TO <sym>
     if m.group("skip") is not None:
         skip = re.sub(r"\s+", " ", m.group("skip")).upper()
+        sk = re.fullmatch(
+            r"TO (?:(FIRST|LAST) )?([A-Za-z])", skip
+        )
         if skip == "TO NEXT ROW":
             # overlapping matches: resume the scan one row after each
             # match's START. That is exactly "every position where an
@@ -679,19 +747,31 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
             # probed r11), and no zero-width matches (the
             # engine-divergent case the nullability refusal guards).
             overlap = True
+        elif sk is not None:
+            # SKIP TO [FIRST|LAST] <symbol> — resume the scan AT the
+            # first/last row mapped to <symbol> inside the match
+            # (inclusive: that row may START the next match, so
+            # matches can chain through a shared boundary row). Bare
+            # SKIP TO <symbol> is the standard's shorthand for LAST.
+            # SQL:2016's own runtime errors apply and are raised at
+            # execution, not guessed away: a match where <symbol>
+            # did not participate, and a skip target that IS the
+            # match's first row (the infinite-loop case), both
+            # error. Unlike PAST LAST ROW / TO NEXT ROW, the resume
+            # point depends on the PREVIOUS match's symbol layout,
+            # so the enumeration is a sequential left fold over the
+            # positions (aggregate()), not independent probes.
+            skip_to = (sk.group(1) or "LAST", sk.group(2).upper())
         elif skip != "PAST LAST ROW":
             raise ValueError(
-                f"AFTER MATCH SKIP {skip} is not supported — only "
-                "SKIP PAST LAST ROW (the SQL:2016 default, the "
-                "non-overlapping left-to-right scan) and SKIP TO "
-                "NEXT ROW (overlapping matches, one per starting "
-                "row). TO FIRST/LAST <symbol> is refused — not for "
-                "attribution (per-symbol positions are exact; see "
-                "the MEASURES menu) but because skipping INTO a "
-                "match's interior has the edge semantics SQL:2016 "
-                "itself guards with runtime errors (skip-to-first-"
-                "row loops; skip-to-absent-symbol errors) — this "
-                "adapter refuses rather than guesses"
+                f"AFTER MATCH SKIP {skip} is not supported — the "
+                "modes are SKIP PAST LAST ROW (the SQL:2016 "
+                "default, the non-overlapping left-to-right scan), "
+                "SKIP TO NEXT ROW (overlapping matches, one per "
+                "starting row) and SKIP TO [FIRST|LAST] <symbol> "
+                "(resume at the first/last row matched as <symbol>; "
+                "bare TO <symbol> means TO LAST <symbol> per the "
+                "standard)"
             )
     # DEFINE list: single-letter symbols, first-match-wins order
     defs: list = []
@@ -721,6 +801,14 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
             + ", ".join(undefined)
             + " (full MATCH_RECOGNIZE treats them as always-true; "
             "this adapter refuses rather than guesses)"
+        )
+    if skip_to is not None and skip_to[1] not in pat_syms:
+        raise ValueError(
+            f"AFTER MATCH SKIP TO {skip_to[0]} {skip_to[1]}: symbol "
+            f"{skip_to[1]} does not appear in PATTERN (pattern "
+            f"symbols: {', '.join(sorted(pat_syms))}) — every match "
+            "would hit the SQL:2016 skip-to-absent-symbol runtime "
+            "error, so this is refused statically"
         )
     part = m.group("part").strip()
     order_cols = [
@@ -820,6 +908,26 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
         inner = _mr_partition_subquery(
             part, order_cols, sym_case, src, []
         )
+        if skip_to is not None:
+            # sequential fold (see _skip_to_fold); the assert guard
+            # surfaces the SQL:2016 runtime errors, and lives in a
+            # WHERE so column pruning cannot drop it
+            fold = _skip_to_fold(regex, *skip_to)
+            rewritten = (
+                f"SELECT {m.group('proj')} FROM ("
+                f"SELECT {part}, seq_len, n_matches, "
+                "CAST(CASE WHEN n_matches > 0 THEN 1 ELSE 0 END "
+                "AS INT) AS matched FROM ("
+                f"SELECT {part}, "
+                "CAST(size(__arr) AS BIGINT) AS seq_len, "
+                "CAST(size(__acc.ms) AS BIGINT) AS n_matches "
+                f"FROM (SELECT {part}, __arr, {fold} AS __acc "
+                f"FROM ({inner})) "
+                "WHERE assert_true(__acc.err IS NULL, __acc.err) "
+                "IS NULL"
+                f")){outorder}"
+            )
+            return spark.sql(rewritten)
         if overlap:
             # overlapping count = number of positions where an
             # anchored match begins (see the skip-mode comment);
@@ -1010,7 +1118,16 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
     # - overlapping (SKIP TO NEXT ROW): one anchored '^pattern'
     #   probe per position, filtered to hits, numbered by start
     #   order (the index lambda).
-    if overlap:
+    if skip_to is not None:
+        # the sequential SKIP TO fold — __acc is bound once in a
+        # wrapping projection (below) and guarded there; matches are
+        # numbered by their scan order, exactly the fold order
+        pre = ""
+        mt = (
+            "transform(__acc.ms, (t, i) -> "
+            "struct(i + 1 AS no, t.mlen AS mlen, t.sp AS sp))"
+        )
+    elif overlap:
         pre = ""
         mt = (
             "transform(filter(transform(sequence(1, length(__s)), "
@@ -1063,12 +1180,28 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
         f"p -> substring(__s, p, 1) = '{y}') AS __ps_{y}"
         for y in syms_used
     )
-    base = (
-        f"SELECT {part}, __arr, __s, m{ps} FROM ("
-        f"SELECT {part}, __arr, {pre}"
-        f"__s FROM ({inner})"
-        f") LATERAL VIEW explode({mt}) __mt AS m"
-    )
+    if skip_to is not None:
+        # bind the fold ONCE, then guard: the SQL:2016 runtime
+        # errors (absent symbol / resume-at-match-start) latched in
+        # __acc.err raise HERE, before any match row is emitted; the
+        # assert lives in a WHERE so column pruning cannot drop it
+        fold = _skip_to_fold(regex, *skip_to)
+        base = (
+            f"SELECT {part}, __arr, __s, m{ps} FROM ("
+            f"SELECT {part}, __arr, __s, __acc FROM ("
+            f"SELECT {part}, __arr, __s, {fold} AS __acc "
+            f"FROM ({inner})"
+            ") WHERE assert_true(__acc.err IS NULL, __acc.err) "
+            "IS NULL"
+            f") LATERAL VIEW explode({mt}) __mt AS m"
+        )
+    else:
+        base = (
+            f"SELECT {part}, __arr, __s, m{ps} FROM ("
+            f"SELECT {part}, __arr, {pre}"
+            f"__s FROM ({inner})"
+            f") LATERAL VIEW explode({mt}) __mt AS m"
+        )
     if agg_vals:
         # a second wrap binds each aggregated (symbol, column) value
         # array once — it must sit ABOVE the __ps layer because a

@@ -853,17 +853,15 @@ class TestMatchRecognize:
             )
 
     def test_refuses_unsupported_skip_mode(self, spark, mr_view):
-        # TO FIRST/LAST <symbol> is refused for its edge semantics
-        # (skip-to-first-row loops; skip-to-absent-symbol errors in
-        # SQL:2016 itself) — attribution is exact since the
-        # per-symbol MEASURES landed, so the reason changed, not the
-        # refusal (TO NEXT ROW is supported since r11)
-        with pytest.raises(ValueError, match="SKIP TO FIRST V"):
+        # all four mainstream modes are in grammar since r12 (PAST
+        # LAST ROW, TO NEXT ROW, TO FIRST/LAST <sym>, bare TO <sym>);
+        # anything else still gets a refusal naming the menu
+        with pytest.raises(ValueError, match="not supported"):
             sqlext.sql(
                 spark,
                 """SELECT user_id FROM mr_events MATCH_RECOGNIZE (
                    PARTITION BY user_id ORDER BY ts, event_id
-                   AFTER MATCH SKIP TO FIRST V
+                   AFTER MATCH SKIP TO SECOND ROW
                    PATTERN (V P)
                    DEFINE V AS event_type = 'view',
                           P AS event_type = 'purchase')""",
@@ -921,6 +919,156 @@ class TestMatchRecognize:
         # three overlapping matches, numbered by start position,
         # all ending at the purchase (event_id 4)
         assert u1 == [(1, 4, 1, 4), (2, 3, 2, 4), (3, 2, 3, 4)]
+
+    @pytest.fixture()
+    def chain_view(self, spark):
+        # user 1: V C C V C V — (V C+ V) matches chain through the
+        # shared boundary view under SKIP TO LAST V; user 2 has no
+        # match at all
+        rows = [
+            (1, 1, "view"), (1, 2, "click"), (1, 3, "click"),
+            (1, 4, "view"), (1, 5, "click"), (1, 6, "view"),
+            (2, 7, "view"), (2, 8, "click"), (2, 9, "purchase"),
+        ]
+        spark.createDataFrame(
+            rows, "user_id int, event_id int, event_type string"
+        ).createOrReplaceTempView("mr_chain")
+        yield
+        spark.catalog.dropTempView("mr_chain")
+
+    SKIP_TO = """SELECT user_id, match_no, n_rows, first_id, last_id
+        FROM mr_chain
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY event_id
+          MEASURES MATCH_NUMBER() AS match_no, COUNT(*) AS n_rows,
+                   FIRST(event_id) AS first_id,
+                   LAST(event_id) AS last_id
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP {skip}
+          PATTERN (V C+ V)
+          DEFINE V AS event_type = 'view',
+                 C AS event_type = 'click'
+        ) ORDER BY user_id, match_no"""
+
+    def test_skip_to_last_chains_through_boundary_row(
+        self, spark, chain_view
+    ):
+        # SKIP TO LAST V resumes AT the closing view, which then
+        # OPENS the next match: VCCV (rows 1-4) chains into VCV
+        # (rows 4-6). PAST LAST ROW finds only the first — the modes
+        # must be value-distinct on the same input.
+        got = sqlext.sql(
+            spark, self.SKIP_TO.format(skip="TO LAST V")
+        ).collect()
+        assert [tuple(r) for r in got] == [
+            (1, 1, 4, 1, 4), (1, 2, 3, 4, 6),
+        ]
+        non = sqlext.sql(
+            spark, self.SKIP_TO.format(skip="PAST LAST ROW")
+        ).collect()
+        assert [tuple(r) for r in non] == [(1, 1, 4, 1, 4)]
+
+    def test_skip_to_bare_symbol_means_last(self, spark, chain_view):
+        # SQL:2016: AFTER MATCH SKIP TO <sym> == SKIP TO LAST <sym>
+        bare = sqlext.sql(
+            spark, self.SKIP_TO.format(skip="TO V")
+        ).collect()
+        last = sqlext.sql(
+            spark, self.SKIP_TO.format(skip="TO LAST V")
+        ).collect()
+        assert [tuple(r) for r in bare] == [tuple(r) for r in last]
+
+    def test_skip_to_first_interior_symbol(self, spark, chain_view):
+        # SKIP TO FIRST C resumes at the first click INSIDE the
+        # match (offset 2, legal): the scan re-enters at row 2 and
+        # still finds the second chained match at rows 4-6
+        got = sqlext.sql(
+            spark, self.SKIP_TO.format(skip="TO FIRST C")
+        ).collect()
+        assert [tuple(r) for r in got] == [
+            (1, 1, 4, 1, 4), (1, 2, 3, 4, 6),
+        ]
+
+    def test_skip_to_aggregate_form_and_all_rows(
+        self, spark, chain_view
+    ):
+        # no-MEASURES aggregate form counts the chained matches
+        agg = sqlext.sql(
+            spark,
+            """SELECT user_id, seq_len, n_matches, matched
+               FROM mr_chain MATCH_RECOGNIZE (
+                 PARTITION BY user_id ORDER BY event_id
+                 AFTER MATCH SKIP TO LAST V
+                 PATTERN (V C+ V)
+                 DEFINE V AS event_type = 'view',
+                        C AS event_type = 'click'
+               ) ORDER BY user_id""",
+        ).collect()
+        assert [tuple(r) for r in agg] == [(1, 6, 2, 1), (2, 3, 0, 0)]
+        # ALL ROWS PER MATCH composes: the boundary view (row 4) is
+        # emitted TWICE — last row of match 1 AND first row of
+        # match 2 — with running CLASSIFIER per emitted row
+        ar = sqlext.sql(
+            spark,
+            """SELECT user_id, match_no, rn, cls
+               FROM mr_chain MATCH_RECOGNIZE (
+                 PARTITION BY user_id ORDER BY event_id
+                 MEASURES MATCH_NUMBER() AS match_no,
+                          COUNT(*) AS rn, CLASSIFIER() AS cls
+                 ALL ROWS PER MATCH
+                 AFTER MATCH SKIP TO LAST V
+                 PATTERN (V C+ V)
+                 DEFINE V AS event_type = 'view',
+                        C AS event_type = 'click'
+               ) ORDER BY user_id, match_no, rn""",
+        ).collect()
+        assert [tuple(r) for r in ar] == [
+            (1, 1, 1, "V"), (1, 1, 2, "C"), (1, 1, 3, "C"),
+            (1, 1, 4, "V"),
+            (1, 2, 1, "V"), (1, 2, 2, "C"), (1, 2, 3, "V"),
+        ]
+
+    def test_skip_to_first_row_of_match_raises(self, spark, chain_view):
+        # SQL:2016 runtime error: SKIP TO FIRST V where V opens the
+        # match would resume AT the match start — infinite loop
+        with pytest.raises(Exception, match="loop forever"):
+            sqlext.sql(
+                spark, self.SKIP_TO.format(skip="TO FIRST V")
+            ).collect()
+
+    def test_skip_to_absent_symbol_raises_at_runtime(self, spark):
+        # SQL:2016 runtime error: the skip symbol is in PATTERN but
+        # did not participate in THIS match (alternation branch)
+        rows = [(3, 1, "purchase")]
+        spark.createDataFrame(
+            rows, "user_id int, event_id int, event_type string"
+        ).createOrReplaceTempView("mr_absent")
+        try:
+            with pytest.raises(Exception, match="did not participate"):
+                sqlext.sql(
+                    spark,
+                    """SELECT user_id, match_no FROM mr_absent
+                       MATCH_RECOGNIZE (
+                         PARTITION BY user_id ORDER BY event_id
+                         MEASURES MATCH_NUMBER() AS match_no
+                         ONE ROW PER MATCH
+                         AFTER MATCH SKIP TO LAST C
+                         PATTERN (V C+ V | P)
+                         DEFINE V AS event_type = 'view',
+                                C AS event_type = 'click',
+                                P AS event_type = 'purchase'
+                       )""",
+                ).collect()
+        finally:
+            spark.catalog.dropTempView("mr_absent")
+
+    def test_skip_to_symbol_not_in_pattern_refused_statically(
+        self, spark, chain_view
+    ):
+        # a skip symbol absent from PATTERN can never be skipped to
+        # — every match would error — so it is refused at parse time
+        with pytest.raises(ValueError, match="does not appear in"):
+            sqlext.sql(spark, self.SKIP_TO.format(skip="TO LAST Z"))
 
     def test_all_rows_per_match_running_semantics(self, spark, mr_view):
         rows = sqlext.sql(
