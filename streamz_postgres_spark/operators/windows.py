@@ -2339,3 +2339,110 @@ def q_pattern_skip_to(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.catalog.dropTempView(view)
+
+
+@register(
+    "q_pattern_subset",
+    oracle="""
+WITH seq AS (
+  SELECT user_id,
+         string_agg(CASE WHEN event_type = 'view' THEN 'V'
+                         WHEN event_type = 'click' THEN 'C'
+                         WHEN event_type = 'purchase' THEN 'P'
+                         ELSE '-' END, '' ORDER BY ts, event_id) AS s,
+         list(event_id ORDER BY ts, event_id) AS eids,
+         list(value ORDER BY ts, event_id) AS vls
+  FROM events GROUP BY user_id
+),
+mm AS (
+  SELECT user_id, eids, vls, s,
+         regexp_extract_all(s, 'VC{0,2}P') AS ms,
+         regexp_split_to_array(s, 'VC{0,2}P') AS gs
+  FROM seq
+),
+x AS (
+  SELECT user_id, eids, vls, s,
+         unnest(list_transform(range(1, len(ms)+1), i -> struct_pack(
+            no := i, mlen := length(ms[i]),
+            sp := coalesce(list_sum(list_transform(gs[1:i],
+                                                   g -> length(g))), 0)
+                + coalesce(list_sum(list_transform(ms[1:i-1],
+                                                   g -> length(g))), 0)
+                + 1))) AS m
+  FROM mm
+),
+y AS (
+  SELECT user_id, eids, vls, (m).no AS no,
+         list_filter(generate_series(CAST((m).sp AS BIGINT),
+                                     CAST((m).sp + (m).mlen - 1
+                                          AS BIGINT)),
+                     p -> s[p:p] IN ('V', 'C')) AS ep
+  FROM x
+),
+z AS (
+  SELECT user_id, no,
+         list_transform(ep, p -> eids[p]) AS ee,
+         list_transform(ep, p -> vls[p]) AS ev
+  FROM y
+)
+SELECT user_id, CAST(no AS INTEGER) AS match_no,
+       CAST(len(ee) AS BIGINT) AS n_eng,
+       ee[1] AS first_eng, ee[-1] AS last_eng,
+       CAST(list_sum(ee) AS BIGINT) AS sum_eng_eid,
+       list_aggregate(ev, 'min') AS min_eng_val,
+       list_aggregate(ev, 'max') AS max_eng_val
+FROM z ORDER BY user_id, match_no
+""",
+    tags=("window", "sequence", "sql"),
+)
+def q_pattern_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE ``SUBSET`` union variables (SQL:2016) — the
+    r11 verdict's #4: ``SUBSET E = (V, C)`` declares E as the union
+    of the view and click symbols, and every per-symbol MEASURES
+    form then works over it ("how many ENGAGEMENT rows — views or
+    clicks — inside each conversion run, their id span, total and
+    value range"). Lowering: a union symbol is exactly a character
+    CLASS over the symbol string — its position array filters on
+    membership in the member set instead of equality with one
+    letter — so the whole per-symbol read-out (FIRST/LAST/COUNT/
+    SUM/MIN/MAX, NULL no-rows contract, let-binding of position and
+    value arrays) is inherited unchanged; union-ness exists in ONE
+    predicate. Exactness: COUNT/FIRST/LAST/SUM read bigint
+    event_ids (order-free), MIN/MAX compare doubles without
+    accumulating — all cross-engine exact. Scale: identical to the
+    sibling measures keys (one keyed shuffle, O(match) arrays). The
+    oracle re-derives the union as the same membership filter in
+    DuckDB list arithmetic."""
+    import uuid as _uuid
+
+    from streamz_postgres_spark import sqlext
+
+    view = f"events_{_uuid.uuid4().hex[:8]}"
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(view)
+    try:
+        return sqlext.sql(
+            spark,
+            f"""SELECT user_id, match_no, n_eng, first_eng, last_eng,
+                       sum_eng_eid, min_eng_val, max_eng_val
+                FROM {view}
+                MATCH_RECOGNIZE (
+                  PARTITION BY user_id
+                  ORDER BY ts, event_id
+                  MEASURES MATCH_NUMBER() AS match_no,
+                           COUNT(E.*) AS n_eng,
+                           FIRST(E.event_id) AS first_eng,
+                           LAST(E.event_id) AS last_eng,
+                           SUM(E.event_id) AS sum_eng_eid,
+                           MIN(E.value) AS min_eng_val,
+                           MAX(E.value) AS max_eng_val
+                  ONE ROW PER MATCH
+                  AFTER MATCH SKIP PAST LAST ROW
+                  PATTERN (V C{{0,2}} P)
+                  SUBSET E = (V, C)
+                  DEFINE V AS event_type = 'view',
+                         C AS event_type = 'click',
+                         P AS event_type = 'purchase'
+                ) ORDER BY user_id, match_no""",
+        )
+    finally:
+        spark.catalog.dropTempView(view)

@@ -179,6 +179,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # -- round-12 additions (first driver evidence due r13) are
     #    appended here as they land:
     "q_pattern_skip_to",
+    "q_pattern_subset",
     # -- 28 remaining r6-window keys (driver-checked r6):
     "q_stream_textfile",
     "q_subquery_in",

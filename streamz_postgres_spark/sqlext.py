@@ -95,7 +95,8 @@ the reason):
   bounded menu ``MATCH_NUMBER()`` / ``COUNT(*)`` / ``FIRST(<col>)``
   / ``LAST(<col>)`` / ``CLASSIFIER()`` (the row's one-letter
   symbol) / the PER-SYMBOL forms ``FIRST(<S>.<col>)`` /
-  ``LAST(<S>.<col>)`` / ``COUNT(<S>.*)`` /
+  ``LAST(<S>.<col>)`` / ``COUNT(<S>.*)`` / (where ``<S>`` is a
+  primary DEFINE symbol or a ``SUBSET`` union symbol) /
   ``SUM/MIN/MAX/AVG(<S>.<col>)`` (NULL / 0-count when symbol
   ``<S>`` does not participate in the match — the SQL:2016
   no-rows contract; SUM folds the symbol's in-scope NON-NULL
@@ -147,6 +148,16 @@ the reason):
   errors, and a resume target equal to the match's first row (the
   infinite-loop case) errors; a skip symbol absent from PATTERN
   altogether is refused statically.
+  ``SUBSET U = (A, B)[, ...]`` (SQL:2016 union variables, between
+  PATTERN and DEFINE) declares ``U`` as the union of the listed
+  PRIMARY symbols, usable wherever a per-symbol reference is:
+  per-symbol MEASURES and the SKIP TO target. In this lowering a
+  union symbol is exactly a character CLASS over the symbol string
+  (its position array filters on set membership instead of letter
+  equality) — the read-out, NULL contract and skip arithmetic are
+  unchanged. Union names must be distinct from DEFINE symbols,
+  members must appear in PATTERN, and both duplicate members and
+  duplicate union names are refused (as in the standard).
   One MATCH_RECOGNIZE per query, single named table, no JOIN/WHERE
   (register a filtered view first); optional trailing ORDER BY.
   Patterns that can match an EMPTY sequence (every term ``*``/``?``
@@ -260,6 +271,7 @@ _PATTERN_RE = re.compile(
         (?P<rpm>(?:ONE\s+ROW|ALL\s+ROWS)\s+PER\s+MATCH\s+)?
         (?:AFTER\s+MATCH\s+SKIP\s+(?P<skip>\w+(?:\s+\w+)*?)\s+)?
         PATTERN\s*\(\s*(?P<pat>[A-Za-z0-9\s*+?|(){},]+?)\s*\)\s+
+        (?:SUBSET\s+(?P<subset>[A-Za-z\s=,()]+?)\s+)?
         DEFINE\s+(?P<defs>.+?)\s*\)\s*
         (?:ORDER\s+BY\s+(?P<outorder>[\w\s,]+?(?:\s+(?:ASC|DESC))?)\s*)?$""",
     re.IGNORECASE | re.VERBOSE | re.DOTALL,
@@ -637,7 +649,9 @@ def _mr_partition_subquery(
     )
 
 
-def _skip_to_fold(regex: str, mode: str, sym: str) -> str:
+def _skip_to_fold(
+    regex: str, mode: str, sym: str, chars: str | None = None
+) -> str:
     """The SKIP TO FIRST/LAST <sym> match enumeration: a sequential
     left fold (``aggregate``) over the symbol-string positions. The
     accumulator is struct(r: next allowed scan position, ms: matches
@@ -654,14 +668,28 @@ def _skip_to_fold(regex: str, mode: str, sym: str) -> str:
     LAST when the only <sym> is the start row). Cost: O(len) probes
     of O(len) worst-case per partition string — the same class as
     SKIP TO NEXT ROW; window long-lived entities first at scale."""
-    if mode == "FIRST":
-        off = f"CAST(locate('{sym}', mstr) AS INT)"
-    else:  # LAST — two locate() calls, a bounded constant (not
-        # per-element re-evaluation), so no extra binding layer
+    chars = chars or sym
+    if len(chars) == 1:
+        if mode == "FIRST":
+            off = f"CAST(locate('{chars}', mstr) AS INT)"
+        else:  # LAST — two locate() calls, a bounded constant (not
+            # per-element re-evaluation), so no extra binding layer
+            off = (
+                f"CAST(CASE WHEN locate('{chars}', reverse(mstr)) "
+                f"= 0 THEN 0 ELSE length(mstr) - "
+                f"locate('{chars}', reverse(mstr)) + 1 END AS INT)"
+            )
+    else:
+        # SUBSET union target: first/last position whose char is in
+        # the member set — the position array is bound once, then
+        # read at index 1/-1 (0 = absent, the runtime-error latch)
+        inlist = ", ".join(f"'{c}'" for c in chars)
+        idx = "1" if mode == "FIRST" else "-1"
         off = (
-            f"CAST(CASE WHEN locate('{sym}', reverse(mstr)) = 0 "
-            f"THEN 0 ELSE length(mstr) - "
-            f"locate('{sym}', reverse(mstr)) + 1 END AS INT)"
+            "element_at(transform(array(filter(sequence(1, "
+            f"length(mstr)), q -> substring(mstr, q, 1) IN "
+            f"({inlist}))), qs -> CAST(CASE WHEN size(qs) = 0 "
+            f"THEN 0 ELSE element_at(qs, {idx}) END AS INT)), 1)"
         )
     err_absent = (
         f"AFTER MATCH SKIP TO {mode} {sym} failed: symbol {sym} "
@@ -707,6 +735,7 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
             "AFTER MATCH SKIP TO NEXT ROW | "
             "AFTER MATCH SKIP TO [FIRST|LAST] <symbol>] "
             "PATTERN (<symbols with * + ? {n,m} | () PERMUTE(..)>) "
+            "[SUBSET <U> = (<syms>), ...] "
             "DEFINE <S> AS "
             "<pred>[, ...]) [ORDER BY <cols>] (one table, "
             "single-letter symbols, no WHERE/JOIN — register a "
@@ -802,13 +831,73 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
             + " (full MATCH_RECOGNIZE treats them as always-true; "
             "this adapter refuses rather than guesses)"
         )
-    if skip_to is not None and skip_to[1] not in pat_syms:
+    # SUBSET clause (SQL:2016 union variables): SUBSET U = (A, B)
+    # declares U as the union of primary symbols A and B — usable in
+    # per-symbol MEASURES and as a SKIP TO target. In this lowering
+    # a union symbol is simply a CHARACTER CLASS over the symbol
+    # string: its position array filters on membership in the member
+    # set instead of equality with one letter; everything downstream
+    # (FIRST/LAST/COUNT/SUM/MIN/MAX/AVG read-out, skip-target
+    # arithmetic) is unchanged.
+    subsets: dict = {}  # union symbol -> member chars (e.g. "AB")
+    if m.group("subset") is not None:
+        _SUBSET_ITEM = re.compile(
+            r"^\s*(?P<u>[A-Za-z])\s*=\s*\(\s*"
+            r"(?P<elems>[A-Za-z](?:\s*,\s*[A-Za-z])*)\s*\)\s*$"
+        )
+        for item in _split_top_level(m.group("subset")):
+            if not item.strip():
+                continue
+            sm = _SUBSET_ITEM.match(item)
+            if sm is None:
+                raise ValueError(
+                    f"SUBSET item {item.strip()!r} is not "
+                    "<single-letter union symbol> = "
+                    "(<symbol>[, <symbol>...])"
+                )
+            u = sm.group("u").upper()
+            if u in seen:
+                # SQL:2016: a union variable must be distinct from
+                # every primary (DEFINEd) pattern variable
+                raise ValueError(
+                    f"SUBSET symbol {u} collides with a DEFINE "
+                    "symbol — union variables must be distinct "
+                    "from primary pattern variables"
+                )
+            if u in subsets:
+                raise ValueError(f"duplicate SUBSET symbol: {u}")
+            elems = [
+                e.strip().upper()
+                for e in sm.group("elems").split(",")
+            ]
+            if len(set(elems)) != len(elems):
+                raise ValueError(
+                    f"SUBSET {u} lists a member twice"
+                )
+            missing = sorted(set(elems) - pat_syms)
+            if missing:
+                raise ValueError(
+                    f"SUBSET {u} member(s) {', '.join(missing)} do "
+                    "not appear in PATTERN (members must be primary "
+                    "pattern variables; pattern symbols: "
+                    f"{', '.join(sorted(pat_syms))})"
+                )
+            subsets[u] = "".join(sorted(elems))
+    if skip_to is not None and not (
+        skip_to[1] in pat_syms or skip_to[1] in subsets
+    ):
         raise ValueError(
             f"AFTER MATCH SKIP TO {skip_to[0]} {skip_to[1]}: symbol "
             f"{skip_to[1]} does not appear in PATTERN (pattern "
-            f"symbols: {', '.join(sorted(pat_syms))}) — every match "
-            "would hit the SQL:2016 skip-to-absent-symbol runtime "
-            "error, so this is refused statically"
+            f"symbols: {', '.join(sorted(pat_syms))}"
+            + (
+                f"; SUBSET symbols: {', '.join(sorted(subsets))}"
+                if subsets
+                else ""
+            )
+            + ") — every match would hit the SQL:2016 "
+            "skip-to-absent-symbol runtime error, so this is "
+            "refused statically"
         )
     part = m.group("part").strip()
     order_cols = [
@@ -912,7 +1001,10 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
             # sequential fold (see _skip_to_fold); the assert guard
             # surfaces the SQL:2016 runtime errors, and lives in a
             # WHERE so column pruning cannot drop it
-            fold = _skip_to_fold(regex, *skip_to)
+            fold = _skip_to_fold(
+                regex, skip_to[0], skip_to[1],
+                subsets.get(skip_to[1]),
+            )
             rewritten = (
                 f"SELECT {m.group('proj')} FROM ("
                 f"SELECT {part}, seq_len, n_matches, "
@@ -1008,11 +1100,18 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
         sym = mm.groupdict().get("sym")
         if sym is not None:
             sym = sym.upper()
-            if sym not in pat_syms:
+            if sym not in pat_syms and sym not in subsets:
                 raise ValueError(
                     f"MEASURES item {item!r} references symbol "
                     f"{sym} which does not appear in PATTERN "
-                    f"(pattern symbols: {', '.join(sorted(pat_syms))})"
+                    f"(pattern symbols: {', '.join(sorted(pat_syms))}"
+                    + (
+                        "; SUBSET symbols: "
+                        + ", ".join(sorted(subsets))
+                        if subsets
+                        else ""
+                    )
+                    + ")"
                 )
         agg = mm.groupdict().get("agg")
         measures.append(
@@ -1175,9 +1274,18 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
     # (final semantics), up to the current row under ALL ROWS
     # (running). When no per-symbol measure is present ps is empty
     # and the mid projection is a pass-through Catalyst collapses.
+    # A SUBSET union symbol is a character CLASS here (membership
+    # test instead of equality) — the only place union-ness exists.
+    def _sym_pred(y: str) -> str:
+        chars = subsets.get(y, y)
+        if len(chars) == 1:
+            return f"substring(__s, p, 1) = '{chars}'"
+        inlist = ", ".join(f"'{c}'" for c in chars)
+        return f"substring(__s, p, 1) IN ({inlist})"
+
     ps = "".join(
         f", filter(sequence(m.sp, {cur}), "
-        f"p -> substring(__s, p, 1) = '{y}') AS __ps_{y}"
+        f"p -> {_sym_pred(y)}) AS __ps_{y}"
         for y in syms_used
     )
     if skip_to is not None:
@@ -1185,7 +1293,9 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
         # errors (absent symbol / resume-at-match-start) latched in
         # __acc.err raise HERE, before any match row is emitted; the
         # assert lives in a WHERE so column pruning cannot drop it
-        fold = _skip_to_fold(regex, *skip_to)
+        fold = _skip_to_fold(
+            regex, skip_to[0], skip_to[1], subsets.get(skip_to[1])
+        )
         base = (
             f"SELECT {part}, __arr, __s, m{ps} FROM ("
             f"SELECT {part}, __arr, __s, __acc FROM ("

@@ -1070,6 +1070,140 @@ class TestMatchRecognize:
         with pytest.raises(ValueError, match="does not appear in"):
             sqlext.sql(spark, self.SKIP_TO.format(skip="TO LAST Z"))
 
+    @pytest.fixture()
+    def subset_view(self, spark):
+        rows = [
+            (1, 1, "view", 10.0), (1, 2, "click", 1.0),
+            (1, 3, "click", 2.0), (1, 4, "purchase", 50.0),
+            (3, 8, "view", 5.0), (3, 9, "purchase", 30.0),
+            (3, 10, "view", 6.0), (3, 11, "purchase", 40.0),
+        ]
+        spark.createDataFrame(
+            rows,
+            "user_id int, event_id int, event_type string, "
+            "value double",
+        ).createOrReplaceTempView("mr_subset")
+        yield
+        spark.catalog.dropTempView("mr_subset")
+
+    def test_subset_union_measures(self, spark, subset_view):
+        # SUBSET E = (V, C): every per-symbol form works over the
+        # union — E's rows are the views AND clicks of each match
+        got = sqlext.sql(
+            spark,
+            """SELECT user_id, match_no, n_eng, first_eng, last_eng,
+                      s_eng, a_eng
+               FROM mr_subset MATCH_RECOGNIZE (
+                 PARTITION BY user_id ORDER BY event_id
+                 MEASURES MATCH_NUMBER() AS match_no,
+                          COUNT(E.*) AS n_eng,
+                          FIRST(E.event_id) AS first_eng,
+                          LAST(E.event_id) AS last_eng,
+                          SUM(E.event_id) AS s_eng,
+                          AVG(E.event_id) AS a_eng
+                 ONE ROW PER MATCH
+                 PATTERN (V C* P)
+                 SUBSET E = (V, C)
+                 DEFINE V AS event_type = 'view',
+                        C AS event_type = 'click',
+                        P AS event_type = 'purchase'
+               ) ORDER BY user_id, match_no""",
+        ).collect()
+        assert [tuple(r) for r in got] == [
+            (1, 1, 3, 1, 3, 6, 2.0),
+            (3, 1, 1, 8, 8, 8, 8.0),
+            (3, 2, 1, 10, 10, 10, 10.0),
+        ]
+
+    def test_subset_mixes_with_primary_symbol_measures(
+        self, spark, subset_view
+    ):
+        # a union and one of its members in the same MEASURES list:
+        # each binds its own position array, values stay per-scope
+        got = sqlext.sql(
+            spark,
+            """SELECT user_id, n_eng, n_c FROM mr_subset
+               MATCH_RECOGNIZE (
+                 PARTITION BY user_id ORDER BY event_id
+                 MEASURES COUNT(E.*) AS n_eng, COUNT(C.*) AS n_c
+                 ONE ROW PER MATCH
+                 PATTERN (V C* P)
+                 SUBSET E = (V, C)
+                 DEFINE V AS event_type = 'view',
+                        C AS event_type = 'click',
+                        P AS event_type = 'purchase'
+               ) ORDER BY user_id""",
+        ).filter("user_id = 1").collect()
+        assert [tuple(r) for r in got] == [(1, 3, 2)]
+
+    def test_subset_as_skip_target(self, spark, subset_view):
+        # SKIP TO LAST E: the last engagement row of user 1's VCCP
+        # is the click at row 3 — interior, legal; the scan resumes
+        # there and finds nothing further
+        got = sqlext.sql(
+            spark,
+            """SELECT user_id, match_no, n_rows FROM mr_subset
+               MATCH_RECOGNIZE (
+                 PARTITION BY user_id ORDER BY event_id
+                 MEASURES MATCH_NUMBER() AS match_no,
+                          COUNT(*) AS n_rows
+                 ONE ROW PER MATCH
+                 AFTER MATCH SKIP TO LAST E
+                 PATTERN (V C+ P)
+                 DEFINE V AS event_type = 'view',
+                        C AS event_type = 'click',
+                        P AS event_type = 'purchase'
+                 ) ORDER BY user_id, match_no""".replace(
+                "PATTERN (V C+ P)",
+                "PATTERN (V C+ P) SUBSET E = (V, C)",
+            ),
+        ).collect()
+        assert [tuple(r) for r in got] == [(1, 1, 4)]
+        # ...and a union target whose last row IS the match start
+        # (user 3's VP: last E = the opening view) raises the
+        # SQL:2016 infinite-loop error at execution
+        with pytest.raises(Exception, match="loop forever"):
+            sqlext.sql(
+                spark,
+                """SELECT user_id, match_no FROM mr_subset
+                   MATCH_RECOGNIZE (
+                     PARTITION BY user_id ORDER BY event_id
+                     MEASURES MATCH_NUMBER() AS match_no
+                     ONE ROW PER MATCH
+                     AFTER MATCH SKIP TO LAST E
+                     PATTERN (V C* P)
+                     SUBSET E = (V, C)
+                     DEFINE V AS event_type = 'view',
+                            C AS event_type = 'click',
+                            P AS event_type = 'purchase'
+                   )""",
+            ).collect()
+
+    def test_subset_refusals(self, spark, subset_view):
+        base = """SELECT user_id, n_eng FROM mr_subset
+            MATCH_RECOGNIZE (
+              PARTITION BY user_id ORDER BY event_id
+              MEASURES COUNT(E.*) AS n_eng
+              ONE ROW PER MATCH
+              PATTERN (V C* P)
+              {subset}
+              DEFINE V AS event_type = 'view',
+                     C AS event_type = 'click',
+                     P AS event_type = 'purchase')"""
+        for subset, why in [
+            ("SUBSET V = (C, P)", "collides"),
+            ("SUBSET E = (V, V)", "twice"),
+            ("SUBSET E = (V, Z)", "do not appear"),
+            ("SUBSET E = (V), E = (C)", "duplicate SUBSET"),
+            ("SUBSET EE = (V, C)", "not"),
+        ]:
+            with pytest.raises(ValueError, match=why):
+                sqlext.sql(spark, base.format(subset=subset))
+        # a union symbol referenced in MEASURES without a SUBSET
+        # clause is still the plain undefined-symbol error
+        with pytest.raises(ValueError, match="does not appear"):
+            sqlext.sql(spark, base.format(subset=""))
+
     def test_all_rows_per_match_running_semantics(self, spark, mr_view):
         rows = sqlext.sql(
             spark,
