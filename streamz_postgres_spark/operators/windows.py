@@ -2446,3 +2446,109 @@ def q_pattern_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.catalog.dropTempView(view)
+
+
+@register(
+    "q_pattern_running_final",
+    oracle="""
+WITH seq AS (
+  SELECT user_id,
+         string_agg(CASE WHEN event_type = 'view' THEN 'V'
+                         WHEN event_type = 'click' THEN 'C'
+                         WHEN event_type = 'purchase' THEN 'P'
+                         ELSE '-' END, '' ORDER BY ts, event_id) AS s,
+         list(event_id ORDER BY ts, event_id) AS eids
+  FROM events GROUP BY user_id
+),
+mm AS (
+  SELECT user_id, eids, s,
+         regexp_extract_all(s, 'VC{0,2}P') AS ms,
+         regexp_split_to_array(s, 'VC{0,2}P') AS gs
+  FROM seq
+),
+x AS (
+  SELECT user_id, eids, s,
+         unnest(list_transform(range(1, len(ms)+1), i -> struct_pack(
+            no := i, mlen := length(ms[i]),
+            sp := coalesce(list_sum(list_transform(gs[1:i],
+                                                   g -> length(g))), 0)
+                + coalesce(list_sum(list_transform(ms[1:i-1],
+                                                   g -> length(g))), 0)
+                + 1))) AS m
+  FROM mm
+),
+r AS (
+  SELECT user_id, eids, s, (m).no AS no, (m).mlen AS mlen,
+         (m).sp AS sp, unnest(generate_series(1, (m).mlen)) AS j
+  FROM x
+)
+SELECT user_id, CAST(no AS INTEGER) AS match_no,
+       CAST(j AS BIGINT) AS rn, CAST(mlen AS BIGINT) AS fn,
+       eids[CAST(sp + j - 1 AS BIGINT)] AS r_last_eid,
+       eids[CAST(sp + mlen - 1 AS BIGINT)] AS f_last_eid,
+       s[CAST(sp + mlen - 1 AS BIGINT) :
+         CAST(sp + mlen - 1 AS BIGINT)] AS f_cls,
+       CAST(list_sum(list_transform(list_filter(
+             generate_series(CAST(sp AS BIGINT),
+                             CAST(sp + j - 1 AS BIGINT)),
+             p -> s[p:p] = 'C'), p -> eids[p])) AS BIGINT) AS r_sum_c,
+       CAST(list_sum(list_transform(list_filter(
+             generate_series(CAST(sp AS BIGINT),
+                             CAST(sp + mlen - 1 AS BIGINT)),
+             p -> s[p:p] = 'C'), p -> eids[p])) AS BIGINT) AS f_sum_c
+FROM r ORDER BY user_id, match_no, rn
+""",
+    tags=("window", "sequence", "sql"),
+)
+def q_pattern_running_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit ``RUNNING``/``FINAL`` MEASURES keywords (SQL:2016)
+    under ``ALL ROWS PER MATCH`` — the r11 verdict's #5: each
+    emitted row reports BOTH its running view (position-so-far
+    count, last-seen event, clicks-so-far sum) and the whole-match
+    FINAL values (match length, closing event, closing classifier,
+    total click sum) in one MEASURES list. Lowering: FINAL under
+    ALL ROWS switches that measure's scope from [sp, current row]
+    to [sp, match end]; each (symbol, scope) pair binds its OWN
+    position/value array (let-binding rule — a RUNNING and a FINAL
+    SUM over the same symbol are two arrays, not a re-derivation),
+    and scope-free measures (MATCH_NUMBER, FIRST) are unchanged.
+    Under ONE ROW PER MATCH the standard makes the two coincide at
+    the match's last row — both keywords are accepted there and
+    change nothing (pinned by test); RUNNING/FINAL MATCH_NUMBER()
+    is refused as in the standard. Exactness: bigint sums and
+    1-char substrings, all order-free. Scale: same single keyed
+    shuffle; the per-row fan-out is the ALL ROWS contract, arrays
+    are O(match). The oracle re-derives both scopes per emitted row
+    in DuckDB list arithmetic."""
+    import uuid as _uuid
+
+    from streamz_postgres_spark import sqlext
+
+    view = f"events_{_uuid.uuid4().hex[:8]}"
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(view)
+    try:
+        return sqlext.sql(
+            spark,
+            f"""SELECT user_id, match_no, rn, fn, r_last_eid,
+                       f_last_eid, f_cls, r_sum_c, f_sum_c
+                FROM {view}
+                MATCH_RECOGNIZE (
+                  PARTITION BY user_id
+                  ORDER BY ts, event_id
+                  MEASURES MATCH_NUMBER() AS match_no,
+                           RUNNING COUNT(*) AS rn,
+                           FINAL COUNT(*) AS fn,
+                           LAST(event_id) AS r_last_eid,
+                           FINAL LAST(event_id) AS f_last_eid,
+                           FINAL CLASSIFIER() AS f_cls,
+                           RUNNING SUM(C.event_id) AS r_sum_c,
+                           FINAL SUM(C.event_id) AS f_sum_c
+                  ALL ROWS PER MATCH
+                  PATTERN (V C{{0,2}} P)
+                  DEFINE V AS event_type = 'view',
+                         C AS event_type = 'click',
+                         P AS event_type = 'purchase'
+                ) ORDER BY user_id, match_no, rn""",
+        )
+    finally:
+        spark.catalog.dropTempView(view)

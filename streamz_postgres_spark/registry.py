@@ -180,6 +180,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     #    appended here as they land:
     "q_pattern_skip_to",
     "q_pattern_subset",
+    "q_pattern_running_final",
     # -- 28 remaining r6-window keys (driver-checked r6):
     "q_stream_textfile",
     "q_subquery_in",

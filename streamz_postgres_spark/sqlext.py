@@ -119,7 +119,18 @@ the reason):
   ``LAST(<col>)``/``CLASSIFIER()`` read the CURRENT row (which is
   how a per-row column is projected out), and per-symbol forms see
   only S-rows AT OR BEFORE the current row (NULL until the first S
-  arrives). ``WITH UNMATCHED ROWS``
+  arrives). The explicit ``RUNNING``/``FINAL`` keywords are
+  accepted per measure: under ALL ROWS, ``FINAL`` switches that
+  measure to the WHOLE-match scope (FINAL COUNT(*) = the match
+  length on every emitted row, FINAL LAST/CLASSIFIER read the
+  match's last row, per-symbol FINAL forms see every S-row of the
+  match) while its RUNNING siblings keep the per-row scope — each
+  (symbol, scope) pair binds its own position array; under ONE ROW
+  the evaluation row is the match's last row, where the standard
+  itself makes RUNNING and FINAL coincide, so both keywords are
+  accepted and change nothing. ``RUNNING``/``FINAL`` before
+  ``MATCH_NUMBER()`` is refused (scope-free, per the standard).
+  ``WITH UNMATCHED ROWS``
   is not supported — a REASONED refusal, not a gap: SQL:2016 makes
   every measure NULL on an unmatched row, and this adapter's output
   is the key plus measures only (no source-column passthrough), so
@@ -1059,6 +1070,22 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
         item = item.strip()
         if not item:
             continue
+        # optional explicit RUNNING/FINAL semantics keyword
+        # (SQL:2016): the per-mode DEFAULTS (FINAL under ONE ROW,
+        # RUNNING under ALL ROWS) have been the behavior all along;
+        # the keywords make the choice explicit and, under ALL ROWS,
+        # FINAL switches a measure to the WHOLE-match scope. Under
+        # ONE ROW the evaluation row is the match's last row, where
+        # RUNNING and FINAL coincide (the standard's own equivalence)
+        # — both keywords are accepted there and change nothing.
+        sem = None
+        pm = re.match(
+            r"^(RUNNING|FINAL)\s+(.+)$", item,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if pm is not None:
+            sem = pm.group(1).upper()
+            item = pm.group(2).strip()
         for kind, rx in _MEASURE_RES:
             mm = rx.match(item)
             if mm is not None:
@@ -1066,16 +1093,27 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
         else:
             raise ValueError(
                 f"MEASURES item {item!r} is outside the supported "
-                "menu: MATCH_NUMBER() | COUNT(*) | FIRST(<col>) | "
+                "menu: [RUNNING | FINAL] MATCH_NUMBER() | COUNT(*) "
+                "| FIRST(<col>) | "
                 "LAST(<col>) | CLASSIFIER() | per-symbol "
                 "FIRST(<S>.<col>) | LAST(<S>.<col>) | COUNT(<S>.*) "
                 "| SUM/MIN/MAX/AVG(<S>.<col>), each AS <name> "
-                "(aggregates are FINAL under ONE ROW PER MATCH and "
-                "RUNNING under ALL ROWS PER MATCH — the SQL:2016 "
-                "defaults; aggregates over expressions like "
+                "(without a keyword, aggregates are FINAL under ONE "
+                "ROW PER MATCH and RUNNING under ALL ROWS PER MATCH "
+                "— the SQL:2016 defaults; aggregates over "
+                "expressions like "
                 "SUM(C.x * 2) are not lowered — compute the column "
                 "in a view first)"
             )
+        if sem is not None and kind == "match_number":
+            # SQL:2016 16.9: RUNNING/FINAL apply to aggregates and
+            # FIRST/LAST navigation; MATCH_NUMBER is scope-free
+            raise ValueError(
+                f"{sem} MATCH_NUMBER() is not legal — RUNNING/"
+                "FINAL qualify aggregates, navigation and "
+                "CLASSIFIER, not MATCH_NUMBER (it has no row scope)"
+            )
+        fin = all_rows and sem == "FINAL"
         name = mm.group("name")
         if name in names:
             raise ValueError(f"duplicate MEASURES name: {name}")
@@ -1115,7 +1153,7 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
                 )
         agg = mm.groupdict().get("agg")
         measures.append(
-            (kind, col, name, sym, agg.upper() if agg else None)
+            (kind, col, name, sym, agg.upper() if agg else None, fin)
         )
     if not measures:
         raise ValueError("MEASURES lists no items")
@@ -1125,34 +1163,45 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
     )
     # per-row position within the emitted row's scope: the current
     # row for ALL ROWS (running semantics, the SQL:2016 default
-    # there), the match's last row for ONE ROW (final semantics)
+    # there), the match's last row for ONE ROW (final semantics).
+    # fcur is the whole-match end — the scope of explicit FINAL
+    # measures under ALL ROWS (fin is only ever True there).
     cur = "m.sp + m.j - 1" if all_rows else "m.sp + m.mlen - 1"
+    fcur = "m.sp + m.mlen - 1"
+    # distinct (symbol, scope) pairs: each binds one position array
+    # (suffix 'f' = the FINAL whole-match scope under ALL ROWS)
     syms_used = sorted(
-        {s for _, _, _, s, _ in measures if s is not None}
+        {
+            (s, "f" if fn else "")
+            for _, _, _, s, _, fn in measures
+            if s is not None
+        }
     )
-    # distinct (symbol, column) pairs consumed by SUM/MIN/MAX/AVG —
-    # each binds one in-scope value array (let-binding rule)
+    # distinct (symbol, column, scope) triples consumed by
+    # SUM/MIN/MAX/AVG — each binds one in-scope value array
+    # (let-binding rule)
     agg_vals = sorted(
         {
-            (s, c)
-            for k, c, _, s, _ in measures
+            (s, c, "f" if fn else "")
+            for k, c, _, s, _, fn in measures
             if k == "sym_agg"
         }
     )
     sel = []
-    for kind, col, name, sym, agg in measures:
+    for kind, col, name, sym, agg, fin in measures:
+        sfx = "f" if fin else ""
+        mcur = fcur if fin else cur
         if kind == "match_number":
             sel.append(f"CAST(m.no AS INT) AS {name}")
         elif kind == "count":
-            # ALL ROWS: RUNNING COUNT(*) = row position in the match
-            sel.append(
-                f"CAST({'m.j' if all_rows else 'm.mlen'} AS BIGINT) "
-                f"AS {name}"
-            )
+            # ALL ROWS: RUNNING COUNT(*) = row position in the
+            # match; FINAL COUNT(*) = the whole match's length
+            n = "m.mlen" if (not all_rows or fin) else "m.j"
+            sel.append(f"CAST({n} AS BIGINT) AS {name}")
         elif kind == "classifier":
             # the per-row symbol IS the classifier (first-matching
-            # DEFINE); ONE ROW returns the LAST row's (SQL:2016)
-            sel.append(f"substring(__s, {cur}, 1) AS {name}")
+            # DEFINE); ONE ROW and FINAL return the LAST row's
+            sel.append(f"substring(__s, {mcur}, 1) AS {name}")
         elif kind == "first":
             sel.append(
                 f"element_at(__arr, m.sp).{col_fields[col]} AS {name}"
@@ -1160,15 +1209,18 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
         elif kind == "sym_count":
             # rows matched as <sym> in scope (FINAL under ONE ROW,
             # RUNNING under ALL ROWS) — the bound position array
-            sel.append(f"CAST(size(__ps_{sym}) AS BIGINT) AS {name}")
+            sel.append(
+                f"CAST(size(__ps{sfx}_{sym}) AS BIGINT) AS {name}"
+            )
         elif kind in ("sym_first", "sym_last"):
             # SQL:2016: NULL when the symbol has no rows in scope
             # (CASE branches evaluate lazily, so the element_at on
             # the empty array is never reached under ANSI mode)
             idx = "1" if kind == "sym_first" else "-1"
             sel.append(
-                f"CASE WHEN size(__ps_{sym}) > 0 THEN element_at("
-                f"__arr, element_at(__ps_{sym}, {idx}))."
+                f"CASE WHEN size(__ps{sfx}_{sym}) > 0 THEN "
+                f"element_at("
+                f"__arr, element_at(__ps{sfx}_{sym}, {idx}))."
                 f"{col_fields[col]} END AS {name}"
             )
         elif kind == "sym_agg":
@@ -1185,7 +1237,7 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
             # AVG divisor — so the binding drops NULLs and size(v) IS
             # the non-null count; all-NULL scope folds to the same
             # NULL as empty scope, exactly the SQL contract.
-            v = f"__vals_{sym}_{col_fields[col]}"
+            v = f"__vals{sfx}_{sym}_{col_fields[col]}"
             fold = (
                 f"aggregate(slice({v}, 2, size({v}) - 1), "
                 f"element_at({v}, 1), (a, x) -> a + x)"
@@ -1203,9 +1255,10 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
                 sel.append(
                     f"array_{agg.lower()}({v}) AS {name}"
                 )
-        else:  # last — running (current row) under ALL ROWS
+        else:  # last — running (current row) under ALL ROWS,
+            # whole-match end under explicit FINAL
             sel.append(
-                f"element_at(__arr, {cur})."
+                f"element_at(__arr, {mcur})."
                 f"{col_fields[col]} AS {name}"
             )
     # match enumeration -> array<struct<no, mlen, sp>>:
@@ -1284,9 +1337,9 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
         return f"substring(__s, p, 1) IN ({inlist})"
 
     ps = "".join(
-        f", filter(sequence(m.sp, {cur}), "
-        f"p -> {_sym_pred(y)}) AS __ps_{y}"
-        for y in syms_used
+        f", filter(sequence(m.sp, {fcur if sfx else cur}), "
+        f"p -> {_sym_pred(y)}) AS __ps{sfx}_{y}"
+        for (y, sfx) in syms_used
     )
     if skip_to is not None:
         # bind the fold ONCE, then guard: the SQL:2016 runtime
@@ -1316,17 +1369,20 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
         # a second wrap binds each aggregated (symbol, column) value
         # array once — it must sit ABOVE the __ps layer because a
         # projection cannot reference a sibling alias
-        psrefs = "".join(f", __ps_{y}" for y in syms_used)
+        psrefs = "".join(
+            f", __ps{sfx}_{y}" for (y, sfx) in syms_used
+        )
         # NULL rows are dropped HERE so every consumer sees SQL
         # aggregate semantics: SUM's left fold never touches a NULL
         # (one would poison the whole sum), AVG's size(v) divisor is
         # the NON-NULL count, and MIN/MAX are unchanged (array_min/
         # max already skip NULLs) — one filter serves all four.
         vals = "".join(
-            f", filter(transform(__ps_{y}, p -> element_at(__arr, p)."
+            f", filter(transform(__ps{sfx}_{y}, "
+            f"p -> element_at(__arr, p)."
             f"{col_fields[c]}), x -> x IS NOT NULL) "
-            f"AS __vals_{y}_{col_fields[c]}"
-            for (y, c) in agg_vals
+            f"AS __vals{sfx}_{y}_{col_fields[c]}"
+            for (y, c, sfx) in agg_vals
         )
         base = (
             f"SELECT {part}, __arr, __s, m{psrefs}{vals} "

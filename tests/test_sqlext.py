@@ -1204,6 +1204,74 @@ class TestMatchRecognize:
         with pytest.raises(ValueError, match="does not appear"):
             sqlext.sql(spark, base.format(subset=""))
 
+    def test_explicit_running_final_under_all_rows(self, spark, mr_view):
+        # explicit FINAL under ALL ROWS switches a measure to the
+        # WHOLE-match scope while RUNNING siblings keep per-row
+        # scope — mixed in one MEASURES list, each (symbol, scope)
+        # binds its own array (user 1 is V C C P)
+        got = sqlext.sql(
+            spark,
+            """SELECT user_id, rn, fn, r_last, f_last, r_cls, f_cls,
+                      r_sc, f_sc
+               FROM mr_events MATCH_RECOGNIZE (
+                 PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 MEASURES RUNNING COUNT(*) AS rn,
+                          FINAL COUNT(*) AS fn,
+                          LAST(event_id) AS r_last,
+                          FINAL LAST(event_id) AS f_last,
+                          RUNNING CLASSIFIER() AS r_cls,
+                          FINAL CLASSIFIER() AS f_cls,
+                          SUM(C.event_id) AS r_sc,
+                          FINAL SUM(C.event_id) AS f_sc
+                 ALL ROWS PER MATCH
+                 PATTERN (V C* P)
+                 DEFINE V AS event_type = 'view',
+                        C AS event_type = 'click',
+                        P AS event_type = 'purchase'
+               ) ORDER BY user_id, rn""",
+        ).filter("user_id = 1").collect()
+        assert [tuple(r) for r in got] == [
+            (1, 1, 4, 1, 4, "V", "P", None, 5),
+            (1, 2, 4, 2, 4, "C", "P", 2, 5),
+            (1, 3, 4, 3, 4, "C", "P", 5, 5),
+            (1, 4, 4, 4, 4, "P", "P", 5, 5),
+        ]
+
+    def test_running_final_no_op_under_one_row(self, spark, mr_view):
+        # under ONE ROW the evaluation row is the match's last row,
+        # where the standard makes RUNNING and FINAL coincide — both
+        # keywords accepted, values identical to the unqualified form
+        q = """SELECT user_id, n, l FROM mr_events MATCH_RECOGNIZE (
+               PARTITION BY user_id ORDER BY ts, event_id
+               MEASURES {kw1}COUNT(*) AS n, {kw2}LAST(event_id) AS l
+               ONE ROW PER MATCH
+               PATTERN (V C* P)
+               DEFINE V AS event_type = 'view',
+                      C AS event_type = 'click',
+                      P AS event_type = 'purchase'
+             ) ORDER BY user_id"""
+        plain = sqlext.sql(spark, q.format(kw1="", kw2="")).collect()
+        fin = sqlext.sql(
+            spark, q.format(kw1="FINAL ", kw2="RUNNING ")
+        ).collect()
+        assert [tuple(r) for r in plain] == [tuple(r) for r in fin]
+        assert [tuple(r) for r in plain] == [(1, 4, 4), (3, 2, 9), (3, 2, 11)]
+
+    def test_refuses_running_final_match_number(self, spark, mr_view):
+        with pytest.raises(ValueError, match="no row scope"):
+            sqlext.sql(
+                spark,
+                """SELECT user_id, n FROM mr_events MATCH_RECOGNIZE (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   MEASURES FINAL MATCH_NUMBER() AS n
+                   ONE ROW PER MATCH
+                   PATTERN (V C* P)
+                   DEFINE V AS event_type = 'view',
+                          C AS event_type = 'click',
+                          P AS event_type = 'purchase')""",
+            )
+
     def test_all_rows_per_match_running_semantics(self, spark, mr_view):
         rows = sqlext.sql(
             spark,
