@@ -1654,3 +1654,127 @@ register(
     oracle=_stream_pattern_symbol_oracle(),
     tags=("streaming", "stateful", "sequence"),
 )(q_stream_pattern_symbol_measures)
+
+
+def _mr_skip_to_matches(s: str) -> list:
+    """(start, length) matches under AFTER MATCH SKIP TO LAST V for
+    the VC*V span pattern — the sequential scan, live: re.search
+    from the resume position IS "leftmost match starting at or after
+    r" (the standard's scan), and the resume row is the match's last
+    V (= its final row for this pattern), INCLUSIVE, so the closing
+    view of one span opens the next — matches chain exactly like the
+    batch fold's aggregate() enumeration. The SQL:2016 runtime-error
+    arms (absent symbol / resume-at-match-start) are structurally
+    unreachable here: the pattern ENDS with the skip symbol and is
+    >= 2 rows, so the resume row is always the match end and always
+    past the start — same argument the batch key's docstring makes."""
+    import re as _re
+
+    pat = _re.compile(r"VC*V")
+    out = []
+    r = 0
+    while True:
+        m = pat.search(s, r)
+        if m is None:
+            return out
+        sp, ln = m.start(), m.end() - m.start()
+        out.append((sp, ln))
+        r = sp + ln - 1  # the match's last V, inclusive
+
+
+def _pattern_skip_to_fold(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """SKIP TO LAST V variant of the pattern folds (same merge-sorted
+    state and latest-full-snapshot contracts): chained view-to-view
+    spans re-emit the moment their closing view lands, with the
+    in-span click count (per-symbol COUNT(C.*), the span scan)."""
+    xs, eids, s = _mr_merge(batches, state)
+    rows = []
+    for no, (sp, ln) in enumerate(_mr_skip_to_matches(s), start=1):
+        span = s[sp : sp + ln]
+        rows.append(
+            (
+                key[0],
+                len(s),
+                no,
+                ln,
+                span.count("C"),
+                xs[sp],
+                xs[sp + ln - 1],
+            )
+        )
+    if rows:
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([r[0] for r in rows], dtype="int64"),
+                "seq_len": pd.Series([r[1] for r in rows], dtype="int64"),
+                "match_no": pd.Series([r[2] for r in rows], dtype="int32"),
+                "n_rows": pd.Series([r[3] for r in rows], dtype="int64"),
+                "n_clicks": pd.Series([r[4] for r in rows], dtype="int64"),
+                "start_x": pd.Series([r[5] for r in rows], dtype="int64"),
+                "end_x": pd.Series([r[6] for r in rows], dtype="int64"),
+            }
+        )
+
+
+def q_stream_pattern_skip_to(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LIVE ``AFTER MATCH SKIP TO LAST <symbol>`` (streaming twin of
+    q_pattern_skip_to, completing the skip-mode trio live the way
+    the overlap twin completed the pair): chained view-to-view
+    engagement spans re-emit the moment their closing view lands —
+    and because SKIP TO LAST V resumes AT that view, the same
+    arrival that CLOSES one span OPENS the next, the semantics only
+    this skip mode has. The fold's sequential re.search-from-resume
+    scan is exactly the standard's leftmost-at-or-after-r match
+    search (the batch aggregate() fold's enumeration, in Python);
+    same merge-sorted state (~17 bytes/event, window by
+    session/month at scale), same latest-full-snapshot collapse,
+    same epoch-micros boundary crossing. The oracle IS the batch
+    key's DuckDB RECURSIVE CTE."""
+    typed = _classified_stream(spark, sf_dir)
+    out = typed.groupBy("user_id").applyInPandasWithState(
+        _pattern_skip_to_fold,
+        outputStructType="user_id long, seq_len long, match_no int, "
+        "n_rows long, n_clicks long, start_x long, end_x long",
+        stateStructType="xs array<long>, eids array<long>, s string",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    tbl = run_to_table(out, "update", spark)
+    epoch = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+    latest = Window.partitionBy("user_id")
+    return (
+        tbl.withColumn("max_len", F.max("seq_len").over(latest))
+        .filter(F.col("seq_len") == F.col("max_len"))
+        .select(
+            "user_id",
+            F.col("match_no").cast("int").alias("match_no"),
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.col("n_clicks").cast("bigint").alias("n_clicks"),
+            F.expr(
+                f"timestampadd(MICROSECOND, start_x, {epoch})"
+            ).alias("start_ts"),
+            F.expr(
+                f"timestampadd(MICROSECOND, end_x, {epoch})"
+            ).alias("end_ts"),
+        )
+        .orderBy("user_id", "match_no")
+    )
+
+
+def _stream_pattern_skip_to_oracle() -> str:
+    import streamz_postgres_spark.operators.windows  # noqa: F401
+
+    from streamz_postgres_spark.registry import REGISTRY
+
+    return REGISTRY["q_pattern_skip_to"].oracle
+
+
+register(
+    "q_stream_pattern_skip_to",
+    oracle=_stream_pattern_skip_to_oracle(),
+    tags=("streaming", "stateful", "sequence"),
+)(q_stream_pattern_skip_to)

@@ -1,0 +1,109 @@
+"""Round-12 semantic pins: the SKIP TO LAST V live fold.
+
+Same strategy as the round-11 fold pins — drive the fold directly
+with a fake GroupState and ADVERSARIALLY out-of-order batch splits,
+asserting the final emission equals a single-batch (fully sorted)
+run. The skip-to enumeration additionally pins the CHAINING
+property (the closing view of one span opens the next), which is
+the semantics that distinguishes this skip mode from PAST LAST ROW.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from streamz_postgres_spark.streaming.stateful import (
+    _mr_skip_to_matches,
+    _pattern_skip_to_fold,
+)
+
+
+class _FakeState:
+    def __init__(self):
+        self._t = None
+
+    @property
+    def exists(self):
+        return self._t is not None
+
+    @property
+    def get(self):
+        return self._t
+
+    def update(self, t):
+        self._t = t
+
+
+def _mk(rows):
+    return pd.DataFrame(
+        {
+            "x": pd.Series([r[0] for r in rows], dtype="int64"),
+            "event_id": pd.Series([r[1] for r in rows], dtype="int64"),
+            "ch": pd.Series([r[2] for r in rows], dtype="object"),
+        }
+    )
+
+
+def test_skip_to_enumeration_chains_through_boundary():
+    # VCCVCV: m1 = VCCV [0,4), resume at its last V (pos 3,
+    # INCLUSIVE) which opens m2 = VCV [3,6) — the chain
+    assert _mr_skip_to_matches("VCCVCV") == [(0, 4), (3, 3)]
+    # VVV: adjacent views chain maximally (VV, VV)
+    assert _mr_skip_to_matches("VVV") == [(0, 2), (1, 2)]
+    # no closing view -> no match; filler breaks the span
+    assert _mr_skip_to_matches("VCP") == []
+    assert _mr_skip_to_matches("VC-V") == []
+    # non-overlapping scan would find ONE match here; skip-to two
+    assert _mr_skip_to_matches("VCVCV") == [(0, 3), (2, 3)]
+
+
+# event-time order: V C C V C V  (m1 rows 1-4, m2 rows 4-6 chained)
+_EVENTS = [
+    (10, 1, "V"),
+    (20, 2, "C"),
+    (30, 3, "C"),
+    (40, 4, "V"),
+    (50, 5, "C"),
+    (60, 6, "V"),
+]
+
+_EXPECTED = [
+    # (match_no, n_rows, n_clicks, start_x, end_x)
+    (1, 4, 2, 10, 40),
+    (2, 3, 1, 40, 60),
+]
+
+
+def _run_fold(batches):
+    state = _FakeState()
+    last = None
+    for b in batches:
+        out = list(_pattern_skip_to_fold((1,), iter([b]), state))
+        if out:
+            last = pd.concat(out, ignore_index=True)
+    return last, state
+
+
+@pytest.mark.parametrize(
+    "split",
+    [
+        [_EVENTS],  # single batch (the reference)
+        [_EVENTS[:3], _EVENTS[3:]],
+        # the chain's BOUNDARY view arrives last: until it lands
+        # only m1's prefix exists, then both spans appear at once
+        [_EVENTS[:3], _EVENTS[4:], [_EVENTS[3]]],
+        [[e] for e in reversed(_EVENTS)],
+        [_EVENTS[::2], _EVENTS[1::2]],
+    ],
+)
+def test_skip_to_fold_order_independent(split):
+    last, state = _run_fold([_mk(b) for b in split])
+    got = sorted(
+        zip(
+            last["match_no"], last["n_rows"], last["n_clicks"],
+            last["start_x"], last["end_x"],
+        )
+    )
+    assert [tuple(map(int, r)) for r in got] == _EXPECTED
+    assert state.get[2] == "VCCVCV"
