@@ -2552,3 +2552,90 @@ def q_pattern_running_final(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.catalog.dropTempView(view)
+
+
+@register(
+    "q_pattern_anchors",
+    oracle="""
+WITH seq AS (
+  SELECT user_id,
+         string_agg(CASE WHEN event_type = 'view' THEN 'V'
+                         WHEN event_type = 'click' THEN 'C'
+                         WHEN event_type = 'purchase' THEN 'P'
+                         ELSE '-' END, '' ORDER BY ts, event_id) AS s,
+         list(ts ORDER BY ts, event_id) AS tss
+  FROM events GROUP BY user_id
+),
+mm AS (
+  SELECT user_id, tss, s,
+         regexp_extract_all(s, 'VC{0,2}P$') AS ms,
+         regexp_split_to_array(s, 'VC{0,2}P$') AS gs
+  FROM seq
+),
+x AS (
+  SELECT user_id, tss,
+         unnest(list_transform(range(1, len(ms)+1), i -> struct_pack(
+            no := i, mlen := length(ms[i]),
+            sp := coalesce(list_sum(list_transform(gs[1:i],
+                                                   g -> length(g))), 0)
+                + coalesce(list_sum(list_transform(ms[1:i-1],
+                                                   g -> length(g))), 0)
+                + 1))) AS m
+  FROM mm
+)
+SELECT user_id, CAST((m).no AS INTEGER) AS match_no,
+       CAST((m).mlen AS BIGINT) AS n_rows,
+       tss[CAST((m).sp AS BIGINT)] AS start_ts,
+       tss[CAST((m).sp + (m).mlen - 1 AS BIGINT)] AS end_ts
+FROM x ORDER BY user_id, match_no
+""",
+    tags=("window", "sequence", "sql"),
+)
+def q_pattern_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2016 partition anchors in PATTERN — ``(V C{0,2} P $)``:
+    "which users' event histories END with a conversion run" (12 of
+    150 users at sf0.01 vs the hundreds of interior matches the
+    unanchored scan reports — anchored semantics, not a filter on
+    them). Lowering: the symbol string IS the whole ordered
+    partition, so ``^``/``$`` lower to the regex string anchors
+    VERBATIM and ride the existing gaps/matches decomposition
+    unchanged (an anchored pattern yields at most one match, and
+    both engines' scanners agree on it — the alphabet has no
+    newline, so Java's before-final-terminator ``$`` nuance cannot
+    fire). Grammar bounds: anchors only at the pattern boundaries
+    (that is where the standard's grammar puts them; interior
+    anchors refused), and only with SKIP PAST LAST ROW — the
+    overlapping/skip-to probes prepend their own ``^`` which would
+    silently neutralize a partition anchor, so the combination is
+    refused rather than reinterpreted. Scale: identical plan to
+    every aggregate-form pattern key (one keyed shuffle of 1-byte
+    symbols). The oracle runs the identical anchored regex through
+    the same DuckDB decomposition."""
+    import uuid as _uuid
+
+    from streamz_postgres_spark import sqlext
+
+    view = f"events_{_uuid.uuid4().hex[:8]}"
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(view)
+    try:
+        return sqlext.sql(
+            spark,
+            f"""SELECT user_id, match_no, n_rows, start_ts, end_ts
+                FROM {view}
+                MATCH_RECOGNIZE (
+                  PARTITION BY user_id
+                  ORDER BY ts, event_id
+                  MEASURES MATCH_NUMBER() AS match_no,
+                           COUNT(*) AS n_rows,
+                           FIRST(ts) AS start_ts,
+                           LAST(ts) AS end_ts
+                  ONE ROW PER MATCH
+                  AFTER MATCH SKIP PAST LAST ROW
+                  PATTERN (V C{{0,2}} P $)
+                  DEFINE V AS event_type = 'view',
+                         C AS event_type = 'click',
+                         P AS event_type = 'purchase'
+                ) ORDER BY user_id, match_no""",
+        )
+    finally:
+        spark.catalog.dropTempView(view)

@@ -182,6 +182,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_pattern_subset",
     "q_pattern_running_final",
     "q_stream_pattern_skip_to",
+    "q_pattern_anchors",
     # -- 28 remaining r6-window keys (driver-checked r6):
     "q_stream_textfile",
     "q_subquery_in",

@@ -80,6 +80,19 @@ the reason):
   {n,} {n,m}`` (n <= m <= 64), grouping and ``|`` — and re-emitted
   as a canonical regex (adjacent quantifiers like the
   Java-possessive ``*+`` are refused: engine-divergent).
+  The SQL:2016 partition anchors are accepted at the pattern
+  boundaries — ``^`` as the very first element (the match must
+  start at the partition's FIRST row) and ``$`` as the very last
+  (must end at its LAST row): the symbol string is the whole
+  ordered partition, so they lower to the regex string anchors
+  verbatim (no newline can occur in the alphabet, so Java's
+  before-final-terminator ``$`` nuance cannot bite, and both
+  engines agree). Interior/per-branch anchors are refused, and
+  anchors combine only with ``SKIP PAST LAST ROW`` (an anchored
+  pattern pins the match to a boundary; the overlapping/skip-to
+  scans have nothing to enumerate — and their per-position probes
+  prepend their own ``^``, which would silently neutralize a
+  partition anchor).
   ``PERMUTE(A, B[, ...])`` (the SQL:2016 any-order construct) is
   expanded at parse time into the alternation of all permutations
   in lexicographic order of the listed elements — the standard's
@@ -281,7 +294,7 @@ _PATTERN_RE = re.compile(
         (?:MEASURES\s+(?P<meas>.+?)\s+)??
         (?P<rpm>(?:ONE\s+ROW|ALL\s+ROWS)\s+PER\s+MATCH\s+)?
         (?:AFTER\s+MATCH\s+SKIP\s+(?P<skip>\w+(?:\s+\w+)*?)\s+)?
-        PATTERN\s*\(\s*(?P<pat>[A-Za-z0-9\s*+?|(){},]+?)\s*\)\s+
+        PATTERN\s*\(\s*(?P<pat>[A-Za-z0-9\s*+?|(){},^$]+?)\s*\)\s+
         (?:SUBSET\s+(?P<subset>[A-Za-z\s=,()]+?)\s+)?
         DEFINE\s+(?P<defs>.+?)\s*\)\s*
         (?:ORDER\s+BY\s+(?P<outorder>[\w\s,]+?(?:\s+(?:ASC|DESC))?)\s*)?$""",
@@ -420,18 +433,47 @@ def _parse_pattern(raw: str) -> str:
     single-quoted SQL literal on both engines (alphabet is
     ``A-Z 0-9 * + ? | ( ) { } ,``)."""
     # keyword detection happens on the RAW text: only a CONTIGUOUS
-    # 'PERMUTE' identifier (not preceded by another letter/digit)
-    # followed by '(' is the reserved word; whitespace-separated
-    # letters that would spell PERMUTE after stripping stay symbols.
+    # 'PERMUTE' letter run followed by '(' is the reserved word;
+    # whitespace-separated letters that would spell PERMUTE after
+    # stripping stay the seven symbols they are (r11 advisor). A
+    # symbol letter immediately before the contiguous keyword —
+    # 'VPERMUTE(A,B)' — reads as V then PERMUTE(...), consistent
+    # with this grammar's whitespace-free symbol runs ('VC*P').
     # '~' is outside _PATTERN_RE's alphabet, so it cannot occur in
     # SQL-path input and is unambiguous as the keyword sentinel.
     s = re.sub(
-        r"(?<![A-Za-z0-9_])PERMUTE(?=\s*\()", "~", raw,
+        r"PERMUTE(?=\s*\()", "~", raw,
         flags=re.IGNORECASE,
     )
     s = re.sub(r"\s+", "", s).upper()
     if not s:
         raise ValueError("PATTERN () is empty")
+    # SQL:2016 partition anchors: '^' matches the position before
+    # the partition's FIRST row, '$' after its LAST — and since the
+    # symbol string IS the whole ordered partition, they lower to
+    # the regex string anchors verbatim (the strings contain no
+    # newline, so Java's before-final-terminator '$' nuance cannot
+    # bite). Accepted ONLY at the very start/end of the whole
+    # pattern — that is where the standard's grammar puts them, and
+    # an interior anchor inside the gaps/matches decomposition would
+    # need per-branch position reasoning this adapter refuses.
+    anchor_start = s.startswith("^")
+    anchor_end = s.endswith("$")
+    core = s[1 if anchor_start else 0 : len(s) - (1 if anchor_end else 0)]
+    if "^" in core or "$" in core:
+        raise ValueError(
+            "PATTERN anchors are supported only at the pattern "
+            "boundaries — '^' as the very first element (match must "
+            "start at the partition's first row) and '$' as the "
+            "very last (match must end at its last row); interior "
+            "or per-branch anchors are not lowered"
+        )
+    if not core:
+        raise ValueError(
+            "PATTERN contains only anchors — require at least one "
+            "symbol"
+        )
+    s = core
     pos = 0
 
     def peek() -> str:
@@ -440,12 +482,22 @@ def _parse_pattern(raw: str) -> str:
     def parse_quant(base_nullable: bool) -> tuple:
         nonlocal pos
         ch = peek()
+        # refusal below (r12, found by the overlap property test):
+        # REPEATING a base that can itself match EMPTY — (E*)*,
+        # ((E*)|(P))+, (A?){2} — is where the three engines
+        # genuinely diverge: Java/Python stop a loop iteration that
+        # matched empty, while RE2's NFA continues into
+        # lower-priority NON-empty branches of the same iteration
+        # (probed: '^(C((E*)|(P))*)' extracts 'CE' in Python/Java
+        # and 'CEP' in RE2/DuckDB). '?' and {1}/{0,1} never repeat,
+        # so they stay legal on a nullable base.
+        repeats = False
         if ch == "*":
             pos += 1
-            q, nullable = "*", True
+            q, nullable, repeats = "*", True, True
         elif ch == "+":
             pos += 1
-            q, nullable = "+", base_nullable
+            q, nullable, repeats = "+", base_nullable, True
         elif ch == "?":
             pos += 1
             q, nullable = "?", True
@@ -479,8 +531,20 @@ def _parse_pattern(raw: str) -> str:
                 )
             pos += bm.end()
             nullable = base_nullable or lo == 0
+            repeats = hi is None or hi > 1
         else:
             return "", base_nullable
+        if base_nullable and repeats:
+            raise ValueError(
+                "PATTERN repeats a group that can itself match an "
+                "EMPTY sequence (every element * or ? quantified or "
+                "{0,..} bounded) — empty loop iterations are where "
+                "the engines diverge (Java/Python stop the loop, "
+                "RE2/DuckDB continues into non-empty branches of "
+                "the same iteration); make the group body mandatory "
+                "or drop the outer quantifier ('?', {1} and {0,1} "
+                "remain legal — they never repeat)"
+            )
         if peek() and peek() in "*+?{":
             raise ValueError(
                 "PATTERN has adjacent quantifiers "
@@ -608,6 +672,13 @@ def _parse_pattern(raw: str) -> str:
             "* or ? quantified or {0,...} bounded) — require at "
             "least one mandatory symbol"
         )
+    # the anchors re-enter the CANONICAL regex here (zero-width, so
+    # they contribute nothing to nullability or symbol extraction);
+    # _lower_pattern detects them by position — '^'/'$' cannot occur
+    # anywhere else in the emitted alphabet
+    regex = ("^" if anchor_start else "") + regex + (
+        "$" if anchor_end else ""
+    )
     # canonical-regex sanity check (should be unreachable: the
     # alphabet above is common to Python/Java/RE2)
     try:
@@ -745,7 +816,8 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
             "[AFTER MATCH SKIP PAST LAST ROW | "
             "AFTER MATCH SKIP TO NEXT ROW | "
             "AFTER MATCH SKIP TO [FIRST|LAST] <symbol>] "
-            "PATTERN (<symbols with * + ? {n,m} | () PERMUTE(..)>) "
+            "PATTERN ([^] <symbols with * + ? {n,m} | () "
+            "PERMUTE(..)> [$]) "
             "[SUBSET <U> = (<syms>), ...] "
             "DEFINE <S> AS "
             "<pred>[, ...]) [ORDER BY <cols>] (one table, "
@@ -833,6 +905,22 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
     if not defs:
         raise ValueError("DEFINE lists no symbols")
     regex = _parse_pattern(m.group("pat"))
+    if (regex.startswith("^") or regex.endswith("$")) and (
+        overlap or skip_to is not None
+    ):
+        # the per-position anchored probes prepend their own '^' to
+        # the emitted regex, which would neutralize a partition
+        # anchor (every probe substring starts at its probe
+        # position); an anchored pattern has at most one start/end
+        # match anyway, so the overlapping/skip-to scans are
+        # meaningless over it — refuse rather than silently change
+        # the anchor's meaning
+        raise ValueError(
+            "PATTERN anchors (^/$) combine only with AFTER MATCH "
+            "SKIP PAST LAST ROW — an anchored pattern pins the "
+            "match to the partition boundary, so the overlapping "
+            "and skip-to scans have nothing to enumerate"
+        )
     pat_syms = set(re.findall(r"[A-Z]", regex))
     undefined = sorted(pat_syms - seen)
     if undefined:

@@ -63,11 +63,22 @@ def _pattern(draw):
 
 
 def _noisy(draw_ws, pat: str) -> str:
-    """Scatter whitespace between tokens and lowercase some symbols
-    (the grammar upcases and strips)."""
+    """Scatter whitespace between TOKENS and lowercase some symbols
+    (the grammar upcases and strips). The PERMUTE keyword is one
+    token and stays contiguous — since r12 (the r11 advisor find)
+    the keyword is detected on the raw text, so whitespace INSIDE
+    it would correctly turn it into seven separate symbols, which
+    is a different (also-tested) input, not noise."""
     out = []
-    for ch in pat:
-        out.append(ch.lower() if ch.isalpha() and draw_ws else ch)
+    i = 0
+    while i < len(pat):
+        if pat[i : i + 7].upper() == "PERMUTE":
+            out.append(pat[i : i + 7].lower() if draw_ws else pat[i : i + 7])
+            i += 7
+        else:
+            ch = pat[i]
+            out.append(ch.lower() if ch.isalpha() and draw_ws else ch)
+            i += 1
         if draw_ws:
             out.append(" ")
     return "".join(out)
@@ -81,8 +92,15 @@ def test_canonical_regex_is_semantically_identical(pat, ws, s):
     try:
         canonical = _parse_pattern(_noisy(ws, pat))
     except ValueError as e:
-        # property 2: refusal reason must be empty-matchability (the
-        # generator never emits adjacent quantifiers or bad bounds)
+        # property 2: the refusal reason must be one of the two
+        # emptiness classes (the generator never emits adjacent
+        # quantifiers or bad bounds): whole-pattern
+        # empty-matchability, or — since r12 — REPEATING a nullable
+        # group, the RE2-vs-Java/Python empty-iteration divergence
+        # the overlap property test surfaced ((E*)|(P))* extracts
+        # 'CE' in Python/Java but 'CEP' in RE2)
+        if "repeats a group" in str(e):
+            return  # repeated-nullable-group refusal, r12
         assert "EMPTY row sequence" in str(e)
         assert empty_matchable
         return

@@ -1204,6 +1204,96 @@ class TestMatchRecognize:
         with pytest.raises(ValueError, match="does not appear"):
             sqlext.sql(spark, base.format(subset=""))
 
+    def test_refuses_repeating_a_nullable_group(self, spark, mr_view):
+        # (r12, surfaced by the overlap property test): repeating a
+        # group that can itself match EMPTY is where the engines
+        # genuinely diverge — Java/Python stop a loop iteration that
+        # matched empty, RE2/DuckDB continues into non-empty
+        # branches of the same iteration ('^(C((E*)|(P))*)'
+        # extracts 'CE' vs 'CEP'). Refused; '?' stays legal.
+        for bad in ["(C*)*", "((C*)|(P))+", "(C?){2}", "(C*){0,3}"]:
+            with pytest.raises(ValueError, match="repeats a group"):
+                sqlext._parse_pattern(f"V {bad}")
+        # non-repeating quantifiers on a nullable group stay legal
+        assert sqlext._parse_pattern("V (C*)?") == "V(C*)?".replace(" ", "")
+        assert sqlext._parse_pattern("V (C*){1}") == "V(C*){1}"
+        # ...and repeating a NON-nullable group is untouched
+        assert sqlext._parse_pattern("(V|C)+P") == "(V|C)+P"
+
+    def test_partition_anchors(self, spark):
+        # ^ pins the match to the partition's FIRST row, $ to its
+        # LAST — zero-width, value-distinct from the unanchored scan
+        rows = [
+            (1, 1, "view"), (1, 2, "click"), (1, 3, "purchase"),
+            (1, 4, "view"), (1, 5, "purchase"),
+            (2, 6, "click"), (2, 7, "view"), (2, 8, "purchase"),
+        ]
+        spark.createDataFrame(
+            rows, "user_id int, event_id int, event_type string"
+        ).createOrReplaceTempView("mr_anchor")
+        q = """SELECT user_id, seq_len, n_matches, matched
+            FROM mr_anchor MATCH_RECOGNIZE (
+              PARTITION BY user_id ORDER BY event_id
+              PATTERN ({pat})
+              DEFINE V AS event_type = 'view',
+                     C AS event_type = 'click',
+                     P AS event_type = 'purchase'
+            ) ORDER BY user_id"""
+        try:
+            # history STARTS with the run: user 2 starts with a
+            # click -> anchored miss where the plain scan matches
+            start = sqlext.sql(
+                spark, q.format(pat="^ V C* P")
+            ).collect()
+            assert [tuple(r) for r in start] == [
+                (1, 5, 1, 1), (2, 3, 0, 0),
+            ]
+            # history ENDS with the run: both users end ...VP
+            end = sqlext.sql(spark, q.format(pat="V C* P $")).collect()
+            assert [tuple(r) for r in end] == [
+                (1, 5, 1, 1), (2, 3, 1, 1),
+            ]
+            # both anchors: whole-history match only
+            both = sqlext.sql(
+                spark, q.format(pat="^ V C* P $")
+            ).collect()
+            assert [tuple(r) for r in both] == [
+                (1, 5, 0, 0), (2, 3, 0, 0),
+            ]
+            # MEASURES read positions through the anchored
+            # enumeration unchanged
+            meas = sqlext.sql(
+                spark,
+                """SELECT user_id, n_rows, first_id
+                   FROM mr_anchor MATCH_RECOGNIZE (
+                     PARTITION BY user_id ORDER BY event_id
+                     MEASURES COUNT(*) AS n_rows,
+                              FIRST(event_id) AS first_id
+                     ONE ROW PER MATCH
+                     PATTERN (V C* P $)
+                     DEFINE V AS event_type = 'view',
+                            C AS event_type = 'click',
+                            P AS event_type = 'purchase'
+                   ) ORDER BY user_id""",
+            ).collect()
+            assert [tuple(r) for r in meas] == [(1, 2, 4), (2, 2, 7)]
+            # refusals: interior anchor; anchors-only; anchored
+            # pattern under an overlapping/skip-to scan
+            with pytest.raises(ValueError, match="boundaries"):
+                sqlext.sql(spark, q.format(pat="V ^ P"))
+            with pytest.raises(ValueError, match="only anchors"):
+                sqlext.sql(spark, q.format(pat="^ $"))
+            with pytest.raises(ValueError, match="nothing to enumerate"):
+                sqlext.sql(
+                    spark,
+                    q.format(pat="^ V C* P").replace(
+                        "PATTERN", "AFTER MATCH SKIP TO NEXT ROW "
+                        "PATTERN",
+                    ),
+                )
+        finally:
+            spark.catalog.dropTempView("mr_anchor")
+
     def test_explicit_running_final_under_all_rows(self, spark, mr_view):
         # explicit FINAL under ALL ROWS switches a measure to the
         # WHOLE-match scope while RUNNING siblings keep per-row
