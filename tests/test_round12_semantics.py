@@ -85,6 +85,60 @@ def _run_fold(batches):
     return last, state
 
 
+def test_round12_constructs_compose(spark):
+    """Kitchen-sink pin: SUBSET union x explicit RUNNING/FINAL x
+    SKIP TO LAST x ALL ROWS PER MATCH in ONE statement, against
+    hand-derived values. s = VCVCV under (V C+ V) with SKIP TO
+    LAST V: m1 = rows 1-3, resume AT row 3 (the boundary view),
+    m2 = rows 3-5. E = (V, C) covers every matched row here, so
+    FINAL COUNT(E.*) = FINAL COUNT(*) = 3 while the RUNNING twin
+    climbs 1,2,3; FINAL SUM(E.event_id) = 6 then 12 (the chained
+    match re-sums its own span, sharing row 3 with m1)."""
+    from streamz_postgres_spark import sqlext
+
+    rows = [
+        (1, 1, "view", 1.0), (1, 2, "click", 2.0),
+        (1, 3, "view", 3.0), (1, 4, "click", 4.0),
+        (1, 5, "view", 5.0),
+    ]
+    spark.createDataFrame(
+        rows,
+        "user_id int, event_id int, event_type string, value double",
+    ).createOrReplaceTempView("mr_ks12")
+    try:
+        got = sqlext.sql(
+            spark,
+            """SELECT user_id, match_no, rn, fn, r_ne, f_ne, f_se,
+                      f_cls
+               FROM mr_ks12 MATCH_RECOGNIZE (
+                 PARTITION BY user_id ORDER BY event_id
+                 MEASURES MATCH_NUMBER() AS match_no,
+                          RUNNING COUNT(*) AS rn,
+                          FINAL COUNT(*) AS fn,
+                          COUNT(E.*) AS r_ne,
+                          FINAL COUNT(E.*) AS f_ne,
+                          FINAL SUM(E.event_id) AS f_se,
+                          FINAL CLASSIFIER() AS f_cls
+                 ALL ROWS PER MATCH
+                 AFTER MATCH SKIP TO LAST V
+                 PATTERN (V C+ V)
+                 SUBSET E = (V, C)
+                 DEFINE V AS event_type = 'view',
+                        C AS event_type = 'click'
+               ) ORDER BY user_id, match_no, rn""",
+        ).collect()
+    finally:
+        spark.catalog.dropTempView("mr_ks12")
+    assert [tuple(r) for r in got] == [
+        (1, 1, 1, 3, 1, 3, 6, "V"),
+        (1, 1, 2, 3, 2, 3, 6, "V"),
+        (1, 1, 3, 3, 3, 3, 6, "V"),
+        (1, 2, 1, 3, 1, 3, 12, "V"),
+        (1, 2, 2, 3, 2, 3, 12, "V"),
+        (1, 2, 3, 3, 3, 3, 12, "V"),
+    ]
+
+
 @pytest.mark.parametrize(
     "split",
     [
