@@ -247,3 +247,100 @@ def test_permute_expands_to_the_lexicographic_alternation(
     assert [m.span() for m in re.finditer(got, s)] == [
         m.span() for m in re.finditer(want, s)
     ]
+
+
+def _py_skip_to_scan(canonical: str, s: str, mode: str, sym: str):
+    """Python reference of the SKIP TO FIRST/LAST scan: leftmost
+    match at-or-after the resume position (re.search from r), resume
+    at the first/last <sym> offset inside the match INCLUSIVE.
+    Returns (matches, err) where err mirrors the lowering's SQL:2016
+    runtime-error latches (absent symbol; resume == match start)."""
+    pat = re.compile(canonical)
+    out, r = [], 0
+    while True:
+        m = pat.search(s, r)
+        if m is None:
+            return out, None
+        sp, ln = m.start(), m.end() - m.start()
+        span = m.group(0)
+        idx = span.find(sym) if mode == "FIRST" else span.rfind(sym)
+        if idx < 0:
+            return out, "absent"
+        if idx == 0:
+            return out, "loop"
+        out.append((sp + 1, ln))  # 1-based like the lowering
+        r = sp + idx
+
+
+@given(
+    pat=_pattern(),
+    s=st.text(_SYMS + "-", max_size=30),
+    mode=st.sampled_from(["FIRST", "LAST"]),
+    sym=st.sampled_from(list(_SYMS)),
+)
+@settings(max_examples=200, deadline=None)
+def test_skip_to_enumeration_matches_duckdb_scan(pat, s, mode, sym):
+    """The SKIP TO FIRST/LAST lowering's core claim (r12): the
+    DuckDB RECURSIVE-CTE oracle scan (list-comprehension leftmost
+    probe + first/last-symbol resume arithmetic) enumerates exactly
+    the same (start, extent) sequence — and latches the same
+    SQL:2016 runtime-error condition — as a direct Python reference
+    of the standard's scan, for every pattern the parser admits,
+    every symbol string and both modes. Pinning it property-wise
+    means the q_pattern_skip_to oracle form cannot silently diverge
+    from the batch fold on some corpus (the overlap twin of this
+    test caught a REAL RE2 empty-iteration divergence in r12)."""
+    import duckdb
+
+    try:
+        canonical = _parse_pattern(pat)
+    except ValueError:
+        return
+    if sym not in set(canonical) & set(_SYMS):
+        return  # the lowering refuses statically; nothing to scan
+    want, want_err = _py_skip_to_scan(canonical, s, mode, sym)
+    if mode == "FIRST":
+        off = f"strpos(mstr, '{sym}')"
+    else:
+        off = (
+            f"CASE WHEN strpos(reverse(mstr), '{sym}') = 0 THEN 0 "
+            f"ELSE length(mstr) - strpos(reverse(mstr), '{sym}') + 1 "
+            "END"
+        )
+    got_rows = duckdb.connect().execute(
+        f"""
+WITH RECURSIVE scan AS (
+  SELECT ?::VARCHAR AS s, 0 AS no, 1 AS r, 0 AS sp, 0 AS mlen,
+         0 AS o
+  UNION ALL
+  SELECT s, no + 1,
+         CASE WHEN o >= 2 THEN sp2 + o - 1 ELSE 0 END AS r,
+         sp2 AS sp, ml AS mlen, o
+  FROM (
+    SELECT s, no, sp2, ml, {off.replace("mstr", "s[sp2 : sp2 + ml - 1]")} AS o
+    FROM (
+      SELECT s, no, sp2,
+             length(regexp_extract(s[sp2:], '^({canonical})', 1)) AS ml
+      FROM (
+        SELECT s, no,
+               [q FOR q IN range(r, length(s) + 1)
+                  IF regexp_matches(s[q:], '^({canonical})')][1] AS sp2
+        FROM scan WHERE r >= 1
+      ) WHERE sp2 IS NOT NULL
+    )
+  )
+)
+SELECT no, sp, mlen, o FROM scan WHERE no > 0 ORDER BY no
+""",
+        [s],
+    ).fetchall()
+    got, got_err = [], None
+    for no, sp, mlen, o in got_rows:
+        if o == 0:
+            got_err = "absent"
+            break
+        if o == 1:
+            got_err = "loop"
+            break
+        got.append((sp, mlen))
+    assert (got, got_err) == (want, want_err)
