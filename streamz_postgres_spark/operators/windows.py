@@ -2639,3 +2639,118 @@ def q_pattern_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.catalog.dropTempView(view)
+
+
+@register(
+    "q_pattern_universal_measures",
+    oracle="""
+WITH seq AS (
+  SELECT user_id,
+         string_agg(CASE WHEN event_type = 'view' THEN 'V'
+                         WHEN event_type = 'click' THEN 'C'
+                         WHEN event_type = 'purchase' THEN 'P'
+                         ELSE '-' END, '' ORDER BY ts, event_id) AS s,
+         list(event_id ORDER BY ts, event_id) AS eids,
+         list(value ORDER BY ts, event_id) AS vls,
+         list(ts ORDER BY ts, event_id) AS tss
+  FROM events GROUP BY user_id
+),
+mm AS (
+  SELECT user_id, eids, vls, tss, s,
+         regexp_extract_all(s, 'VC{0,2}P') AS ms,
+         regexp_split_to_array(s, 'VC{0,2}P') AS gs
+  FROM seq
+),
+x AS (
+  SELECT user_id, eids, vls, tss, s,
+         unnest(list_transform(range(1, len(ms)+1), i -> struct_pack(
+            no := i, mlen := length(ms[i]),
+            sp := coalesce(list_sum(list_transform(gs[1:i],
+                                                   g -> length(g))), 0)
+                + coalesce(list_sum(list_transform(ms[1:i-1],
+                                                   g -> length(g))), 0)
+                + 1))) AS m
+  FROM mm
+),
+y AS (
+  SELECT user_id, eids, vls, tss, s, (m).no AS no,
+         CAST((m).sp AS BIGINT) AS sp,
+         CAST((m).mlen AS BIGINT) AS mlen,
+         list_filter(generate_series(CAST((m).sp AS BIGINT),
+                                     CAST((m).sp + (m).mlen - 1
+                                          AS BIGINT)),
+                     p -> s[p:p] = 'C') AS cp
+  FROM x
+)
+SELECT user_id, CAST(no AS INTEGER) AS match_no,
+       CAST(list_sum(eids[sp : sp + mlen - 1]) AS BIGINT) AS s_all,
+       CAST(list_sum(eids[sp : sp + mlen - 1]) AS DOUBLE) / mlen
+         AS a_all,
+       CAST(len(list_filter(vls[sp : sp + mlen - 1],
+                            x -> x IS NOT NULL)) AS BIGINT) AS n_val,
+       list_aggregate(vls[sp : sp + mlen - 1], 'min') AS mn_val,
+       list_aggregate(vls[sp : sp + mlen - 1], 'max') AS mx_val,
+       tss[sp + 1] AS second_ts,
+       eids[sp + mlen - 2] AS penult_eid,
+       CASE WHEN len(cp) > 1 THEN eids[cp[2]] END AS second_click
+FROM y ORDER BY user_id, match_no
+""",
+    tags=("window", "sequence", "sql"),
+)
+def q_pattern_universal_measures(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """UNIVERSAL (un-prefixed) aggregate MEASURES + logical-offset
+    navigation — the remaining SQL:2016 MEASURES surface: bare
+    ``SUM/AVG(<col>)`` range over ALL rows of the match (the
+    standard's universal row-pattern variable — "total/average id
+    over the whole conversion run", no symbol prefix needed),
+    ``COUNT(<col>)`` counts its non-null values, and FIRST/LAST
+    take the standard's logical offset (``FIRST(ts, 1)`` = the
+    run's SECOND row, ``LAST(event_id, 1)`` = its penultimate,
+    ``FIRST(C.event_id, 1)`` = the SECOND click — NULL when the
+    offset overruns, the out-of-range contract, pinned here by the
+    C{0,2} pattern's 0-and-1-click matches). Lowering: the
+    universal value array is the scope sequence itself (no symbol
+    filter), bound once per (column, scope) beside the per-symbol
+    arrays (let-binding rule); offsets are element_at index
+    arithmetic with a CASE range guard (lazy under ANSI). Exactness:
+    bigint sums, one exact division, double MIN/MAX compare-only.
+    Scale: identical single-keyed-shuffle plan to the sibling
+    measures keys. The oracle re-derives both via DuckDB list
+    slicing (out-of-range list indexes are NULL there, matching the
+    CASE guards)."""
+    import uuid as _uuid
+
+    from streamz_postgres_spark import sqlext
+
+    view = f"events_{_uuid.uuid4().hex[:8]}"
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(view)
+    try:
+        return sqlext.sql(
+            spark,
+            f"""SELECT user_id, match_no, s_all, a_all, n_val,
+                       mn_val, mx_val, second_ts, penult_eid,
+                       second_click
+                FROM {view}
+                MATCH_RECOGNIZE (
+                  PARTITION BY user_id
+                  ORDER BY ts, event_id
+                  MEASURES MATCH_NUMBER() AS match_no,
+                           SUM(event_id) AS s_all,
+                           AVG(event_id) AS a_all,
+                           COUNT(value) AS n_val,
+                           MIN(value) AS mn_val,
+                           MAX(value) AS mx_val,
+                           FIRST(ts, 1) AS second_ts,
+                           LAST(event_id, 1) AS penult_eid,
+                           FIRST(C.event_id, 1) AS second_click
+                  ONE ROW PER MATCH
+                  PATTERN (V C{{0,2}} P)
+                  DEFINE V AS event_type = 'view',
+                         C AS event_type = 'click',
+                         P AS event_type = 'purchase'
+                ) ORDER BY user_id, match_no""",
+        )
+    finally:
+        spark.catalog.dropTempView(view)

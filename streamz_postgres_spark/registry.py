@@ -183,6 +183,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_pattern_running_final",
     "q_stream_pattern_skip_to",
     "q_pattern_anchors",
+    "q_pattern_universal_measures",
     # -- 28 remaining r6-window keys (driver-checked r6):
     "q_stream_textfile",
     "q_subquery_in",

@@ -150,7 +150,17 @@ the reason):
   an unmatched row would emit as ``(key, NULL, NULL, ...)`` —
   contentless; the anti-join against the matched read-out gives the
   unmatched rows WITH their columns in one extra line of SQL.
-  Unmatched rows are omitted. Skip modes:
+  Unmatched rows are omitted.
+  Universal (un-prefixed) aggregates ``SUM/MIN/MAX/AVG(<col>)``
+  range over ALL rows of the scope (SQL:2016's universal
+  row-pattern variable), ``COUNT(<col>)`` counts its NON-NULL
+  values (vs ``COUNT(*)``'s row count) — same NULL-skipping fold
+  and (column, scope) let-binding as the per-symbol family. FIRST
+  and LAST take the standard's logical offset — ``FIRST(<col>,
+  k)`` reads the (k+1)-th scope row, ``LAST(<col>, k)`` the
+  (k+1)-th from its end, ``FIRST/LAST(<S>.<col>, k)`` the same
+  over the symbol's rows; out-of-range offsets are NULL, exactly
+  the standard's contract. Skip modes:
   ``AFTER MATCH SKIP PAST LAST ROW`` (the SQL:2016 default — the
   non-overlapping left-to-right scan, positions recovered from the
   gaps/matches decomposition: match i starts after the first i gaps
@@ -352,10 +362,30 @@ _MEASURE_RES = (
             re.IGNORECASE,
         ),
     ),
+    # universal (un-prefixed) aggregates — SQL:2016 treats a bare
+    # aggregate in MEASURES as ranging over ALL rows of the match
+    # (the universal row-pattern variable); COUNT(<col>) counts
+    # NON-NULL values, completing the COUNT menu
+    (
+        "uni_agg",
+        re.compile(
+            r"^(?P<agg>SUM|MIN|MAX|AVG)\s*\(\s*(?P<col>\w+)\s*\)"
+            r"\s+AS\s+(?P<name>\w+)$",
+            re.IGNORECASE,
+        ),
+    ),
+    (
+        "uni_count",
+        re.compile(
+            r"^COUNT\s*\(\s*(?P<col>\w+)\s*\)\s+AS\s+(?P<name>\w+)$",
+            re.IGNORECASE,
+        ),
+    ),
     (
         "sym_first",
         re.compile(
-            r"^FIRST\s*\(\s*(?P<sym>[A-Za-z])\s*\.\s*(?P<col>\w+)\s*\)"
+            r"^FIRST\s*\(\s*(?P<sym>[A-Za-z])\s*\.\s*(?P<col>\w+)\s*"
+            r"(?:,\s*(?P<k>\d+)\s*)?\)"
             r"\s+AS\s+(?P<name>\w+)$",
             re.IGNORECASE,
         ),
@@ -363,7 +393,8 @@ _MEASURE_RES = (
     (
         "sym_last",
         re.compile(
-            r"^LAST\s*\(\s*(?P<sym>[A-Za-z])\s*\.\s*(?P<col>\w+)\s*\)"
+            r"^LAST\s*\(\s*(?P<sym>[A-Za-z])\s*\.\s*(?P<col>\w+)\s*"
+            r"(?:,\s*(?P<k>\d+)\s*)?\)"
             r"\s+AS\s+(?P<name>\w+)$",
             re.IGNORECASE,
         ),
@@ -371,14 +402,16 @@ _MEASURE_RES = (
     (
         "first",
         re.compile(
-            r"^FIRST\s*\(\s*(?P<col>\w+)\s*\)\s+AS\s+(?P<name>\w+)$",
+            r"^FIRST\s*\(\s*(?P<col>\w+)\s*"
+            r"(?:,\s*(?P<k>\d+)\s*)?\)\s+AS\s+(?P<name>\w+)$",
             re.IGNORECASE,
         ),
     ),
     (
         "last",
         re.compile(
-            r"^LAST\s*\(\s*(?P<col>\w+)\s*\)\s+AS\s+(?P<name>\w+)$",
+            r"^LAST\s*\(\s*(?P<col>\w+)\s*"
+            r"(?:,\s*(?P<k>\d+)\s*)?\)\s+AS\s+(?P<name>\w+)$",
             re.IGNORECASE,
         ),
     ),
@@ -1182,9 +1215,11 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
             raise ValueError(
                 f"MEASURES item {item!r} is outside the supported "
                 "menu: [RUNNING | FINAL] MATCH_NUMBER() | COUNT(*) "
-                "| FIRST(<col>) | "
-                "LAST(<col>) | CLASSIFIER() | per-symbol "
-                "FIRST(<S>.<col>) | LAST(<S>.<col>) | COUNT(<S>.*) "
+                "| COUNT(<col>) | FIRST(<col>[, k]) | "
+                "LAST(<col>[, k]) | CLASSIFIER() | universal "
+                "SUM/MIN/MAX/AVG(<col>) | per-symbol "
+                "FIRST(<S>.<col>[, k]) | LAST(<S>.<col>[, k]) | "
+                "COUNT(<S>.*) "
                 "| SUM/MIN/MAX/AVG(<S>.<col>), each AS <name> "
                 "(without a keyword, aggregates are FINAL under ONE "
                 "ROW PER MATCH and RUNNING under ALL ROWS PER MATCH "
@@ -1240,8 +1275,13 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
                     + ")"
                 )
         agg = mm.groupdict().get("agg")
+        # logical-offset navigation (SQL:2016): FIRST(col, k) is the
+        # (k+1)-th row of the scope, LAST(col, k) the (k+1)-th from
+        # its end — literal non-negative offset, out-of-range = NULL
+        k = int(mm.groupdict().get("k") or 0)
         measures.append(
-            (kind, col, name, sym, agg.upper() if agg else None, fin)
+            (kind, col, name, sym, agg.upper() if agg else None,
+             fin, k)
         )
     if not measures:
         raise ValueError("MEASURES lists no items")
@@ -1261,7 +1301,7 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
     syms_used = sorted(
         {
             (s, "f" if fn else "")
-            for _, _, _, s, _, fn in measures
+            for _, _, _, s, _, fn, _ in measures
             if s is not None
         }
     )
@@ -1271,12 +1311,23 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
     agg_vals = sorted(
         {
             (s, c, "f" if fn else "")
-            for k, c, _, s, _, fn in measures
+            for k, c, _, s, _, fn, _ in measures
             if k == "sym_agg"
         }
     )
+    # distinct (column, scope) pairs consumed by the UNIVERSAL
+    # aggregates (bare SUM/MIN/MAX/AVG/COUNT(<col>) over ALL rows of
+    # the scope) — same let-binding rule, one NULL-filtered value
+    # array each
+    uni_vals = sorted(
+        {
+            (c, "f" if fn else "")
+            for k, c, _, _, _, fn, _ in measures
+            if k in ("uni_agg", "uni_count")
+        }
+    )
     sel = []
-    for kind, col, name, sym, agg, fin in measures:
+    for kind, col, name, sym, agg, fin, koff in measures:
         sfx = "f" if fin else ""
         mcur = fcur if fin else cur
         if kind == "match_number":
@@ -1291,8 +1342,47 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
             # DEFINE); ONE ROW and FINAL return the LAST row's
             sel.append(f"substring(__s, {mcur}, 1) AS {name}")
         elif kind == "first":
+            if koff == 0:
+                sel.append(
+                    f"element_at(__arr, m.sp).{col_fields[col]} "
+                    f"AS {name}"
+                )
+            else:
+                # FIRST(col, k): the (k+1)-th row of the scope;
+                # past its end -> NULL (the standard's out-of-range)
+                sel.append(
+                    f"CASE WHEN m.sp + {koff} <= {mcur} THEN "
+                    f"element_at(__arr, m.sp + {koff})."
+                    f"{col_fields[col]} END AS {name}"
+                )
+        elif kind == "uni_agg":
+            # universal aggregate: ALL rows of the scope (SQL:2016's
+            # un-prefixed form ranges over the universal row-pattern
+            # variable); same NULL-filtered fold as the per-symbol
+            # family, the value array bound once per (column, scope)
+            v = f"__uvals{sfx}_{col_fields[col]}"
+            fold = (
+                f"aggregate(slice({v}, 2, size({v}) - 1), "
+                f"element_at({v}, 1), (a, x) -> a + x)"
+            )
+            if agg == "SUM":
+                sel.append(
+                    f"CASE WHEN size({v}) > 0 THEN {fold} END "
+                    f"AS {name}"
+                )
+            elif agg == "AVG":
+                sel.append(
+                    f"CASE WHEN size({v}) > 0 THEN CAST({fold} AS "
+                    f"DOUBLE) / size({v}) END AS {name}"
+                )
+            else:  # MIN / MAX
+                sel.append(f"array_{agg.lower()}({v}) AS {name}")
+        elif kind == "uni_count":
+            # COUNT(<col>): NON-NULL values in scope (vs COUNT(*)'s
+            # row count) — the size of the same filtered array
             sel.append(
-                f"element_at(__arr, m.sp).{col_fields[col]} AS {name}"
+                f"CAST(size(__uvals{sfx}_{col_fields[col]}) "
+                f"AS BIGINT) AS {name}"
             )
         elif kind == "sym_count":
             # rows matched as <sym> in scope (FINAL under ONE ROW,
@@ -1301,12 +1391,19 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
                 f"CAST(size(__ps{sfx}_{sym}) AS BIGINT) AS {name}"
             )
         elif kind in ("sym_first", "sym_last"):
-            # SQL:2016: NULL when the symbol has no rows in scope
-            # (CASE branches evaluate lazily, so the element_at on
-            # the empty array is never reached under ANSI mode)
-            idx = "1" if kind == "sym_first" else "-1"
+            # SQL:2016: NULL when the symbol has fewer than k+1 rows
+            # in scope (CASE branches evaluate lazily, so the
+            # element_at on the short array is never reached under
+            # ANSI mode); k is the logical offset — FIRST(S.col, k)
+            # reads the (k+1)-th S-row, LAST the (k+1)-th from the
+            # symbol's end
+            idx = (
+                str(koff + 1)
+                if kind == "sym_first"
+                else str(-(koff + 1))
+            )
             sel.append(
-                f"CASE WHEN size(__ps{sfx}_{sym}) > 0 THEN "
+                f"CASE WHEN size(__ps{sfx}_{sym}) > {koff} THEN "
                 f"element_at("
                 f"__arr, element_at(__ps{sfx}_{sym}, {idx}))."
                 f"{col_fields[col]} END AS {name}"
@@ -1344,11 +1441,20 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
                     f"array_{agg.lower()}({v}) AS {name}"
                 )
         else:  # last — running (current row) under ALL ROWS,
-            # whole-match end under explicit FINAL
-            sel.append(
-                f"element_at(__arr, {mcur})."
-                f"{col_fields[col]} AS {name}"
-            )
+            # whole-match end under explicit FINAL; with a logical
+            # offset k, the (k+1)-th row from the scope's end
+            # (before the scope start -> NULL)
+            if koff == 0:
+                sel.append(
+                    f"element_at(__arr, {mcur})."
+                    f"{col_fields[col]} AS {name}"
+                )
+            else:
+                sel.append(
+                    f"CASE WHEN {mcur} - {koff} >= m.sp THEN "
+                    f"element_at(__arr, ({mcur}) - {koff})."
+                    f"{col_fields[col]} END AS {name}"
+                )
     # match enumeration -> array<struct<no, mlen, sp>>:
     # - non-overlapping (SKIP PAST LAST ROW): the gaps/matches
     #   decomposition — both engines scan non-overlapping
@@ -1453,7 +1559,7 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
             f"__s FROM ({inner})"
             f") LATERAL VIEW explode({mt}) __mt AS m"
         )
-    if agg_vals:
+    if agg_vals or uni_vals:
         # a second wrap binds each aggregated (symbol, column) value
         # array once — it must sit ABOVE the __ps layer because a
         # projection cannot reference a sibling alias
@@ -1471,6 +1577,16 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
             f"{col_fields[c]}), x -> x IS NOT NULL) "
             f"AS __vals{sfx}_{y}_{col_fields[c]}"
             for (y, c, sfx) in agg_vals
+        )
+        # universal value arrays: ALL scope rows (no symbol filter
+        # — the scope sequence itself), same NULL drop
+        vals += "".join(
+            f", filter(transform("
+            f"sequence(m.sp, {fcur if sfx else cur}), "
+            f"p -> element_at(__arr, p)."
+            f"{col_fields[c]}), x -> x IS NOT NULL) "
+            f"AS __uvals{sfx}_{col_fields[c]}"
+            for (c, sfx) in uni_vals
         )
         base = (
             f"SELECT {part}, __arr, __s, m{psrefs}{vals} "

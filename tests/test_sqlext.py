@@ -1348,6 +1348,78 @@ class TestMatchRecognize:
         assert [tuple(r) for r in plain] == [tuple(r) for r in fin]
         assert [tuple(r) for r in plain] == [(1, 4, 4), (3, 2, 9), (3, 2, 11)]
 
+    def test_universal_aggregates_and_offset_navigation(self, spark):
+        # bare SUM/MIN/MAX/AVG(<col>) range over ALL scope rows
+        # (SQL:2016's universal variable), COUNT(<col>) counts
+        # NON-NULL values, and FIRST/LAST take the logical offset
+        # (out-of-range -> NULL)
+        rows = [
+            (1, 1, "view", 10.0), (1, 2, "click", None),
+            (1, 3, "click", 2.0), (1, 4, "purchase", 50.0),
+            (3, 8, "view", 5.0), (3, 9, "purchase", 30.0),
+        ]
+        spark.createDataFrame(
+            rows,
+            "user_id int, event_id int, event_type string, v double",
+        ).createOrReplaceTempView("mr_uni")
+        try:
+            got = sqlext.sql(
+                spark,
+                """SELECT user_id, s_all, a_all, n_v, mn, mx,
+                          second_id, penult_id, second_click, far
+                   FROM mr_uni MATCH_RECOGNIZE (
+                     PARTITION BY user_id ORDER BY event_id
+                     MEASURES SUM(event_id) AS s_all,
+                              AVG(event_id) AS a_all,
+                              COUNT(v) AS n_v,
+                              MIN(v) AS mn, MAX(v) AS mx,
+                              FIRST(event_id, 1) AS second_id,
+                              LAST(event_id, 1) AS penult_id,
+                              FIRST(C.event_id, 1) AS second_click,
+                              FIRST(event_id, 9) AS far
+                     ONE ROW PER MATCH
+                     PATTERN (V C* P)
+                     DEFINE V AS event_type = 'view',
+                            C AS event_type = 'click',
+                            P AS event_type = 'purchase'
+                   ) ORDER BY user_id""",
+            ).collect()
+            # user 1 VCCP: universal sum 1+2+3+4, COUNT(v) skips the
+            # NULL click, second C is event 3, offset-9 overruns ->
+            # NULL; user 3's 2-row VP has no second click
+            assert [tuple(r) for r in got] == [
+                (1, 10, 2.5, 3, 2.0, 50.0, 2, 3, 3, None),
+                (3, 17, 8.5, 2, 5.0, 30.0, 9, 8, None, None),
+            ]
+            # RUNNING vs FINAL composition under ALL ROWS: the
+            # universal sum climbs 1,3,6,10 while FINAL stays 10;
+            # the running penultimate is NULL on a 1-row scope
+            ar = sqlext.sql(
+                spark,
+                """SELECT user_id, rn, r_sum, f_sum, r_pen, f_pen
+                   FROM mr_uni MATCH_RECOGNIZE (
+                     PARTITION BY user_id ORDER BY event_id
+                     MEASURES COUNT(*) AS rn,
+                              SUM(event_id) AS r_sum,
+                              FINAL SUM(event_id) AS f_sum,
+                              LAST(event_id, 1) AS r_pen,
+                              FINAL LAST(event_id, 1) AS f_pen
+                     ALL ROWS PER MATCH
+                     PATTERN (V C* P)
+                     DEFINE V AS event_type = 'view',
+                            C AS event_type = 'click',
+                            P AS event_type = 'purchase'
+                   ) ORDER BY user_id, rn""",
+            ).filter("user_id = 1").collect()
+            assert [tuple(r) for r in ar] == [
+                (1, 1, 1, 10, None, 3),
+                (1, 2, 3, 10, 1, 3),
+                (1, 3, 6, 10, 2, 3),
+                (1, 4, 10, 10, 3, 3),
+            ]
+        finally:
+            spark.catalog.dropTempView("mr_uni")
+
     def test_refuses_running_final_match_number(self, spark, mr_view):
         with pytest.raises(ValueError, match="no row scope"):
             sqlext.sql(
@@ -1450,16 +1522,20 @@ class TestMatchRecognize:
         assert rows and all(r["sym"] == "P" for r in rows)
 
     def test_refuses_measure_outside_menu(self, spark, mr_view):
-        with pytest.raises(ValueError, match="outside the supported"):
-            sqlext.sql(
-                spark,
-                """SELECT user_id, s FROM mr_events MATCH_RECOGNIZE (
-                   PARTITION BY user_id ORDER BY ts, event_id
-                   MEASURES SUM(event_id) AS s
-                   PATTERN (V P)
-                   DEFINE V AS event_type = 'view',
-                          P AS event_type = 'purchase')""",
-            )
+        # bare SUM(<col>) joined the menu in r12 (the universal
+        # aggregate), so the outside-the-menu examples are now an
+        # unsupported aggregate fn and an expression argument
+        for item in ["STDDEV(event_id) AS s", "SUM(event_id * 2) AS s"]:
+            with pytest.raises(ValueError, match="outside the supported"):
+                sqlext.sql(
+                    spark,
+                    f"""SELECT user_id, s FROM mr_events MATCH_RECOGNIZE (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       MEASURES {item}
+                       PATTERN (V P)
+                       DEFINE V AS event_type = 'view',
+                              P AS event_type = 'purchase')""",
+                )
         # measure alias shadowing the partition key is refused up
         # front (Spark would error only when the dup is referenced)
         with pytest.raises(ValueError, match="collides with the PARTITION"):
