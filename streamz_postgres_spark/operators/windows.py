@@ -2754,3 +2754,92 @@ def q_pattern_universal_measures(
         )
     finally:
         spark.catalog.dropTempView(view)
+
+
+@register(
+    "q_pattern_exclusion",
+    oracle="""
+WITH seq AS (
+  SELECT user_id,
+         string_agg(CASE WHEN event_type = 'view' THEN 'V'
+                         WHEN event_type = 'click' THEN 'C'
+                         WHEN event_type = 'purchase' THEN 'P'
+                         ELSE '-' END, '' ORDER BY ts, event_id) AS s,
+         list(event_id ORDER BY ts, event_id) AS eids
+  FROM events GROUP BY user_id
+),
+mm AS (
+  SELECT user_id, eids, s,
+         regexp_extract_all(s, 'V(C{1,2})P') AS ms,
+         regexp_split_to_array(s, 'V(C{1,2})P') AS gs
+  FROM seq
+),
+x AS (
+  SELECT user_id, eids, s,
+         unnest(flatten(list_transform(range(1, len(ms)+1), i ->
+           list_transform(range(1, length(ms[i])+1), j -> struct_pack(
+             no := i, j := j, mlen := length(ms[i]),
+             sp := coalesce(list_sum(list_transform(gs[1:i],
+                                                    g -> length(g))), 0)
+                 + coalesce(list_sum(list_transform(ms[1:i-1],
+                                                    g -> length(g))), 0)
+                 + 1))))) AS m
+  FROM mm
+)
+SELECT user_id, CAST((m).no AS INTEGER) AS match_no,
+       CAST((m).j AS BIGINT) AS rn,
+       s[CAST((m).sp + (m).j - 1 AS BIGINT) :
+         CAST((m).sp + (m).j - 1 AS BIGINT)] AS cls,
+       eids[CAST((m).sp + (m).j - 1 AS BIGINT)] AS eid
+FROM x
+WHERE s[CAST((m).sp + (m).j - 1 AS BIGINT) :
+        CAST((m).sp + (m).j - 1 AS BIGINT)] <> 'C'
+ORDER BY user_id, match_no, rn
+""",
+    tags=("window", "sequence", "sql"),
+)
+def q_pattern_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2016 PATTERN exclusion ``{- <rpr> -}`` — "emit the view
+    and the purchase of every click-mediated conversion, clicks
+    suppressed": ``(V {- C{1,2} -} P)`` under ALL ROWS PER MATCH
+    emits only the boundary rows while the clicks still MATCH (the
+    running ``COUNT(*)`` on the emitted purchase row keeps its full
+    in-match position — 3 or 4, never 2 — pinning that exclusion
+    filters OUTPUT, not matching; under ONE ROW PER MATCH the
+    region is a no-op, the standard's rule, pinned by test).
+    Lowering: one filter over the ALL ROWS fan-out keyed by the
+    row's classifier symbol, which equals region membership under
+    the enforced disjointness restriction (symbols inside a region
+    must appear nowhere else; a symbol on both sides would need
+    per-position regex-capture attribution this lowering refuses).
+    Regions cannot nest or take quantifiers. Scale: the filter is
+    row-local on the already-fanned array — same single-keyed-
+    shuffle plan as every pattern key. The oracle applies the same
+    membership filter to the DuckDB per-row fan-out."""
+    import uuid as _uuid
+
+    from streamz_postgres_spark import sqlext
+
+    view = f"events_{_uuid.uuid4().hex[:8]}"
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(view)
+    try:
+        return sqlext.sql(
+            spark,
+            f"""SELECT user_id, match_no, rn, cls, eid
+                FROM {view}
+                MATCH_RECOGNIZE (
+                  PARTITION BY user_id
+                  ORDER BY ts, event_id
+                  MEASURES MATCH_NUMBER() AS match_no,
+                           COUNT(*) AS rn,
+                           CLASSIFIER() AS cls,
+                           LAST(event_id) AS eid
+                  ALL ROWS PER MATCH
+                  PATTERN (V {{- C{{1,2}} -}} P)
+                  DEFINE V AS event_type = 'view',
+                         C AS event_type = 'click',
+                         P AS event_type = 'purchase'
+                ) ORDER BY user_id, match_no, rn""",
+        )
+    finally:
+        spark.catalog.dropTempView(view)

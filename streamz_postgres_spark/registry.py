@@ -184,6 +184,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_stream_pattern_skip_to",
     "q_pattern_anchors",
     "q_pattern_universal_measures",
+    "q_pattern_exclusion",
     # -- 28 remaining r6-window keys (driver-checked r6):
     "q_stream_textfile",
     "q_subquery_in",

@@ -151,6 +151,17 @@ the reason):
   contentless; the anti-join against the matched read-out gives the
   unmatched rows WITH their columns in one extra line of SQL.
   Unmatched rows are omitted.
+  The SQL:2016 exclusion ``{- <rpr> -}`` is supported when its
+  symbols appear ONLY inside exclusion regions: the region MATCHES
+  normally (extents, MEASURES — including RUNNING values on later
+  emitted rows — and skip arithmetic all see its rows; ONE ROW PER
+  MATCH output is untouched, the standard's rule) but its rows are
+  omitted from the ALL ROWS PER MATCH output, via one filter on
+  the fan-out keyed by the row's classifier symbol — which is
+  exactly region membership under the disjointness restriction
+  (a symbol both inside and outside a region would need
+  per-position regex-capture attribution; refused). Regions cannot
+  nest or take quantifiers (the standard's grammar).
   Universal (un-prefixed) aggregates ``SUM/MIN/MAX/AVG(<col>)``
   range over ALL rows of the scope (SQL:2016's universal
   row-pattern variable), ``COUNT(<col>)`` counts its NON-NULL
@@ -304,7 +315,7 @@ _PATTERN_RE = re.compile(
         (?:MEASURES\s+(?P<meas>.+?)\s+)??
         (?P<rpm>(?:ONE\s+ROW|ALL\s+ROWS)\s+PER\s+MATCH\s+)?
         (?:AFTER\s+MATCH\s+SKIP\s+(?P<skip>\w+(?:\s+\w+)*?)\s+)?
-        PATTERN\s*\(\s*(?P<pat>[A-Za-z0-9\s*+?|(){},^$]+?)\s*\)\s+
+        PATTERN\s*\(\s*(?P<pat>[A-Za-z0-9\s*+?|(){},^$\-]+?)\s*\)\s+
         (?:SUBSET\s+(?P<subset>[A-Za-z\s=,()]+?)\s+)?
         DEFINE\s+(?P<defs>.+?)\s*\)\s*
         (?:ORDER\s+BY\s+(?P<outorder>[\w\s,]+?(?:\s+(?:ASC|DESC))?)\s*)?$""",
@@ -424,7 +435,7 @@ _MEASURE_RES = (
 )
 
 
-def _parse_pattern(raw: str) -> str:
+def _parse_pattern(raw: str, excl_info: dict | None = None) -> str:
     """Parse PATTERN into (symbol | group)(quantifier?) terms with
     explicit grouping/alternation and rebuild the regex CANONICALLY —
     the r9 advisor's find: passing the raw string through admits
@@ -508,6 +519,12 @@ def _parse_pattern(raw: str) -> str:
         )
     s = core
     pos = 0
+    # exclusion-region bookkeeping (see the {- branch): excl_syms
+    # collects symbols INSIDE {- -} regions, out_syms those outside;
+    # the caller's disjointness check compares them
+    in_excl = [0]
+    excl_syms: set = set()
+    out_syms: set = set()
 
     def peek() -> str:
         return s[pos] if pos < len(s) else ""
@@ -534,7 +551,7 @@ def _parse_pattern(raw: str) -> str:
         elif ch == "?":
             pos += 1
             q, nullable = "?", True
-        elif ch == "{":
+        elif ch == "{" and not s.startswith("{-", pos):
             bm = re.match(r"\{(\d+)(,(\d*))?\}", s[pos:])
             if bm is None:
                 raise ValueError(
@@ -578,7 +595,10 @@ def _parse_pattern(raw: str) -> str:
                 "or drop the outer quantifier ('?', {1} and {0,1} "
                 "remain legal — they never repeat)"
             )
-        if peek() and peek() in "*+?{":
+        if peek() and (
+            peek() in "*+?"
+            or (peek() == "{" and not s.startswith("{-", pos))
+        ):
             raise ValueError(
                 "PATTERN has adjacent quantifiers "
                 f"(...{s[max(0, pos - 2):pos + 1]!r}) — possessive/"
@@ -592,8 +612,53 @@ def _parse_pattern(raw: str) -> str:
         nonlocal pos
         parts: list = []
         nullable = True
-        while peek() not in ("", "|", ")"):
+        while peek() not in ("", "|", ")") and not s.startswith(
+            "-}", pos
+        ):
             ch = peek()
+            if s.startswith("{-", pos):
+                # SQL:2016 exclusion {- rpr -}: the region MATCHES
+                # normally (it is emitted as a plain group — match
+                # extents, measures and skip arithmetic are
+                # untouched) but its rows are omitted from ALL ROWS
+                # PER MATCH output; the caller receives the region's
+                # symbols via excluded_out and applies the output
+                # filter (with the disjointness check that makes
+                # symbol-membership equal region-membership).
+                if in_excl[0]:
+                    raise ValueError(
+                        "PATTERN exclusion regions cannot nest"
+                    )
+                pos += 2
+                in_excl[0] += 1
+                inner_re, t_null = parse_alt()
+                in_excl[0] -= 1
+                if not s.startswith("-}", pos):
+                    raise ValueError(
+                        "PATTERN exclusion {- ... -} is missing its "
+                        "closing '-}'"
+                    )
+                pos += 2
+                if peek() and (
+                    peek() in "*+?"
+                    or (peek() == "{" and not s.startswith("{-", pos))
+                ):
+                    raise ValueError(
+                        "a PATTERN exclusion region cannot be "
+                        "quantified — quantify the elements inside "
+                        "it instead (the standard's grammar makes "
+                        "exclusion a primary without a quantifier)"
+                    )
+                excl_syms.update(re.findall(r"[A-Z]", inner_re))
+                parts.append(f"({inner_re})")
+                nullable = nullable and t_null
+                continue
+            if ch == "-":
+                raise ValueError(
+                    "unexpected character '-' in PATTERN ('-}' "
+                    "closes an exclusion region that was never "
+                    "opened with '{-')"
+                )
             if ch == "(":
                 pos += 1
                 inner_re, inner_null = parse_alt()
@@ -657,6 +722,8 @@ def _parse_pattern(raw: str) -> str:
                         " that the construct is a combinatorial scan,"
                         " not a row pattern"
                     )
+                if not in_excl[0]:
+                    out_syms.update(elems)
                 perm_re = "|".join(
                     "".join(p) for p in _permutations(elems)
                 )
@@ -664,6 +731,8 @@ def _parse_pattern(raw: str) -> str:
                 parts.append(f"({perm_re}){q}")
             elif ch.isalpha():
                 pos += 1
+                if not in_excl[0]:
+                    out_syms.add(ch)
                 q, t_null = parse_quant(False)
                 parts.append(ch + q)
             else:
@@ -692,7 +761,7 @@ def _parse_pattern(raw: str) -> str:
     regex, nullable = parse_alt()
     if pos != len(s):
         raise ValueError(
-            f"PATTERN has an unmatched ')' at position {pos}"
+            f"PATTERN has an unmatched ')' or '-}}' at position {pos}"
         )
     if nullable:
         # zero-width matches are where regex engines disagree (Java's
@@ -712,6 +781,9 @@ def _parse_pattern(raw: str) -> str:
     regex = ("^" if anchor_start else "") + regex + (
         "$" if anchor_end else ""
     )
+    if excl_info is not None:
+        excl_info["excluded"] = excl_syms
+        excl_info["outside"] = out_syms
     # canonical-regex sanity check (should be unreachable: the
     # alphabet above is common to Python/Java/RE2)
     try:
@@ -937,7 +1009,21 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
         defs.append((sym, dm.group("pred").strip()))
     if not defs:
         raise ValueError("DEFINE lists no symbols")
-    regex = _parse_pattern(m.group("pat"))
+    excl_info: dict = {}
+    regex = _parse_pattern(m.group("pat"), excl_info)
+    excluded = excl_info["excluded"]
+    if excluded & excl_info["outside"]:
+        # the output filter below identifies a row as excluded by
+        # its CLASSIFIER symbol; a symbol both inside and outside an
+        # exclusion region would need per-position regex-capture
+        # attribution this lowering refuses to fake
+        raise ValueError(
+            "PATTERN exclusion {- ... -} is supported when the "
+            "excluded symbols appear ONLY inside exclusion regions "
+            "(row membership then equals classification); symbols "
+            "also used outside: "
+            + ", ".join(sorted(excluded & excl_info["outside"]))
+        )
     if (regex.startswith("^") or regex.endswith("$")) and (
         overlap or skip_to is not None
     ):
@@ -1509,6 +1595,18 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
             "struct(m0.no AS no, m0.mlen AS mlen, m0.sp AS sp, "
             "j AS j))))"
         )
+        if excluded:
+            # SQL:2016 exclusion: the region's rows MATCH (extents,
+            # j-numbering, MEASURES and the skip arithmetic all see
+            # them — RUNNING values on an emitted row still count
+            # excluded rows before it) but are omitted from the ALL
+            # ROWS output. Membership = classification, valid under
+            # the disjointness refusal above.
+            inlist = ", ".join(f"'{c}'" for c in sorted(excluded))
+            mt = (
+                f"filter({mt}, e -> substring(__s, "
+                f"e.sp + e.j - 1, 1) NOT IN ({inlist}))"
+            )
     # explode of an empty array drops zero-match partitions — exactly
     # the PER MATCH contract (slice(x, 1, 0) is [] in the
     # non-overlapping enumeration; filter() yields [] in the

@@ -1348,6 +1348,67 @@ class TestMatchRecognize:
         assert [tuple(r) for r in plain] == [tuple(r) for r in fin]
         assert [tuple(r) for r in plain] == [(1, 4, 4), (3, 2, 9), (3, 2, 11)]
 
+    def test_pattern_exclusion_region(self, spark, mr_view):
+        # {- C+ -}: the clicks MATCH (extents, j-numbering and
+        # measures all see them) but are omitted from the ALL ROWS
+        # output — user 1's VCCP emits only its V and P rows, with
+        # rn still carrying the full in-match positions 1 and 4
+        got = sqlext.sql(
+            spark,
+            """SELECT user_id, match_no, rn, cls
+               FROM mr_events MATCH_RECOGNIZE (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 MEASURES MATCH_NUMBER() AS match_no,
+                          COUNT(*) AS rn, CLASSIFIER() AS cls
+                 ALL ROWS PER MATCH
+                 PATTERN (V {- C* -} P)
+                 DEFINE V AS event_type = 'view',
+                        C AS event_type = 'click',
+                        P AS event_type = 'purchase'
+               ) ORDER BY user_id, match_no, rn""",
+        ).filter("user_id = 1").collect()
+        assert [tuple(r) for r in got] == [
+            (1, 1, 1, "V"), (1, 1, 4, "P"),
+        ]
+        # ONE ROW PER MATCH: exclusion is a no-op (the standard) —
+        # COUNT(*) and per-symbol aggregates still see the clicks
+        one = sqlext.sql(
+            spark,
+            """SELECT user_id, n_rows, s_c
+               FROM mr_events MATCH_RECOGNIZE (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 MEASURES COUNT(*) AS n_rows, SUM(C.event_id) AS s_c
+                 ONE ROW PER MATCH
+                 PATTERN (V {- C* -} P)
+                 DEFINE V AS event_type = 'view',
+                        C AS event_type = 'click',
+                        P AS event_type = 'purchase'
+               ) ORDER BY user_id""",
+        ).filter("user_id = 1").collect()
+        assert [tuple(r) for r in one] == [(1, 4, 5)]
+        # refusals: a symbol both inside and outside a region needs
+        # per-position attribution — refused; nesting, quantified
+        # regions and unbalanced braces are parse errors
+        with pytest.raises(ValueError, match="ONLY inside"):
+            sqlext.sql(
+                spark,
+                """SELECT user_id, rn FROM mr_events MATCH_RECOGNIZE (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   MEASURES COUNT(*) AS rn
+                   ALL ROWS PER MATCH
+                   PATTERN (V {- C+ -} C P)
+                   DEFINE V AS event_type = 'view',
+                          C AS event_type = 'click',
+                          P AS event_type = 'purchase')""",
+            )
+        for bad, why in [
+            ("{- {- C -} -}", "nest"),
+            ("V {- C+ -}* P", "cannot be quantified"),
+            ("V {- C+ P", "missing its closing"),
+        ]:
+            with pytest.raises(ValueError, match=why):
+                sqlext._parse_pattern(bad)
+
     def test_universal_aggregates_and_offset_navigation(self, spark):
         # bare SUM/MIN/MAX/AVG(<col>) range over ALL scope rows
         # (SQL:2016's universal variable), COUNT(<col>) counts
