@@ -344,3 +344,55 @@ SELECT no, sp, mlen, o FROM scan WHERE no > 0 ORDER BY no
             break
         got.append((sp, mlen))
     assert (got, got_err) == (want, want_err)
+
+
+@st.composite
+def _simple_seq(draw, alphabet: str):
+    """A small quantified-symbol sequence over a given alphabet
+    (symbols only — the shapes exclusion regions are made of)."""
+    parts = []
+    for _ in range(draw(st.integers(1, 3))):
+        parts.append(
+            draw(st.sampled_from(list(alphabet)))
+            + draw(st.sampled_from(["", "*", "+", "?", "{1,2}"]))
+        )
+    return "".join(parts)
+
+
+@given(
+    pre=_simple_seq("VP"),
+    exc=_simple_seq("CE"),
+    post=_simple_seq("VP"),
+    s=st.text(_SYMS + "-", max_size=30),
+)
+@settings(max_examples=200, deadline=None)
+def test_exclusion_matches_like_a_plain_group(pre, exc, post, s):
+    """The exclusion lowering's core claim (r12): `{- rpr -}` does
+    not change MATCHING at all — the emitted canonical regex equals
+    the same pattern with the braces replaced by a plain group, the
+    excluded-symbol set is exactly the region's letters, and the
+    outside set never leaks region symbols (the generator keeps the
+    alphabets disjoint, mirroring the lowering's refusal)."""
+    info: dict = {}
+    try:
+        got = _parse_pattern(f"{pre} {{- {exc} -}} {post}", info)
+    except ValueError as e:
+        # only the emptiness refusals are legal here
+        assert ("EMPTY" in str(e)) or ("repeats a group" in str(e))
+        try:
+            _parse_pattern(f"{pre} ({exc}) {post}")
+        except ValueError:
+            return  # plain-group twin refused identically
+        raise AssertionError(
+            "exclusion refused where the plain group parses"
+        )
+    want = _parse_pattern(f"{pre} ({exc}) {post}")
+    assert got == want
+    assert info["excluded"] == set(re.findall(r"[A-Z]", exc.upper()))
+    assert info["outside"] == set(
+        re.findall(r"[A-Z]", (pre + post).upper())
+    )
+    # and the match sets coincide on random symbol strings
+    assert [m.span() for m in re.finditer(got, s)] == [
+        m.span() for m in re.finditer(want, s)
+    ]
