@@ -777,10 +777,19 @@ def _parse_pattern(raw: str, excl_info: dict | None = None) -> str:
     # the anchors re-enter the CANONICAL regex here (zero-width, so
     # they contribute nothing to nullability or symbol extraction);
     # _lower_pattern detects them by position — '^'/'$' cannot occur
-    # anywhere else in the emitted alphabet
-    regex = ("^" if anchor_start else "") + regex + (
-        "$" if anchor_end else ""
-    )
+    # anywhere else in the emitted alphabet. The core is
+    # PARENTHESIZED whenever an anchor is present: regex '|' binds
+    # looser than an anchor, so bare '^A|B' would anchor only the
+    # FIRST branch ('B' matching anywhere) — the partition anchor
+    # must scope over the whole pattern.
+    if anchor_start or anchor_end:
+        regex = (
+            ("^" if anchor_start else "")
+            + "("
+            + regex
+            + ")"
+            + ("$" if anchor_end else "")
+        )
     if excl_info is not None:
         excl_info["excluded"] = excl_syms
         excl_info["outside"] = out_syms

@@ -1277,6 +1277,26 @@ class TestMatchRecognize:
                    ) ORDER BY user_id""",
             ).collect()
             assert [tuple(r) for r in meas] == [(1, 2, 4), (2, 2, 7)]
+            # anchors scope over the WHOLE pattern (r12 follow-up
+            # fix): regex '|' binds looser than '^', so the emission
+            # parenthesizes the core — bare '^V|P' would anchor only
+            # the first branch and let P match anywhere
+            assert sqlext._parse_pattern("^ V | P") == "^(V|P)"
+            assert sqlext._parse_pattern("V | P $") == "(V|P)$"
+            alt = sqlext.sql(
+                spark,
+                """SELECT user_id, n_matches
+                   FROM mr_anchor MATCH_RECOGNIZE (
+                     PARTITION BY user_id ORDER BY event_id
+                     PATTERN (^ C | P)
+                     DEFINE C AS event_type = 'click',
+                            P AS event_type = 'purchase'
+                   ) ORDER BY user_id""",
+            ).collect()
+            # user 1 starts with a view: neither branch may match
+            # at the partition start — and P must NOT match at its
+            # interior purchases; user 2 starts with a click
+            assert [tuple(r) for r in alt] == [(1, 0), (2, 1)]
             # refusals: interior anchor; anchors-only; anchored
             # pattern under an overlapping/skip-to scan
             with pytest.raises(ValueError, match="boundaries"):
