@@ -139,6 +139,46 @@ def test_round12_constructs_compose(spark):
     ]
 
 
+def test_exclusion_composes_with_skip_to_all_rows(spark):
+    """Second r12 composition pin: {- -} exclusion x SKIP TO LAST x
+    ALL ROWS in one statement, hand-derived. s = VCVCV under
+    (V {- C+ -} V) with SKIP TO LAST V: m1 = rows 1-3, m2 = rows
+    3-5 (chained through row 3). Exclusion drops the click rows
+    from the OUTPUT only — each match emits its two views with
+    their full in-match positions (1 and 3, never 1 and 2), and
+    the shared boundary view is emitted by BOTH matches."""
+    from streamz_postgres_spark import sqlext
+
+    rows = [
+        (1, 1, "view"), (1, 2, "click"), (1, 3, "view"),
+        (1, 4, "click"), (1, 5, "view"),
+    ]
+    spark.createDataFrame(
+        rows, "user_id int, event_id int, event_type string"
+    ).createOrReplaceTempView("mr_ks12b")
+    try:
+        got = sqlext.sql(
+            spark,
+            """SELECT user_id, match_no, rn, eid
+               FROM mr_ks12b MATCH_RECOGNIZE (
+                 PARTITION BY user_id ORDER BY event_id
+                 MEASURES MATCH_NUMBER() AS match_no,
+                          COUNT(*) AS rn, LAST(event_id) AS eid
+                 ALL ROWS PER MATCH
+                 AFTER MATCH SKIP TO LAST V
+                 PATTERN (V {- C+ -} V)
+                 DEFINE V AS event_type = 'view',
+                        C AS event_type = 'click'
+               ) ORDER BY user_id, match_no, rn""",
+        ).collect()
+    finally:
+        spark.catalog.dropTempView("mr_ks12b")
+    assert [tuple(r) for r in got] == [
+        (1, 1, 1, 1), (1, 1, 3, 3),
+        (1, 2, 1, 3), (1, 2, 3, 5),
+    ]
+
+
 @pytest.mark.parametrize(
     "split",
     [
