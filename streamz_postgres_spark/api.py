@@ -323,6 +323,46 @@ class SparkStream:
             )
         )
 
+    def match_recognize(
+        self, clause: str, select: str = "*"
+    ) -> "SparkStream":
+        """SQL:2016 row-pattern matching over this stream's frame —
+        the full ``sqlext`` MATCH_RECOGNIZE surface (every skip
+        mode, ONE/ALL ROWS, the complete MEASURES menu incl.
+        universal aggregates and offset navigation, RUNNING/FINAL,
+        SUBSET, PERMUTE, partition anchors, exclusion regions)
+        without leaving the fluent chain::
+
+            s.filter(...).match_recognize('''
+                PARTITION BY user_id ORDER BY ts, event_id
+                MEASURES MATCH_NUMBER() AS match_no, COUNT(*) AS n
+                ONE ROW PER MATCH
+                PATTERN (V C* P)
+                DEFINE V AS event_type = 'view', ...
+            ''', select="user_id, match_no, n")
+
+        ``clause`` is everything inside ``MATCH_RECOGNIZE (...)``;
+        ``select`` is the outer projection (default ``*``). The
+        frame is registered under a throwaway view name only long
+        enough for analysis — the returned plan holds the resolved
+        subtree, not the name."""
+        import uuid as _uuid
+
+        from streamz_postgres_spark import sqlext
+
+        view = f"__mr_{_uuid.uuid4().hex[:12]}"
+        spark = self.df.sparkSession
+        self.df.createOrReplaceTempView(view)
+        try:
+            out = sqlext.sql(
+                spark,
+                f"SELECT {select} FROM {view} "
+                f"MATCH_RECOGNIZE ({clause})",
+            )
+        finally:
+            spark.catalog.dropTempView(view)
+        return self._wrap(out)
+
     # -- sinks (streamz §2.1) ---------------------------------------------
 
     def sink_to_list(self) -> list:

@@ -217,3 +217,52 @@ def test_branching_streams_are_independent(spark):
     )
     assert len(branch_b) == n_click_users
     assert len({r[0] for r in branch_b}) == len(branch_b)
+
+
+def test_match_recognize_in_the_chain(spark):
+    """The fluent MATCH_RECOGNIZE passthrough: the full sqlext
+    grammar without leaving the chain, composing with upstream
+    fluent ops (the filter below changes which rows can classify),
+    and the throwaway view does not leak into the catalog."""
+    from streamz_postgres_spark.api import SparkStream
+
+    rows = [
+        (1, 1, "view"), (1, 2, "click"), (1, 3, "click"),
+        (1, 4, "purchase"), (1, 5, "noise"),
+        (2, 6, "view"), (2, 7, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, event_id int, event_type string"
+    )
+    before = {t.name for t in spark.catalog.listTables()}
+    got = (
+        SparkStream.from_dataframe(df)
+        .filter(F.col("event_type") != "noise")
+        .match_recognize(
+            """PARTITION BY user_id ORDER BY event_id
+               MEASURES MATCH_NUMBER() AS match_no,
+                        COUNT(*) AS n_rows,
+                        SUM(event_id) AS s_all
+               ONE ROW PER MATCH
+               PATTERN (V C* P)
+               DEFINE V AS event_type = 'view',
+                      C AS event_type = 'click',
+                      P AS event_type = 'purchase'""",
+            select="user_id, match_no, n_rows, s_all",
+        )
+        .sink_to_list()
+    )
+    assert sorted(map(tuple, got)) == [(1, 1, 4, 10), (2, 1, 2, 13)]
+    assert {t.name for t in spark.catalog.listTables()} == before
+    # out-of-grammar input surfaces sqlext's refusal, not a Spark
+    # parse error
+    import pytest
+
+    with pytest.raises(ValueError, match="not supported"):
+        SparkStream.from_dataframe(df).match_recognize(
+            """PARTITION BY user_id ORDER BY event_id
+               AFTER MATCH SKIP TO SECOND ROW
+               PATTERN (V P)
+               DEFINE V AS event_type = 'view',
+                      P AS event_type = 'purchase'"""
+        )
