@@ -87,7 +87,11 @@ the reason):
   ordered partition, so they lower to the regex string anchors
   verbatim (no newline can occur in the alphabet, so Java's
   before-final-terminator ``$`` nuance cannot bite, and both
-  engines agree). Interior/per-branch anchors are refused, and
+  engines agree). Interior/per-branch anchors are refused; an
+  anchor over a TOP-LEVEL alternation is refused too (SQL:2016
+  scopes it to one branch, the boundary grammar to the whole
+  pattern — two legal readings with different results; group it:
+  ``^ (V | P)`` means whole-pattern under both), and
   anchors combine only with ``SKIP PAST LAST ROW`` (an anchored
   pattern pins the match to a boundary; the overlapping/skip-to
   scans have nothing to enumerate — and their per-position probes
@@ -777,12 +781,32 @@ def _parse_pattern(raw: str, excl_info: dict | None = None) -> str:
     # the anchors re-enter the CANONICAL regex here (zero-width, so
     # they contribute nothing to nullability or symbol extraction);
     # _lower_pattern detects them by position — '^'/'$' cannot occur
-    # anywhere else in the emitted alphabet. The core is
-    # PARENTHESIZED whenever an anchor is present: regex '|' binds
-    # looser than an anchor, so bare '^A|B' would anchor only the
-    # FIRST branch ('B' matching anywhere) — the partition anchor
-    # must scope over the whole pattern.
+    # anywhere else in the emitted alphabet. An anchor over a
+    # TOP-LEVEL alternation is REFUSED rather than guessed at (r12
+    # reviewer): SQL:2016 makes the anchor part of ONE branch
+    # ('^V | P' = V-at-start OR P-anywhere) while the adapter's
+    # boundary grammar reads it as whole-pattern — two legal
+    # interpretations with different results, so the user must
+    # group: '^ (V | P)' is whole-pattern under BOTH readings, and
+    # a per-branch anchor is an interior anchor, already refused.
+    # The grouped core is parenthesized on emission, which is
+    # semantically inert without a top-level '|'.
     if anchor_start or anchor_end:
+        depth = 0
+        for c in regex:
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif c == "|" and depth == 0:
+                raise ValueError(
+                    "PATTERN anchors over a top-level alternation "
+                    "are ambiguous — SQL:2016 scopes the anchor to "
+                    "ONE branch ('^V | P' is V-at-start OR "
+                    "P-anywhere) while a whole-pattern reading "
+                    "anchors them all; write '^ (V | P)' — grouped, "
+                    "whole-pattern under both readings"
+                )
         regex = (
             ("^" if anchor_start else "")
             + "("
@@ -1279,7 +1303,9 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
 
     # MEASURES form: ONE ROW PER MATCH
     _get_table_cols()
-    measures: list = []  # (kind, col_or_None, name, sym_or_None)
+    # (kind, col_or_None, name, sym_or_None, agg_or_None,
+    #  fin: bool, koff: int) per parsed MEASURES item
+    measures: list = []
     names: set = set()
     col_fields: dict = {}  # source col -> struct field alias
     for item in _split_top_level(m.group("meas")):

@@ -1412,12 +1412,49 @@ def _mr_fold(
             {
                 "user_id": pd.Series([r[0] for r in rows], dtype="int64"),
                 "seq_len": pd.Series([r[1] for r in rows], dtype="int64"),
-                "match_no": pd.Series([r[2] for r in rows], dtype="int32"),
-                "n_rows": pd.Series([r[3] for r in rows], dtype="int64"),
-                "start_x": pd.Series([r[4] for r in rows], dtype="int64"),
-                "end_x": pd.Series([r[5] for r in rows], dtype="int64"),
+                "match_no": pd.Series([r[2] for r in rows], dtype="Int32"),
+                "n_rows": pd.Series([r[3] for r in rows], dtype="Int64"),
+                "start_x": pd.Series([r[4] for r in rows], dtype="Int64"),
+                "end_x": pd.Series([r[5] for r in rows], dtype="Int64"),
             }
         )
+    else:
+        # ZERO matches at the CURRENT state: emit one NULL-marker
+        # row carrying the new seq_len (r12 reviewer find, the whole
+        # fold family): a late arrival can DESTROY every match (an
+        # insertion that breaks the only run), and emitting nothing
+        # would leave the latest-full-snapshot collapse resurrecting
+        # the stale smaller-seq_len match set. The read-out keeps
+        # rows at max seq_len then drops NULL match_no, so a
+        # matches-became-none user correctly ends with no rows —
+        # the batch oracle's zero-match contract.
+        yield _mr_empty_marker(
+            key[0],
+            len(s),
+            [
+                ("match_no", "Int32"),
+                ("n_rows", "Int64"),
+                ("start_x", "Int64"),
+                ("end_x", "Int64"),
+            ],
+        )
+
+
+def _mr_empty_marker(
+    uid: int, seq_len: int, null_cols: list
+) -> pd.DataFrame:
+    """One NULL-measure marker row at the current seq_len — the
+    'this state has NO matches' signal every pattern fold emits so
+    the snapshot collapse cannot resurrect stale matches (nullable
+    pandas Int dtypes cross Arrow -> JVM as null ints/longs);
+    ``null_cols`` is the fold's (column, pandas dtype) tail."""
+    data = {
+        "user_id": pd.Series([uid], dtype="int64"),
+        "seq_len": pd.Series([seq_len], dtype="int64"),
+    }
+    for name, dt in null_cols:
+        data[name] = pd.Series([None], dtype=dt)
+    return pd.DataFrame(data)
 
 
 def q_stream_pattern_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1480,6 +1517,11 @@ def _stream_pattern_query(
     return (
         tbl.withColumn("max_len", F.max("seq_len").over(latest))
         .filter(F.col("seq_len") == F.col("max_len"))
+        # NULL match_no = the fold's no-matches marker at that
+        # seq_len (r12): dropped AFTER the collapse, so a user whose
+        # matches were destroyed by a late arrival ends with no rows
+        # instead of a resurrected stale snapshot
+        .filter(F.col("match_no").isNotNull())
         .select(
             "user_id",
             F.col("match_no").cast("int").alias("match_no"),
@@ -1586,8 +1628,8 @@ def _pattern_symbol_fold(
             {
                 "user_id": pd.Series([r[0] for r in rows], dtype="int64"),
                 "seq_len": pd.Series([r[1] for r in rows], dtype="int64"),
-                "match_no": pd.Series([r[2] for r in rows], dtype="int32"),
-                "n_clicks": pd.Series([r[3] for r in rows], dtype="int64"),
+                "match_no": pd.Series([r[2] for r in rows], dtype="Int32"),
+                "n_clicks": pd.Series([r[3] for r in rows], dtype="Int64"),
                 "first_view_x": pd.Series(
                     [r[4] for r in rows], dtype="Int64"
                 ),
@@ -1595,6 +1637,19 @@ def _pattern_symbol_fold(
                     [r[5] for r in rows], dtype="Int64"
                 ),
             }
+        )
+    else:
+        # zero matches at the current state -> NULL marker (see
+        # _mr_empty_marker: a late arrival can destroy every match)
+        yield _mr_empty_marker(
+            key[0],
+            len(s),
+            [
+                ("match_no", "Int32"),
+                ("n_clicks", "Int64"),
+                ("first_view_x", "Int64"),
+                ("last_click_eid", "Int64"),
+            ],
         )
 
 
@@ -1628,6 +1683,11 @@ def q_stream_pattern_symbol_measures(
     return (
         tbl.withColumn("max_len", F.max("seq_len").over(latest))
         .filter(F.col("seq_len") == F.col("max_len"))
+        # NULL match_no = the fold's no-matches marker at that
+        # seq_len (r12): dropped AFTER the collapse, so a user whose
+        # matches were destroyed by a late arrival ends with no rows
+        # instead of a resurrected stale snapshot
+        .filter(F.col("match_no").isNotNull())
         .select(
             "user_id",
             F.col("match_no").cast("int").alias("match_no"),
@@ -1709,12 +1769,26 @@ def _pattern_skip_to_fold(
             {
                 "user_id": pd.Series([r[0] for r in rows], dtype="int64"),
                 "seq_len": pd.Series([r[1] for r in rows], dtype="int64"),
-                "match_no": pd.Series([r[2] for r in rows], dtype="int32"),
-                "n_rows": pd.Series([r[3] for r in rows], dtype="int64"),
-                "n_clicks": pd.Series([r[4] for r in rows], dtype="int64"),
-                "start_x": pd.Series([r[5] for r in rows], dtype="int64"),
-                "end_x": pd.Series([r[6] for r in rows], dtype="int64"),
+                "match_no": pd.Series([r[2] for r in rows], dtype="Int32"),
+                "n_rows": pd.Series([r[3] for r in rows], dtype="Int64"),
+                "n_clicks": pd.Series([r[4] for r in rows], dtype="Int64"),
+                "start_x": pd.Series([r[5] for r in rows], dtype="Int64"),
+                "end_x": pd.Series([r[6] for r in rows], dtype="Int64"),
             }
+        )
+    else:
+        # zero matches at the current state -> NULL marker (see
+        # _mr_empty_marker: a late arrival can destroy every match)
+        yield _mr_empty_marker(
+            key[0],
+            len(s),
+            [
+                ("match_no", "Int32"),
+                ("n_rows", "Int64"),
+                ("n_clicks", "Int64"),
+                ("start_x", "Int64"),
+                ("end_x", "Int64"),
+            ],
         )
 
 
@@ -1749,6 +1823,11 @@ def q_stream_pattern_skip_to(
     return (
         tbl.withColumn("max_len", F.max("seq_len").over(latest))
         .filter(F.col("seq_len") == F.col("max_len"))
+        # NULL match_no = the fold's no-matches marker at that
+        # seq_len (r12): dropped AFTER the collapse, so a user whose
+        # matches were destroyed by a late arrival ends with no rows
+        # instead of a resurrected stale snapshot
+        .filter(F.col("match_no").isNotNull())
         .select(
             "user_id",
             F.col("match_no").cast("int").alias("match_no"),

@@ -139,6 +139,66 @@ def test_round12_constructs_compose(spark):
     ]
 
 
+def test_late_arrival_destroying_all_matches_emits_marker():
+    """r12 reviewer find (whole fold family): a late arrival can
+    DESTROY every match — an insertion that breaks the only run —
+    and a fold that emits nothing on zero matches leaves the
+    latest-snapshot collapse resurrecting the stale match set. The
+    fold now emits a NULL-match_no marker at the NEW seq_len; the
+    read-out keeps max-seq_len rows then drops NULLs, so the user
+    correctly ends with no rows."""
+    state = _FakeState()
+    # batch 1: V C V -> one VC*V match at seq_len 3
+    out1 = list(
+        _pattern_skip_to_fold(
+            (1,), iter([_mk([(10, 1, "V"), (20, 2, "C"), (30, 3, "V")])]),
+            state,
+        )
+    )
+    assert len(out1) == 1 and int(out1[0]["match_no"][0]) == 1
+    # batch 2: a LATE purchase sorts between the C and the closing
+    # view -> merged s = 'VCPV', zero matches
+    out2 = list(
+        _pattern_skip_to_fold((1,), iter([_mk([(25, 4, "P")])]), state)
+    )
+    assert state.get[2] == "VCPV"
+    assert len(out2) == 1
+    marker = out2[0]
+    assert int(marker["seq_len"][0]) == 4
+    assert marker["match_no"].isna().all()
+    # the collapse keeps seq_len 4 (the marker) over the stale
+    # seq_len-3 match rows, and the NULL filter then drops it —
+    # exactly the batch oracle's zero-match contract
+    import pandas as pd
+
+    tbl = pd.concat(out1 + out2, ignore_index=True)
+    latest = tbl[tbl["seq_len"] == tbl["seq_len"].max()]
+    assert latest["match_no"].isna().all()
+
+
+def test_measures_fold_emits_marker_too():
+    """Same contract on the shared _mr_fold (the pre-existing
+    instance the reviewer traced): V P -> one match, then a late
+    error row lands between them -> zero matches, marker emitted."""
+    from streamz_postgres_spark.streaming.stateful import (
+        _pattern_measures_fold,
+    )
+
+    state = _FakeState()
+    out1 = list(
+        _pattern_measures_fold(
+            (1,), iter([_mk([(10, 1, "V"), (30, 2, "P")])]), state
+        )
+    )
+    assert len(out1) == 1 and int(out1[0]["match_no"][0]) == 1
+    out2 = list(
+        _pattern_measures_fold((1,), iter([_mk([(20, 3, "-")])]), state)
+    )
+    assert state.get[2] == "V-P"
+    assert len(out2) == 1 and out2[0]["match_no"].isna().all()
+    assert int(out2[0]["seq_len"][0]) == 3
+
+
 def test_exclusion_composes_with_skip_to_all_rows(spark):
     """Second r12 composition pin: {- -} exclusion x SKIP TO LAST x
     ALL ROWS in one statement, hand-derived. s = VCVCV under

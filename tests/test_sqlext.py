@@ -1277,18 +1277,22 @@ class TestMatchRecognize:
                    ) ORDER BY user_id""",
             ).collect()
             assert [tuple(r) for r in meas] == [(1, 2, 4), (2, 2, 7)]
-            # anchors scope over the WHOLE pattern (r12 follow-up
-            # fix): regex '|' binds looser than '^', so the emission
-            # parenthesizes the core — bare '^V|P' would anchor only
-            # the first branch and let P match anywhere
-            assert sqlext._parse_pattern("^ V | P") == "^(V|P)"
-            assert sqlext._parse_pattern("V | P $") == "(V|P)$"
+            # anchors over a TOP-LEVEL alternation are REFUSED (r12
+            # reviewer): SQL:2016 scopes '^V | P' to one branch, the
+            # boundary grammar to the whole pattern — ambiguous, so
+            # the user must group; the grouped form is whole-pattern
+            # under both readings and the emission parenthesizes the
+            # core ('|' binds looser than the anchors)
+            for amb in ["^ V | P", "V | P $", "^ V | P $"]:
+                with pytest.raises(ValueError, match="ambiguous"):
+                    sqlext._parse_pattern(amb)
+            assert sqlext._parse_pattern("^ (V | P)") == "^((V|P))"
             alt = sqlext.sql(
                 spark,
                 """SELECT user_id, n_matches
                    FROM mr_anchor MATCH_RECOGNIZE (
                      PARTITION BY user_id ORDER BY event_id
-                     PATTERN (^ C | P)
+                     PATTERN (^ (C | P))
                      DEFINE C AS event_type = 'click',
                             P AS event_type = 'purchase'
                    ) ORDER BY user_id""",
