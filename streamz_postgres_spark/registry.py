@@ -170,14 +170,19 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_stream_file_sink",
     # ---- 50-key window boundary ----
     # r13 PLANNED WINDOW (next 50), committed per verdict r11
-    # Next-round #2 before r12 closes: the round-12 additions lead
-    # (first driver evidence; kept at or under the ~10 cap), then
-    # the 28 remaining r6-window keys, then the oldest r7-window
-    # keys fill to 50. Every over-cap key rides the end-of-round
-    # full local sweep (driver-replica gate, whole registry, both
-    # SFs since r9) between driver windows.
-    # -- round-12 additions (first driver evidence due r13) are
-    #    appended here as they land:
+    # Next-round #2 before r12 closes: the SEVEN round-12 additions
+    # lead (first driver evidence; under the ~10 cap — all
+    # MATCH_RECOGNIZE grammar completions: skip-to batch+live,
+    # SUBSET, RUNNING/FINAL, anchors, universal measures,
+    # exclusion), then the 28 remaining r6-window keys, then the 15
+    # oldest r7-window keys fill to 50 (7 + 28 + 15 = 50; the
+    # remaining r7 keys rotate r14). Every over-cap key rides the
+    # end-of-round full local sweep (driver-replica gate, whole
+    # registry, both SFs since r9) between driver windows — this
+    # round's closing sweeps ran the full 335-key registry at BOTH
+    # SFs under TZ=Asia/Kathmandu, so every r13-window key carries
+    # r12 gate evidence.
+    # -- round-12 additions (first driver evidence due r13):
     "q_pattern_skip_to",
     "q_pattern_subset",
     "q_pattern_running_final",
