@@ -261,3 +261,82 @@ def test_skip_to_fold_order_independent(split):
     )
     assert [tuple(map(int, r)) for r in got] == _EXPECTED
     assert state.get[2] == "VCCVCV"
+
+
+# -- property: snapshot-collapse == batch enumeration, any split ----------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _event_stream(draw):
+    """A random classified event sequence with unique (x, event_id)
+    keys, plus a random partition of its arrival order — the
+    adversarial-split space the parametrized pins sample by hand."""
+    n = draw(st.integers(1, 12))
+    xs = draw(
+        st.lists(
+            st.integers(0, 50), min_size=n, max_size=n, unique=True
+        )
+    )
+    chs = draw(
+        st.lists(
+            st.sampled_from("VCP-"), min_size=n, max_size=n
+        )
+    )
+    events = [(x, i + 1, ch) for i, (x, ch) in enumerate(zip(xs, chs))]
+    order = draw(st.permutations(events))
+    cuts = sorted(
+        draw(
+            st.lists(
+                st.integers(1, max(1, n - 1)),
+                max_size=3,
+                unique=True,
+            )
+        )
+    )
+    batches, prev = [], 0
+    for c in cuts + [n]:
+        if c > prev:
+            batches.append(order[prev:c])
+            prev = c
+    return events, batches
+
+
+@given(data=_event_stream())
+@settings(max_examples=150, deadline=None)
+def test_fold_snapshot_equals_batch_enumeration(data):
+    """The live twins' whole correctness contract as ONE property:
+    for ANY event sequence and ANY arrival-order split, the final
+    emission collapsed the way the read-out collapses (max seq_len,
+    NULL markers dropped) equals the direct enumeration over the
+    fully event-time-sorted symbol string — including the
+    matches-became-none case the r12 marker fix covers (without the
+    marker this property is falsified by any split whose last
+    arrival breaks the only match)."""
+    import pandas as pd
+
+    events, batches = data
+    state = _FakeState()
+    outs = []
+    for b in batches:
+        outs.extend(
+            _pattern_skip_to_fold((1,), iter([_mk(b)]), state)
+        )
+    tbl = pd.concat(outs, ignore_index=True)
+    latest = tbl[tbl["seq_len"] == tbl["seq_len"].max()]
+    got = [
+        (int(r.n_rows), int(r.start_x), int(r.end_x))
+        for r in latest.dropna(subset=["match_no"]).itertuples()
+    ]
+    # reference: enumerate on the fully-sorted sequence
+    events_sorted = sorted(events)
+    s = "".join(ch for _, _, ch in events_sorted)
+    xs = [x for x, _, _ in events_sorted]
+    want = [
+        (ln, xs[sp], xs[sp + ln - 1])
+        for sp, ln in _mr_skip_to_matches(s)
+    ]
+    assert got == want
+    assert int(tbl["seq_len"].max()) == len(events)
