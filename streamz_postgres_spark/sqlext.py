@@ -117,7 +117,11 @@ the reason):
   ``SUM/MIN/MAX/AVG(<S>.<col>)`` (NULL / 0-count when symbol
   ``<S>`` does not participate in the match — the SQL:2016
   no-rows contract; SUM folds the symbol's in-scope NON-NULL
-  values left-to-right type-preservingly, AVG divides the
+  values left-to-right, with sub-BIGINT integral columns PROMOTED
+  to BIGINT at the fold init — SQL SUM/AVG promote integral
+  inputs, and a type-preserving INT fold would overflow where
+  every engine returns the BIGINT sum — while BIGINT/DOUBLE/
+  DECIMAL keep their own type; AVG divides the
   double-cast sum by the non-null count — SQL aggregates skip
   NULL inputs, so an all-NULL scope yields NULL like an empty
   one, while COUNT(<S>.*) still counts ROWS). Per-symbol attribution is EXACT in this lowering, not
@@ -263,11 +267,6 @@ _ASOF_RE = re.compile(
         (?P<tb>\w+)\.(?P<rts>\w+)""",
     re.IGNORECASE | re.VERBOSE,
 )
-
-#: temp views registered by the most recent sql() call on this
-#: thread (dropped on the next call — the returned DataFrame is lazy
-#: and must outlive this invocation)
-_VIEW_SLOTS: dict = {}
 
 _SAMPLE_RE = re.compile(
     r"""^\s*SELECT\s+(?P<proj>.+?)\s+
@@ -942,6 +941,37 @@ def _skip_to_fold(
     )
 
 
+def _mr_agg_sel(
+    v: str, agg: str, name: str, promote: bool
+) -> str:
+    """Shared SUM/MIN/MAX/AVG read-out over a bound (NULL-filtered)
+    value array — one home for the per-symbol and universal forms
+    (r12 reviewer: the two copies had to be kept in sync by hand).
+    Empty scope -> NULL (the SQL no-rows contract); SUM folds
+    left-to-right from the first element; MIN/MAX are the array
+    HOFs; AVG = double-cast sum over the non-null count. When
+    ``promote`` (the source column is a sub-BIGINT integral), the
+    fold INIT casts to BIGINT — SQL SUM/AVG promote integral inputs,
+    and a type-preserving INT fold would hit ARITHMETIC_OVERFLOW
+    under ANSI mode where every real SQL engine returns the BIGINT
+    sum (r12 reviewer)."""
+    init = f"element_at({v}, 1)"
+    if promote:
+        init = f"CAST({init} AS BIGINT)"
+    fold = (
+        f"aggregate(slice({v}, 2, size({v}) - 1), "
+        f"{init}, (a, x) -> a + x)"
+    )
+    if agg == "SUM":
+        return f"CASE WHEN size({v}) > 0 THEN {fold} END AS {name}"
+    if agg == "AVG":
+        return (
+            f"CASE WHEN size({v}) > 0 THEN CAST({fold} AS "
+            f"DOUBLE) / size({v}) END AS {name}"
+        )
+    return f"array_{agg.lower()}({v}) AS {name}"
+
+
 def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
     m = _PATTERN_RE.match(query)
     if m is None:
@@ -1195,7 +1225,9 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
         fn = mm2.group("fn").upper()
         col = mm2.group("col")
         k = int(mm2.group("k")) if mm2.group("k") else 1
-        if col not in _get_table_cols():
+        if col.casefold() not in {
+            c.casefold() for c in _get_table_cols()
+        }:
             raise ValueError(
                 f"{fn}({col}) in DEFINE: {col!r} is not a column of "
                 f"{m.group('t')} (columns: "
@@ -1303,6 +1335,11 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
 
     # MEASURES form: ONE ROW PER MATCH
     _get_table_cols()
+    # casefolded column -> Spark type string, for the SQL integral
+    # promotion in SUM/AVG folds (see _mr_agg_sel)
+    table_types = {
+        k.casefold(): v for k, v in spark.table(m.group("t")).dtypes
+    }
     # (kind, col_or_None, name, sym_or_None, agg_or_None,
     #  fin: bool, koff: int) per parsed MEASURES item
     measures: list = []
@@ -1373,11 +1410,17 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
         names.add(name)
         col = mm.groupdict().get("col")
         if col is not None:
-            if col not in table_cols:
+            # case-insensitive resolution, the Spark default (see
+            # the EXCLUDE note); the field alias is keyed casefolded
+            # so Value and value share one struct field
+            if col.casefold() not in {
+                c.casefold() for c in table_cols
+            }:
                 raise ValueError(
                     f"MEASURES column {col!r} is not a column of "
                     f"{m.group('t')} (columns: {', '.join(table_cols)})"
                 )
+            col = col.casefold()
             col_fields.setdefault(col, f"__c{len(col_fields)}")
         sym = mm.groupdict().get("sym")
         if sym is not None:
@@ -1481,23 +1524,15 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
             # un-prefixed form ranges over the universal row-pattern
             # variable); same NULL-filtered fold as the per-symbol
             # family, the value array bound once per (column, scope)
-            v = f"__uvals{sfx}_{col_fields[col]}"
-            fold = (
-                f"aggregate(slice({v}, 2, size({v}) - 1), "
-                f"element_at({v}, 1), (a, x) -> a + x)"
+            sel.append(
+                _mr_agg_sel(
+                    f"__uvals{sfx}_{col_fields[col]}",
+                    agg,
+                    name,
+                    table_types.get(col)
+                    in ("tinyint", "smallint", "int"),
+                )
             )
-            if agg == "SUM":
-                sel.append(
-                    f"CASE WHEN size({v}) > 0 THEN {fold} END "
-                    f"AS {name}"
-                )
-            elif agg == "AVG":
-                sel.append(
-                    f"CASE WHEN size({v}) > 0 THEN CAST({fold} AS "
-                    f"DOUBLE) / size({v}) END AS {name}"
-                )
-            else:  # MIN / MAX
-                sel.append(f"array_{agg.lower()}({v}) AS {name}")
         elif kind == "uni_count":
             # COUNT(<col>): NON-NULL values in scope (vs COUNT(*)'s
             # row count) — the size of the same filtered array
@@ -1543,24 +1578,15 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
             # AVG divisor — so the binding drops NULLs and size(v) IS
             # the non-null count; all-NULL scope folds to the same
             # NULL as empty scope, exactly the SQL contract.
-            v = f"__vals{sfx}_{sym}_{col_fields[col]}"
-            fold = (
-                f"aggregate(slice({v}, 2, size({v}) - 1), "
-                f"element_at({v}, 1), (a, x) -> a + x)"
+            sel.append(
+                _mr_agg_sel(
+                    f"__vals{sfx}_{sym}_{col_fields[col]}",
+                    agg,
+                    name,
+                    table_types.get(col)
+                    in ("tinyint", "smallint", "int"),
+                )
             )
-            if agg == "SUM":
-                sel.append(
-                    f"CASE WHEN size({v}) > 0 THEN {fold} END AS {name}"
-                )
-            elif agg == "AVG":
-                sel.append(
-                    f"CASE WHEN size({v}) > 0 THEN CAST({fold} AS "
-                    f"DOUBLE) / size({v}) END AS {name}"
-                )
-            else:  # MIN / MAX
-                sel.append(
-                    f"array_{agg.lower()}({v}) AS {name}"
-                )
         else:  # last — running (current row) under ALL ROWS,
             # whole-match end under explicit FINAL; with a logical
             # offset k, the (k+1)-th row from the scope's end
@@ -1741,44 +1767,33 @@ def _lower_exclude(spark: SparkSession, query: str) -> DataFrame:
             "grammar: exactly one * EXCLUDE (<col>[, <col>...]) "
             "projection item per query"
         )
-    if re.search(r"\bJOIN\b", query, re.IGNORECASE):
-        raise ValueError(
-            "* EXCLUDE supports a single named table — no JOINs "
-            "(register the join as a temp view first)"
-        )
-    tmatch = re.search(r"\bFROM\s+(\w+)", query, re.IGNORECASE)
-    if tmatch is None:
-        raise ValueError(
-            "* EXCLUDE needs FROM <table> (a named table or registered "
-            "temp view — CTEs/subqueries are not supported)"
-        )
-    try:
-        cols = spark.table(tmatch.group(1)).columns
-    except Exception as e:  # noqa: BLE001
-        raise ValueError(
-            f"EXCLUDE source must be a resolvable table/view: {e}"
-        ) from None
+    tname, cols = _resolve_single_table(spark, query, "* EXCLUDE")
+    # Spark resolves identifiers case-INsensitively by default
+    # (spark.sql.caseSensitive=false), so the validation here must
+    # too (r12 reviewer): refusing 'Payload' against a 'payload'
+    # column would reject a query Spark itself accepts
+    folded = {c.casefold() for c in cols}
     listed = [c.strip() for c in tokens[0].group("cols").split(",") if c.strip()]
     if not listed:
         raise ValueError("* EXCLUDE () lists no columns")
     seen: set = set()
     for c in listed:
-        if c in seen:
+        if c.casefold() in seen:
             # DuckDB: "Duplicate entry ... in EXCLUDE list"
             raise ValueError(f"duplicate column in EXCLUDE list: {c}")
-        seen.add(c)
-        if c not in cols:
+        seen.add(c.casefold())
+        if c.casefold() not in folded:
             # DuckDB errors on an unknown EXCLUDE entry; silently
             # ignoring a typo would leave the payload column in the
             # scan — the opposite of what the user asked for
             raise ValueError(
                 f"EXCLUDE column {c!r} is not a column of "
-                f"{tmatch.group(1)} (columns: {', '.join(cols)})"
+                f"{tname} (columns: {', '.join(cols)})"
             )
     if len(listed) == len(cols):
         raise ValueError(
             "* EXCLUDE removes every column of "
-            f"{tmatch.group(1)} — an empty projection (DuckDB also "
+            f"{tname} — an empty projection (DuckDB also "
             "refuses this)"
         )
     start, end = tokens[0].span()
@@ -1806,24 +1821,10 @@ def _lower_replace(spark: SparkSession, query: str) -> DataFrame:
             "grammar: exactly one * REPLACE (<expr> AS <col>[, ...]) "
             "projection item per query, immediately before FROM"
         )
-    if re.search(r"\bJOIN\b", query, re.IGNORECASE):
-        raise ValueError(
-            "* REPLACE supports a single named table — no JOINs "
-            "(register the join as a temp view first)"
-        )
-    tmatch = re.search(r"\bFROM\s+(\w+)", query, re.IGNORECASE)
-    if tmatch is None:
-        raise ValueError(
-            "* REPLACE needs FROM <table> (a named table or registered "
-            "temp view — CTEs/subqueries are not supported)"
-        )
-    try:
-        cols = spark.table(tmatch.group(1)).columns
-    except Exception as e:  # noqa: BLE001
-        raise ValueError(
-            f"REPLACE source must be a resolvable table/view: {e}"
-        ) from None
-    repl: dict = {}
+    tname, cols = _resolve_single_table(spark, query, "* REPLACE")
+    folded = {c.casefold() for c in cols}
+    repl: dict = {}  # keyed by casefolded target (case-insensitive
+    # resolution, the Spark default — see the EXCLUDE note)
     for item in _split_top_level(tokens[0].group("items")):
         m = _REPLACE_ITEM_RE.match(item.strip())
         if m is None:
@@ -1831,19 +1832,20 @@ def _lower_replace(spark: SparkSession, query: str) -> DataFrame:
                 f"REPLACE item {item.strip()!r} is not <expr> AS <col>"
             )
         col = m.group("col")
-        if col in repl:
+        if col.casefold() in repl:
             # DuckDB: "duplicate column name in replace list"
             raise ValueError(f"duplicate column in REPLACE list: {col}")
-        if col not in cols:
+        if col.casefold() not in folded:
             # DuckDB errors on an unknown REPLACE target; silently
             # appending a new column instead would change the shape
             raise ValueError(
                 f"REPLACE target {col!r} is not a column of "
-                f"{tmatch.group(1)} (columns: {', '.join(cols)})"
+                f"{tname} (columns: {', '.join(cols)})"
             )
-        repl[col] = m.group("expr").strip()
+        repl[col.casefold()] = m.group("expr").strip()
     projection = ", ".join(
-        f"{repl[c]} AS {c}" if c in repl else c for c in cols
+        f"{repl[c.casefold()]} AS {c}" if c.casefold() in repl else c
+        for c in cols
     )
     start, end = tokens[0].span()
     rewritten = query[:start] + projection + " FROM" + query[end:]
@@ -1858,23 +1860,9 @@ def _lower_columns(spark: SparkSession, query: str) -> DataFrame:
             "grammar: exactly one COLUMNS('<regex>') projection item "
             "(single-quoted pattern) per query"
         )
-    if re.search(r"\bJOIN\b", query, re.IGNORECASE):
-        raise ValueError(
-            "COLUMNS expansion supports a single named table — no JOINs "
-            "(register the join as a temp view first)"
-        )
-    tmatch = re.search(r"\bFROM\s+(\w+)", query, re.IGNORECASE)
-    if tmatch is None:
-        raise ValueError(
-            "COLUMNS expansion needs FROM <table> (a named table or "
-            "registered temp view — CTEs/subqueries are not supported)"
-        )
-    try:
-        cols = spark.table(tmatch.group(1)).columns
-    except Exception as e:  # noqa: BLE001
-        raise ValueError(
-            f"COLUMNS source must be a resolvable table/view: {e}"
-        ) from None
+    tname, cols = _resolve_single_table(
+        spark, query, "COLUMNS expansion"
+    )
     pat = tokens[0].group("pat")
     try:
         rx = re.compile(pat)
@@ -1886,7 +1874,7 @@ def _lower_columns(spark: SparkSession, query: str) -> DataFrame:
         # projection silently returning 0 columns helps nobody
         raise ValueError(
             f"COLUMNS({pat!r}) matched no column of "
-            f"{tmatch.group(1)} (columns: {', '.join(cols)})"
+            f"{tname} (columns: {', '.join(cols)})"
         )
     start, end = tokens[0].span()
     rewritten = query[:start] + ", ".join(matched) + query[end:]
@@ -1907,10 +1895,10 @@ def _lower_qualify(spark: SparkSession, query: str) -> DataFrame:
     # restriction on source column names, so a fixed "__q" would
     # break an in-grammar query over a table that already has one
     rank_col = f"__q_{uuid.uuid4().hex[:8]}"
-    proj = m.group("proj").strip()
-    if proj == "*":
-        # the rank column is plumbing, not a result column
-        proj = f"* EXCEPT ({rank_col})"
+    # the rank column is plumbing, not a result column — suppressed
+    # through EVERY top-level star, including mixed projections like
+    # 'grp, *' (r12 reviewer: the old check handled only proj='*')
+    proj = _star_except(m.group("proj").strip(), rank_col)
     where = f" WHERE {m.group('where')}" if m.group("where") else ""
     rewritten = (
         f"SELECT {proj} FROM ("
@@ -1936,22 +1924,83 @@ def _lower_distinct_on(spark: SparkSession, query: str) -> DataFrame:
     keys = [k.strip() for k in m.group("keys").split(",") if k.strip()]
     order = [o.strip() for o in m.group("order").split(",") if o.strip()]
     lead = [re.split(r"\s+", o)[0] for o in order[: len(keys)]]
-    if lead != keys:
+    # case-insensitive, like Spark's own identifier resolution
+    if [c.casefold() for c in lead] != [c.casefold() for c in keys]:
         raise ValueError(
             "ORDER BY must lead with the DISTINCT ON keys in the same "
             f"order (Postgres rule): keys={keys}, order leads with {lead}"
         )
     tiebreak = ", ".join(order[len(keys):]) or ", ".join(keys)
     where = f" WHERE {m.group('where')}" if m.group("where") else ""
+    # collision-proof plumbing alias + star suppression + the outer
+    # ORDER BY (r12 reviewer, three Postgres-parity holes): a fixed
+    # __rn broke tables that already have one and LEAKED through
+    # 'SELECT DISTINCT ON (k) *'; and Postgres guarantees the
+    # result order IS the written ORDER BY, which the old rewrite
+    # consumed into the window and dropped
+    rn = f"__rn_{uuid.uuid4().hex[:8]}"
+    proj = _star_except(m.group("proj").strip(), rn)
     rewritten = (
-        f"SELECT {m.group('proj')} FROM ("
+        f"SELECT {proj} FROM ("
         f"SELECT *, row_number() OVER (PARTITION BY {', '.join(keys)} "
-        f"ORDER BY {tiebreak}) AS __rn FROM {m.group('t')}{where}"
-        f") WHERE __rn = 1"
+        f"ORDER BY {tiebreak}) AS {rn} FROM {m.group('t')}{where}"
+        f") WHERE {rn} = 1 ORDER BY {', '.join(order)}"
     )
     return spark.sql(rewritten)
 
 
+
+
+def _sub_outside_literals(pattern: str, repl: str, text: str) -> str:
+    """re.sub applied only OUTSIDE single-quoted string literals —
+    the _rewrite_nav technique, shared (r12 reviewer): a blanket sub
+    over the whole query corrupts any literal that happens to
+    contain the pattern (e.g. an ASOF alias followed by a dot)."""
+    segs = re.split(r"('(?:[^'])*')", text)
+    for i in range(0, len(segs), 2):
+        segs[i] = re.sub(pattern, repl, segs[i])
+    return "".join(segs)
+
+
+def _resolve_single_table(
+    spark: SparkSession, query: str, feature: str
+) -> tuple:
+    """The star-expansion grammars' shared scaffolding (COLUMNS /
+    * EXCLUDE / * REPLACE): refuse JOINs, extract FROM <table>,
+    resolve its columns. Returns (table_name, columns). One home so
+    a rule fix (like the case-insensitivity one below) lands once."""
+    if re.search(r"\bJOIN\b", query, re.IGNORECASE):
+        raise ValueError(
+            f"{feature} supports a single named table — no JOINs "
+            "(register the join as a temp view first)"
+        )
+    tmatch = re.search(r"\bFROM\s+(\w+)", query, re.IGNORECASE)
+    if tmatch is None:
+        raise ValueError(
+            f"{feature} needs FROM <table> (a named table or "
+            "registered temp view — CTEs/subqueries are not "
+            "supported)"
+        )
+    try:
+        cols = spark.table(tmatch.group(1)).columns
+    except Exception as e:  # noqa: BLE001
+        raise ValueError(
+            f"{feature} source must be a resolvable table/view: {e}"
+        ) from None
+    return tmatch.group(1), cols
+
+
+def _star_except(proj: str, col: str) -> str:
+    """Rewrite every TOP-LEVEL bare ``*`` item of a projection list
+    to ``* EXCEPT (col)`` — so a plumbing column added by a lowering
+    (QUALIFY's rank, DISTINCT ON's row number) never leaks through a
+    star, including MIXED projections like ``grp, *`` (r12
+    reviewer: the old check handled only proj == '*')."""
+    items = _split_top_level(proj)
+    return ", ".join(
+        f"* EXCEPT ({col})" if it.strip() == "*" else it.strip()
+        for it in items
+    )
 
 
 def _split_top_level(expr_list: str) -> list:
@@ -1991,11 +2040,20 @@ def _lower_sample_by(spark: SparkSession, query: str) -> DataFrame:
     width = int(m.group("n")) * _UNIT_SEC[m.group("u").lower()]
     col = m.group("col") or "ts"
     # epoch-aligned integer bucketing: tz-free, engine-exact, and
-    # equal to date_trunc for whole-unit widths
+    # equal to date_trunc for whole-unit widths. FLOOR alignment via
+    # pmod (r12 reviewer): DIV truncates toward zero, so a PRE-epoch
+    # timestamp (negative seconds) would land in the bucket that
+    # starts AFTER it; x - pmod(x, w) is the correct floor multiple
+    # for both signs (pmod is non-negative), stays in exact bigint
+    # arithmetic, and equals the old DIV form for all post-epoch
+    # data.
+    secs = (
+        "timestampdiff(SECOND, "
+        f"TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
+    )
     bucket = (
-        "timestampadd(SECOND, CAST(timestampdiff(SECOND, "
-        f"TIMESTAMP_NTZ '1970-01-01 00:00:00', {col}) DIV {width} "
-        f"AS BIGINT) * {width}, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+        f"timestampadd(SECOND, {secs} - pmod({secs}, {width}), "
+        "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
     )
     proj = m.group("proj")
     # QuestDB-style: bare column projections join the grouping key.
@@ -2025,8 +2083,6 @@ def sql(spark: SparkSession, query: str) -> DataFrame:
     onto a schema-resolved explicit projection, MATCH_RECOGNIZE onto
     the initials-string sequence matcher (module docstring has all
     eight grammars)."""
-    import threading
-
     if re.search(r"\bMATCH_RECOGNIZE\b", query, re.IGNORECASE):
         return _lower_pattern(spark, query)
     if re.search(r"\bCOLUMNS\s*\(", query, re.IGNORECASE):
@@ -2105,18 +2161,37 @@ def sql(spark: SparkSession, query: str) -> DataFrame:
     )
 
     view = f"__asof_{uuid.uuid4().hex[:12]}"
-    slot = threading.get_ident()
-    for old in _VIEW_SLOTS.pop(slot, []):
-        spark.catalog.dropTempView(old)
     joined.createOrReplaceTempView(view)
-    _VIEW_SLOTS[slot] = [view]
-
-    rewritten = query[: m.start()] + f"FROM {view}" + query[m.end() :]
-    # right-alias refs: the right ts surfaces as asof_ts; everything
-    # else keeps its name. Left-alias refs keep their names.
-    rewritten = re.sub(
-        rf"\b{ra}\.{rts}\b", "asof_ts", rewritten
-    )
-    rewritten = re.sub(rf"\b{ra}\.", "", rewritten)
-    rewritten = re.sub(rf"\b{la}\.", "", rewritten)
-    return spark.sql(rewritten)
+    try:
+        rewritten = (
+            query[: m.start()] + f"FROM {view}" + query[m.end() :]
+        )
+        # right-alias refs: the right ts surfaces as asof_ts, the
+        # right KEY was renamed to the left key's name (different-
+        # name joins — r12 reviewer: the old rewrite stripped 'r.'
+        # and left a dangling/mis-bound bare right-key name), and
+        # everything else keeps its name. Left-alias refs keep
+        # their names. All substitutions skip single-quoted
+        # literals (same reviewer pass: a blanket sub corrupted
+        # literals containing '<alias>.').
+        rewritten = _sub_outside_literals(
+            rf"\b{ra}\.{rts}\b", "asof_ts", rewritten
+        )
+        if rk != lk:
+            rewritten = _sub_outside_literals(
+                rf"\b{ra}\.{rk}\b", lk, rewritten
+            )
+        rewritten = _sub_outside_literals(
+            rf"\b{ra}\.", "", rewritten
+        )
+        rewritten = _sub_outside_literals(
+            rf"\b{la}\.", "", rewritten
+        )
+        return spark.sql(rewritten)
+    finally:
+        # the analyzed plan holds the resolved subtree, not the view
+        # name (the MATCH_RECOGNIZE keys rely on the same property),
+        # so the throwaway view drops IMMEDIATELY — the old
+        # thread-slot lifecycle leaked one view per finished thread
+        # for the life of the session (r12 reviewer)
+        spark.catalog.dropTempView(view)

@@ -2183,3 +2183,176 @@ class TestMatchRecognize:
             assert [tuple(r) for r in got] == [(3, 7, 3)]
         finally:
             spark.catalog.dropTempView("mr_off2")
+
+
+# -- round-12 review fixes: Postgres/engine-parity holes in the -----------
+# -- older lowerings (DISTINCT ON / QUALIFY / SAMPLE BY / ASOF / case) ----
+
+
+class TestRound12ReviewFixes:
+    def test_distinct_on_star_hides_plumbing_and_keeps_order(
+        self, spark
+    ):
+        # 'SELECT DISTINCT ON (k) *' must return exactly the source
+        # columns (the row-number plumbing is not a result column —
+        # and a fixed '__rn' alias used to collide with tables that
+        # already have one), and the written ORDER BY is the result
+        # order, as Postgres guarantees
+        rows = [(1, 3, "a", 9), (1, 1, "b", 9), (2, 2, "c", 9)]
+        spark.createDataFrame(
+            rows, "k int, ts int, tag string, __rn int"
+        ).createOrReplaceTempView("don_star")
+        try:
+            got = sqlext.sql(
+                spark,
+                "SELECT DISTINCT ON (k) * FROM don_star "
+                "ORDER BY k DESC, ts DESC",
+            )
+            assert got.columns == ["k", "ts", "tag", "__rn"]
+            # row order IS the written ORDER BY (k DESC)
+            assert [tuple(r) for r in got.collect()] == [
+                (2, 2, "c", 9), (1, 3, "a", 9),
+            ]
+            # mixed star projections suppress the plumbing too
+            got2 = sqlext.sql(
+                spark,
+                "SELECT tag, * FROM don_star "
+                "QUALIFY row_number() OVER (PARTITION BY k "
+                "ORDER BY ts) = 1",
+            )
+            assert got2.columns == ["tag", "k", "ts", "tag", "__rn"]
+        finally:
+            spark.catalog.dropTempView("don_star")
+
+    def test_sample_by_floors_pre_epoch_timestamps(self, spark):
+        # DIV truncates toward zero: a 1969 row used to land in the
+        # bucket STARTING AFTER it; pmod alignment floors both signs
+        rows = [
+            (_ts("1969-12-31T23:59:30"), 1.0),
+            (_ts("1970-01-01T00:00:30"), 2.0),
+        ]
+        spark.createDataFrame(
+            rows, "ts timestamp_ntz, v double"
+        ).createOrReplaceTempView("pre_epoch")
+        try:
+            got = sqlext.sql(
+                spark,
+                "SELECT count(*) AS n FROM pre_epoch SAMPLE BY 1m",
+            ).collect()
+            # two DISTINCT buckets — and the pre-epoch row's bucket
+            # STARTS BEFORE it (23:59), not after (00:00)
+            assert sorted(int(r.n) for r in got) == [1, 1]
+            assert {str(r.sample_ts) for r in got} == {
+                "1969-12-31 23:59:00",
+                "1970-01-01 00:00:00",
+            }
+        finally:
+            spark.catalog.dropTempView("pre_epoch")
+
+    def test_asof_literal_and_renamed_right_key(self, spark, views):
+        # (a) a string literal containing '<alias>.' survives the
+        # alias-qualifier strip; (b) with DIFFERENT key names the
+        # right-alias key reference resolves to the renamed column
+        got = sqlext.sql(
+            spark,
+            "SELECT l.k, r.rk AS right_k, 'l.note' AS tag, r.v "
+            "FROM sqlext_left l ASOF JOIN sqlext_right r "
+            "ON l.k = r.rk AND l.ts >= r.rts",
+        ).collect()
+        assert all(r.tag == "l.note" for r in got)
+        assert all(r.right_k == r.k for r in got)
+        # k=2's 08:00 row has no prior right row -> inner drops it
+        assert len(got) == 2
+
+    def test_asof_views_do_not_leak(self, spark, views):
+        before = {
+            t.name
+            for t in spark.catalog.listTables()
+            if t.name.startswith("__asof_")
+        }
+        sqlext.sql(
+            spark,
+            "SELECT l.k, r.v FROM sqlext_left l ASOF JOIN "
+            "sqlext_right r ON l.k = r.rk AND l.ts >= r.rts",
+        ).collect()
+        after = {
+            t.name
+            for t in spark.catalog.listTables()
+            if t.name.startswith("__asof_")
+        }
+        assert after == before == set()
+
+    def test_case_insensitive_identifier_validation(self, spark):
+        # Spark resolves identifiers case-insensitively by default;
+        # the schema-validation refusals must too (EXCLUDE/REPLACE
+        # targets, MEASURES and PREV/NEXT columns, DISTINCT ON keys)
+        spark.createDataFrame(
+            [(1, 2, "view", 5.0)],
+            "user_id int, Payload int, event_type string, value double",
+        ).createOrReplaceTempView("case_t")
+        try:
+            assert sqlext.sql(
+                spark, "SELECT * EXCLUDE (payload) FROM case_t"
+            ).columns == ["user_id", "event_type", "value"]
+            assert "Payload" in sqlext.sql(
+                spark,
+                "SELECT * REPLACE (PAYLOAD * 2 AS PAYLOAD) "
+                "FROM case_t",
+            ).columns or "PAYLOAD" in [
+                c.upper()
+                for c in sqlext.sql(
+                    spark,
+                    "SELECT * REPLACE (PAYLOAD * 2 AS PAYLOAD) "
+                    "FROM case_t",
+                ).columns
+            ]
+            got = sqlext.sql(
+                spark,
+                "SELECT DISTINCT ON (USER_ID) user_id FROM case_t "
+                "ORDER BY user_id",
+            ).collect()
+            assert [tuple(r) for r in got] == [(1,)]
+            got2 = sqlext.sql(
+                spark,
+                """SELECT user_id, lv FROM case_t MATCH_RECOGNIZE (
+                   PARTITION BY user_id ORDER BY Payload
+                   MEASURES LAST(VALUE) AS lv
+                   ONE ROW PER MATCH
+                   PATTERN (V)
+                   DEFINE V AS event_type = 'view')""",
+            ).collect()
+            assert [tuple(r) for r in got2] == [(1, 5.0)]
+        finally:
+            spark.catalog.dropTempView("case_t")
+
+    def test_sum_promotes_sub_bigint_integrals(self, spark):
+        # SQL SUM promotes integral inputs: an INT column whose
+        # in-match values pass 2^31 must return the BIGINT sum, not
+        # ARITHMETIC_OVERFLOW (type-preserving fold, pre-r12)
+        rows = [
+            (1, 1, "view", 0),
+            (1, 2, "click", 2_000_000_000),
+            (1, 3, "click", 2_000_000_000),
+            (1, 4, "purchase", 0),
+        ]
+        spark.createDataFrame(
+            rows, "user_id int, event_id int, event_type string, qty int"
+        ).createOrReplaceTempView("sum_ovf")
+        try:
+            got = sqlext.sql(
+                spark,
+                """SELECT user_id, s_c, s_all FROM sum_ovf
+                   MATCH_RECOGNIZE (
+                     PARTITION BY user_id ORDER BY event_id
+                     MEASURES SUM(C.qty) AS s_c, SUM(qty) AS s_all
+                     ONE ROW PER MATCH
+                     PATTERN (V C* P)
+                     DEFINE V AS event_type = 'view',
+                            C AS event_type = 'click',
+                            P AS event_type = 'purchase')""",
+            ).collect()
+            assert [tuple(r) for r in got] == [
+                (1, 4_000_000_000, 4_000_000_000)
+            ]
+        finally:
+            spark.catalog.dropTempView("sum_ovf")
