@@ -151,17 +151,32 @@ GROUP BY user_id
 """
 
 
+def _tws_class(name: str, impl: type):
+    """Build the StatefulProcessor subclass from a plain impl class
+    by copying its namespace WITHOUT the '__dict__'/'__weakref__'
+    getset descriptors (r12 reviewer, reproduced: copying them makes
+    any Python-level instance.__dict__ access raise TypeError — it
+    only worked because CPython 3.11's C-level pickling path bypasses
+    the descriptor)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+    )
+
+    ns = {
+        k: v
+        for k, v in impl.__dict__.items()
+        if k not in ("__dict__", "__weakref__")
+    }
+    return type(name, (StatefulProcessor,), ns)
+
+
 def q_stream_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user totals via transformWithStateInPandas (Spark 4 typed
     arbitrary state): ValueState holds (count, exact decimal sum) so
     the emitted doubles match the oracle's decimal aggregation
     exactly. State is O(1) per key and survives across batches via
     the RocksDB store."""
-    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
-
-    cls = type(
-        "UserTotalsProcessor", (StatefulProcessor,), dict(_UserTotalsProcessor.__dict__)
-    )
+    cls = _tws_class("UserTotalsProcessor", _UserTotalsProcessor)
     s = replay_events(spark, sf_dir)
     with _tws_environment(spark):
         out = s.groupBy("user_id").transformWithStateInPandas(
@@ -435,6 +450,14 @@ class _RecentEventsProcessor:
                 ]
             ),
         )
+        # strictly-increasing per-key emission counter: the read-out
+        # collapses to the LATEST emission, and the max event_id it
+        # used to key on is monotone but NOT strictly (a later batch
+        # adding only smaller ids ties, and max_by picks arbitrarily
+        # among ties — r12 reviewer)
+        self._ver = handle.getValueState(
+            "ver", StructType([StructField("v", LongType())])
+        )
 
     def handleInputRows(self, key, rows, timerValues):
         cur = [(int(r[0]), float(r[1])) for r in self._recent.get()]
@@ -446,12 +469,15 @@ class _RecentEventsProcessor:
         cur.sort()
         cur = cur[-3:]
         self._recent.put([(i, v) for i, v in cur])
+        ver = (self._ver.get()[0] + 1) if self._ver.exists() else 1
+        self._ver.update((ver,))
         total = 0.0
         for _, v in cur:  # ascending event_id: same fold as the oracle
             total = total + v
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
+                "ver": [ver],
                 "n_recent": [len(cur)],
                 "recent_ids": [",".join(str(i) for i, _ in cur)],
                 "recent_sum": [total],
@@ -469,29 +495,25 @@ def q_stream_transform_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     user (largest trailing id in ``recent_ids`` — the max event_id
     seen so far, monotone across batches) so a multi-file fixture's
     per-batch cumulative re-emissions can't leave stale rows."""
-    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
-
-    cls = type(
-        "RecentEventsProcessor",
-        (StatefulProcessor,),
-        dict(_RecentEventsProcessor.__dict__),
-    )
+    cls = _tws_class("RecentEventsProcessor", _RecentEventsProcessor)
     s = replay_events(spark, sf_dir)
     with _tws_environment(spark):
         out = s.groupBy("user_id").transformWithStateInPandas(
             statefulProcessor=cls(),
             outputStructType=(
-                "user_id long, n_recent long, recent_ids string, "
-                "recent_sum double"
+                "user_id long, ver long, n_recent long, "
+                "recent_ids string, recent_sum double"
             ),
             outputMode="Update",
             timeMode="None",
         )
         tbl = run_to_table(out, "update", spark)
-    seq = F.element_at(F.split("recent_ids", ","), -1).cast("long")
+    # collapse on the strictly-increasing emission counter (see the
+    # processor): the latest emission per key, never an id tie
     latest = tbl.groupBy("user_id").agg(
         F.max_by(
-            F.struct("n_recent", "recent_ids", "recent_sum"), seq
+            F.struct("n_recent", "recent_ids", "recent_sum"),
+            F.col("ver"),
         ).alias("s")
     )
     return latest.select(
@@ -586,13 +608,7 @@ def q_stream_transform_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     Environment pinning via _tws_environment; per-(user, type) counts
     are monotone, so the max per key is the final state even when a
     multi-file fixture replays as several batches."""
-    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
-
-    cls = type(
-        "TypeCountsProcessor",
-        (StatefulProcessor,),
-        dict(_TypeCountsProcessor.__dict__),
-    )
+    cls = _tws_class("TypeCountsProcessor", _TypeCountsProcessor)
     s = replay_events(spark, sf_dir)
     with _tws_environment(spark):
         out = s.groupBy("user_id").transformWithStateInPandas(
@@ -654,25 +670,28 @@ class _InactivityFlushProcessor:
                 [
                     StructField("n", LongType()),
                     StructField("acc", StringType()),
+                    StructField("last_ms", LongType()),
                 ]
             ),
         )
 
     def handleInputRows(self, key, rows, timerValues):
         if self._state.exists():
-            n, acc_str = self._state.get()
+            n, acc_str, last_ms = self._state.get()
             acc = Decimal(acc_str)
         else:
-            n, acc = 0, Decimal(0)
-        last_ms = None
+            n, acc, last_ms = 0, Decimal(0), 0
         for pdf in rows:
             for v in pdf["value"]:
                 acc += micro6(float(v))
                 n += 1
             batch_max = pdf["ts_evt"].max()
             ms = int(batch_max.value // 1_000_000)
-            last_ms = ms if last_ms is None else max(last_ms, ms)
-        self._state.update((n, str(acc)))
+            # re-arm from the MAX over every batch seen, not just
+            # this one (r12 reviewer): a cross-batch out-of-order
+            # arrival must not pull the inactivity deadline BACK
+            last_ms = max(last_ms, ms)
+        self._state.update((n, str(acc), last_ms))
         for t in self._handle.listTimers():
             self._handle.deleteTimer(t)
         self._handle.registerTimer(last_ms + 30 * 60 * 1000)
@@ -680,7 +699,7 @@ class _InactivityFlushProcessor:
 
     def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
         if self._state.exists():
-            n, acc_str = self._state.get()
+            n, acc_str, _ = self._state.get()
             self._state.clear()
             yield pd.DataFrame(
                 {
@@ -707,13 +726,7 @@ def q_stream_transform_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from streamz_postgres_spark.streaming.runner import staged_replay_with_flush
 
-    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
-
-    cls = type(
-        "InactivityFlushProcessor",
-        (StatefulProcessor,),
-        dict(_InactivityFlushProcessor.__dict__),
-    )
+    cls = _tws_class("InactivityFlushProcessor", _InactivityFlushProcessor)
     s, staging = staged_replay_with_flush(spark, sf_dir)
     micros = F.expr(
         "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
@@ -738,9 +751,28 @@ def q_stream_transform_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
             # the termination race (observed ~1/10 under load);
             # state checkpointing keeps the union exactly-once.
             # Sink mode is append (parquet supports nothing else);
-            # the operator's Update mode is independent, and each
-            # user emits exactly once on expiry anyway.
-            return run_to_parquet_resumed(out, "append", spark)
+            # the operator's Update mode is independent. The
+            # read-out SUMS per-user rows instead of assuming one:
+            # a replay split with a >30-minute intra-user event-time
+            # gap legitimately fires the inactivity flush mid-stream
+            # and the user re-accumulates — two disjoint SEGMENTS
+            # whose totals add to the full history (r12 reviewer;
+            # one row per user remains the in-order single-gap
+            # case). Segment sums re-quantize through the micro6
+            # rule so the double addition stays exact.
+            raw = run_to_parquet_resumed(out, "append", spark)
+            return raw.groupBy("user_id").agg(
+                F.sum("n_events").alias("n_events"),
+                (
+                    F.sum(
+                        F.floor(
+                            F.col("sum_value") * F.lit(1e6)
+                            + F.lit(0.5)
+                        ).cast("decimal(38,0)")
+                    ).cast("double")
+                    / F.lit(1e6)
+                ).alias("sum_value"),
+            )
     finally:
         shutil.rmtree(staging, ignore_errors=True)
 
@@ -789,11 +821,16 @@ class _WarmStartTotalsProcessor:
 
     def handleInitialState(self, key, initialState, timerValues) -> None:
         # arrives as a 1-row pandas frame (or a Row, per the API
-        # union) — extract scalars either way
+        # union) — extract scalars either way. The seed arrives in
+        # MICRO-UNITS (an integer string) and scales here exactly
+        # like functions.numeric.micro6 — the batch side must NOT
+        # use cast('decimal(38,6)'), whose shortest-string HALF_UP
+        # rounding diverges from the floor rule near 5e-7 ties
+        # (r12 reviewer; the round-6 finding numeric.py documents).
         n, acc = initialState["n"], initialState["acc"]
         if hasattr(n, "iloc"):
             n, acc = n.iloc[0], acc.iloc[0]
-        self._state.update((int(n), str(acc)))
+        self._state.update((int(n), str(Decimal(str(acc)).scaleb(-6))))
 
     def handleInputRows(self, key, rows, timerValues):
         if self._state.exists():
@@ -827,20 +864,21 @@ def q_stream_transform_init(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the snapshot-∪-live serving pattern — so parity holds for ANY
     fixture, not just ones where every user has a live row.
     Environment pinning via _tws_environment."""
-    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
-
-    cls = type(
-        "WarmStartTotalsProcessor",
-        (StatefulProcessor,),
-        dict(_WarmStartTotalsProcessor.__dict__),
-    )
+    cls = _tws_class("WarmStartTotalsProcessor", _WarmStartTotalsProcessor)
     hist = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("event_id") % 10 < 3)
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(38,6)"))
+            # micro-unit floor quantization — the dsum rule — so the
+            # seed matches the processor's micro6 fold and the
+            # sql_dsum oracle bit-for-bit (cast('decimal(38,6)')
+            # rounds Java's shortest string, a DIFFERENT rule)
+            F.sum(
+                F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5))
+                .cast("decimal(38,0)")
+            )
             .cast("string")
             .alias("acc"),
         )
@@ -862,7 +900,11 @@ def q_stream_transform_init(spark: SparkSession, sf_dir: str) -> DataFrame:
     absent = hist.join(streamed, "user_id", "left_anti").select(
         "user_id",
         F.col("n").alias("n_events"),
-        F.col("acc").cast("decimal(38,6)").cast("double").alias("sum_value"),
+        # micro-units -> double, the dsum read-out form
+        (
+            F.col("acc").cast("decimal(38,0)").cast("double")
+            / F.lit(1e6)
+        ).alias("sum_value"),
     )
     return streamed.unionByName(absent)
 
@@ -944,13 +986,7 @@ def q_stream_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     the last emission per key (n_events is monotone across batches),
     so multi-file fixtures can't leave stale rows. Environment
     pinning via _tws_environment."""
-    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
-
-    cls = type(
-        "PercentileProcessor",
-        (StatefulProcessor,),
-        dict(_PercentileProcessor.__dict__),
-    )
+    cls = _tws_class("PercentileProcessor", _PercentileProcessor)
     s = replay_events(spark, sf_dir)
     with _tws_environment(spark):
         out = s.groupBy("event_type").transformWithStateInPandas(
@@ -1035,11 +1071,15 @@ def _kll_fold(
     )
 
 
+def _kll_oracle() -> str:
+    from streamz_postgres_spark.functions.kll import KLL_ORACLE_SQL
+
+    return KLL_ORACLE_SQL
+
+
 @register(
     "q_stream_kll_quantile",
-    oracle=__import__(
-        "streamz_postgres_spark.functions.kll", fromlist=["KLL_ORACLE_SQL"]
-    ).KLL_ORACLE_SQL,
+    oracle=_kll_oracle(),
     tags=("streaming", "stateful", "stats", "sketch"),
 )
 def q_stream_kll_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1112,6 +1152,23 @@ def _twap_fold(
     # the new tail (np.diff of exact int64 epochs + a value shift —
     # value-identical to the per-row loop, ~10x faster per batch)
     if last_x is not None:
+        if len(xs) and int(xs[0]) < int(last_x):
+            # ENFORCED in-order contract (r12 reviewer): the O(1)
+            # open-observation state has already emitted the closed
+            # increments, so an arrival EARLIER than the open
+            # observation cannot be merged retroactively — a silent
+            # negative duration would corrupt the TWAP. The pattern
+            # folds merge-sort full history instead; this fold's
+            # whole point is two scalars of state, so it refuses
+            # disorder rather than faking it (same rule as the
+            # MATCH_RECOGNIZE tie guard).
+            raise ValueError(
+                "q_stream_twap: cross-batch out-of-order arrival "
+                f"(epoch-second {int(xs[0])} precedes the open "
+                f"observation at {int(last_x)}) — replay in "
+                "event-time order, or use batch q_twap for late "
+                "data"
+            )
         xs = np.concatenate(([last_x], xs))
         vs = np.concatenate(([last_v], vs))
     state.update((int(xs[-1]), float(vs[-1])))
@@ -1374,19 +1431,30 @@ def _mr_merge(
     (x, event_id) — the cross-batch out-of-order contract every
     pattern fold shares (r10 advisor). Updates state; returns the
     merged (xs, eids, s)."""
-    xs, eids, s = ([], [], "") if not state.exists else (
-        list(state.get[0]),
-        list(state.get[1]),
-        state.get[2],
+    import heapq
+
+    # the stored triples are ALWAYS (x, event_id)-sorted (this
+    # function is their only writer), so each batch needs one
+    # O(b log b) sort of the ARRIVALS plus a linear merge — not the
+    # O(n log n) full-history re-sort the old code ran per batch
+    # (r12 reviewer: a long-lived key's fold got slower every batch)
+    old = (
+        []
+        if not state.exists
+        else list(zip(state.get[0], state.get[1], state.get[2]))
     )
     pdf = pd.concat(list(batches), ignore_index=True)
-    xs += pdf["x"].tolist()
-    eids += pdf["event_id"].tolist()
-    s += "".join(pdf["ch"].tolist())
-    order = sorted(range(len(xs)), key=lambda i: (xs[i], eids[i]))
-    xs = [xs[i] for i in order]
-    eids = [eids[i] for i in order]
-    s = "".join(s[i] for i in order)
+    arrivals = sorted(
+        zip(
+            pdf["x"].tolist(),
+            pdf["event_id"].tolist(),
+            pdf["ch"].tolist(),
+        )
+    )
+    merged = list(heapq.merge(old, arrivals))
+    xs = [m[0] for m in merged]
+    eids = [m[1] for m in merged]
+    s = "".join(m[2] for m in merged)
     state.update((xs, eids, s))
     return xs, eids, s
 
@@ -1496,17 +1564,35 @@ def _classified_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: the default pattern-twin measure columns: (fold column, output
+#: alias, kind) — 'ts' converts epoch-micros back to TimestampNTZ
+_MR_DEFAULT_COLS = (
+    ("n_rows", "n_rows", "bigint"),
+    ("start_x", "start_ts", "ts"),
+    ("end_x", "end_ts", "ts"),
+)
+
+
 def _stream_pattern_query(
-    spark: SparkSession, sf_dir: str, fold
+    spark: SparkSession,
+    sf_dir: str,
+    fold,
+    cols: tuple = _MR_DEFAULT_COLS,
 ) -> DataFrame:
-    """Shared pipeline for the live pattern twins: classify -> fold
-    (skip-mode-specific) -> latest-full-snapshot collapse -> micros
-    back to TimestampNTZ."""
+    """Shared pipeline for ALL the live pattern twins: classify ->
+    fold (skip-mode-specific) -> latest-full-snapshot collapse ->
+    micros back to TimestampNTZ. ``cols`` is the fold's measure
+    tail after the shared (user_id, seq_len, match_no) head — one
+    home for the collapse/marker/conversion logic (r12 reviewer:
+    the NULL-marker fix had to be hand-replicated into three
+    copy-pasted read-outs)."""
     typed = _classified_stream(spark, sf_dir)
+    tail = ", ".join(f"{c} long" for c, _, _ in cols)
     out = typed.groupBy("user_id").applyInPandasWithState(
         fold,
-        outputStructType="user_id long, seq_len long, match_no int, "
-        "n_rows long, start_x long, end_x long",
+        outputStructType=(
+            f"user_id long, seq_len long, match_no int, {tail}"
+        ),
         stateStructType="xs array<long>, eids array<long>, s string",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
@@ -1514,6 +1600,19 @@ def _stream_pattern_query(
     tbl = run_to_table(out, "update", spark)
     epoch = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
     latest = Window.partitionBy("user_id")
+    sel = [
+        F.col("user_id"),
+        F.col("match_no").cast("int").alias("match_no"),
+    ]
+    for c, alias, kind in cols:
+        if kind == "ts":
+            sel.append(
+                F.expr(
+                    f"timestampadd(MICROSECOND, {c}, {epoch})"
+                ).alias(alias)
+            )
+        else:
+            sel.append(F.col(c).cast("bigint").alias(alias))
     return (
         tbl.withColumn("max_len", F.max("seq_len").over(latest))
         .filter(F.col("seq_len") == F.col("max_len"))
@@ -1522,32 +1621,24 @@ def _stream_pattern_query(
         # matches were destroyed by a late arrival ends with no rows
         # instead of a resurrected stale snapshot
         .filter(F.col("match_no").isNotNull())
-        .select(
-            "user_id",
-            F.col("match_no").cast("int").alias("match_no"),
-            F.col("n_rows").cast("bigint").alias("n_rows"),
-            F.expr(
-                f"timestampadd(MICROSECOND, start_x, {epoch})"
-            ).alias("start_ts"),
-            F.expr(
-                f"timestampadd(MICROSECOND, end_x, {epoch})"
-            ).alias("end_ts"),
-        )
+        .select(*sel)
         .orderBy("user_id", "match_no")
     )
 
 
-def _stream_pattern_measures_oracle() -> str:
+def _batch_oracle(key: str) -> str:
+    """The live twins' oracle IS the batch key's (one home for the
+    four identical helper functions the r12 review flagged)."""
     import streamz_postgres_spark.operators.windows  # noqa: F401
 
     from streamz_postgres_spark.registry import REGISTRY
 
-    return REGISTRY["q_pattern_measures"].oracle
+    return REGISTRY[key].oracle
 
 
 register(
     "q_stream_pattern_measures",
-    oracle=_stream_pattern_measures_oracle(),
+    oracle=_batch_oracle("q_pattern_measures"),
     tags=("streaming", "stateful", "sequence"),
 )(q_stream_pattern_measures)
 
@@ -1580,17 +1671,9 @@ def q_stream_pattern_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _stream_pattern_query(spark, sf_dir, _pattern_overlap_fold)
 
 
-def _stream_pattern_overlap_oracle() -> str:
-    import streamz_postgres_spark.operators.windows  # noqa: F401
-
-    from streamz_postgres_spark.registry import REGISTRY
-
-    return REGISTRY["q_pattern_overlap"].oracle
-
-
 register(
     "q_stream_pattern_overlap",
-    oracle=_stream_pattern_overlap_oracle(),
+    oracle=_batch_oracle("q_pattern_overlap"),
     tags=("streaming", "stateful", "sequence"),
 )(q_stream_pattern_overlap)
 
@@ -1668,50 +1751,21 @@ def q_stream_pattern_symbol_measures(
     (zero-click conversions) survive the Python->Arrow->JVM round
     trip as null longs. The oracle IS the batch key's (DuckDB
     list_filter per-symbol positions)."""
-    typed = _classified_stream(spark, sf_dir)
-    out = typed.groupBy("user_id").applyInPandasWithState(
+    return _stream_pattern_query(
+        spark,
+        sf_dir,
         _pattern_symbol_fold,
-        outputStructType="user_id long, seq_len long, match_no int, "
-        "n_clicks long, first_view_x long, last_click_eid long",
-        stateStructType="xs array<long>, eids array<long>, s string",
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        cols=(
+            ("n_clicks", "n_clicks", "bigint"),
+            ("first_view_x", "first_view_ts", "ts"),
+            ("last_click_eid", "last_click_id", "bigint"),
+        ),
     )
-    tbl = run_to_table(out, "update", spark)
-    epoch = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
-    latest = Window.partitionBy("user_id")
-    return (
-        tbl.withColumn("max_len", F.max("seq_len").over(latest))
-        .filter(F.col("seq_len") == F.col("max_len"))
-        # NULL match_no = the fold's no-matches marker at that
-        # seq_len (r12): dropped AFTER the collapse, so a user whose
-        # matches were destroyed by a late arrival ends with no rows
-        # instead of a resurrected stale snapshot
-        .filter(F.col("match_no").isNotNull())
-        .select(
-            "user_id",
-            F.col("match_no").cast("int").alias("match_no"),
-            F.col("n_clicks").cast("bigint").alias("n_clicks"),
-            F.expr(
-                f"timestampadd(MICROSECOND, first_view_x, {epoch})"
-            ).alias("first_view_ts"),
-            F.col("last_click_eid").cast("bigint").alias("last_click_id"),
-        )
-        .orderBy("user_id", "match_no")
-    )
-
-
-def _stream_pattern_symbol_oracle() -> str:
-    import streamz_postgres_spark.operators.windows  # noqa: F401
-
-    from streamz_postgres_spark.registry import REGISTRY
-
-    return REGISTRY["q_pattern_symbol_measures"].oracle
 
 
 register(
     "q_stream_pattern_symbol_measures",
-    oracle=_stream_pattern_symbol_oracle(),
+    oracle=_batch_oracle("q_pattern_symbol_measures"),
     tags=("streaming", "stateful", "sequence"),
 )(q_stream_pattern_symbol_measures)
 
@@ -1808,52 +1862,21 @@ def q_stream_pattern_skip_to(
     session/month at scale), same latest-full-snapshot collapse,
     same epoch-micros boundary crossing. The oracle IS the batch
     key's DuckDB RECURSIVE CTE."""
-    typed = _classified_stream(spark, sf_dir)
-    out = typed.groupBy("user_id").applyInPandasWithState(
+    return _stream_pattern_query(
+        spark,
+        sf_dir,
         _pattern_skip_to_fold,
-        outputStructType="user_id long, seq_len long, match_no int, "
-        "n_rows long, n_clicks long, start_x long, end_x long",
-        stateStructType="xs array<long>, eids array<long>, s string",
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        cols=(
+            ("n_rows", "n_rows", "bigint"),
+            ("n_clicks", "n_clicks", "bigint"),
+            ("start_x", "start_ts", "ts"),
+            ("end_x", "end_ts", "ts"),
+        ),
     )
-    tbl = run_to_table(out, "update", spark)
-    epoch = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
-    latest = Window.partitionBy("user_id")
-    return (
-        tbl.withColumn("max_len", F.max("seq_len").over(latest))
-        .filter(F.col("seq_len") == F.col("max_len"))
-        # NULL match_no = the fold's no-matches marker at that
-        # seq_len (r12): dropped AFTER the collapse, so a user whose
-        # matches were destroyed by a late arrival ends with no rows
-        # instead of a resurrected stale snapshot
-        .filter(F.col("match_no").isNotNull())
-        .select(
-            "user_id",
-            F.col("match_no").cast("int").alias("match_no"),
-            F.col("n_rows").cast("bigint").alias("n_rows"),
-            F.col("n_clicks").cast("bigint").alias("n_clicks"),
-            F.expr(
-                f"timestampadd(MICROSECOND, start_x, {epoch})"
-            ).alias("start_ts"),
-            F.expr(
-                f"timestampadd(MICROSECOND, end_x, {epoch})"
-            ).alias("end_ts"),
-        )
-        .orderBy("user_id", "match_no")
-    )
-
-
-def _stream_pattern_skip_to_oracle() -> str:
-    import streamz_postgres_spark.operators.windows  # noqa: F401
-
-    from streamz_postgres_spark.registry import REGISTRY
-
-    return REGISTRY["q_pattern_skip_to"].oracle
 
 
 register(
     "q_stream_pattern_skip_to",
-    oracle=_stream_pattern_skip_to_oracle(),
+    oracle=_batch_oracle("q_pattern_skip_to"),
     tags=("streaming", "stateful", "sequence"),
 )(q_stream_pattern_skip_to)
