@@ -341,3 +341,52 @@ def test_fold_snapshot_equals_batch_enumeration(data):
     ]
     assert got == want
     assert int(tbl["seq_len"].max()) == len(events)
+
+
+def test_twap_fold_refuses_cross_batch_disorder():
+    """q_stream_twap's O(1) open-observation state has already
+    emitted the closed increments, so an arrival EARLIER than the
+    open observation must raise (a silent negative duration would
+    corrupt the TWAP) — the enforced in-order contract."""
+    from streamz_postgres_spark.streaming.stateful import _twap_fold
+
+    def mk(rows):
+        return pd.DataFrame(
+            {
+                "x": pd.Series([r[0] for r in rows], dtype="int64"),
+                "event_id": pd.Series(
+                    [r[1] for r in rows], dtype="int64"
+                ),
+                "value": pd.Series(
+                    [r[2] for r in rows], dtype="float64"
+                ),
+            }
+        )
+
+    state = _FakeState()
+    out1 = list(_twap_fold(("view",), iter([mk([(100, 1, 1.0), (200, 2, 2.0)])]), state))
+    assert int(out1[0]["dur"].sum()) == 100
+    with pytest.raises(ValueError, match="out-of-order"):
+        list(_twap_fold(("view",), iter([mk([(150, 3, 9.0)])]), state))
+    # in-order continuation (>= the open observation) still works
+    state2 = _FakeState()
+    list(_twap_fold(("view",), iter([mk([(100, 1, 1.0)])]), state2))
+    out = list(_twap_fold(("view",), iter([mk([(300, 2, 2.0)])]), state2))
+    assert int(out[0]["dur"].sum()) == 200
+
+
+def test_tws_class_keeps_instance_dict_usable():
+    """_tws_class must not copy the '__dict__'/'__weakref__' getset
+    descriptors from the impl class — copying them makes any
+    Python-level instance.__dict__ access raise TypeError."""
+    from streamz_postgres_spark.streaming import stateful as S
+
+    cls = S._tws_class("Probe", S._UserTotalsProcessor)
+    inst = cls()
+    inst.__dict__["probe"] = 1  # raises TypeError pre-fix
+    assert vars(inst)["probe"] == 1
+    assert "__dict__" not in {
+        k
+        for k in cls.__dict__
+        if k in ("__dict__", "__weakref__")
+    }
