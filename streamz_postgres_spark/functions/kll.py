@@ -172,7 +172,10 @@ def calibrated_readout(latest, events):
     from pyspark.sql import functions as F
 
     exact = events.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_exact"),
+        # count NON-NULL values: collect_list already drops NULLs, so
+        # a COUNT(*) would desynchronize the index arithmetic from
+        # vals whenever the column is nullable (r12 hostile sweep)
+        F.count("value").alias("n_exact"),
         F.sort_array(F.collect_list("value")).alias("vals"),
     )
     j = latest.join(exact, "event_type")
@@ -207,9 +210,13 @@ def calibrated_readout(latest, events):
 
 KLL_ORACLE_SQL = """
 WITH s AS (
+  -- COUNT(value) + FILTER: quantiles are over the NON-NULL values
+  -- (DuckDB's list() keeps NULLs, Spark's collect_list drops them —
+  -- the FILTER pins both sides to the SQL-aggregate convention;
+  -- hostile-fixture sweep find, r12)
   SELECT event_type,
-         list(value ORDER BY value) AS vals,
-         CAST(COUNT(*) AS BIGINT) AS n_events
+         list(value ORDER BY value) FILTER (value IS NOT NULL) AS vals,
+         CAST(COUNT(value) AS BIGINT) AS n_events
   FROM events
   GROUP BY event_type
 )

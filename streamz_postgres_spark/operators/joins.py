@@ -1441,34 +1441,36 @@ WITH clicks AS (
   UNION ALL
   SELECT user_id, ts, purchase_value, 0 AS side, NULL, NULL FROM purch
 ), w AS (
+  -- the candidate is ONE struct per direction, so its ts and value
+  -- can never desynchronize: per-column IGNORE NULLS would skip a
+  -- NULL purchase_value back to an OLDER purchase while keeping the
+  -- nearer ts (hostile-fixture sweep find, r12 — the engine's
+  -- struct-payload windows had this right all along)
   SELECT *,
-    LAST_VALUE(CASE WHEN side = 0 THEN ts END IGNORE NULLS)
-      OVER wb AS b_ts,
-    LAST_VALUE(CASE WHEN side = 0 THEN purchase_value END IGNORE NULLS)
-      OVER wb AS b_val,
-    FIRST_VALUE(CASE WHEN side = 0 THEN ts END IGNORE NULLS)
-      OVER wf AS f_ts,
-    FIRST_VALUE(CASE WHEN side = 0 THEN purchase_value END IGNORE NULLS)
-      OVER wf AS f_val
+    LAST_VALUE(CASE WHEN side = 0
+               THEN struct_pack(cts := ts, cval := purchase_value) END
+               IGNORE NULLS) OVER wb AS b,
+    FIRST_VALUE(CASE WHEN side = 0
+                THEN struct_pack(cts := ts, cval := purchase_value) END
+                IGNORE NULLS) OVER wf AS f
   FROM u
   WINDOW wb AS (PARTITION BY user_id ORDER BY ts, side
                 ROWS UNBOUNDED PRECEDING),
          wf AS (PARTITION BY user_id ORDER BY ts, side
                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+), pick AS (
+  SELECT event_id, user_id, ts, value,
+         CASE WHEN b IS NULL THEN f
+              WHEN f IS NULL THEN b
+              WHEN date_diff('microseconds', b.cts, ts)
+                   <= date_diff('microseconds', ts, f.cts) THEN b
+              ELSE f END AS c
+  FROM w
+  WHERE side = 1
 )
 SELECT event_id, user_id, ts, value,
-       CASE WHEN b_ts IS NULL THEN f_ts
-            WHEN f_ts IS NULL THEN b_ts
-            WHEN date_diff('microseconds', b_ts, ts)
-                 <= date_diff('microseconds', ts, f_ts) THEN b_ts
-            ELSE f_ts END AS asof_ts,
-       CASE WHEN b_ts IS NULL THEN f_val
-            WHEN f_ts IS NULL THEN b_val
-            WHEN date_diff('microseconds', b_ts, ts)
-                 <= date_diff('microseconds', ts, f_ts) THEN b_val
-            ELSE f_val END AS purchase_value
-FROM w
-WHERE side = 1
+       c.cts AS asof_ts, c.cval AS purchase_value
+FROM pick
 """,
     tags=("join", "time", "asof"),
 )

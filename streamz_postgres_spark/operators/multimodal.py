@@ -134,16 +134,25 @@ def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     ASCII payload the two coincide; a real byte-level media pipeline
     swaps the decode for raw-bytes handling (and drops the oracle)."""
     for pdf in batches:
-        texts = pdf["payload"].map(lambda b: b.decode("utf-8"))
-        n_units = texts.map(len)
-        checksum = texts.map(lambda s: sum(map(ord, s)) % 65536)
+        # a NULL payload (missing/undecodable media) keeps its row
+        # with NULL features — na_action + pandas nullable ints, so
+        # the NULLs survive the Arrow hop (a plain .map crashes on
+        # None and plain int dtypes can't carry NA; hostile-fixture
+        # sweep find, r12)
+        texts = pdf["payload"].map(
+            lambda b: b.decode("utf-8"), na_action="ignore"
+        )
+        n_units = texts.map(len, na_action="ignore")
+        checksum = texts.map(
+            lambda s: sum(map(ord, s)) % 65536, na_action="ignore"
+        )
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
                 "media_type": pdf["media_type"],
-                "n_bytes": n_units.astype("int32"),
-                "checksum": checksum.astype("int64"),
-                "n_frames": (n_units // 256 + 1).astype("int32"),
+                "n_bytes": n_units.astype("Int32"),
+                "checksum": checksum.astype("Int64"),
+                "n_frames": (n_units // 256 + 1).astype("Int32"),
             }
         )
 
@@ -175,9 +184,13 @@ SELECT doc_id,
             WHEN doc_id % 3 = 1 THEN 'audio'
             ELSE 'video' END AS media_type,
        CAST(length(text) AS INTEGER) AS n_bytes,
-       CAST(list_sum(list_transform(range(1, length(text) + 1),
-            i -> ascii(substr(text, CAST(i AS INTEGER), 1)))) % 65536
-         AS BIGINT) AS checksum,
+       -- empty text -> checksum 0 (a sum over zero codepoints), NULL
+       -- text -> NULL: list_sum([]) is NULL in DuckDB, so the empty
+       -- case needs the explicit COALESCE under the NULL guard
+       CAST(CASE WHEN text IS NULL THEN NULL
+            ELSE COALESCE(list_sum(list_transform(range(1, length(text) + 1),
+                 i -> ascii(substr(text, CAST(i AS INTEGER), 1)))), 0) % 65536
+            END AS BIGINT) AS checksum,
        CAST(length(text) // 256 + 1 AS INTEGER) AS n_frames
 FROM documents
 """,
@@ -230,6 +243,11 @@ def sample_and_resize_frames(
         for doc_id, mt, payload in zip(
             pdf["doc_id"], pdf["media_type"], pdf["payload"]
         ):
+            if payload is None:
+                # no decodable payload -> no frames (the oracle's
+                # range(0, NULL) unnests to zero rows; hostile-
+                # fixture sweep find, r12)
+                continue
             # codepoint slicing, matching the oracle's substr()
             # semantics (see extract_features on bytes vs codepoints)
             text = payload.decode("utf-8")
@@ -371,11 +389,15 @@ def fingerprint_payloads(
     "q_multimodal_dedup",
     oracle="""
 WITH fp AS (
+  -- NULL payloads are EXCLUDED from dedup: "content unknown" is not
+  -- "content identical", and grouping NULL hashes together would
+  -- reclaim distinct objects (hostile-fixture sweep decision, r12)
   SELECT doc_id,
          md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
            AS content_hash,
          length(text) AS n_bytes
   FROM documents
+  WHERE text IS NOT NULL
 )
 SELECT content_hash,
        MIN(doc_id) AS keep_doc_id,
@@ -400,7 +422,11 @@ def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     triples — payload bytes stay at rest; storage reclaim then joins
     the keep-set back against the object store listing."""
     d = load_table(spark, sf_dir, "documents")
-    media = with_media_columns(d)
+    # NULL payloads never enter the fingerprint stage (see the
+    # oracle's WHERE: unknown content must not dedup as identical);
+    # filtering BEFORE mapInPandas also keeps the Arrow lane free of
+    # rows the UDF would have to special-case
+    media = with_media_columns(d).filter(F.col("payload").isNotNull())
     fp = media.select("doc_id", "payload").mapInPandas(
         fingerprint_payloads, schema=_FP_SCHEMA
     )

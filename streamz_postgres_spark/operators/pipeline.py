@@ -726,7 +726,15 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         + F.lit(1)
     ) / F.lit(_H60_RANGE)
-    pr = qround(F.log(u) / F.col("n_chars"), 9)
+    # zero/NULL weight -> NULL priority (never sampled; sorts after
+    # every real priority under DESC on both engines). ln(u)/0 is
+    # NULL in DuckDB but an ANSI DIVIDE_BY_ZERO crash in Spark, so
+    # the division must be conditionally guarded (hostile-fixture
+    # sweep find, r12); in Efraimidis-Spirakis terms w -> 0 drives
+    # the priority to -inf, so exclusion is the correct limit.
+    pr = F.when(
+        F.col("n_chars") > 0, qround(F.log(u) / F.col("n_chars"), 9)
+    )
     return (
         d.select("doc_id", "n_chars", pr.alias("priority"))
         .orderBy(F.col("priority").desc(), "doc_id")

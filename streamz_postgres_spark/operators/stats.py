@@ -606,7 +606,10 @@ def _kll_partials(it):
     for pdf in it:
         for t, g in pdf.groupby("event_type"):
             sk = sketches.setdefault(t, KLLSketch(DEFAULT_K))
-            for v in g["value"]:
+            # SQL aggregate semantics: NULLs never enter the sketch
+            # (a NaN would otherwise poison the order statistics;
+            # hostile-fixture sweep find, r12)
+            for v in g["value"].dropna():
                 sk.add(float(v))
     yield pd.DataFrame(
         {

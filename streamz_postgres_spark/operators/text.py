@@ -284,12 +284,18 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_text_fingerprint",
     oracle=f"""
 WITH fp AS (
+  -- the NULL guard keeps a NULL document's fingerprint NULL: DuckDB's
+  -- list_prepend(0, NULL) is [0] (folding to fingerprint 0 — the
+  -- EMPTY document's value), while Spark's aggregate over a NULL
+  -- array is NULL, which is the correct "no content" answer
+  -- (hostile-fixture sweep find, r12)
   SELECT doc_id, lang,
+         CASE WHEN text IS NULL THEN NULL ELSE
          list_reduce(
            list_prepend(CAST(0 AS BIGINT),
              list_transform({sql_tokens('text')},
                             t -> {sql_hash60('t')} % {FP_MOD})),
-           (acc, h) -> (acc * 31 + h) % {FP_MOD}) AS fingerprint
+           (acc, h) -> (acc * 31 + h) % {FP_MOD}) END AS fingerprint
   FROM documents
 )
 SELECT doc_id, lang, fingerprint FROM fp

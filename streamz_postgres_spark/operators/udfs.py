@@ -112,7 +112,10 @@ def _make_bigrams():
             toks = t.split(" ")
             return [f"{a} {b}" for a, b in zip(toks, toks[1:])]
 
-        return text.map(f)
+        # NULL text -> NULL array (explode then drops the row, same
+        # as the oracle's unnest(NULL)); a bare .map crashes on None
+        # (hostile-fixture sweep find, r12)
+        return text.map(f, na_action="ignore")
 
     return _bigrams
 

@@ -554,8 +554,16 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         den = den + F.when(lagged.isNotNull(), F.lit(wt)).otherwise(
             F.lit(0.0)
         )
+    # den == 0.0 iff every value in the 8-row frame is NULL (a NULL
+    # current value contributes no weight) — SQL semantics for an
+    # all-NULL frame is a NULL average, and DuckDB's x/0.0 IS NULL;
+    # an unguarded division is a DIVIDE_BY_ZERO crash under ANSI
+    # (hostile-fixture sweep find, r12).
     return e.select(
-        "event_id", "user_id", "value", (num / den).alias("ewma")
+        "event_id",
+        "user_id",
+        "value",
+        F.when(den > 0.0, num / den).alias("ewma"),
     )
 
 

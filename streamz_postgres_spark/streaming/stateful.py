@@ -1054,7 +1054,9 @@ def _kll_fold(
         # twin and calibrated_readout's state cap
         sk = KLLSketch(DEFAULT_K)
     pdf = pd.concat(list(batches), ignore_index=True)
-    for v in pdf.sort_values("event_id")["value"]:
+    # SQL aggregate semantics: NULL values never enter the sketch
+    # (matches the batch twin and the quantile oracle's NULL skip)
+    for v in pdf.sort_values("event_id")["value"].dropna():
         sk.add(float(v))
     state.update((sk.n, sk.to_json()))
     t50 = (sk.n - 1) // 2 + 1
