@@ -34,7 +34,13 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """NULL when either vector has zero norm: DuckDB's x/0.0 is NULL
+    (not inf/NaN), and the session runs ANSI mode where a plain
+    division ERRORS on a zero divisor — try_divide matches the
+    oracle's NULL on both counts (v2 hostile-fixture find: the
+    fixtures never contained a zero vector, so every cosine operator
+    crashed on one)."""
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 # -- DuckDB SQL mirrors -------------------------------------------------------
@@ -48,22 +54,33 @@ def sql_dot(a: str, b: str) -> str:
     """DuckDB mirror of :func:`dot`: sequential left fold. Casts each
     element to DOUBLE exactly like the Spark side, so it is safe on
     raw ``array<float>`` columns too (a FLOAT*FLOAT product differs
-    from the double product in low bits)."""
-    return (
+    from the double product in low bits).
+
+    NULL-input guard (v2 hostile-fixture find, the q_text_fingerprint
+    class): Spark's ``aggregate(NULL, ...)`` is NULL, but DuckDB's
+    ``list_prepend(0.0, NULL)`` is ``[0.0]`` — the seed resurrects a
+    NULL list as a zero sum. Every mirror therefore short-circuits NULL
+    inputs to NULL explicitly."""
+    fold = (
         "list_reduce(list_prepend(0.0, "
         f"list_transform(list_zip({a}, {b}), "
         "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), "
         "(x, y) -> x + y)"
     )
+    return (
+        f"CASE WHEN ({a}) IS NULL OR ({b}) IS NULL THEN NULL "
+        f"ELSE {fold} END"
+    )
 
 
 def sql_l2_norm(e: str) -> str:
-    """DuckDB mirror of :func:`l2_norm`."""
-    return (
+    """DuckDB mirror of :func:`l2_norm` (NULL-safe, see sql_dot)."""
+    fold = (
         "sqrt(list_reduce(list_prepend(0.0, "
         f"list_transform({e}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), "
         "(a, b) -> a + b))"
     )
+    return f"CASE WHEN ({e}) IS NULL THEN NULL ELSE {fold} END"
 
 
 def int_dot(a: Column, b: Column) -> Column:
@@ -78,11 +95,15 @@ def int_dot(a: Column, b: Column) -> Column:
 
 
 def sql_int_dot(a: str, b: str) -> str:
-    """DuckDB mirror of :func:`int_dot`."""
-    return (
+    """DuckDB mirror of :func:`int_dot` (NULL-safe, see sql_dot)."""
+    fold = (
         "list_reduce(list_prepend(CAST(0 AS BIGINT), "
         f"list_transform(list_zip({a}, {b}), p -> p[1] * p[2])), "
         "(x, y) -> x + y)"
+    )
+    return (
+        f"CASE WHEN ({a}) IS NULL OR ({b}) IS NULL THEN NULL "
+        f"ELSE {fold} END"
     )
 
 
@@ -104,11 +125,15 @@ def dist2(a: Column, b: Column) -> Column:
 
 
 def sql_dist2(a: str, b: str) -> str:
-    """DuckDB mirror of :func:`dist2`."""
-    return (
+    """DuckDB mirror of :func:`dist2` (NULL-safe, see sql_dot)."""
+    fold = (
         "list_reduce(list_prepend(0.0, "
         f"list_transform(list_zip({a}, {b}), "
         "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) "
         "* (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), "
         "(x, y) -> x + y)"
+    )
+    return (
+        f"CASE WHEN ({a}) IS NULL OR ({b}) IS NULL THEN NULL "
+        f"ELSE {fold} END"
     )

@@ -291,7 +291,7 @@ def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nrm").alias("pnrm"),
         )
     )
-    cosine = dot(F.col("e"), F.col("pe")) / (F.col("nrm") * F.col("pnrm"))
+    cosine = F.try_divide(dot(F.col("e"), F.col("pe")), F.col("nrm") * F.col("pnrm"))
     scored = (
         v.crossJoin(probe)
         .filter(F.col("vec_id") != F.col("probe_id"))

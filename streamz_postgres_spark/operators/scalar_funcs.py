@@ -84,7 +84,8 @@ SELECT
   repeat(lang, 2) AS lang_x2,
   left(text, 8) AS head8,
   right(text, 8) AS tail8,
-  levenshtein(substr(text, 1, 10), 'select the') AS lev_to_probe
+  levenshtein(substr(regexp_replace(text, '[^\\x00-\\x7F]', '?', 'g'), 1, 10),
+              'select the') AS lev_to_probe
 FROM documents
 """,
     tags=("scalar", "string"),
@@ -115,9 +116,17 @@ def q_str_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
         # chars a negative substr start counts from the END in Spark,
         # while the oracle's right() returns the whole string
         F.right(F.col("text"), F.lit(8)).alias("tail8"),
-        F.levenshtein(F.substring("text", 1, 10), F.lit("select the")).alias(
-            "lev_to_probe"
-        ),
+        # ASCII-fold before the edit distance: DuckDB's levenshtein
+        # counts BYTES (levenshtein('é','e') = 2) while Spark counts
+        # code points — parity on non-ASCII text requires an
+        # ASCII-only input, and '?'-folding keeps the fuzzy-match
+        # purpose intact (v2 hostile-fixture find, unicode class)
+        F.levenshtein(
+            F.substring(
+                F.regexp_replace("text", r"[^\x00-\x7F]", "?"), 1, 10
+            ),
+            F.lit("select the"),
+        ).alias("lev_to_probe"),
     )
 
 
@@ -259,9 +268,13 @@ SELECT
                   x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
                             AS VARCHAR)), ',') AS head4,
   len(list_filter(embedding, x -> x > 0)) AS n_pos,
+  -- NULL guard: DuckDB's list_prepend(0.0, NULL) is [0.0], folding a
+  -- NULL array to 0.0 where Spark's aggregate(NULL) is NULL (v2
+  -- hostile-fixture find, NULL-embedding class)
+  CASE WHEN embedding IS NULL THEN NULL ELSE
   list_reduce(list_prepend(0.0, list_transform(embedding,
               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
-              (acc, x) -> acc + x) AS norm_sq,
+              (acc, x) -> acc + x) END AS norm_sq,
   CAST(list_sort(embedding)[1] AS DOUBLE) AS min_dim
 FROM embeddings
 """,

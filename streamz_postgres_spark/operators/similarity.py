@@ -124,7 +124,7 @@ def q_sim_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e").alias("pe"), F.col("nrm").alias("pnrm")
         )
     )
-    cosine = dot(F.col("e"), F.col("pe")) / (F.col("nrm") * F.col("pnrm"))
+    cosine = F.try_divide(dot(F.col("e"), F.col("pe")), F.col("nrm") * F.col("pnrm"))
     return (
         v.crossJoin(probe)
         .filter(F.col("vec_id") != _PROBE_VEC_ID)
@@ -155,7 +155,7 @@ def blocked_cosine_pairs(
         F.col("e").alias("e_b"),
         F.col("nrm").alias("nrm_b"),
     )
-    cosine = dot(F.col("e"), F.col("e_b")) / (F.col("nrm") * F.col("nrm_b"))
+    cosine = F.try_divide(dot(F.col("e"), F.col("e_b")), F.col("nrm") * F.col("nrm_b"))
     return (
         v.join(b, (F.col("label") == F.col("label_b")) & (F.col("vec_id") < F.col("vec_b")))
         .select(
@@ -250,7 +250,7 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("bucket").alias("pbucket"),
         )
     )
-    cosine = dot(F.col("e"), F.col("pe")) / (F.col("nrm") * F.col("pnrm"))
+    cosine = F.try_divide(dot(F.col("e"), F.col("pe")), F.col("nrm") * F.col("pnrm"))
     return (
         hashed.join(probe, F.col("bucket") == F.col("pbucket"))
         .filter(F.col("vec_id") != _PROBE_VEC_ID)
@@ -325,7 +325,7 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nrm").alias("cnrm"),
         )
     )
-    csim = dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cnrm"))
+    csim = F.try_divide(dot(F.col("e"), F.col("ce")), F.col("nrm") * F.col("cnrm"))
     scored = v.crossJoin(cents).withColumn("csim", csim)
 
     # argmax centroid per vector: lexicographic max over
@@ -360,7 +360,7 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e").alias("pe"), F.col("nrm").alias("pnrm")
         )
     )
-    cosine = dot(F.col("e"), F.col("pe")) / (F.col("nrm") * F.col("pnrm"))
+    cosine = F.try_divide(dot(F.col("e"), F.col("pe")), F.col("nrm") * F.col("pnrm"))
     return (
         assigned.join(pcells, F.col("cell") == F.col("pcell"))
         .crossJoin(probe)
@@ -437,7 +437,7 @@ def q_sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pb"),
         )
     )
-    cosine = dot(F.col("e"), F.col("pe")) / (F.col("nrm") * F.col("pnrm"))
+    cosine = F.try_divide(dot(F.col("e"), F.col("pe")), F.col("nrm") * F.col("pnrm"))
     return (
         hashed.join(F.broadcast(probe), F.col("bucket") == F.col("pb"))
         .filter(F.col("vec_id") != _PROBE_VEC_ID)
@@ -569,7 +569,7 @@ def q_knn_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nrm").alias("cnrm"),
         )
     )
-    csim = dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cnrm"))
+    csim = F.try_divide(dot(F.col("e"), F.col("ce")), F.col("nrm") * F.col("cnrm"))
     scored = v.crossJoin(cents).withColumn("csim", csim)
     best = F.max(
         F.struct(F.col("csim").alias("c"), (-F.col("cent_id")).alias("nc"))
@@ -597,7 +597,7 @@ def q_knn_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nrm").alias("pnrm"),
         )
     )
-    cosine = dot(F.col("e"), F.col("pe")) / (F.col("nrm") * F.col("pnrm"))
+    cosine = F.try_divide(dot(F.col("e"), F.col("pe")), F.col("nrm") * F.col("pnrm"))
     cands = (
         assigned.join(pcells, assigned.cell == pcells.pcell)
         .join(probe, "probe_id")
@@ -722,7 +722,7 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e").alias("e_b"),
         F.col("nrm").alias("nrm_b"),
     )
-    cosine = dot(F.col("e"), F.col("e_b")) / (F.col("nrm") * F.col("nrm_b"))
+    cosine = F.try_divide(dot(F.col("e"), F.col("e_b")), F.col("nrm") * F.col("nrm_b"))
     pairs = v.join(
         b,
         (F.col("label") == F.col("label_b"))
@@ -816,7 +816,7 @@ def q_doc_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = v.join(F.broadcast(ce), "label").select(
         "vec_id",
         "label",
-        (dot(F.col("e"), F.col("ce")) / (F.col("nrm") * l2_norm(F.col("ce"))))
+        (F.try_divide(dot(F.col("e"), F.col("ce")), F.col("nrm") * l2_norm(F.col("ce"))))
         .alias("cos_centroid"),
     )
     stats = scored.groupBy(F.col("label").alias("slabel")).agg(
@@ -916,7 +916,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("bucket").alias("pbucket"),
         )
     )
-    cosine = dot(F.col("e"), F.col("pe")) / (F.col("nrm") * F.col("pnrm"))
+    cosine = F.try_divide(dot(F.col("e"), F.col("pe")), F.col("nrm") * F.col("pnrm"))
     rk = Window.partitionBy("pid").orderBy(
         F.col("cosine").desc(), F.col("vec_id")
     )
@@ -958,10 +958,14 @@ WITH v AS (
   FROM embeddings
 ),
 scaled AS (
+  -- NULL guards: list_prepend(0.0, NULL) = [0.0] resurrects a NULL
+  -- embedding as scale 0.0 / error 0.0 where Spark's aggregate(NULL)
+  -- is NULL (v2 hostile-fixture find, NULL-embedding class)
   SELECT vec_id, label, e,
+         CASE WHEN e IS NULL THEN NULL ELSE
          list_reduce(list_prepend(0.0,
            list_transform(e, x -> abs(x))), (a, b) -> greatest(a, b))
-           / 127.0 AS s
+           / 127.0 END AS s
   FROM v
 ),
 dq AS (
@@ -972,11 +976,12 @@ dq AS (
   FROM scaled
 )
 SELECT vec_id, label, s AS qscale,
+       CASE WHEN e IS NULL THEN NULL ELSE
        list_reduce(list_prepend(0.0,
          list_transform(list_zip(e, q),
                         p -> abs(CAST(p[1] AS DOUBLE)
                                  - CAST(p[2] AS DOUBLE)))),
-         (a, b) -> greatest(a, b)) AS max_abs_err,
+         (a, b) -> greatest(a, b)) END AS max_abs_err,
        {sql_dot('e', 'q')} / ({sql_l2_norm('e')} * {sql_l2_norm('q')})
          AS cos_fidelity
 FROM dq
@@ -1015,8 +1020,7 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: F.greatest(acc, x),
     )
-    cos = dot(F.col("e"), F.col("q")) / (
-        l2_norm(F.col("e")) * l2_norm(F.col("q"))
+    cos = F.try_divide(dot(F.col("e"), F.col("q")), l2_norm(F.col("e")) * l2_norm(F.col("q"))
     )
     return dq.select(
         "vec_id",
@@ -1102,7 +1106,7 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str):
 
     def assign(cent):
         pan = F.broadcast(cent.withColumn("cnrm", l2_norm(F.col("ce"))))
-        csim = dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cnrm"))
+        csim = F.try_divide(dot(F.col("e"), F.col("ce")), F.col("nrm") * F.col("cnrm"))
         w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), "cl")
         return (
             v.crossJoin(pan)
@@ -1162,7 +1166,7 @@ def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     a2, m2 = kmeans_assignments(spark, sf_dir)
     pan = F.broadcast(m2.withColumn("cnrm", l2_norm(F.col("ce"))))
-    cos = dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cnrm"))
+    cos = F.try_divide(dot(F.col("e"), F.col("ce")), F.col("nrm") * F.col("cnrm"))
     return (
         a2.join(pan, "cl")
         .select(F.col("cl").alias("cluster"), cos.alias("cos"))
@@ -1350,7 +1354,7 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e").alias("e_b"),
         F.col("nrm").alias("nrm_b"),
     )
-    cos = dot(F.col("e"), F.col("e_b")) / (F.col("nrm") * F.col("nrm_b"))
+    cos = F.try_divide(dot(F.col("e"), F.col("e_b")), F.col("nrm") * F.col("nrm_b"))
     pruned = (
         a2.join(
             b,
@@ -1487,7 +1491,7 @@ def q_sim_ann_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nrm").alias("cnrm"),
         )
     )
-    csim = dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cnrm"))
+    csim = F.try_divide(dot(F.col("e"), F.col("ce")), F.col("nrm") * F.col("cnrm"))
     scored = qz.crossJoin(cents).withColumn("csim", csim)
     best = F.max(
         F.struct(F.col("csim").alias("c"), (-F.col("cent_id")).alias("nc"))
@@ -1522,14 +1526,15 @@ def q_sim_ann_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("lvl").alias("plvl"),
         )
     )
-    approx = (
+    approx = F.try_divide(
         (
             int_dot(F.col("plvl"), F.col("lvl")).cast("double")
             * F.col("ps")
         )
-        * F.col("s")
-    ) / (F.col("pnrm") * F.col("nrm"))
-    cosine = dot(F.col("e"), F.col("pe")) / (F.col("nrm") * F.col("pnrm"))
+        * F.col("s"),
+        F.col("pnrm") * F.col("nrm"),
+    )
+    cosine = F.try_divide(dot(F.col("e"), F.col("pe")), F.col("nrm") * F.col("pnrm"))
     return (
         assigned.join(pcells, F.col("cell") == F.col("pcell"))
         .crossJoin(probe)
@@ -1818,7 +1823,7 @@ def q_sim_ann_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e").alias("qe"),
         F.col("nrm").alias("qnrm"),
     )
-    cos = dot(F.col("e"), F.col("qe")) / (F.col("nrm") * F.col("qnrm"))
+    cos = F.try_divide(dot(F.col("e"), F.col("qe")), F.col("nrm") * F.col("qnrm"))
     return (
         ranked.join(v.select("vec_id", "e", "nrm"), "vec_id")
         .join(F.broadcast(qv), "qid")
@@ -1926,7 +1931,7 @@ def q_sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nrm").alias("cnrm"),
         )
     )
-    csim = dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cnrm"))
+    csim = F.try_divide(dot(F.col("e"), F.col("ce")), F.col("nrm") * F.col("cnrm"))
     cscored = v.select("vec_id", "e", "nrm").crossJoin(cents).withColumn(
         "csim", csim
     )
@@ -1991,7 +1996,7 @@ def q_sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e").alias("qe"),
         F.col("nrm").alias("qnrm"),
     )
-    cos = dot(F.col("e"), F.col("qe")) / (F.col("nrm") * F.col("qnrm"))
+    cos = F.try_divide(dot(F.col("e"), F.col("qe")), F.col("nrm") * F.col("qnrm"))
     return (
         ranked.join(v.select("vec_id", "e", "nrm"), "vec_id")
         .join(F.broadcast(qv), "qid")
@@ -2088,7 +2093,7 @@ def q_embed_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ek = F.slice(F.col("e"), 1, F.col("k"))
     qek = F.slice(F.col("qe"), 1, F.col("k"))
-    cos = dot(ek, qek) / (l2_norm(ek) * l2_norm(qek))
+    cos = F.try_divide(dot(ek, qek), l2_norm(ek) * l2_norm(qek))
     pairs = (
         v.crossJoin(F.broadcast(qk))
         .filter(F.col("vec_id") != F.col("qid"))

@@ -529,6 +529,14 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: silent).
 _TREND_EPOCH = "2024-01-01 00:00:00"
 _TREND_XX_SCALE = 16777216.0  # 2^24
+# sxy gets the same power-of-two pre-scale discipline as sxx: an
+# exact exponent shift (no mantissa change), so quantization happens
+# on a bit-identical double in both engines while keeping
+# |x*value/S| inside the micro6 floor bound (numeric.py: |x| <
+# 9.2e12). Without it, a decades-from-epoch timestamp times a
+# ~1e5-magnitude value overflows the BIGINT floor on the Spark side
+# only (v2 hostile-fixture find: pre-epoch x magnitude class).
+_TREND_XY_SCALE = 65536.0  # 2^16
 
 _SQL_TREND_X = (
     f"CAST(date_diff('second', TIMESTAMP '{_TREND_EPOCH}', ts) AS DOUBLE)"
@@ -543,7 +551,7 @@ WITH m AS (
          CAST(COUNT(*) AS DOUBLE) AS n,
          {sql_dsum(_SQL_TREND_X)} AS sx,
          {sql_dsum('value')} AS sy,
-         {sql_dsum(_SQL_TREND_X + ' * value')} AS sxy,
+         {sql_dsum(f'{_SQL_TREND_X} * value / {_TREND_XY_SCALE!r}')} AS sxy_s,
          {sql_dsum(f'{_SQL_TREND_X} * {_SQL_TREND_X} / {_TREND_XX_SCALE!r}')}
            AS sxx_s
   FROM events
@@ -551,9 +559,10 @@ WITH m AS (
 )
 SELECT event_type,
        CAST(n AS BIGINT) AS n_events,
-       (n * sxy - sx * sy) / (n * (sxx_s * {_TREND_XX_SCALE!r}) - sx * sx)
+       (n * (sxy_s * {_TREND_XY_SCALE!r}) - sx * sy)
+         / (n * (sxx_s * {_TREND_XX_SCALE!r}) - sx * sx)
          AS slope_per_sec,
-       (sy - (n * sxy - sx * sy)
+       (sy - (n * (sxy_s * {_TREND_XY_SCALE!r}) - sx * sy)
              / (n * (sxx_s * {_TREND_XX_SCALE!r}) - sx * sx) * sx) / n
          AS intercept_at_epoch
 FROM m
@@ -578,11 +587,12 @@ def q_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("double").alias("n"),
         dsum(x).alias("sx"),
         dsum("value").alias("sy"),
-        dsum(x * F.col("value")).alias("sxy"),
+        dsum(x * F.col("value") / _TREND_XY_SCALE).alias("sxy_s"),
         dsum(x * x / _TREND_XX_SCALE).alias("sxx_s"),
     )
     sxx = F.col("sxx_s") * _TREND_XX_SCALE
-    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+    sxy = F.col("sxy_s") * _TREND_XY_SCALE
+    slope = (F.col("n") * sxy - F.col("sx") * F.col("sy")) / (
         F.col("n") * sxx - F.col("sx") * F.col("sx")
     )
     intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")

@@ -1059,7 +1059,7 @@ def q_retrieval_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("cnrm", l2_norm(F.col("ce")))
     )
-    cos = dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cnrm"))
+    cos = F.try_divide(dot(F.col("e"), F.col("ce")), F.col("nrm") * F.col("cnrm"))
     scored = v.crossJoin(F.broadcast(cent)).select(
         "query_id", "vec_id", cos.alias("cosine")
     )

@@ -1,11 +1,15 @@
 """Hostile-fixture parity pins (r12): the oracle gate re-run on a
 mutated sf0.001 containing the edge classes the shipped fixtures
-never exercise — NULL event values/props, (user_id, ts) ties, and
-empty/whitespace/NULL document texts.
+never exercise — NULL event values/props, (user_id, ts) ties,
+empty/whitespace/NULL document texts, and (v2) negative/zero/x1e3/
+repeating-decimal values, pre-epoch timestamps, unicode and
+8x-repeated documents, zero-vector and NULL embeddings.
 
 The full-registry sweep lives in scripts/hostile_sweep.py (round
-gate); this module pins the nine keys that FAILED the first sweep so
-each fix stays fixed:
+gate); this module pins every key that FAILED a sweep so each fix
+stays fixed.
+
+First sweep (NULL/tie classes), nine keys:
 
 - q_ewma / q_weighted_sample: ANSI DIVIDE_BY_ZERO on an all-NULL
   frame / zero weight (now NULL, matching DuckDB's x/0.0),
@@ -17,6 +21,25 @@ each fix stays fixed:
   crashed on NULL payloads,
 - q_text_fingerprint: DuckDB's list_prepend(0, NULL) = [0] folded a
   NULL document to the EMPTY document's fingerprint.
+
+v2 sweep (value/time/unicode/embedding classes), 28 keys in four
+families:
+
+- ZERO-VECTOR cosine (22 similarity/dedup/knn/graph keys): every
+  plain ``dot/(nrm*nrm')`` division ERRORED under ANSI where
+  DuckDB's x/0.0 is NULL — all cosine divisions now F.try_divide,
+- NULL-embedding fold resurrection (q_array_funcs,
+  q_embed_quantize + the sql_dot/sql_l2_norm/sql_int_dot/sql_dist2
+  mirrors): DuckDB's list_prepend(seed, NULL) = [seed] folds a NULL
+  array to the seed where Spark's aggregate(NULL) is NULL — mirrors
+  and inline oracle folds now NULL-guard explicitly,
+- micro6 floor-bound overflow (q_trend_ols): pre-epoch x times a
+  x1e3 value pushed |x*value| past numeric.py's documented per-row
+  bound on the Spark side only — sxy now pre-scales by 2^16 (exact
+  exponent shift) like sxx always did,
+- byte-vs-codepoint levenshtein (q_str_funcs2): DuckDB's
+  levenshtein counts BYTES; the input is now ASCII-folded on both
+  sides.
 """
 
 from __future__ import annotations
@@ -39,6 +62,35 @@ PINNED = [
     "q_text_fingerprint",
     "q_udtf_explode",
     "q_weighted_sample",
+    # -- v2 sweep pins --------------------------------------------------
+    "q_abtest_welch",
+    "q_ann_recall",
+    "q_array_funcs",
+    "q_autocorr",
+    "q_dedup_cluster_stats",
+    "q_dedup_clusters",
+    "q_dedup_embed",
+    "q_dedup_semantic",
+    "q_doc_outliers",
+    "q_embed_matryoshka",
+    "q_embed_quantize",
+    "q_kmeans_lloyd",
+    "q_knn_batch",
+    "q_knn_graph",
+    "q_knn_hubness",
+    "q_knn_ivf_batch",
+    "q_retrieval_prf",
+    "q_sim_ann_ivf",
+    "q_sim_ann_ivf_int8",
+    "q_sim_ann_ivfpq",
+    "q_sim_ann_lsh",
+    "q_sim_ann_multiprobe",
+    "q_sim_cosine",
+    "q_sim_pairs",
+    "q_sim_threshold_sweep",
+    "q_str_funcs2",
+    "q_trend_ols",
+    "q_triangle_count",
 ]
 
 
@@ -71,6 +123,23 @@ def test_hostile_fixture_actually_hostile(hostile_duck):
         "COUNT(*) FILTER (text = '   ') FROM documents"
     ).fetchone()
     assert n_null > 0 and n_empty > 0 and n_blank > 0
+    # v2 classes
+    n_neg, n_big, n_pre = hostile_duck.execute(
+        "SELECT COUNT(*) FILTER (value < 0), "
+        "COUNT(*) FILTER (value > 1e4), "
+        "COUNT(*) FILTER (ts < TIMESTAMP '1970-01-01') FROM events"
+    ).fetchone()
+    assert n_neg > 0 and n_big > 0 and n_pre > 0
+    (n_uni,) = hostile_duck.execute(
+        "SELECT COUNT(*) FILTER (text LIKE '%世界%') FROM documents"
+    ).fetchone()
+    assert n_uni > 0
+    n_null_emb, n_zero_emb = hostile_duck.execute(
+        "SELECT COUNT(*) FILTER (embedding IS NULL), "
+        "COUNT(*) FILTER (list_sum(list_transform(embedding, "
+        "x -> abs(x))) = 0) FROM embeddings"
+    ).fetchone()
+    assert n_null_emb > 0 and n_zero_emb > 0
 
 
 @pytest.mark.parametrize("key", PINNED)
