@@ -194,11 +194,15 @@ def calibrated_readout(latest, events):
     return j.select(
         "event_type",
         F.col("n_exact").cast("bigint").alias("n_events"),
+        # try_element_at: an ALL-NULL group has n_exact = 0 and an
+        # empty vals array — ANSI element_at(empty, 1) throws where
+        # DuckDB's vals[1] is NULL (same class as the v2 zero-divisor
+        # finds; latent until a fixture ships an all-NULL group)
         F.expr(
-            "element_at(vals, CAST((n_exact - 1) DIV 2 AS INT) + 1)"
+            "try_element_at(vals, CAST((n_exact - 1) DIV 2 AS INT) + 1)"
         ).alias("p50_exact"),
         F.expr(
-            "element_at(vals, CAST(((n_exact - 1) * 9) DIV 10 AS INT) + 1)"
+            "try_element_at(vals, CAST(((n_exact - 1) * 9) DIV 10 AS INT) + 1)"
         ).alias("p90_exact"),
         in_bound("p50_est", "(n_events - 1) DIV 2 + 1").alias("p50_in_bound"),
         in_bound("p90_est", "((n_events - 1) * 9) DIV 10 + 1").alias(

@@ -135,8 +135,13 @@ def _materialized_sink(spark: SparkSession, sf_dir: str):
         spark, target, key_cols=["user_id"], seq_col="last_seq", op_col="op"
     )
     e = load_table(spark, sf_dir, "events")
-    total = e.count()
-    step = total // 4 + 1
+    # chunk bounds from MAX(event_id), not COUNT(*): the two agree
+    # only for contiguous ids starting at 0 — a log with id gaps or
+    # late high-id rows (v2 hostile tie-duplicate class) would leave
+    # every event_id >= 4*step permanently unstaged and silently
+    # materialize a stale table
+    max_id = e.agg(F.max("event_id")).collect()[0][0] or 0
+    step = max_id // 4 + 1
     base_mtime = None
     for i in range(4):
         part_dir = os.path.join(staging, f"part{i}")
@@ -238,7 +243,7 @@ _TT_EPOCH = 2  # read the table as of the third of the four merges
 @register(
     "q_cdc_time_travel",
     oracle=f"""
-WITH n AS (SELECT COUNT(*) // 4 + 1 AS step FROM events)
+WITH n AS (SELECT MAX(event_id) // 4 + 1 AS step FROM events)
 SELECT user_id, seq AS last_seq, val AS current_value
 FROM (
   SELECT user_id, event_id AS seq, value AS val,
@@ -485,11 +490,15 @@ def _enrich_asof_fold(
         pdf["event_id"], pdf["event_type"], pdf["value"]
     ):
         if etype == "signup":
-            dim_seq, dim_val = int(eid), float(val)
+            # the version is a coherent (seq, value) PAIR: a
+            # NULL-value signup advances the version and carries a
+            # NULL value (matching the oracle's struct payload)
+            dim_seq = int(eid)
+            dim_val = None if pd.isna(val) else float(val)
         else:
             out_eid.append(int(eid))
             out_type.append(str(etype))
-            out_val.append(float(val))
+            out_val.append(None if pd.isna(val) else float(val))
             out_dseq.append(dim_seq)
             out_dval.append(dim_val)
     if dim_seq is None:
@@ -501,7 +510,9 @@ def _enrich_asof_fold(
             "user_id": [key[0]] * len(out_eid),
             "event_id": pd.Series(out_eid, dtype="int64"),
             "event_type": pd.Series(out_type, dtype="object"),
-            "value": pd.Series(out_val, dtype="float64"),
+            # object dtype: None must reach Spark as SQL NULL, not
+            # as a float64 NaN
+            "value": pd.Series(out_val, dtype="object"),
             "dim_seq": pd.Series(out_dseq, dtype="object"),
             "dim_value": pd.Series(out_dval, dtype="object"),
         }
@@ -512,16 +523,20 @@ def _enrich_asof_fold(
     "q_stream_enrich_asof",
     oracle="""
 WITH enriched AS (
+  -- ONE struct per dimension version, so seq and value can never
+  -- desynchronize: per-column IGNORE NULLS would skip a NULL-value
+  -- signup's value back to an OLDER version while advancing seq —
+  -- the q_asof_nearest oracle class (v2 hostile streaming find)
   SELECT user_id, event_id, event_type, value,
-         LAST_VALUE(CASE WHEN event_type = 'signup' THEN event_id END
-                    IGNORE NULLS) OVER w AS dim_seq,
-         LAST_VALUE(CASE WHEN event_type = 'signup' THEN value END
-                    IGNORE NULLS) OVER w AS dim_value
+         LAST_VALUE(CASE WHEN event_type = 'signup'
+                    THEN struct_pack(s := event_id, v := value) END
+                    IGNORE NULLS) OVER w AS dim
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY event_id
                ROWS UNBOUNDED PRECEDING)
 )
-SELECT user_id, event_id, event_type, value, dim_seq, dim_value
+SELECT user_id, event_id, event_type, value,
+       dim.s AS dim_seq, dim.v AS dim_value
 FROM enriched
 WHERE event_type <> 'signup'
 """,

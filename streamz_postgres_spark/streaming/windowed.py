@@ -586,9 +586,9 @@ def _running_totals(
     """
     if state.exists:
         n, acc_str = state.get
-        acc = Decimal(acc_str)
+        acc = None if acc_str is None else Decimal(acc_str)
     else:
-        n, acc = 0, Decimal(0)
+        n, acc = 0, None
     six = Decimal("0.000001")
     # concatenate BEFORE sorting: a large group arrives as several
     # Arrow chunks and per-chunk sorting would accumulate out of
@@ -596,16 +596,31 @@ def _running_totals(
     pdf = pd.concat(list(batches), ignore_index=True).sort_values("event_id")
     sums = []
     for v in pdf["value"]:
-        acc += Decimal(float(v)).quantize(six, rounding=ROUND_HALF_EVEN)
+        # NULL doubles arrive as NaN: the oracle's running SUM skips
+        # them (and stays NULL until the first real value) while
+        # COUNT(*) counts every row — mirror both; a NaN fed to the
+        # quantized add would quietly poison the accumulator forever
+        # (v2 hostile streaming sweep find)
+        if pd.notna(v):
+            acc = (acc or Decimal(0)) + Decimal(float(v)).quantize(
+                six, rounding=ROUND_HALF_EVEN
+            )
         n += 1
-        sums.append((float(acc), n))
-    state.update((n, str(acc)))
+        sums.append((None if acc is None else float(acc), n))
+    state.update((n, None if acc is None else str(acc)))
     yield pd.DataFrame(
         {
             "user_id": pdf["user_id"],
             "event_id": pdf["event_id"],
-            "value": pdf["value"],
-            "running_sum": [s for s, _ in sums],
+            # NaN -> None so the emitted value column is NULL, like
+            # the source column (a bare float64 NaN would read back
+            # as a DOUBLE NaN, not SQL NULL)
+            "value": pdf["value"].astype(object).where(
+                pdf["value"].notna(), None
+            ),
+            "running_sum": pd.Series(
+                [s for s, _ in sums], dtype="object"
+            ),
             "running_n": [c for _, c in sums],
         }
     )
@@ -916,10 +931,15 @@ def _combine_latest_fold(
     for eid, etype, val in zip(
         pdf["event_id"], pdf["event_type"], pdf["value"]
     ):
-        if etype == "click":
-            click_v = float(val)
-        else:
-            purch_v = float(val)
+        # a NULL value (NaN in pandas) does not update the side's
+        # latest — the oracle's LAST_VALUE ... IGNORE NULLS skips it
+        # — but the event still emits the current pair if both sides
+        # have been seen (v2 hostile streaming sweep find)
+        if pd.notna(val):
+            if etype == "click":
+                click_v = float(val)
+            else:
+                purch_v = float(val)
         if click_v is not None and purch_v is not None:
             rows.append(
                 {

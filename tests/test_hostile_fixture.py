@@ -94,6 +94,53 @@ PINNED = [
 ]
 
 
+#: Streaming-twin pins, v2 sweep (run on the UNSHIFTED profile —
+#: Spark's event-time watermark initializes to the 1970 epoch, so
+#: pre-epoch rows are structurally late-dropped by every watermarked
+#: streaming aggregation; see build_hostile_dir):
+#:
+#: - q_stream_transform_state/_timers/_init + q_stream_accumulate +
+#:   q_stream_percentile: pandas NaN (NULL double) crashed or
+#:   poisoned the Python state folds; now SQL-convention NULL-skip
+#:   with a nullable accumulator,
+#: - q_stream_anomaly: the oracle CASE yields NULL (not FALSE) for a
+#:   NULL value once n_prev >= 2,
+#: - q_stream_combine_latest: LAST_VALUE IGNORE NULLS skips a NULL
+#:   update, the fold overwrote with NaN,
+#: - q_stream_enrich_asof: ORACLE per-column IGNORE NULLS desync
+#:   (the q_asof_nearest class) — now one struct per version,
+#: - q_stream_textfile: line sink normalizes CR/LF and skips NULL
+#:   docs on both sides (line formats cannot carry either),
+#: - q_stream_json_lines: sum(CASE...ELSE 0) vs sum(cast(bool)) on
+#:   all-NULL groups,
+#: - q_stream_percentile_windowed: COUNT(*)-vs-collect_list index
+#:   desync + ANSI element_at throw on the empty array,
+#: - q_stream_vocab_novelty / q_stream_bloom_ingest: str(None)
+#:   minted a phantom 'None' token / NULL text collapsed to zero
+#:   counts instead of NULL,
+#: - q_cdc_materialize (+ time-travel twin): staging chunked by
+#:   event_id range with step = COUNT(*)//4+1, which strands every
+#:   id >= 4*step when ids aren't contiguous — now MAX(event_id).
+PINNED_STREAMING = [
+    "q_cdc_materialize",
+    "q_cdc_time_travel",
+    "q_stream_accumulate",
+    "q_stream_anomaly",
+    "q_stream_bloom_ingest",
+    "q_stream_combine_latest",
+    "q_stream_enrich_asof",
+    "q_stream_json_lines",
+    "q_stream_percentile",
+    "q_stream_percentile_windowed",
+    "q_stream_textfile",
+    "q_stream_transform_init",
+    "q_stream_transform_state",
+    "q_stream_transform_timers",
+    "q_stream_trend",
+    "q_stream_vocab_novelty",
+]
+
+
 @pytest.fixture(scope="module")
 def hostile_dir():
     from scripts.hostile_sweep import build_hostile_dir
@@ -104,6 +151,18 @@ def hostile_dir():
 @pytest.fixture(scope="module")
 def hostile_duck(hostile_dir):
     return duckdb_connection(hostile_dir)
+
+
+@pytest.fixture(scope="module")
+def hostile_stream_dir():
+    from scripts.hostile_sweep import build_hostile_dir
+
+    return build_hostile_dir(SF_DIR, timeshift=False)
+
+
+@pytest.fixture(scope="module")
+def hostile_stream_duck(hostile_stream_dir):
+    return duckdb_connection(hostile_stream_dir)
 
 
 def test_hostile_fixture_actually_hostile(hostile_duck):
@@ -147,4 +206,16 @@ def test_pinned_key_survives_hostile_fixture(
     spark, hostile_duck, hostile_dir, key
 ):
     ok, msg = check_query(spark, hostile_duck, REGISTRY[key], hostile_dir)
+    assert ok, f"{key}: {msg}"
+
+
+@pytest.mark.parametrize("key", PINNED_STREAMING)
+def test_pinned_streaming_key_survives_hostile_fixture(
+    spark, hostile_stream_duck, hostile_stream_dir, key
+):
+    if key not in REGISTRY:  # protobuf-gated keys
+        pytest.skip(f"{key} not registered in this environment")
+    ok, msg = check_query(
+        spark, hostile_stream_duck, REGISTRY[key], hostile_stream_dir
+    )
     assert ok, f"{key}: {msg}"
