@@ -21,7 +21,18 @@ classes the shipped fixtures never contain:
 - (v2) unicode documents (CJK + emoji + combining accent + CRLF/tab)
   and 8x-repeated long documents — tokenizer/length/regex parity,
 - (v2) ZERO VECTORS and NULL rows in ``embeddings.embedding`` —
-  cosine 0/0, NULL-array HOFs, and pandas-UDF None handling.
+  cosine 0/0, NULL-array HOFs, and pandas-UDF None handling,
+- (v3) the TPC-H half, passthrough until now: ORPHAN foreign keys
+  (customer→nation, supplier→nation, orders→customer) so inner
+  joins drop and outer joins emit NULLs; NULL GROUP KEYS
+  (l_returnflag, o_orderpriority, c_mktsegment) — both engines
+  group NULLs together but their default ORDER BY NULL placement
+  differs, so any unpinned sort over a group key is now
+  load-bearing; negative / zero / repeating-decimal monies and
+  quantities; unicode c_name/p_name (code-point substring/LIKE
+  parity); duplicated (o_custkey, o_orderdate) rows so window and
+  top-k tie-breaks over orders matter; pre-epoch
+  o_orderdate/l_shipdate (batch profile only).
 
 The round-11 advisor found exactly one bug of this class (per-symbol
 SUM lowered to a left fold that a single NULL poisons — latent only
@@ -60,15 +71,143 @@ def build_hostile_dir(src: str, timeshift: bool = True) -> str:
     shift, where it exercises real epoch-arithmetic parity."""
     out = tempfile.mkdtemp(prefix="hostile_sf_")
     con = duckdb.connect()
-    passthrough = [
-        "region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem",
-    ]
+    passthrough = ["region", "nation"]
     for t in passthrough:
         con.execute(
             f"COPY (SELECT * FROM read_parquet('{src}/{t}.parquet')) "
             f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
         )
+    # ---- v3: the TPC-H half (passthrough in v1/v2 — orphan FKs,
+    # NULL group keys, negative monies, tie-duplicates, unicode
+    # names and pre-epoch dates were never load-bearing there).
+    # Magnitudes are never scaled UP: monetary doubles already sit
+    # near the micro6 variance bound (numeric.py), and the sweep
+    # measures parity, not the documented overflow contract.
+    # customer: %19 orphan c_nationkey (inner-join drop / left-join
+    # NULL), %23 NULL c_acctbal, %29 unicode c_name, %31 NULL
+    # c_mktsegment (filter/group on NULL).
+    uni_name = "Ünïcode 顧客 \U0001f680 "
+    con.execute(
+        f"""
+        COPY (
+          SELECT c_custkey,
+                 CASE WHEN c_custkey % 29 = 0
+                      THEN '{uni_name}' || c_name ELSE c_name END
+                   AS c_name,
+                 CASE WHEN c_custkey % 19 = 0
+                      THEN c_nationkey + 1000 ELSE c_nationkey END
+                   AS c_nationkey,
+                 CASE WHEN c_custkey % 23 = 0 THEN NULL
+                      ELSE c_acctbal END AS c_acctbal,
+                 CASE WHEN c_custkey % 31 = 0 THEN NULL
+                      ELSE c_mktsegment END AS c_mktsegment
+          FROM read_parquet('{src}/customer.parquet')
+        ) TO '{out}/customer.parquet' (FORMAT PARQUET)
+        """
+    )
+    # supplier: tiny at sf0.001 (10 rows) — small mods so classes
+    # actually land: %3 NULL s_acctbal, %5 orphan s_nationkey.
+    con.execute(
+        f"""
+        COPY (
+          SELECT s_suppkey, s_name,
+                 CASE WHEN s_suppkey % 5 = 0
+                      THEN s_nationkey + 1000 ELSE s_nationkey END
+                   AS s_nationkey,
+                 CASE WHEN s_suppkey % 3 = 0 THEN NULL
+                      ELSE s_acctbal END AS s_acctbal
+          FROM read_parquet('{src}/supplier.parquet')
+        ) TO '{out}/supplier.parquet' (FORMAT PARQUET)
+        """
+    )
+    # part: %17 unicode p_name (LIKE/substring code-point parity),
+    # %19 NULL p_type, %23 zero p_size, %29 negated p_retailprice,
+    # %31 NULL p_brand.
+    con.execute(
+        f"""
+        COPY (
+          SELECT p_partkey,
+                 CASE WHEN p_partkey % 17 = 0
+                      THEN '{uni_name}' || p_name ELSE p_name END
+                   AS p_name,
+                 CASE WHEN p_partkey % 31 = 0 THEN NULL
+                      ELSE p_brand END AS p_brand,
+                 CASE WHEN p_partkey % 19 = 0 THEN NULL
+                      ELSE p_type END AS p_type,
+                 CASE WHEN p_partkey % 23 = 0 THEN 0
+                      ELSE p_size END AS p_size,
+                 CASE WHEN p_partkey % 29 = 0 THEN -p_retailprice
+                      ELSE p_retailprice END AS p_retailprice
+          FROM read_parquet('{src}/part.parquet')
+        ) TO '{out}/part.parquet' (FORMAT PARQUET)
+        """
+    )
+    # orders: %31 orphan o_custkey, %37 NULL o_orderpriority,
+    # %41 negated / %43 repeating-decimal o_totalprice, %47
+    # pre-epoch o_orderdate (batch profile only), plus duplicated
+    # (o_custkey, o_orderdate) rows (fresh keys above max, %53)
+    # so per-customer window/top-k tie-breaks become load-bearing.
+    con.execute(
+        f"""
+        COPY (
+          WITH base AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 31 = 0
+                        THEN o_custkey + 10000000
+                        ELSE o_custkey END AS o_custkey,
+                   o_orderstatus,
+                   CASE WHEN o_orderkey % 41 = 0 THEN -o_totalprice
+                        WHEN o_orderkey % 43 = 0
+                        THEN o_totalprice / 3.0
+                        ELSE o_totalprice END AS o_totalprice,
+                   CASE WHEN {str(timeshift).lower()}
+                             AND o_orderkey % 47 = 0
+                        THEN o_orderdate - INTERVAL 80 YEAR
+                        ELSE o_orderdate END AS o_orderdate,
+                   CASE WHEN o_orderkey % 37 = 0 THEN NULL
+                        ELSE o_orderpriority END AS o_orderpriority
+            FROM read_parquet('{src}/orders.parquet')
+          ), mx AS (SELECT MAX(o_orderkey) AS m FROM base)
+          SELECT * FROM base
+          UNION ALL
+          SELECT b.o_orderkey + mx.m + 1 AS o_orderkey, b.o_custkey,
+                 b.o_orderstatus, b.o_totalprice * 0.5
+                   AS o_totalprice,
+                 b.o_orderdate, b.o_orderpriority
+          FROM base b, mx WHERE b.o_orderkey % 53 = 0
+          ORDER BY o_orderkey
+        ) TO '{out}/orders.parquet' (FORMAT PARQUET)
+        """
+    )
+    # lineitem: %23&line1 zero quantity, %29 NULL l_discount,
+    # %31 negated l_extendedprice, %37 repeating-decimal l_tax,
+    # %43 NULL l_returnflag (NULL GROUP KEY — both engines group
+    # NULLs together; ORDER BY placement of that group differs by
+    # engine default and must be pinned), %47 pre-epoch l_shipdate
+    # (batch profile only).
+    con.execute(
+        f"""
+        COPY (
+          SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+                 CASE WHEN l_orderkey % 23 = 0 AND l_linenumber = 1
+                      THEN 0.0 ELSE l_quantity END AS l_quantity,
+                 CASE WHEN l_orderkey % 31 = 0 THEN -l_extendedprice
+                      ELSE l_extendedprice END AS l_extendedprice,
+                 CASE WHEN l_orderkey % 29 = 0 THEN NULL
+                      ELSE l_discount END AS l_discount,
+                 CASE WHEN l_orderkey % 37 = 0 THEN l_tax / 3.0
+                      ELSE l_tax END AS l_tax,
+                 CASE WHEN l_orderkey % 43 = 0 THEN NULL
+                      ELSE l_returnflag END AS l_returnflag,
+                 l_linestatus,
+                 CASE WHEN {str(timeshift).lower()}
+                           AND l_orderkey % 47 = 0
+                      THEN l_shipdate - INTERVAL 80 YEAR
+                      ELSE l_shipdate END AS l_shipdate
+          FROM read_parquet('{src}/lineitem.parquet')
+        ) TO '{out}/lineitem.parquet' (FORMAT PARQUET)
+        """
+    )
     # embeddings: vec_id%53==0 -> all-zero vector (cosine 0/0 class);
     # vec_id%59==0 -> NULL embedding (NULL-array HOFs / pandas None).
     con.execute(

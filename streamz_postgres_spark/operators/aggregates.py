@@ -337,20 +337,24 @@ def q_hll_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_agg("l_partkey").alias("sketch"),
         F.countDistinct("l_partkey").alias("exact_cell"),
     )
+    rolled = fine.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(
+            F.hll_union_agg(F.col("sketch"))
+        ).alias("approx_parts"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts")
+    ).withColumnRenamed("l_returnflag", "_rf")
     return (
-        fine.groupBy("l_returnflag")
-        .agg(
-            F.hll_sketch_estimate(
-                F.hll_union_agg(F.col("sketch"))
-            ).alias("approx_parts"),
-            F.count(F.lit(1)).alias("n_cells"),
+        # NULL-SAFE equality: a NULL group key exists on both sides
+        # and plain `=` would silently drop it (SQL NULL = NULL is
+        # not true) — the NULL l_returnflag group must survive the
+        # self-join (hostile-sweep v3 find)
+        rolled.join(
+            exact, rolled["l_returnflag"].eqNullSafe(exact["_rf"])
         )
-        .join(
-            li.groupBy("l_returnflag").agg(
-                F.countDistinct("l_partkey").alias("exact_parts")
-            ),
-            "l_returnflag",
-        )
+        .drop("_rf")
         .select(
             "l_returnflag",
             "n_cells",

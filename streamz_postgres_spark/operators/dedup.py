@@ -1163,7 +1163,12 @@ _LINK_MAXDIST = 2
 @register(
     "q_fuzzy_link",
     oracle=f"""
-WITH dirty AS (
+WITH pf AS (
+  SELECT p_partkey,
+         regexp_replace(p_name, '[^\\x00-\\x7F]', '?', 'g') AS p_name
+  FROM part
+),
+dirty AS (
   SELECT p_partkey AS dirty_key,
          substr(p_name, 1,
                 len(string_split(p_name, ' ')[1]) + 1
@@ -1173,14 +1178,14 @@ WITH dirty AS (
                    + (p_partkey % len(string_split(p_name, ' ')[2])))
            AS dirty_name,
          string_split(p_name, ' ')[1] AS blk
-  FROM part WHERE p_partkey % 4 = 1
+  FROM pf WHERE p_partkey % 4 = 1
 ),
 cand AS (
   SELECT d.dirty_key, d.dirty_name,
          m.p_partkey AS matched_key, m.p_name AS matched_name,
          levenshtein(d.dirty_name, m.p_name) AS dist
   FROM dirty d
-  JOIN part m
+  JOIN pf m
     ON string_split(m.p_name, ' ')[1] = d.blk
    AND len(m.p_name) = len(d.dirty_name) + 1
 )
@@ -1204,11 +1209,16 @@ def q_fuzzy_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     the deletion is confined to token 2) and master length exactly
     dirty length + 1 — and only candidates pay a levenshtein; the
     best match per dirty record wins on (distance, key). Levenshtein
-    is built-in JVM-side in Spark and identical in DuckDB, so the
-    whole linkage is value-checked. At 100 TB the attribute block is
+    is built-in JVM-side in Spark and identical in DuckDB — AFTER an
+    ASCII fold (non-ASCII -> '?', both engines): DuckDB levenshtein
+    counts BYTES while Spark counts CODEPOINTS, so unicode names
+    would score different distances (hostile-sweep v3 find; same
+    fold as q_str_funcs2) — so the whole linkage is value-checked. At 100 TB the attribute block is
     replaced by q-gram/LSH blocking (same shape as the minhash
     candidates); the verify-only-candidates structure is unchanged."""
-    p = load_table(spark, sf_dir, "part")
+    p = load_table(spark, sf_dir, "part").withColumn(
+        "p_name", F.regexp_replace("p_name", "[^\\x00-\\x7F]", "?")
+    )
     tok1 = F.split(F.col("p_name"), " ")[0]
     # the dropped char sits at 1-based position len(tok1)+2+offset
     # inside the full string (token 2 starts at len(tok1)+2); dirty =

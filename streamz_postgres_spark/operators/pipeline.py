@@ -869,6 +869,7 @@ WITH cells AS (
          CAST(floor(c_acctbal / {_LDIV_BUCKET}) AS BIGINT) AS b,
          CAST(COUNT(*) AS BIGINT) AS cnt
   FROM customer
+  WHERE c_acctbal IS NOT NULL
   GROUP BY 1, 2, 3
 ), grp AS (
   SELECT c_nationkey, c_mktsegment, CAST(SUM(cnt) AS BIGINT) AS grp_size
@@ -932,7 +933,13 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     b = F.floor(F.col("c_acctbal") / _LDIV_BUCKET).cast("bigint").alias("b")
     cells = (
-        c.select("c_nationkey", "c_mktsegment", b)
+        # rows with a NULL sensitive value are excluded from the
+        # audit: NULL has no position on the ordered ground distance,
+        # and a NULL bucket breaks both the grid equi-join and the
+        # engines' (divergent) NULL placement under the cumulative
+        # window sort (hostile-sweep v3 find)
+        c.filter(F.col("c_acctbal").isNotNull())
+        .select("c_nationkey", "c_mktsegment", b)
         .groupBy("c_nationkey", "c_mktsegment", "b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )

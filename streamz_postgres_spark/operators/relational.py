@@ -56,7 +56,11 @@ def q_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Projection with computed columns (streamz `map` parity).
 
     Pure per-row double arithmetic is bit-deterministic across
-    engines, so no rounding is needed.
+    engines, so no rounding is needed. flag_status uses ``concat``
+    (NULL-propagating, = SQL ``||``), NOT ``concat_ws`` — concat_ws
+    SKIPS null arguments, so a NULL l_returnflag would silently
+    collapse to just the linestatus while the oracle's ``||``
+    yields NULL (hostile-sweep v3 find).
     """
     li = load_table(spark, sf_dir, "lineitem")
     return li.select(
@@ -67,7 +71,9 @@ def q_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("l_quantity") * F.col("l_extendedprice")).alias("gross_value"),
         ((F.col("l_tax") + F.col("l_discount")) * F.lit(100.0)).alias("pct_load"),
-        F.concat_ws("/", "l_returnflag", "l_linestatus").alias("flag_status"),
+        F.concat(
+            F.col("l_returnflag"), F.lit("/"), F.col("l_linestatus")
+        ).alias("flag_status"),
     )
 
 
@@ -199,7 +205,7 @@ SELECT
   CAST(o_orderkey AS VARCHAR) AS key_str,
   STRFTIME(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
   CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_str,
-  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price_dec,
+  CAST(CAST(o_totalprice AS DECIMAL(18,3)) AS DOUBLE) AS price_dec,
   CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor,
   CAST(o_orderstatus = 'F' AS INTEGER) AS is_final
 FROM orders
@@ -215,7 +221,17 @@ def q_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface avoids DateType and DecimalType: both are canonicalized
     differently by independent hashers (date repr, int128 decimal),
     so dates leave as ISO strings and the decimal quantization
-    round-trips back to double."""
+    round-trips back to double.
+
+    The decimal scale must be >= the data's true decimal precision
+    (3 here, not 2): double->decimal ROUNDING is engine-divergent on
+    halves — Spark rounds the double's SHORTEST DECIMAL REPR
+    (BigDecimal.valueOf, HALF_UP: 225671.245 -> .25) while DuckDB
+    rounds the BINARY value (...24499999998 -> .24). At a scale that
+    covers the data's decimals the cast is exact on the repr and the
+    binary error (~1e-11) sits far from any rounding boundary, so
+    both engines agree (hostile-sweep v3 find: x0.5-duplicated
+    2-decimal monies created 3-decimal halves)."""
     o = load_table(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
@@ -225,7 +241,7 @@ def q_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
             "order_date"
         ),
         F.col("o_orderdate").cast("date").cast("string").alias("date_str"),
-        F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("price_dec"),
+        F.col("o_totalprice").cast("decimal(18,3)").cast("double").alias("price_dec"),
         F.floor("o_totalprice").cast("bigint").alias("price_floor"),
         (F.col("o_orderstatus") == "F").cast("int").alias("is_final"),
     )

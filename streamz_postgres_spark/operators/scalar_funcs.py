@@ -186,14 +186,14 @@ SELECT
   CAST(FLOOR(p_retailprice) AS BIGINT) AS price_floor,
   CAST(CEIL(p_retailprice) AS BIGINT) AS price_ceil,
   ABS(p_size - 25) AS size_dev,
-  SQRT(p_retailprice) AS price_sqrt,
+  SQRT(ABS(p_retailprice)) AS price_sqrt,
   p_retailprice * p_retailprice AS price_sq,
   p_partkey % 7 AS key_mod,
   CAST(SIGN(p_size - 25) AS DOUBLE) AS size_sign,
   ROUND(p_size / 2.0) AS half_size,
-  {sql_qround('LN(p_retailprice)', 6)} AS price_ln,
-  {sql_qround('LOG10(p_retailprice)', 6)} AS price_log10,
-  {sql_qround('POW(p_retailprice, 1.5)', 6)} AS price_pow
+  {sql_qround('LN(ABS(p_retailprice))', 6)} AS price_ln,
+  {sql_qround('LOG10(ABS(p_retailprice))', 6)} AS price_log10,
+  {sql_qround('POW(ABS(p_retailprice), 1.5)', 6)} AS price_pow
 FROM part
 """,
     tags=("scalar", "math"),
@@ -201,21 +201,27 @@ FROM part
 def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math family. Exact IEEE ops compared raw; transcendentals
     through qround(.,6); round() only where ties are exact halves
-    (int/2.0) so HALF_UP and half-away agree."""
+    (int/2.0) so HALF_UP and half-away agree. SQRT/LN/LOG10/POW go
+    through an ABS() DOMAIN GUARD: on a negative input (refund-class
+    monies) DuckDB HARD-ERRORS on sqrt/ln while Spark returns
+    NaN/NULL — guarding the domain keeps the transcendental exercise
+    value-checked under any sign (hostile-sweep v3 find)."""
     p = load_table(spark, sf_dir, "part")
     return p.select(
         "p_partkey",
         F.floor("p_retailprice").cast("bigint").alias("price_floor"),
         F.ceil("p_retailprice").cast("bigint").alias("price_ceil"),
         F.abs(F.col("p_size") - 25).alias("size_dev"),
-        F.sqrt("p_retailprice").alias("price_sqrt"),
+        F.sqrt(F.abs(F.col("p_retailprice"))).alias("price_sqrt"),
         (F.col("p_retailprice") * F.col("p_retailprice")).alias("price_sq"),
         (F.col("p_partkey") % 7).alias("key_mod"),
         F.signum(F.col("p_size") - 25).alias("size_sign"),
         F.round(F.col("p_size") / 2.0).alias("half_size"),
-        qround(F.log(F.col("p_retailprice")), 6).alias("price_ln"),
-        qround(F.log10(F.col("p_retailprice")), 6).alias("price_log10"),
-        qround(F.pow(F.col("p_retailprice"), 1.5), 6).alias("price_pow"),
+        qround(F.log(F.abs(F.col("p_retailprice"))), 6).alias("price_ln"),
+        qround(F.log10(F.abs(F.col("p_retailprice"))), 6).alias("price_log10"),
+        qround(
+            F.pow(F.abs(F.col("p_retailprice")), 1.5), 6
+        ).alias("price_pow"),
     )
 
 

@@ -40,6 +40,27 @@ families:
 - byte-vs-codepoint levenshtein (q_str_funcs2): DuckDB's
   levenshtein counts BYTES; the input is now ASCII-folded on both
   sides.
+
+v3 sweep (the TPC-H half — orphan FKs, NULL group keys, negative/
+zero/repeating-decimal monies, unicode names, (o_custkey,
+o_orderdate) tie-duplicates, pre-epoch dates), six keys:
+
+- q_cast: double->decimal rounding is engine-divergent on halves
+  (Spark rounds the SHORTEST DECIMAL REPR via BigDecimal.valueOf,
+  DuckDB rounds the BINARY value) — the cast scale now covers the
+  data's true decimal precision (3), where both are exact,
+- q_project: concat_ws SKIPS null args where SQL ``||`` propagates
+  NULL — now F.concat,
+- q_hll_partial: the rollup-vs-exact self-join on l_returnflag
+  dropped the NULL group (NULL = NULL is not true) — now eqNullSafe,
+- q_math_funcs: DuckDB HARD-ERRORS on sqrt/ln of a negative where
+  Spark returns NaN/NULL — ABS domain guards on both sides,
+- q_fuzzy_link: byte-vs-codepoint levenshtein again (unicode
+  p_name) — ASCII-folded on both sides like q_str_funcs2,
+- q_t_closeness: a NULL sensitive value minted a NULL bucket whose
+  placement under the cumulative window sort is engine-divergent
+  (and which the grid equi-join can't reach) — NULL sensitive rows
+  are excluded from the audit distribution on both sides.
 """
 
 from __future__ import annotations
@@ -91,6 +112,13 @@ PINNED = [
     "q_str_funcs2",
     "q_trend_ols",
     "q_triangle_count",
+    # -- v3 sweep pins (TPC-H mutation classes) -------------------------
+    "q_cast",
+    "q_fuzzy_link",
+    "q_hll_partial",
+    "q_math_funcs",
+    "q_project",
+    "q_t_closeness",
 ]
 
 
@@ -199,6 +227,36 @@ def test_hostile_fixture_actually_hostile(hostile_duck):
         "x -> abs(x))) = 0) FROM embeddings"
     ).fetchone()
     assert n_null_emb > 0 and n_zero_emb > 0
+    # v3 classes — the TPC-H half
+    (n_orphan,) = hostile_duck.execute(
+        "SELECT COUNT(*) FROM orders o WHERE NOT EXISTS "
+        "(SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)"
+    ).fetchone()
+    assert n_orphan > 0
+    n_null_rf, n_neg_price = hostile_duck.execute(
+        "SELECT COUNT(*) FILTER (l_returnflag IS NULL), "
+        "COUNT(*) FILTER (l_extendedprice < 0) FROM lineitem"
+    ).fetchone()
+    assert n_null_rf > 0 and n_neg_price > 0
+    (n_dup_ord,) = hostile_duck.execute(
+        "SELECT COUNT(*) FROM (SELECT o_custkey, o_orderdate "
+        "FROM orders GROUP BY 1, 2 HAVING COUNT(*) > 1)"
+    ).fetchone()
+    assert n_dup_ord > 0
+    n_uni_cust, n_null_seg = hostile_duck.execute(
+        "SELECT COUNT(*) FILTER (c_name LIKE '%顧客%'), "
+        "COUNT(*) FILTER (c_mktsegment IS NULL) FROM customer"
+    ).fetchone()
+    assert n_uni_cust > 0 and n_null_seg > 0
+    (n_pre_ord,) = hostile_duck.execute(
+        "SELECT COUNT(*) FILTER (o_orderdate < TIMESTAMP '1970-01-01') "
+        "FROM orders"
+    ).fetchone()
+    assert n_pre_ord > 0
+    (n_neg_retail,) = hostile_duck.execute(
+        "SELECT COUNT(*) FROM part WHERE p_retailprice < 0"
+    ).fetchone()
+    assert n_neg_retail > 0
 
 
 @pytest.mark.parametrize("key", PINNED)
