@@ -32,7 +32,15 @@ classes the shipped fixtures never contain:
   quantities; unicode c_name/p_name (code-point substring/LIKE
   parity); duplicated (o_custkey, o_orderdate) rows so window and
   top-k tie-breaks over orders matter; pre-epoch
-  o_orderdate/l_shipdate (batch profile only).
+  o_orderdate/l_shipdate (batch profile only),
+- (v4) the JSON surface of ``events.props`` (only ever NULL-mutated
+  before): MALFORMED documents ('{"broken'), empty objects, nested
+  arrays where a scalar is expected, STRING-TYPED numbers
+  ('{"k": "42"}' — schema-declared parsers yield NULL where
+  path-extract-then-cast coerces), and wrong-case keys. DuckDB's
+  json functions HARD-ERROR on invalid JSON where Spark's return
+  NULL, so every oracle json call needs a json_valid guard and
+  every Spark variant parse needs try_parse_json.
 
 The round-11 advisor found exactly one bug of this class (per-symbol
 SUM lowered to a left fold that a single NULL poisons — latent only
@@ -246,6 +254,12 @@ def build_hostile_dir(src: str, timeshift: bool = True) -> str:
                         WHEN event_id % 43 = 0 THEN value / 3.0
                         ELSE value END AS value,
                    CASE WHEN event_id % 23 = 0 THEN NULL
+                        WHEN event_id % 19 = 0 THEN '{{"broken'
+                        WHEN event_id % 59 = 0 THEN '{{}}'
+                        WHEN event_id % 61 = 0
+                          THEN '{{"k": [1, 2, 3]}}'
+                        WHEN event_id % 67 = 0 THEN '{{"k": "42"}}'
+                        WHEN event_id % 71 = 0 THEN '{{"K": 5}}'
                         ELSE props END AS props
             FROM read_parquet('{src}/events.parquet')
           ), mx AS (SELECT MAX(event_id) AS m FROM base)

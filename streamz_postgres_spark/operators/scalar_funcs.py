@@ -322,12 +322,15 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_variant",
     oracle=f"""
-SELECT
-  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
-  COUNT(*) AS n_events,
-  {sql_dsum('value')} AS sum_value
-FROM events
-WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50
+WITH ext AS (
+  SELECT TRY_CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
+                       THEN json_extract_string(props, '$.k') END
+                  AS INTEGER) AS k,
+         value
+  FROM events
+)
+SELECT k, COUNT(*) AS n_events, {sql_dsum('value')} AS sum_value
+FROM ext WHERE k >= 50
 GROUP BY 1
 """,
     tags=("scalar", "json", "variant"),
@@ -336,9 +339,17 @@ def q_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 VARIANT type: parse_json -> variant column ->
     variant_get typed extraction (the reference's json/jsonb mapping,
     SURVEY §1.2). Variant keeps a binary-encoded document, so at
-    100 TB repeated extractions skip per-path string re-parsing."""
+    100 TB repeated extractions skip per-path string re-parsing.
+
+    try_parse_json, not parse_json: real metadata columns carry
+    malformed documents, and parse_json HARD-ERRORS on them where
+    the try_ form yields a NULL variant (and DuckDB's json functions
+    hard-error too — the oracle guards with json_valid and TRY_CAST;
+    hostile-sweep v4 find). variant_get COERCES a string-typed
+    number ("42" -> 42), which TRY_CAST(json_extract_string)
+    mirrors; a non-scalar extracts as NULL on both engines."""
     e = load_table(spark, sf_dir, "events")
-    v = e.withColumn("pv", F.parse_json("props"))
+    v = e.withColumn("pv", F.try_parse_json("props"))
     return (
         v.withColumn("k", F.try_variant_get("pv", "$.k", "int"))
         .filter(F.col("k") >= 50)
@@ -354,7 +365,11 @@ def q_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_map_json_funcs",
     oracle=f"""
 SELECT
-  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+  TRY_CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
+                AND json_type(json_extract(props, '$.k'))
+                    IN ('UBIGINT', 'BIGINT')
+           THEN json_extract_string(props, '$.k') END
+           AS INTEGER) AS k,
   COUNT(*) AS n_events,
   {sql_dsum('value')} AS sum_value
 FROM events
@@ -367,7 +382,16 @@ def q_map_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema (from_json), extract, group. At scale from_json with an
     explicit schema beats per-path get_json_object re-parsing; both
     stay JVM-side. A map roundtrip (create_map -> element access)
-    exercises MapType on the same value."""
+    exercises MapType on the same value.
+
+    from_json with a declared schema is STRICT: a malformed
+    document, a string-typed number ("42"), or a non-scalar all
+    yield NULL for the field — so the oracle only casts when
+    json_valid AND the extracted json_type is integral
+    (UBIGINT/BIGINT), mirroring the no-coercion contract
+    (hostile-sweep v4 find; DuckDB json functions hard-error on
+    invalid JSON, and bare CAST of an extracted '[1,2,3]' errors
+    too — hence the json_valid guard plus TRY_CAST)."""
     e = load_table(spark, sf_dir, "events")
     parsed = e.withColumn("p", F.from_json("props", "k INT"))
     return (

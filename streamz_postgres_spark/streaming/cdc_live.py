@@ -281,7 +281,9 @@ def q_cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH keyed AS (
   SELECT event_id, user_id,
-         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         TRY_CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
+                       THEN json_extract_string(props, '$.k') END
+                  AS BIGINT) AS k
   FROM events
 ),
 prev AS (SELECT DISTINCT user_id, k FROM keyed WHERE event_id <= 4999),
@@ -300,13 +302,17 @@ def q_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-refresh diffing — the delete-detection escape hatch
     (xmin polling can't see deletes; SURVEY §2.1). Diffs the
     (user_id, props.k) key sets active in two halves of the stream
-    and emits c/d envelopes."""
+    and emits c/d envelopes. The key extraction try-casts on both
+    sides: DuckDB json functions hard-error on malformed documents
+    and ANSI CAST throws on a non-scalar extract like '[1,2,3]'
+    (hostile-sweep v4 find) — a broken payload keys as NULL, it
+    does not kill the CDC loop."""
     from streamz_postgres_spark.catalog import load_table
 
     e = load_table(spark, sf_dir, "events").select(
         "event_id",
         "user_id",
-        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        F.get_json_object("props", "$.k").try_cast("long").alias("k"),
     )
     prev = e.filter(F.col("event_id") <= 4999).select("user_id", "k").distinct()
     cur = e.filter(F.col("event_id") > 4999).select("user_id", "k").distinct()

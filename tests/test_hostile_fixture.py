@@ -61,6 +61,23 @@ o_orderdate) tie-duplicates, pre-epoch dates), six keys:
   placement under the cumulative window sort is engine-divergent
   (and which the grid equi-join can't reach) — NULL sensitive rows
   are excluded from the audit distribution on both sides.
+
+v4 sweep (the JSON surface of events.props — malformed documents,
+empty objects, nested arrays, string-typed numbers, wrong-case
+keys), three keys:
+
+- q_variant: parse_json HARD-ERRORS on a malformed document (and
+  DuckDB's json functions do too) — now try_parse_json, with
+  json_valid + TRY_CAST guards in the oracle; variant_get COERCES
+  a string-typed number, which TRY_CAST(json_extract_string)
+  mirrors,
+- q_map_json_funcs: from_json with a declared schema is STRICT (no
+  string->int coercion, non-scalars are NULL) — the oracle casts
+  only when the extracted json_type is integral,
+- q_cdc_diff: ANSI CAST throws on a non-scalar extract ('[1,2,3]')
+  and DuckDB errors on malformed JSON — key extraction try-casts
+  on both sides so a broken payload keys as NULL instead of
+  killing the CDC loop.
 """
 
 from __future__ import annotations
@@ -119,6 +136,9 @@ PINNED = [
     "q_math_funcs",
     "q_project",
     "q_t_closeness",
+    # -- v4 sweep pins (JSON mutation classes) --------------------------
+    "q_variant",
+    "q_map_json_funcs",
 ]
 
 
@@ -150,6 +170,7 @@ PINNED = [
 #:   event_id range with step = COUNT(*)//4+1, which strands every
 #:   id >= 4*step when ids aren't contiguous — now MAX(event_id).
 PINNED_STREAMING = [
+    "q_cdc_diff",
     "q_cdc_materialize",
     "q_cdc_time_travel",
     "q_stream_accumulate",
@@ -257,6 +278,14 @@ def test_hostile_fixture_actually_hostile(hostile_duck):
         "SELECT COUNT(*) FROM part WHERE p_retailprice < 0"
     ).fetchone()
     assert n_neg_retail > 0
+    # v4 classes — the JSON surface
+    n_malformed, n_strnum, n_nested = hostile_duck.execute(
+        "SELECT COUNT(*) FILTER (props IS NOT NULL "
+        "AND NOT json_valid(props)), "
+        "COUNT(*) FILTER (props = '{\"k\": \"42\"}'), "
+        "COUNT(*) FILTER (props = '{\"k\": [1, 2, 3]}') FROM events"
+    ).fetchone()
+    assert n_malformed > 0 and n_strnum > 0 and n_nested > 0
 
 
 @pytest.mark.parametrize("key", PINNED)
