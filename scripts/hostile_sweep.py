@@ -40,7 +40,15 @@ classes the shipped fixtures never contain:
   path-extract-then-cast coerces), and wrong-case keys. DuckDB's
   json functions HARD-ERROR on invalid JSON where Spark's return
   NULL, so every oracle json call needs a json_valid guard and
-  every Spark variant parse needs try_parse_json.
+  every Spark variant parse needs try_parse_json,
+- (v5) the last unmutated columns: NULL / empty / unicode
+  ``events.event_type`` (the symbol column of every funnel /
+  session / pattern key), NULL ``events.user_id`` (THE group,
+  window-partition, join and streaming-state key — a NULL key must
+  group/window/state consistently, and equi-joins must drop it
+  identically), NULL ``documents.lang``/``source`` (group keys of
+  the corpus-mix family), NULL ``embeddings.label``, and the dims:
+  NULL ``n_name``, orphan ``n_regionkey``.
 
 The round-11 advisor found exactly one bug of this class (per-symbol
 SUM lowered to a left fold that a single NULL poisons — latent only
@@ -79,12 +87,27 @@ def build_hostile_dir(src: str, timeshift: bool = True) -> str:
     shift, where it exercises real epoch-arithmetic parity."""
     out = tempfile.mkdtemp(prefix="hostile_sf_")
     con = duckdb.connect()
-    passthrough = ["region", "nation"]
+    passthrough = ["region"]
     for t in passthrough:
         con.execute(
             f"COPY (SELECT * FROM read_parquet('{src}/{t}.parquet')) "
             f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
         )
+    # nation (v5): %13 NULL n_name (string funcs / group keys over a
+    # dim), %17 orphan n_regionkey (region join drops).
+    con.execute(
+        f"""
+        COPY (
+          SELECT n_nationkey,
+                 CASE WHEN n_nationkey % 13 = 0 AND n_nationkey > 0
+                      THEN NULL ELSE n_name END AS n_name,
+                 CASE WHEN n_nationkey % 17 = 0 AND n_nationkey > 0
+                      THEN n_regionkey + 100 ELSE n_regionkey END
+                   AS n_regionkey
+          FROM read_parquet('{src}/nation.parquet')
+        ) TO '{out}/nation.parquet' (FORMAT PARQUET)
+        """
+    )
     # ---- v3: the TPC-H half (passthrough in v1/v2 — orphan FKs,
     # NULL group keys, negative monies, tie-duplicates, unicode
     # names and pre-epoch dates were never load-bearing there).
@@ -228,7 +251,8 @@ def build_hostile_dir(src: str, timeshift: bool = True) -> str:
                         THEN CAST(list_transform(embedding, x -> 0.0)
                                   AS FLOAT[])
                       ELSE embedding END AS embedding,
-                 label
+                 CASE WHEN vec_id % 61 = 0 THEN NULL
+                      ELSE label END AS label
           FROM read_parquet('{src}/embeddings.parquet')
         ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
         """
@@ -247,7 +271,12 @@ def build_hostile_dir(src: str, timeshift: bool = True) -> str:
                    CASE WHEN {str(timeshift).lower()} AND user_id % 11 = 0
                         THEN ts - INTERVAL 80 YEAR
                         ELSE ts END AS ts,
-                   user_id, event_type,
+                   CASE WHEN event_id % 101 = 0 THEN NULL
+                        ELSE user_id END AS user_id,
+                   CASE WHEN event_id % 103 = 0 THEN NULL
+                        WHEN event_id % 107 = 0 THEN ''
+                        WHEN event_id % 109 = 0 THEN '点击\U0001f5b1'
+                        ELSE event_type END AS event_type,
                    CASE WHEN event_id % 20 = 0 THEN NULL
                         WHEN event_id % 13 = 0 THEN -value
                         WHEN event_id % 29 = 0 THEN value * 1e3
@@ -294,7 +323,10 @@ def build_hostile_dir(src: str, timeshift: bool = True) -> str:
                         WHEN doc_id % 101 = 0 THEN $uni$ || text
                         WHEN doc_id % 103 = 0 THEN repeat(text, 8)
                         ELSE text END AS text,
-                   lang, source
+                   CASE WHEN doc_id % 109 = 0 THEN NULL
+                        ELSE lang END AS lang,
+                   CASE WHEN doc_id % 113 = 0 THEN NULL
+                        ELSE source END AS source
             FROM read_parquet('{src}/documents.parquet')
           )
           SELECT doc_id, text, lang, source,

@@ -177,8 +177,13 @@ def calibrated_readout(latest, events):
         # vals whenever the column is nullable (r12 hostile sweep)
         F.count("value").alias("n_exact"),
         F.sort_array(F.collect_list("value")).alias("vals"),
-    )
-    j = latest.join(exact, "event_type")
+    ).withColumnRenamed("event_type", "_et")
+    # eqNullSafe: a NULL event_type is a legitimate GROUP BY group on
+    # both sides, and a plain equi-join would silently drop it (the
+    # q_hll_partial class; hostile-sweep v5 find)
+    j = latest.join(
+        exact, latest["event_type"].eqNullSafe(exact["_et"])
+    ).drop("_et")
 
     def in_bound(est_col: str, target_expr: str):
         lt = F.expr(f"size(filter(vals, v -> v < {est_col}))").cast("bigint")

@@ -735,6 +735,7 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH aud AS (
   SELECT DISTINCT event_type, user_id FROM events
+  WHERE user_id IS NOT NULL
 ),
 sizes AS (
   SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM aud
@@ -775,7 +776,11 @@ def q_bitmap_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     bitmaps (buckets where only one side has users contribute zero
     intersection, so the inner bucket join is exact)."""
     e = load_table(spark, sf_dir, "events")
-    bm = e.groupBy(
+    # audience membership requires an id: a NULL user_id is not a
+    # user (it can't even equi-join in the oracle's self-join form),
+    # and bitmap_bit_position(NULL) has no defined slot — excluded
+    # on both sides (hostile-sweep v5 find)
+    bm = e.filter(F.col("user_id").isNotNull()).groupBy(
         "event_type",
         F.expr("bitmap_bucket_number(user_id)").alias("bkt"),
     ).agg(

@@ -74,6 +74,15 @@ def asof_join(
             f"direction must be backward|forward|nearest: {direction!r}"
         )
     keys = [on] if isinstance(on, str) else list(on)
+    # SQL equality semantics on the key: ASOF JOIN ... ON l.k = r.k
+    # never matches a NULL key, but the union+window implementation
+    # would happily co-partition NULL-keyed rows from both sides and
+    # enrich them. Dropping NULL-keyed RIGHT rows restores equality
+    # semantics exactly: a NULL-keyed left row lands in a window
+    # partition with no right rows and emits unmatched
+    # (hostile-sweep v5 find).
+    for _k in keys:
+        right = right.filter(F.col(_k).isNotNull())
     payload = F.struct(
         F.col(right_ts).alias("__asof_ts"),
         *[F.col(c).alias(c) for c in right_values],
@@ -1431,8 +1440,12 @@ WITH clicks AS (
   SELECT event_id, user_id, ts, value FROM events
   WHERE event_type = 'click'
 ), purch AS (
+  -- equality-key contract (matches asof_join and DuckDB's native
+  -- ASOF ... ON l.k = r.k): a NULL-keyed right row matches nothing,
+  -- so it never becomes a candidate; NULL-keyed clicks still emit,
+  -- unmatched (hostile-sweep v5 find)
   SELECT user_id, ts, arg_max(value, event_id) AS purchase_value
-  FROM events WHERE event_type = 'purchase'
+  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
   GROUP BY user_id, ts
 ), u AS (
   SELECT user_id, ts, NULL AS purchase_value, 1 AS side,

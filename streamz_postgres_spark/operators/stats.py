@@ -614,7 +614,13 @@ def _kll_partials(it):
 
     sketches = {}
     for pdf in it:
-        for t, g in pdf.groupby("event_type"):
+        # dropna=False: pandas groupby DROPS a None group key by
+        # default, but SQL GROUP BY keeps the NULL group — a NULL
+        # event_type must still get its sketch (hostile-sweep v5
+        # find)
+        for t, g in pdf.groupby("event_type", dropna=False):
+            if t is not None and not isinstance(t, str):
+                t = None  # pandas may surface the None key as NaN
             sk = sketches.setdefault(t, KLLSketch(DEFAULT_K))
             # SQL aggregate semantics: NULLs never enter the sketch
             # (a NaN would otherwise poison the order statistics;

@@ -165,7 +165,14 @@ WITH tok AS (
   FROM documents
 ),
 freq AS (
-  SELECT lang, token, COUNT(*) AS cnt FROM tok GROUP BY lang, token
+  -- signatures are trained from LABELED docs only: a NULL lang is
+  -- not a language and must not become a predictable class (it
+  -- also ties engine-divergently: Spark sorts NULLS FIRST asc,
+  -- DuckDB NULLS LAST; hostile-sweep v5 find). Unlabeled docs are
+  -- still scored below.
+  SELECT lang, token, COUNT(*) AS cnt FROM tok
+  WHERE lang IS NOT NULL
+  GROUP BY lang, token
 ),
 sig AS (
   SELECT lang, token FROM (
@@ -201,7 +208,11 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     join."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", "lang", F.explode(tokens("text")).alias("token"))
-    freq = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    freq = (
+        tok.filter(F.col("lang").isNotNull())
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
     w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), "token")
     sig = F.broadcast(
         freq.withColumn("rn", F.row_number().over(w))

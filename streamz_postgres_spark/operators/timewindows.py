@@ -218,10 +218,18 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(
-            F.sum((F.col("event_type") == "click").cast("long")).alias(
+            F.sum(
+                F.when(F.col("event_type") == "click", 1)
+                .otherwise(0)
+                .cast("long")
+            ).alias(
                 "n_clicks"
             ),
-            F.sum((F.col("event_type") == "purchase").cast("long")).alias(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1)
+                .otherwise(0)
+                .cast("long")
+            ).alias(
                 "n_purchases"
             ),
             F.coalesce(
@@ -768,11 +776,16 @@ def q_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_cooccurrence_lift",
     oracle="""
 WITH flagged AS (
+  -- sessionization requires an identity: a NULL user_id row can't
+  -- belong to anyone's session, and the oracle's pair self-join
+  -- would drop it while the set-based Spark form kept it
+  -- (hostile-sweep v5 find)
   SELECT user_id, ts, event_type,
     CASE WHEN lag(ts) OVER w IS NULL
               OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
          THEN 1 ELSE 0 END AS new_session
   FROM events
+  WHERE user_id IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ),
 numbered AS (
@@ -828,15 +841,19 @@ def q_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamz_postgres_spark.lifecycle import persist_scoped
 
     e = load_table(spark, sf_dir, "events")
-    sess = (
-        e.groupBy(
+    grouped = (
+        # sessionization requires an identity (NULL user_id rows are
+        # excluded on both sides — hostile-sweep v5 find; the NULL
+        # "user" would also collide inside the concat_ws session id)
+        e.filter(F.col("user_id").isNotNull())
+        .groupBy(
             F.session_window("ts", "30 minutes").alias("w"), "user_id"
         )
         .agg(F.collect_set("event_type").alias("types"))
         .select(
             "user_id",
             F.col("w.start").alias("session_start"),
-            F.explode("types").alias("event_type"),
+            "types",
         )
         .withColumn(
             "sid",
@@ -847,10 +864,13 @@ def q_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    persist_scoped("q_cooccurrence_lift", sess)
-    totals = sess.select("sid").distinct().agg(
-        F.count(F.lit(1)).alias("n_sessions")
-    )
+    persist_scoped("q_cooccurrence_lift", grouped)
+    # the session UNIVERSE is counted BEFORE the type explode: a
+    # session whose every event has a NULL type still exists (it
+    # dilutes every P(a) identically in the oracle), but its empty
+    # collect_set would vanish under explode (hostile-sweep v5 find)
+    totals = grouped.agg(F.count(F.lit(1)).alias("n_sessions"))
+    sess = grouped.select("sid", F.explode("types").alias("event_type"))
     singles = sess.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     a = sess.select(F.col("sid"), F.col("event_type").alias("type_a"))
     b = sess.select(F.col("sid").alias("sid_b"), F.col("event_type").alias("type_b"))

@@ -271,10 +271,19 @@ GROUP BY user_id
 )
 def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """streamz ``latest()`` parity: most recent value per key, as an
-    aggregate (max_by) — one shuffle of O(keys), no window sort."""
+    aggregate (max_by) — one shuffle of O(keys), no window sort.
+
+    latest_value is the latest NON-NULL value (the LOCF/CDC
+    convention): DuckDB's arg_max SKIPS NULL args by definition, so
+    the Spark side restricts the ordering key to non-null-value rows
+    — a trailing NULL value must not erase the last known reading
+    (hostile-sweep v5 find)."""
     e = load_table(spark, sf_dir, "events")
     return e.groupBy("user_id").agg(
-        F.max_by("value", "event_id").alias("latest_value"),
+        F.max_by(
+            "value",
+            F.when(F.col("value").isNotNull(), F.col("event_id")),
+        ).alias("latest_value"),
         F.max_by("ts", "event_id").alias("latest_ts"),
         F.max("event_id").alias("latest_event_id"),
     )
@@ -861,7 +870,7 @@ def q_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "event_type",
-        F.sum((F.col("event_type") == "click").cast("int"))
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
         .over(w7)
         .cast("bigint")
         .alias("n_clicks_7d"),
@@ -2287,8 +2296,13 @@ SELECT c.user_id, CAST(c.no AS INTEGER) AS match_no,
                                     'C', '')) AS BIGINT) AS n_clicks,
        s2.tss[c.sp] AS start_ts,
        s2.tss[c.sp + c.mlen - 1] AS end_ts
-FROM scan c JOIN seq s2 USING (user_id) WHERE c.no > 0
-ORDER BY user_id, match_no
+FROM scan c JOIN seq s2
+  -- null-safe: MATCH_RECOGNIZE PARTITION BY keeps a NULL partition
+  -- (like GROUP BY), so the read-back join must not drop it
+  -- (hostile-sweep v5 find)
+  ON c.user_id IS NOT DISTINCT FROM s2.user_id
+WHERE c.no > 0
+ORDER BY c.user_id, match_no
 """,
     tags=("window", "sequence", "sql"),
 )

@@ -286,15 +286,24 @@ WITH keyed AS (
                   AS BIGINT) AS k
   FROM events
 ),
-prev AS (SELECT DISTINCT user_id, k FROM keyed WHERE event_id <= 4999),
-cur  AS (SELECT DISTINCT user_id, k FROM keyed WHERE event_id > 4999)
-SELECT CASE WHEN p.user_id IS NULL THEN 'c'
-            WHEN c.user_id IS NULL THEN 'd' END AS op,
+-- presence flags + IS NOT DISTINCT FROM: the diff is a SET
+-- difference over key TUPLES where NULL is a value (a broken
+-- payload keys as NULL but is still one key) — a plain `=` full
+-- join would emit a spurious c+d pair for every NULL-keyed tuple,
+-- and `p.user_id IS NULL` would misread a legitimately-NULL key
+-- as absence (hostile-sweep v5 find)
+prev AS (SELECT DISTINCT user_id, k, TRUE AS inp
+         FROM keyed WHERE event_id <= 4999),
+cur  AS (SELECT DISTINCT user_id, k, TRUE AS inc
+         FROM keyed WHERE event_id > 4999)
+SELECT CASE WHEN p.inp IS NULL THEN 'c'
+            WHEN c.inc IS NULL THEN 'd' END AS op,
        coalesce(p.user_id, c.user_id) AS user_id,
        coalesce(p.k, c.k) AS k
 FROM prev p
-FULL JOIN cur c ON p.user_id = c.user_id AND p.k = c.k
-WHERE p.user_id IS NULL OR c.user_id IS NULL
+FULL JOIN cur c ON p.user_id IS NOT DISTINCT FROM c.user_id
+               AND p.k IS NOT DISTINCT FROM c.k
+WHERE p.inp IS NULL OR c.inc IS NULL
 """,
     tags=("cdc",),
 )
@@ -390,7 +399,9 @@ def _scd2_fold(
         open_seq, open_val = state.get
     else:
         open_seq, open_val = None, None
-    pdf = pd.concat(list(batches), ignore_index=True).sort_values("event_id")
+    pdf = pd.concat(list(batches), ignore_index=True).sort_values(
+        "event_id"
+    ).reset_index(drop=True)
     out_from, out_to, out_val = [], [], []
     for eid, val in zip(pdf["event_id"], pdf["value"]):
         eid = int(eid)
@@ -490,7 +501,9 @@ def _enrich_asof_fold(
         dim_seq, dim_val = state.get
     else:
         dim_seq, dim_val = None, None
-    pdf = pd.concat(list(batches), ignore_index=True).sort_values("event_id")
+    pdf = pd.concat(list(batches), ignore_index=True).sort_values(
+        "event_id"
+    ).reset_index(drop=True)
     out_eid, out_type, out_val, out_dseq, out_dval = [], [], [], [], []
     for eid, etype, val in zip(
         pdf["event_id"], pdf["event_type"], pdf["value"]
@@ -503,7 +516,10 @@ def _enrich_asof_fold(
             dim_val = None if pd.isna(val) else float(val)
         else:
             out_eid.append(int(eid))
-            out_type.append(str(etype))
+            # str(None) would mint the phantom string 'None' — a
+            # NULL-typed fact must emit a NULL type (hostile-sweep
+            # v5 find; the v2 vocab-novelty class)
+            out_type.append(None if etype is None else str(etype))
             out_val.append(None if pd.isna(val) else float(val))
             out_dseq.append(dim_seq)
             out_dval.append(dim_val)
@@ -544,7 +560,9 @@ WITH enriched AS (
 SELECT user_id, event_id, event_type, value,
        dim.s AS dim_seq, dim.v AS dim_value
 FROM enriched
-WHERE event_type <> 'signup'
+-- IS DISTINCT FROM: a NULL-typed event is "not a signup" and must
+-- stay a fact — `<>` would silently drop it (hostile-sweep v5 find)
+WHERE event_type IS DISTINCT FROM 'signup'
 """,
     tags=("streaming", "cdc", "join", "stateful"),
 )

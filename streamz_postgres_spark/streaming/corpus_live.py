@@ -410,7 +410,9 @@ def _lsh_bucket_fold(
         )
     else:
         roster, overflow = [], 0
-    pdf = pd.concat(list(batches), ignore_index=True).sort_values("doc_id")
+    pdf = pd.concat(list(batches), ignore_index=True).sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
     sig_cols = [f"m{j}" for j in range(16)]
     out_a, out_b, out_est = [], [], []
     for _, row in pdf.iterrows():
@@ -803,7 +805,9 @@ def _vocab_novelty_fold(
     import json
 
     roster = set(json.loads(state.get[0])) if state.exists else set()
-    pdf = pd.concat(list(batches), ignore_index=True).sort_values("doc_id")
+    pdf = pd.concat(list(batches), ignore_index=True).sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
     ids, n_types, n_new = [], [], []
     for _, row in pdf.iterrows():
         # a NULL document has no token rows in the oracle's unnest
@@ -875,7 +879,10 @@ SELECT t.doc_id, t.source,
        CAST(SUM(CASE WHEN f.fd = t.doc_id THEN 1 ELSE 0 END) AS BIGINT)
          AS n_new_types
 FROM toks t
-JOIN firsts f ON f.source = t.source AND f.w = t.w
+-- IS NOT DISTINCT FROM: a NULL source is a real GROUP BY group in
+-- the live fold (unattributed docs still stream); a plain `=` join
+-- would drop its docs from the oracle (hostile-sweep v5 find)
+JOIN firsts f ON f.source IS NOT DISTINCT FROM t.source AND f.w = t.w
 GROUP BY t.doc_id, t.source
 """
 

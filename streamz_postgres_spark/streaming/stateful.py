@@ -156,9 +156,19 @@ def _latest_totals(tbl: DataFrame) -> DataFrame:
     return latest.select("user_id", "s.n_events", "s.sum_value")
 
 
+#: All transformWithStateInPandas oracles exclude the NULL
+#: grouping key: pyspark's tws Python-worker key grouping is
+#: PARTITION-LAYOUT-DEPENDENT for a NULL key (reproduced: with 8
+#: shuffle partitions the NULL-user rows merge into a co-partitioned
+#: user's group; with 32 they form their own group) — an engine
+#: boundary like the watermark epoch floor, so the tws queries
+#: filter NULL keys on both sides and route them nowhere
+#: (hostile-sweep v5 find; applyInPandasWithState groups NULL keys
+#: correctly and keeps them).
 _TWS_ORACLE = f"""
 SELECT user_id, COUNT(*) AS n_events, {sql_dsum('value')} AS sum_value
 FROM events
+WHERE user_id IS NOT NULL
 GROUP BY user_id
 """
 
@@ -189,7 +199,10 @@ def q_stream_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly. State is O(1) per key and survives across batches via
     the RocksDB store."""
     cls = _tws_class("UserTotalsProcessor", _UserTotalsProcessor)
-    s = replay_events(spark, sf_dir)
+    # NULL grouping keys are excluded from every tws query — the
+    # pyspark tws key grouping is partition-layout-dependent for a
+    # NULL key (see the _TWS_ORACLE note); the oracle filters too
+    s = replay_events(spark, sf_dir).filter(F.col("user_id").isNotNull())
     with _tws_environment(spark):
         out = s.groupBy("user_id").transformWithStateInPandas(
             statefulProcessor=cls(),
@@ -226,7 +239,9 @@ def _ewma_fold(
         (prev,) = state.get
     else:
         prev = None
-    pdf = pd.concat(list(batches), ignore_index=True).sort_values("event_id")
+    pdf = pd.concat(list(batches), ignore_index=True).sort_values(
+        "event_id"
+    ).reset_index(drop=True)
     out = []
     for v in pdf["value"]:
         x = float(v)
@@ -257,7 +272,11 @@ r AS (
   UNION ALL
   SELECT t.user_id, t.event_id, t.value, t.rn,
          0.5 * t.value + 0.5 * r.ewma
-  FROM t JOIN r ON t.user_id = r.user_id AND t.rn = r.rn + 1
+  -- IS NOT DISTINCT FROM: the NULL user_id partition is a real
+  -- GROUP BY group in the live fold, and a plain `=` recursion
+  -- would strand it after its rn=1 anchor (hostile-sweep v5 find)
+  FROM t JOIN r ON t.user_id IS NOT DISTINCT FROM r.user_id
+              AND t.rn = r.rn + 1
 )
 SELECT user_id, event_id, value, ewma FROM r
 """,
@@ -312,7 +331,9 @@ def _anomaly_fold(
         s, q = Decimal(s_str), Decimal(q_str)
     else:
         n, s, q = 0, Decimal(0), Decimal(0)
-    pdf = pd.concat(list(batches), ignore_index=True).sort_values("event_id")
+    pdf = pd.concat(list(batches), ignore_index=True).sort_values(
+        "event_id"
+    ).reset_index(drop=True)
     flags, n_prevs = [], []
     for v in pdf["value"]:
         # NULL value (NaN in pandas): the oracle's CASE comparison
@@ -519,7 +540,10 @@ def q_stream_transform_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     seen so far, monotone across batches) so a multi-file fixture's
     per-batch cumulative re-emissions can't leave stale rows."""
     cls = _tws_class("RecentEventsProcessor", _RecentEventsProcessor)
-    s = replay_events(spark, sf_dir)
+    # NULL grouping keys are excluded from every tws query — the
+    # pyspark tws key grouping is partition-layout-dependent for a
+    # NULL key (see the _TWS_ORACLE note); the oracle filters too
+    s = replay_events(spark, sf_dir).filter(F.col("user_id").isNotNull())
     with _tws_environment(spark):
         out = s.groupBy("user_id").transformWithStateInPandas(
             statefulProcessor=cls(),
@@ -550,6 +574,7 @@ WITH ranked AS (
          row_number() OVER (PARTITION BY user_id
                             ORDER BY event_id DESC) AS rk
   FROM events
+  WHERE user_id IS NOT NULL
 ),
 last3 AS (SELECT user_id, event_id, value FROM ranked WHERE rk <= 3)
 SELECT user_id,
@@ -600,9 +625,14 @@ class _TypeCountsProcessor:
         )
 
     def handleInputRows(self, key, rows, timerValues):
+        # the map key is a STRING state column, so a NULL event_type
+        # is encoded behind a bijective prefix ("n" = the NULL type,
+        # "t"+type otherwise): str(None) would mint a phantom 'None'
+        # type and sorted() cannot compare None to str
+        # (hostile-sweep v5 find)
         for pdf in rows:
             for et in pdf["event_type"]:
-                k = (str(et),)
+                k = ("n",) if et is None else ("t" + str(et),)
                 cur = (
                     self._counts.getValue(k)[0]
                     if self._counts.containsKey(k)
@@ -615,7 +645,9 @@ class _TypeCountsProcessor:
         yield pd.DataFrame(
             {
                 "user_id": [key[0]] * len(items),
-                "event_type": [t for t, _ in items],
+                "event_type": [
+                    None if t == "n" else t[1:] for t, _ in items
+                ],
                 "n_events": [n for _, n in items],
             }
         )
@@ -632,7 +664,10 @@ def q_stream_transform_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     are monotone, so the max per key is the final state even when a
     multi-file fixture replays as several batches."""
     cls = _tws_class("TypeCountsProcessor", _TypeCountsProcessor)
-    s = replay_events(spark, sf_dir)
+    # NULL grouping keys are excluded from every tws query — the
+    # pyspark tws key grouping is partition-layout-dependent for a
+    # NULL key (see the _TWS_ORACLE note); the oracle filters too
+    s = replay_events(spark, sf_dir).filter(F.col("user_id").isNotNull())
     with _tws_environment(spark):
         out = s.groupBy("user_id").transformWithStateInPandas(
             statefulProcessor=cls(),
@@ -651,6 +686,7 @@ def q_stream_transform_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TWS_MAP_ORACLE = """
 SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
 FROM events
+WHERE user_id IS NOT NULL
 GROUP BY user_id, event_type
 """
 
@@ -762,8 +798,11 @@ def q_stream_transform_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
     micros = F.expr(
         "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
     )
-    src = s.withColumn("ts_evt", F.timestamp_micros(micros)).withWatermark(
-        "ts_evt", "0 seconds"
+    src = (
+        # NULL tws grouping keys excluded, see the _TWS_ORACLE note
+        s.filter(F.col("user_id").isNotNull())
+        .withColumn("ts_evt", F.timestamp_micros(micros))
+        .withWatermark("ts_evt", "0 seconds")
     )
     from streamz_postgres_spark.streaming.runner import run_to_parquet_resumed
 
@@ -776,7 +815,12 @@ def q_stream_transform_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 outputMode="Update",
                 timeMode="EventTime",
-            ).filter(F.col("user_id") >= 0)
+            ).filter(
+                # drop the staged flush sentinel (negative uid);
+                # NULL keys never reach here — excluded upstream per
+                # the tws NULL-key boundary (_TWS_ORACLE note)
+                F.col("user_id") >= 0
+            )
             # two availableNow runs over one checkpoint: the second
             # fires any timer whose end-of-stream expiry batch lost
             # the termination race (observed ~1/10 under load);
@@ -915,7 +959,8 @@ def q_stream_transform_init(spark: SparkSession, sf_dir: str) -> DataFrame:
     cls = _tws_class("WarmStartTotalsProcessor", _WarmStartTotalsProcessor)
     hist = (
         load_table(spark, sf_dir, "events")
-        .filter(F.col("event_id") % 10 < 3)
+        # seed side matches the stream's NULL-tws-key exclusion
+        .filter((F.col("event_id") % 10 < 3) & F.col("user_id").isNotNull())
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -931,7 +976,10 @@ def q_stream_transform_init(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("acc"),
         )
     )
-    s = replay_events(spark, sf_dir).filter(F.col("event_id") % 10 >= 3)
+    s = replay_events(spark, sf_dir).filter(
+        # NULL tws grouping keys excluded, see the _TWS_ORACLE note
+        (F.col("event_id") % 10 >= 3) & F.col("user_id").isNotNull()
+    )
     with _tws_environment(spark):
         out = s.groupBy("user_id").transformWithStateInPandas(
             statefulProcessor=cls(),
@@ -945,7 +993,15 @@ def q_stream_transform_init(spark: SparkSession, sf_dir: str) -> DataFrame:
         streamed = _latest_totals(run_to_table(out, "update", spark))
     # snapshot-only keys: serve the seed directly (same decimal->
     # double conversion the processor applies on emission)
-    absent = hist.join(streamed, "user_id", "left_anti").select(
+    absent = hist.join(
+        # null-safe anti: the NULL-user group is a real key on BOTH
+        # sides — a plain `=` anti join can never match it, so the
+        # seed row would duplicate the streamed row
+        # (hostile-sweep v5 find)
+        streamed,
+        hist["user_id"].eqNullSafe(streamed["user_id"]),
+        "left_anti",
+    ).select(
         "user_id",
         F.col("n").alias("n_events"),
         # micro-units -> double, the dsum read-out form
@@ -1038,7 +1094,10 @@ def q_stream_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     so multi-file fixtures can't leave stale rows. Environment
     pinning via _tws_environment."""
     cls = _tws_class("PercentileProcessor", _PercentileProcessor)
-    s = replay_events(spark, sf_dir)
+    # NULL tws grouping keys excluded, see the _TWS_ORACLE note
+    s = replay_events(spark, sf_dir).filter(
+        F.col("event_type").isNotNull()
+    )
     with _tws_environment(spark):
         out = s.groupBy("event_type").transformWithStateInPandas(
             statefulProcessor=cls(),
@@ -1067,6 +1126,7 @@ WITH s AS (
          list(value ORDER BY value) FILTER (value IS NOT NULL) AS vals,
          COUNT(value) AS n_events
   FROM events
+  WHERE event_type IS NOT NULL
   GROUP BY event_type
 )
 SELECT event_type, n_events,
@@ -1200,8 +1260,10 @@ def _twap_fold(
         last_x, last_v = state.get
     else:
         last_x, last_v = None, None
-    pdf = pd.concat(list(batches), ignore_index=True).sort_values(
-        ["x", "event_id"]
+    pdf = (
+        pd.concat(list(batches), ignore_index=True)
+        .sort_values(["x", "event_id"])
+        .reset_index(drop=True)
     )
     xs = pdf["x"].to_numpy(dtype="int64")
     vs = pdf["value"].to_numpy(dtype="float64")
@@ -1328,20 +1390,27 @@ def _seq_match_fold(
     does."""
     import re as _re
 
-    s = state.get[0] if state.exists else ""
-    pdf = pd.concat(list(batches), ignore_index=True).sort_values(
-        ["x", "event_id"]
+    s, n = state.get if state.exists else ("", 0)
+    pdf = (
+        pd.concat(list(batches), ignore_index=True)
+        .sort_values(["x", "event_id"])
+        .reset_index(drop=True)
     )
-    s = s + "".join(pdf["ch"].tolist())
-    state.update((s,))
+    # skip None initials: a NULL event_type has no initial, exactly
+    # as the batch oracle's string_agg skips NULL inputs — but
+    # seq_len counts EVERY row (the oracle's COUNT(*)), so it is a
+    # separate state counter, not len(s) (hostile-sweep v5 find)
+    s = s + "".join(c for c in pdf["ch"].tolist() if c is not None)
+    n += len(pdf)
+    state.update((s, n))
     flags = {
         name: 1 if _re.search(pat, s) else 0
         for name, pat in _SEQ_PATTERNS
     }
     yield pd.DataFrame(
         {
-            "user_id": pd.Series([key[0]], dtype="int64"),
-            "seq_len": pd.Series([len(s)], dtype="int64"),
+            "user_id": pd.Series([key[0]], dtype="Int64"),
+            "seq_len": pd.Series([n], dtype="int64"),
             "converted": pd.Series([flags["converted"]], dtype="int32"),
             "error_after_purchase": pd.Series(
                 [flags["error_after_purchase"]], dtype="int32"
@@ -1376,7 +1445,7 @@ def q_stream_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         _seq_match_fold,
         outputStructType="user_id long, seq_len long, converted int, "
         "error_after_purchase int, view_burst int, n_purchases long",
-        stateStructType="s string",
+        stateStructType="s string, n long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
@@ -1535,7 +1604,7 @@ def _mr_fold(
     if rows:
         yield pd.DataFrame(
             {
-                "user_id": pd.Series([r[0] for r in rows], dtype="int64"),
+                "user_id": pd.Series([r[0] for r in rows], dtype="Int64"),
                 "seq_len": pd.Series([r[1] for r in rows], dtype="int64"),
                 "match_no": pd.Series([r[2] for r in rows], dtype="Int32"),
                 "n_rows": pd.Series([r[3] for r in rows], dtype="Int64"),
@@ -1572,9 +1641,12 @@ def _mr_empty_marker(
     'this state has NO matches' signal every pattern fold emits so
     the snapshot collapse cannot resurrect stale matches (nullable
     pandas Int dtypes cross Arrow -> JVM as null ints/longs);
-    ``null_cols`` is the fold's (column, pandas dtype) tail."""
+    ``null_cols`` is the fold's (column, pandas dtype) tail.
+    user_id is nullable Int64: a NULL grouping key (NaN through
+    Arrow) is a legitimate GROUP BY group and must emit, not crash
+    (hostile-sweep v5 find)."""
     data = {
-        "user_id": pd.Series([uid], dtype="int64"),
+        "user_id": pd.Series([uid], dtype="Int64"),
         "seq_len": pd.Series([seq_len], dtype="int64"),
     }
     for name, dt in null_cols:
@@ -1766,7 +1838,7 @@ def _pattern_symbol_fold(
     if rows:
         yield pd.DataFrame(
             {
-                "user_id": pd.Series([r[0] for r in rows], dtype="int64"),
+                "user_id": pd.Series([r[0] for r in rows], dtype="Int64"),
                 "seq_len": pd.Series([r[1] for r in rows], dtype="int64"),
                 "match_no": pd.Series([r[2] for r in rows], dtype="Int32"),
                 "n_clicks": pd.Series([r[3] for r in rows], dtype="Int64"),
@@ -1878,7 +1950,7 @@ def _pattern_skip_to_fold(
     if rows:
         yield pd.DataFrame(
             {
-                "user_id": pd.Series([r[0] for r in rows], dtype="int64"),
+                "user_id": pd.Series([r[0] for r in rows], dtype="Int64"),
                 "seq_len": pd.Series([r[1] for r in rows], dtype="int64"),
                 "match_no": pd.Series([r[2] for r in rows], dtype="Int32"),
                 "n_rows": pd.Series([r[3] for r in rows], dtype="Int64"),

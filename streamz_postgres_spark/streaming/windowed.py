@@ -36,6 +36,16 @@ from streamz_postgres_spark.registry import register
 from streamz_postgres_spark.streaming.runner import replay_events, run_to_table
 
 
+
+def _nullable_uid(key: tuple):
+    """Grouping-key normalization for the Python state folds: a NULL
+    bigint key arrives as float NaN through Arrow — SQL GROUP BY
+    keeps the NULL group, so the fold must process it and emit a
+    NULL user_id, not crash on int(NaN) (hostile-sweep v5 find)."""
+    import pandas as pd
+
+    return None if pd.isna(key[0]) else int(key[0])
+
 @register(
     "q_stream_tumbling",
     oracle=f"""
@@ -83,8 +93,13 @@ WITH hourly AS (
 )
 SELECT window_start, event_type, n_events, rn
 FROM (
+  -- explicit NULLS LAST: the NULL event type is a real group and
+  -- the engines' default NULL sort placement differs (Spark asc =
+  -- NULLS FIRST, DuckDB = NULLS LAST) — the top-3 cut line must
+  -- not depend on it (hostile-sweep v5 find)
   SELECT *, CAST(row_number() OVER (PARTITION BY window_start
-              ORDER BY n_events DESC, event_type) AS BIGINT) AS rn
+              ORDER BY n_events DESC, event_type NULLS LAST)
+            AS BIGINT) AS rn
   FROM hourly
 ) t
 WHERE rn <= 3
@@ -114,7 +129,8 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl = run_to_table(agg, "complete", spark)
     rn = F.row_number().over(
         Window.partitionBy("window_start").orderBy(
-            F.col("n_events").desc(), "event_type"
+            F.col("n_events").desc(),
+            F.col("event_type").asc_nulls_last(),
         )
     )
     return tbl.withColumn("rn", rn.cast("long")).filter(F.col("rn") <= 3)
@@ -276,10 +292,16 @@ GROUP BY user_id
 )
 def q_stream_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """streamz ``latest()`` in true streaming form: per-key max_by
-    aggregate, complete mode (= SDF emit-updated-aggregate)."""
+    aggregate, complete mode (= SDF emit-updated-aggregate).
+    latest_value skips NULL values like the batch twin (DuckDB
+    arg_max convention — the last KNOWN reading; hostile-sweep v5
+    find)."""
     s = replay_events(spark, sf_dir)
     out = s.groupBy("user_id").agg(
-        F.max_by("value", "event_id").alias("latest_value"),
+        F.max_by(
+            "value",
+            F.when(F.col("value").isNotNull(), F.col("event_id")),
+        ).alias("latest_value"),
         F.max("event_id").alias("latest_event_id"),
     )
     return run_to_table(out, "complete", spark)
@@ -593,7 +615,9 @@ def _running_totals(
     # concatenate BEFORE sorting: a large group arrives as several
     # Arrow chunks and per-chunk sorting would accumulate out of
     # global event order (running values are order-sensitive)
-    pdf = pd.concat(list(batches), ignore_index=True).sort_values("event_id")
+    pdf = pd.concat(list(batches), ignore_index=True).sort_values(
+        "event_id"
+    ).reset_index(drop=True)
     sums = []
     for v in pdf["value"]:
         # NULL doubles arrive as NaN: the oracle's running SUM skips
@@ -708,10 +732,18 @@ def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (
         s.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(
-            F.sum((F.col("event_type") == "click").cast("long")).alias(
+            F.sum(
+                F.when(F.col("event_type") == "click", 1)
+                .otherwise(0)
+                .cast("long")
+            ).alias(
                 "n_clicks"
             ),
-            F.sum((F.col("event_type") == "purchase").cast("long")).alias(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1)
+                .otherwise(0)
+                .cast("long")
+            ).alias(
                 "n_purchases"
             ),
             F.coalesce(
@@ -821,7 +853,7 @@ def _zip_seq_fold(
     else:
         n_pairs, side, queue = 0, "", []
     pdf = pd.concat(list(batches), ignore_index=True)
-    pdf = pdf.sort_values("event_id")
+    pdf = pdf.sort_values("event_id").reset_index(drop=True)
     out_rows = []
     for _, r in pdf.iterrows():
         this_side = "s" if r["event_type"] == "signup" else "c"
@@ -834,7 +866,7 @@ def _zip_seq_fold(
             )
             out_rows.append(
                 {
-                    "user_id": int(key[0]),
+                    "user_id": _nullable_uid(key),
                     "seq": n_pairs,
                     "signup_id": s_item[0],
                     "signup_value": s_item[1],
@@ -873,9 +905,13 @@ WITH s AS (
          event_id AS click_id, value AS click_value
   FROM events WHERE event_type = 'click'
 )
-SELECT user_id, CAST(seq AS BIGINT) AS seq,
+SELECT s.user_id, CAST(s.seq AS BIGINT) AS seq,
        signup_id, signup_value, click_id, click_value
-FROM s JOIN c USING (user_id, seq)
+-- IS NOT DISTINCT FROM: the NULL-user partition zips in the live
+-- fold (GROUP BY semantics); USING's `=` would drop its pairs
+-- (hostile-sweep v5 find)
+FROM s JOIN c ON s.user_id IS NOT DISTINCT FROM c.user_id
+             AND s.seq = c.seq
 """,
     tags=("streaming", "join", "zip", "stateful"),
 )
@@ -926,7 +962,9 @@ def _combine_latest_fold(
         click_v, purch_v = state.get
     else:
         click_v, purch_v = None, None
-    pdf = pd.concat(list(batches), ignore_index=True).sort_values("event_id")
+    pdf = pd.concat(list(batches), ignore_index=True).sort_values(
+        "event_id"
+    ).reset_index(drop=True)
     rows = []
     for eid, etype, val in zip(
         pdf["event_id"], pdf["event_type"], pdf["value"]
@@ -943,7 +981,7 @@ def _combine_latest_fold(
         if click_v is not None and purch_v is not None:
             rows.append(
                 {
-                    "user_id": int(key[0]),
+                    "user_id": _nullable_uid(key),
                     "event_id": int(eid),
                     "click_value": click_v,
                     "purchase_value": purch_v,

@@ -78,6 +78,61 @@ keys), three keys:
   and DuckDB errors on malformed JSON — key extraction try-casts
   on both sides so a broken payload keys as NULL instead of
   killing the CDC loop.
+
+v5 sweep (the last unmutated columns — NULL user_id, NULL/empty/
+unicode event_type, NULL lang/source/label, dim mutations), twelve
+keys in six root causes:
+
+- asof_join (q_asof_join/_forward/_sql twins, q_click_attribution,
+  and the nearest oracle): the union+window implementation happily
+  co-partitioned NULL-keyed rows from both sides where SQL ASOF
+  equality never matches a NULL key — NULL-keyed right rows are now
+  dropped (left rows emit unmatched), and the nearest oracle adopts
+  the same equality contract,
+- SUM over (event_type = 'x')::int NULL-poisons all-NULL frames
+  (q_funnel, q_user_features + the streaming funnel twin) — now
+  CASE WHEN ... ELSE 0 like the oracles,
+- pandas groupby drops a None group key by default
+  (q_kll_quantile's partial stage) — dropna=False + NaN
+  normalization, and the calibration re-join is now eqNullSafe,
+- signature training on a NULL class (q_text_langid): a NULL lang
+  is not a language and ties engine-divergently (Spark NULLS FIRST
+  asc vs DuckDB NULLS LAST) — signatures train on labeled docs
+  only, unlabeled docs still scored,
+- entity-set semantics with NULL ids (q_bitmap_overlap,
+  q_cooccurrence_lift): audience/session membership requires an
+  identity — NULL user_id rows excluded on both sides; the session
+  UNIVERSE also counts typeless sessions, which the exploded form
+  dropped (totals now computed before the explode),
+- a USING(user_id) read-back join dropped the NULL
+  MATCH_RECOGNIZE partition (q_pattern_skip_to's oracle) — now
+  IS NOT DISTINCT FROM.
+
+v5 sweep, streaming half (16 keys, six root causes): a NULL
+bigint grouping key arrives in the Python state folds as float NaN
+— int(key[0]) crashed five folds (now nullable Int64 emission);
+oracle equi-joins/recursions on user_id stranded the NULL group
+(ewma recursion, zip_seq pair join, vocab_novelty source join —
+now IS NOT DISTINCT FROM); `event_type <> 'signup'` silently
+dropped NULL-typed facts (enrich_asof — now IS DISTINCT FROM) and
+str(None) minted a phantom 'None' type; the transform-timers flush
+filter `user_id >= 0` dropped the NULL-user group; latest-value
+keys pin DuckDB's arg_max NULL-skipping (the last KNOWN reading),
+and sequence_match's seq_len is a row COUNTER in state, not
+len(string), since NULL initials don't enter the string. Plus:
+transform_map's string MapState key encodes the NULL type behind a
+bijective prefix (str(None) minted 'None' and sorted() can't
+compare None); transform_init's snapshot-∪-live anti join is
+eqNullSafe; stream_topk's rank tie pins NULLS LAST on both engines.
+
+One ENGINE BOUNDARY was documented rather than fixed: pyspark's
+transformWithStateInPandas key grouping is partition-layout-
+dependent for a NULL grouping key (with 8 shuffle partitions the
+NULL-user rows merge into a co-partitioned user's group; with 32
+they group alone) — unlike applyInPandasWithState, which groups
+NULL keys correctly. All six tws queries therefore exclude NULL
+grouping keys on both sides (the _TWS_ORACLE note in
+streaming/stateful.py).
 """
 
 from __future__ import annotations
@@ -139,6 +194,20 @@ PINNED = [
     # -- v4 sweep pins (JSON mutation classes) --------------------------
     "q_variant",
     "q_map_json_funcs",
+    # -- v5 sweep pins (NULL-key mutation classes) ----------------------
+    "q_asof_forward",
+    "q_asof_forward_sql",
+    "q_asof_join",
+    "q_asof_nearest",
+    "q_asof_sql",
+    "q_bitmap_overlap",
+    "q_click_attribution",
+    "q_cooccurrence_lift",
+    "q_funnel",
+    "q_kll_quantile",
+    "q_pattern_skip_to",
+    "q_text_langid",
+    "q_user_features",
 ]
 
 
@@ -172,6 +241,22 @@ PINNED = [
 PINNED_STREAMING = [
     "q_cdc_diff",
     "q_cdc_materialize",
+    # -- v5 sweep streaming pins ----------------------------------------
+    "q_latest_per_key",
+    "q_stream_combine_latest",
+    "q_stream_enrich_asof",
+    "q_stream_ewma",
+    "q_stream_latest_per_key",
+    "q_stream_pattern_measures",
+    "q_stream_pattern_overlap",
+    "q_stream_pattern_skip_to",
+    "q_stream_sequence_match",
+    "q_stream_topk",
+    "q_stream_transform_init",
+    "q_stream_transform_map",
+    "q_stream_transform_timers",
+    "q_stream_vocab_novelty",
+    "q_stream_zip_seq",
     "q_cdc_time_travel",
     "q_stream_accumulate",
     "q_stream_anomaly",
@@ -286,6 +371,22 @@ def test_hostile_fixture_actually_hostile(hostile_duck):
         "COUNT(*) FILTER (props = '{\"k\": [1, 2, 3]}') FROM events"
     ).fetchone()
     assert n_malformed > 0 and n_strnum > 0 and n_nested > 0
+    # v5 classes — NULL identity/symbol keys
+    n_null_uid, n_null_et, n_empty_et = hostile_duck.execute(
+        "SELECT COUNT(*) FILTER (user_id IS NULL), "
+        "COUNT(*) FILTER (event_type IS NULL), "
+        "COUNT(*) FILTER (event_type = '') FROM events"
+    ).fetchone()
+    assert n_null_uid > 0 and n_null_et > 0 and n_empty_et > 0
+    n_null_lang, n_null_src = hostile_duck.execute(
+        "SELECT COUNT(*) FILTER (lang IS NULL), "
+        "COUNT(*) FILTER (source IS NULL) FROM documents"
+    ).fetchone()
+    assert n_null_lang > 0 and n_null_src > 0
+    (n_null_label,) = hostile_duck.execute(
+        "SELECT COUNT(*) FROM embeddings WHERE label IS NULL"
+    ).fetchone()
+    assert n_null_label > 0
 
 
 @pytest.mark.parametrize("key", PINNED)
