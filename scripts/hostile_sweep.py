@@ -48,7 +48,17 @@ classes the shipped fixtures never contain:
   group/window/state consistently, and equi-joins must drop it
   identically), NULL ``documents.lang``/``source`` (group keys of
   the corpus-mix family), NULL ``embeddings.label``, and the dims:
-  NULL ``n_name``, orphan ``n_regionkey``.
+  NULL ``n_name``, orphan ``n_regionkey``,
+- (v6) WINDOW-BOUNDARY-ALIGNED timestamps: five constructed users
+  (ids 9000000+) whose events sit exactly ON the half-open edges
+  every window key reasons about — inter-event gaps of exactly
+  30:00.000000 (the session threshold: a new session under the
+  ``>=`` rule on BOTH engines) and 29:59.999999 (one session),
+  events at exact hour boundaries H:00:00.000000 (tumbling
+  inclusion is floor/half-open), the half-hour slide edge H:30:00,
+  and duplicate timestamps AT a boundary next to a boundary-1us
+  row. The edge rules were reasoned in docstrings; these rows make
+  them load-bearing.
 
 The round-11 advisor found exactly one bug of this class (per-symbol
 SUM lowered to a left fold that a single NULL poisons — latent only
@@ -298,6 +308,29 @@ def build_hostile_dir(src: str, timeshift: bool = True) -> str:
                  b.event_type,
                  b.value * 0.5 AS value, b.props
           FROM base b, mx WHERE b.event_id % 17 = 0
+          UNION ALL
+          -- v6 boundary users (constructed; ids far above any real
+          -- id so joins/dups never collide). u1: gaps of exactly
+          -- 30:00 (session threshold -> three sessions under >=);
+          -- u2: gaps of 29:59.999999 (one session); u3: events ON
+          -- exact hour boundaries; u4: duplicate ts AT a boundary +
+          -- one at boundary-1us; u5: the half-hour slide edge.
+          SELECT * FROM (VALUES
+            (9000001, TIMESTAMP '2024-01-10 06:00:00',        9000001, 'view',     1.25, '{{"k": 1}}'),
+            (9000002, TIMESTAMP '2024-01-10 06:30:00',        9000001, 'click',    2.5,  '{{"k": 2}}'),
+            (9000003, TIMESTAMP '2024-01-10 07:00:00',        9000001, 'purchase', 5.0,  '{{"k": 3}}'),
+            (9000011, TIMESTAMP '2024-01-10 06:00:00.000001', 9000002, 'view',     1.5,  '{{"k": 4}}'),
+            (9000012, TIMESTAMP '2024-01-10 06:30:00',        9000002, 'click',    3.25, '{{"k": 5}}'),
+            (9000013, TIMESTAMP '2024-01-10 06:59:59.999999', 9000002, 'purchase', 6.5,  '{{"k": 6}}'),
+            (9000021, TIMESTAMP '2024-01-10 08:00:00',        9000003, 'view',     0.75, '{{"k": 7}}'),
+            (9000022, TIMESTAMP '2024-01-10 09:00:00',        9000003, 'click',    1.75, '{{"k": 8}}'),
+            (9000031, TIMESTAMP '2024-01-10 10:00:00',        9000004, 'view',     2.25, '{{"k": 9}}'),
+            (9000032, TIMESTAMP '2024-01-10 10:00:00',        9000004, 'click',    4.75, '{{"k": 10}}'),
+            (9000033, TIMESTAMP '2024-01-10 09:59:59.999999', 9000004, 'error',    8.5,  '{{"k": 11}}'),
+            (9000041, TIMESTAMP '2024-01-10 11:30:00',        9000005, 'view',     3.5,  '{{"k": 12}}'),
+            (9000042, TIMESTAMP '2024-01-10 11:59:59.999999', 9000005, 'signup',   7.25, '{{"k": 13}}'),
+            (9000043, TIMESTAMP '2024-01-10 12:00:00',        9000005, 'purchase', 9.75, '{{"k": 14}}')
+          ) v(event_id, ts, user_id, event_type, value, props)
           ORDER BY event_id
         ) TO '{out}/events.parquet' (FORMAT PARQUET)
         """

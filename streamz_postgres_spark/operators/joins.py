@@ -1261,11 +1261,13 @@ _OVL_GAP = "30 minutes"
 #: DuckDB CTE chain deriving the per-user activity sessions (30-min
 #: gap) as integer-second intervals [s, e) — shared by the
 #: interval-overlap oracle and its aggregate read-out
-#: (q_concurrency_profile); matches Spark's session_window exactly.
+#: (q_concurrency_profile); matches Spark's session_window exactly,
+#: including the touch-merge boundary: an event exactly gap after
+#: the last EXTENDS the session, so the split test is strict-> (v6).
 _OVL_SESS_CTES = f"""flagged AS (
   SELECT user_id, ts,
     CASE WHEN lag(ts) OVER w IS NULL
-              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
          THEN 1 ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)

@@ -96,7 +96,7 @@ def q_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH flagged AS (
   SELECT user_id, ts, value,
     CASE WHEN lag(ts) OVER w IS NULL
-              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
          THEN 1 ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -118,10 +118,13 @@ GROUP BY user_id, session_id
 )
 def q_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session window, 30-minute gap, per user — Spark's native
-    ``session_window``. Oracle emulates with gaps-and-islands SQL
-    (new session when the gap is >= the timeout, matching Spark's
-    half-open [ts, ts+gap) merge rule); session_end = last event +
-    gap, as Spark defines it."""
+    ``session_window``. Oracle emulates with gaps-and-islands SQL.
+    Boundary rule (hostile-sweep v6, probed on an exact-gap
+    fixture): Spark MERGES windows that touch — an event exactly
+    ``gap`` after the last one EXTENDS the session (same rule as
+    Flink's merging session windows) — so a new session starts only
+    when the gap is STRICTLY GREATER than the timeout; session_end =
+    last event + gap, as Spark defines it."""
     e = load_table(spark, sf_dir, "events")
     return (
         e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
@@ -179,7 +182,7 @@ def q_partition_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH flagged AS (
   SELECT user_id, ts, event_type,
     CASE WHEN lag(ts) OVER w IS NULL
-              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
          THEN 1 ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -782,7 +785,7 @@ WITH flagged AS (
   -- (hostile-sweep v5 find)
   SELECT user_id, ts, event_type,
     CASE WHEN lag(ts) OVER w IS NULL
-              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
          THEN 1 ELSE 0 END AS new_session
   FROM events
   WHERE user_id IS NOT NULL

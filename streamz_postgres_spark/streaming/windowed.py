@@ -235,7 +235,7 @@ def q_stream_tumbling_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame
 WITH flagged AS (
   SELECT user_id, ts, value,
     CASE WHEN lag(ts) OVER w IS NULL
-              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
          THEN 1 ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -691,7 +691,7 @@ def q_stream_accumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH flagged AS (
   SELECT user_id, ts, event_type,
     CASE WHEN lag(ts) OVER w IS NULL
-              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
          THEN 1 ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)

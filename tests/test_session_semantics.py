@@ -111,6 +111,37 @@ def test_session_window_gap_splits_sessions_batch(spark):
     assert by_user == {10: 2, 20: 1}
 
 
+def test_session_window_exact_gap_boundary(spark):
+    """Pin the touch-merge boundary rule (hostile-sweep v6): an
+    event EXACTLY gap after the last one EXTENDS the session (the
+    per-event windows [t, t+gap) and [t+gap, t+2gap) touch, and
+    Spark merges touching windows, like Flink); one microsecond
+    MORE splits. Every sessionizing oracle therefore tests
+    strictly-greater-than-gap, not >=."""
+    rows = [
+        # u1: gaps of exactly 30:00 -> ONE session of three events
+        (1, "2024-01-10 06:00:00", 1),
+        (2, "2024-01-10 06:30:00", 1),
+        (3, "2024-01-10 07:00:00", 1),
+        # u2: gap of 30:00.000001 -> TWO sessions
+        (4, "2024-01-10 06:00:00", 2),
+        (5, "2024-01-10 06:30:00.000001", 2),
+    ]
+    df = (
+        spark.createDataFrame(rows, "event_id long, ts_s string, user_id long")
+        .withColumn("ts", F.col("ts_s").cast("timestamp_ntz"))
+        .drop("ts_s")
+    )
+    got = (
+        df.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .count()
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"))
+    )
+    by_user = {r["user_id"]: r["n_sessions"] for r in got.collect()}
+    assert by_user == {1: 1, 2: 2}
+
+
 @pytest.mark.slow
 def test_session_window_gap_splits_sessions_streaming(spark):
     df = _toy_events(spark)
