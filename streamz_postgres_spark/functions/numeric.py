@@ -83,18 +83,24 @@ def dsum(col: Column | str) -> Column:
 
 
 def davg(col: Column | str) -> Column:
-    """Order-independent double mean."""
+    """Order-independent double mean. ``try_divide`` so an all-NULL
+    (count = 0) group yields NULL like DuckDB's ``x / 0`` instead of
+    raising under ANSI mode (degenerate-cardinality sweep)."""
     c = F.col(col) if isinstance(col, str) else col
-    return dsum(c) / F.count(c)
+    return F.try_divide(dsum(c), F.count(c))
 
 
 def dvar_samp(col: Column | str) -> Column:
-    """Order-independent sample variance via exact sums."""
+    """Order-independent sample variance via exact sums. Both
+    divisions are ``try_divide``: at n = 1 the sample denominator
+    (n - 1) is exactly 0 and DuckDB's mirror (:func:`sql_dvar_samp`)
+    returns NULL for division by zero, while Spark's ANSI ``/``
+    would raise DIVIDE_BY_ZERO (degenerate-cardinality sweep)."""
     c = F.col(col) if isinstance(col, str) else col
     n = F.count(c).cast("double")
     sx = dsum(c)
     sxx = dsum(c * c)
-    return (sxx - sx * sx / n) / (n - F.lit(1.0))
+    return F.try_divide(sxx - F.try_divide(sx * sx, n), n - F.lit(1.0))
 
 
 def dstddev_samp(col: Column | str) -> Column:

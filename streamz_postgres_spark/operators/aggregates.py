@@ -203,6 +203,54 @@ def q_null_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _with_standard_grand_total(
+    expanded: DataFrame,
+    gid_col: str,
+    all_gid: int,
+    finest_gid: int,
+    totals: dict,
+    consts: dict | None = None,
+) -> DataFrame:
+    """SQL:2016 <group by clause>: the ``()`` grouping set contributes
+    exactly ONE row even over an empty input (a global aggregate is
+    never empty). Spark lowers CUBE/ROLLUP/GROUPING SETS through the
+    Expand operator, which emits 0 output rows from 0 input rows — so
+    the grand-total row silently vanishes on empty input, diverging
+    from DuckDB/Postgres/the standard (degenerate-cardinality sweep
+    find). Rebuild it: drop the Expand-produced grand total
+    (``gid_col == all_gid``) and union a grand-total row RE-AGGREGATED
+    from the finest grouping set (``gid_col == finest_gid``), whose
+    rows partition the input — and whose GLOBAL re-aggregate is
+    exactly one row even when they are empty.
+
+    ``totals`` maps each aggregate output column to the expression
+    recomposing it from the finest rows: counts re-sum exactly
+    (coalesce to 0 for the empty case), and micro-quantized dsum
+    doubles re-quantize exactly through dsum (each group value is
+    k/1e6; floor(v*1e6+0.5) recovers k bit-exactly). ``consts`` maps
+    literal columns (the gid read-out, level labels). Everything is
+    cast to the expanded schema so unionByName round-trips types.
+    Cost: one extra aggregate over the finest-set OUTPUT rows (group
+    cardinality, not input rows) — the input is still scanned once.
+    """
+    body = expanded.filter(F.col(gid_col) != all_gid)
+    finest = expanded.filter(F.col(gid_col) == finest_gid)
+    consts = dict(consts or {})
+    consts.setdefault(gid_col, F.lit(all_gid))
+    sel = []
+    for f in expanded.schema.fields:
+        if f.name in consts:
+            sel.append(consts[f.name].cast(f.dataType).alias(f.name))
+        elif f.name in totals:
+            sel.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            sel.append(F.lit(None).cast(f.dataType).alias(f.name))
+    total = finest.agg(
+        *[expr.alias(name) for name, expr in totals.items()]
+    ).select(*sel)
+    return body.unionByName(total)
+
+
 @register(
     "q_rollup",
     oracle=f"""
@@ -222,7 +270,7 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     n = F.broadcast(load_table(spark, sf_dir, "nation"))
     r = F.broadcast(load_table(spark, sf_dir, "region"))
-    return (
+    expanded = (
         c.join(n, c.c_nationkey == n.n_nationkey)
         .join(r, F.col("n_regionkey") == r.r_regionkey)
         .rollup("r_name", "n_name")
@@ -231,6 +279,16 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal").alias("sum_bal"),
             (F.grouping("r_name") + F.lit(2) * F.grouping("n_name")).alias("gid"),
         )
+    )
+    return _with_standard_grand_total(
+        expanded,
+        gid_col="gid",
+        all_gid=3,
+        finest_gid=0,
+        totals={
+            "n_cust": F.coalesce(F.sum("n_cust"), F.lit(0)),
+            "sum_bal": dsum("sum_bal"),
+        },
     )
 
 
@@ -248,10 +306,21 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All grouping combinations of status x priority."""
     o = load_table(spark, sf_dir, "orders")
-    return o.cube("o_orderstatus", "o_orderpriority").agg(
+    expanded = o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
         dsum("o_totalprice").alias("sum_price"),
+        F.grouping_id().alias("_gid"),
     )
+    return _with_standard_grand_total(
+        expanded,
+        gid_col="_gid",
+        all_gid=3,
+        finest_gid=0,
+        totals={
+            "n_orders": F.coalesce(F.sum("n_orders"), F.lit(0)),
+            "sum_price": dsum("sum_price"),
+        },
+    ).drop("_gid")
 
 
 @register(
@@ -269,14 +338,27 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit grouping sets (per-status, per-priority, grand
     total) via the native DataFrame.groupingSets API (Spark 4)."""
     o = load_table(spark, sf_dir, "orders")
-    return o.groupingSets(
+    expanded = o.groupingSets(
         [["o_orderstatus"], ["o_orderpriority"], []],
         "o_orderstatus",
         "o_orderpriority",
     ).agg(
         F.count(F.lit(1)).alias("n_orders"),
         dsum("o_totalprice").alias("sum_price"),
+        F.grouping_id().alias("_gid"),
     )
+    # the (o_orderstatus) set (gid 0b01) partitions the input, so the
+    # standard's always-present () row recomposes from it
+    return _with_standard_grand_total(
+        expanded,
+        gid_col="_gid",
+        all_gid=3,
+        finest_gid=1,
+        totals={
+            "n_orders": F.coalesce(F.sum("n_orders"), F.lit(0)),
+            "sum_price": dsum("sum_price"),
+        },
+    ).drop("_gid")
 
 
 @register(
@@ -437,7 +519,7 @@ def q_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     gid = (F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority")).cast(
         "bigint"
     )
-    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+    expanded = o.rollup("o_orderstatus", "o_orderpriority").agg(
         gid.alias("gid"),
         F.when(gid == 0, "cell")
         .when(gid == 1, "status_total")
@@ -445,6 +527,17 @@ def q_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("level"),
         F.count(F.lit(1)).alias("n_orders"),
         dsum("o_totalprice").alias("sum_price"),
+    )
+    return _with_standard_grand_total(
+        expanded,
+        gid_col="gid",
+        all_gid=3,
+        finest_gid=0,
+        totals={
+            "n_orders": F.coalesce(F.sum("n_orders"), F.lit(0)),
+            "sum_price": dsum("sum_price"),
+        },
+        consts={"level": F.lit("grand_total")},
     )
 
 

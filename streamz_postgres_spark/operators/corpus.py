@@ -424,8 +424,11 @@ def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_ref").cast("bigint").alias("tot_ref"),
         F.sum("n_cur").cast("bigint").alias("tot_cur"),
     )
-    share_ref = F.col("n_ref").cast("double") / F.col("tot_ref")
-    share_cur = F.col("n_cur").cast("double") / F.col("tot_cur")
+    # try_divide: a corpus whose docs all fall in ONE half leaves the
+    # other half's total at exactly 0 — DuckDB's x/0 is NULL, Spark's
+    # ANSI / raises (degenerate-cardinality sweep, 1-row fixture).
+    share_ref = F.try_divide(F.col("n_ref").cast("double"), F.col("tot_ref"))
+    share_cur = F.try_divide(F.col("n_cur").cast("double"), F.col("tot_cur"))
     return (
         b.crossJoin(F.broadcast(tot))
         .select(

@@ -288,10 +288,10 @@ SELECT n AS n_edges,
        (SELECT CAST(COUNT(*) AS BIGINT) FROM ds) AS n_suppliers,
        (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-       / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       / sqrt(GREATEST((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
             * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0.0))
          AS assortativity
 FROM sums
 """,
@@ -315,7 +315,8 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (products of exact integers, one division, one correctly-rounded
     sqrt) — bit-identical without any decimal detour. Nothing after
     the degree joins scales with input; a zero denominator (all
-    degrees equal) would yield NaN on both engines identically."""
+    degrees equal) yields NULL on both engines (DuckDB x/0,
+    Spark try_divide)."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     e = (
@@ -338,9 +339,16 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     nsupp = ds.agg(F.count(F.lit(1)).cast("bigint").alias("n_suppliers"))
     d = lambda c: F.col(c).cast("double")  # noqa: E731
     num = d("n") * d("sxy") - d("sx") * d("sy")
+    # GREATEST clamp before sqrt (same guard as q_stats_corr): the
+    # product of the two variance terms is mathematically >= 0, but
+    # FP rounding of the bigint-product doubles can dip below zero,
+    # where DuckDB hard-errors on sqrt(negative) and Spark yields NaN
     den = F.sqrt(
-        (d("n") * d("sxx") - d("sx") * d("sx"))
-        * (d("n") * d("syy") - d("sy") * d("sy"))
+        F.greatest(
+            (d("n") * d("sxx") - d("sx") * d("sx"))
+            * (d("n") * d("syy") - d("sy") * d("sy")),
+            F.lit(0.0),
+        )
     )
     return (
         sums.crossJoin(F.broadcast(ncust))
@@ -349,6 +357,9 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_edges"),
             "n_customers",
             "n_suppliers",
-            (num / den).alias("assortativity"),
+            # try_divide: a degree-regular (or single-edge) graph has
+            # an exactly-zero denominator — DuckDB x/0 is NULL,
+            # Spark's ANSI / raises (degenerate-cardinality sweep)
+            F.try_divide(num, den).alias("assortativity"),
         )
     )

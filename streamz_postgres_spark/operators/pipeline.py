@@ -985,9 +985,12 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_nationkey",
             "c_mktsegment",
             "grp_size",
-            (F.col("sum_num").cast("double") / den.cast("double")).alias(
-                "emd"
-            ),
+            # try_divide: a single-bucket domain (m = 1) zeroes the
+            # (m - 1) ground-distance denominator — DuckDB x/0 ->
+            # NULL, ANSI / raises (degenerate-cardinality sweep)
+            F.try_divide(
+                F.col("sum_num").cast("double"), den.cast("double")
+            ).alias("emd"),
             F.when(
                 F.col("sum_num") * _TCLOSE_DEN > den * _TCLOSE_NUM, 1
             )
@@ -1332,7 +1335,10 @@ def q_corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_quality",
         "n_dedup",
         "n_final",
-        (w / F.col("zw")).alias("temp_share"),
+        # try_divide: when every source funnels to n_final = 0 the
+        # normalizer zw is exactly 0 (DuckDB 0/0 -> NULL, ANSI /
+        # raises; degenerate-cardinality sweep)
+        F.try_divide(w, F.col("zw")).alias("temp_share"),
     )
 
 

@@ -317,14 +317,17 @@ def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     staging = tempfile.mkdtemp(prefix="prune_lake_")
     _PRUNE_DIRS.append(staging)
     e = load_table(spark, sf_dir, "events")
-    (
-        e.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
-        .select("event_id", "event_type", "value", "day")
-        .write.mode("overwrite")
-        .partitionBy("day")
-        .parquet(staging)
+    staged = e.withColumn("day", F.date_format("ts", "yyyy-MM-dd")).select(
+        "event_id", "event_type", "value", "day"
     )
-    lake = spark.read.parquet(staging)
+    staged.write.mode("overwrite").partitionBy("day").parquet(staging)
+    # Explicit schema: an EMPTY events table writes a partition tree
+    # with no files at all, and schema inference then fails with
+    # UNABLE_TO_INFER_SCHEMA (degenerate-cardinality sweep). The
+    # writer's own schema is authoritative either way, and pinning it
+    # also fixes the partition-value type to STRING instead of
+    # leaving it to partition-type inference.
+    lake = spark.read.schema(staged.schema).parquet(staging)
     return (
         lake.filter(F.col("day") == _PRUNE_DAY)
         .groupBy("event_type")
@@ -679,9 +682,12 @@ def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_missing_keys",
             "n_parent",
             "n_referenced",
-            (F.col("n_referenced").cast("double") / F.col("n_parent")).alias(
-                "ref_coverage"
-            ),
+            # try_divide: an EMPTY parent table makes coverage 0/0 —
+            # DuckDB yields NULL, Spark's ANSI / raises
+            # (degenerate-cardinality sweep, 0-row fixture)
+            F.try_divide(
+                F.col("n_referenced").cast("double"), F.col("n_parent")
+            ).alias("ref_coverage"),
         )
         .orderBy("edge")
     )

@@ -823,7 +823,11 @@ def q_doc_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         davg("cos_centroid").alias("mu"),
         dstddev_samp("cos_centroid").alias("sigma"),
     )
-    z = (F.col("cos_centroid") - F.col("mu")) / F.col("sigma")
+    # try_divide: a one-vector label has sigma NULL (n-1 = 0) and a
+    # constant-cosine label has sigma exactly 0 — DuckDB yields NULL
+    # (row then fails the < z filter on both engines), Spark's ANSI /
+    # would raise (degenerate-cardinality sweep)
+    z = F.try_divide(F.col("cos_centroid") - F.col("mu"), F.col("sigma"))
     return (
         scored.join(F.broadcast(stats), F.col("label") == F.col("slabel"))
         .filter(z < _OUTLIER_Z)

@@ -30,7 +30,8 @@ SELECT l_returnflag,
        n,
        (n * sxy - sx * sy) / (n * sxx - sx * sx) AS regr_slope_price_qty,
        (CAST(FLOOR(((n * sxy - sx * sy)
-         / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)))
+         / (SQRT(GREATEST(n * sxx - sx * sx, 0.0))
+            * SQRT(GREATEST(n * syy - sy * sy, 0.0))))
          * 10000000000.0 + 0.5) AS DOUBLE) / 10000000000.0)
          AS corr_qty_price,
        (sxy - sx * sy / n) / (n - 1) AS covar_samp_qty_price
@@ -66,18 +67,34 @@ def q_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    # try_divide throughout: a single-row group has an exactly-zero
+    # variance denominator (exact decimal sums, not FP residue), and
+    # DuckDB's x/0 is NULL while Spark's ANSI / raises
+    # (degenerate-cardinality sweep). n > 0 always here (groups have
+    # rows), so the inner sx*sy/n division stays plain.
     return m.select(
         "l_returnflag",
         "n",
-        ((n * sxy - sx * sy) / (n * sxx - sx * sx)).alias(
+        F.try_divide(n * sxy - sx * sy, n * sxx - sx * sx).alias(
             "regr_slope_price_qty"
         ),
+        # GREATEST clamp before sqrt: micro-quantized sxx can sit one
+        # micro-unit BELOW sx*sx/n, and DuckDB hard-errors on
+        # sqrt(negative) while Spark yields NaN — the term is
+        # mathematically >= 0, so clamping only rewrites the
+        # would-be-error case to the NULL the zero-variance case
+        # already produces (degenerate-cardinality sweep class).
         qround(
-            (n * sxy - sx * sy)
-            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            F.try_divide(
+                n * sxy - sx * sy,
+                F.sqrt(F.greatest(n * sxx - sx * sx, F.lit(0.0)))
+                * F.sqrt(F.greatest(n * syy - sy * sy, F.lit(0.0))),
+            ),
             10,
         ).alias("corr_qty_price"),
-        ((sxy - sx * sy / n) / (n - F.lit(1.0))).alias("covar_samp_qty_price"),
+        F.try_divide(sxy - sx * sy / n, n - F.lit(1.0)).alias(
+            "covar_samp_qty_price"
+        ),
     )
 
 
@@ -266,8 +283,9 @@ SELECT a.event_type,
        {sql_qround('(b.sx / b.n) - (a.sx / a.n)', 9)} AS lift,
        {sql_qround(
            '((b.sx / b.n) - (a.sx / a.n))'
-           ' / SQRT(((a.sxx - a.sx * a.sx / a.n) / (a.n - 1)) / a.n'
-           '      + ((b.sxx - b.sx * b.sx / b.n) / (b.n - 1)) / b.n)', 9)}
+           ' / SQRT(GREATEST('
+           '((a.sxx - a.sx * a.sx / a.n) / (a.n - 1)) / a.n'
+           '      + ((b.sxx - b.sx * b.sx / b.n) / (b.n - 1)) / b.n, 0.0))', 9)}
          AS t_welch
 FROM m a JOIN m b ON a.event_type = b.event_type
 WHERE a.variant = 0 AND b.variant = 1
@@ -306,13 +324,28 @@ def q_abtest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = a.join(F.broadcast(b), F.col("event_type") == F.col("et_b"))
     m0 = F.col("sx0") / F.col("n0")
     m1 = F.col("sx1") / F.col("n1")
-    v0 = (F.col("sxx0") - F.col("sx0") * F.col("sx0") / F.col("n0")) / (
-        F.col("n0") - 1
+    # try_divide + GREATEST: an n = 1 arm zeroes the (n - 1) sample
+    # denominator (DuckDB /0 -> NULL; ANSI / raises), and the
+    # quantized variance can sit a micro-unit below zero where DuckDB
+    # hard-errors on sqrt(negative) while Spark yields NaN — both are
+    # the degenerate-cardinality sweep class; the clamp only rewrites
+    # would-be-error cases to the NULL the engines then agree on.
+    # NULL-vs-0 note: GREATEST *skips* NULLs on both engines, so a
+    # NULL variance (n = 1 arm) clamps to 0 -> /0 -> NULL t on both.
+    v0 = F.try_divide(
+        F.col("sxx0") - F.col("sx0") * F.col("sx0") / F.col("n0"),
+        F.col("n0") - 1,
     )
-    v1 = (F.col("sxx1") - F.col("sx1") * F.col("sx1") / F.col("n1")) / (
-        F.col("n1") - 1
+    v1 = F.try_divide(
+        F.col("sxx1") - F.col("sx1") * F.col("sx1") / F.col("n1"),
+        F.col("n1") - 1,
     )
-    t = (m1 - m0) / F.sqrt(v0 / F.col("n0") + v1 / F.col("n1"))
+    t = F.try_divide(
+        m1 - m0,
+        F.sqrt(
+            F.greatest(v0 / F.col("n0") + v1 / F.col("n1"), F.lit(0.0))
+        ),
+    )
     return j.select(
         "event_type",
         F.col("n0").cast("bigint").alias("n_control"),
@@ -723,10 +756,13 @@ _CORRM_PAIRS = tuple(
 
 
 def _sql_corrm_pair(x: str, y: str) -> str:
+    # GREATEST clamp: same sqrt(quantization-negative) guard as
+    # q_stats_corr (DuckDB errors, Spark NaN; the term is
+    # mathematically >= 0)
     corr = (
         f"(n * s_{x}_{y} - s_{x} * s_{y}) "
-        f"/ (SQRT(n * s_{x}_{x} - s_{x} * s_{x}) "
-        f"* SQRT(n * s_{y}_{y} - s_{y} * s_{y}))"
+        f"/ (SQRT(GREATEST(n * s_{x}_{x} - s_{x} * s_{x}, 0.0)) "
+        f"* SQRT(GREATEST(n * s_{y}_{y} - s_{y} * s_{y}, 0.0)))"
     )
     return f"""SELECT '{x}' AS col_x, '{y}' AS col_y,
        CAST(n AS BIGINT) AS n,
@@ -796,12 +832,21 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(x).alias("col_x"),
             F.lit(y).alias("col_y"),
             n.cast("bigint").alias("n"),
+            # try_divide: n = 1 makes both denominators exactly 0
+            # (DuckDB -> NULL, ANSI / -> raise); at n = 0 the inner
+            # sx*sy/n numerator is already NULL so try_divide just
+            # passes the NULL through like DuckDB does.
             qround(
-                (n * sxy - sx * sy)
-                / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+                F.try_divide(
+                    n * sxy - sx * sy,
+                    F.sqrt(F.greatest(n * sxx - sx * sx, F.lit(0.0)))
+                    * F.sqrt(F.greatest(n * syy - sy * sy, F.lit(0.0))),
+                ),
                 10,
             ).alias("corr"),
-            ((sxy - sx * sy / n) / (n - F.lit(1.0))).alias("covar_samp"),
+            F.try_divide(
+                sxy - F.try_divide(sx * sy, n), n - F.lit(1.0)
+            ).alias("covar_samp"),
         )
         rows = part if rows is None else rows.unionByName(part)
     return rows.orderBy("col_x", "col_y")
@@ -964,8 +1009,13 @@ def q_stats_histogram_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_j = agg.select(
         "n",
+        # n = 0 short-circuit: over an EMPTY input the sketch is NULL
+        # and the rank guarantee is vacuously met (there is no rank
+        # to miss), so both flags must read 1 like the oracle's
+        # literals — without it the NULL comparisons fall through to
+        # otherwise(0) (degenerate-cardinality sweep).
         F.when(
-            F.expr("bs = array_sort(bs)"), 1
+            (F.col("n") == 0) | F.expr("bs = array_sort(bs)"), 1
         ).otherwise(0).cast("int").alias("order_ok"),
         F.explode(
             F.array(
@@ -995,8 +1045,11 @@ def q_stats_histogram_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         # [target-tol, target+tol] iff lo <= target+tol AND
         # hi >= target-tol
         F.when(
-            (F.col("t.rank_lo") <= target + tol)
-            & (F.col("t.rank_hi") >= target - tol),
+            (F.col("n") == 0)
+            | (
+                (F.col("t.rank_lo") <= target + tol)
+                & (F.col("t.rank_hi") >= target - tol)
+            ),
             1,
         )
         .otherwise(0)
