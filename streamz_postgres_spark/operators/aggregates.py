@@ -205,6 +205,7 @@ def q_null_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _with_standard_grand_total(
     expanded: DataFrame,
+    slot: str,
     gid_col: str,
     all_gid: int,
     finest_gid: int,
@@ -231,8 +232,23 @@ def _with_standard_grand_total(
     literal columns (the gid read-out, level labels). Everything is
     cast to the expanded schema so unionByName round-trips types.
     Cost: one extra aggregate over the finest-set OUTPUT rows (group
-    cardinality, not input rows) — the input is still scanned once.
+    cardinality, not input rows). The expanded frame is lazily
+    ``localCheckpoint``ed (the dedup-CC idiom) so the two union
+    branches share ONE input scan: plain persist() does NOT work
+    here — DeduplicateRelations re-aliases the second self-union
+    branch during analysis and the re-aliased subtree misses the
+    CacheManager's canonical-plan lookup (verified in the PLANS.md
+    audit: a full duplicate scan+Expand+agg subtree, doubling the
+    read at 100 TB) — while the checkpoint pins one shared RDD that
+    both branches read. ``slot`` is the caller's registered key —
+    the standard scoped lifecycle (next invocation releases this
+    one's blocks).
     """
+    from streamz_postgres_spark.lifecycle import track_scoped
+
+    pre_checkpoint = expanded
+    expanded = expanded.localCheckpoint(eager=False)
+    track_scoped(slot, expanded)
     body = expanded.filter(F.col(gid_col) != all_gid)
     finest = expanded.filter(F.col(gid_col) == finest_gid)
     consts = dict(consts or {})
@@ -248,7 +264,17 @@ def _with_standard_grand_total(
     total = finest.agg(
         *[expr.alias(name) for name, expr in totals.items()]
     ).select(*sel)
-    return body.unionByName(total)
+    out = body.unionByName(total)
+    # an underscore-prefixed gid marks a helper-internal column the
+    # caller added only for this fix-up (q_cube/q_grouping_sets);
+    # drop it HERE so the _plan_audit_inner attribute below survives
+    # (a caller-side .drop() would return a fresh DataFrame without it)
+    if gid_col.startswith("_"):
+        out = out.drop(gid_col)
+    # keep the scan/pushdown evidence visible to the plan audit (the
+    # checkpoint's ExistingRDD hides it; see explain_summary)
+    out._plan_audit_inner = (pre_checkpoint,)
+    return out
 
 
 @register(
@@ -282,6 +308,7 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return _with_standard_grand_total(
         expanded,
+        slot="q_rollup",
         gid_col="gid",
         all_gid=3,
         finest_gid=0,
@@ -313,6 +340,7 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return _with_standard_grand_total(
         expanded,
+        slot="q_cube",
         gid_col="_gid",
         all_gid=3,
         finest_gid=0,
@@ -320,7 +348,7 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders": F.coalesce(F.sum("n_orders"), F.lit(0)),
             "sum_price": dsum("sum_price"),
         },
-    ).drop("_gid")
+    )
 
 
 @register(
@@ -351,6 +379,7 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # standard's always-present () row recomposes from it
     return _with_standard_grand_total(
         expanded,
+        slot="q_grouping_sets",
         gid_col="_gid",
         all_gid=3,
         finest_gid=1,
@@ -358,7 +387,7 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders": F.coalesce(F.sum("n_orders"), F.lit(0)),
             "sum_price": dsum("sum_price"),
         },
-    ).drop("_gid")
+    )
 
 
 @register(
@@ -530,6 +559,7 @@ def q_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return _with_standard_grand_total(
         expanded,
+        slot="q_grouping_id",
         gid_col="gid",
         all_gid=3,
         finest_gid=0,

@@ -106,7 +106,7 @@ def explain_summary(df: DataFrame) -> dict:
             if child == "Exchange":
                 sp_window = sp_window or cid in sp_ids
                 break
-    return {
+    out = {
         "pushed_filters": re.findall(r"PushedFilters: \[[^\]]*\]", s),
         "read_schemas": re.findall(r"ReadSchema: [^\n]*", s),
         "joins": sorted(set(re.findall(
@@ -116,3 +116,21 @@ def explain_summary(df: DataFrame) -> dict:
         "has_cartesian": "CartesianProduct" in s,
         "single_partition_windows": sp_window,
     }
+    # A localCheckpoint truncates lineage, so the audited plan stops
+    # at ExistingRDD and the scan/join evidence below it would go
+    # dark. Operators that checkpoint an intermediate stash the
+    # pre-checkpoint frame(s) in ``_plan_audit_inner`` — merge their
+    # summaries so pushdown/pruning/shuffle accounting still covers
+    # the WHOLE computation.
+    for inner in getattr(df, "_plan_audit_inner", ()) or ():
+        isum = explain_summary(inner)
+        out["pushed_filters"] += isum["pushed_filters"]
+        out["read_schemas"] += isum["read_schemas"]
+        out["joins"] = sorted(set(out["joins"]) | set(isum["joins"]))
+        out["n_exchanges"] += isum["n_exchanges"]
+        out["has_cartesian"] = out["has_cartesian"] or isum["has_cartesian"]
+        out["single_partition_windows"] = (
+            out["single_partition_windows"]
+            or isum["single_partition_windows"]
+        )
+    return out
