@@ -25,12 +25,15 @@ so scalar paths execute. Referential integrity is NOT patched — at
 one row per table most joins go empty, which is the point: join-
 dependent aggregates must survive empty join output too.
 
-Streaming keys are EXCLUDED: the replay harness waits on file feed
-contents and several twins assert non-empty replay batches by
-contract; their degenerate behavior is covered by the batch oracles
-they are value-checked against.
+Streaming keys run in a separate ``--include-streaming`` half, on
+the SINGLETON profile only: an EMPTY feed has no batches to replay
+(harness contract), but a one-row feed replays and exercises every
+stateful fold's first-row/seed path — the Python-side twin of the
+batch half's n=1 divide-by-zero class (a ZeroDivisionError inside a
+pandas state fold is a crash, not a NULL).
 
-Usage: python scripts/degenerate_sweep.py [--profile empty|single] [keys...]
+Usage: python scripts/degenerate_sweep.py [--profile empty|single]
+       [--include-streaming] [keys...]
 Exit code 0 iff every swept batch key passes its gate on both
 profiles (or the one selected with --profile).
 """
@@ -87,7 +90,8 @@ def main() -> int:
 
     _load_all()
     args = sys.argv[1:]
-    profiles = ["empty", "single"]
+    include_streaming = "--include-streaming" in args
+    profiles = ["single"] if include_streaming else ["empty", "single"]
     if "--profile" in args:
         i = args.index("--profile")
         profiles = [args[i + 1]]
@@ -104,8 +108,14 @@ def main() -> int:
         con = duckdb_connection(d)
         for key in keys:
             q = REGISTRY[key]
-            if "streaming" in q.tags or "cdc" in q.tags:
-                continue  # replay-harness contract, see docstring
+            is_stream = "streaming" in q.tags or "cdc" in q.tags
+            if is_stream != include_streaming:
+                # default run = batch keys only; --include-streaming
+                # runs the streaming/cdc twins on the SINGLE profile
+                # (an EMPTY feed has no batches to replay — harness
+                # contract, see docstring — but a 1-row feed runs and
+                # exercises every fold's first-row/seed path)
+                continue
             try:
                 ok, msg = check_query(spark, con, q, d)
             except Exception as e:  # noqa: BLE001 — triage tool, keep going
