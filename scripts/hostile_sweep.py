@@ -60,6 +60,20 @@ classes the shipped fixtures never contain:
   row. The edge rules were reasoned in docstrings; these rows make
   them load-bearing.
 
+- (v7) VERBATIM full-row duplicates in events (%73) and documents
+  (%127) — deliberate PK violations whose copies are byte-identical,
+  so every tie-break/top-k/window choice between them is value-
+  neutral and the gate stays parity-safe; what they CATCH is any
+  implementation-side distinct/dropDuplicates the oracle doesn't
+  mirror (spurious dedup silently loses multiset rows). Plus
+  FAR-FUTURE timestamps (+80 years, user_id%11==5, batch profile
+  only like the pre-epoch class): the positive-direction epoch
+  range. +80 and not more: the trend/OLS family's dyadic pre-scales
+  are sized for ~decades-wide spans (documented bound above
+  _TREND_EPOCH) — a +970y probe overflowed sum(x^2)'s lossless
+  decimal->double window by contract, the same reason v2 scales
+  values by 1e3 and not 1e5.
+
 The round-11 advisor found exactly one bug of this class (per-symbol
 SUM lowered to a left fold that a single NULL poisons — latent only
 because events has no NULLs). This sweep makes the whole class
@@ -280,6 +294,8 @@ def build_hostile_dir(src: str, timeshift: bool = True) -> str:
             SELECT event_id,
                    CASE WHEN {str(timeshift).lower()} AND user_id % 11 = 0
                         THEN ts - INTERVAL 80 YEAR
+                        WHEN {str(timeshift).lower()} AND user_id % 11 = 5
+                        THEN ts + INTERVAL 80 YEAR
                         ELSE ts END AS ts,
                    CASE WHEN event_id % 101 = 0 THEN NULL
                         ELSE user_id END AS user_id,
@@ -308,6 +324,14 @@ def build_hostile_dir(src: str, timeshift: bool = True) -> str:
                  b.event_type,
                  b.value * 0.5 AS value, b.props
           FROM base b, mx WHERE b.event_id % 17 = 0
+          UNION ALL
+          -- v7 VERBATIM full-row duplicates (same event_id — a PK
+          -- violation on purpose): indistinguishable copies keep
+          -- every value gate parity-safe (any tie-break picks an
+          -- identical row), but an implementation that sneaks in a
+          -- distinct/dropDuplicates its oracle doesn't have now
+          -- loses rows and fails the gate
+          SELECT b.* FROM base b WHERE b.event_id % 73 = 0
           UNION ALL
           -- v6 boundary users (constructed; ids far above any real
           -- id so joins/dups never collide). u1: gaps of exactly
@@ -365,6 +389,13 @@ def build_hostile_dir(src: str, timeshift: bool = True) -> str:
           SELECT doc_id, text, lang, source,
                  length(text) AS n_chars
           FROM mut
+          UNION ALL
+          -- v7 verbatim duplicates (same doc_id), the spurious-
+          -- distinct trap for the corpus/dedup family (an exact-dup
+          -- CLUSTER over two identical doc_ids is still one id, so
+          -- dedup keys stay parity-safe by construction)
+          SELECT doc_id, text, lang, source, length(text) AS n_chars
+          FROM mut WHERE doc_id % 127 = 0
         ) TO '{out}/documents.parquet' (FORMAT PARQUET)
         """.replace("$uni$", "'" + uni + "'")
     )

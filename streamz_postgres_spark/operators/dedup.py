@@ -692,9 +692,16 @@ def _doc_components(
     """documents-keyed connected components: ``pairs`` of doc_ids as
     ``(u, w)`` -> ``(doc_id, cluster_id)``; singletons keep their
     own id. The shared Spark wrapper of the substring/minhash
-    cluster keys (connected_components speaks vec_id internally)."""
-    nodes = load_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("vec_id")
+    cluster keys (connected_components speaks vec_id internally).
+    The id universe is DISTINCT on doc_id: the label table is keyed
+    by id, so a PK-violating corpus (verbatim re-crawled rows, the
+    v7 hostile class) still yields one label row per document id —
+    connected_components' nodes contract is a SET. The distinct is
+    an id-only shuffle the CC loop's first join needs anyway."""
+    nodes = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("vec_id"))
+        .distinct()
     )
     return connected_components(nodes, pairs).select(
         F.col("vec_id").alias("doc_id"), "cluster_id"
@@ -874,7 +881,11 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = blocked_cosine_pairs(spark, sf_dir, _EMBED_DUP_COSINE).select(
         F.col("vec_a").alias("u"), F.col("vec_b").alias("w")
     )
-    nodes = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    # distinct: the nodes contract is a SET of ids (same PK-violation
+    # guard as _doc_components)
+    nodes = (
+        load_table(spark, sf_dir, "embeddings").select("vec_id").distinct()
+    )
     return connected_components(nodes, pairs)
 
 
@@ -1065,7 +1076,10 @@ def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = blocked_cosine_pairs(spark, sf_dir, _EMBED_DUP_COSINE).select(
         F.col("vec_a").alias("u"), F.col("vec_b").alias("w")
     )
-    nodes = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    # distinct: nodes contract is a SET of ids (PK-violation guard)
+    nodes = (
+        load_table(spark, sf_dir, "embeddings").select("vec_id").distinct()
+    )
     labels = connected_components(nodes, pairs)
     sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
     return sizes.groupBy(F.col("sz").alias("cluster_size")).agg(

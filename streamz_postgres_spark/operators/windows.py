@@ -2059,11 +2059,23 @@ WITH nav AS (
   FROM events
 ),
 seq AS (
+  -- tie convention: admitted ties are identical-INPUT rows only
+  -- (the engine's guard refuses the rest), whose lag-derived chars
+  -- may still differ; the engine's struct sort orders such ties by
+  -- the classified char, so the oracle appends the same tiebreak
+  -- (tied values are equal by construction, so vals stays aligned)
   SELECT user_id,
          string_agg(CASE WHEN value < pv THEN 'D'
                          WHEN value > pv THEN 'U'
-                         ELSE '-' END, '' ORDER BY ts, event_id) AS s,
-         list(value ORDER BY ts, event_id) AS vals
+                         ELSE '-' END, ''
+                    ORDER BY ts, event_id,
+                             CASE WHEN value < pv THEN 'D'
+                                  WHEN value > pv THEN 'U'
+                                  ELSE '-' END) AS s,
+         list(value ORDER BY ts, event_id,
+                          CASE WHEN value < pv THEN 'D'
+                               WHEN value > pv THEN 'U'
+                               ELSE '-' END) AS vals
   FROM nav GROUP BY user_id
 ),
 mm AS (

@@ -831,15 +831,23 @@ def _mr_partition_subquery(
     sym_case: str,
     table: str,
     extra_fields: list,
+    nav_guard_cols: list | None = None,
 ) -> str:
     """The shared per-partition inner query: sorted struct array
     (total order asserted — ties raise), symbol string. extra_fields
     is [(field_alias, source_col), ...] carried through the struct
-    for MEASURES read-out."""
+    for MEASURES read-out. nav_guard_cols (PREV/NEXT lowering only)
+    lists every input column the statement consumes — DEFINE
+    references and navigation sources — appended as guard-only
+    struct fields so the tie guard can compare INPUTS where the
+    derived symbol char is position-dependent (see guard note)."""
     ord_fields = ", ".join(
         f"{c} AS __o{i}" for i, c in enumerate(order_cols)
     )
     extra = "".join(f", {col} AS {fld}" for fld, col in extra_fields)
+    guard_struct = "".join(
+        f", {c} AS __g{i}" for i, c in enumerate(nav_guard_cols or [])
+    )
     tie_eq = " AND ".join(
         f"x.__o{i} <=> y.__o{i}" for i in range(len(order_cols))
     )
@@ -847,14 +855,36 @@ def _mr_partition_subquery(
     # advisor): ties in the ORDER BY key make the symbol string —
     # and so every match count/measure — order-dependent; the
     # adapter refuses other silently-divergent cases, so it refuses
-    # this one too. One O(n) adjacent scan on the already-sorted
-    # array; the assert lives in a WHERE so column pruning cannot
-    # drop it.
+    # this one too. Refined for the v7 duplicate class: a tie
+    # between rows that are IDENTICAL on everything the statement
+    # consumes is deterministic — equal inputs are interchangeable,
+    # so the sorted array VALUE (and every match/measure derived
+    # from it) is unique regardless of which copy "comes first";
+    # full-row duplicates are routine in re-crawled event logs.
+    # Row-local path: the struct IS the consumed set (order fields,
+    # symbol char, MEASURES sources), so compare the whole struct.
+    # PREV/NEXT path: the char is position-DERIVED (lag attribution
+    # between identical copies is arbitrary, though the value
+    # sequence — and thus the final sorted array — stays unique), so
+    # compare the INPUT fields instead: order cols + every
+    # DEFINE-referenced column + nav sources + MEASURES sources,
+    # passed in as guard-only struct fields. One O(n) adjacent scan
+    # on the already-sorted array; the assert lives in a WHERE so
+    # column pruning cannot drop it.
+    if nav_guard_cols is None:
+        differ = "NOT (x <=> y)"
+    else:
+        fields = [f"__o{i}" for i in range(len(order_cols))]
+        fields += [fld for fld, _ in extra_fields]
+        fields += [f"__g{i}" for i in range(len(nav_guard_cols))]
+        differ = "NOT ({})".format(
+            " AND ".join(f"x.{f} <=> y.{f}" for f in fields)
+        )
     guard = (
         "assert_true(NOT exists(zip_with("
         "slice(__arr, 1, size(__arr) - 1), "
         "slice(__arr, 2, size(__arr) - 1), "
-        f"(x, y) -> {tie_eq}), b -> b), "
+        f"(x, y) -> {tie_eq} AND {differ}), b -> b), "
         "'MATCH_RECOGNIZE ORDER BY ties within a partition make "
         "match results nondeterministic — add a tiebreak column') "
         "IS NULL"
@@ -863,7 +893,7 @@ def _mr_partition_subquery(
         f"SELECT {part}, __arr, "
         "array_join(transform(__arr, t -> t.__ch), '') AS __s "
         f"FROM (SELECT {part}, array_sort(collect_list(struct("
-        f"{ord_fields}, {sym_case} AS __ch{extra}))) AS __arr "
+        f"{ord_fields}, {sym_case} AS __ch{extra}{guard_struct}))) AS __arr "
         f"FROM {table} GROUP BY {part}) WHERE {guard}"
     )
 
@@ -1253,6 +1283,7 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
         return "".join(segs)
 
     defs = [(sym, _rewrite_nav(pred)) for sym, pred in defs]
+    nav_guard_cols = None
     if nav_aliases:
         navsel = ", ".join(
             f"{'lag' if fn == 'PREV' else 'lead'}({col}, {k}) OVER "
@@ -1261,6 +1292,19 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
             for (fn, col, k), alias in nav_aliases.items()
         )
         src = f"(SELECT *, {navsel} FROM {m.group('t')})"
+        # the input set for the tie guard (see _mr_partition_subquery):
+        # every table column a DEFINE predicate references row-locally
+        # (harvested outside string literals, validated against the
+        # schema) plus the navigation source columns
+        by_fold = {c.casefold(): c for c in _get_table_cols()}
+        refs = {col for (_fn, col, _k) in nav_aliases}
+        for _sym, pred in defs:
+            segs = re.split(r"('(?:[^'])*')", pred)
+            for i in range(0, len(segs), 2):
+                for tok in re.findall(r"[A-Za-z_]\w*", segs[i]):
+                    if tok.casefold() in by_fold:
+                        refs.add(by_fold[tok.casefold()])
+        nav_guard_cols = sorted(refs)
     else:
         src = m.group("t")
 
@@ -1278,7 +1322,8 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
     if m.group("meas") is None:
         # aggregate form: one row per partition key
         inner = _mr_partition_subquery(
-            part, order_cols, sym_case, src, []
+            part, order_cols, sym_case, src, [],
+            nav_guard_cols=nav_guard_cols,
         )
         if skip_to is not None:
             # sequential fold (see _skip_to_fold); the assert guard
@@ -1452,6 +1497,7 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
     inner = _mr_partition_subquery(
         part, order_cols, sym_case, src,
         sorted(((f, c) for c, f in col_fields.items())),
+        nav_guard_cols=nav_guard_cols,
     )
     # per-row position within the emitted row's scope: the current
     # row for ALL ROWS (running semantics, the SQL:2016 default

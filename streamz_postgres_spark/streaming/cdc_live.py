@@ -458,19 +458,43 @@ def q_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     tbl = run_to_table(out, "append", spark)
-    return (
-        tbl.groupBy("user_id", "valid_from_seq")
-        .agg(
-            F.max("valid_to_seq").alias("valid_to_seq"),
-            F.max("value").alias("value"),  # constant within a version
-        )
+    # Read-side collapse, duplicate-sequence-safe (v7 hostile class):
+    # valid_from is NOT unique when the change log redelivers a
+    # sequence number — a verbatim duplicate closes the open version
+    # as a genuine ZERO-LENGTH row (valid_to == valid_from) and
+    # reopens at the same seq, so the old max(valid_to)-per-from
+    # collapse silently merged real versions. Closed rows are
+    # emitted exactly once each and pass through untouched
+    # (including identical zero-length rows from a triple delivery —
+    # a multiset, not a set); open-row re-emissions (one per
+    # micro-batch, byte-identical) dedup to one, kept only when no
+    # REAL closure (valid_to > valid_from) superseded that open —
+    # a zero-length closure never closes the reopened version.
+    closed = tbl.filter(F.col("valid_to_seq").isNotNull())
+    opens = tbl.filter(F.col("valid_to_seq").isNull()).distinct()
+    # renamed columns: opens and real_closures share tbl's lineage,
+    # and a same-attribute anti-join trips Spark's ambiguous-self-
+    # join detection
+    real_closures = (
+        closed.filter(F.col("valid_to_seq") > F.col("valid_from_seq"))
         .select(
-            "user_id",
-            "valid_from_seq",
-            "valid_to_seq",
-            "value",
-            F.col("valid_to_seq").isNull().cast("int").alias("is_current"),
+            F.col("user_id").alias("__rc_uid"),
+            F.col("valid_from_seq").alias("__rc_from"),
         )
+        .distinct()
+    )
+    kept_open = opens.join(
+        real_closures,
+        (F.col("user_id") == F.col("__rc_uid"))
+        & (F.col("valid_from_seq") == F.col("__rc_from")),
+        "left_anti",
+    )
+    return closed.unionByName(kept_open).select(
+        "user_id",
+        "valid_from_seq",
+        "valid_to_seq",
+        "value",
+        F.col("valid_to_seq").isNull().cast("int").alias("is_current"),
     )
 
 

@@ -415,8 +415,19 @@ def _lsh_bucket_fold(
     ).reset_index(drop=True)
     sig_cols = [f"m{j}" for j in range(16)]
     out_a, out_b, out_est = [], [], []
+    # at-least-once feed discipline: a redelivered doc_id (verbatim
+    # duplicate row, the v7 hostile class) applies ONCE — skipping it
+    # prevents the self-pair (did, did) its copy would emit against
+    # the roster and keeps the capped roster from burning a slot on
+    # a document it already anchors. Overflowed ids can't be
+    # recognized (bounded state by contract); their re-pairs collapse
+    # in the read-side max() like any multi-band duplicate.
+    seen = {pid for pid, _ in roster}
     for _, row in pdf.iterrows():
         did = int(row["doc_id"])
+        if did in seen:
+            continue
+        seen.add(did)
         sig = [int(row[c]) for c in sig_cols]
         for prev_id, prev_sig in roster:
             matches = sum(1 for x, y in zip(sig, prev_sig) if x == y)
@@ -858,7 +869,15 @@ def q_stream_vocab_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     tbl = run_to_table(out, "append", spark)
-    return tbl.select("doc_id", "source", "n_types", "n_new_types")
+    # read-side redelivery collapse (v7 duplicate class): a verbatim
+    # re-delivered doc emits a second row whose n_new_types is 0 (its
+    # types are in the roster by then), so max() per doc recovers the
+    # first-delivery truth — identical copies share n_types, and the
+    # oracle's DISTINCT (source, doc_id, token) sees one doc
+    return tbl.groupBy("doc_id", "source").agg(
+        F.max("n_types").alias("n_types"),
+        F.max("n_new_types").alias("n_new_types"),
+    )
 
 
 def _vocab_novelty_oracle() -> str:

@@ -1673,6 +1673,78 @@ class TestMatchRecognize:
         finally:
             spark.catalog.dropTempView("mr_tied")
 
+    def test_identical_row_ties_are_deterministic_and_allowed(self, spark):
+        # v7 duplicate class: a tie between FULLY IDENTICAL rows is
+        # deterministic (equal structs are interchangeable — the
+        # sorted array value is unique), so the guard admits it and
+        # both copies participate in matching
+        spark.createDataFrame(
+            [
+                (9, 1, _ts("2024-01-01T10:00"), "view"),
+                (9, 1, _ts("2024-01-01T10:00"), "view"),
+                (9, 2, _ts("2024-01-01T10:01"), "purchase"),
+            ],
+            "user_id int, event_id int, ts timestamp_ntz, "
+            "event_type string",
+        ).createOrReplaceTempView("mr_dup")
+        try:
+            got = sqlext.sql(
+                spark,
+                """SELECT user_id, n_matches FROM mr_dup
+                   MATCH_RECOGNIZE (
+                     PARTITION BY user_id
+                     ORDER BY ts, event_id
+                     PATTERN (V V P)
+                     DEFINE V AS event_type = 'view',
+                            P AS event_type = 'purchase')""",
+            ).collect()
+            assert [tuple(r) for r in got] == [(9, 1)]
+        finally:
+            spark.catalog.dropTempView("mr_dup")
+
+    def test_nav_identical_input_ties_allowed_differing_raise(self, spark):
+        # PREV path: the symbol char is position-DERIVED, so the
+        # guard compares INPUTS (order cols + DEFINE refs + nav
+        # sources + measure sources). Identical-input duplicates are
+        # admitted; a tie differing in a DEFINE-referenced column
+        # still raises.
+        spark.createDataFrame(
+            [
+                (9, 1, _ts("2024-01-01T10:00"), 5.0),
+                (9, 2, _ts("2024-01-01T10:01"), 4.0),
+                (9, 2, _ts("2024-01-01T10:01"), 4.0),
+                (9, 3, _ts("2024-01-01T10:02"), 3.0),
+            ],
+            "user_id int, event_id int, ts timestamp_ntz, value double",
+        ).createOrReplaceTempView("mr_nav_dup")
+        spark.createDataFrame(
+            [
+                (9, 1, _ts("2024-01-01T10:00"), 5.0),
+                (9, 2, _ts("2024-01-01T10:01"), 4.0),
+                (9, 2, _ts("2024-01-01T10:01"), 3.5),
+            ],
+            "user_id int, event_id int, ts timestamp_ntz, value double",
+        ).createOrReplaceTempView("mr_nav_bad")
+        stmt = """SELECT user_id, n_matches FROM {t}
+                  MATCH_RECOGNIZE (
+                    PARTITION BY user_id
+                    ORDER BY ts, event_id
+                    PATTERN (D D)
+                    DEFINE D AS value < PREV(value))"""
+        try:
+            got = sqlext.sql(spark, stmt.format(t="mr_nav_dup")).collect()
+            # chars: '-' (no PREV), then the duplicate pair's
+            # multiset {D: 4<5, -: 4<4}, then D (3<4). The engine's
+            # tie convention sorts the pair by char ('-' < 'D'), so
+            # the string is '--DD' — one DD match, deterministically
+            assert [tuple(r) for r in got] == [(9, 1)]
+            bad = sqlext.sql(spark, stmt.format(t="mr_nav_bad"))
+            with pytest.raises(Exception, match="tiebreak"):
+                bad.collect()
+        finally:
+            spark.catalog.dropTempView("mr_nav_dup")
+            spark.catalog.dropTempView("mr_nav_bad")
+
     # ---- round-11 late additions: PERMUTE + per-symbol MEASURES ----
 
     def test_permute_expands_lexicographically(self):
