@@ -390,3 +390,41 @@ def test_tws_class_keeps_instance_dict_usable():
         for k in cls.__dict__
         if k in ("__dict__", "__weakref__")
     }
+
+
+def test_grand_total_row_survives_empty_input(spark, tmp_path):
+    """SQL:2016 <group by clause>: the () grouping set contributes one
+    row even over an EMPTY input. Spark's Expand lowering emits zero
+    (degenerate-cardinality sweep find) — pin the rebuilt grand-total
+    row for all four grouping-set keys on a zero-row fixture, and the
+    recomposed totals (count 0, NULL sum) it must carry."""
+    import duckdb
+
+    from streamz_postgres_spark.registry import REGISTRY, _load_all
+    from tests.conftest import SF_DIR
+
+    _load_all()
+    d = str(tmp_path)
+    con = duckdb.connect()
+    for t in ("customer", "nation", "region", "orders"):
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet') "
+            f"LIMIT 0) TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    con.close()
+
+    rows = REGISTRY["q_rollup"].spark_fn(spark, d).collect()
+    assert len(rows) == 1
+    r = rows[0].asDict()
+    assert (r["r_name"], r["n_name"]) == (None, None)
+    assert r["n_cust"] == 0 and r["sum_bal"] is None and r["gid"] == 3
+
+    rows = REGISTRY["q_cube"].spark_fn(spark, d).collect()
+    assert len(rows) == 1 and rows[0]["n_orders"] == 0
+
+    rows = REGISTRY["q_grouping_sets"].spark_fn(spark, d).collect()
+    assert len(rows) == 1 and rows[0]["n_orders"] == 0
+
+    rows = REGISTRY["q_grouping_id"].spark_fn(spark, d).collect()
+    assert len(rows) == 1
+    assert rows[0]["level"] == "grand_total" and rows[0]["gid"] == 3
