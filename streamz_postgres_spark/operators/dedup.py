@@ -25,7 +25,6 @@ from streamz_postgres_spark.catalog import load_table
 
 from streamz_postgres_spark.functions.text_features import (
     DH_MOD,
-    double_hash_parts,
     seeded_hash60,
     shingles,
     sql_double_hash_parts,
@@ -104,42 +103,101 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) exploded — the one expensive pass (HOF
-    shingling is interpreted, not codegen) shared by the signature
-    AND the verification shingle-set."""
+def _doc_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, hs): per-doc DISTINCT shingle hashes as an array of
+    29-hex-char md5 prefixes — ROW-LOCAL (r13 optimization, guide
+    §2.4: remove shuffles outright). The old shape exploded every
+    shingle occurrence, then paid one groupBy(doc_id) shuffle for the
+    signature and a full ``distinct()`` shuffle for the verification
+    set — stage profiling at sf0.1 put that distinct at 1.2-2.7 s of
+    the 2.1 s q_dedup_minhash wall. ``array_distinct`` inside the row
+    computes the same set with zero exchanges.
+
+    Element representation: substr(md5, 1, 29) — the concatenation of
+    the h1 (15 hex) and h2 (14 hex) halves of double_hash_parts, so
+    distinctness/equality on the string is BIJECTIVE with the old
+    (h1, h2) pair (conv is injective on fixed-width hex): set
+    semantics identical to the old shset.distinct(). Strings (not
+    (h1, h2) structs) because array_distinct/array_intersect take the
+    OpenHashSet fast path only for types with proper equals — the
+    struct form fell back to the O(n*m) nested loop and measured 159 s
+    of CPU in the verify stage where the string form takes under a
+    second. One md5 per shingle occurrence, exactly as before."""
     d = _docs_parallel(spark, sf_dir)
     return d.select(
-        "doc_id", F.explode_outer(shingles(tokens("text"))).alias("shingle")
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                shingles(tokens("text")),
+                lambda s: F.substring(F.md5(s), 1, 29),
+            )
+        ).alias("hs"),
     )
 
 
-def _hashed_shingles(sh: DataFrame) -> DataFrame:
-    """(doc_id, h1, h2): one md5 per shingle, split into two int
-    halves (double_hash_parts). Everything downstream — signature
-    AND verification — works on these 8-byte ints, never on shingle
-    strings: persisting and shuffling hashes instead of ~24-byte
-    strings is a ~3x shuffle-byte cut, and (h1, h2) is a 120-bit id
-    so treating hash-equality as shingle-equality changes Jaccard
-    only on an md5 near-collision (and both engines hash alike, so
-    oracle parity is exact regardless)."""
-    h1, h2 = double_hash_parts(F.col("shingle"))
-    return sh.select("doc_id", h1.alias("h1"), h2.alias("h2"))
+def _doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, hs, m0..m15): the per-doc hash set AND signature in
+    one map-only pass — no explode, no shuffle.
 
-
-def _minhash_signature(hashed: DataFrame) -> DataFrame:
-    """(doc_id, m0..m15): minimum double-hash over 3-gram shingles.
-
-    h_j = (h1 + j*h2) mod P from ONE md5 per shingle (see
-    functions.text_features.double_hash_parts) — 16 minhash
-    functions, one hash pass."""
-    return hashed.groupBy("doc_id").agg(
-        *[
-            F.min((F.col("h1") + F.lit(j) * F.col("h2")) % F.lit(DH_MOD)).alias(
-                f"m{j}"
-            )
-            for j in range(_N_HASHES)
-        ]
+    m_j = min over hs of (h1 + j*h2) mod P (Broder double hashing —
+    16 minhash functions for ONE md5 per shingle), where h1/h2 are
+    conv()'d back out of the 29-char element. min over the distinct
+    set equals min over the occurrence multiset, so values are
+    identical to the old groupBy(doc_id) aggregation; a shingle-less
+    doc has an empty ``hs`` and array_min yields NULL, preserving the
+    all-NULL signature convention for short docs. The int-pair array
+    is bound ONCE via the single-element-array-transform `let` (the
+    r11 rule: a free-variable expression inside a lambda is
+    re-evaluated per reference) and the 16 mins come back as one
+    struct, so the 2 conv()s per element run once, not 16 times."""
+    harr = F.transform(
+        F.col("hs"),
+        lambda c: F.struct(
+            F.conv(F.substring(c, 1, 15), 16, 10).cast("bigint").alias("h1"),
+            F.conv(F.substring(c, 16, 14), 16, 10).cast("bigint").alias("h2"),
+        ),
+    )
+    mins = F.element_at(
+        F.transform(
+            F.array(harr),
+            lambda a: F.struct(
+                *[
+                    F.array_min(
+                        F.transform(
+                            a,
+                            lambda x: (x["h1"] + F.lit(j) * x["h2"])
+                            % F.lit(DH_MOD),
+                        )
+                    ).alias(f"m{j}")
+                    for j in range(_N_HASHES)
+                ]
+            ),
+        ),
+        1,
+    )
+    per_row = (
+        _doc_hashes(spark, sf_dir)
+        .select("doc_id", "hs", mins.alias("_m"))
+        .select(
+            "doc_id",
+            "hs",
+            *[F.col("_m")[f"m{j}"].alias(f"m{j}") for j in range(_N_HASHES)],
+        )
+    )
+    # merge duplicate doc_id rows (the v7 hostile class: verbatim
+    # PK-duplicated corpora). The oracle's GROUP BY doc_id unions the
+    # duplicate rows' shingle sets and mins across them, so the
+    # row-local form must too — the r13 hostile sweep caught the
+    # per-row variant emitting extra candidate rows. min of per-row
+    # mins == min over the union; array_distinct(flatten(...)) == the
+    # old shset.distinct() per doc. This groupBy adds NO exchange:
+    # _docs_parallel already hash-repartitions by doc_id at the same
+    # partition count, and Catalyst reuses that partitioning
+    # (guide §2.4 — two operations keyed the same way share one
+    # exchange; asserted by test_scale_guards' plan checks).
+    return per_row.groupBy("doc_id").agg(
+        F.array_distinct(F.flatten(F.collect_list("hs"))).alias("hs"),
+        *[F.min(f"m{j}").alias(f"m{j}") for j in range(_N_HASHES)],
     )
 
 
@@ -231,36 +289,12 @@ WHERE CAST(i.n_common AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_common)
 """
 
 
-def _banded_candidate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared MinHash+LSH candidate pipeline: signature -> band keys
-    -> band-bucket equi-join -> exact shingle-set overlap, returning
-    ``(doc_a, doc_b, n_common, n_a, n_b)`` for every banded candidate
-    pair. q_dedup_minhash derives Jaccard from it,
-    q_minhash_containment derives containment — one pipeline, two
-    read-outs.
-
-    persist: the signature frame feeds the band self-join twice and
-    Spark does not share plan subtrees across consumers — at 100 TB
-    you persist/checkpoint signatures for exactly the same reason.
-    Lifecycle via the thread-scoped persist_scoped helper: the
-    returned DataFrame stays lazy, so this call cannot unpersist its
-    own frames — the SAME thread's next invocation (or session end)
-    does, and a concurrent thread's frames are never touched (see
-    streamz_postgres_spark.lifecycle)."""
-    from streamz_postgres_spark.lifecycle import persist_scoped
-
-    hashed = _hashed_shingles(_exploded_shingles(spark, sf_dir))
-    sig = _minhash_signature(hashed)
-    # shset is consumed by the verification stage below; persisted
-    # here so the whole invocation's frames live in ONE slot
-    shset = hashed.distinct()
-    persist_scoped("q_dedup_minhash", hashed, sig, shset)
-
-    # unpivot 4 band keys per doc with one stack() — a single pass
-    # over the signature instead of a 4-way union of re-derivations.
-    # Short docs (all-NULL signature, no shingles) are excluded from
-    # banding: their keys would collapse into one degenerate bucket
-    # and cross-join all short docs pairwise.
+def _band_stack(sig: DataFrame) -> DataFrame:
+    """Unpivot 4 band keys per doc with one stack() — a single pass
+    over the signature instead of a 4-way union of re-derivations.
+    Short docs (all-NULL signature, no shingles) are excluded from
+    banding: their keys would collapse into one degenerate bucket
+    and cross-join all short docs pairwise."""
     stack_args = []
     for b in range(_N_BANDS):
         key_cols = ", ".join(
@@ -268,13 +302,46 @@ def _banded_candidate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in range(_ROWS_PER_BAND)
         )
         stack_args.append(f"concat_ws(',', '{b}:', {key_cols})")
-    bands = sig.filter(F.col("m0").isNotNull()).select(
+    return sig.filter(F.col("m0").isNotNull()).select(
         "doc_id",
         F.expr(
             f"stack({_N_BANDS}, {', '.join(stack_args)})"
         ).alias("band_key"),
     )
 
+
+def _banded_candidate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared MinHash+LSH candidate pipeline: signature -> band keys
+    -> band-bucket equi-join -> exact shingle-set overlap, returning
+    ``(doc_a, doc_b, n_common, n_a, n_b)`` for every banded candidate
+    pair with at least one shared shingle. q_dedup_minhash derives
+    Jaccard from it, q_minhash_containment derives containment — one
+    pipeline, two read-outs.
+
+    r13 shape (guide §2.3/§2.4): signatures AND the verification
+    hash-sets are row-local arrays (see _doc_hashes), so the only
+    exchanges left are the band self-join and the two joins that
+    attach each candidate doc's hash array; the n_common/n_a/n_b
+    read-out is a row-local array_intersect/size instead of the old
+    exploded three-way join + two groupBys. Values are unchanged:
+    |A∩B| over distinct (h1, h2) sets either way, and the old inner
+    hash-match join dropped zero-overlap pairs, mirrored here by the
+    n_common >= 1 filter.
+
+    persist: the sig frame (hash arrays + signature) feeds the band
+    self-join and both attach joins; Spark does not share plan
+    subtrees across consumers, so without the pin the md5 pass would
+    run once per consumer. Lifecycle via the thread-scoped
+    persist_scoped helper: the returned DataFrame stays lazy, so this
+    call cannot unpersist its own frames — the SAME thread's next
+    invocation (or session end) does (see
+    streamz_postgres_spark.lifecycle)."""
+    from streamz_postgres_spark.lifecycle import persist_scoped
+
+    sig = _doc_signatures(spark, sf_dir)
+    persist_scoped("q_dedup_minhash", sig)
+
+    bands = _band_stack(sig)
     b2 = bands.select(
         F.col("doc_id").alias("doc_b"), F.col("band_key").alias("bk2")
     )
@@ -287,41 +354,32 @@ def _banded_candidate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("doc_a"), "doc_b")
         .distinct()
     )
-
-    # verification reuses the SAME persisted hashed frame the
-    # signature was built from — no second shingling or md5 pass,
-    # and every join/distinct below shuffles 8-byte ints, not strings
-    return _exact_overlap(cand, shset)
+    return _overlap_from_arrays(cand, sig).filter(F.col("n_common") >= 1)
 
 
-def _exact_overlap(cand: DataFrame, shset: DataFrame) -> DataFrame:
+def _overlap_from_arrays(cand: DataFrame, sig: DataFrame) -> DataFrame:
     """Exact shingle-set verification for candidate pairs: given
-    ``cand`` (doc_a, doc_b) and the hashed shingle set, return
-    ``(doc_a, doc_b, n_common, n_a, n_b)``. The single Spark home of
-    the shingle-intersection join — q_dedup_minhash's pipeline and
-    q_lsh_band_sweep both call it (mirrored in SQL by
-    _sql_overlap_tail)."""
-    sizes = shset.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = shset.select(F.col("doc_id").alias("doc_a"), "h1", "h2")
-    sb = shset.select(
-        F.col("doc_id").alias("doc_b2"),
-        F.col("h1").alias("h1_b"),
-        F.col("h2").alias("h2_b"),
-    )
-    inter = (
-        cand.join(sa, "doc_a")
-        .join(
-            sb,
-            (F.col("doc_b") == F.col("doc_b2"))
-            & (F.col("h1") == F.col("h1_b"))
-            & (F.col("h2") == F.col("h2_b")),
+    ``cand`` (doc_a, doc_b) and the per-doc hash arrays (``sig``
+    carrying ``hs``), attach both docs' arrays and intersect
+    row-locally — ``(doc_a, doc_b, n_common, n_a, n_b)``. Includes
+    zero-overlap pairs (n_common = 0); callers mirroring the old
+    inner-join semantics filter n_common >= 1. Mirrored in SQL by
+    _sql_overlap_tail."""
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("hs_a", "hs_b"))
+            .cast("bigint")
+            .alias("n_common"),
+            F.size("hs_a").cast("bigint").alias("n_a"),
+            F.size("hs_b").cast("bigint").alias("n_b"),
         )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    return inter.join(za, "doc_a").join(zb, "doc_b")
 
 
 @register(
@@ -766,9 +824,21 @@ def connected_components(
     the exact cost the incident-only fixpoint removed."""
     from streamz_postgres_spark.lifecycle import persist_scoped, track_scoped
 
-    edges = pairs.union(
-        pairs.select(F.col("w").alias("u"), F.col("u").alias("w"))
-    )
+    # undirected doubling via a row-local explode instead of
+    # union(pairs, pairs.swapped) (r13, guide §2.4): the union form
+    # evaluated the ``pairs`` lineage — for the cluster keys, the
+    # entire candidate+verification pipeline — once per branch even
+    # under the persist pin, because the two branches are separate
+    # subtrees whose broadcast-side subplans do not share in-flight
+    # cache fills. One subtree, same edge multiset.
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("u"), F.col("w").alias("w")),
+                F.struct(F.col("w").alias("u"), F.col("u").alias("w")),
+            )
+        ).alias("e")
+    ).select("e.u", "e.w")
     # thread-scoped lifecycle: releases the previous invocation's
     # edges AND parked labels (see streamz_postgres_spark.lifecycle)
     persist_scoped("connected_components", edges)
@@ -799,6 +869,16 @@ def connected_components(
         .localCheckpoint(eager=False)
     )
     prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+    # r13 note (measured, then deliberately left alone): at sf0.1 the
+    # loop converges in ~8 rounds of ~0.25 s each, nearly all
+    # fixed scheduling cost on a KB-sized label table. Two candidate
+    # fixes were A/B'd and REJECTED: a second root chase per round
+    # (fewer rounds but the extra join made rounds dearer — net
+    # slower) and size-gated broadcasts of the label-derived join
+    # sides (three driver broadcast round-trips per round cost more
+    # than the tiny shuffles they replaced — net ~1.7x slower). The
+    # per-round floor here is job latency, which amortizes away at
+    # real scale where each round moves real data.
     for _ in range(max_iters):
         prev_labels = labels
         nb = (
@@ -953,22 +1033,10 @@ def q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the signature/shingle machinery with q_dedup_minhash verbatim."""
     from streamz_postgres_spark.lifecycle import persist_scoped
 
-    hashed = _hashed_shingles(_exploded_shingles(spark, sf_dir))
-    sig = _minhash_signature(hashed)
-    shset = hashed.distinct()
-    persist_scoped("q_minhash_estimate", hashed, sig, shset)
+    sig = _doc_signatures(spark, sf_dir)
+    persist_scoped("q_minhash_estimate", sig)
 
-    stack_args = []
-    for b in range(_N_BANDS):
-        key_cols = ", ".join(
-            f"CAST(m{b * _ROWS_PER_BAND + r} AS STRING)"
-            for r in range(_ROWS_PER_BAND)
-        )
-        stack_args.append(f"concat_ws(',', '{b}:', {key_cols})")
-    bands = sig.filter(F.col("m0").isNotNull()).select(
-        "doc_id",
-        F.expr(f"stack({_N_BANDS}, {', '.join(stack_args)})").alias("band_key"),
-    )
+    bands = _band_stack(sig)
     cand = (
         bands.join(
             bands.select(
@@ -981,55 +1049,40 @@ def q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
+    # one attach join per side carries BOTH the signature slots (for
+    # the estimate) and the hash array (for the exact Jaccard) — the
+    # old shape joined four times (sig x2 + exploded shset x2) and
+    # paid a groupBy for n_common and another for sizes; estimate
+    # agreement and exact intersection are row-local here. The old
+    # left-join-inter + COALESCE(n_common, 0) semantics (every banded
+    # pair reported, zero-overlap included) fall out directly because
+    # array_intersect of disjoint sets is just empty.
     sa = sig.select(
         F.col("doc_id").alias("doc_a"),
+        F.col("hs").alias("hs_a"),
         *[F.col(f"m{j}").alias(f"a{j}") for j in range(_N_HASHES)],
     )
     sb = sig.select(
         F.col("doc_id").alias("doc_b"),
+        F.col("hs").alias("hs_b"),
         *[F.col(f"m{j}").alias(f"b{j}") for j in range(_N_HASHES)],
     )
     agree = sum(
         (F.col(f"a{j}") == F.col(f"b{j}")).cast("int") for j in range(_N_HASHES)
     )
-    est = (
+    n_common = F.size(F.array_intersect("hs_a", "hs_b")).cast("bigint")
+    jaccard = n_common.cast("double") / (
+        F.size("hs_a").cast("bigint") + F.size("hs_b").cast("bigint") - n_common
+    )
+    return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select(
-            "doc_a", "doc_b",
+            "doc_a",
+            "doc_b",
             (agree / float(_N_HASHES)).alias("est_jaccard"),
+            jaccard.alias("jaccard"),
         )
-    )
-
-    sizes = shset.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    xa = shset.select(F.col("doc_id").alias("doc_a"), "h1", "h2")
-    xb = shset.select(
-        F.col("doc_id").alias("doc_b2"),
-        F.col("h1").alias("h1_b"),
-        F.col("h2").alias("h2_b"),
-    )
-    inter = (
-        cand.join(xa, "doc_a")
-        .join(
-            xb,
-            (F.col("doc_b") == F.col("doc_b2"))
-            & (F.col("h1") == F.col("h1_b"))
-            & (F.col("h2") == F.col("h2_b")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    n_common = F.coalesce(F.col("n_common"), F.lit(0))
-    jaccard = n_common.cast("double") / (
-        F.col("n_a") + F.col("n_b") - n_common
-    )
-    return (
-        est.join(inter, ["doc_a", "doc_b"], "left")
-        .join(za, "doc_a")
-        .join(zb, "doc_b")
-        .select("doc_a", "doc_b", "est_jaccard", jaccard.alias("jaccard"))
     )
 
 
@@ -1316,22 +1369,12 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_stream_dedup_ingest."""
     from streamz_postgres_spark.lifecycle import persist_scoped
 
-    sig = _minhash_signature(
-        _hashed_shingles(_exploded_shingles(spark, sf_dir))
-    )
+    # row-local signatures (r13, see _doc_hashes); the hash array is
+    # not needed here, so it is projected away before the persist
+    sig = _doc_signatures(spark, sf_dir).drop("hs")
     persist_scoped("q_dedup_incremental", sig)
 
-    stack_args = []
-    for b in range(_N_BANDS):
-        key_cols = ", ".join(
-            f"CAST(m{b * _ROWS_PER_BAND + r} AS STRING)"
-            for r in range(_ROWS_PER_BAND)
-        )
-        stack_args.append(f"concat_ws(',', '{b}:', {key_cols})")
-    bands = sig.filter(F.col("m0").isNotNull()).select(
-        "doc_id",
-        F.expr(f"stack({_N_BANDS}, {', '.join(stack_args)})").alias("band_key"),
-    )
+    bands = _band_stack(sig)
     hist_or_earlier = (F.col("doc_id") % 2 == 0) | (
         F.col("doc_id") < F.col("doc_b")
     )
@@ -1497,51 +1540,70 @@ def _winnow_pairs(
     ``docs`` overrides the input corpus (pipeline compositions that
     dedup a FILTERED frame, e.g. q_corpus_pipeline_v2).
 
-    The exploded fingerprint stream is persist_scoped (r10, the r9
-    verdict's wall-clock-tail prescription): it feeds the DF-cap
-    aggregate AND both sides of the candidate self-join, and without
-    the pin each consumer re-ran the winnowing scan — the per-gram
-    md5 HOF, the single most expensive expression in the registry —
-    up to four times per invocation (the plan audit showed four
-    documents ReadSchema subtrees). Pinned size is the distinct
-    fingerprint stream, ~2/(W+1) of corpus characters as 24-char
-    grams; MEMORY_AND_DISK spills gracefully at scale."""
+    r13: the winnowing scan — the per-gram md5 HOF, the single most
+    expensive expression in the registry — now feeds exactly ONE
+    exchange (the gram groupBy below), so the r10 persist pin is
+    gone along with the self-join it protected; see the in-body
+    comment for the equivalence argument and the measured
+    five-scans-per-run pathology the old shape hid."""
     d = docs if docs is not None else _docs_parallel(spark, sf_dir)
-    from streamz_postgres_spark.lifecycle import persist_scoped
 
     g = (
         d.selectExpr("doc_id", f"{_SUB_HS} AS hs", "text")
         .selectExpr("doc_id", f"explode({_SUB_FPS}) AS gram")
     )
-    persist_scoped("_winnow_pairs", g)
-    # (doc_id, gram) is UNIQUE by construction — _SUB_FPS wraps the
-    # winnow selection in array_distinct before the explode — so
-    # count(*) here equals countDistinct(doc_id) / countDistinct(gram)
-    # exactly, and count(*) partial-aggregates map-side where
-    # countDistinct forces a distinct-expand shuffle of the 24-char
-    # gram strings (r10 tail attack: the expand was ~40% of the x30
-    # pair-stage wall).
-    df_keep = (
+    # r13 shape (guide §2.3/§2.4): ONE groupBy(gram) collects each
+    # gram's doc list and the candidate pairs are generated IN-GROUP
+    # (row-local nested transform, fan-out bounded by the DF cap at
+    # <= cap*(cap-1)/2 per gram). The old shape — df-cap aggregate,
+    # then g ⋈ df_keep, then a gram self-join — evaluated the winnow
+    # scan (the registry's most expensive expression) up to FIVE
+    # times per run despite the persist pin, because the df_keep
+    # BROADCAST subtree is planned once per self-join side and
+    # broadcast-thread jobs do not share the in-flight cache fill
+    # (stage profile: 3-5 stages x 8.5 MB parquet input x 3-5 s CPU
+    # each). Here the scan feeds exactly one exchange, so no persist
+    # is needed at all.
+    #
+    # Value parity with the old self-join, case by case:
+    # - (doc_id, gram) is UNIQUE by construction (_SUB_FPS wraps the
+    #   winnow selection in array_distinct), so count(*) == df and
+    #   the in-group pair multiset {(a, b): a < b} is exactly the
+    #   self-join's output — including under PK-violating corpora
+    #   (duplicate doc_ids multiply pairs identically in both forms).
+    # - df counts ROWS (count(*), matching COUNT(*) in the oracle and
+    #   the old code), not size(ds): collect_list drops NULL doc_ids,
+    #   so a NULL-keyed row must still count toward the cap but can
+    #   never pair (NULL < x is NULL in both forms).
+    grouped = (
         g.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.collect_list("doc_id").alias("ds"),
+        )
         .filter(F.col("df").between(2, _SUB_DF_CAP))
-        .select("gram")
     )
-    cand = g.join(df_keep, "gram")
+    pairs = grouped.select(
+        "gram",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ds"),
+                    lambda x: F.transform(
+                        F.filter(F.col("ds"), lambda y: x < y),
+                        lambda y: F.struct(
+                            x.alias("doc_a"), y.alias("doc_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p"),
+    ).select(F.col("p.doc_a"), F.col("p.doc_b"), "gram")
     return (
-        cand.alias("a")
-        .join(
-            cand.alias("b"),
-            (F.col("a.gram") == F.col("b.gram"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
+        pairs.groupBy("doc_a", "doc_b")
         .agg(
             F.count(F.lit(1)).alias("n_shared"),
-            F.min("a.gram").alias("gram"),
+            F.min("gram").alias("gram"),
         )
         .filter(F.col("n_shared") >= _SUB_MIN_SHARED)
     )
@@ -1813,10 +1875,8 @@ def q_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit exists to measure."""
     from streamz_postgres_spark.lifecycle import persist_scoped
 
-    hashed = _hashed_shingles(_exploded_shingles(spark, sf_dir))
-    sig = _minhash_signature(hashed)
-    shset = hashed.distinct()
-    persist_scoped("q_lsh_band_sweep", hashed, sig, shset)
+    sig = _doc_signatures(spark, sf_dir)
+    persist_scoped("q_lsh_band_sweep", sig)
 
     stack_args = []
     n_rows = 0
@@ -1857,7 +1917,7 @@ def q_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_a") + F.col("n_b") - F.col("n_common")
     )
     truth = (
-        _exact_overlap(wide, shset)
+        _overlap_from_arrays(wide, sig)
         .filter(jaccard >= _MINHASH_JACCARD)
         .select("doc_a", "doc_b", F.lit(1).alias("is_true"))
     )

@@ -133,25 +133,51 @@ def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     multi-byte character would silently diverge. For the synthetic
     ASCII payload the two coincide; a real byte-level media pipeline
     swaps the decode for raw-bytes handling (and drops the oracle)."""
+    import numpy as np
+
+    def _features(b: bytes) -> tuple[int, int]:
+        # vectorized codepoint stats (r13, guide §4.2: hand batches
+        # to native code instead of looping in Python — the old
+        # sum(map(ord, s)) walked every character interpreted). Pure
+        # ASCII payloads (the synthetic fixture, and most real text)
+        # take the bytes-as-codepoints numpy path; anything with a
+        # high bit falls back to a utf-32 view of the decoded text,
+        # still one numpy sum. Same values: codepoint count and
+        # codepoint sum mod 65536.
+        a = np.frombuffer(b, dtype=np.uint8)
+        if a.size == 0:
+            return 0, 0
+        if not (a & 0x80).any():
+            return int(a.size), int(a.sum(dtype=np.int64)) % 65536
+        cps = np.frombuffer(
+            b.decode("utf-8").encode("utf-32-le"), dtype="<u4"
+        )
+        return int(cps.size), int(cps.sum(dtype=np.int64)) % 65536
+
     for pdf in batches:
         # a NULL payload (missing/undecodable media) keeps its row
-        # with NULL features — na_action + pandas nullable ints, so
-        # the NULLs survive the Arrow hop (a plain .map crashes on
-        # None and plain int dtypes can't carry NA; hostile-fixture
-        # sweep find, r12)
-        texts = pdf["payload"].map(
-            lambda b: b.decode("utf-8"), na_action="ignore"
-        )
-        n_units = texts.map(len, na_action="ignore")
-        checksum = texts.map(
-            lambda s: sum(map(ord, s)) % 65536, na_action="ignore"
-        )
+        # with NULL features — pandas nullable ints, so the NULLs
+        # survive the Arrow hop (plain int dtypes can't carry NA;
+        # hostile-fixture sweep find, r12)
+        n_list: list = []
+        ck_list: list = []
+        for b in pdf["payload"]:
+            if b is None or (not isinstance(b, bytes) and pd.isna(b)):
+                n_list.append(None)
+                ck_list.append(None)
+                continue
+            n, ck = _features(b)
+            n_list.append(n)
+            ck_list.append(ck)
+        n_units = pd.Series(n_list, dtype="Int32", index=pdf.index)
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
                 "media_type": pdf["media_type"],
-                "n_bytes": n_units.astype("Int32"),
-                "checksum": checksum.astype("Int64"),
+                "n_bytes": n_units,
+                "checksum": pd.Series(
+                    ck_list, dtype="Int64", index=pdf.index
+                ),
                 "n_frames": (n_units // 256 + 1).astype("Int32"),
             }
         )

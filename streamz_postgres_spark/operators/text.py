@@ -219,7 +219,17 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _SIG_SIZE)
         .select(F.col("lang").alias("cand_lang"), "token")
     )
-    doc_tok = tok.distinct()
+    # per-doc array_distinct BEFORE the explode (r13, guide §2.3:
+    # shuffle fewer bytes): repeated tokens collapse row-locally, so
+    # the cross-row distinct — still required, because a PK-duplicated
+    # corpus must yield ONE (doc_id, lang, token) row to match the
+    # oracle's SELECT DISTINCT — shuffles the per-doc vocabulary
+    # instead of every token occurrence.
+    doc_tok = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.array_distinct(tokens("text"))).alias("token"),
+    ).distinct()
     scores = (
         doc_tok.join(sig, "token")
         .groupBy("doc_id", F.col("lang").alias("actual_lang"), "cand_lang")
@@ -273,7 +283,15 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens("text")).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    # df feeds countDistinct (a distinct-expand shuffle); collapsing
+    # repeats row-locally first shrinks its input to the per-doc
+    # vocabulary (r13, guide §2.3). countDistinct stays — a
+    # PK-duplicated corpus must count a doc once, as the oracle's
+    # COUNT(DISTINCT doc_id) does.
+    dtok = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("token")
+    )
+    df = dtok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
     idf = qround(F.log(F.col("n_docs").cast("double") / F.col("df")), 6)
     scored = (
