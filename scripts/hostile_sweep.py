@@ -177,7 +177,10 @@ def build_hostile_dir(src: str, timeshift: bool = True) -> str:
     )
     # part: %17 unicode p_name (LIKE/substring code-point parity),
     # %19 NULL p_type, %23 zero p_size, %29 negated p_retailprice,
-    # %31 NULL p_brand.
+    # %31 NULL p_brand, %41 ZERO p_retailprice (v8, r12 advisor:
+    # DuckDB hard-errors on ln(0)/log10(0) where Spark's log is NULL
+    # — the zero-money class was advertised but only p_size was ever
+    # zeroed, so the LN domain guard was untested).
     con.execute(
         f"""
         COPY (
@@ -191,7 +194,8 @@ def build_hostile_dir(src: str, timeshift: bool = True) -> str:
                       ELSE p_type END AS p_type,
                  CASE WHEN p_partkey % 23 = 0 THEN 0
                       ELSE p_size END AS p_size,
-                 CASE WHEN p_partkey % 29 = 0 THEN -p_retailprice
+                 CASE WHEN p_partkey % 41 = 0 THEN 0.0
+                      WHEN p_partkey % 29 = 0 THEN -p_retailprice
                       ELSE p_retailprice END AS p_retailprice
           FROM read_parquet('{src}/part.parquet')
         ) TO '{out}/part.parquet' (FORMAT PARQUET)
@@ -353,7 +357,20 @@ def build_hostile_dir(src: str, timeshift: bool = True) -> str:
             (9000033, TIMESTAMP '2024-01-10 09:59:59.999999', 9000004, 'error',    8.5,  '{{"k": 11}}'),
             (9000041, TIMESTAMP '2024-01-10 11:30:00',        9000005, 'view',     3.5,  '{{"k": 12}}'),
             (9000042, TIMESTAMP '2024-01-10 11:59:59.999999', 9000005, 'signup',   7.25, '{{"k": 13}}'),
-            (9000043, TIMESTAMP '2024-01-10 12:00:00',        9000005, 'purchase', 9.75, '{{"k": 14}}')
+            (9000043, TIMESTAMP '2024-01-10 12:00:00',        9000005, 'purchase', 9.75, '{{"k": 14}}'),
+            -- v8 STABLE NULL-KEYED DIFF TUPLES (r12 advisor, high):
+            -- q_cdc_diff splits on event_id <= 4999; these give the
+            -- SAME (user_id, k) tuple — with a NULL user_id resp. a
+            -- NULL k — on BOTH sides of the split, so a diff that
+            -- joins with plain `=` (NULL never equals NULL) emits a
+            -- spurious 'c'+'d' pair where the tuple-set oracle (IS
+            -- NOT DISTINCT FROM) emits nothing. Negative event_ids
+            -- keep them off the base PK range and out of every
+            -- event_id%k mutation class.
+            (-9000001, TIMESTAMP '2024-01-10 06:15:00', NULL,    'view', 1.25, '{{"k": 777}}'),
+            (9000051,  TIMESTAMP '2024-01-10 06:45:00', NULL,    'view', 1.25, '{{"k": 777}}'),
+            (-9000002, TIMESTAMP '2024-01-10 06:20:00', 424242,  'view', 1.25, '{{"x": 1}}'),
+            (9000052,  TIMESTAMP '2024-01-10 06:50:00', 424242,  'view', 1.25, '{{"x": 1}}')
           ) v(event_id, ts, user_id, event_type, value, props)
           ORDER BY event_id
         ) TO '{out}/events.parquet' (FORMAT PARQUET)

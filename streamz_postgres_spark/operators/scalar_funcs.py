@@ -191,8 +191,8 @@ SELECT
   p_partkey % 7 AS key_mod,
   CAST(SIGN(p_size - 25) AS DOUBLE) AS size_sign,
   ROUND(p_size / 2.0) AS half_size,
-  {sql_qround('LN(ABS(p_retailprice))', 6)} AS price_ln,
-  {sql_qround('LOG10(ABS(p_retailprice))', 6)} AS price_log10,
+  {sql_qround('LN(NULLIF(ABS(p_retailprice), 0))', 6)} AS price_ln,
+  {sql_qround('LOG10(NULLIF(ABS(p_retailprice), 0))', 6)} AS price_log10,
   {sql_qround('POW(ABS(p_retailprice), 1.5)', 6)} AS price_pow
 FROM part
 """,
@@ -205,8 +205,14 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     through an ABS() DOMAIN GUARD: on a negative input (refund-class
     monies) DuckDB HARD-ERRORS on sqrt/ln while Spark returns
     NaN/NULL — guarding the domain keeps the transcendental exercise
-    value-checked under any sign (hostile-sweep v3 find)."""
+    value-checked under any sign (hostile-sweep v3 find). LN/LOG10
+    additionally NULLIF the zero (r12 advisor, medium): DuckDB
+    hard-errors on ln(0)/log10(0) ('cannot take logarithm of zero')
+    where Spark's log returns NULL, so an exactly-zero retailprice
+    keys the row's log columns NULL on both sides instead of killing
+    the oracle."""
     p = load_table(spark, sf_dir, "part")
+    ln_arg = F.nullif(F.abs(F.col("p_retailprice")), F.lit(0))
     return p.select(
         "p_partkey",
         F.floor("p_retailprice").cast("bigint").alias("price_floor"),
@@ -217,8 +223,8 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_partkey") % 7).alias("key_mod"),
         F.signum(F.col("p_size") - 25).alias("size_sign"),
         F.round(F.col("p_size") / 2.0).alias("half_size"),
-        qround(F.log(F.abs(F.col("p_retailprice"))), 6).alias("price_ln"),
-        qround(F.log10(F.abs(F.col("p_retailprice"))), 6).alias("price_log10"),
+        qround(F.log(ln_arg), 6).alias("price_ln"),
+        qround(F.log10(ln_arg), 6).alias("price_log10"),
         qround(
             F.pow(F.abs(F.col("p_retailprice")), 1.5), 6
         ).alias("price_pow"),

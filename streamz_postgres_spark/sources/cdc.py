@@ -411,24 +411,35 @@ def full_refresh_diff(
 
     xmin polling cannot observe DELETEs (reference limitation,
     SURVEY §2.1); periodic full-refresh diffing is the documented
-    escape hatch. Implemented as a full outer join on the raw key
-    COLUMNS — one shuffle, no driver materialization, and SQL join
-    semantics for NULL keys (NULL never equals NULL, so a NULL-keyed
-    row present in both snapshots correctly diffs as 'd' + 'c';
-    joining on a JSON-serialized key would silently merge them
-    because to_json drops NULL fields). Rows: right-only -> 'c',
-    left-only -> 'd', both-but-changed -> 'u'.
+    escape hatch. Implemented as a NULL-SAFE full outer join on the
+    raw key columns (eqNullSafe per key, presence decided by the
+    payload sides, r13 — the round-12 advisor's high find): the
+    tuple-set convention is 'NULL is a value', so a NULL-keyed row
+    present in both snapshots is the SAME key — unchanged, no
+    envelope — matching q_cdc_diff's oracle (IS NOT DISTINCT FROM +
+    presence flags). The previous plain `=` USING-join emitted a
+    spurious 'c' + 'd' pair for exactly that row. Rows: right-only
+    -> 'c', left-only -> 'd', both-but-changed -> 'u'.
     """
     l = prev.select(
-        *key_cols,
+        *[F.col(c).alias(f"__lk_{c}") for c in key_cols],
         F.to_json(F.struct(*[c for c in prev.columns])).alias("before"),
     )
     r = cur.select(
-        *key_cols,
+        *[F.col(c).alias(f"__rk_{c}") for c in key_cols],
         F.to_json(F.struct(*[c for c in cur.columns])).alias("after"),
     )
-    # outer USING-join coalesces the key columns for the envelope key
-    j = l.join(r, key_cols, "full")
+    cond = None
+    for c in key_cols:
+        eq = F.col(f"__lk_{c}").eqNullSafe(F.col(f"__rk_{c}"))
+        cond = eq if cond is None else (cond & eq)
+    j = l.join(r, cond, "full")
+    # coalesce per key column for the envelope key (either side may
+    # be absent; a genuinely-NULL key part stays NULL on both sides)
+    keyed = [
+        F.coalesce(F.col(f"__lk_{c}"), F.col(f"__rk_{c}")).alias(c)
+        for c in key_cols
+    ]
     return j.select(
         F.when(F.col("before").isNull(), "c")
         .when(F.col("after").isNull(), "d")
@@ -439,7 +450,7 @@ def full_refresh_diff(
         # ignoreNullFields off so NULL key parts stay visible as
         # {"k": null} instead of vanishing from the key
         F.to_json(
-            F.struct(*key_cols), {"ignoreNullFields": "false"}
+            F.struct(*keyed), {"ignoreNullFields": "false"}
         ).alias("key"),
         "before",
         "after",
