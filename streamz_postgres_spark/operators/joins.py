@@ -791,8 +791,19 @@ def q_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle is the textbook theta join — same answer, different
     physical plan.
     """
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_returnflag", "l_extendedprice"
+    # re-split the probe side (r13, guide §2.5/§6): the join
+    # legitimately enumerates ~19M pairs at sf0.1 (the residual
+    # check per candidate is the floor), but the one-file fixture
+    # scan yields 3 input splits, so all of it ran on 3 cores
+    # (measured 12.6 s CPU / ~13 s wall). One cheap shuffle of the
+    # two probe columns buys full fan-out — the _docs_parallel rule:
+    # compute-heavy-per-row pipelines over few-split inputs must
+    # re-split first. At 100 TB the scan has many splits and this
+    # repartition is a no-op choice.
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_extendedprice")
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     o = load_table(spark, sf_dir, "orders").select("o_totalprice")
 

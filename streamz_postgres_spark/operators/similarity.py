@@ -1121,6 +1121,13 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str):
         )
 
     def update(assigned):
+        # NOTE (r13): the PQ-style single-groupBy rewrite (per-dim
+        # decimal sums, see _pq_model.update) was A/B'd here and is
+        # 3.4x SLOWER at 64 dims (median 4.6 s vs 1.36 s interleaved)
+        # — 128 aggregate buffers evaluated per input row lose to the
+        # exploded codegen path once the width triples. Kept as the
+        # two-stage exploded aggregation on purpose; the rewrite only
+        # pays at PQ's 16-dim subspaces.
         ex = assigned.select("cl", F.posexplode("e").alias("dim", "val"))
         cd = ex.groupBy("cl", "dim").agg(
             (dsum("val") / F.count(F.lit(1))).alias("c")
@@ -1352,6 +1359,13 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     The label-blocked q_dedup_embed covers the fixed-taxonomy case;
     this is the learned-blocking version a real curation run uses."""
     a2, _ = kmeans_assignments(spark, sf_dir)
+    # pin the pair-enumeration fan-out (r13, guide §2.5): the
+    # within-cluster self-join is the O(Σ cluster²) cosine pass, but
+    # its ~1 MB of shuffle bytes made AQE coalesce it onto ONE task
+    # (measured 2.8 s CPU serial) — byte-based sizing starves
+    # compute-dense stages. Hash on cl keeps the self-join
+    # co-partitioned (no extra exchange for the join itself).
+    a2 = a2.repartition(spark.sparkContext.defaultParallelism, "cl")
     b = a2.select(
         F.col("cl").alias("cl_b"),
         F.col("vec_id").alias("vec_b"),

@@ -123,24 +123,33 @@ def q_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarantee). ``p50_ok``/``p99_ok`` assert that; the oracle pins
     the exact median and expects both flags TRUE."""
     li = load_table(spark, sf_dir, "lineitem")
+    # ONE exact-percentile buffer and ONE GK sketch per group (r13,
+    # guide §2.3): percentile()/percentile_approx() accept an ARRAY
+    # of percentages and return the same values as separate calls,
+    # but each separate call built and shuffled its own per-group
+    # value buffer / sketch — this was 4 exact sorts + 2 sketches
+    # per group where 1 + 1 suffices (measured ~7 s CPU -> ~2.5 s).
     agg = li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(1000)).alias(
-            "p50_approx"
-        ),
-        F.percentile_approx("l_extendedprice", F.lit(0.99), F.lit(1000)).alias(
-            "p99_approx"
-        ),
-        qround(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50_exact"),
-        F.percentile("l_extendedprice", F.lit(0.49)).alias("_p49"),
-        F.percentile("l_extendedprice", F.lit(0.51)).alias("_p51"),
-        F.percentile("l_extendedprice", F.lit(0.98)).alias("_p98"),
+        F.percentile_approx(
+            "l_extendedprice",
+            F.array(F.lit(0.5), F.lit(0.99)),
+            F.lit(1000),
+        ).alias("_apx"),
+        F.percentile(
+            "l_extendedprice",
+            F.array(F.lit(0.5), F.lit(0.49), F.lit(0.51), F.lit(0.98)),
+        ).alias("_ex"),
         F.max("l_extendedprice").alias("_p100"),
     )
     return agg.select(
         "l_returnflag",
-        "p50_exact",
-        F.col("p50_approx").between(F.col("_p49"), F.col("_p51")).alias("p50_ok"),
-        F.col("p99_approx").between(F.col("_p98"), F.col("_p100")).alias("p99_ok"),
+        qround(F.col("_ex")[0], 4).alias("p50_exact"),
+        F.col("_apx")[0]
+        .between(F.col("_ex")[1], F.col("_ex")[2])
+        .alias("p50_ok"),
+        F.col("_apx")[1]
+        .between(F.col("_ex")[3], F.col("_p100"))
+        .alias("p99_ok"),
     )
 
 

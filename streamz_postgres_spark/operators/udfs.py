@@ -196,11 +196,25 @@ def q_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     computation relationally, value-checking the cogroup plumbing.
     At 100 TB this costs exactly one co-partitioned shuffle per side
     — same exchange plan as the equivalent join."""
-    o = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderkey") % 16 == 1
+    # explicit key repartition at the session's parallelism (r13,
+    # guide §2.5/§4): the cogroup stage's cost is per-GROUP Python
+    # round-trips (~9.4k groups at sf0.1), but its shuffle is only
+    # ~2 MB — AQE's byte-based coalescing folded it to 2 partitions
+    # and ran all those round-trips on 2 cores (measured: 29-35 s
+    # wall, 1.9 s CPU). Byte-sized partitions are the wrong model
+    # when Python-call count dominates; pinning the exchange width
+    # restores 32-way fan-out (measured ~6x). Cogroup reuses this
+    # partitioning, so no extra exchange is added.
+    p = spark.sparkContext.defaultParallelism
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 16 == 1)
+        .repartition(p, "o_orderkey")
     )
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_orderkey") % 16 == 1
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 16 == 1)
+        .repartition(p, "l_orderkey")
     )
     return (
         o.groupBy("o_orderkey")
