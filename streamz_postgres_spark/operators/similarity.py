@@ -1674,48 +1674,30 @@ def _pq_model(spark: SparkSession, sf_dir: str):
         )
 
     def update(assigned: DataFrame) -> DataFrame:
-        # ONE groupBy with per-dimension decimal sums (r13, guide
-        # §2.4) instead of posexplode -> groupBy(m, cl, dim) ->
-        # groupBy(m, cl) + collect_list reassembly: same exact
-        # micro-unit means (dsum over element_at(sv, d) sums the same
-        # multiset the dim-exploded rows did; the divisor counts rows
-        # where dim d exists, exactly the old per-(m, cl, dim) row
-        # count), one exchange instead of two, no 16x row explosion.
-        # Dims absent from every member (ragged inputs) are filtered
-        # out of the codeword, matching the old collect_list of
-        # present dims only.
-        aggs = []
-        for d in range(1, _PQ_W + 1):
-            aggs.append(
-                dsum(F.try_element_at(F.col("sv"), F.lit(d))).alias(f"s{d}")
-            )
-            aggs.append(
-                F.count(F.when(F.size("sv") >= d, F.lit(1))).alias(f"n{d}")
-            )
-        cd = assigned.groupBy("m", "cl").agg(*aggs)
-        entries = F.array(
-            *[
-                F.struct(
-                    (F.col(f"s{d}") / F.col(f"n{d}")).alias("c"),
-                    F.col(f"n{d}").alias("n"),
-                )
-                for d in range(1, _PQ_W + 1)
-            ]
+        # NOTE (r13, measured then kept as-is): two candidate
+        # rewrites were interleaved-A/B'd under q_sim_ann_ivfpq and
+        # BOTH regressed it — a single-groupBy per-dimension
+        # decimal-sum update (median 3.53 s vs 2.71 s: 32 aggregate
+        # buffers per row lose to this exploded codegen path even at
+        # 16 dims) and a persist_scoped pin of c1 (3.51 s vs 2.71 s:
+        # the cache-fill job plus InMemoryRelation machinery on a
+        # 32-row codebook costs more than the duplicate broadcast
+        # subtrees it removes). The exploded two-stage aggregation
+        # below is the measured optimum.
+        ex = assigned.select(
+            "m", "cl", F.posexplode("sv").alias("dim", "val")
         )
-        ce = F.transform(
-            F.filter(entries, lambda x: x["n"] > 0), lambda x: x["c"]
+        cd = ex.groupBy("m", "cl", "dim").agg(
+            (dsum("val") / F.count(F.lit(1))).alias("c")
         )
-        return cd.select("m", "cl", ce.alias("ce"))
+        return cd.groupBy("m", "cl").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                lambda x: x.c,
+            ).alias("ce")
+        )
 
     c1 = update(assign(seeds))
-    # the trained codebook is O(M x K) rows but its lineage is the
-    # whole seed-assign + update chain; consumers reference it 2-3
-    # times per query (broadcast LUT build + the final assignment),
-    # so pin it per invocation (thread-scoped lifecycle, same pattern
-    # as the minhash signature)
-    from streamz_postgres_spark.lifecycle import persist_scoped
-
-    persist_scoped("_pq_model", c1)
     a1 = assign(c1)
     return v, sub, c1, a1
 
