@@ -630,8 +630,15 @@ def _prefix_filtered_jaccard(d: DataFrame, t: float) -> DataFrame:
     """Shared body of q_dedup_ngram, factored so tests can run it on
     synthetic token data: exact Jaccard >= t pairs via prefix-filter
     candidates + array_intersect verification."""
+    # per-doc array_distinct before the explode (r13, guide §2.3 —
+    # same rewrite as q_text_langid): repeats collapse row-locally,
+    # so the cross-row distinct (still required for PK-duplicated
+    # corpora to match the oracle's SELECT DISTINCT) shuffles the
+    # per-doc vocabulary, not every token occurrence
     ts = d.select(
-        "doc_id", "lang", F.explode(tokens("text")).alias("token")
+        "doc_id",
+        "lang",
+        F.explode(F.array_distinct(tokens("text"))).alias("token"),
     ).distinct()
     # global (per-lang) document frequency orders tokens rare-first;
     # token breaks ties so the order is total and identical per doc

@@ -145,11 +145,20 @@ def _materialized_sink(spark: SparkSession, sf_dir: str):
     base_mtime = None
     for i in range(4):
         part_dir = os.path.join(staging, f"part{i}")
+        # chunk 0 is UNBOUNDED BELOW (r13, found by the v8 hostile
+        # rows with negative event_ids): the time-travel oracle cuts
+        # with `event_id < (epoch+1)*step`, so any id below 0 belongs
+        # to the first epoch — a `>= 0` lower bound left such rows
+        # permanently unstaged and the materialized table stale, the
+        # same silent-loss class the MAX-vs-COUNT note above records
+        # for high-id gaps
+        lo = (
+            F.lit(True)
+            if i == 0
+            else (F.col("event_id") >= i * step)
+        )
         (
-            e.filter(
-                (F.col("event_id") >= i * step)
-                & (F.col("event_id") < (i + 1) * step)
-            )
+            e.filter(lo & (F.col("event_id") < (i + 1) * step))
             .coalesce(1)
             .write.mode("overwrite")
             .parquet(part_dir)
