@@ -364,13 +364,19 @@ def build_hostile_dir(src: str, timeshift: bool = True) -> str:
             -- NULL k — on BOTH sides of the split, so a diff that
             -- joins with plain `=` (NULL never equals NULL) emits a
             -- spurious 'c'+'d' pair where the tuple-set oracle (IS
-            -- NOT DISTINCT FROM) emits nothing. Negative event_ids
-            -- keep them off the base PK range and out of every
-            -- event_id%k mutation class.
-            (-9000001, TIMESTAMP '2024-01-10 06:15:00', NULL,    'view', 1.25, '{{"k": 777}}'),
-            (9000051,  TIMESTAMP '2024-01-10 06:45:00', NULL,    'view', 1.25, '{{"k": 777}}'),
-            (-9000002, TIMESTAMP '2024-01-10 06:20:00', 424242,  'view', 1.25, '{{"x": 1}}'),
-            (9000052,  TIMESTAMP '2024-01-10 06:50:00', 424242,  'view', 1.25, '{{"x": 1}}')
+            -- NOT DISTINCT FROM) emits nothing. Ids 4101/4102 sit in
+            -- the base PK gap (base ids 0-999, dup blocks < 2000)
+            -- outside every event_id%k mutation class and INSIDE the
+            -- polling-cursor floor (the replay loaders seed at
+            -- cursor -1, so sub-zero ids are by-contract invisible
+            -- to them — a first negative-id draft of these rows
+            -- diverged q_cdc_scd2 for exactly that reason, and found
+            -- the chunk-0 lower-bound latent in the materialize
+            -- stager on the way).
+            (4101,    TIMESTAMP '2024-01-10 06:15:00', NULL,    'view', 1.25, '{{"k": 777}}'),
+            (9000051, TIMESTAMP '2024-01-10 06:45:00', NULL,    'view', 1.25, '{{"k": 777}}'),
+            (4102,    TIMESTAMP '2024-01-10 06:20:00', 424242,  'view', 1.25, '{{"x": 1}}'),
+            (9000052, TIMESTAMP '2024-01-10 06:50:00', 424242,  'view', 1.25, '{{"x": 1}}')
           ) v(event_id, ts, user_id, event_type, value, props)
           ORDER BY event_id
         ) TO '{out}/events.parquet' (FORMAT PARQUET)
