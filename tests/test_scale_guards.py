@@ -128,6 +128,54 @@ def test_prefix_filter_jaccard_recall_and_stopword_block(spark):
     assert all(r.jaccard >= 0.9 for r in out)
 
 
+def test_winnow_hot_gram_filtered_before_collect(spark):
+    """r14 hazard fix (r13 ADVICE medium): a gram whose document
+    frequency exceeds _SUB_DF_CAP (corpus-wide boilerplate) must be
+    dropped BEFORE any doc list is collected — at 100 TB a hot gram
+    would otherwise materialize millions of doc_ids in one
+    non-spillable collect_list buffer only for the cap filter to
+    discard them. Functionally: the hot gram never produces candidate
+    pairs while a genuine duplicate pair in the same corpus is still
+    found. Structurally: the plan's df-cap Filter sits BELOW the
+    collect_list aggregate (operator ids are bottom-up), fed by a
+    spillable Window count over the same gram exchange."""
+    import re
+
+    from streamz_postgres_spark.operators.dedup import (
+        _SUB_DF_CAP,
+        _winnow_pairs,
+    )
+
+    hot = ("boilerplate header repeated verbatim in every document "
+           "of this corpus so its winnow fingerprints blow the df cap")
+    base = ("the quick brown fox jumps over the lazy dog and keeps "
+            "running through the meadow at dawn " * 3)
+    rows = [(i, hot) for i in range(_SUB_DF_CAP + 10)]
+    rows += [(1000, base), (1001, base + " tail b")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    res = _winnow_pairs(spark, "/nonexistent", docs=docs)
+    got = {(r.doc_a, r.doc_b) for r in res.collect()}
+    assert (1000, 1001) in got, "true duplicate pair must survive"
+    assert all(a >= 1000 and b >= 1000 for a, b in got), got
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        res.explain("formatted")
+    plan = buf.getvalue()
+    win_ids = [int(m) for m in re.findall(r"\((\d+)\) Window", plan)]
+    collect_ids = [
+        int(m) for m in re.findall(r"\((\d+)\) ObjectHashAggregate", plan)
+    ]
+    filter_ids = [int(m) for m in re.findall(r"\((\d+)\) Filter", plan)]
+    assert win_ids and collect_ids, plan
+    win, coll = min(win_ids), min(collect_ids)
+    assert win < coll, plan
+    assert any(win < f < coll for f in filter_ids), (
+        "df-cap filter must sit between the window count and the "
+        "collect_list aggregate:\n" + plan
+    )
+
+
 def test_connected_components_chain_and_islands(spark):
     """Min-label propagation must converge on a long chain (needs
     many rounds — the fixture's near-dup graph is shallow so this
