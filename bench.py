@@ -6,6 +6,18 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
    medians>, "unit": "sec", "queries": {name: sec, ...}, "sf": ...,
    "load": {...}, "heavy_tail": {...}}
 
+r14 additions (PERF_r13 scaling contract; the headline
+metric/value stay byte-compatible): top-level "cpus" (the
+$SPARK_GRAFT_CPUS value) and "parallelism"
+(sparkContext.defaultParallelism) prove the core count took
+effect; a COMPUTE-bound "scaling_probe" (fixed total md5 work,
+see _scaling_probe) is timed with the same sentinel discipline
+and reported inside "queries" (an added entry, allowed by the
+contract) and in a "scaling" object — its 8-vs-32-core wall
+ratio resolves where the sub-second sf0.1 headline keys are
+scheduling-bound and cannot. "value" remains the sum over the
+original HEADLINE set only (the probe is excluded).
+
 The trailing "heavy_tail" object (r10) is a NON-GATING second
 section over the registry's wall-clock tail — the five heaviest
 keys, where a plan regression would actually show (the headline set
@@ -118,6 +130,28 @@ SENTINEL_TOLERANCE = 1.8
 MAX_ATTEMPTS_FACTOR = 3
 
 
+#: r14 (PERF_r13 scaling contract): the sentinel and the sub-second
+#: sf0.1 headline keys are scheduling-bound, so the driver's 8-core
+#: vs 32-core comparison could not resolve (every ratio ~= 1,
+#: `suspect_cpus_ignored` raised even though session.py honors
+#: $SPARK_GRAFT_CPUS). This probe is COMPUTE-bound: a fixed total of
+#: per-row JVM work (md5 over the stringified id, crc32-reduced to
+#: one long) split over 2x defaultParallelism partitions, so its
+#: wall time scales ~1/cores and the core ratio is visible. It is
+#: reported as "scaling_probe" inside "queries" (an ADDED entry per
+#: the bench contract) and in the "scaling" object, but is EXCLUDED
+#: from the headline "value", which remains the sum over HEADLINE —
+#: byte-compatible with rounds 1-13.
+PROBE_ROWS = 32_000_000
+
+
+def _scaling_probe(spark) -> None:
+    p = spark.sparkContext.defaultParallelism
+    spark.range(0, PROBE_ROWS, 1, 2 * p).selectExpr(
+        "sum(crc32(md5(cast(id as string)))) as s"
+    ).collect()
+
+
 def _sentinel(spark) -> float:
     """Fixed-cost pure-compute kernel: 16M-row codegen sum over an
     in-memory range, 32 partitions. No I/O, no shuffle beyond the
@@ -150,6 +184,17 @@ def time_query(
     fn = REGISTRY[name].spark_fn
     fn(spark, sf_dir).count()  # warm-up
     n = n_runs or EXTRA_RUNS.get(name, N_RUNS)
+    return _timed_samples(
+        spark, lambda: fn(spark, sf_dir).count(), sentinel_base, n
+    )
+
+
+def _timed_samples(
+    spark, action, sentinel_base: float, n: int
+) -> tuple[float, int, int]:
+    """Sentinel-bracketed sampling loop shared by the registry
+    queries and the r14 scaling probe (methodology unchanged — this
+    is the exact body time_query had since r10)."""
     limit = sentinel_base * SENTINEL_TOLERANCE
     clean: list[float] = []
     contended: list[float] = []
@@ -158,7 +203,7 @@ def time_query(
         attempts += 1
         s_before = _sentinel(spark)
         t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
+        action()
         elapsed = time.perf_counter() - t0
         # one UNCOUNTED sentinel absorbs post-query JVM churn
         # (ContextCleaner broadcast/shuffle cleanup after the heavy
@@ -205,12 +250,37 @@ def main() -> None:
     load_flag = any(
         clean_counts[name] < EXTRA_RUNS.get(name, N_RUNS) for name in HEADLINE
     )
+    # headline "value" = sum over HEADLINE only — byte-compatible
+    # with rounds 1-13 (computed BEFORE the probe entry is added)
+    headline_total = round(sum(per_query.values()), 3)
+
+    # r14 scaling probe (see _scaling_probe): timed with the same
+    # sentinel discipline, reported as an ADDED queries entry plus a
+    # "scaling" object carrying the effective parallelism, so the
+    # driver's low-core run can verify cores took effect.
+    _scaling_probe(spark)  # JIT warm-up, untimed
+    probe_med, probe_clean, probe_cont = _timed_samples(
+        spark, lambda: _scaling_probe(spark), sentinel_base, N_RUNS_HEAVY
+    )
+    per_query["scaling_probe"] = round(probe_med, 3)
+    clean_counts["scaling_probe"] = probe_clean
+    if probe_cont:
+        discarded["scaling_probe"] = probe_cont
+
     out = {
         "metric": "headline_total_sec",
-        "value": round(sum(per_query.values()), 3),
+        "value": headline_total,
         "unit": "sec",
         "queries": per_query,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS"),
+        "parallelism": spark.sparkContext.defaultParallelism,
+        "scaling": {
+            "probe_sec": round(probe_med, 3),
+            "probe_rows": PROBE_ROWS,
+            "probe_partitions": 2 * spark.sparkContext.defaultParallelism,
+            "probe_clean_samples": probe_clean,
+        },
         "load": {
             "sentinel_baseline_sec": round(sentinel_base, 4),
             "sentinel_tolerance": SENTINEL_TOLERANCE,

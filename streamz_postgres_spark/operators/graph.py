@@ -177,6 +177,21 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     en = e.join(outw, F.col("src") == F.col("osrc")).select(
         "src", "dst", (F.col("w") / F.col("tw")).alias("wn")
     )
+    # r14 (guide §3.3/§2.4 — truncate duplicated subtrees): the
+    # normalized edge list is consumed once per unrolled iteration,
+    # and each consumer is a separate broadcast subtree — the before
+    # plan (plans/r14/q_pagerank_before.txt) scans lineitem SIX times
+    # and carries 45 exchanges because the 4-way join + two groupBys
+    # behind `en` are re-planned per iteration (broadcast builds do
+    # not share in-flight cache fills, the r13 winnow lesson). `en`
+    # is O(nations^2) <= 625 rows: one eager localCheckpoint
+    # materializes the edge build exactly once and every iteration
+    # joins the tiny checkpointed blocks. Blocks are released on the
+    # next invocation via the standard thread-scoped lifecycle.
+    from streamz_postgres_spark.lifecycle import track_scoped
+
+    en = en.localCheckpoint(eager=True)
+    track_scoped("q_pagerank", en)
 
     nn = nat.agg(F.count(F.lit(1)).cast("double").alias("N"))
     nodes = nat.select(F.col("n_nationkey").alias("node")).crossJoin(

@@ -1066,6 +1066,17 @@ def q_retrieval_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = q_retrieval_topk(spark, sf_dir).select(
         "query_id", F.col("doc_id").alias("vec_id")
     )
+    # r14 (guide §3.3 — truncate duplicated subtrees): seeds feeds
+    # TWO consumers (the centroid build and the is_seed flag), both
+    # broadcast subtrees, so the entire BM25 pipeline behind
+    # q_retrieval_topk was planned and executed twice — the before
+    # plan (plans/r14/q_retrieval_prf_before.txt) scans documents
+    # EIGHT times. seeds is Q x 5 rows: one eager localCheckpoint
+    # runs BM25 once; blocks released next invocation (lifecycle).
+    from streamz_postgres_spark.lifecycle import track_scoped
+
+    seeds = seeds.localCheckpoint(eager=True)
+    track_scoped("q_retrieval_prf", seeds)
     e = load_table(spark, sf_dir, "embeddings")
     v = e.select(
         "vec_id",

@@ -1325,6 +1325,20 @@ def q_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "bar")
         .agg(dsum("value").alias("actual"))
     )
+    # r14 (guide §3.3 — truncate duplicated subtrees): `paired` below
+    # feeds THREE consumers (median, MAD fence, final read-out), two
+    # of them broadcast subtrees, and each evaluation re-ran the
+    # events scan + exact-decimal bar aggregate twice (bars + its
+    # shifted self-join side) — the before plan
+    # (plans/r14/q_anomaly_seasonal_before.txt) scans events SIX
+    # times. bars is O(types x bars) (hundreds of rows): one eager
+    # localCheckpoint materializes the only input-sized stage once;
+    # the residual joins all run over the tiny checkpointed blocks,
+    # released on the next invocation via the standard lifecycle.
+    from streamz_postgres_spark.lifecycle import track_scoped
+
+    bars = bars.localCheckpoint(eager=True)
+    track_scoped("q_anomaly_seasonal", bars)
     pred = bars.select(
         "event_type",
         (F.col("bar") + _SNAIVE_PERIOD).alias("bar"),

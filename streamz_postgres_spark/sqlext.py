@@ -898,6 +898,86 @@ def _mr_partition_subquery(
     )
 
 
+def _max_match_len(regex: str) -> int | None:
+    """Maximum number of characters an anchored match of the
+    canonical PATTERN regex (_parse_pattern's output — alphabet
+    ``A-Z 0-9 * + ? | ( ) { } ,``, balanced groups, one quantifier
+    per term, no lookaround) can consume; None when unbounded
+    (``*``, ``+``, ``{n,}``).
+
+    r14 (guide §1.2/§2.3 — per-task work): the overlapping and
+    skip-to scans probe ``regexp_extract(substr(__s, p), '^(re)')``
+    at EVERY position p, and ``substr(__s, p)`` COPIES the whole
+    remaining suffix — O(len²) bytes per partition string. A regex
+    with no lookaround and only bounded quantifiers can never
+    examine a character past the longest possible match, so
+    truncating the haystack to ``substr(__s, p, maxlen)`` is exactly
+    equivalent (same match, same extraction, byte-identical results)
+    while copying O(len · maxlen). Unbounded patterns keep the full
+    suffix."""
+    pos = 0
+
+    def peek() -> str:
+        return regex[pos] if pos < len(regex) else ""
+
+    def parse_alt():
+        nonlocal pos
+        best = parse_seq()
+        while peek() == "|":
+            pos += 1
+            b = parse_seq()
+            best = None if (best is None or b is None) else max(best, b)
+        return best
+
+    def parse_seq():
+        nonlocal pos
+        total: int | None = 0
+        while peek() not in ("", "|", ")"):
+            t = parse_term()
+            if t is None or total is None:
+                total = None
+            else:
+                total += t
+        return total
+
+    def parse_term():
+        nonlocal pos
+        if peek() == "(":
+            pos += 1
+            base = parse_alt()
+            pos += 1  # ')' — balanced by the canonical emitter
+        else:
+            base = 1  # a single symbol letter
+            pos += 1
+        ch = peek()
+        # `"" in "*+"` is True — the parser-wide truthiness gotcha
+        # (see the r12 peek() note): guard ch before membership
+        if ch and ch in "*+":
+            pos += 1
+            return None
+        if ch == "?":
+            pos += 1
+            return base
+        if ch == "{":
+            bm = re.match(r"\{(\d+)(,(\d*))?\}", regex[pos:])
+            pos += bm.end()
+            if bm.group(2) is not None and not bm.group(3):
+                return None  # {n,} — unbounded
+            hi = int(bm.group(3)) if bm.group(3) else int(bm.group(1))
+            return None if base is None else base * hi
+        return base
+
+    return parse_alt()
+
+
+def _probe_hay(regex: str) -> str:
+    """The per-position probe haystack: the suffix truncated to the
+    pattern's maximum match length when finite (see
+    :func:`_max_match_len`), else the full suffix."""
+    n = _max_match_len(regex)
+    return f"substr(__s, p, {n})" if n is not None else "substr(__s, p)"
+
+
 def _skip_to_fold(
     regex: str, mode: str, sym: str, chars: str | None = None
 ) -> str:
@@ -957,7 +1037,7 @@ def _skip_to_fold(
         "(acc, p) -> CASE "
         "WHEN acc.err IS NOT NULL OR p < acc.r THEN acc "
         "ELSE element_at(transform(array("
-        f"regexp_extract(substr(__s, p), '^({regex})', 1)), "
+        f"regexp_extract({_probe_hay(regex)}, '^({regex})', 1)), "
         "mstr -> CASE WHEN mstr = '' THEN acc "
         f"ELSE element_at(transform(array({off}), o -> CASE "
         f"WHEN o = 0 THEN named_struct('r', acc.r, 'ms', acc.ms, "
@@ -1357,7 +1437,7 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
             # by session/month first at 100 TB
             n_matches = (
                 "CAST(size(filter(transform(sequence(1, "
-                "length(__s)), p -> regexp_extract(substr(__s, p), "
+                f"length(__s)), p -> regexp_extract({_probe_hay(regex)}, "
                 f"'^({regex})', 1)), x -> x <> '')) AS BIGINT)"
             )
         else:
@@ -1671,7 +1751,7 @@ def _lower_pattern(spark: SparkSession, query: str) -> DataFrame:
         mt = (
             "transform(filter(transform(sequence(1, length(__s)), "
             "p -> struct(p AS sp, length(regexp_extract("
-            f"substr(__s, p), '^({regex})', 1)) AS mlen)), "
+            f"{_probe_hay(regex)}, '^({regex})', 1)) AS mlen)), "
             "t -> t.mlen > 0), (t, i) -> "
             "struct(i + 1 AS no, t.mlen AS mlen, t.sp AS sp))"
         )
